@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic floating-point aggregates.
+  *
+  * Summing doubles is order-dependent, and Spark's partial aggregation order
+  * differs run-to-run and engine-to-engine — a plain `sum(double)` will not
+  * hash-match a DuckDB oracle. The fix: route sums through a fixed-scale
+  * DECIMAL (exact, associative, order-independent) and cast the final result
+  * back to double. Both engines then produce bit-identical values.
+  *
+  * This also matters at 100 TB: decimal sums stay exact no matter how many
+  * partial-aggregation levels AQE inserts, so results are stable across
+  * cluster sizes and retries.
+  *
+  * Mirror SQL text (DuckDB dialect = same ANSI text):
+  *   dsum  -> CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)
+  *   davg  -> CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / COUNT(x)
+  *   dstd  -> explicit sum/sum-of-squares formula, see [[dstd]]
+  */
+object DetAgg {
+  /** Fixed decimal scale: exact for money-like inputs (2-4 decimal digits)
+    * and products of two such columns (<=6 digits).
+    */
+  val Scale = 6
+  private val Dec = DecimalType(30, Scale)
+
+  def dec(c: Column): Column = c.cast(Dec)
+
+  /** Order-independent sum of a double column, returned as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Order-independent mean: exact decimal sum divided by count (one
+    * IEEE division — identical in any engine evaluating the same text).
+    */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Sample standard deviation via exact moments:
+    * sqrt((sxx - sx*sx/n) / (n-1)). sx and sxx are exact decimals; the
+    * final expression is a fixed sequence of IEEE double ops, so any engine
+    * computing the same formula gets the same bits. SQL mirror:
+    *   SQRT((CAST(SUM(CAST(x*x AS DECIMAL(30,6))) AS DOUBLE)
+    *         - CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)
+    *           * CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)
+    *           / COUNT(x)) / (COUNT(x) - 1))
+    */
+  def dstd(c: Column): Column = {
+    val sx  = sum(dec(c)).cast(DoubleType)
+    val sxx = sum(dec(c * c)).cast(DoubleType)
+    val n   = count(c)
+    sqrt((sxx - sx * sx / n) / (n - lit(1)))
+  }
+
+  /** SQL-text builders for the DuckDB oracle side, kept adjacent to the
+    * Scala forms above so the two can never drift.
+    */
+  object Sql {
+    def dsum(x: String): String =
+      s"CAST(SUM(CAST($x AS DECIMAL(30,$Scale))) AS DOUBLE)"
+    def davg(x: String): String =
+      s"${dsum(x)} / COUNT($x)"
+    def dstd(x: String): String =
+      s"SQRT((${dsum(s"($x)*($x)")} - ${dsum(x)} * ${dsum(x)} / COUNT($x)) / (COUNT($x) - 1))"
+  }
+}

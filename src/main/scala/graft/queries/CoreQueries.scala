@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.DetAgg
+import graft.functions.DetAgg.{Sql => D}
+import graft.sources.Tables
+
+/** Core relational queries covering SURVEY §2 scans / filters / aggs.
+  *
+  * Each query is bound to the driver's synthetic TPC-H-ish tables
+  * (TESTDATA.md) and paired with DuckDB oracle SQL. Floating-point
+  * aggregates go through [[graft.functions.DetAgg]] so Spark and DuckDB
+  * produce bit-identical doubles.
+  */
+object CoreQueries {
+
+  private def li(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
+  private def ord(s: SparkSession, dir: String) = Tables.load(s, dir, "orders")
+  private def cust(s: SparkSession, dir: String) = Tables.load(s, dir, "customer")
+  private def nat(s: SparkSession, dir: String) = Tables.load(s, dir, "nation")
+  private def reg(s: SparkSession, dir: String) = Tables.load(s, dir, "region")
+
+  /** A3/A1-style multi-aggregate groupBy — the reference's `mean_std` shape
+    * (reference `scripts/utils.py:118-146`) on the pricing table. Hash
+    * aggregate, partial+final map-side combine; scales linearly with data
+    * and constant with group count (6 groups).
+    */
+  val q1Agg: Q = Q(
+    "q1_agg",
+    Some(s"""SELECT l_returnflag, l_linestatus,
+            |  ${D.dsum("l_quantity")} AS sum_qty,
+            |  ${D.dsum("l_extendedprice")} AS sum_base_price,
+            |  ${D.dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+            |  ${D.davg("l_quantity")} AS avg_qty,
+            |  ${D.dstd("l_quantity")} AS std_qty,
+            |  COUNT(*) AS count_order
+            |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
+    (s, dir) =>
+      li(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          DetAgg.dsum(col("l_quantity")).as("sum_qty"),
+          DetAgg.dsum(col("l_extendedprice")).as("sum_base_price"),
+          DetAgg.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          DetAgg.davg(col("l_quantity")).as("avg_qty"),
+          DetAgg.dstd(col("l_quantity")).as("std_qty"),
+          count(lit(1)).as("count_order")))
+
+  /** P1/P6: predicate filter + derived arithmetic column (reference
+    * `query('...')` + column arithmetic, `scripts/time_resolution_beta_scan
+    * .py:231`, `scripts/measurements.py:82-84`). Both the filter and the
+    * 2-column projection push down to the parquet scan.
+    */
+  val p1Filter: Q = Q(
+    "p1_filter_project",
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  l_extendedprice * (1 - l_discount) AS revenue,
+           |  ABS(l_extendedprice - l_quantity * 1000.0) AS abs_dev
+           |FROM lineitem
+           |WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1995-07-01'""".stripMargin),
+    (s, dir) =>
+      li(s, dir)
+        .filter(col("l_quantity") > 45 && col("l_shipdate") >= to_timestamp(lit("1995-07-01")))
+        .select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          abs(col("l_extendedprice") - col("l_quantity") * lit(1000.0)).as("abs_dev")))
+
+  /** J2: broadcast dimension join chain (reference device-info lookups,
+    * `scripts/compare_measurements.py:45-48`). nation/region are tiny —
+    * explicitly broadcast so the fact table never shuffles.
+    */
+  val j2Dim: Q = Q(
+    "j2_dim_join",
+    Some(s"""SELECT r_name, n_name, COUNT(*) AS n_cust,
+            |  ${D.dsum("c_acctbal")} AS sum_bal
+            |FROM customer
+            |JOIN nation ON c_nationkey = n_nationkey
+            |JOIN region ON n_regionkey = r_regionkey
+            |GROUP BY r_name, n_name""".stripMargin),
+    (s, dir) =>
+      cust(s, dir)
+        .join(broadcast(nat(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), DetAgg.dsum(col("c_acctbal")).as("sum_bal")))
+
+  def all: Seq[Q] = Seq(q1Agg, p1Filter, j2Dim)
+}
