@@ -1,0 +1,104 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Statistical kernels from the reference's pandas/scipy surface
+  * (SURVEY §2.5): MAD_std (reference `scripts/utils.py:140-141`), the
+  * `mean_std` wide-aggregate (reference `scripts/utils.py:118-146`),
+  * histogram binning (reference `scripts/clean_beta_scan.py:65-72`) and
+  * ECDF (reference `scripts/clean_beta_scan.py:212-220`).
+  */
+object Stats {
+
+  /** scipy's MAD→σ factor as hard-coded in the reference
+    * (`scripts/utils.py:7`).
+    */
+  val MadToStd = 1.4826
+
+  /** Exact median with linear interpolation on an unsorted buffer —
+    * matches DuckDB's `quantile_cont(0.5)`: for even n,
+    * `a + (b - a) * 0.5`.
+    */
+  def medianInPlace(xs: ArrayBuffer[Double]): Double = {
+    val a = xs.toArray
+    java.util.Arrays.sort(a)
+    val n = a.length
+    if (n == 0) Double.NaN
+    else if (n % 2 == 1) a(n / 2)
+    else a(n / 2 - 1) + (a(n / 2) - a(n / 2 - 1)) * 0.5
+  }
+
+  /** Exact MAD_std aggregate: `median(|x - median(x)|) * 1.4826`, nulls and
+    * NaNs dropped (scipy `nan_policy='omit'`). A buffering
+    * [[Aggregator]] — exact and single-pass over the shuffle, sound while
+    * per-GROUP cardinality is bounded (reference groups are ≤10⁵ rows;
+    * SURVEY §2.5 A2). For huge groups use the `percentile_approx`-based
+    * two-pass instead — the scale axis is the number of groups, which
+    * distributes freely.
+    */
+  class MadStdAgg extends Aggregator[java.lang.Double, ArrayBuffer[Double], Double] {
+    def zero: ArrayBuffer[Double] = ArrayBuffer.empty
+    def reduce(b: ArrayBuffer[Double], x: java.lang.Double): ArrayBuffer[Double] = {
+      if (x != null && !x.isNaN) b += x.doubleValue()
+      b
+    }
+    def merge(b1: ArrayBuffer[Double], b2: ArrayBuffer[Double]): ArrayBuffer[Double] = b1 ++= b2
+    def finish(b: ArrayBuffer[Double]): Double = {
+      if (b.isEmpty) return Double.NaN
+      val m = medianInPlace(b)
+      medianInPlace(b.map(x => math.abs(x - m))) * MadToStd
+    }
+    def bufferEncoder: Encoder[ArrayBuffer[Double]] = Encoders.kryo[ArrayBuffer[Double]]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** `mad_std(col)` as a Column aggregate. */
+  def madStd(c: Column): Column =
+    udaf(new MadStdAgg(), Encoders.DOUBLE).apply(c)
+
+  /** The reference's `mean_std` (reference `scripts/utils.py:118-146`):
+    * groupBy(keys) then mean/std/median/MAD_std of every value column, with
+    * flattened `"col stat"` names (units-in-names survive verbatim —
+    * SURVEY §7.3 #6). Results are rounded to 6 decimals so exact-median
+    * interpolation ulps can't break oracle hashing.
+    */
+  def meanStd(df: DataFrame, keys: Seq[String], values: Seq[String]): DataFrame = {
+    val aggs = values.flatMap { c =>
+      Seq(
+        DetAgg.davg(col(c)).as(s"$c mean"),
+        // std rounded: the sum-of-squares can exceed exact double range,
+        // so decimal→double casts may differ by an ulp between engines
+        round(DetAgg.dstd(col(c)), 6).as(s"$c std"),
+        round(median(col(c)), 6).as(s"$c median"),
+        round(madStd(col(c)), 6).as(s"$c MAD_std"))
+    }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fixed-range histogram: bucket i covers [lo + i·w, lo + (i+1)·w),
+    * values clamped into [0, nBins-1] (the reference adds explicit
+    * under/overflow bins, `scripts/clean_beta_scan.py:65-72`). One hash
+    * aggregate; the SQL mirror must use the identical arithmetic text.
+    */
+  def histogram(df: DataFrame, x: Column, lo: Double, hi: Double, nBins: Int): DataFrame = {
+    val w = (hi - lo) / nBins
+    val bucket = least(greatest(floor((x - lit(lo)) / lit(w)), lit(0L)), lit(nBins - 1L))
+    df.select(bucket.cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", lit(lo) + col("bucket") * lit(w))
+  }
+
+  /** ECDF per group: `cume_dist()` over the value ordering (reference
+    * `scripts/clean_beta_scan.py:212-220`). Pure window pass.
+    */
+  def ecdf(df: DataFrame, groupCols: Seq[String], x: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(x)
+    df.withColumn("ecdf", cume_dist().over(w))
+  }
+}

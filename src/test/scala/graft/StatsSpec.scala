@@ -1,0 +1,75 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Stats
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("mean_std matches the reference docstring golden (utils.py:120-138)") {
+    import spark.implicits._
+    val df = Seq(
+      (1, 0, 1.0), (1, 0, 2.0), (1, 0, 1.0), (1, 0, 1.0),
+      (2, 1, 2.0), (2, 1, 3.0), (2, 1, 3.0),
+      (3, 2, 3.0), (3, 2, 4.0), (3, 2, 3.0),
+      (4, 3, 4.0), (4, 3, 5.0)).toDF("n", "x", "y")
+    val got = Stats.meanStd(df, Seq("n", "x"), Seq("y"))
+      .orderBy("n")
+      .select("n", "x", "y mean", "y std")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    val want = Seq(
+      (1, 0, 1.25, 0.5),
+      (2, 1, 2.666667, 0.57735),
+      (3, 2, 3.333333, 0.57735),
+      (4, 3, 4.5, 0.707107))
+    got.zip(want).foreach { case ((n, x, m, s), (wn, wx, wm, ws)) =>
+      assert(n == wn && x == wx)
+      assert(math.abs(m - wm) < 1e-5, s"mean n=$n")
+      assert(math.abs(s - ws) < 1e-5, s"std n=$n")
+    }
+  }
+
+  test("medianInPlace interpolates like quantile_cont(0.5)") {
+    assert(Stats.medianInPlace(ArrayBuffer(3.0, 1.0, 2.0)) == 2.0)
+    assert(Stats.medianInPlace(ArrayBuffer(4.0, 1.0, 2.0, 3.0)) == 2.5)
+    assert(Stats.medianInPlace(ArrayBuffer(5.0)) == 5.0)
+  }
+
+  test("madStd: 1.4826 * MAD, shift-invariant, scale-equivariant") {
+    import spark.implicits._
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 100.0)
+    def madOf(data: Seq[Double]): Double =
+      data.map(x => (1, x)).toDF("g", "x")
+        .groupBy("g").agg(Stats.madStd(col("x")).as("m"))
+        .collect().head.getDouble(1)
+    val base = madOf(xs)
+    assert(math.abs(base - 1.4826) < 1e-9) // median=3, |dev|=(2,1,0,1,97) → MAD=1
+    assert(math.abs(madOf(xs.map(_ + 7.0)) - base) < 1e-9)
+    assert(math.abs(madOf(xs.map(_ * 3.0)) - base * 3.0) < 1e-9)
+  }
+
+  test("histogram clamps under/overflow into edge buckets") {
+    import spark.implicits._
+    val df = Seq(-5.0, 0.5, 1.5, 9.5, 25.0).toDF("x")
+    val h = Stats.histogram(df, col("x"), 0.0, 10.0, 10)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(h.toSeq == Seq((0L, 2L), (1L, 1L), (9L, 2L)))
+  }
+}
