@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Seeded, deterministic bootstrap resampling (SURVEY §2.5 A10 — reference
+  * `groupby(...).sample(frac=1, replace=True)` at `scripts/utils.py:54-56`,
+  * `scripts/time_resolution_beta_scan.py:21-30`; repeated N_BOOTSTRAP=33
+  * times).
+  *
+  * The reference draws unseeded numpy samples in a driver loop — results
+  * are irreproducible and the loop serializes. Here the replica index is a
+  * DATA dimension: one lazy plan carries all replicas, every draw is a pure
+  * function of (seed, replica, position) via xxhash64, so results are
+  * identical across runs, partitionings, and cluster sizes.
+  *
+  * Two forms:
+  *  - [[exactResample]]: true per-group multinomial (each group of size n
+  *    draws exactly n rows with replacement) — matches pandas semantics;
+  *    costs one extra shuffle to deal draws to rows.
+  *  - [[poissonResample]]: per-row multiplicity ~ Poisson(1), the standard
+  *    large-scale approximation (group size only approximately preserved)
+  *    — no join, embarrassingly parallel, the 100 TB path.
+  */
+object Bootstrap {
+
+  /** Exact multinomial bootstrap: for each group and each replica in
+    * [0, replicas), draw |group| members with replacement.
+    *
+    * `orderBy` must totally order rows within a group (it fixes which row
+    * owns which draw index, making the output multiset deterministic).
+    * Output = input columns + `replica`.
+    */
+  def exactResample(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderBy: Seq[Column],
+      replicas: Int,
+      seed: Long): DataFrame = {
+    val g = groupCols.map(col)
+    val w = Window.partitionBy(g: _*).orderBy(orderBy: _*)
+    val rows = df.withColumn("__rid", row_number().over(w))
+    val sizes = df.groupBy(g: _*).agg(count(lit(1)).as("__n"))
+    // one row per (group, replica, draw i): the drawn index is a pure
+    // function of (group, replica, i, seed)
+    val draws = sizes
+      .withColumn("replica", explode(sequence(lit(0), lit(replicas - 1))))
+      .withColumn("__i", explode(sequence(lit(1L), col("__n"))))
+      .withColumn(
+        "__rid",
+        (pmod(xxhash64(g :+ col("replica") :+ col("__i") :+ lit(seed): _*), col("__n")) + 1)
+          .cast("int"))
+      .select((g :+ col("replica") :+ col("__rid")): _*)
+    draws
+      .join(rows, groupCols :+ "__rid")
+      .drop("__rid")
+  }
+
+  /** Poisson(1) inverse-CDF thresholds: P(X <= k) for k = 0..9. Rows with
+    * multiplicity 0 drop out; >9 is truncated (P < 1e-10).
+    */
+  private val poissonCdf: Array[Double] = {
+    var cdf = List.empty[Double]
+    var p = math.exp(-1.0)
+    var acc = p
+    cdf ::= acc
+    for (k <- 1 to 9) { p /= k; acc += p; cdf ::= acc }
+    cdf.reverse.toArray
+  }
+
+  /** Poissonized bootstrap: each row appears m ~ Poisson(1) times per
+    * replica, m a pure function of (hashCols, replica, seed). No shuffle,
+    * no join — scales to any size. Output = input + `replica`.
+    */
+  def poissonResample(
+      df: DataFrame,
+      hashCols: Seq[Column],
+      replicas: Int,
+      seed: Long): DataFrame = {
+    val withReplica = df.withColumn("replica", explode(sequence(lit(0), lit(replicas - 1))))
+    // xxhash64 → uniform double in [0, 1)
+    val u = (xxhash64(hashCols :+ col("replica") :+ lit(seed): _*).cast("double")
+      / lit(2.0 * Long.MaxValue)) + lit(0.5)
+    val m = poissonCdf.zipWithIndex.foldRight(lit(poissonCdf.length): Column) {
+      case ((t, k), acc) => when(u < t, k).otherwise(acc)
+    }
+    withReplica
+      .withColumn("__m", m)
+      .filter(col("__m") > 0)
+      .withColumn("__dup", explode(array_repeat(lit(1), col("__m"))))
+      .drop("__m", "__dup")
+  }
+}

@@ -17,5 +17,5 @@ final case class Q(
 
 object Registry {
   /** All registered queries, in SURVEY §2 inventory order. */
-  def all: Seq[Q] = CoreQueries.all ++ RelationalQueries.all
+  def all: Seq[Q] = CoreQueries.all ++ RelationalQueries.all ++ KernelQueries.all
 }
