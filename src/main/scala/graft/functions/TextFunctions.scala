@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines: tokenization,
+  * token counting, quality ratios, language ID, fingerprinting. All are
+  * pure `org.apache.spark.sql.functions` compositions (codegen'd or
+  * higher-order functions) — no UDFs, so they stay inside whole-stage
+  * codegen and scale linearly.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed text. `trim` first: Java split keeps
+    * trailing empties and a leading "" for leading whitespace — trimming
+    * gives both engines (Spark / DuckDB `string_split_regex`) identical
+    * lists.
+    */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word runs + single punctuation marks —
+    * `\w+|[^\w\s]` — the standard pre-tokenizer regex shape.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Punctuation-character ratio: 1 - (chars surviving punctuation strip /
+    * total chars).
+    */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^\\w\\s]", "")))
+      .cast("double") / length(text)
+
+  /** Fraction of whitespace tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(text)
+    size(filter(t, x => x.isInCollection(stopwords))).cast("double") / size(t)
+  }
+
+  /** Number of tokens of `text` that appear in `words`. */
+  def wordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), x => x.isInCollection(words)))
+
+  /** Per-language stopword profiles for the heuristic language ID. CJK is
+    * detected by codepoint class rather than stopwords.
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "mit", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "les", "et", "une", "est"))
+
+  /** Heuristic language ID: stopword-hit count per language, CJK-character
+    * count for zh; argmax with alphabetical tiebreak (matching the mirrored
+    * SQL CASE chain — scores equal ⇒ first language in order wins).
+    */
+  def langId(text: Column): Column = {
+    val scores: Seq[(String, Column)] =
+      LangStopwords.map { case (l, ws) => l -> wordHits(text, ws) } :+
+        ("zh" -> size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0))))
+    // argmax via left-to-right CASE: lang_i wins if >= all later scores
+    val named = scores.map { case (l, c) => (l, c) }
+    named.init.zipWithIndex.foldRight(lit(named.last._1): Column) {
+      case (((l, s), i), els) =>
+        val rest = named.drop(i + 1).map(_._2)
+        when(rest.map(s >= _).reduce(_ && _), lit(l)).otherwise(els)
+    }
+  }
+
+  /** Normalized text: lowercase, trimmed, whitespace collapsed — the key
+    * for exact dedup and fingerprinting.
+    */
+  def normalized(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Document fingerprint: md5 of the normalized text (portable across
+    * engines). For shift-robust fingerprints see
+    * [[graft.operators.Dedup.shingles]] + minhash.
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
+}

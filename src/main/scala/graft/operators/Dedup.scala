@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash. All deterministic (seeded xxhash64 —
+  * no RNG), all expressed as DataFrame plans.
+  *
+  * Performance shape (the part that matters at 100 TB):
+  *  - token/shingle arrays are STAGED through a projection so the regex
+  *    split runs once per document — inlining it into per-element lambdas
+  *    makes evaluation O(tokens²) per doc (CollapseProject keeps the
+  *    boundary because the staged attribute is referenced many times and
+  *    split is not cheap);
+  *  - signature computation (minhash minima, simhash bit weights) runs as
+  *    CODEGEN'D hash aggregates over exploded (doc, hash) rows — one
+  *    shuffle keyed by doc id — instead of interpreted higher-order
+  *    lambdas;
+  *  - candidate generation is banded (LSH buckets), so only plausible
+  *    pairs ever meet: O(docs × bands) vs O(docs²).
+  */
+object Dedup {
+
+  /** Distinct k-token shingle array from an ALREADY-MATERIALIZED token
+    * array column. Guarded: Spark's `sequence(1, 0)` DESCENDS ([1, 0])
+    * rather than yielding empty, so short texts short-circuit to [].
+    */
+  def shingleFromTokens(toks: Column, k: Int): Column =
+    when(
+      size(toks) >= k,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - lit(k - 1)),
+          i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j))): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Convenience single-column form (prefer the staged
+    * [[docShingleSets]] inside operators — see class doc).
+    */
+  def shingleArray(text: Column, k: Int): Column =
+    shingleFromTokens(TextFunctions.tokens(text), k)
+
+  /** (id, sh: array<string>) with tokens staged exactly once per doc. */
+  def docShingleSets(df: DataFrame, id: String, text: String, k: Int): DataFrame =
+    df.select(col(id), TextFunctions.tokens(col(text)).as("__toks"))
+      .select(col(id), shingleFromTokens(col("__toks"), k).as("sh"))
+
+  /** Distinct k-token shingles per document, long form: (id, shingle). */
+  def shingles(df: DataFrame, id: String, text: String, k: Int): DataFrame =
+    docShingleSets(df, id, text, k)
+      .select(col(id), explode(col("sh")).as("shingle"))
+
+  /** Exact dedup: group documents by a normalized key, keep the smallest
+    * id as the canonical survivor (reference has no dedup — this is the
+    * driver-mandated extension surface, SURVEY §7.2 #8).
+    */
+  def exactGroups(df: DataFrame, id: String, key: Column): DataFrame =
+    df.select(col(id), key.as("dedup_key"))
+      .groupBy("dedup_key")
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact n-gram Jaccard near-dup pairs: shingle self-join → common
+    * counts → |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. Quadratic in docs
+    * sharing a shingle — use [[minHashPairs]] when that bound is unsafe.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      id: String,
+      text: String,
+      k: Int,
+      threshold: Double): DataFrame = {
+    // join on the 64-bit shingle hash: smaller shuffle + long compares
+    // (collision probability ~n²/2⁶⁵ — immaterial)
+    val sh = shingles(df, id, text, k)
+      .select(col(id), xxhash64(col("shingle")).as("shingle"))
+      .cache()
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(id).as("id_a"), col("shingle"))
+    val b = sh.select(col(id).as("id_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(id).as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col(id).as("id_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "common", "jaccard")
+  }
+
+  /** MinHash+LSH near-dup pairs:
+    *
+    * shingle → explode → `numHashes` codegen'd `min(xxhash64(h, i))`
+    * aggregates per doc (ONE shuffle on id) → band keys → bucket
+    * self-join → exact Jaccard verify on candidates only.
+    *
+    * bands × rowsPerBand = signature length; the (b, r) choice sets the
+    * S-curve: P(candidate) = 1 − (1 − s^r)^b for true similarity s.
+    */
+  def minHashPairs(
+      df: DataFrame,
+      id: String,
+      text: String,
+      k: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val docSh = docShingleSets(df, id, text, k).filter(size(col("sh")) > 0).cache()
+    // (id, shingle-hash) rows; all minhash minima in one codegen'd aggregate
+    val exploded = docSh
+      .select(col(id), explode(col("sh")).as("s"))
+      .select(col(id), xxhash64(col("s")).as("h"))
+    val minAggs = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"__mh$i"))
+    val sigs = exploded.groupBy(col(id)).agg(minAggs.head, minAggs.tail: _*)
+    // band key = hash of the band's slice of the signature
+    val banded = sigs.select(
+      col(id),
+      explode(array((0 until bands).map { b =>
+        val slice = (0 until rowsPerBand).map(r => col(s"__mh${b * rowsPerBand + r}"))
+        struct(lit(b).as("band"), xxhash64(slice: _*).as("bkey"))
+      }: _*)).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val l = banded.select(col(id).as("id_a"), col("band"), col("bkey"))
+    val r = banded.select(col(id).as("id_b"), col("band"), col("bkey"))
+    val candidates = l.join(r, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    // exact verify on the candidate pairs only
+    candidates
+      .join(docSh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docSh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn(
+        "jaccard",
+        col("common").cast("double")
+          / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash per doc: bit b set iff Σ_tokens (bit b of
+    * xxhash64(token) ? +1 : −1) > 0. Computed as 64 codegen'd sums over
+    * exploded (id, token-hash) rows — one shuffle, no interpreted lambdas.
+    */
+  def simHash64(df: DataFrame, id: String, text: String): DataFrame = {
+    val tok = df
+      .select(col(id), TextFunctions.tokens(col(text)).as("__toks"))
+      .select(col(id), explode(col("__toks")).as("t"))
+      .select(col(id), xxhash64(col("t")).as("h"))
+    val weightAggs = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"__w$b")
+    }
+    val weights = tok.groupBy(col(id)).agg(weightAggs.head, weightAggs.tail: _*)
+    val simhash = (0 until 64)
+      .map(b => when(col(s"__w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    weights.select(col(id), simhash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band on the 4 16-bit chunks (two 64-bit
+    * hashes within Hamming distance < 4 share at least one exact chunk by
+    * pigeonhole), verify with popcount of XOR.
+    */
+  def simHashPairs(df: DataFrame, id: String, text: String, maxHamming: Int): DataFrame = {
+    require(maxHamming < 4, "4-chunk banding guarantees recall only for hamming < 4")
+    val hashed = simHash64(df, id, text)
+    val chunked = hashed
+      .select(
+        col(id),
+        col("simhash"),
+        explode(array((0 until 4).map { c =>
+          struct(
+            lit(c).as("chunk"),
+            shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))
+        }: _*)).as("ck"))
+      .select(col(id), col("simhash"), col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
+    val l = chunked.select(col(id).as("id_a"), col("simhash").as("h_a"), col("chunk"), col("ckey"))
+    val r = chunked.select(col(id).as("id_b"), col("simhash").as("h_b"), col("chunk"), col("ckey"))
+    l.join(r, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`).
+  *
+  *  - [[cosine]]: explicit dot/norm expression (sequential fold, so the
+  *    double result is reproducible and oracle-comparable after round).
+  *  - [[topK]]: brute-force scored top-k — the correctness baseline;
+  *    plans as TakeOrderedAndProject (no global sort materialization).
+  *  - [[nearDupPairs]]: brute-force all-pairs above a threshold.
+  *  - [[lshNearDupPairs]]: random-hyperplane LSH — sign-bucket join, then
+  *    exact verify. The scale path: O(n·planes) hashing + bucket-local
+  *    pairs instead of O(n²).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product (higher-order-function reference form;
+    * [[graft.plans.VectorExpressions.dotFast]] is the hot-path form — same
+    * left-to-right summation, one JVM loop instead of per-element
+    * interpretation).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def dotF(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.dotFast(a, b)
+
+  /** Cosine similarity of two `array<double>` columns. Inside pair joins
+    * prefer precomputing the norms per side (see [[nearDupPairs]]) — this
+    * form recomputes them per pair.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dotF(a, b) / (sqrt(dotF(a, a)) * sqrt(dotF(b, b)))
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Score every row against the embedding of `queryId` (self-lookup via a
+    * broadcast 1-row crossJoin — the query never leaves the plan). Norms
+    * are computed once per side, not per pair.
+    */
+  def scoreAgainst(df: DataFrame, id: String, vec: String, queryId: Long): DataFrame = {
+    val q = df.filter(col(id) === queryId)
+      .select(asDouble(col(vec)).as("__qv"))
+      .select(col("__qv"), sqrt(dotF(col("__qv"), col("__qv"))).as("__qn"))
+    df.select(col(id), asDouble(col(vec)).as("__v"))
+      .withColumn("__vn", sqrt(dotF(col("__v"), col("__v"))))
+      .crossJoin(broadcast(q))
+      .select(
+        col(id),
+        (dotF(col("__v"), col("__qv")) / (col("__vn") * col("__qn"))).as("cos"))
+  }
+
+  /** Brute-force top-k by cosine against `queryId`'s embedding; rounded
+    * score + id tiebreak keeps the cut deterministic.
+    */
+  def topK(df: DataFrame, id: String, vec: String, queryId: Long, k: Int): DataFrame =
+    scoreAgainst(df, id, vec, queryId)
+      .withColumn("cos", round(col("cos"), 6))
+      .orderBy(col("cos").desc, col(id))
+      .limit(k)
+
+  /** Brute-force near-duplicate pairs: all (a, b), a < b, cosine ≥
+    * threshold. O(n²) — correctness baseline and small-dimension-table
+    * path only.
+    */
+  def nearDupPairs(df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
+    val a = df.select(col(id).as("id_a"), asDouble(col(vec)).as("va"))
+      .withColumn("na", sqrt(dotF(col("va"), col("va"))))
+    val b = df.select(col(id).as("id_b"), asDouble(col(vec)).as("vb"))
+      .withColumn("nb", sqrt(dotF(col("vb"), col("vb"))))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dotF(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Deterministic pseudo-random hyperplanes (seeded — reproducible across
+    * runs and cluster layouts).
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH near-dup pairs: bucket on the `numPlanes`-bit
+    * sign signature, exact-verify cosine within buckets. Recall comes from
+    * `bands` independent sign-bands (each `planesPerBand` bits).
+    */
+  def lshNearDupPairs(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      dim: Int,
+      bands: Int,
+      planesPerBand: Int,
+      threshold: Double,
+      seed: Long): DataFrame = {
+    val planes = hyperplanes(bands * planesPerBand, dim, seed)
+    val v = asDouble(col(vec))
+    // sign bit per plane, folded into one long key per band
+    val bandKeys: Seq[Column] = (0 until bands).map { b =>
+      val bits = (0 until planesPerBand).map { p =>
+        val plane = planes(b * planesPerBand + p)
+        val d = dotF(col("__v"), typedlit(plane.toSeq))
+        when(d >= 0, 1L << p).otherwise(0L)
+      }
+      bits.reduce(_ + _).as(s"band_$b")
+    }
+    val staged = df.select(col(id), v.as("__v"))
+      .withColumn("__n", sqrt(dotF(col("__v"), col("__v"))))
+    val keyed = staged.select((col(id) +: col("__v") +: col("__n") +: bandKeys): _*)
+    val banded = keyed.select(
+      col(id),
+      col("__v"),
+      col("__n"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), col(s"band_$b").as("bkey"))): _*)).as("bk"))
+      .select(col(id), col("__v"), col("__n"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val l = banded.select(
+      col(id).as("id_a"), col("__v").as("va"), col("__n").as("na"), col("band"), col("bkey"))
+    val r = banded.select(
+      col(id).as("id_b"), col("__v").as("vb"), col("__n").as("nb"), col("band"), col("bkey"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", dotF(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -17,5 +17,7 @@ final case class Q(
 
 object Registry {
   /** All registered queries, in SURVEY §2 inventory order. */
-  def all: Seq[Q] = CoreQueries.all ++ RelationalQueries.all ++ KernelQueries.all
+  def all: Seq[Q] =
+    CoreQueries.all ++ RelationalQueries.all ++ KernelQueries.all ++
+      TextQueries.all ++ SimilarityQueries.all
 }

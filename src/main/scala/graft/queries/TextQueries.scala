@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal}
+import graft.sources.Tables
+
+/** Text-analysis + deduplication + multimodal-plumbing queries over the
+  * `documents` table — the training-data-pipeline extension surface
+  * (driver-mandated beyond the reference, SURVEY §7.2 #8).
+  */
+object TextQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "documents")
+
+  /** Token counting: whitespace tokens + BPE-ish subword regex tokens. */
+  val textTokens: Q = Q(
+    "text_tokens",
+    Some("""SELECT doc_id,
+           |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           |  len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe
+           |FROM documents""".stripMargin),
+    (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).cast(LongType).as("n_bpe")))
+
+  /** Quality scoring: length / punctuation / stopword ratios folded into a
+    * deterministic score. All ratios are int/int divisions — exact inputs,
+    * identical doubles in both engines.
+    */
+  val textQuality: Q = Q(
+    "text_quality",
+    Some("""WITH t AS (SELECT doc_id, text,
+           |  CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+           |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           |  LENGTH(text) - LENGTH(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+           |  len(list_filter(string_split_regex(trim(text), '\s+'),
+           |      x -> x IN ('the', 'and', 'of', 'to', 'is', 'a'))) AS n_stop
+           |FROM documents)
+           |SELECT doc_id, n_chars_calc, n_tokens,
+           |  CAST(n_punct AS DOUBLE) / n_chars_calc AS punct_ratio,
+           |  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           |  0.4 * (CAST(n_stop AS DOUBLE) / n_tokens)
+           |    + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars_calc)
+           |    + 0.3 * LEAST(n_tokens / 100.0, 1.0) AS quality
+           |FROM t""".stripMargin),
+    (s, dir) => {
+      val stop = Seq("the", "and", "of", "to", "is", "a")
+      val nTokens = TextFunctions.tokenCount(col("text")).cast(LongType)
+      val nPunct = (length(col("text"))
+        - length(regexp_replace(col("text"), "[^\\w\\s]", ""))).cast(LongType)
+      val nStop = TextFunctions.wordHits(col("text"), stop).cast(LongType)
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars_calc"),
+          nTokens.as("n_tokens"),
+          nPunct.as("n_punct"),
+          nStop.as("n_stop"))
+        .select(
+          col("doc_id"),
+          col("n_chars_calc"),
+          col("n_tokens"),
+          (col("n_punct").cast("double") / col("n_chars_calc")).as("punct_ratio"),
+          (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+          (lit(0.4) * (col("n_stop").cast("double") / col("n_tokens"))
+            + lit(0.3) * (lit(1.0) - col("n_punct").cast("double") / col("n_chars_calc"))
+            + lit(0.3) * least(col("n_tokens") / lit(100.0), lit(1.0))).as("quality"))
+    })
+
+  /** Heuristic language ID: per-language stopword hits (CJK codepoints for
+    * zh), argmax with alphabetical tiebreak. The oracle CASE chain mirrors
+    * the fold in [[TextFunctions.langId]] exactly.
+    */
+  val textLangId: Q = Q(
+    "text_langid",
+    Some("""WITH s AS (SELECT doc_id, lang,
+           |  len(list_filter(string_split_regex(trim(text), '\s+'),
+           |      t -> t IN ('der', 'die', 'und', 'mit', 'nicht'))) AS s_de,
+           |  len(list_filter(string_split_regex(trim(text), '\s+'),
+           |      t -> t IN ('the', 'and', 'of', 'to', 'is'))) AS s_en,
+           |  len(list_filter(string_split_regex(trim(text), '\s+'),
+           |      t -> t IN ('el', 'la', 'de', 'que', 'los'))) AS s_es,
+           |  len(list_filter(string_split_regex(trim(text), '\s+'),
+           |      t -> t IN ('le', 'les', 'et', 'une', 'est'))) AS s_fr,
+           |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+           |FROM documents)
+           |SELECT doc_id, lang,
+           |  CASE
+           |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           |    WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           |    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           |    WHEN s_fr >= s_zh THEN 'fr'
+           |    ELSE 'zh'
+           |  END AS lang_pred
+           |FROM s""".stripMargin),
+    (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        col("lang"),
+        TextFunctions.langId(col("text")).as("lang_pred")))
+
+  /** Document fingerprint: md5 over normalized text — portable content
+    * addressing.
+    */
+  val textFingerprint: Q = Q(
+    "text_fingerprint",
+    Some("""SELECT doc_id,
+           |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           |FROM documents""".stripMargin),
+    (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp")))
+
+  /** Exact dedup on the normalized-text fingerprint: canonical survivor +
+    * duplicate count per content group.
+    */
+  val dedupExact: Q = Q(
+    "dedup_exact",
+    Some("""SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS dedup_key,
+           |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+           |FROM documents GROUP BY dedup_key""".stripMargin),
+    (s, dir) =>
+      Dedup.exactGroups(docs(s, dir), "doc_id", TextFunctions.fingerprint(col("text"))))
+
+  /** Exact dedup on a weak key (first-5-token prefix) — produces real
+    * duplicate groups on the synthetic corpus.
+    */
+  val dedupPrefix: Q = Q(
+    "dedup_prefix",
+    Some("""WITH t AS (SELECT doc_id,
+           |  string_split_regex(trim(text), '\s+') AS tk FROM documents)
+           |SELECT concat_ws(' ', tk[1], tk[2], tk[3], tk[4], tk[5]) AS dedup_key,
+           |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+           |FROM t GROUP BY dedup_key""".stripMargin),
+    (s, dir) =>
+      Dedup.exactGroups(
+        docs(s, dir), "doc_id",
+        concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 5))))
+
+  /** Exact n-gram Jaccard near-dup pairs (3-gram shingles, τ = 0.5 —
+    * the synthetic corpus has 25 planted near-dup pairs, max J ≈ 0.989).
+    */
+  val dedupJaccard: Q = Q(
+    "dedup_ngram_jaccard",
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           |              FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+           |       FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+           |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2)
+           |SELECT id_a, id_b, common,
+           |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+           |FROM pairs p
+           |JOIN sizes sa ON p.id_a = sa.doc_id
+           |JOIN sizes sb ON p.id_b = sb.doc_id
+           |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5""".stripMargin),
+    (s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5))
+
+  /** MinHash+LSH near-dup pairs — the sub-quadratic scale path. Candidate
+    * generation is banded (8 bands × 4 hashes); pairs are exact-verified.
+    * Deterministic (xxhash64) but engine-specific → rows-only check;
+    * recall vs the exact Jaccard query is pinned by a spec.
+    */
+  val dedupMinHash: Q = Q(
+    "dedup_minhash",
+    None,
+    (s, dir) =>
+      Dedup.minHashPairs(
+        docs(s, dir), "doc_id", "text",
+        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5))
+
+  /** SimHash near-dup pairs (64-bit fingerprint, 16-bit chunk banding,
+    * Hamming ≤ 3).
+    */
+  val dedupSimHash: Q = Q(
+    "dedup_simhash",
+    None,
+    (s, dir) =>
+      Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3))
+
+  /** Multimodal plumbing: treat encoded text as an opaque binary payload,
+    * run the per-partition feature extractor; the byte-length path is
+    * oracle-checked.
+    */
+  val mmBytes: Q = Q(
+    "mm_binary_bytes",
+    Some("""SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+           |FROM documents""".stripMargin),
+    (s, dir) => {
+      val media = docs(s, dir).select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("n_bytes").cast(LongType).as("n_bytes"))
+    })
+
+  /** Full multimodal feature rows (stub decode) — rows-only. */
+  val mmFeatures: Q = Q(
+    "mm_features",
+    None,
+    (s, dir) => {
+      val media = docs(s, dir).select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.extractFeatures(media)
+    })
+
+  def all: Seq[Q] = Seq(
+    textTokens, textQuality, textLangId, textFingerprint,
+    dedupExact, dedupPrefix, dedupJaccard, dedupMinHash, dedupSimHash,
+    mmBytes, mmFeatures)
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def corpus() = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+      (3L, "completely different words about spark catalyst tungsten shuffle partitions"),
+      (4L, "another unrelated document mentioning columnar storage and parquet files"),
+      (5L, "the quick brown fox jumps over the lazy dog near the river bank today") // exact dup of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    val g = Dedup.exactGroups(corpus(), "doc_id", TextFunctions.fingerprint(col("text")))
+    val dups = g.filter(col("n_dups") > 1).collect()
+    assert(dups.length == 1)
+    assert(dups.head.getAs[Long]("keep_id") == 1L)
+    assert(dups.head.getAs[Long]("n_dups") == 2L)
+  }
+
+  test("jaccard pairs find the planted near-dup and not the unrelated docs") {
+    val pairs = Dedup.jaccardPairs(corpus(), "doc_id", "text", k = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 5L)) && pairs.contains((2L, 5L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).nonEmpty })
+  }
+
+  test("minhash LSH pairs are a subset of low-threshold exact jaccard and catch strong dups") {
+    val mh = Dedup.minHashPairs(corpus(), "doc_id", "text", 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPairs(corpus(), "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact))
+    assert(mh.contains((1L, 5L))) // jaccard 1.0 pair can never be missed
+  }
+
+  test("simhash: exact duplicates collide at hamming 0") {
+    val pairs = Dedup.simHashPairs(corpus(), "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue())).toSet
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 5L && h == 0 })
+  }
+
+  test("shingleArray on short text is empty, not descending-sequence garbage") {
+    import spark.implicits._
+    val one = Seq((1L, "single")).toDF("doc_id", "text")
+      .select(Dedup.shingleArray(col("text"), 3).as("sh"))
+      .collect().head.getSeq[String](0)
+    assert(one.isEmpty)
+  }
+
+  test("cosine similarity: identical vectors score 1, orthogonal score 0") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.scoreAgainst(df, "vec_id", "embedding", 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - 1.0) < 1e-12)
+    assert(math.abs(got(2L)) < 1e-12)
+  }
+
+  test("LSH near-dup pairs ⊆ brute force and catch the planted near-identical pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val rows = Seq((0L, base), (1L, near)) ++
+      (2L to 40L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val brute = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(df, "vec_id", "embedding", 16, 8, 8, 0.9, 42L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+    assert(lsh.contains((0L, 1L)))
+  }
+
+  test("langId: stopword argmax with alphabetical tiebreak; CJK → zh") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "der hund und die katze mit nicht"),
+      (2L, "the cat and the dog of the house is"),
+      (3L, "中文文本"),
+      (4L, "xyzzy plugh")). // no hits anywhere → tie → 'de' (alphabetical)
+      toDF("id", "text")
+    val got = df.select(col("id"), TextFunctions.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "de", 2L -> "en", 3L -> "zh", 4L -> "de"))
+  }
+}
