@@ -19,5 +19,5 @@ object Registry {
   /** All registered queries, in SURVEY §2 inventory order. */
   def all: Seq[Q] =
     CoreQueries.all ++ RelationalQueries.all ++ KernelQueries.all ++
-      TextQueries.all ++ SimilarityQueries.all
+      TextQueries.all ++ SimilarityQueries.all ++ FitQueries.all
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.fit.{CurveFits, FitAggregators, Interp, Landau}
+
+class FitSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("Landau pdf: known value at 0, peak location, unit mass") {
+    assert(math.abs(Landau.pdf(0.0) - 0.1788541609) < 1e-9)
+    // mode of the standard Landau is near -0.2228
+    val grid = BigDecimal(-2.0) to BigDecimal(2.0) by BigDecimal(0.0001)
+    val mode = grid.map(_.toDouble).maxBy(Landau.pdf)
+    assert(math.abs(mode - (-0.2228)) < 0.01, s"mode=$mode")
+    // heavy right tail, but mass integrates to ~1
+    val mass = (BigDecimal(-8.0) to BigDecimal(3000.0) by BigDecimal(0.01))
+      .map(v => Landau.pdf(v.toDouble) * 0.01).sum
+    assert(mass > 0.98 && mass < 1.005, s"mass=$mass")
+  }
+
+  test("langauss: wider than landau, peak near mpv parameter") {
+    val mpv = 10.0; val xi = 0.8; val sigma = 1.2
+    val xs = (0 to 400).map(i => i * 0.1).toArray
+    val ys = xs.map(Landau.langauss(_, mpv, xi, sigma))
+    val peak = xs(ys.indexOf(ys.max))
+    assert(math.abs(peak - mpv) < 1.0, s"peak=$peak")
+  }
+
+  test("fitGaussian recovers injected parameters on a noiseless curve") {
+    val p0 = CurveFits.GaussParams(5.0, 2.0, 10.0)
+    val xs = (-40 to 200).map(_ * 0.1).toArray
+    val ys = xs.map(CurveFits.gaussian(_, p0))
+    val got = CurveFits.fitGaussian(xs, ys)
+    assert(math.abs(got.mu - 5.0) < 1e-3)
+    assert(math.abs(got.sigma - 2.0) < 1e-3)
+    assert(math.abs(got.amplitude - 10.0) < 1e-2)
+  }
+
+  test("fitErf recovers injected parameters") {
+    val p0 = CurveFits.ErfParams(1.0, 0.5, 2.0, 1.0)
+    val xs = (-60 to 80).map(_ * 0.05).toArray
+    val ys = xs.map(CurveFits.erfModel(_, p0))
+    val got = CurveFits.fitErf(xs, ys)
+    assert(math.abs(got.x0 - 1.0) < 1e-2)
+    assert(math.abs(got.sigma - 0.5) < 1e-2)
+    assert(math.abs(got.yScale - 2.0) < 1e-2)
+    assert(math.abs(got.yOffset - 1.0) < 1e-2)
+  }
+
+  test("fitLangauss recovers injected parameters on a noiseless curve") {
+    val (mpv, xi, sigma, a) = (100.0, 8.0, 5.0, 1000.0)
+    val xs = (40 to 300 by 2).map(_.toDouble).toArray
+    val ys = xs.map(x => a * Landau.langauss(x, mpv, xi, sigma))
+    val got = CurveFits.fitLangauss(xs, ys)
+    assert(math.abs(got.mpv - mpv) / mpv < 0.05, s"mpv=${got.mpv}")
+    assert(math.abs(got.xi - xi) / xi < 0.25, s"xi=${got.xi}")
+    assert(math.abs(got.sigma - sigma) / sigma < 0.35, s"sigma=${got.sigma}")
+  }
+
+  test("interp1d + crossings: exact on piecewise-linear data") {
+    val xs = Array(0.0, 1.0, 2.0, 3.0)
+    val ys = Array(0.0, 10.0, 10.0, 0.0)
+    assert(Interp.interp1d(xs, ys, 0.5) == 5.0)
+    assert(Interp.interp1d(xs, ys, -1.0) == 0.0) // clamp
+    val c = Interp.crossings(xs, ys, 5.0)
+    assert(c.toSeq == Seq(0.5, 2.5))
+  }
+
+  test("gaussianFit aggregator runs distributed per group") {
+    import spark.implicits._
+    val p = CurveFits.GaussParams(0.0, 1.0, 5.0)
+    val rows = for {
+      g <- Seq("a", "b"); i <- -50 to 50
+    } yield (g, i * 0.1, CurveFits.gaussian(i * 0.1, p))
+    val got = rows.toDF("g", "x", "y")
+      .groupBy("g")
+      .agg(FitAggregators.gaussianFit(col("x"), col("y")).as("fit"))
+      .select(col("g"), col("fit.mu"), col("fit.sigma"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 2)
+    got.foreach { case (_, mu, sigma) =>
+      assert(math.abs(mu) < 1e-3 && math.abs(sigma - 1.0) < 1e-3)
+    }
+  }
+}
