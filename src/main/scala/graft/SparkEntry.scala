@@ -3,9 +3,11 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.Registry
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full time-resolution analysis pipeline (SURVEY §3.1).
+    */
   def entry(spark: SparkSession): DataFrame =
-    Registry.all.head.run(spark, "/root/testdata/sf0.001")
+    queries("flagship_time_resolution")(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Registry.all.map(q => q.name -> q.run).toMap

@@ -117,11 +117,14 @@ object CurveFits {
       val x0g = xs(xs.length / 2)
       val span = xs.last - xs.head
       val (sLo, sHi) = bounds.getOrElse("sigma", (span * 1e-4, span))
+      // falling profiles (left pad) fit with negative yScale — seed the
+      // sign from the data's end-to-end slope and keep the bound two-sided
+      val slopeSign = if (ys.last >= ys.head) 1.0 else -1.0
       val p = minimizeSse(
         xs, ys,
         (x, p) => sign * p(2) * Erf.erf((x - p(0)) / (p(1) * math.sqrt(2.0))) + p(3),
-        Array(x0g, math.max(span / 10, sLo), (ymax - ymin) / 2, (ymax + ymin) / 2),
-        Array(xs.head, sLo, 0.0, ymin - (ymax - ymin)),
+        Array(x0g, math.max(span / 10, sLo), slopeSign * (ymax - ymin) / 2, (ymax + ymin) / 2),
+        Array(xs.head, sLo, -(ymax - ymin) * 2, ymin - (ymax - ymin)),
         Array(xs.last, sHi, (ymax - ymin) * 2, ymax + (ymax - ymin)))
       ErfParams(p(0), p(1), p(2), p(3))
     } catch {

@@ -60,6 +60,29 @@ object Stats {
   def madStd(c: Column): Column =
     udaf(new MadStdAgg(), Encoders.DOUBLE).apply(c)
 
+  /** Two-pass MAD_std for LARGE groups: per-group `median` (Spark's native
+    * exact percentile), broadcast the tiny per-group median table back,
+    * then median of absolute deviations. Two codegen'd aggregations over
+    * the data instead of one kryo-buffered pass — the right trade when
+    * rows ≫ groups (the Δt table is ~10⁸ rows over ~10³ groups).
+    */
+  def madStdTwoPass(
+      df: DataFrame,
+      keys: Seq[String],
+      value: String,
+      out: String,
+      exact: Boolean = true,
+      approxAccuracy: Int = 10000): DataFrame = {
+    // approx = GK quantile sketches (mergeable, bounded memory) — the
+    // 100 TB tier per SURVEY A2; exact = Spark's native exact percentile.
+    def med(c: Column): Column =
+      if (exact) median(c) else percentile_approx(c, lit(0.5), lit(approxAccuracy))
+    val m = df.groupBy(keys.map(col): _*).agg(med(col(value)).as("__med"))
+    df.join(broadcast(m), keys)
+      .groupBy(keys.map(col): _*)
+      .agg((med(abs(col(value) - col("__med"))) * lit(MadToStd)).as(out))
+  }
+
   /** The reference's `mean_std` (reference `scripts/utils.py:118-146`):
     * groupBy(keys) then mean/std/median/MAD_std of every value column, with
     * flattened `"col stat"` names (units-in-names survive verbatim —

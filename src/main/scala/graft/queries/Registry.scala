@@ -19,5 +19,6 @@ object Registry {
   /** All registered queries, in SURVEY §2 inventory order. */
   def all: Seq[Q] =
     CoreQueries.all ++ RelationalQueries.all ++ KernelQueries.all ++
-      TextQueries.all ++ SimilarityQueries.all ++ FitQueries.all
+      TextQueries.all ++ SimilarityQueries.all ++ FitQueries.all ++
+      AnalysisQueries.all
 }
