@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.DetAgg
+import graft.functions.DetAgg.{Sql => D}
+import graft.sources.{Tables, TextSources}
+
+/** Remaining SURVEY §2 inventory: null handling (P3), error propagation
+  * (P7), pivot_table+mean (R3), conditional aggregation (A6), scalar
+  * aggregates (A4), and a CSV sink/scan round-trip (S2/S9) proven inside
+  * the oracle-checked path.
+  */
+object MiscQueries {
+
+  private def li(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "lineitem")
+
+  /** P3: dropna on an injected-null column. */
+  val p3NullDrop: Q = Q(
+    "p3_null_drop",
+    Some("""SELECT l_orderkey, l_linenumber, d FROM
+           |  (SELECT l_orderkey, l_linenumber, NULLIF(l_discount, 0.0) AS d
+           |   FROM lineitem)
+           |WHERE d IS NOT NULL""".stripMargin),
+    (s, dir) =>
+      li(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_discount"), lit(0.0)).as("d"))
+        .na.drop(Seq("d")))
+
+  /** P7: quadrature error propagation sqrt(a²c² + b²d²) (reference
+    * `scripts/collected_charge_vs_bias_voltage_beta_scan.py:84-85`) —
+    * written with explicit multiplies (not POW) so both engines run the
+    * identical IEEE sequence.
+    */
+  val p7ErrorProp: Q = Q(
+    "p7_error_prop",
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  SQRT((l_quantity * l_discount) * (l_quantity * l_discount)
+           |     + (l_extendedprice * l_tax) * (l_extendedprice * l_tax)) AS prop_err
+           |FROM lineitem""".stripMargin),
+    (s, dir) => {
+      val a = col("l_quantity") * col("l_discount")
+      val b = col("l_extendedprice") * col("l_tax")
+      li(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        sqrt(a * a + b * b).as("prop_err"))
+    })
+
+  /** R3: pivot_table + mean — the k1×k2 matrix shape (reference
+    * `scripts/time_resolution_beta_scan.py:70-76`).
+    */
+  val r3PivotMean: Q = Q(
+    "r3_pivot_mean",
+    Some(s"""SELECT l_linenumber,
+            |  ${D.dsum("CASE WHEN l_returnflag = 'A' THEN l_quantity END")}
+            |    / COUNT(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS "A",
+            |  ${D.dsum("CASE WHEN l_returnflag = 'N' THEN l_quantity END")}
+            |    / COUNT(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS "N",
+            |  ${D.dsum("CASE WHEN l_returnflag = 'R' THEN l_quantity END")}
+            |    / COUNT(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS "R"
+            |FROM lineitem GROUP BY l_linenumber""".stripMargin),
+    (s, dir) => {
+      val wide = li(s, dir)
+        .groupBy("l_linenumber")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(DetAgg.dec(col("l_quantity"))).cast(DoubleType) / count(col("l_quantity")))
+      wide
+    })
+
+  /** A6: conditional aggregation — per-group stats of a predicated subset
+    * (reference pad-tagging means, `scripts/utils.py:67-73`).
+    */
+  val a6ConditionalAgg: Q = Q(
+    "a6_conditional_agg",
+    Some(s"""SELECT l_returnflag,
+            |  ${D.dsum("CASE WHEN l_quantity > 25 THEN l_extendedprice END")}
+            |    / COUNT(CASE WHEN l_quantity > 25 THEN l_extendedprice END) AS avg_hi,
+            |  ${D.dsum("CASE WHEN l_quantity <= 25 THEN l_extendedprice END")}
+            |    / COUNT(CASE WHEN l_quantity <= 25 THEN l_extendedprice END) AS avg_lo,
+            |  ROUND(median(CASE WHEN l_quantity > 25 THEN l_extendedprice END), 6) AS med_hi
+            |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+    (s, dir) => {
+      val hi = when(col("l_quantity") > 25, col("l_extendedprice"))
+      val lo = when(col("l_quantity") <= 25, col("l_extendedprice"))
+      li(s, dir).groupBy("l_returnflag").agg(
+        (sum(DetAgg.dec(hi)).cast(DoubleType) / count(hi)).as("avg_hi"),
+        (sum(DetAgg.dec(lo)).cast(DoubleType) / count(lo)).as("avg_lo"),
+        round(median(hi), 6).as("med_hi"))
+    })
+
+  /** A4: global scalar aggregates in one row (reference whole-column
+    * `mean()/min()/max()/len` inside expressions, `scripts/utils.py:67-68`).
+    */
+  val a4ScalarAgg: Q = Q(
+    "a4_scalar_agg",
+    Some(s"""SELECT COUNT(*) AS n, MIN(l_shipdate) AS min_ship,
+            |  MAX(l_shipdate) AS max_ship,
+            |  ${D.davg("l_extendedprice")} AS avg_price,
+            |  COUNT(DISTINCT l_orderkey) AS n_orders
+            |FROM lineitem""".stripMargin),
+    (s, dir) =>
+      li(s, dir).agg(
+        count(lit(1)).as("n"),
+        min("l_shipdate").as("min_ship"),
+        max("l_shipdate").as("max_ship"),
+        DetAgg.davg(col("l_extendedprice")).as("avg_price"),
+        countDistinct(col("l_orderkey")).as("n_orders")))
+
+  /** S2/S9: CSV sink + scan round-trip inside the verified path — the
+    * nation table goes out through the summary-CSV sink and comes back
+    * through the schema'd CSV scan; the oracle reads the parquet
+    * directly, so any round-trip corruption breaks the hash.
+    */
+  val s2CsvRoundtrip: Q = Q(
+    "s2_csv_roundtrip",
+    Some("SELECT n_nationkey, n_name, n_regionkey FROM nation"),
+    (s, dir) => {
+      val n = Tables.load(s, dir, "nation")
+      val tmp = s"/tmp/graft_csv_roundtrip_nation"
+      TextSources.writeSummaryCsv(n, tmp)
+      TextSources.readCsv(s, tmp, StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType))))
+    })
+
+  def all: Seq[Q] = Seq(
+    p3NullDrop, p7ErrorProp, r3PivotMean, a6ConditionalAgg, a4ScalarAgg,
+    s2CsvRoundtrip)
+}

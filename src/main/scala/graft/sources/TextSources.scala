@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's ad-hoc text formats (SURVEY §2.1 S6/S7) as Spark
+  * scans, plus the small-summary sinks (S9-S12).
+  */
+object TextSources {
+
+  /** S6: `key = value` result files (`interpixel_distance.txt` style,
+    * reference `scripts/measurements.py:200-224`): one (key, value) row
+    * per line; values stay strings (caller casts).
+    */
+  def readKeyValueTxt(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .filter(col("value").contains("="))
+      .select(
+        trim(regexp_extract(col("value"), "^([^=]+)=", 1)).as("key"),
+        trim(regexp_extract(col("value"), "=\\s*(.+)$", 1)).as("value"))
+
+  /** S7: sub-measurement manifest (`README.txt` listing one name per
+    * line after a header, reference `scripts/utils.py:23-49`).
+    */
+  def readManifest(spark: SparkSession, path: String, headerMarker: String): DataFrame =
+    spark.read.text(path)
+      .filter(!col("value").contains(headerMarker) && length(trim(col("value"))) > 0)
+      .select(trim(col("value")).as("submeasurement_name"))
+
+  /** S9: small-summary CSV sink — `coalesce(1)` is correct ONLY for
+    * metadata-sized outputs (the reference's result tables are tens of
+    * rows); fact tables must keep their partitioning.
+    */
+  def writeSummaryCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S12: append-accumulate sink (bootstrap replicas CSV,
+    * reference `scripts/time_resolution_beta_scan.py:327-336`) — append
+    * mode replaces the reference's read-concat-rewrite cycle.
+    */
+  def appendCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("append").option("header", "true").csv(path)
+
+  /** S2 read-back for the CSV sinks (explicit schema — no inference
+    * pass).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** S5: Clarius `run.xml` metadata → one-row DataFrame (driver-side
+    * scala-xml parse; metadata files are not distributed scans —
+    * reference `scripts/convert_probe_station_measurement_to_our_format
+    * .py:17-48`).
+    */
+  def readRunXml(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val x = scala.xml.XML.loadFile(path)
+    Seq((
+      (x \\ "runId").text,
+      (x \\ "username").text,
+      (x \\ "rating").text,
+      (x \\ "dataPath").text,
+      (x \\ "timestamp").text))
+      .toDF("runId", "username", "rating", "dataPath", "timestamp")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.PipelineStage
+import graft.sources.TextSources
+
+class PipelineSourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("PipelineStage: materialize once, skip when done, recompute on force") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_stage").resolve("stage1").toString
+    val computes = new AtomicInteger(0)
+    def stage() = PipelineStage.materialize(spark, out) {
+      computes.incrementAndGet()
+      Seq((1, "a"), (2, "b")).toDF("id", "v")
+    }
+    assert(stage().count() == 2)
+    assert(computes.get() == 1)
+    assert(stage().count() == 2)
+    assert(computes.get() == 1) // memoized — skip
+    PipelineStage.materialize(spark, out, force = true) {
+      computes.incrementAndGet()
+      Seq((1, "a")).toDF("id", "v")
+    }
+    assert(computes.get() == 2)
+    assert(spark.read.parquet(out).count() == 1)
+  }
+
+  test("key=value txt scan (S6)") {
+    val f = Files.createTempDirectory("graft_kv").resolve("result.txt")
+    Files.writeString(f, "Inter-pixel distance (m) = 9.81e-05\nthreshold = 50\n# comment line\n")
+    val got = TextSources.readKeyValueTxt(spark, f.toString)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("Inter-pixel distance (m)" -> "9.81e-05", "threshold" -> "50"))
+  }
+
+  test("manifest scan skips the header (S7)") {
+    val f = Files.createTempDirectory("graft_mf").resolve("README.txt")
+    Files.writeString(f, "This is a list of submeasurements:\nsub_001\nsub_002\n\n")
+    val got = TextSources.readManifest(spark, f.toString, "list of submeasurements")
+      .collect().map(_.getString(0)).toSeq
+    assert(got.sorted == Seq("sub_001", "sub_002"))
+  }
+
+  test("run.xml metadata scan (S5)") {
+    val f = Files.createTempDirectory("graft_xml").resolve("run.xml")
+    Files.writeString(f,
+      """<run><runId>42</runId><username>lab</username><rating>5</rating>
+        |<dataPath>/data/x</dataPath><timestamp>2022-04-05</timestamp></run>""".stripMargin)
+    val row = TextSources.readRunXml(spark, f.toString).collect().head
+    assert(row.getString(0) == "42" && row.getString(1) == "lab")
+    assert(row.getString(3) == "/data/x")
+  }
+
+  test("append-accumulate CSV sink (S12)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_append").resolve("boot").toString
+    TextSources.appendCsv(Seq((0, 1.0)).toDF("k_bootstrap", "sigma"), dir)
+    TextSources.appendCsv(Seq((1, 1.1)).toDF("k_bootstrap", "sigma"), dir)
+    val back = TextSources.readCsv(spark, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k_bootstrap", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("sigma", org.apache.spark.sql.types.DoubleType))))
+    assert(back.count() == 2)
+  }
+}
