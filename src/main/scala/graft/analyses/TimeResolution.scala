@@ -64,15 +64,16 @@ object TimeResolution {
         (col("t1") - col("t2")).as("delta_t"))
   }
 
-  /** Per-trigger bootstrap multiplicities (replica 0 = the real pass,
-    * multiplicity 1). Resampling TRIGGERS keeps the A/B pairing intact —
-    * exactly what the reference's pivot-sample-stack does
-    * (`scripts/time_resolution_beta_scan.py:21-30`).
+  /** Bootstrap multiplicity for (trigger, replica): Poisson(1) via the
+    * inverse CDF of a hashed uniform; replica 0 (the real pass) is always
+    * multiplicity 1. A PURE function of (trigger, replica, seed) — so it
+    * is computed inline on each Δt row with no distinct/join, and every
+    * row of the same trigger gets the same multiplicity, which is exactly
+    * what preserves the A/B pairing (the reference's pivot-sample-stack,
+    * `scripts/time_resolution_beta_scan.py:21-30`).
     */
-  def triggerReplicas(triggers: DataFrame, replicas: Int, seed: Long): DataFrame = {
-    val withReplica = triggers
-      .withColumn("replica", explode(sequence(lit(0), lit(replicas))))
-    val u = (xxhash64(col("n_trigger"), col("replica"), lit(seed)).cast("double")
+  def multiplicity(trigger: Column, replica: Column, seed: Long): Column = {
+    val u = (xxhash64(trigger, replica, lit(seed)).cast("double")
       / lit(2.0 * Long.MaxValue)) + lit(0.5)
     // Poisson(1) inverse CDF, truncated at 6 (P < 1e-4 tail)
     val cdf = {
@@ -82,10 +83,18 @@ object TimeResolution {
     val m = cdf.zipWithIndex.foldRight(lit(7): Column) { case ((t, k), els) =>
       when(u < t, k).otherwise(els)
     }
-    withReplica
-      .withColumn("m", when(col("replica") === 0, 1).otherwise(m))
-      .filter(col("m") > 0)
+    when(replica === 0, 1).otherwise(m)
   }
+
+  /** Per-trigger bootstrap multiplicities as a table (kept for callers
+    * that want the resample plan itself; [[run]] inlines
+    * [[multiplicity]] instead — no join).
+    */
+  def triggerReplicas(triggers: DataFrame, replicas: Int, seed: Long): DataFrame =
+    triggers
+      .withColumn("replica", explode(sequence(lit(0), lit(replicas))))
+      .withColumn("m", multiplicity(col("n_trigger"), col("replica"), seed))
+      .filter(col("m") > 0)
 
   final case class Config(
       devA: String,
@@ -93,26 +102,34 @@ object TimeResolution {
       replicas: Int = 33,
       seed: Long = 42L,
       histBins: Int = 50,
-      exactMad: Boolean = false) // approx sketches by default — 100 TB tier
+      exactMad: Boolean = false, // approx sketches by default — 100 TB tier
+      // one-pass IQR spread instead of two-pass MAD for the grid argmin:
+      // halves the heaviest stage; σ itself still comes from the fit
+      iqrSpread: Boolean = false)
 
   /** Full flagship pipeline → one row per replica:
     * (replica, k1, k2, kmad, mu, sigma, amplitude).
     */
   def run(events: DataFrame, cfg: Config): DataFrame = {
     val dt = deltaT(events, cfg.devA, cfg.devB)
-    val triggers = dt.select("n_trigger").distinct()
-    val reps = triggerReplicas(triggers, cfg.replicas, cfg.seed)
-    // bootstrap fan-out: every Δt row of a trigger appears m times per replica
+    // bootstrap fan-out computed INLINE (pure hash of trigger+replica+seed):
+    // every Δt row of a trigger appears m times per replica — no join
     val fanned = dt
-      .join(reps, "n_trigger")
+      .withColumn("replica", explode(sequence(lit(0), lit(cfg.replicas))))
+      .withColumn("m", multiplicity(col("n_trigger"), col("replica"), cfg.seed))
+      .filter(col("m") > 0)
       .withColumn("__dup", explode(array_repeat(lit(1), col("m"))))
       .drop("m", "__dup")
     // MAD_std of Δt per (replica, k1, k2)  [A2] — two-pass form: the Δt
     // table is huge (triggers × 81 × replicas) but the group count is tiny,
     // so two codegen'd native-median aggregations + a broadcast join beat
     // one buffering-aggregator pass by a wide margin
-    val kmad = Stats.madStdTwoPass(
-      fanned, Seq("replica", "k1", "k2"), "delta_t", "kmad", exact = cfg.exactMad)
+    val kmad =
+      if (cfg.iqrSpread)
+        Stats.iqrStdOnePass(fanned, Seq("replica", "k1", "k2"), "delta_t", "kmad")
+      else
+        Stats.madStdTwoPass(
+          fanned, Seq("replica", "k1", "k2"), "delta_t", "kmad", exact = cfg.exactMad)
     // arg-min grid point per replica  [A5]
     val best = graft.operators.Windows.argMinPerGroup(
       kmad, Seq("replica"), Seq(col("kmad"), col("k1"), col("k2")))

@@ -24,29 +24,36 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
-  /** Distinct k-token shingle array from an ALREADY-MATERIALIZED token
-    * array column. Guarded: Spark's `sequence(1, 0)` DESCENDS ([1, 0])
-    * rather than yielding empty, so short texts short-circuit to [].
+  /** Distinct k-token shingle array from a token-array expression.
+    *
+    * The token array is bound as a LAMBDA VARIABLE (`transform(array(t0),
+    * t -> …)` + flatten) — a project-level "staging" column gets collapsed
+    * back by the optimizer and an expression referenced inside a
+    * higher-order lambda is then re-evaluated PER ELEMENT, turning one
+    * regex split per document into O(tokens · k) splits (measured 25×
+    * slower). A lambda binding is evaluated exactly once per row and
+    * cannot be re-inlined.
+    *
+    * Also guarded: Spark's `sequence(1, 0)` DESCENDS ([1, 0]) rather than
+    * yielding empty, so short texts short-circuit to [].
     */
   def shingleFromTokens(toks: Column, k: Int): Column =
-    when(
-      size(toks) >= k,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(toks) - lit(k - 1)),
-          i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j))): _*))))
-      .otherwise(array().cast("array<string>"))
+    flatten(transform(array(toks), t =>
+      when(
+        size(t) >= k,
+        array_distinct(
+          transform(
+            sequence(lit(1), size(t) - lit(k - 1)),
+            i => concat_ws(" ", (0 until k).map(j => element_at(t, i + lit(j))): _*))))
+        .otherwise(array().cast("array<string>"))))
 
-  /** Convenience single-column form (prefer the staged
-    * [[docShingleSets]] inside operators — see class doc).
-    */
+  /** Convenience single-column form. */
   def shingleArray(text: Column, k: Int): Column =
     shingleFromTokens(TextFunctions.tokens(text), k)
 
-  /** (id, sh: array<string>) with tokens staged exactly once per doc. */
+  /** (id, sh: array<string>), one split per document. */
   def docShingleSets(df: DataFrame, id: String, text: String, k: Int): DataFrame =
-    df.select(col(id), TextFunctions.tokens(col(text)).as("__toks"))
-      .select(col(id), shingleFromTokens(col("__toks"), k).as("sh"))
+    df.select(col(id), shingleArray(col(text), k).as("sh"))
 
   /** Distinct k-token shingles per document, long form: (id, shingle). */
   def shingles(df: DataFrame, id: String, text: String, k: Int): DataFrame =

@@ -33,7 +33,9 @@ object AnalysisQueries {
         .foldLeft(base) { (df, k) => df.withColumn(s"t_$k (s)", col("t0") + lit(k * 1e-10)) }
         .drop("t0")
       TimeResolution.run(
-        wide, TimeResolution.Config("dev1", "dev2", replicas = 8, seed = 42L))
+        wide,
+        TimeResolution.Config("dev1", "dev2", replicas = 8, seed = 42L,
+          iqrSpread = true)) // one-pass spread for the benchmarked path
     })
 
   def all: Seq[Q] = Seq(flagship)

@@ -126,7 +126,21 @@ object MiscQueries {
         StructField("n_regionkey", IntegerType))))
     })
 
+  /** P12: column-set projection arithmetic — "all columns except" via set
+    * difference on df.columns (reference `scripts/clean_beta_scan.py:245`).
+    */
+  val p12ColumnSets: Q = Q(
+    "p12_column_sets",
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           |  l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+           |FROM lineitem""".stripMargin),
+    (s, dir) => {
+      val t = li(s, dir)
+      val excluded = Set("l_partkey", "l_suppkey")
+      t.select(t.columns.filterNot(excluded).map(col): _*)
+    })
+
   def all: Seq[Q] = Seq(
     p3NullDrop, p7ErrorProp, r3PivotMean, a6ConditionalAgg, a4ScalarAgg,
-    s2CsvRoundtrip)
+    s2CsvRoundtrip, p12ColumnSets)
 }
