@@ -140,7 +140,31 @@ object MiscQueries {
       t.select(t.columns.filterNot(excluded).map(col): _*)
     })
 
+  /** Semi/anti joins — the Spark-native form of the reference's
+    * completeness rewrite (SURVEY §2.4 note): lineitems of F-status orders
+    * (semi) and of orders with no lineitems under quantity 3 (anti).
+    */
+  val jSemiAnti: Q = Q(
+    "j_semi_anti",
+    Some("""SELECT l.l_orderkey, l.l_linenumber FROM lineitem l
+           |WHERE EXISTS (SELECT 1 FROM orders o
+           |              WHERE o.o_orderkey = l.l_orderkey
+           |                AND o.o_orderstatus = 'F')
+           |  AND NOT EXISTS (SELECT 1 FROM lineitem x
+           |                  WHERE x.l_orderkey = l.l_orderkey
+           |                    AND x.l_quantity < 3)""".stripMargin),
+    (s, dir) => {
+      val t = li(s, dir)
+      val fOrders = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"))
+      val smallQty = t.filter(col("l_quantity") < 3).select("l_orderkey")
+      t.join(fOrders, Seq("l_orderkey"), "left_semi")
+        .join(smallQty, Seq("l_orderkey"), "left_anti")
+        .select("l_orderkey", "l_linenumber")
+    })
+
   def all: Seq[Q] = Seq(
     p3NullDrop, p7ErrorProp, r3PivotMean, a6ConditionalAgg, a4ScalarAgg,
-    s2CsvRoundtrip, p12ColumnSets)
+    s2CsvRoundtrip, p12ColumnSets, jSemiAnti)
 }

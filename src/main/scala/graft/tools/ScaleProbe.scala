@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress probe: replicate sf0.1 lineitem N× with shifted keys (so
+  * group/join cardinalities grow with the data, like real scale-up — a
+  * plain union would only deepen groups) and time the headline operators
+  * at 1×/2×/4×. Near-linear wall-time growth is the local evidence that
+  * the plans would survive a 100× cluster scale-up; anything quadratic
+  * shows up immediately.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.ScaleProbe"
+  */
+object ScaleProbe {
+
+  def scaled(li: DataFrame, copies: Int): DataFrame =
+    (0 until copies)
+      .map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
+      .reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    li.groupBy("l_returnflag").count().collect() // warmup
+
+    def time(name: String, copies: Int)(body: DataFrame => Long): Unit = {
+      val df = scaled(li, copies)
+      val t0 = System.nanoTime()
+      val n = body(df)
+      println(f"""{"probe":"$name","copies":$copies,"rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    }
+
+    for (c <- Seq(1, 2, 4)) {
+      time("q1_agg", c) { df =>
+        df.groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
+          .collect().length.toLong
+      }
+      time("selfjoin_grid", c) { df =>
+        val a = df.filter(col("l_linenumber") === 1)
+          .select(col("l_orderkey"), col("l_extendedprice").as("p1"))
+        val b = df.filter(col("l_linenumber") === 2)
+          .select(col("l_orderkey"), col("l_extendedprice").as("p2"))
+        a.join(b, "l_orderkey").count()
+      }
+      time("window_half", c) { df =>
+        graft.operators.Windows.firstHalf(
+          df.select("l_orderkey", "l_linenumber", "l_quantity"),
+          Seq("l_orderkey"), Seq(col("l_linenumber"), col("l_quantity"))).count()
+      }
+      time("flagship_tr", c) { df =>
+        val base = df.filter(col("l_linenumber").isin(1, 2))
+          .groupBy("l_orderkey", "l_linenumber")
+          .agg(min("l_extendedprice").as("p"))
+          .select(
+            col("l_orderkey").as("n_trigger"),
+            concat(lit("dev"), col("l_linenumber")).as("device_name"),
+            (col("p") * lit(1e-9)).as("t0"))
+        val wide = graft.analyses.TimeResolution.KGrid
+          .foldLeft(base) { (d, k) => d.withColumn(s"t_$k (s)", col("t0") + lit(k * 1e-10)) }
+          .drop("t0")
+        graft.analyses.TimeResolution.run(
+          wide, graft.analyses.TimeResolution.Config(
+            "dev1", "dev2", replicas = 8, seed = 42L, iqrSpread = true)).count()
+      }
+    }
+    spark.stop()
+  }
+}
