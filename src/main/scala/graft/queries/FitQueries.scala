@@ -105,5 +105,16 @@ object FitQueries {
           FitAggregators.crossingAt(0.75)(col("l_quantity"), col("y")).as("x75"))
     })
 
-  def all: Seq[Q] = Seq(n1Gaussian, n2Langauss, n3Erf, n4Crossings)
+  /** S13 support: the fitted-curve sample table a plot layer would
+    * consume — Gaussian fits from N1 sampled on a per-group grid.
+    */
+  val n1CurveSamples: Q = Q(
+    "n1_curve_samples",
+    None,
+    (s, dir) => {
+      val fits = n1Gaussian.run(s, dir)
+      graft.fit.CurveTables.gaussianSamples(fits, Seq("l_returnflag"), nPoints = 50)
+    })
+
+  def all: Seq[Q] = Seq(n1Gaussian, n2Langauss, n3Erf, n4Crossings, n1CurveSamples)
 }
