@@ -87,5 +87,37 @@ object CoreQueries {
         .groupBy("r_name", "n_name")
         .agg(count(lit(1)).as("n_cust"), DetAgg.dsum(col("c_acctbal")).as("sum_bal")))
 
-  def all: Seq[Q] = Seq(q1Agg, p1Filter, j2Dim)
+  /** The complete TPC-H Q1 shape (all eight aggregates + shipdate
+    * predicate) — the canonical pricing-summary benchmark headline.
+    */
+  val q1Full: Q = Q(
+    "q1_tpch_full",
+    Some(s"""SELECT l_returnflag, l_linestatus,
+            |  ${D.dsum("l_quantity")} AS sum_qty,
+            |  ${D.dsum("l_extendedprice")} AS sum_base_price,
+            |  ${D.dsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+            |  ${D.dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+            |  ${D.davg("l_quantity")} AS avg_qty,
+            |  ${D.davg("l_extendedprice")} AS avg_price,
+            |  ${D.davg("l_discount")} AS avg_disc,
+            |  COUNT(*) AS count_order
+            |FROM lineitem
+            |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+    (s, dir) =>
+      li(s, dir)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          DetAgg.dsum(col("l_quantity")).as("sum_qty"),
+          DetAgg.dsum(col("l_extendedprice")).as("sum_base_price"),
+          DetAgg.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          DetAgg.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))).as("sum_charge"),
+          DetAgg.davg(col("l_quantity")).as("avg_qty"),
+          DetAgg.davg(col("l_extendedprice")).as("avg_price"),
+          DetAgg.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order")))
+
+  def all: Seq[Q] = Seq(q1Agg, q1Full, p1Filter, j2Dim)
 }
