@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.functions.DetAgg.{Sql => D}
+import graft.functions.DetAgg
+import graft.sources.Tables
+
+/** Event-stream batch queries over the `events` table: time bucketing,
+  * lead/lag sessionization, JSON property extraction — the batch faces of
+  * the streaming extension (the reference has no event data; SURVEY §2.6
+  * notes lead/lag absent — these close that gap for the training-pipeline
+  * surface).
+  *
+  * Timestamp parity note: `events.ts` is nanosecond parquet; Spark reads
+  * µs — every oracle-visible timestamp goes through `date_trunc('second')`
+  * so both engines see identical values.
+  */
+object EventQueries {
+
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.loadEvents(s, d)
+
+  /** 5-minute epoch-bucket aggregation (the batch twin of
+    * `streaming.EventsStream.windowedAgg`).
+    */
+  val e1Buckets: Q = Q(
+    "e1_time_buckets",
+    Some(s"""SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS bucket,
+            |  event_type, COUNT(*) AS n, ${D.dsum("value")} AS sum_value
+            |FROM events GROUP BY bucket, event_type""".stripMargin),
+    (s, dir) =>
+      ev(s, dir)
+        .withColumn("bucket", floor(unix_timestamp(col("ts")) / 300).cast(LongType))
+        .groupBy("bucket", "event_type")
+        .agg(count(lit(1)).as("n"), DetAgg.dsum(col("value")).as("sum_value")))
+
+  /** Sessionization: per user, a >30-minute gap starts a new session;
+    * session ids via lag + running sum, then per-session stats. Second
+    * truncation keeps ns-vs-µs engines identical.
+    */
+  val e2Sessionize: Q = Q(
+    "e2_sessionize",
+    Some("""WITH t AS (SELECT user_id, event_id,
+           |             date_trunc('second', ts) AS tss FROM events),
+           |m AS (SELECT user_id, event_id, tss,
+           |        CASE WHEN lag(tss) OVER w IS NULL
+           |               OR epoch(tss) - epoch(lag(tss) OVER w) > 1800
+           |             THEN 1 ELSE 0 END AS new_session
+           |      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
+           |s AS (SELECT user_id, event_id, tss,
+           |        SUM(new_session) OVER (PARTITION BY user_id ORDER BY tss, event_id
+           |          ROWS UNBOUNDED PRECEDING) AS session_id
+           |      FROM m)
+           |SELECT user_id, session_id, COUNT(*) AS n_events,
+           |  min(tss) AS session_start, max(tss) AS session_end
+           |FROM s GROUP BY user_id, session_id""".stripMargin),
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("tss"), col("event_id"))
+      val t = ev(s, dir)
+        .select(col("user_id"), col("event_id"), date_trunc("second", col("ts")).as("tss"))
+      val marked = t.withColumn(
+        "new_session",
+        when(
+          lag(col("tss"), 1).over(w).isNull ||
+            (unix_timestamp(col("tss")) - unix_timestamp(lag(col("tss"), 1).over(w)) > 1800),
+          1).otherwise(0))
+      val sessions = marked.withColumn(
+        "session_id",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      sessions
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min("tss").as("session_start"),
+          max("tss").as("session_end"))
+    })
+
+  /** JSON property extraction from the `props` column. */
+  val e3Json: Q = Q(
+    "e3_json_props",
+    Some("""SELECT event_id,
+           |  CAST(json_extract(props, '$.k') AS INT) AS k
+           |FROM events""".stripMargin),
+    (s, dir) =>
+      ev(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k")))
+
+  def all: Seq[Q] = Seq(e1Buckets, e2Sessionize, e3Json)
+}

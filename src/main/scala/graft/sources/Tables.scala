@@ -20,6 +20,17 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table stores `ts` as nanosecond INT64, which Spark 4's
+    * parquet reader rejects as an illegal timestamp type — read it as a
+    * raw long and convert with exact integer division (ns → µs).
+    */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .schema(graft.streaming.EventsStream.eventsSchema)
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+
   /** CSV scan with an explicit schema (never infer on big data: schema
     * inference is a full extra pass over the files).
     */
