@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -10,17 +10,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * The higher-order-function form (`aggregate(zip_with(...))`) evaluates an
   * interpreted expression tree per element — fine for occasional use,
-  * ~50× too slow in an all-pairs similarity join. This expression is a
-  * single JVM while-loop over the two ArrayData buffers: one virtual call
-  * per ROW instead of several per ELEMENT, and the summation stays
-  * sequential left-to-right, so results are bit-identical to both the HOF
-  * fold and DuckDB's `list_dot_product` oracle.
+  * ~50× too slow in an all-pairs similarity join. This expression emits a
+  * tight Java loop over the two ArrayData buffers via `doGenCode`, so it
+  * stays INSIDE whole-stage codegen (no interpreted boundary in the
+  * similarity scan). The summation is sequential left-to-right, so
+  * results are bit-identical to both the HOF fold and DuckDB's
+  * `list_dot_product` oracle.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  // interpreted path (non-codegen contexts, e.g. inside some aggregates)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -30,6 +32,21 @@ case class DotProduct(left: Expression, right: Expression)
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
     s
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
