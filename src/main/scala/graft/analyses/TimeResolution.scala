@@ -111,7 +111,11 @@ object TimeResolution {
     * (replica, k1, k2, kmad, mu, sigma, amplitude).
     */
   def run(events: DataFrame, cfg: Config): DataFrame = {
+    // the Δt table feeds four downstream passes (spread agg, best-point
+    // samples, ranges, histogram) — persist it so the unpivot + self-join
+    // lineage runs once; spills to disk if it outgrows executor memory
     val dt = deltaT(events, cfg.devA, cfg.devB)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bootstrap fan-out computed INLINE (pure hash of trigger+replica+seed):
     // every Δt row of a trigger appears m times per replica — no join
     val fanned = dt

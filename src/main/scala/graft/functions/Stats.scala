@@ -97,7 +97,9 @@ object Stats {
       keys: Seq[String],
       value: String,
       out: String,
-      approxAccuracy: Int = 10000): DataFrame =
+      // ranking groups needs ~3 significant digits, not 5 — lower
+      // accuracy shrinks the sketch and its merge cost substantially
+      approxAccuracy: Int = 2000): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(percentile_approx(
         col(value), array(lit(0.25), lit(0.75)), lit(approxAccuracy)).as("__q"))
