@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GraftExtensions
+import graft.streaming.SessionizeStream
+
+class StatefulStreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("stateful flatMapGroupsWithState sessionization emits closed sessions") {
+    val dir = Files.createTempDirectory("graft_sess")
+    Files.copy(
+      Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = SessionizeStream.runOnce(spark, dir.toString, gapSeconds = 1800, "sess_out")
+    try {
+      val out = spark.table("sess_out")
+      assert(out.count() > 0, "no sessions emitted")
+      // session invariants: start <= end, positive counts
+      import org.apache.spark.sql.functions._
+      assert(out.filter(col("session_start") > col("session_end")).count() == 0)
+      assert(out.filter(col("n_events") <= 0).count() == 0)
+      // events within a session must respect the gap: end-start is bounded
+      // by n_events * gap
+      assert(out.filter(
+        (unix_timestamp(col("session_end")) - unix_timestamp(col("session_start")))
+          > col("n_events") * 1800).count() == 0)
+    } finally q.stop()
+  }
+
+  test("dot_fast registers as a SQL function") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT dot_fast(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("GraftExtensions injector applies to a fresh extensions-enabled session") {
+    // constructing the injector and applying it must not throw; full
+    // builder wiring is exercised via spark.sql.extensions in deployment
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+}
