@@ -64,6 +64,20 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(madOf(xs.map(_ * 3.0)) - base * 3.0) < 1e-9)
   }
 
+  test("madStdTwoPass (exact) agrees with the buffering aggregator") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 500).map(i => (i % 3, rnd.nextGaussian() * 10 + i % 7))
+      .toDF("g", "x")
+    val agg = df.groupBy("g").agg(Stats.madStd(col("x")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val twoPass = Stats.madStdTwoPass(df, Seq("g"), "x", "m", exact = true)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    agg.foreach { case (g, v) =>
+      assert(math.abs(twoPass(g) - v) < 1e-9 * math.max(1, v), s"group $g")
+    }
+  }
+
   test("histogram clamps under/overflow into edge buckets") {
     import spark.implicits._
     val df = Seq(-5.0, 0.5, 1.5, 9.5, 25.0).toDF("x")
