@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the most recent right row whose
+  * time is ≤ the left row's time, per partition key.
+  *
+  * Spark-first preference order (SparkEntry brief): this is tier (a) —
+  * COMPOSED from built-ins, because the semantics decompose exactly into
+  * union + ordered window carry-forward:
+  *
+  *   union(left tagged 0, right tagged 1)
+  *     → window per key ordered by (time, side DESC)
+  *     → last(right value, ignoreNulls) over rows unbounded-preceding
+  *     → keep left rows
+  *
+  * ONE shuffle on the partition key, no range-join row explosion, no
+  * custom SparkPlan needed — at any scale this is the plan a custom
+  * operator would aspire to. (Side DESC makes a right row at the exact
+  * same timestamp visible to the left row — `≤` semantics, matching
+  * DuckDB's ASOF JOIN oracle.)
+  */
+object AsOfJoin {
+
+  /** @param left        probe side
+    * @param right       reference side
+    * @param keys        equi-partition columns present on both sides
+    * @param leftTime    ordering column on `left`
+    * @param rightTime   ordering column on `right`
+    * @param valueCols   right columns carried to the output as `asof_<c>`
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      valueCols: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(0))
+    val r = right.select(
+      (keys.map(col) :+ col(rightTime).as("__t") :+ lit(1).as("__side")) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = valueCols.map(c =>
+      last(col(s"__v_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))
+    u.select((u.columns.map(col) ++ carried): _*)
+      .filter(col("__side") === 0)
+      .drop(("__t" +: "__side" +: valueCols.map(c => s"__v_$c")): _*)
+  }
+}

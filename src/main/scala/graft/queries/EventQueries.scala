@@ -88,5 +88,30 @@ object EventQueries {
         col("event_id"),
         get_json_object(col("props"), "$.k").cast("int").as("k")))
 
-  def all: Seq[Q] = Seq(e1Buckets, e2Sessionize, e3Json)
+  /** As-of join: each click event picks up the value of the user's most
+    * recent view event (≤ in microseconds — exact on both engines).
+    * Oracle = DuckDB's native ASOF LEFT JOIN; the Spark side is the
+    * union+window composition (one shuffle, no range explosion).
+    */
+  val e4AsOf: Q = Q(
+    "e4_asof_join",
+    Some("""WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us
+           |           FROM events WHERE event_type = 'click'),
+           |     v AS (SELECT user_id, epoch_us(ts) AS us, value
+           |           FROM events WHERE event_type = 'view')
+           |SELECT c.event_id, c.user_id, v.value AS asof_value
+           |FROM c ASOF LEFT JOIN v
+           |  ON c.user_id = v.user_id AND v.us <= c.us""".stripMargin),
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("us", unix_micros(col("ts")))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "us")
+      val views = e.filter(col("event_type") === "view")
+        .select("user_id", "us", "value")
+      graft.operators.AsOfJoin
+        .asOf(clicks, views, Seq("user_id"), "us", "us", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("asof_value").as("asof_value"))
+    })
+
+  def all: Seq[Q] = Seq(e1Buckets, e2Sessionize, e3Json, e4AsOf)
 }
