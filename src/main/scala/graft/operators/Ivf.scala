@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.plans.VectorExpressions.dotFast
+
+/** IVF (inverted-file) approximate nearest neighbor — the partition-based
+  * alternative to [[Similarity.lshNearDupPairs]]'s hashing approach:
+  * spherical k-means coarse quantizer → per-cluster inverted lists →
+  * query probes only the `nprobe` nearest cells.
+  *
+  * Deterministic throughout: centroid seeding by xxhash64 order, Lloyd
+  * iterations are plain aggregations (decimal-routed means), ties break
+  * by cluster id. Training collects only k×dim centroid doubles to the
+  * driver per iteration — the data itself never moves.
+  *
+  * At scale the assignment column doubles as a PARTITIONING key: write
+  * the corpus bucketed by `cluster` and a query touches nprobe/k of the
+  * data.
+  */
+object Ivf {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** L2-normalized copy of the embedding column (spherical k-means:
+    * cosine similarity = dot product on normalized vectors).
+    */
+  private def normalized(df: DataFrame, vec: String): DataFrame =
+    df.withColumn("__v", asDouble(col(vec)))
+      .withColumn("__n", sqrt(dotFast(col("__v"), col("__v"))))
+      .withColumn("__v", transform(col("__v"), x => x / col("__n")))
+      .drop("__n")
+
+  /** Nearest-centroid id by dot product (normalized inputs), ties to the
+    * smaller cluster id.
+    */
+  private def clusterCol(model: Model): Column = {
+    val scored = model.centroids.zipWithIndex.map { case (c, j) =>
+      struct(
+        round(dotFast(col("__v"), typedlit(c.toSeq)), 9).as("s"),
+        lit(-j).as("negj"))
+    }
+    (-array_max(array(scored: _*)).getField("negj")).cast("int")
+  }
+
+  /** Train the coarse quantizer: deterministic seeding (k smallest
+    * xxhash64(id, seed)) + `iters` Lloyd iterations.
+    */
+  def train(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      k: Int,
+      iters: Int,
+      seed: Long): Model = {
+    val data = normalized(df, vec)
+    // deterministic k-means++-style init: hash-sample a candidate pool
+    // (one pass), then greedy max-min selection on the driver — avoids
+    // the two-centroids-in-one-cluster degeneracy of naive seeding
+    val pool = data
+      .withColumn("__h", xxhash64(col(id), lit(seed)))
+      .orderBy("__h")
+      .limit(math.max(50 * k, 200))
+      .select("__v")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
+    while (chosen.length < k && chosen.length < pool.length) {
+      val next = pool.maxBy { p =>
+        chosen.map(c => {
+          var d = 0.0; var i = 0
+          while (i < p.length) { val t = p(i) - c(i); d += t * t; i += 1 }
+          d
+        }).min
+      }
+      chosen += next
+    }
+    var model = Model(chosen.toArray)
+    val dim = chosen.head.length
+    for (_ <- 0 until iters) {
+      val assigned = data.withColumn("__c", clusterCol(model))
+      // per-dimension sums via posexplode + hash agg — no per-group
+      // buffering, only k×dim rows ever reach the driver
+      val sums = assigned
+        .select(col("__c"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy("__c", "pos")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val acc = Array.fill(model.k)(new Array[Double](dim))
+      val counts = new Array[Long](model.k)
+      sums.foreach { r =>
+        val c = r.getInt(0)
+        acc(c)(r.getInt(1)) = r.getDouble(2)
+        counts(c) = r.getLong(3)
+      }
+      val updated = model.centroids.clone()
+      for (c <- 0 until model.k if counts(c) > 0) {
+        val mean = acc(c).map(_ / counts(c))
+        val norm = math.sqrt(mean.map(x => x * x).sum)
+        if (norm > 0) updated(c) = mean.map(_ / norm)
+      }
+      model = Model(updated)
+    }
+    model
+  }
+
+  /** Assign every row to its inverted list: adds `cluster`. */
+  def assign(df: DataFrame, vec: String, model: Model): DataFrame =
+    normalized(df, vec).withColumn("cluster", clusterCol(model)).drop("__v")
+
+  /** Top-k by cosine against the row with `queryId`, probing only the
+    * `nprobe` centroids nearest to the query.
+    */
+  def searchTopK(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      model: Model,
+      queryId: Long,
+      nprobe: Int,
+      topK: Int): DataFrame = {
+    val data = normalized(df, vec).withColumn("cluster", clusterCol(model))
+    val qv = data.filter(col(id) === queryId).select("__v")
+      .collect().head.getSeq[Double](0).toArray
+    val probes = model.centroids.zipWithIndex
+      .map { case (c, j) => (j, c.zip(qv).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (j, s) => (-s, j) }
+      .take(nprobe)
+      .map(_._1)
+    data
+      .filter(col("cluster").isin(probes: _*))
+      .withColumn("cos", round(dotFast(col("__v"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("cos").desc, col(id))
+      .limit(topK)
+      .select(col(id), col("cos"), col("cluster"))
+  }
+}

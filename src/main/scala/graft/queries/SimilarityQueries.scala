@@ -78,5 +78,19 @@ object SimilarityQueries {
         emb(s, dir), "vec_id", "embedding",
         dim = 64, bands = 8, planesPerBand = 8, threshold = 0.35, seed = 42L))
 
-  def all: Seq[Q] = Seq(simCosineAll, simTopK, simNearDup, simLsh)
+  /** IVF-partitioned ANN: spherical k-means coarse quantizer, nprobe=4 of
+    * k=16 cells probed — the bucketed-corpus scale path (rows-only;
+    * recall vs brute force pinned by IvfSpec).
+    */
+  val simIvf: Q = Q(
+    "sim_ivf_topk",
+    None,
+    (s, dir) => {
+      val e = emb(s, dir)
+      val model = graft.operators.Ivf.train(e, "vec_id", "embedding", k = 16, iters = 3, seed = 11L)
+      graft.operators.Ivf.searchTopK(e, "vec_id", "embedding", model,
+        queryId = 0L, nprobe = 4, topK = 20)
+    })
+
+  def all: Seq[Q] = Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf)
 }

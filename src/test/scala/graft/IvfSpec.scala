@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ivf, Similarity}
+
+class IvfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def clustered() = {
+    import spark.implicits._
+    // 4 well-separated direction clusters in 16d
+    val rnd = new scala.util.Random(5)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5))
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("IVF training is deterministic and assigns clustered data coherently") {
+    val df = clustered()
+    val m1 = Ivf.train(df, "vec_id", "embedding", k = 4, iters = 5, seed = 9L)
+    val m2 = Ivf.train(df, "vec_id", "embedding", k = 4, iters = 5, seed = 9L)
+    assert(m1.centroids.flatten.toSeq == m2.centroids.flatten.toSeq)
+    val assigned = Ivf.assign(df, "embedding", m1)
+    // every CELL should be dominated by one generator cluster (k-means may
+    // split a true cluster across cells, but must not blend clusters)
+    val cellPurity = assigned
+      .groupBy((org.apache.spark.sql.functions.col("vec_id") % 4).as("truth"), assigned("cluster"))
+      .count()
+      .collect()
+      .groupBy(_.getInt(1))
+      .map { case (_, rows) => rows.map(_.getLong(2)).max.toDouble / rows.map(_.getLong(2)).sum }
+    assert(cellPurity.forall(_ > 0.9), s"cellPurity=$cellPurity")
+  }
+
+  test("IVF top-k with nprobe=2 recovers most of the brute-force top-10") {
+    val df = clustered()
+    val model = Ivf.train(df, "vec_id", "embedding", k = 4, iters = 5, seed = 9L)
+    val ivf = Ivf.searchTopK(df, "vec_id", "embedding", model, queryId = 0L, nprobe = 2, topK = 10)
+      .collect().map(_.getLong(0)).toSet
+    val brute = Similarity.topK(df, "vec_id", "embedding", queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.intersect(brute).size >= 8, s"recall ${ivf.intersect(brute).size}/10")
+  }
+}
