@@ -214,8 +214,47 @@ object TextQueries {
       Multimodal.extractFeatures(media)
     })
 
+  /** Composed training-data pipeline: quality-gate → exact dedup (keep
+    * lowest doc_id per normalized content) → per-language survivor stats.
+    * The whole chain is ONE lazy plan and fully oracle-checked — the
+    * end-to-end shape a 100 TB corpus-cleaning job takes.
+    */
+  val pipelineClean: Q = Q(
+    "pipeline_quality_dedup",
+    Some("""WITH q AS (
+           |  SELECT doc_id, lang,
+           |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+           |        x -> x IN ('the', 'and', 'of', 'to', 'is', 'a'))) AS DOUBLE)
+           |      / len(string_split_regex(trim(text), '\s+')) AS stop_ratio
+           |  FROM documents),
+           |f AS (SELECT * FROM q WHERE n_tokens >= 30 AND stop_ratio >= 0.05),
+           |d AS (SELECT fp, MIN(doc_id) AS keep_id FROM f GROUP BY fp)
+           |SELECT f.lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(CAST(f.n_tokens AS DECIMAL(30,6))) AS DOUBLE) AS total_tokens
+           |FROM f JOIN d ON f.doc_id = d.keep_id
+           |GROUP BY f.lang""".stripMargin),
+    (s, dir) => {
+      val stop = Seq("the", "and", "of", "to", "is", "a")
+      val nTokens = TextFunctions.tokenCount(col("text")).cast(LongType)
+      val q = docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        nTokens.as("n_tokens"),
+        (TextFunctions.wordHits(col("text"), stop).cast("double") / nTokens)
+          .as("stop_ratio"))
+      val f = q.filter(col("n_tokens") >= 30 && col("stop_ratio") >= 0.05)
+      val d = f.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      f.join(d, f("doc_id") === d("keep_id"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          graft.functions.DetAgg.dsum(col("n_tokens")).as("total_tokens"))
+    })
+
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint,
     dedupExact, dedupPrefix, dedupJaccard, dedupMinHash, dedupSimHash,
-    mmBytes, mmFeatures)
+    mmBytes, mmFeatures, pipelineClean)
 }
