@@ -99,7 +99,7 @@ object Stats {
       out: String,
       // ranking groups needs ~3 significant digits, not 5 — lower
       // accuracy shrinks the sketch and its merge cost substantially
-      approxAccuracy: Int = 2000): DataFrame =
+      approxAccuracy: Int = 500): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(percentile_approx(
         col(value), array(lit(0.25), lit(0.75)), lit(approxAccuracy)).as("__q"))

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splits for training pipelines: every row's split
+  * is a pure function of its id (Knuth multiplicative hash, plain BIGINT
+  * arithmetic — reproducible on any engine, any partitioning, any day),
+  * so train/val/test membership never shifts when the corpus is
+  * re-processed, appended to, or re-partitioned. Stratification falls out
+  * for free: hashing is independent of any grouping column, so per-group
+  * proportions converge to the requested fractions.
+  */
+object Splits {
+
+  /** Bucket in [0, 100) from an integer id. The id is reduced mod 1e5
+    * before the multiply so the product stays well inside 64 bits (BIGINT
+    * overflow is an ERROR in ANSI engines, silent wrap in Java — avoid
+    * both).
+    */
+  def bucket100(id: Column, seed: Int): Column =
+    pmod((pmod(id + lit(seed), lit(100000L))) * lit(2654435761L), lit(4294967296L)) % 100
+
+  /** Adds a `split` column: train / val / test with the given percent
+    * boundaries (train < trainPct ≤ val < trainPct+valPct ≤ test).
+    */
+  def trainValTest(
+      df: DataFrame,
+      id: String,
+      trainPct: Int,
+      valPct: Int,
+      seed: Int): DataFrame = {
+    val b = bucket100(col(id), seed)
+    df.withColumn(
+      "split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+}

@@ -253,8 +253,28 @@ object TextQueries {
           graft.functions.DetAgg.dsum(col("n_tokens")).as("total_tokens"))
     })
 
+  /** Deterministic stratified train/val/test split (80/10/10): membership
+    * is a pure arithmetic hash of doc_id — identical across engines,
+    * partitionings, and re-runs. Output: per (lang, split) counts.
+    */
+  val splitStratified: Q = Q(
+    "split_stratified",
+    Some("""WITH s AS (SELECT lang,
+           |  CASE WHEN ((doc_id + 7) % 100000) * 2654435761 % 4294967296 % 100 < 80
+           |         THEN 'train'
+           |       WHEN ((doc_id + 7) % 100000) * 2654435761 % 4294967296 % 100 < 90
+           |         THEN 'val'
+           |       ELSE 'test' END AS split
+           |  FROM documents)
+           |SELECT lang, split, COUNT(*) AS n FROM s GROUP BY lang, split""".stripMargin),
+    (s, dir) =>
+      graft.operators.Splits
+        .trainValTest(docs(s, dir), "doc_id", trainPct = 80, valPct = 10, seed = 7)
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n")))
+
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint,
     dedupExact, dedupPrefix, dedupJaccard, dedupMinHash, dedupSimHash,
-    mmBytes, mmFeatures, pipelineClean)
+    mmBytes, mmFeatures, pipelineClean, splitStratified)
 }

@@ -62,4 +62,17 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("g").collect().map(r => (r.getInt(0), r.getDouble(1), r.getString(2)))
     assert(got.toSeq == Seq((1, 3.0, "a"), (2, 7.0, "z")))
   }
+
+  test("stratified split is deterministic and roughly proportioned") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "lang")
+    val s1 = graft.operators.Splits.trainValTest(df, "id", 80, 10, seed = 7)
+    val s2 = graft.operators.Splits.trainValTest(df, "id", 80, 10, seed = 7)
+    assert(s1.collect().map(_.toString).sorted.sameElements(s2.collect().map(_.toString).sorted))
+    val frac = s1.filter(col("split") === "train").count().toDouble / 2000
+    assert(math.abs(frac - 0.8) < 0.05, s"train frac $frac")
+    // per-stratum proportions hold too
+    val fa = s1.filter(col("lang") === "a" && col("split") === "train").count().toDouble / 1000
+    assert(math.abs(fa - 0.8) < 0.07, s"stratum frac $fa")
+  }
 }
