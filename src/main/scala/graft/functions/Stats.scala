@@ -72,15 +72,19 @@ object Stats {
       value: String,
       out: String,
       exact: Boolean = true,
-      approxAccuracy: Int = 10000): DataFrame = {
+      approxAccuracy: Int = 10000,
+      // extra aggregates folded into the second (deviation) pass — lets
+      // callers piggyback min/max etc. on a scan they already pay for
+      extraAggs: Seq[Column] = Nil): DataFrame = {
     // approx = GK quantile sketches (mergeable, bounded memory) — the
     // 100 TB tier per SURVEY A2; exact = Spark's native exact percentile.
     def med(c: Column): Column =
       if (exact) median(c) else percentile_approx(c, lit(0.5), lit(approxAccuracy))
     val m = df.groupBy(keys.map(col): _*).agg(med(col(value)).as("__med"))
+    val madAgg = (med(abs(col(value) - col("__med"))) * lit(MadToStd)).as(out)
     df.join(broadcast(m), keys)
       .groupBy(keys.map(col): _*)
-      .agg((med(abs(col(value) - col("__med"))) * lit(MadToStd)).as(out))
+      .agg(madAgg, extraAggs: _*)
   }
 
   /** Φ⁻¹(0.75) − Φ⁻¹(0.25): IQR of a standard normal. */
@@ -99,12 +103,84 @@ object Stats {
       out: String,
       // ranking groups needs ~3 significant digits, not 5 — lower
       // accuracy shrinks the sketch and its merge cost substantially
-      approxAccuracy: Int = 500): DataFrame =
+      approxAccuracy: Int = 500,
+      extraAggs: Seq[Column] = Nil): DataFrame =
     df.groupBy(keys.map(col): _*)
-      .agg(percentile_approx(
-        col(value), array(lit(0.25), lit(0.75)), lit(approxAccuracy)).as("__q"))
+      .agg(
+        percentile_approx(
+          col(value), array(lit(0.25), lit(0.75)), lit(approxAccuracy)).as("__q"),
+        extraAggs: _*)
       .withColumn(out, (element_at(col("__q"), 2) - element_at(col("__q"), 1)) / lit(IqrToStd))
       .drop("__q")
+
+  /** Weighted micro-bin IQR spread — the CODEGEN quantile tier for huge
+    * weighted groups (the flagship's bootstrap fan-out: multiplicity rides
+    * as a weight column, so the sample is never physically duplicated).
+    *
+    * Two stages: (1) one codegen'd hash-agg pass bins `value` into `bins`
+    * fixed buckets per group and sums weights — no sketch objects, no
+    * ObjectHashAggregate; (2) window cumsums over the tiny
+    * (groups × bins) table interpolate q25/q75 inside their buckets.
+    * Resolution is range/bins per group — far beyond what RANKING groups
+    * needs. Bin ranges come from `rangeOf` grouped by `rangeKeys` (a
+    * cheaper, possibly coarser frame than `df` — e.g. the un-fanned Δt
+    * table).
+    *
+    * Output: keys + `out` + `lo`/`hi` (exact per-group min/max — they ride
+    * the same pass, callers use them as downstream histogram ranges).
+    */
+  def binnedIqrStd(
+      df: DataFrame,
+      keys: Seq[String],
+      value: String,
+      weight: Column,
+      out: String,
+      bins: Int,
+      rangeOf: DataFrame,
+      rangeKeys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gr = rangeOf.groupBy(rangeKeys.map(col): _*)
+      .agg(min(col(value)).as("__glo"), max(col(value)).as("__ghi"))
+    val width = (col("__ghi") - col("__glo")) / lit(bins)
+    val wSafe = when(col("__ghi") > col("__glo"), width).otherwise(lit(1.0))
+    val bucket = least(
+      greatest(floor((col(value) - col("__glo")) / wSafe), lit(0L)),
+      lit(bins - 1L))
+    val binned = df.join(broadcast(gr), rangeKeys)
+      .groupBy((keys.map(col) :+ col("__glo") :+ col("__ghi") :+ bucket.as("__b")): _*)
+      .agg(
+        sum(weight).as("__n"),
+        min(col(value)).as("__bmin"),
+        max(col(value)).as("__bmax"))
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy("__b")
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val c = binned
+      .withColumn("__cum", sum("__n").over(wOrd))
+      .withColumn("__tot", sum("__n").over(wAll))
+      .withColumn("__cumBefore", col("__cum") - col("__n"))
+    // exactly one bucket per group straddles each target rank (cum is
+    // strictly increasing over present buckets), so max() just selects it
+    def qv(q: Double): Column =
+      when(
+        col("__cum") >= lit(q) * col("__tot") && col("__cumBefore") < lit(q) * col("__tot"),
+        col("__glo") + col("__b") * wSafe
+          + ((lit(q) * col("__tot") - col("__cumBefore")) / col("__n")) * wSafe)
+    c.withColumn("__q25", qv(0.25))
+      .withColumn("__q75", qv(0.75))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        max("__q25").as("__q25"),
+        max("__q75").as("__q75"),
+        min("__bmin").as("lo"),
+        max("__bmax").as("hi"),
+        first("__glo").as("__glo"),
+        first("__ghi").as("__ghi"))
+      .withColumn(
+        out,
+        when(col("__ghi") > col("__glo"),
+          (col("__q75") - col("__q25")) / lit(IqrToStd)).otherwise(lit(0.0)))
+      .drop("__q25", "__q75", "__glo", "__ghi")
+  }
 
   /** The reference's `mean_std` (reference `scripts/utils.py:118-146`):
     * groupBy(keys) then mean/std/median/MAD_std of every value column, with

@@ -80,10 +80,13 @@ object Dedup {
       k: Int,
       threshold: Double): DataFrame = {
     // join on the 64-bit shingle hash: smaller shuffle + long compares
-    // (collision probability ~n²/2⁶⁵ — immaterial)
+    // (collision probability ~n²/2⁶⁵ — immaterial). Deliberately NOT
+    // cached: the exploded shingle relation is LARGER than the corpus, so
+    // at scale re-running the linear shingle pass per consumer beats
+    // pinning it in executor memory — and the operator owns no persisted
+    // state after return.
     val sh = shingles(df, id, text, k)
       .select(col(id), xxhash64(col("shingle")).as("shingle"))
-      .cache()
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(id).as("id_a"), col("shingle"))
     val b = sh.select(col(id).as("id_b"), col("shingle"))
@@ -119,7 +122,11 @@ object Dedup {
       rowsPerBand: Int,
       threshold: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val docSh = docShingleSets(df, id, text, k).filter(size(col("sh")) > 0).cache()
+    // NOT cached (corpus-sized): the signature pass reads it once; the two
+    // verify joins re-derive it, and each touches only candidate ids —
+    // linear recompute beats pinning token arrays in memory at 100 TB, and
+    // no persisted RDDs outlive the call.
+    val docSh = docShingleSets(df, id, text, k).filter(size(col("sh")) > 0)
     // (id, shingle-hash) rows; all minhash minima in one codegen'd aggregate
     val exploded = docSh
       .select(col(id), explode(col("sh")).as("s"))

@@ -29,12 +29,20 @@ object Ivf {
 
   /** L2-normalized copy of the embedding column (spherical k-means:
     * cosine similarity = dot product on normalized vectors).
+    *
+    * The norm is bound as a lambda VARIABLE (`flatten(transform(array(n),
+    * ...))`): a plain column reference inside the divide lambda gets
+    * re-inlined by CollapseProject and the sqrt(dot) is then re-evaluated
+    * per ELEMENT — 64× the work per row (round-1 lesson, see
+    * spark-perf-traps).
     */
   private def normalized(df: DataFrame, vec: String): DataFrame =
     df.withColumn("__v", asDouble(col(vec)))
-      .withColumn("__n", sqrt(dotFast(col("__v"), col("__v"))))
-      .withColumn("__v", transform(col("__v"), x => x / col("__n")))
-      .drop("__n")
+      .withColumn(
+        "__v",
+        flatten(transform(
+          array(sqrt(dotFast(col("__v"), col("__v")))),
+          n => transform(col("__v"), x => x / n))))
 
   /** Nearest-centroid id by dot product (normalized inputs), ties to the
     * smaller cluster id.
@@ -58,55 +66,61 @@ object Ivf {
       k: Int,
       iters: Int,
       seed: Long): Model = {
-    val data = normalized(df, vec)
-    // deterministic k-means++-style init: hash-sample a candidate pool
-    // (one pass), then greedy max-min selection on the driver — avoids
-    // the two-centroids-in-one-cluster degeneracy of naive seeding
-    val pool = data
-      .withColumn("__h", xxhash64(col(id), lit(seed)))
-      .orderBy("__h")
-      .limit(math.max(50 * k, 200))
-      .select("__v")
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
-    val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
-    while (chosen.length < k && chosen.length < pool.length) {
-      val next = pool.maxBy { p =>
-        chosen.map(c => {
-          var d = 0.0; var i = 0
-          while (i < p.length) { val t = p(i) - c(i); d += t * t; i += 1 }
-          d
-        }).min
-      }
-      chosen += next
-    }
-    var model = Model(chosen.toArray)
-    val dim = chosen.head.length
-    for (_ <- 0 until iters) {
-      val assigned = data.withColumn("__c", clusterCol(model))
-      // per-dimension sums via posexplode + hash agg — no per-group
-      // buffering, only k×dim rows ever reach the driver
-      val sums = assigned
-        .select(col("__c"), posexplode(col("__v")).as(Seq("pos", "x")))
-        .groupBy("__c", "pos")
-        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+    // Training is eager (each iteration collects k×dim centroid sums), so
+    // the normalized corpus is bracket-cached for the seeding pass + all
+    // Lloyd iterations and guaranteed-unpersisted on return — round 1
+    // rebuilt this scan+normalize ~5× (53 s at sf0.1).
+    val data = normalized(df, vec).select(col(id), col("__v"))
+    Caching.withCached(data) {
+      // deterministic k-means++-style init: hash-sample a candidate pool
+      // (one pass), then greedy max-min selection on the driver — avoids
+      // the two-centroids-in-one-cluster degeneracy of naive seeding
+      val pool = data
+        .withColumn("__h", xxhash64(col(id), lit(seed)))
+        .orderBy("__h")
+        .limit(math.max(50 * k, 200))
+        .select("__v")
         .collect()
-      val acc = Array.fill(model.k)(new Array[Double](dim))
-      val counts = new Array[Long](model.k)
-      sums.foreach { r =>
-        val c = r.getInt(0)
-        acc(c)(r.getInt(1)) = r.getDouble(2)
-        counts(c) = r.getLong(3)
+        .map(_.getSeq[Double](0).toArray)
+      val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
+      while (chosen.length < k && chosen.length < pool.length) {
+        val next = pool.maxBy { p =>
+          chosen.map(c => {
+            var d = 0.0; var i = 0
+            while (i < p.length) { val t = p(i) - c(i); d += t * t; i += 1 }
+            d
+          }).min
+        }
+        chosen += next
       }
-      val updated = model.centroids.clone()
-      for (c <- 0 until model.k if counts(c) > 0) {
-        val mean = acc(c).map(_ / counts(c))
-        val norm = math.sqrt(mean.map(x => x * x).sum)
-        if (norm > 0) updated(c) = mean.map(_ / norm)
+      var model = Model(chosen.toArray)
+      val dim = chosen.head.length
+      for (_ <- 0 until iters) {
+        val assigned = data.withColumn("__c", clusterCol(model))
+        // per-dimension sums via posexplode + hash agg — no per-group
+        // buffering, only k×dim rows ever reach the driver
+        val sums = assigned
+          .select(col("__c"), posexplode(col("__v")).as(Seq("pos", "x")))
+          .groupBy("__c", "pos")
+          .agg(sum("x").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val acc = Array.fill(model.k)(new Array[Double](dim))
+        val counts = new Array[Long](model.k)
+        sums.foreach { r =>
+          val c = r.getInt(0)
+          acc(c)(r.getInt(1)) = r.getDouble(2)
+          counts(c) = r.getLong(3)
+        }
+        val updated = model.centroids.clone()
+        for (c <- 0 until model.k if counts(c) > 0) {
+          val mean = acc(c).map(_ / counts(c))
+          val norm = math.sqrt(mean.map(x => x * x).sum)
+          if (norm > 0) updated(c) = mean.map(_ / norm)
+        }
+        model = Model(updated)
       }
-      model = Model(updated)
+      model
     }
-    model
   }
 
   /** Assign every row to its inverted list: adds `cluster`. */
@@ -124,9 +138,12 @@ object Ivf {
       queryId: Long,
       nprobe: Int,
       topK: Int): DataFrame = {
-    val data = normalized(df, vec).withColumn("cluster", clusterCol(model))
-    val qv = data.filter(col(id) === queryId).select("__v")
+    // query vector: pushed-down single-row lookup (id filter reaches the
+    // scan; no cluster scoring on this pass)
+    val qv = normalized(df.filter(col(id) === queryId), vec).select("__v")
       .collect().head.getSeq[Double](0).toArray
+    // corpus pass: ONE scan — normalize, coarse-score, probe-filter, top-k
+    val data = normalized(df, vec).withColumn("cluster", clusterCol(model))
     val probes = model.centroids.zipWithIndex
       .map { case (c, j) => (j, c.zip(qv).map { case (a, b) => a * b }.sum) }
       .sortBy { case (j, s) => (-s, j) }

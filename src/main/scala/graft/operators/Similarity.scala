@@ -112,24 +112,31 @@ object Similarity {
       }
       bits.reduce(_ + _).as(s"band_$b")
     }
-    val staged = df.select(col(id), v.as("__v"))
-      .withColumn("__n", sqrt(dotF(col("__v"), col("__v"))))
-    val keyed = staged.select((col(id) +: col("__v") +: col("__n") +: bandKeys): _*)
+    // ids + band keys ONLY — the candidate join must never shuffle vectors.
+    // (Round-1 lesson: banded rows carrying the 64-dim vector through the
+    // self-join + dropDuplicates turned a 2k-row table into a 72 s query.)
+    val keyed = df.select(col(id), v.as("__v"))
+      .select((col(id) +: bandKeys): _*)
     val banded = keyed.select(
       col(id),
-      col("__v"),
-      col("__n"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), col(s"band_$b").as("bkey"))): _*)).as("bk"))
-      .select(col(id), col("__v"), col("__n"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val l = banded.select(
-      col(id).as("id_a"), col("__v").as("va"), col("__n").as("na"), col("band"), col("bkey"))
-    val r = banded.select(
-      col(id).as("id_b"), col("__v").as("vb"), col("__n").as("nb"), col("band"), col("bkey"))
-    l.join(r, Seq("band", "bkey"))
+      .select(col(id), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val l = banded.select(col(id).as("id_a"), col("band"), col("bkey"))
+    val r = banded.select(col(id).as("id_b"), col("band"), col("bkey"))
+    val candidates = l.join(r, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    // exact verify: join the (few) candidate ids back to vectors + norms.
+    // The band-key pass is recomputed per join side — a linear hashing pass,
+    // deliberately NOT cached so the operator owns no persisted state at
+    // 100 TB (candidate verify touches only the candidate subset anyway).
+    val vecs = df.select(col(id), v.as("__v"))
+      .withColumn("__n", sqrt(dotF(col("__v"), col("__v"))))
+    candidates
+      .join(vecs.select(col(id).as("id_a"), col("__v").as("va"), col("__n").as("na")), "id_a")
+      .join(vecs.select(col(id).as("id_b"), col("__v").as("vb"), col("__n").as("nb")), "id_b")
       .withColumn("cos", dotF(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

@@ -50,8 +50,8 @@ object EventQueries {
            |             THEN 1 ELSE 0 END AS new_session
            |      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tss, event_id)),
            |s AS (SELECT user_id, event_id, tss,
-           |        SUM(new_session) OVER (PARTITION BY user_id ORDER BY tss, event_id
-           |          ROWS UNBOUNDED PRECEDING) AS session_id
+           |        CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY tss, event_id
+           |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
            |      FROM m)
            |SELECT user_id, session_id, COUNT(*) AS n_events,
            |  min(tss) AS session_start, max(tss) AS session_end

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Multimodal}
 import graft.sources.Tables
@@ -203,7 +203,11 @@ object TextQueries {
         .select(col("media_id"), col("n_bytes").cast(LongType).as("n_bytes"))
     })
 
-  /** Full multimodal feature rows (stub decode) — rows-only. */
+  /** Full multimodal feature rows (stub decode) — rows-only. The raw
+    * `array<float>` feature vector stays in MultimodalSpec; the declared
+    * query projects a hashable surrogate (`xxhash64` of the rendered
+    * array) so the driver's pandas sort/compare path can handle it.
+    */
   val mmFeatures: Q = Q(
     "mm_features",
     None,
@@ -212,6 +216,9 @@ object TextQueries {
         col("doc_id").as("media_id"),
         encode(col("text"), "UTF-8").as("payload"))
       Multimodal.extractFeatures(media)
+        .select(
+          col("media_id"), col("n_bytes"), col("content_hash"),
+          xxhash64(col("features").cast(StringType)).as("features_hash"))
     })
 
   /** Composed training-data pipeline: quality-gate → exact dedup (keep
