@@ -20,5 +20,6 @@ object Registry {
   def all: Seq[Q] =
     CoreQueries.all ++ RelationalQueries.all ++ KernelQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ FitQueries.all ++
-      AnalysisQueries.all ++ MiscQueries.all ++ EventQueries.all
+      AnalysisQueries.all ++ MiscQueries.all ++ EventQueries.all ++
+      FederationQueries.all
 }
