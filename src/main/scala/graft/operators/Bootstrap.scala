@@ -69,6 +69,41 @@ object Bootstrap {
     cdf.reverse.toArray
   }
 
+  /** Shortest-roundtrip literals of [[poissonCdf]] — shared by the Column
+    * form and the SQL mirror so both engines compare against bit-identical
+    * thresholds.
+    */
+  private val cdfLits: Array[String] = poissonCdf.map(_.toString)
+
+  /** Poisson(1) multiplicity from a Knuth multiplicative hash of an
+    * integer key — every operation (mod, multiply, mod, exact
+    * double-divide by 2³²) is plain ANSI arithmetic, so the SAME text runs
+    * in DuckDB ([[Sql.portableMultiplicity]]) and resampled aggregates
+    * become oracle-checkable. Mixing is weaker than xxhash64 (the key is
+    * reduced mod 1e5 first); prefer [[poissonResample]] when portability
+    * isn't needed. The caller composes replica/seed into `key`.
+    */
+  def portableMultiplicity(key: Column): Column = {
+    val u = pmod(pmod(key, lit(100000L)) * lit(2654435761L), lit(4294967296L))
+      .cast("double") / lit(4294967296.0)
+    cdfLits.zipWithIndex.foldRight(lit(cdfLits.length): Column) {
+      case ((t, k), acc) => when(u < lit(t.toDouble), k).otherwise(acc)
+    }
+  }
+
+  /** SQL-text mirror of [[portableMultiplicity]] (DuckDB dialect = same
+    * ANSI text), kept adjacent so the two can never drift. `key` must be
+    * a non-negative integer expression (both engines' `%` agree there).
+    */
+  object Sql {
+    def portableMultiplicity(key: String): String = {
+      val u = s"(((($key) % 100000) * 2654435761) % 4294967296) / 4294967296.0"
+      cdfLits.zipWithIndex.foldRight(cdfLits.length.toString) {
+        case ((t, k), acc) => s"CASE WHEN $u < $t THEN $k ELSE $acc END"
+      }
+    }
+  }
+
   /** Poissonized bootstrap: each row appears m ~ Poisson(1) times per
     * replica, m a pure function of (hashCols, replica, seed). No shuffle,
     * no join — scales to any size. Output = input + `replica`.

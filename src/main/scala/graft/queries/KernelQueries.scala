@@ -57,5 +57,38 @@ object KernelQueries {
         .agg(round(DetAgg.dstd(col("replica_mean")) * lit(1e6), 3).as("boot_err_ppm"))
     })
 
-  def all: Seq[Q] = Seq(a10Exact, a10PoissonErr)
+  /** Portable-hash Poisson bootstrap, ORACLE-CHECKED: multiplicity is a
+    * Knuth multiplicative hash (Bootstrap.portableMultiplicity) whose
+    * arithmetic runs identically in DuckDB, and the resample is consumed
+    * as a WEIGHT (n = Σm, sum = Σ qty·m) — the same weighted form the
+    * flagship uses, so the whole A10 semantics gets a hash-exact row.
+    */
+  val a10Hash: Q = {
+    val keySql = "l_orderkey * 31 + l_linenumber * 7919 + replica * 104729"
+    Q(
+      "a10_bootstrap_hash",
+      Some(s"""SELECT replica, l_returnflag,
+              |  CAST(SUM(m) AS BIGINT) AS n,
+              |  CAST(SUM(CAST(l_quantity * m AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+              |FROM (
+              |  SELECT l_returnflag, l_quantity, r.replica,
+              |    ${Bootstrap.Sql.portableMultiplicity(keySql)} AS m
+              |  FROM lineitem
+              |  CROSS JOIN (SELECT UNNEST(range(0, 4)) AS replica) r)
+              |GROUP BY replica, l_returnflag""".stripMargin),
+      (s, dir) => {
+        val key = col("l_orderkey") * lit(31L) + col("l_linenumber") * lit(7919L) +
+          col("replica") * lit(104729L)
+        Tables.load(s, dir, "lineitem")
+          .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+          .withColumn("replica", explode(sequence(lit(0L), lit(3L))))
+          .withColumn("m", Bootstrap.portableMultiplicity(key))
+          .groupBy("replica", "l_returnflag")
+          .agg(
+            sum(col("m")).as("n"),
+            DetAgg.dsum(col("l_quantity") * col("m")).as("sum_qty"))
+      })
+  }
+
+  def all: Seq[Q] = Seq(a10Exact, a10PoissonErr, a10Hash)
 }
