@@ -19,6 +19,20 @@ object ScaleProbe {
       .map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
       .reduce(_ unionAll _)
 
+  /** Scale the embeddings table by replication with DETERMINISTIC per-copy
+    * jitter — exact copies would be near-dups of each other by
+    * construction, inflating pair counts quadratically and masking the
+    * real scaling behavior of the banded join.
+    */
+  def scaledEmb(emb: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { i =>
+      emb.select(
+        (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          x + (pmod(xxhash64(col("vec_id"), j, lit(i)), lit(1000)).cast("double")
+            / lit(1000.0) - lit(0.5)) * lit(0.2)).as("embedding"))
+    }.reduce(_ unionAll _)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -30,14 +44,16 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     li.groupBy("l_returnflag").count().collect() // warmup
 
-    def time(name: String, copies: Int)(body: DataFrame => Long): Unit = {
-      val df = scaled(li, copies)
+    def timed(name: String, copies: Int)(body: => Long): Unit = {
       val t0 = System.nanoTime()
-      val n = body(df)
+      val n = body
       println(f"""{"probe":"$name","copies":$copies,"rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
     }
+    def time(name: String, copies: Int)(body: DataFrame => Long): Unit =
+      timed(name, copies)(body(scaled(li, copies)))
 
     for (c <- Seq(1, 2, 4)) {
       time("q1_agg", c) { df =>
@@ -71,6 +87,18 @@ object ScaleProbe {
         graft.analyses.TimeResolution.run(
           wide, graft.analyses.TimeResolution.Config(
             "dev1", "dev2", replicas = 8, seed = 42L, iqrSpread = true)).count()
+      }
+      timed("lsh_pairs", c) {
+        graft.operators.Similarity.lshNearDupPairs(
+          scaledEmb(emb, c), "vec_id", "embedding",
+          dim = 64, bands = 8, planesPerBand = 8, threshold = 0.35, seed = 42L).count()
+      }
+      timed("ivf_topk", c) {
+        val e = scaledEmb(emb, c)
+        val model = graft.operators.Ivf.train(e, "vec_id", "embedding",
+          k = 16, iters = 3, seed = 11L)
+        graft.operators.Ivf.searchTopK(e, "vec_id", "embedding", model,
+          queryId = 0L, nprobe = 4, topK = 20).count()
       }
     }
     spark.stop()
