@@ -86,4 +86,31 @@ class StatsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(h.toSeq == Seq((0L, 2L), (1L, 1L), (9L, 2L)))
   }
+
+  test("binnedIqrStd approximates sigma on normal data and respects weights") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val sigma = 2.5
+    // group g0: unit weights; g1: same N(0, sigma) draws duplicated via
+    // weight 3 — weighting must not change the quantiles
+    val rows = (0 until 4000).flatMap { i =>
+      val x = rnd.nextGaussian() * sigma
+      Seq(("g0", x, 1), ("g1", x, 3))
+    }
+    val df = rows.toDF("g", "x", "w")
+    val got = graft.functions.Stats.binnedIqrStd(
+      df, Seq("g"), "x", col("w"), "spread", bins = 2048,
+      rangeOf = df, rangeKeys = Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("spread")).toMap
+    assert(math.abs(got("g0") - sigma) / sigma < 0.06, s"g0=${got("g0")}")
+    assert(math.abs(got("g1") - got("g0")) / sigma < 0.01,
+      s"weighted ${got("g1")} vs unit ${got("g0")}")
+    // lo/hi extras are the exact per-group min/max
+    val lohi = graft.functions.Stats.binnedIqrStd(
+      df, Seq("g"), "x", col("w"), "spread", 2048, df, Seq("g"))
+      .filter(col("g") === "g0").select("lo", "hi").collect().head
+    val xs = rows.filter(_._1 == "g0").map(_._2)
+    assert(lohi.getDouble(0) == xs.min && lohi.getDouble(1) == xs.max)
+  }
 }
