@@ -221,6 +221,27 @@ object TextQueries {
           xxhash64(col("features").cast(StringType)).as("features_hash"))
     })
 
+  /** Multimodal frame sampling: every 7th frame index of each synthetic
+    * `video` row — pure plan-side arithmetic ([[Multimodal.sampleFrameIndexes]]),
+    * so it is fully oracle-checked (`generate_series` mirror).
+    */
+  val mmFrames: Q = Q(
+    "mm_frames",
+    Some("""SELECT doc_id AS media_id,
+           |  CAST(UNNEST(generate_series(0, (doc_id % 200 + 30) - 1, 7)) AS BIGINT) AS frame_idx
+           |FROM documents WHERE doc_id % 3 = 2""".stripMargin),
+    (s, dir) => {
+      val media = docs(s, dir).select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 2, "video")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("image").as("media_type"),
+        when(col("doc_id") % 3 === 2, (col("doc_id") % 200 + 30).cast("int"))
+          .otherwise(lit(null).cast("int")).as("n_frames"))
+      Multimodal.sampleFrameIndexes(media, stride = 7)
+        .select(col("media_id"), col("frame_idx").cast(LongType).as("frame_idx"))
+    })
+
   /** Composed training-data pipeline: quality-gate → exact dedup (keep
     * lowest doc_id per normalized content) → per-language survivor stats.
     * The whole chain is ONE lazy plan and fully oracle-checked — the
@@ -283,5 +304,5 @@ object TextQueries {
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint,
     dedupExact, dedupPrefix, dedupJaccard, dedupMinHash, dedupSimHash,
-    mmBytes, mmFeatures, pipelineClean, splitStratified)
+    mmBytes, mmFeatures, mmFrames, pipelineClean, splitStratified)
 }
