@@ -42,11 +42,17 @@ object Bootstrap {
     val w = Window.partitionBy(g: _*).orderBy(orderBy: _*)
     val rows = df.withColumn("__rid", row_number().over(w))
     val sizes = df.groupBy(g: _*).agg(count(lit(1)).as("__n"))
-    // one row per (group, replica, draw i): the drawn index is a pure
-    // function of (group, replica, i, seed)
-    val draws = sizes
+    // one draw per (existing row, replica): each row owns draw index
+    // __rid ∈ 1..n, so the draw table is generated FROM the distributed
+    // rows (tiny replicas-length explode per row) rather than exploding a
+    // sequence(1, n) array per group — a 10⁵-element array per
+    // (group, replica) serializes on a handful of tasks; this form keeps
+    // the original partitioning. The drawn index is still a pure function
+    // of (group, replica, i, seed).
+    val draws = rows
+      .select((g :+ col("__rid").as("__i")): _*)
+      .join(broadcast(sizes), groupCols)
       .withColumn("replica", explode(sequence(lit(0), lit(replicas - 1))))
-      .withColumn("__i", explode(sequence(lit(1L), col("__n"))))
       .withColumn(
         "__rid",
         (pmod(xxhash64(g :+ col("replica") :+ col("__i") :+ lit(seed): _*), col("__n")) + 1)

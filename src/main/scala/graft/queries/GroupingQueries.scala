@@ -104,5 +104,45 @@ object GroupingQueries {
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_orderkey")).as("n_exact")))
 
-  def all: Seq[Q] = Seq(rollup, cube_, groupingSets, approxDistinct, distinctExact)
+  /** Salted two-stage aggregation, oracle-checked against the PLAIN
+    * aggregate — proving salting is a pure physical rewrite (decimal
+    * partials merge exactly).
+    */
+  val saltedAgg: Q = Q(
+    "skew_salted_agg",
+    Some(s"""SELECT l_returnflag, ${D.dsum("l_quantity")} AS sum_qty,
+            |  COUNT(*) AS n
+            |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+    (s, dir) =>
+      graft.operators.Skew.saltedSumCount(
+        Tables.load(s, dir, "lineitem"),
+        Seq("l_returnflag"), col("l_quantity"), "sum_qty",
+        saltBy = col("l_orderkey"), salts = 16))
+
+  /** Salted fact×dim join (dim replicated ×8, sort-merge forced so the
+    * salt actually spreads reducers), oracle-checked against the plain
+    * join — same results, skew-proof physical plan.
+    */
+  val saltedJoin: Q = Q(
+    "skew_salted_join",
+    Some(s"""SELECT s_nationkey, ${D.dsum("l_quantity")} AS sum_qty,
+            |  COUNT(*) AS n
+            |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            |GROUP BY s_nationkey""".stripMargin),
+    (s, dir) => {
+      val fact = Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey").as("s_suppkey"), col("l_quantity"), col("l_orderkey"))
+      val dim = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        .hint("merge") // no broadcast: the scenario where salting matters
+      graft.operators.Skew
+        .saltedJoin(fact, dim, "s_suppkey", saltBy = col("l_orderkey"), salts = 8)
+        .groupBy("s_nationkey")
+        .agg(
+          DetAgg.dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"))
+    })
+
+  def all: Seq[Q] = Seq(
+    rollup, cube_, groupingSets, approxDistinct, distinctExact,
+    saltedAgg, saltedJoin)
 }

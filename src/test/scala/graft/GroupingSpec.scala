@@ -42,6 +42,32 @@ class GroupingSpec extends AnyFunSuite {
     assert(perStatus == Map("x" -> 31.0, "y" -> 11.0))
   }
 
+  test("salted aggregation and salted join are bit-identical to the direct forms") {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val skewed = (0 until 20000).map { i =>
+      (if (i % 10 == 0) s"k${i % 50}" else "hot", i.toLong, (i % 977) * 0.25)
+    }.toDF("k", "id", "v")
+    val direct = skewed.groupBy("k")
+      .agg(graft.functions.DetAgg.dsum(col("v")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = graft.operators.Skew
+      .saltedSumCount(skewed, Seq("k"), col("v"), "s", col("id"), salts = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == direct)
+
+    val dim = ((0 until 50).map(i => (s"k$i", i % 7)) :+ ("hot", 99))
+      .toDF("k", "attr")
+    val plainJoin = skewed.join(dim, "k").groupBy("attr")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val saltedJoin = graft.operators.Skew
+      .saltedJoin(skewed, dim, "k", col("id"), salts = 8)
+      .groupBy("attr").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(saltedJoin == plainJoin)
+  }
+
   test("approx_count_distinct at rsd=0.02 lands within 5% of exact") {
     import spark.implicits._
     val df = (0 until 50000).map(i => (i % 7, (i * 2654435761L) % 9973))
