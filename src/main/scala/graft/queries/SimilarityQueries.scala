@@ -67,16 +67,57 @@ object SimilarityQueries {
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos")))
 
   /** Random-hyperplane LSH near-dup pairs — sub-quadratic candidate
-    * generation, exact verify. Engine-specific hashing → rows-only;
-    * recall vs the brute-force query is pinned by a spec.
+    * generation, exact verify. HASH-EXACT oracle: the sign-band keys are
+    * plain dot products against seeded hyperplane literals, so the whole
+    * pipeline (banding → candidate dedup → cosine verify) is mirrored in
+    * SQL generated from the SAME `Similarity.hyperplanes(...)` call —
+    * `list_dot_product` is sequential like `dotFast`, proven bit-equal by
+    * `sim_cosine_all`. Containment in brute force is additionally pinned
+    * by DedupSpec.
     */
-  val simLsh: Q = Q(
-    "sim_lsh_pairs",
-    None,
-    (s, dir) =>
-      Similarity.lshNearDupPairs(
-        emb(s, dir), "vec_id", "embedding",
-        dim = 64, bands = 8, planesPerBand = 8, threshold = 0.35, seed = 42L))
+  val simLsh: Q = {
+    val bands = 8; val planesPerBand = 8
+    val planes = Similarity.hyperplanes(bands * planesPerBand, dim = 64, seed = 42L)
+    def planeLit(p: Array[Double]) = p.map(_.toString).mkString("[", ", ", "]")
+    val bandDefs = (0 until bands).map { b =>
+      (0 until planesPerBand).map { p =>
+        s"""(CASE WHEN list_dot_product(v, ${planeLit(planes(b * planesPerBand + p))}) >= 0
+           |THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+          .replace("\n", " ")
+      }.mkString(" + ") + s" AS b$b"
+    }.mkString(",\n    ")
+    val unions = (0 until bands)
+      .map(b => s"SELECT vec_id, $b AS band, b$b AS bkey FROM k")
+      .mkString("\n  UNION ALL ")
+    Q(
+      "sim_lsh_pairs",
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |k AS (SELECT vec_id,
+              |    $bandDefs
+              |  FROM e),
+              |banded AS (
+              |  $unions),
+              |cand AS (
+              |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+              |  FROM banded l JOIN banded r
+              |    ON l.band = r.band AND l.bkey = r.bkey AND l.vec_id < r.vec_id)
+              |SELECT id_a, id_b,
+              |  ROUND(list_dot_product(a.v, b.v)
+              |    / (SQRT(list_dot_product(a.v, a.v))
+              |       * SQRT(list_dot_product(b.v, b.v))), 6) AS cos
+              |FROM cand
+              |JOIN e a ON cand.id_a = a.vec_id
+              |JOIN e b ON cand.id_b = b.vec_id
+              |WHERE list_dot_product(a.v, b.v)
+              |    / (SQRT(list_dot_product(a.v, a.v))
+              |       * SQRT(list_dot_product(b.v, b.v))) >= 0.35""".stripMargin),
+      (s, dir) =>
+        Similarity.lshNearDupPairs(
+          emb(s, dir), "vec_id", "embedding",
+          dim = 64, bands = bands, planesPerBand = planesPerBand,
+          threshold = 0.35, seed = 42L)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos")))
+  }
 
   /** IVF-partitioned ANN: spherical k-means coarse quantizer, nprobe=4 of
     * k=16 cells probed — the bucketed-corpus scale path (rows-only;
