@@ -104,6 +104,55 @@ object Dedup {
       .select("id_a", "id_b", "common", "jaccard")
   }
 
+  /** Prefix-filtered exact Jaccard (PPJoin-style, Chaudhuri/Xiao prefix
+    * filtering — public literature): with shingles globally ordered
+    * rarest-first, any pair with J ≥ t must share a shingle within each
+    * doc's first (n − ⌈t·n⌉ + 1) shingles — so only PREFIX shingles are
+    * self-joined, then a length-ratio filter (t·|A| ≤ |B| ≤ |A|/t) prunes
+    * further, then candidates are string-exact verified. Output is
+    * IDENTICAL to [[jaccardPairs]] (pruning is lossless), which is what
+    * its oracle row proves; the join input shrinks from every shingle to
+    * the rare prefix — the exact-Jaccard tier that survives when shared
+    * hot shingles make [[jaccardPairs]]'s bucket bound unsafe.
+    */
+  def prefixJaccardPairs(
+      df: DataFrame,
+      id: String,
+      text: String,
+      k: Int,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(df, id, text, k)
+      .select(col(id), xxhash64(col("shingle")).as("h"))
+    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("__n"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy(col(id)).orderBy(col("__df"), col("h"))
+    val pref = sh.join(dfreq, "h")
+      .withColumn("__rn", row_number().over(w))
+      .join(sizes, id)
+      .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      .select(col(id), col("h"), col("__n"))
+    val cand = pref.select(col(id).as("id_a"), col("h"), col("__n").as("na"))
+      .join(pref.select(col(id).as("id_b"), col("h"), col("__n").as("nb")), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("na") * lit(threshold) <= col("nb")
+        && col("nb") * lit(threshold) <= col("na"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    // string-exact verify on the candidate pairs only
+    val docSh = docShingleSets(df, id, text, k).filter(size(col("sh")) > 0)
+    cand
+      .join(docSh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docSh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        col("common").cast("double")
+          / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "common", "jaccard")
+  }
+
   /** MinHash+LSH near-dup pairs:
     *
     * shingle → explode → `numHashes` codegen'd `min(xxhash64(h, i))`

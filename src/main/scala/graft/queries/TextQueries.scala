@@ -165,6 +165,16 @@ object TextQueries {
     (s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5))
 
+  /** Prefix-filtered exact Jaccard: same OUTPUT as `dedup_ngram_jaccard`
+    * (the prefix filter is a lossless pruner — that's what sharing its
+    * oracle proves), but only rare prefix shingles enter the self-join.
+    */
+  val dedupJaccardPrefix: Q = Q(
+    "dedup_jaccard_prefix",
+    dedupJaccard.oracle,
+    (s, dir) =>
+      Dedup.prefixJaccardPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5))
+
   /** MinHash+LSH near-dup pairs — the sub-quadratic scale path. Candidate
     * generation is banded (8 bands × 4 hashes); pairs are exact-verified.
     * Deterministic (xxhash64) but engine-specific → rows-only check;
@@ -303,6 +313,7 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint,
-    dedupExact, dedupPrefix, dedupJaccard, dedupMinHash, dedupSimHash,
+    dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
+    dedupMinHash, dedupSimHash,
     mmBytes, mmFeatures, mmFrames, pipelineClean, splitStratified)
 }

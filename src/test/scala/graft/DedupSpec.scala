@@ -35,6 +35,15 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).nonEmpty })
   }
 
+  test("prefix-filtered jaccard returns exactly the brute-force pairs") {
+    val brute = Dedup.jaccardPairs(corpus(), "doc_id", "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pref = Dedup.prefixJaccardPairs(corpus(), "doc_id", "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pref == brute)
+    assert(brute.nonEmpty)
+  }
+
   test("minhash LSH pairs are a subset of low-threshold exact jaccard and catch strong dups") {
     val mh = Dedup.minHashPairs(corpus(), "doc_id", "text", 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
