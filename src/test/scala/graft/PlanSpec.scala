@@ -47,4 +47,51 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(500))
   }
+
+  test("partitioned parquet write prunes partitions on read-back") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/t"
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.partitionBy("l_returnflag").parquet(dir)
+    val back = spark.read.parquet(dir).filter(col("l_returnflag") === "R")
+    val p = back.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("l_returnflag"),
+      p.take(800))
+    // only the R partition survives pruning in the scan node
+    val scans = back.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.head.selectedPartitions.partitionCount == 1,
+      s"expected 1 selected partition, scan=${scans.map(_.selectedPartitions.partitionCount)}")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption)
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey", "l_quantity")
+      val dim = spark.read.parquet(s"$sf/supplier.parquet")
+        .filter(col("s_nationkey") === 3) // selective creation side
+        .select("s_suppkey")
+      val joined = fact.join(dim, fact("l_suppkey") === dim("s_suppkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        "no runtime bloom filter injected:\n" + p.take(1200))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
