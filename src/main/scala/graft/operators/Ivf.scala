@@ -127,6 +127,45 @@ object Ivf {
   def assign(df: DataFrame, vec: String, model: Model): DataFrame =
     normalized(df, vec).withColumn("cluster", clusterCol(model)).drop("__v")
 
+  /** Materialize the corpus as parquet PARTITIONED BY the coarse cell —
+    * the inverted-file layout on disk. After this, a probe query's scan
+    * is partition-pruned to nprobe/k of the data before a single row is
+    * read (see [[searchPartitioned]] and the IvfSpec pruning assertion);
+    * at 100 TB that pruning — not the in-memory math — is what makes IVF
+    * pay.
+    */
+  def writePartitioned(df: DataFrame, vec: String, model: Model, path: String): Unit =
+    assign(df, vec, model)
+      .write.partitionBy("cluster").mode("overwrite").parquet(path)
+
+  /** Top-k over the partitioned layout: the `cluster IN probes` filter is
+    * a PartitionFilter, so only the probed cells' files are listed and
+    * scanned. `queryVec` is driver-side (the query embedding).
+    */
+  def searchPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      id: String,
+      vec: String,
+      model: Model,
+      queryVec: Array[Double],
+      nprobe: Int,
+      topK: Int): DataFrame = {
+    val qn = math.sqrt(queryVec.map(x => x * x).sum)
+    val qv = queryVec.map(_ / qn)
+    val probes = model.centroids.zipWithIndex
+      .map { case (c, j) => (j, c.zip(qv).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (j, s) => (-s, j) }
+      .take(nprobe)
+      .map(_._1)
+    normalized(
+      spark.read.parquet(path).filter(col("cluster").isin(probes: _*)), vec)
+      .withColumn("cos", round(dotFast(col("__v"), typedlit(qv.toSeq)), 6))
+      .orderBy(col("cos").desc, col(id))
+      .limit(topK)
+      .select(col(id), col("cos"), col("cluster"))
+  }
+
   /** Top-k by cosine against the row with `queryId`, probing only the
     * `nprobe` centroids nearest to the query.
     */

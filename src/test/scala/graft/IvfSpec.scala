@@ -36,6 +36,30 @@ class IvfSpec extends AnyFunSuite {
     assert(cellPurity.forall(_ > 0.9), s"cellPurity=$cellPurity")
   }
 
+  test("partitioned IVF layout prunes the scan to the probed cells") {
+    import org.apache.spark.sql.functions._
+    val df = clustered()
+    val model = Ivf.train(df, "vec_id", "embedding", k = 4, iters = 5, seed = 9L)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/corpus"
+    Ivf.writePartitioned(df, "embedding", model, path)
+    // query = row 0's raw embedding
+    val qv = df.filter(col("vec_id") === 0L).collect().head
+      .getSeq[Float](1).map(_.toDouble).toArray
+    val res = Ivf.searchPartitioned(
+      spark, path, "vec_id", "embedding", model, qv, nprobe = 2, topK = 10)
+    // scan touches exactly nprobe of the k partitions
+    val scans = res.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.head.selectedPartitions.partitionCount == 2,
+      s"selected=${scans.map(_.selectedPartitions.partitionCount)}")
+    // and still recovers the brute-force top-10 as well as the in-memory path
+    val got = res.collect().map(_.getLong(0)).toSet
+    val brute = Similarity.topK(df, "vec_id", "embedding", queryId = 0L, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.intersect(brute).size >= 8, s"recall ${got.intersect(brute).size}/10")
+  }
+
   test("IVF top-k with nprobe=2 recovers most of the brute-force top-10") {
     val df = clustered()
     val model = Ivf.train(df, "vec_id", "embedding", k = 4, iters = 5, seed = 9L)
