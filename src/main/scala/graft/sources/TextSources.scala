@@ -47,6 +47,54 @@ object TextSources {
   def readCsv(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** S4: minimal XLSX sheet scan (reference reads device-info sheets,
+    * `scripts/devices_info.py:3-9`). An .xlsx is a zip of XML; this reads
+    * `xl/worksheets/sheet1.xml` + `xl/sharedStrings.xml` directly —
+    * driver-side like the other metadata sources (device sheets are tens
+    * of rows), no external Excel library (none exists on the offline
+    * classpath). Handles shared strings (`t="s"`), inline strings
+    * (`t="inlineStr"`), and numeric cells; first row = header; all
+    * columns are strings (caller casts, matching `readKeyValueTxt`).
+    */
+  def readXlsx(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      def entryXml(name: String): Option[scala.xml.Elem] =
+        Option(zf.getEntry(name)).map(e => scala.xml.XML.load(zf.getInputStream(e)))
+      val shared: IndexedSeq[String] = entryXml("xl/sharedStrings.xml")
+        .map(sst => (sst \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq)
+        .getOrElse(IndexedSeq.empty)
+      val sheet = entryXml("xl/worksheets/sheet1.xml")
+        .getOrElse(throw new IllegalArgumentException(s"$path: no xl/worksheets/sheet1.xml"))
+      def colIndex(ref: String): Int =
+        ref.takeWhile(_.isLetter).foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
+      val rows: Seq[Map[Int, String]] = (sheet \\ "row").map { r =>
+        (r \ "c").flatMap { c =>
+          val idx = colIndex((c \@ "r"))
+          val t = c \@ "t"
+          val v =
+            if (t == "inlineStr") Some((c \ "is" \ "t").text)
+            else {
+              val raw = (c \ "v").text
+              if (raw.isEmpty) None
+              else if (t == "s") Some(shared(raw.trim.toInt))
+              else Some(raw)
+            }
+          v.map(idx -> _)
+        }.toMap
+      }
+      require(rows.nonEmpty, s"$path: empty sheet")
+      val width = rows.map(m => if (m.isEmpty) 0 else m.keys.max + 1).max
+      val header = (0 until width).map(i => rows.head.getOrElse(i, s"col_$i"))
+      val data = rows.tail.map(m =>
+        org.apache.spark.sql.Row.fromSeq((0 until width).map(i => m.get(i).orNull)))
+      val schema = org.apache.spark.sql.types.StructType(header.map(h =>
+        org.apache.spark.sql.types.StructField(h, org.apache.spark.sql.types.StringType)))
+      spark.createDataFrame(data.asJava, schema)
+    } finally zf.close()
+  }
+
   /** S5: Clarius `run.xml` metadata → one-row DataFrame (driver-side
     * scala-xml parse; metadata files are not distributed scans —
     * reference `scripts/convert_probe_station_measurement_to_our_format

@@ -48,6 +48,33 @@ class PipelineSourcesSpec extends AnyFunSuite {
     assert(got.sorted == Seq("sub_001", "sub_002"))
   }
 
+  test("xlsx sheet scan (S4): shared strings, inline strings, numbers, gaps") {
+    val dir = Files.createTempDirectory("graft_xlsx")
+    val path = dir.resolve("devices.xlsx").toString
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst><si><t>device_name</t></si><si><t>Manufacturer</t></si>
+        |<si><t>thickness_um</t></si><si><t>devA</t></si><si><t>ACME</t></si></sst>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2" t="s"><v>4</v></c><c r="C2"><v>50</v></c></row>
+        |<row r="3"><c r="A3" t="inlineStr"><is><t>devB</t></is></c><c r="C3"><v>75.5</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val df = TextSources.readXlsx(spark, path)
+    assert(df.columns.toSeq == Seq("device_name", "Manufacturer", "thickness_um"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(("devA", "ACME", "50"), ("devB", null, "75.5")))
+    // the ingest-once path: straight into the engine's dimension-join shape
+    val dim = df.select(col("device_name"), col("Manufacturer"))
+    assert(dim.filter(col("Manufacturer").isNull).count() == 1)
+  }
+
   test("run.xml metadata scan (S5)") {
     val f = Files.createTempDirectory("graft_xml").resolve("run.xml")
     Files.writeString(f,
