@@ -127,6 +127,51 @@ object Ivf {
   def assign(df: DataFrame, vec: String, model: Model): DataFrame =
     normalized(df, vec).withColumn("cluster", clusterCol(model)).drop("__v")
 
+  /** Top-k for a BATCH of queries in ONE corpus pass — the production
+    * shape (a training pipeline looks up thousands of queries, not one).
+    * Each query computes its `nprobe` probe cells plan-side (centroid
+    * scores → sort → slice: no driver loop, queries stay distributed),
+    * the probe list explodes to (query, cell) rows, and ONE broadcast
+    * join against the assigned corpus scores each corpus row only against
+    * the queries probing its cell; per-query top-k is a window. Corpus
+    * rows: |corpus| × (avg queries per cell) — never |corpus| × |queries|.
+    */
+  def searchTopKBatch(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      model: Model,
+      queries: DataFrame,
+      qid: String,
+      qvec: String,
+      nprobe: Int,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qn = normalized(queries.select(col(qid), col(qvec).as(vec)), vec)
+      .select(col(qid), col("__v").as("__qv"))
+    // per query: nprobe nearest centroids, ties to the smaller cell id
+    // (struct sorted desc on (score, -j) — mirrors searchTopK's ordering)
+    val scored = array(model.centroids.zipWithIndex.map { case (c, j) =>
+      struct(
+        round(dotFast(col("__qv"), typedlit(c.toSeq)), 9).as("s"),
+        lit(-j).as("negj"))
+    }: _*)
+    val probes = qn
+      .withColumn(
+        "cluster",
+        explode(transform(
+          slice(sort_array(scored, asc = false), 1, nprobe),
+          x => -x.getField("negj"))))
+    val corpus = normalized(df, vec).withColumn("cluster", clusterCol(model))
+    val w = Window.partitionBy(qid).orderBy(col("cos").desc, col(id))
+    corpus
+      .join(broadcast(probes), "cluster")
+      .withColumn("cos", round(dotFast(col("__v"), col("__qv")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col(qid), col(id), col("cos"), col("cluster"))
+  }
+
   /** Materialize the corpus as parquet PARTITIONED BY the coarse cell —
     * the inverted-file layout on disk. After this, a probe query's scan
     * is partition-pruned to nprobe/k of the data before a single row is

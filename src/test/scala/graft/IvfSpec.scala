@@ -60,6 +60,26 @@ class IvfSpec extends AnyFunSuite {
     assert(got.intersect(brute).size >= 8, s"recall ${got.intersect(brute).size}/10")
   }
 
+  test("batch search matches per-query search for every query") {
+    import org.apache.spark.sql.functions._
+    val df = clustered()
+    val model = Ivf.train(df, "vec_id", "embedding", k = 4, iters = 5, seed = 9L)
+    val queryIds = Seq(0L, 1L, 2L)
+    val queries = df.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = Ivf.searchTopKBatch(
+      df, "vec_id", "embedding", model, queries, "qid", "qv", nprobe = 2, topK = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(r => (r.getLong(1), r.getDouble(2))).toSet }
+    queryIds.foreach { q =>
+      val single = Ivf.searchTopK(
+        df, "vec_id", "embedding", model, queryId = q, nprobe = 2, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(batch(q) == single, s"query $q: batch ${batch(q)} vs single $single")
+    }
+  }
+
   test("IVF top-k with nprobe=2 recovers most of the brute-force top-10") {
     val df = clustered()
     val model = Ivf.train(df, "vec_id", "embedding", k = 4, iters = 5, seed = 9L)
