@@ -311,9 +311,82 @@ object TextQueries {
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n")))
 
+  /** Full training-data pipeline composition, ONE lazy plan, fully
+    * oracle-checked: quality gate → exact dedup → embedding join →
+    * cosine near-dup removal (drop the larger id of each pair ≥ 0.92;
+    * brute-force pairs here — the LSH tier is the drop-in at scale) →
+    * deterministic stratified split → per-(split, lang) stats. The shape
+    * a "switch your corpus pipeline to this library" user runs end to
+    * end.
+    */
+  val pipelineEmbedSplit: Q = Q(
+    "pipeline_embed_split",
+    Some(s"""WITH q AS (
+            |  SELECT doc_id, lang,
+            |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+            |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+            |  FROM documents),
+            |g AS (SELECT * FROM q WHERE n_tokens >= 30),
+            |k AS (SELECT fp, MIN(doc_id) AS keep_id FROM g GROUP BY fp),
+            |s AS (SELECT g.doc_id, g.lang FROM g JOIN k ON g.doc_id = k.keep_id),
+            |e AS (SELECT s.doc_id, s.lang, CAST(em.embedding AS DOUBLE[]) AS v
+            |      FROM s JOIN embeddings em ON s.doc_id = em.vec_id),
+            |drops AS (
+            |  SELECT DISTINCT b.doc_id
+            |  FROM e a JOIN e b ON a.doc_id < b.doc_id
+            |  WHERE list_dot_product(a.v, b.v)
+            |      / (SQRT(list_dot_product(a.v, a.v))
+            |         * SQRT(list_dot_product(b.v, b.v))) >= 0.92),
+            |f AS (SELECT e.doc_id, e.lang, SQRT(list_dot_product(e.v, e.v)) AS nrm
+            |      FROM e WHERE e.doc_id NOT IN (SELECT doc_id FROM drops)),
+            |sp AS (SELECT lang, nrm,
+            |    CASE WHEN ((doc_id + 7) % 100000) * 2654435761 % 4294967296 % 100 < 80
+            |           THEN 'train'
+            |         WHEN ((doc_id + 7) % 100000) * 2654435761 % 4294967296 % 100 < 90
+            |           THEN 'val'
+            |         ELSE 'test' END AS split
+            |  FROM f)
+            |SELECT split, lang, COUNT(*) AS n,
+            |  ${graft.functions.DetAgg.Sql.davg("ROUND(nrm, 6)")} AS avg_norm
+            |FROM sp GROUP BY split, lang""".stripMargin),
+    (s, dir) => {
+      val dot = graft.plans.VectorExpressions.dotFast _
+      val gated = docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextFunctions.fingerprint(col("text")).as("fp"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+        .filter(col("n_tokens") >= 30)
+      val keep = gated.groupBy("fp").agg(min("doc_id").as("keep_id"))
+      val survivors = gated.join(keep, gated("doc_id") === keep("keep_id"), "left_semi")
+      val withVec = survivors
+        .join(
+          Tables.load(s, dir, "embeddings")
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+          survivors("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"), col("v"))
+      val a = withVec.select(col("doc_id").as("id_a"), col("v").as("va"))
+      val b = withVec.select(col("doc_id").as("id_b"), col("v").as("vb"))
+      val drops = a.crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .filter(
+          dot(col("va"), col("vb"))
+            / (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))) >= 0.92)
+        .select(col("id_b").as("doc_id"))
+        .distinct()
+      val kept = withVec.join(drops, Seq("doc_id"), "left_anti")
+        .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      graft.operators.Splits
+        .trainValTest(kept, "doc_id", trainPct = 80, valPct = 10, seed = 7)
+        .groupBy("split", "lang")
+        .agg(
+          count(lit(1)).as("n"),
+          graft.functions.DetAgg.davg(round(col("nrm"), 6)).as("avg_norm"))
+    })
+
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
     dedupMinHash, dedupSimHash,
-    mmBytes, mmFeatures, mmFrames, pipelineClean, splitStratified)
+    mmBytes, mmFeatures, mmFrames, pipelineClean, splitStratified,
+    pipelineEmbedSplit)
 }

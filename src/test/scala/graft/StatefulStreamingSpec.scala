@@ -40,6 +40,26 @@ class StatefulStreamingSpec extends AnyFunSuite {
     assert(r == 32.0)
   }
 
+  test("the full graft SQL function surface evaluates from spark.sql") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS cs,
+        |  graft_fingerprint('  The   QUICK fox ') AS fp,
+        |  graft_token_count('one two  three') AS tc,
+        |  graft_lang_id('the cat and the dog of the house is') AS lid""".stripMargin)
+      .collect().head
+    assert(row.getDouble(0) == 1.0)
+    assert(row.getString(1) == org.apache.commons.codec.digest.DigestUtils.md5Hex("the quick fox"))
+    assert(row.getInt(2) == 3)
+    assert(row.getString(3) == "en")
+    // mad_std as a SQL aggregate
+    spark.range(0, 101).createOrReplaceTempView("graft_fn_range")
+    val m = spark.sql("SELECT mad_std(CAST(id AS DOUBLE)) AS m FROM graft_fn_range")
+      .collect().head.getDouble(0)
+    assert(math.abs(m - 25 * 1.4826) < 1e-9, s"mad_std=$m")
+  }
+
   test("GraftExtensions injector applies to a fresh extensions-enabled session") {
     // constructing the injector and applying it must not throw; full
     // builder wiring is exercised via spark.sql.extensions in deployment
