@@ -124,12 +124,16 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val sh = shingles(df, id, text, k)
       .select(col(id), xxhash64(col("shingle")).as("h"))
-    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("__n"))
-    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("__df"))
-    val w = Window.partitionBy(col(id)).orderBy(col("__df"), col("h"))
-    val pref = sh.join(dfreq, "h")
-      .withColumn("__rn", row_number().over(w))
-      .join(sizes, id)
+    // frequencies and sizes as WINDOWS over one shingle pass — a
+    // groupBy+join staging re-runs the (expensive) shingle extraction per
+    // consumer; the two doc-partitioned windows share one shuffle+sort
+    val wH = Window.partitionBy("h")
+    val wDoc = Window.partitionBy(col(id)).orderBy(col("__df"), col("h"))
+    val wDocAll = Window.partitionBy(col(id))
+    val pref = sh
+      .withColumn("__df", count(lit(1)).over(wH))
+      .withColumn("__rn", row_number().over(wDoc))
+      .withColumn("__n", count(lit(1)).over(wDocAll))
       .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
       .select(col(id), col("h"), col("__n"))
     val cand = pref.select(col(id).as("id_a"), col("h"), col("__n").as("na"))
@@ -139,7 +143,10 @@ object Dedup {
         && col("nb") * lit(threshold) <= col("na"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    // string-exact verify on the candidate pairs only
+    // string-exact verify on the candidate pairs only. (A semi-join
+    // pruning the corpus to candidate ids before re-shingling would
+    // re-evaluate the whole uncached candidate chain per verify side —
+    // two linear corpus re-shingles are the cheaper honest cost.)
     val docSh = docShingleSets(df, id, text, k).filter(size(col("sh")) > 0)
     cand
       .join(docSh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
