@@ -95,6 +95,56 @@ object TextSources {
     } finally zf.close()
   }
 
+  /** S11: minimal XLSX sink for small summary tables (reference writes
+    * result sheets for humans; fact tables stay parquet). Inline strings
+    * only — every cell is written as `t="inlineStr"` so no shared-string
+    * table is needed; the workbook carries one sheet. Driver-side
+    * `collect()` like [[writeSummaryCsv]] — metadata-sized outputs only.
+    */
+  def writeXlsx(df: DataFrame, path: String): Unit = {
+    def esc(s: String) = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val header = df.columns
+    val rows = df.collect()
+    val sheetRows = (header.map(h => (h, true)) +: rows.map(r =>
+      header.indices.map(i =>
+        (Option(r.get(i)).map(_.toString).getOrElse(""), true)).toArray))
+      .zipWithIndex.map { case (cells, ri) =>
+        val cs = cells.zipWithIndex.map { case ((v, _), ci) =>
+          val ref = ('A' + ci).toChar.toString + (ri + 1) // ≤26 summary cols
+          s"""<c r="$ref" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
+        }.mkString
+        s"""<row r="${ri + 1}">$cs</row>"""
+      }.mkString
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    try {
+      put("[Content_Types].xml",
+        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+          |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+          |<Default Extension="xml" ContentType="application/xml"/>
+          |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+          |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+          |</Types>""".stripMargin)
+      put("_rels/.rels",
+        """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+          |</Relationships>""".stripMargin)
+      put("xl/workbook.xml",
+        """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+      put("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin)
+      put("xl/worksheets/sheet1.xml",
+        s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$sheetRows</sheetData></worksheet>""")
+    } finally zos.close()
+  }
+
   /** S5: Clarius `run.xml` metadata → one-row DataFrame (driver-side
     * scala-xml parse; metadata files are not distributed scans —
     * reference `scripts/convert_probe_station_measurement_to_our_format

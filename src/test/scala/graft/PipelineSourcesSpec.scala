@@ -75,6 +75,18 @@ class PipelineSourcesSpec extends AnyFunSuite {
     assert(dim.filter(col("Manufacturer").isNull).count() == 1)
   }
 
+  test("xlsx sink round-trips through the xlsx scan (S11 → S4)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_xlsx_rt")
+    val path = dir.resolve("summary.xlsx").toString
+    val df = Seq(("devA", "50", "ok & <ready>"), ("devB", "75.5", "pending"))
+      .toDF("device_name", "thickness_um", "status")
+    TextSources.writeXlsx(df, path)
+    val back = TextSources.readXlsx(spark, path)
+    assert(back.columns.toSeq == df.columns.toSeq)
+    assert(back.collect().map(_.toSeq).toSeq == df.collect().map(_.toSeq).toSeq)
+  }
+
   test("run.xml metadata scan (S5)") {
     val f = Files.createTempDirectory("graft_xml").resolve("run.xml")
     Files.writeString(f,
