@@ -70,6 +70,19 @@ object TextFunctions {
     }
   }
 
+  /** PII redaction for training text: emails then long digit runs
+    * (phone-shaped) are replaced with typed placeholder tags. Patterns
+    * avoid backreferences/lookarounds so the SAME regex text runs under
+    * Java regex (Spark) and RE2 (DuckDB `regexp_replace(..., 'g')`).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?\\d[\\d() -]{7,}\\d"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
   /** Normalized text: lowercase, trimmed, whitespace collapsed — the key
     * for exact dedup and fingerprinting.
     */

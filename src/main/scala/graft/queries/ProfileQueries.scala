@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.DetAgg.{Sql => D}
+import graft.functions.TextFunctions
+import graft.operators.Profile
+import graft.sources.Tables
+
+/** Data-profiling and text-cleaning queries (pipeline-debugging surface).
+  */
+object ProfileQueries {
+
+  private val ProfileCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  /** One-pass numeric profile of lineitem — every statistic for every
+    * column in a single aggregation; oracle generated from the same
+    * column list.
+    */
+  val profileLineitem: Q = Q(
+    "profile_lineitem",
+    Some(ProfileCols.map { c =>
+      s"""SELECT '$c' AS "column", COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS DOUBLE) AS min, CAST(MAX($c) AS DOUBLE) AS max,
+         |  ROUND(${D.davg(c)}, 6) AS mean
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL ")),
+    (s, dir) =>
+      Profile.describeNumeric(Tables.load(s, dir, "lineitem"), ProfileCols))
+
+  /** PII redaction over documents with deterministic synthetic PII
+    * appended (the corpus has none) — proves the email/phone patterns
+    * behave identically under Java regex and RE2.
+    */
+  val textRedact: Q = Q(
+    "text_redact",
+    Some(s"""SELECT doc_id,
+            |  regexp_replace(regexp_replace(
+            |    text || ' contact: user' || CAST(doc_id AS VARCHAR)
+            |         || '@example.com or +1 555 0100 ' || CAST(doc_id AS VARCHAR),
+            |    '${TextFunctions.EmailRe}', '<EMAIL>', 'g'),
+            |    '${TextFunctions.PhoneRe}', '<PHONE>', 'g') AS clean
+            |FROM documents""".stripMargin),
+    (s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.redactPii(
+          concat(
+            col("text"), lit(" contact: user"), col("doc_id").cast("string"),
+            lit("@example.com or +1 555 0100 "), col("doc_id").cast("string")))
+          .as("clean")))
+
+  def all: Seq[Q] = Seq(profileLineitem, textRedact)
+}

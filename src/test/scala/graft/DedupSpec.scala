@@ -95,6 +95,22 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.contains((0L, 1L)))
   }
 
+  test("redactPii replaces emails and phone-shaped runs, leaves prose alone") {
+    import spark.implicits._
+    val got = Seq(
+      (1L, "mail a.b+c@sub.example.org now"),
+      (2L, "call +49 (0)30 1234 5678 today"),
+      (3L, "version 2.5 costs 12 dollars"), // short digit runs untouched
+      (4L, "two: x@y.io and 555 123 4567!"))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.redactPii(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "mail <EMAIL> now")
+    assert(got(2L) == "call <PHONE> today")
+    assert(got(3L) == "version 2.5 costs 12 dollars")
+    assert(got(4L) == "two: <EMAIL> and <PHONE>!")
+  }
+
   test("langId: stopword argmax with alphabetical tiebreak; CJK → zh") {
     import spark.implicits._
     val df = Seq(
