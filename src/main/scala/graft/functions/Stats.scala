@@ -182,6 +182,36 @@ object Stats {
       .drop("__q25", "__q75", "__glo", "__ghi")
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic: max |F₁(v) − F₂(v)| over
+    * distinct values (the tie-correct form: ECDFs evaluated after all
+    * equal values). One hash-agg per distinct value, then a cumulative
+    * window — EXACT tier: the window is a global sort, fine while
+    * distinct-value count is bounded (quantized detector values, token
+    * counts). For unbounded continuous values at 100 TB, bin first
+    * (same micro-bin trick as [[binnedIqrStd]]) — the KS of binned ECDFs
+    * bounds the true KS within 1/bins.
+    *
+    * Output: one row, `ks` double. Deterministic: counts are integers,
+    * the two divisions and subtraction are the same IEEE ops in any
+    * engine — oracle-comparable unrounded.
+    */
+  def ks2Samp(df: DataFrame, value: String, inSample1: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(value).as("__v"))
+      .agg(
+        sum(when(inSample1, 1L).otherwise(0L)).as("__c1"),
+        sum(when(inSample1, 0L).otherwise(1L)).as("__c2"))
+    val wCum = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy()
+    g.withColumn("__r1", sum("__c1").over(wCum))
+      .withColumn("__r2", sum("__c2").over(wCum))
+      .withColumn("__n1", sum("__c1").over(wAll))
+      .withColumn("__n2", sum("__c2").over(wAll))
+      .agg(max(abs(
+        col("__r1").cast("double") / col("__n1")
+          - col("__r2").cast("double") / col("__n2"))).as("ks"))
+  }
+
   /** The reference's `mean_std` (reference `scripts/utils.py:118-146`):
     * groupBy(keys) then mean/std/median/MAD_std of every value column, with
     * flattened `"col stat"` names (units-in-names survive verbatim —

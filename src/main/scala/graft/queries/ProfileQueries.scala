@@ -52,5 +52,32 @@ object ProfileQueries {
             lit("@example.com or +1 555 0100 "), col("doc_id").cast("string")))
           .as("clean")))
 
-  def all: Seq[Q] = Seq(profileLineitem, textRedact)
+  /** Two-sample KS between the l_quantity distributions of return flags
+    * A and R — distribution-drift detection (did this crawl slice change
+    * the data?); tie-correct exact form, oracle-mirrored cumulative
+    * window.
+    */
+  val ksQuantity: Q = Q(
+    "stat_ks_2samp",
+    Some("""WITH g AS (
+           |  SELECT l_quantity AS v,
+           |    SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS c1,
+           |    SUM(CASE WHEN l_returnflag = 'A' THEN 0 ELSE 1 END) AS c2
+           |  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+           |  GROUP BY l_quantity),
+           |c AS (
+           |  SELECT
+           |    SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r1,
+           |    SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r2,
+           |    SUM(c1) OVER () AS n1, SUM(c2) OVER () AS n2
+           |  FROM g)
+           |SELECT MAX(ABS(CAST(r1 AS DOUBLE) / n1 - CAST(r2 AS DOUBLE) / n2)) AS ks
+           |FROM c""".stripMargin),
+    (s, dir) =>
+      graft.functions.Stats.ks2Samp(
+        Tables.load(s, dir, "lineitem").filter(col("l_returnflag").isin("A", "R")),
+        "l_quantity",
+        col("l_returnflag") === "A"))
+
+  def all: Seq[Q] = Seq(profileLineitem, textRedact, ksQuantity)
 }

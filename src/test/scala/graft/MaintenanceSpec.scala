@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Maintenance
+
+class MaintenanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("upsert replaces matched keys, keeps the rest, creates when missing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert")
+    val path = dir.resolve("docs").toString
+    val v1 = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    Maintenance.upsert(spark, path, v1, Seq("doc_id")) // create
+    val v2 = Seq((2L, "TWO v2"), (4L, "four")).toDF("doc_id", "text")
+    Maintenance.upsert(spark, path, v2, Seq("doc_id")) // merge
+    val got = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "one", 2L -> "TWO v2", 3L -> "three", 4L -> "four"))
+  }
+
+  test("compact shrinks a many-file dataset without changing its rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+    val path = dir.resolve("events").toString
+    (0 until 2000).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+      .repartition(64).write.parquet(path)
+    val before = spark.read.parquet(path)
+    val sumBefore = before.agg(sum("v")).collect().head.getDouble(0)
+    val (nBefore, nAfter) = Maintenance.compact(spark, path, rowsPerFile = 1000)
+    assert(nBefore >= 32 && nAfter <= 4, s"files $nBefore -> $nAfter")
+    val after = spark.read.parquet(path)
+    assert(after.count() == 2000)
+    assert(after.agg(sum("v")).collect().head.getDouble(0) == sumBefore)
+  }
+
+  test("ks2Samp: identical samples give 0, disjoint give 1, shifted in between") {
+    import spark.implicits._
+    val same = (1 to 100).flatMap(i => Seq((i.toDouble, true), (i.toDouble, false)))
+      .toDF("v", "s")
+    val ks0 = graft.functions.Stats.ks2Samp(same, "v", col("s"))
+      .collect().head.getDouble(0)
+    assert(ks0 == 0.0)
+    val disjoint = ((1 to 50).map(i => (i.toDouble, true))
+      ++ (51 to 100).map(i => (i.toDouble, false))).toDF("v", "s")
+    val ks1 = graft.functions.Stats.ks2Samp(disjoint, "v", col("s"))
+      .collect().head.getDouble(0)
+    assert(ks1 == 1.0)
+    val shifted = ((1 to 100).map(i => (i.toDouble, true))
+      ++ (26 to 125).map(i => (i.toDouble, false))).toDF("v", "s")
+    val ksMid = graft.functions.Stats.ks2Samp(shifted, "v", col("s"))
+      .collect().head.getDouble(0)
+    assert(math.abs(ksMid - 0.25) < 1e-12, s"ks=$ksMid")
+  }
+}
