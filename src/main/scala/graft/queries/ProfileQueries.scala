@@ -79,5 +79,58 @@ object ProfileQueries {
         "l_quantity",
         col("l_returnflag") === "A"))
 
-  def all: Seq[Q] = Seq(profileLineitem, textRedact, ksQuantity)
+  /** Data mixing: per-source keep percentages (web 50%, books 100%,
+    * otherwise 20%) — survivor counts per (source, lang).
+    */
+  val sampleMix: Q = Q(
+    "sample_proportional",
+    Some("""WITH s AS (
+           |  SELECT source, lang FROM documents
+           |  WHERE ((doc_id + 11) % 100000) * 2654435761 % 4294967296 % 100 <
+           |    CASE WHEN source = 'web' THEN 50
+           |         WHEN source = 'books' THEN 100 ELSE 20 END)
+           |SELECT source, lang, COUNT(*) AS n FROM s GROUP BY source, lang""".stripMargin),
+    (s, dir) =>
+      graft.operators.Sampling.proportional(
+        Tables.load(s, dir, "documents"), "doc_id",
+        when(col("source") === "web", 50)
+          .when(col("source") === "books", 100).otherwise(20),
+        seed = 11)
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n")))
+
+  /** Token-budget capping: each language keeps a uniform hash-ordered
+    * sample of docs until 20k whitespace tokens — kept counts + exact
+    * token totals per language.
+    */
+  val sampleBudget: Q = Q(
+    "sample_token_budget",
+    Some("""WITH t AS (
+           |  SELECT doc_id, lang,
+           |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           |    ((doc_id + 5) % 100000) * 2654435761 % 4294967296 AS hk
+           |  FROM documents),
+           |c AS (
+           |  SELECT lang, n_tokens,
+           |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY hk, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM t)
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+           |FROM c WHERE cum <= 20000 GROUP BY lang""".stripMargin),
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling
+        .tokenBudgetCap(d, "doc_id", Seq("lang"), col("n_tokens"),
+          budget = 20000L, seed = 5)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+    })
+
+  def all: Seq[Q] = Seq(
+    profileLineitem, textRedact, ksQuantity, sampleMix, sampleBudget)
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("proportional sampling is append-stable and tracks the target rate") {
+    import spark.implicits._
+    val base = (0L until 2000L).map(i => (i, if (i % 2 == 0) "web" else "books"))
+      .toDF("doc_id", "source")
+    val pct = when(col("source") === "web", 30).otherwise(90)
+    val kept1 = Sampling.proportional(base, "doc_id", pct, seed = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // appending new rows must not change any earlier row's fate
+    val appended = base.unionByName(
+      (2000L until 3000L).map(i => (i, "web")).toDF("doc_id", "source"))
+    val kept2 = Sampling.proportional(appended, "doc_id", pct, seed = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2.filter(_ < 2000L) == kept1)
+    // rate lands near the target (hash uniformity)
+    val webRate = kept1.count(_ % 2 == 0) / 1000.0
+    assert(math.abs(webRate - 0.30) < 0.06, s"webRate=$webRate")
+  }
+
+  test("tokenBudgetCap keeps a uniform sample within the budget per stratum") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, if (i % 2 == 0) "en" else "de", 100L))
+      .toDF("doc_id", "lang", "n_tokens")
+    val capped = Sampling.tokenBudgetCap(
+      docs, "doc_id", Seq("lang"), col("n_tokens"), budget = 5000L, seed = 1)
+    val perLang = capped.groupBy("lang")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exactly 50 docs of 100 tokens fill a 5000 budget
+    assert(perLang("en") == ((5000L, 50L)) && perLang("de") == ((5000L, 50L)))
+    // kept set is hash-scattered, not the id-ordered head
+    val keptEn = capped.filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(keptEn.max > 200L, s"kept head-of-table only: max=${keptEn.max}")
+  }
+}
