@@ -104,6 +104,31 @@ object Dedup {
       .select("id_a", "id_b", "common", "jaccard")
   }
 
+  /** Cross-corpus line dedup (C4-style cleanup): every line of length ≥
+    * `minLen` keeps only its FIRST occurrence corpus-wide (first = lowest
+    * (doc, position)); short lines always survive. Documents are then
+    * reassembled in original line order. One shuffle on the line text for
+    * the first-occurrence window, one on doc id for reassembly — both
+    * scale-free of document length skew (lines, not whole docs, are the
+    * shuffle unit).
+    */
+  def dedupLines(df: DataFrame, id: String, text: String, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df.select(
+      col(id),
+      posexplode(split(col(text), "\n", -1)).as(Seq("pos", "line")))
+    val w = Window.partitionBy("line").orderBy(col(id), col("pos"))
+    val kept = lines
+      .withColumn("__rn", row_number().over(w))
+      .filter(length(col("line")) < minLen || col("__rn") === 1)
+    kept.groupBy(col(id))
+      .agg(concat_ws(
+        "\n",
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line"))).as(text))
+  }
+
   /** Prefix-filtered exact Jaccard (PPJoin-style, Chaudhuri/Xiao prefix
     * filtering — public literature): with shingles globally ordered
     * rarest-first, any pair with J ≥ t must share a shingle within each

@@ -165,6 +165,23 @@ object TextQueries {
     (s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5))
 
+  /** Cross-corpus line dedup (C4-style): long lines keep only their first
+    * occurrence; docs reassembled in order — fully oracle-checked.
+    */
+  val dedupLines: Q = Q(
+    "dedup_lines",
+    Some("""WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+           |l AS (SELECT doc_id, g.i, ls[g.i] AS ln
+           |      FROM t, LATERAL unnest(generate_series(1, len(ls))) AS g(i)),
+           |r AS (SELECT doc_id, i, ln,
+           |        ROW_NUMBER() OVER (PARTITION BY ln ORDER BY doc_id, i) AS rn
+           |      FROM l),
+           |k AS (SELECT doc_id, i, ln FROM r WHERE len(ln) < 30 OR rn = 1)
+           |SELECT doc_id, string_agg(ln, chr(10) ORDER BY i) AS text
+           |FROM k GROUP BY doc_id""".stripMargin),
+    (s, dir) =>
+      Dedup.dedupLines(docs(s, dir), "doc_id", "text", minLen = 30))
+
   /** Prefix-filtered exact Jaccard: same OUTPUT as `dedup_ngram_jaccard`
     * (the prefix filter is a lossless pruner — that's what sharing its
     * oracle proves), but only rare prefix shingles enter the self-join.
@@ -386,7 +403,7 @@ object TextQueries {
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
-    dedupMinHash, dedupSimHash,
+    dedupLines, dedupMinHash, dedupSimHash,
     mmBytes, mmFeatures, mmFrames, pipelineClean, splitStratified,
     pipelineEmbedSplit)
 }

@@ -95,6 +95,19 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.contains((0L, 1L)))
   }
 
+  test("dedupLines keeps first occurrence of long lines, all short lines, order intact") {
+    import spark.implicits._
+    val longA = "this is a sufficiently long repeated boilerplate line"
+    val df = Seq(
+      (1L, s"intro\n$longA\nend"),
+      (2L, s"$longA\nunique middle content that is long enough\nok"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupLines(df, "doc_id", "text", minLen = 30)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == s"intro\n$longA\nend") // first occurrence survives
+    assert(got(2L) == "unique middle content that is long enough\nok")
+  }
+
   test("redactPii replaces emails and phone-shaped runs, leaves prose alone") {
     import spark.implicits._
     val got = Seq(
