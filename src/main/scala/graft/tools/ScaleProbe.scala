@@ -19,6 +19,20 @@ object ScaleProbe {
       .map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 100000000L)))
       .reduce(_ unionAll _)
 
+  /** Scale documents by replication with a per-copy suffix on every
+    * TOKEN — copy i's shingle set is disjoint from every other copy's
+    * (a plain replica would be a 100% dup of its source, multiplying pair
+    * output instead of testing candidate scaling) while token/shingle
+    * counts and frequency shape match the original, and planted dups
+    * WITHIN a copy remain dups.
+    */
+  def scaledDocs(docs: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1c$i").as("text"))
+    }.reduce(_ unionAll _)
+
   /** Scale the embeddings table by replication with DETERMINISTIC per-copy
     * jitter — exact copies would be near-dups of each other by
     * construction, inflating pair counts quadratically and masking the
@@ -45,6 +59,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     li.groupBy("l_returnflag").count().collect() // warmup
 
     def timed(name: String, copies: Int)(body: => Long): Unit = {
@@ -99,6 +114,15 @@ object ScaleProbe {
           k = 16, iters = 3, seed = 11L)
         graft.operators.Ivf.searchTopK(e, "vec_id", "embedding", model,
           queryId = 0L, nprobe = 4, topK = 20).count()
+      }
+      timed("jaccard_prefix", c) {
+        graft.operators.Dedup.prefixJaccardPairs(
+          scaledDocs(docs, c), "doc_id", "text", k = 3, threshold = 0.5).count()
+      }
+      timed("minhash", c) {
+        graft.operators.Dedup.minHashPairs(
+          scaledDocs(docs, c), "doc_id", "text",
+          k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5).count()
       }
     }
     spark.stop()
