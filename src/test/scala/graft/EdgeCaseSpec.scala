@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Sampling, Similarity}
+
+/** Degenerate-input robustness: empty corpora, single rows, empty text —
+  * the shapes a 100 TB pipeline hits constantly at partition edges (an
+  * operator that throws on an empty slice kills the whole job).
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def emptyDocs() = {
+    import spark.implicits._
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  }
+
+  test("dedup operators return empty on an empty corpus without throwing") {
+    assert(Dedup.jaccardPairs(emptyDocs(), "doc_id", "text", 3, 0.5).count() == 0)
+    assert(Dedup.prefixJaccardPairs(emptyDocs(), "doc_id", "text", 3, 0.5).count() == 0)
+    assert(Dedup.minHashPairs(emptyDocs(), "doc_id", "text", 3, 8, 4, 0.5).count() == 0)
+    assert(Dedup.dedupLines(emptyDocs(), "doc_id", "text", 30).count() == 0)
+  }
+
+  test("dedupLines keeps empty-text documents intact") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "short"), (3L, "")).toDF("doc_id", "text")
+    val got = Dedup.dedupLines(df, "doc_id", "text", 30)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "", 2L -> "short", 3L -> ""))
+  }
+
+  test("LSH on a single vector yields no pairs") {
+    import spark.implicits._
+    val one = Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    assert(Similarity.lshNearDupPairs(one, "vec_id", "embedding", 8, 4, 4, 0.5, 1L)
+      .count() == 0)
+  }
+
+  test("sampling and splits on empty input are empty, not errors") {
+    import spark.implicits._
+    val e = Seq.empty[(Long, String, Long)].toDF("doc_id", "lang", "n_tokens")
+    assert(Sampling.proportional(e, "doc_id", lit(50), 1).count() == 0)
+    assert(Sampling.tokenBudgetCap(e, "doc_id", Seq("lang"), col("n_tokens"), 100L, 1)
+      .count() == 0)
+  }
+
+  test("profile of an empty table emits one row per column with zero counts") {
+    import spark.implicits._
+    val e = Seq.empty[(Double, Double)].toDF("a", "b")
+    val rows = graft.operators.Profile.describeNumeric(e, Seq("a", "b")).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.getLong(1) == 0L && r.getLong(3) == 0L))
+  }
+
+  test("binnedIqrStd on a constant-valued group reports zero spread") {
+    import spark.implicits._
+    val df = Seq(("g", 5.0, 1), ("g", 5.0, 1), ("g", 5.0, 1)).toDF("g", "x", "w")
+    val got = graft.functions.Stats.binnedIqrStd(
+      df, Seq("g"), "x", col("w"), "spread", 64, df, Seq("g")).collect().head
+    assert(got.getAs[Double]("spread") == 0.0)
+    assert(got.getAs[Double]("lo") == 5.0 && got.getAs[Double]("hi") == 5.0)
+  }
+}
