@@ -133,5 +133,24 @@ object SimilarityQueries {
         queryId = 0L, nprobe = 4, topK = 20)
     })
 
-  def all: Seq[Q] = Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf)
+  /** PQ-compressed ANN with exact re-rank: 64 floats → 8 codes, ADC
+    * shortlist, exact top-20 (rows-only: codebook training is
+    * engine-specific; PqSpec pins recall vs brute force).
+    */
+  val simPq: Q = Q(
+    "sim_pq_topk",
+    None,
+    (s, dir) => {
+      val e = emb(s, dir)
+      val model = graft.operators.Pq.train(
+        e, "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 3, seed = 17L)
+      val enc = graft.operators.Pq.encode(e, "vec_id", "embedding", model)
+      val qv = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0).toArray
+      graft.operators.Pq.searchTopK(
+        enc, e, "vec_id", "embedding", model, qv, topK = 20, rerank = 100)
+    })
+
+  def all: Seq[Q] = Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simPq)
 }
