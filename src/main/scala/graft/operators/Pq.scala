@@ -30,11 +30,29 @@ object Pq {
     def subDim: Int = codebooks.head.head.length
   }
 
-  private def subVec(vec: Column, sub: Int, subDim: Int): Column =
-    slice(vec.cast("array<double>"), sub * subDim + 1, subDim)
+  /** L2-normalized full vector (norm bound as a lambda VARIABLE — see
+    * spark-perf-traps: a plain column ref inside the divide lambda gets
+    * re-inlined and the norm re-evaluated per element). Search metric is
+    * cosine, so PQ runs on the unit sphere — ADC then approximates
+    * cosine directly instead of an inner product distorted by norms.
+    */
+  private def normFull(vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    flatten(transform(
+      array(sqrt(dotFast(v, v))),
+      n => transform(v, x => x / n)))
+  }
 
-  /** Train `m` independent subspace codebooks of size `k` with the seeded
-    * IVF k-means (each subspace trains on its slice of the corpus).
+  private def subVec(vec: Column, sub: Int, subDim: Int): Column =
+    slice(normFull(vec), sub * subDim + 1, subDim)
+
+  /** Train all `m` subspace codebooks JOINTLY: one long-form
+    * (id, subspace, subvector) relation is bracket-cached and every Lloyd
+    * iteration is ONE aggregation covering every subspace — m separate
+    * trainings would pay ~m× the job-scheduling overhead for the same
+    * arithmetic. Plain L2 k-means on the RAW subvectors (assignment by
+    * max ⟨x,c⟩ − ‖c‖²/2, update = plain mean), exactly the metric
+    * [[encode]] uses.
     */
   def train(
       df: DataFrame,
@@ -45,34 +63,103 @@ object Pq {
       k: Int,
       iters: Int,
       seed: Long): Model = {
+    import org.apache.spark.sql.expressions.Window
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
-    val books = (0 until m).map { s =>
-      val sliced = df.select(
-        col(id),
-        subVec(col(vec), s, subDim).as("__sub"))
-      Ivf.train(sliced, id, "__sub", k, iters, seed + s).centroids
+    val v = col(vec).cast("array<double>")
+    val subs = df.select(
+      col(id),
+      posexplode(array((0 until m).map(s => subVec(col(vec), s, subDim)): _*))
+        .as(Seq("s", "sv")))
+    Caching.withCached(subs) {
+      // per-subspace hash-ordered candidate pool, greedy max-min seeding
+      val poolN = math.max(20 * k, 100)
+      val w = Window.partitionBy("s").orderBy("__h")
+      val pool = subs
+        .withColumn("__h", xxhash64(col(id), col("s"), lit(seed)))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= poolN)
+        .select("s", "sv")
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (s, rows) => s -> rows.map(_.getSeq[Double](1).toArray) }
+      val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { s =>
+        val cand = pool(s)
+        val chosen = scala.collection.mutable.ArrayBuffer(cand.head)
+        while (chosen.length < k && chosen.length < cand.length) {
+          chosen += cand.maxBy { p =>
+            chosen.map { c =>
+              var d = 0.0; var i = 0
+              while (i < p.length) { val t = p(i) - c(i); d += t * t; i += 1 }
+              d
+            }.min
+          }
+        }
+        chosen.toArray
+      }
+      val spark = df.sparkSession
+      import spark.implicits._
+      for (_ <- 0 until iters) {
+        // assignment via a broadcast join against the tiny centroid table
+        // — a chained-CASE expression with m×k embedded literal arrays
+        // recompiles a huge codegen unit every iteration (measured slower
+        // than the join at any size)
+        val cents = (0 until m).flatMap { s =>
+          books(s).zipWithIndex.map { case (c, j) =>
+            (s, j, c.toSeq, c.map(x => x * x).sum / 2.0)
+          }
+        }.toDF("s", "j", "cv", "half")
+        val assigned = subs.join(broadcast(cents), "s")
+          .withColumn(
+            "__score",
+            round(dotFast(col("sv"), col("cv")) - col("half"), 9))
+          .groupBy(col(id), col("s"))
+          .agg(
+            max_by(col("j"), struct(col("__score"), -col("j"))).as("__c"),
+            first(col("sv")).as("sv"))
+        // per-(subspace, cluster, dimension) sums
+        val sums = assigned
+          .select(col("s"), col("__c"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy("s", "__c", "pos")
+          .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+          .collect()
+        sums.groupBy(r => (r.getInt(0), r.getInt(1))).foreach { case ((s, c), rows) =>
+          val mean = new Array[Double](subDim)
+          var n = 0L
+          rows.foreach { r => mean(r.getInt(2)) = r.getDouble(3); n = r.getLong(4) }
+          if (n > 0) books(s)(c) = mean.map(_ / n)
+        }
+      }
+      Model(books)
     }
-    Model(books.toArray)
   }
 
   /** Encode: adds `codes` (array<int>, length m) — the per-subspace
-    * nearest-centroid ids. Everything else is dropped except `id`.
+    * nearest-centroid ids (nearest by L2 = max ⟨x,c⟩ − ‖c‖²/2, exact
+    * argmin arithmetic, ties to the smaller id). Broadcast-join form for
+    * the same reason as [[train]]: a per-row expression embedding all
+    * m×k centroid literals compiles a pathological codegen unit.
     */
   def encode(df: DataFrame, id: String, vec: String, model: Model): DataFrame = {
-    val codeCols = (0 until model.m).map { s =>
-      val sub = subVec(col(vec), s, model.subDim)
-      val scored = model.codebooks(s).zipWithIndex.map { case (c, j) =>
-        // nearest by L2 = max (dot − ||c||²/2) on the raw (unnormalized)
-        // subvector — constant per centroid, exact argmin arithmetic
-        struct(
-          round(dotFast(sub, typedlit(c.toSeq))
-            - lit(c.map(x => x * x).sum / 2.0), 9).as("s"),
-          lit(-j).as("negj"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = (0 until model.m).flatMap { s =>
+      model.codebooks(s).zipWithIndex.map { case (c, j) =>
+        (s, j, c.toSeq, c.map(x => x * x).sum / 2.0)
       }
-      (-array_max(array(scored: _*)).getField("negj")).cast("int")
-    }
-    df.select(col(id), array(codeCols: _*).as("codes"))
+    }.toDF("s", "j", "cv", "half")
+    df.select(
+      col(id),
+      posexplode(array((0 until model.m).map(s =>
+        subVec(col(vec), s, model.subDim)): _*)).as(Seq("s", "sv")))
+      .join(broadcast(cents), "s")
+      .withColumn("__score", round(dotFast(col("sv"), col("cv")) - col("half"), 9))
+      .groupBy(col(id), col("s"))
+      .agg(max_by(col("j"), struct(col("__score"), -col("j"))).as("__c"))
+      .groupBy(col(id))
+      .agg(transform(
+        array_sort(collect_list(struct(col("s"), col("__c")))),
+        x => x.getField("__c")).as("codes"))
   }
 
   /** ADC top-k with exact re-rank: score every encoded row against the
@@ -90,9 +177,12 @@ object Pq {
       topK: Int,
       rerank: Int): DataFrame = {
     require(queryVec.length == model.m * model.subDim)
+    // codebooks live on the unit sphere — normalize the query to match
+    val qn = math.sqrt(queryVec.map(x => x * x).sum)
+    val q0 = queryVec.map(_ / qn)
     // flat m×k lookup table: table(s*k + j) = <query_sub_s, centroid_sj>
     val table: Seq[Double] = (0 until model.m).flatMap { s =>
-      val q = queryVec.slice(s * model.subDim, (s + 1) * model.subDim)
+      val q = q0.slice(s * model.subDim, (s + 1) * model.subDim)
       model.codebooks(s).map(c => c.zip(q).map { case (a, b) => a * b }.sum)
     }
     val adc = aggregate(

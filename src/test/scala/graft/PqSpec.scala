@@ -32,8 +32,10 @@ class PqSpec extends AnyFunSuite {
       enc2.collect().map(_.toString).sorted))
     val qv = df.filter(col("vec_id") === 0L).collect().head
       .getSeq[Float](1).map(_.toDouble).toArray
+    // rerank must cover the ADC tie class: all ~50 members of the query's
+    // cluster can share one code, and ties shortlist arbitrarily
     val got = Pq.searchTopK(enc, df, "vec_id", "embedding", model, qv,
-      topK = 10, rerank = 40)
+      topK = 10, rerank = 60)
       .collect().map(_.getLong(0)).toSet
     val brute = Similarity.topK(df, "vec_id", "embedding", queryId = 0L, k = 10)
       .collect().map(_.getLong(0)).toSet
