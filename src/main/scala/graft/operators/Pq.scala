@@ -12,9 +12,9 @@ import graft.plans.VectorExpressions.dotFast
   * the index FIT — 256 bytes of floats become 8 codes — and search
   * scores against a tiny per-query lookup table instead of raw vectors.
   *
-  * Deterministic end to end: subspace codebooks are trained with the
-  * same seeded k-means as [[Ivf]]; encoding and ADC scoring are pure
-  * column expressions.
+  * Deterministic end to end: subspace codebooks come from a seeded
+  * joint L2 k-means (same seeding discipline as [[Ivf]], all subspaces
+  * per pass); encoding and ADC scoring are plain column arithmetic.
   *
   * Accuracy discipline: ADC scores are approximations — [[searchTopK]]
   * over-fetches `rerank` candidates by ADC and re-scores them EXACTLY
