@@ -283,6 +283,53 @@ object RelationalQueries {
         .limit(100)
         .select("o_orderkey", "o_totalprice"))
 
+  /** W4 (extension breadth): the remaining window surface in one pass —
+    * lead/lag deltas, quartile ntile, percent_rank — over per-customer
+    * order histories (all share ONE window partitioning/sort, so Spark
+    * plans a single shuffle + sort for all four functions).
+    */
+  val w4WindowPack: Q = Q(
+    "w4_window_pack",
+    Some("""SELECT o_custkey, o_orderkey,
+           |  o_totalprice - lag(o_totalprice) OVER w AS delta_prev,
+           |  lead(o_orderkey) OVER w AS next_order,
+           |  ntile(4) OVER w AS quartile,
+           |  ROUND(percent_rank() OVER w, 6) AS pr
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      ord(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w)).as("delta_prev"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"))
+    })
+
+  /** Fuzzy key reconciliation: supplier-name pairs within edit distance 2
+    * — the messy-metadata join problem (same device typed two ways in two
+    * measurement campaigns). Dimension-table self-join; `levenshtein` is
+    * identically defined in both engines.
+    */
+  val fuzzyKeys: Q = Q(
+    "j_fuzzy_keys",
+    Some("""SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+           |  levenshtein(a.s_name, b.s_name) AS dist
+           |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+           |WHERE levenshtein(a.s_name, b.s_name) <= 2""".stripMargin),
+    (s, dir) => {
+      val sup = Tables.load(s, dir, "supplier").select("s_suppkey", "s_name")
+      val a = sup.select(col("s_suppkey").as("id_a"), col("s_name").as("na"))
+      val b = sup.select(col("s_suppkey").as("id_b"), col("s_name").as("nb"))
+      a.crossJoin(b)
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("na"), col("nb")))
+        .filter(col("dist") <= 2)
+        .select("id_a", "id_b", "dist")
+    })
+
   /** A5/W3: deterministic arg-min per group (reference `idxmin`,
     * `scripts/time_resolution_beta_scan.py:64-67`), full tiebreak ordering.
     */
@@ -421,6 +468,7 @@ object RelationalQueries {
   def all: Seq[Q] = Seq(
     p2AggPredicate, p4Completeness, p5Cuts, p9Strings, p10Datetime, p13Casts,
     r1Pivot, r2Unpivot, j1Flags, j3Composite, j4SelfGrid,
-    w1FirstHalf, w2TopK, a5ArgMin, a7Histogram, a8Ecdf, a11Distinct, u1Union,
+    w1FirstHalf, w2TopK, w4WindowPack, fuzzyKeys,
+    a5ArgMin, a7Histogram, a8Ecdf, a11Distinct, u1Union,
     p11Tag, a2Mad, a1MeanStd)
 }
