@@ -14,6 +14,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object SessionizeStream {
 
+  /** Native `session_window` sessionization — the built-in alternative to
+    * the [[sessionize]] `flatMapGroupsWithState` form: Spark merges
+    * overlapping gap-windows per key in the state store. Prefer this when
+    * per-session logic is pure aggregation (the custom-state form exists
+    * for logic the merge model can't express, e.g. event-pattern
+    * sequencing inside a session).
+    */
+  def sessionizeNative(
+      stream: org.apache.spark.sql.DataFrame,
+      gapSeconds: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    stream
+      .withWatermark("ts", "30 minutes")
+      .groupBy(
+        col("user_id"),
+        session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+  }
+
   final case class Event(user_id: Long, event_id: Long, ts: Timestamp)
   final case class SessionState(
       start: Long, last: Long, n: Int)
