@@ -241,6 +241,71 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** PORTABLE MinHash+LSH: identical structure to [[minHashPairs]], but
+    * every hash is ANSI-expressible arithmetic — shingles hash through
+    * md5 (15 hex digits → BIGINT, identical in any engine), the signature
+    * permutations are seeded universal hashes (a·x + b mod P, P = 2³¹−1,
+    * products bounded in 62 bits), and band keys fold minima with a
+    * polynomial accumulator. The DuckDB oracle is GENERATED from the same
+    * constants ([[Sql.minHashOracle]]), so the whole
+    * signature → band → candidate → verify pipeline is hash-exact — the
+    * evidence tier xxhash64 can't provide. Keep [[minHashPairs]] for
+    * production (xxhash64 is far cheaper than md5).
+    */
+  val MinHashP = 2147483647L // 2^31 − 1, prime
+
+  def portablePerms(n: Int, seed: Long): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(n)((1L + rnd.nextInt((MinHashP - 1).toInt).toLong,
+      rnd.nextInt(MinHashP.toInt).toLong))
+  }
+
+  def minHashPairsPortable(
+      df: DataFrame,
+      id: String,
+      text: String,
+      k: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+      seed: Long): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val perms = portablePerms(numHashes, seed)
+    val docSh = docShingleSets(df, id, text, k).filter(size(col("sh")) > 0)
+    val exploded = docSh
+      .select(col(id), explode(col("sh")).as("s"))
+      .select(col(id),
+        (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long") % MinHashP).as("h"))
+    val minAggs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % MinHashP).as(s"__mh$i")
+    }
+    val sigs = exploded.groupBy(col(id)).agg(minAggs.head, minAggs.tail: _*)
+    val banded = sigs.select(
+      col(id),
+      explode(array((0 until bands).map { bnd =>
+        val key = (0 until rowsPerBand)
+          .map(r => col(s"__mh${bnd * rowsPerBand + r}"))
+          .foldLeft(lit(0L): Column)((acc, m) => (acc * 1000003L + m) % MinHashP)
+        struct(lit(bnd).as("band"), key.as("bkey"))
+      }: _*)).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val candidates = banded.select(col(id).as("id_a"), col("band"), col("bkey"))
+      .join(banded.select(col(id).as("id_b"), col("band"), col("bkey")), Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(docSh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(docSh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        col("common").cast("double")
+          / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** 64-bit SimHash per doc: bit b set iff Σ_tokens (bit b of
     * xxhash64(token) ? +1 : −1) > 0. Computed as 64 codegen'd sums over
     * exploded (id, token-hash) rows — one shuffle, no interpreted lambdas.

@@ -192,6 +192,62 @@ object TextQueries {
     (s, dir) =>
       Dedup.prefixJaccardPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5))
 
+  /** Portable MinHash+LSH, HASH-EXACT: md5-based shingle hashes and
+    * seeded universal-hash permutations are plain ANSI arithmetic, so the
+    * oracle (generated from the same constants) replays the entire
+    * signature → band → candidate → verify pipeline in DuckDB.
+    */
+  val dedupMinHashHash: Q = {
+    val (bands, rowsPerBand, seed) = (8, 4, 99L)
+    val perms = Dedup.portablePerms(bands * rowsPerBand, seed)
+    val p = Dedup.MinHashP
+    val mhCols = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((h * $a + $b) % $p) AS mh$i"
+    }.mkString(",\n    ")
+    val bandRows = (0 until bands).map { bnd =>
+      val key = (0 until rowsPerBand)
+        .map(r => s"mh${bnd * rowsPerBand + r}")
+        .foldLeft("0")((acc, m) => s"(($acc * 1000003 + $m) % $p)")
+      s"SELECT doc_id, $bnd AS band, $key AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    Q(
+      "dedup_minhash_hash",
+      Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |              FROM documents),
+              |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+              |       FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)),
+              |hs AS (SELECT doc_id,
+              |         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $p AS h
+              |       FROM sh),
+              |sig AS (SELECT doc_id,
+              |    $mhCols
+              |  FROM hs GROUP BY doc_id),
+              |banded AS (
+              |  $bandRows),
+              |cand AS (
+              |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              |  FROM banded l JOIN banded r
+              |    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+              |common AS (
+              |  SELECT c.id_a, c.id_b, COUNT(*) AS cm
+              |  FROM cand c
+              |  JOIN sh a ON a.doc_id = c.id_a
+              |  JOIN sh b ON b.doc_id = c.id_b AND a.s = b.s
+              |  GROUP BY c.id_a, c.id_b),
+              |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+              |SELECT id_a, id_b,
+              |  CAST(cm AS DOUBLE) / (sa.n + sb.n - cm) AS jaccard
+              |FROM common
+              |JOIN sizes sa ON id_a = sa.doc_id
+              |JOIN sizes sb ON id_b = sb.doc_id
+              |WHERE CAST(cm AS DOUBLE) / (sa.n + sb.n - cm) >= 0.5""".stripMargin),
+      (s, dir) =>
+        Dedup.minHashPairsPortable(
+          docs(s, dir), "doc_id", "text",
+          k = 3, bands = bands, rowsPerBand = rowsPerBand,
+          threshold = 0.5, seed = seed))
+  }
+
   /** MinHash+LSH near-dup pairs — the sub-quadratic scale path. Candidate
     * generation is banded (8 bands × 4 hashes); pairs are exact-verified.
     * Deterministic (xxhash64) but engine-specific → rows-only check;
@@ -403,7 +459,7 @@ object TextQueries {
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
-    dedupLines, dedupMinHash, dedupSimHash,
+    dedupLines, dedupMinHash, dedupMinHashHash, dedupSimHash,
     mmBytes, mmFeatures, mmFrames, pipelineClean, splitStratified,
     pipelineEmbedSplit)
 }

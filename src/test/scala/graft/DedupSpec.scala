@@ -53,6 +53,17 @@ class DedupSpec extends AnyFunSuite {
     assert(mh.contains((1L, 5L))) // jaccard 1.0 pair can never be missed
   }
 
+  test("portable minhash ⊆ exact jaccard and never misses identical docs") {
+    val mh = Dedup.minHashPairsPortable(
+      corpus(), "doc_id", "text", 3, bands = 8, rowsPerBand = 4,
+      threshold = 0.5, seed = 99L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPairs(corpus(), "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact))
+    assert(mh.contains((1L, 5L)))
+  }
+
   test("simhash: exact duplicates collide at hamming 0") {
     val pairs = Dedup.simHashPairs(corpus(), "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue())).toSet
