@@ -306,6 +306,49 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** PORTABLE SimHash: 60-bit fingerprints from md5 token hashes (15 hex
+    * digits → BIGINT — 16 would overflow the signed cast), 4 × 15-bit
+    * chunk banding (pigeonhole: hamming ≤ 3 ⟹ one chunk matches), XOR
+    * popcount verify. Every step is ANSI arithmetic, so the whole
+    * pipeline is oracle-checkable — the evidence tier; keep
+    * [[simHashPairs]] (xxhash64, 64-bit) for production.
+    */
+  def simHashPairsPortable(
+      df: DataFrame, id: String, text: String, maxHamming: Int): DataFrame = {
+    require(maxHamming < 4, "4-chunk banding guarantees recall only for hamming < 4")
+    val bits = 60
+    val tok = df
+      .select(col(id), TextFunctions.tokens(col(text)).as("__toks"))
+      .select(col(id), explode(col("__toks")).as("t"))
+      .select(col(id), conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+    val weightAggs = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"__w$b")
+    }
+    val weights = tok.groupBy(col(id)).agg(weightAggs.head, weightAggs.tail: _*)
+    val simhash = (0 until bits)
+      .map(b => when(col(s"__w$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val hashed = weights.select(col(id), simhash.as("simhash"))
+    val chunked = hashed.select(
+      col(id), col("simhash"),
+      explode(array((0 until 4).map { c =>
+        struct(
+          lit(c).as("chunk"),
+          shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(lit(0x7FFFL)).as("ckey"))
+      }: _*)).as("ck"))
+      .select(col(id), col("simhash"), col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
+    val l = chunked.select(col(id).as("id_a"), col("simhash").as("h_a"), col("chunk"), col("ckey"))
+    val r = chunked.select(col(id).as("id_b"), col("simhash").as("h_b"), col("chunk"), col("ckey"))
+    l.join(r, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", expr("CAST(bit_count(h_a ^ h_b) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** 64-bit SimHash per doc: bit b set iff Σ_tokens (bit b of
     * xxhash64(token) ? +1 : −1) > 0. Computed as 64 codegen'd sums over
     * exploded (id, token-hash) rows — one shuffle, no interpreted lambdas.

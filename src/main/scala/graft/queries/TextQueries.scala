@@ -270,6 +270,42 @@ object TextQueries {
     (s, dir) =>
       Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3))
 
+  /** Portable SimHash, HASH-EXACT: md5 token hashes, 60-bit fingerprint,
+    * 4×15-bit chunk banding, XOR-popcount verify — oracle generated from
+    * the same bit arithmetic.
+    */
+  val dedupSimHashHash: Q = {
+    val bits = 60
+    val wCols = (0 until bits).map(b =>
+      s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS w$b")
+      .mkString(",\n    ")
+    val shSum = (0 until bits).map(b =>
+      s"(CASE WHEN w$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    Q(
+      "dedup_simhash_hash",
+      Some(s"""WITH tok AS (SELECT doc_id,
+              |    unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents),
+              |hs AS (SELECT doc_id,
+              |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+              |w AS (SELECT doc_id,
+              |    $wCols
+              |  FROM hs GROUP BY doc_id),
+              |sh AS (SELECT doc_id, $shSum AS simhash FROM w),
+              |chunks AS (
+              |  SELECT doc_id, simhash, c.c AS chunk,
+              |    (simhash >> (c.c * 15)) & 32767 AS ckey
+              |  FROM sh, (SELECT UNNEST([0, 1, 2, 3]) AS c) c),
+              |cand AS (
+              |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+              |    l.simhash AS h_a, r.simhash AS h_b
+              |  FROM chunks l JOIN chunks r
+              |    ON l.chunk = r.chunk AND l.ckey = r.ckey AND l.doc_id < r.doc_id)
+              |SELECT id_a, id_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+              |FROM cand WHERE bit_count(xor(h_a, h_b)) <= 3""".stripMargin),
+      (s, dir) =>
+        Dedup.simHashPairsPortable(docs(s, dir), "doc_id", "text", maxHamming = 3))
+  }
+
   /** Multimodal plumbing: treat encoded text as an opaque binary payload,
     * run the per-partition feature extractor; the byte-length path is
     * oracle-checked.
@@ -459,7 +495,7 @@ object TextQueries {
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
-    dedupLines, dedupMinHash, dedupMinHashHash, dedupSimHash,
+    dedupLines, dedupMinHash, dedupMinHashHash, dedupSimHash, dedupSimHashHash,
     mmBytes, mmFeatures, mmFrames, pipelineClean, splitStratified,
     pipelineEmbedSplit)
 }

@@ -70,6 +70,12 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.exists { case (a, b, h) => a == 1L && b == 5L && h == 0 })
   }
 
+  test("portable simhash: exact duplicates collide at hamming 0") {
+    val pairs = Dedup.simHashPairsPortable(corpus(), "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 5L && h == 0 })
+  }
+
   test("shingleArray on short text is empty, not descending-sequence garbage") {
     import spark.implicits._
     val one = Seq((1L, "single")).toDF("doc_id", "text")
