@@ -162,6 +162,17 @@ object TimeResolution {
         kmad, Seq("replica"), Seq(col("kmad"), col("k1"), col("k2")))
         .select("replica", "k1", "k2", "kmad", "lo", "hi")
       val bestRows = best.collect()
+      // no Δt rows at all (e.g. no triggers seen by both devices): yield
+      // an empty result with the output schema instead of crashing in the
+      // pairFilter reduce below
+      if (bestRows.isEmpty) {
+        import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+        val outSchema = StructType(
+          best.schema.fields.filter(f => Set("replica", "k1", "k2", "kmad")(f.name)) ++
+            Seq(StructField("mu", DoubleType), StructField("sigma", DoubleType),
+              StructField("amplitude", DoubleType)))
+        (outSchema, Array.empty[org.apache.spark.sql.Row])
+      } else {
       val bestDf = spark.createDataFrame(
         java.util.Arrays.asList(bestRows: _*), best.schema)
       // Δt rows at ANY replica's best (k1, k2): 1/81 of dt survives the
@@ -207,6 +218,7 @@ object TimeResolution {
         .select("replica", "k1", "k2", "kmad", "mu", "sigma", "amplitude")
       // materialize (≤ replicas+1 rows) inside the cache bracket
       (out.schema, out.collect())
+      }
     }
     spark.createDataFrame(
       java.util.Arrays.asList(lazyOut._2: _*), lazyOut._1)

@@ -138,6 +138,12 @@ object Stats {
       bins: Int,
       rangeOf: DataFrame,
       rangeKeys: Seq[String]): DataFrame = {
+    // __glo/__ghi join into the groupBy below, so a rangeKeys column that
+    // is NOT also a grouping key would silently split each output group
+    // per range row — fail fast instead
+    require(
+      rangeKeys.forall(keys.contains),
+      s"rangeKeys must be a subset of keys (rangeKeys=$rangeKeys, keys=$keys)")
     import org.apache.spark.sql.expressions.Window
     val gr = rangeOf.groupBy(rangeKeys.map(col): _*)
       .agg(min(col(value)).as("__glo"), max(col(value)).as("__ghi"))

@@ -26,11 +26,27 @@ object Sampling {
   def proportional(df: DataFrame, id: String, pct: Column, seed: Int): DataFrame =
     df.filter(Splits.bucket100(col(id), seed) < pct)
 
+  /** [[proportional]] with the full-id xxhash64 bucket — the tier to run
+    * in production (no 100k residue-class coupling).
+    */
+  def proportionalFull(df: DataFrame, id: String, pct: Column, seed: Int): DataFrame =
+    df.filter(Splits.bucket100Full(col(id), seed) < pct)
+
   /** Deterministic shuffle key in [0, 2³²): multiplicative hash of the
-    * id — the ordering is uniform and engine-portable.
+    * id — the ordering is uniform and engine-portable. Like
+    * [[Splits.bucket100]] this is the ORACLE tier: the id is reduced mod
+    * 1e5 first, so at most 100 000 distinct keys exist and ids 100k apart
+    * sort adjacently (id tiebreak). Use [[shuffleKeyFull]] for corpora
+    * with more than ~100k ids per stratum.
     */
   def shuffleKey(id: Column, seed: Int): Column =
     pmod(pmod(id + lit(seed), lit(100000L)) * lit(2654435761L), lit(4294967296L))
+
+  /** Production tier of [[shuffleKey]]: xxhash64 of the full id — no
+    * periodicity, 2⁶⁴ key space. Not DuckDB-expressible (spec-verified).
+    */
+  def shuffleKeyFull(id: Column, seed: Int): Column =
+    xxhash64(id, lit(seed))
 
   /** Keep a uniform sample of each stratum whose `tokens` sum to at most
     * `budget`: hash-order the stratum, keep while the running total
@@ -42,10 +58,30 @@ object Sampling {
       strata: Seq[String],
       tokens: Column,
       budget: Long,
-      seed: Int): DataFrame = {
+      seed: Int): DataFrame =
+    tokenBudgetCapBy(df, strata, tokens, budget, shuffleKey(col(id), seed), col(id))
+
+  /** [[tokenBudgetCap]] ordered by the full-id xxhash64 key — the
+    * production tier (a true uniform shuffle on any id space).
+    */
+  def tokenBudgetCapFull(
+      df: DataFrame,
+      id: String,
+      strata: Seq[String],
+      tokens: Column,
+      budget: Long,
+      seed: Int): DataFrame =
+    tokenBudgetCapBy(df, strata, tokens, budget, shuffleKeyFull(col(id), seed), col(id))
+
+  private def tokenBudgetCapBy(
+      df: DataFrame,
+      strata: Seq[String],
+      tokens: Column,
+      budget: Long,
+      order: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(strata.map(col): _*)
-      .orderBy(shuffleKey(col(id), seed), col(id))
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     df.withColumn("__cum", sum(tokens).over(w))
       .filter(col("__cum") <= budget)

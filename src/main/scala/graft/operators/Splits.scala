@@ -16,10 +16,20 @@ object Splits {
   /** Bucket in [0, 100) from an integer id. The id is reduced mod 1e5
     * before the multiply so the product stays well inside 64 bits (BIGINT
     * overflow is an ERROR in ANSI engines, silent wrap in Java — avoid
-    * both).
+    * both). The mod-1e5 reduction makes this the engine-portable ORACLE
+    * tier: ids that differ by a multiple of 100 000 share a bucket, so
+    * whole residue classes move together. Fine for cross-engine
+    * verification; for >100k-id corpora use [[bucket100Full]].
     */
   def bucket100(id: Column, seed: Int): Column =
     pmod((pmod(id + lit(seed), lit(100000L))) * lit(2654435761L), lit(4294967296L)) % 100
+
+  /** Production tier of [[bucket100]]: hashes the FULL id with xxhash64
+    * (no residue-class periodicity), so it stays uniform on 100 TB-scale
+    * id spaces. Not DuckDB-expressible — verified by spec, not oracle.
+    */
+  def bucket100Full(id: Column, seed: Int): Column =
+    pmod(xxhash64(id, lit(seed)), lit(100L))
 
   /** Adds a `split` column: train / val / test with the given percent
     * boundaries (train < trainPct ≤ val < trainPct+valPct ≤ test).

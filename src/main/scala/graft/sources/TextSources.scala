@@ -104,6 +104,13 @@ object TextSources {
   def writeXlsx(df: DataFrame, path: String): Unit = {
     def esc(s: String) = s
       .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    // AA-style column letters (bijective base-26) — inverse of readXlsx's
+    // colIndex, so frames wider than 26 columns get valid refs
+    def colRef(ci: Int): String = {
+      var n = ci + 1; val sb = new StringBuilder
+      while (n > 0) { n -= 1; sb.insert(0, ('A' + n % 26).toChar); n /= 26 }
+      sb.toString
+    }
     val header = df.columns
     val rows = df.collect()
     val sheetRows = (header.map(h => (h, true)) +: rows.map(r =>
@@ -111,7 +118,7 @@ object TextSources {
         (Option(r.get(i)).map(_.toString).getOrElse(""), true)).toArray))
       .zipWithIndex.map { case (cells, ri) =>
         val cs = cells.zipWithIndex.map { case ((v, _), ci) =>
-          val ref = ('A' + ci).toChar.toString + (ri + 1) // ≤26 summary cols
+          val ref = colRef(ci) + (ri + 1)
           s"""<c r="$ref" t="inlineStr"><is><t>${esc(v)}</t></is></c>"""
         }.mkString
         s"""<row r="${ri + 1}">$cs</row>"""

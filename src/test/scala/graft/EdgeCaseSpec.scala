@@ -55,6 +55,27 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(1) == 0L && r.getLong(3) == 0L))
   }
 
+  test("flagship run on an empty events table returns an empty frame, not a crash") {
+    import spark.implicits._
+    val e = Seq.empty[(Long, String, Double)].toDF("n_trigger", "device_name", "t_10 (s)")
+    val withAll = graft.analyses.TimeResolution.tColumns.tail
+      .foldLeft(e)((d, c) => d.withColumn(c, lit(null).cast("double")))
+    val out = graft.analyses.TimeResolution.run(
+      withAll, graft.analyses.TimeResolution.Config("A", "B", replicas = 2, iqrSpread = true))
+    assert(out.count() == 0)
+    assert(out.columns.toSeq ==
+      Seq("replica", "k1", "k2", "kmad", "mu", "sigma", "amplitude"))
+  }
+
+  test("binnedIqrStd rejects rangeKeys outside the grouping keys") {
+    import spark.implicits._
+    val df = Seq(("g", "r", 1.0, 1)).toDF("g", "r", "x", "w")
+    intercept[IllegalArgumentException] {
+      graft.functions.Stats.binnedIqrStd(
+        df, Seq("g"), "x", col("w"), "spread", 64, df, Seq("r"))
+    }
+  }
+
   test("binnedIqrStd on a constant-valued group reports zero spread") {
     import spark.implicits._
     val df = Seq(("g", 5.0, 1), ("g", 5.0, 1), ("g", 5.0, 1)).toDF("g", "x", "w")

@@ -87,6 +87,20 @@ class PipelineSourcesSpec extends AnyFunSuite {
     assert(back.collect().map(_.toSeq).toSeq == df.collect().map(_.toSeq).toSeq)
   }
 
+  test("xlsx sink handles frames wider than 26 columns (AA-style refs)") {
+    val dir = Files.createTempDirectory("graft_xlsx_wide")
+    val path = dir.resolve("wide.xlsx").toString
+    val names = (0 until 30).map(i => s"c$i")
+    val schema = org.apache.spark.sql.types.StructType(names.map(n =>
+      org.apache.spark.sql.types.StructField(n, org.apache.spark.sql.types.StringType)))
+    val row = org.apache.spark.sql.Row.fromSeq(names.map(n => s"v_$n"))
+    val df = spark.createDataFrame(java.util.Arrays.asList(row), schema)
+    TextSources.writeXlsx(df, path)
+    val back = TextSources.readXlsx(spark, path)
+    assert(back.columns.toSeq == names)
+    assert(back.collect().head.toSeq == names.map(n => s"v_$n"))
+  }
+
   test("run.xml metadata scan (S5)") {
     val f = Files.createTempDirectory("graft_xml").resolve("run.xml")
     Files.writeString(f,

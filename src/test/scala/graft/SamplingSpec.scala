@@ -42,4 +42,31 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0))
     assert(keptEn.max > 200L, s"kept head-of-table only: max=${keptEn.max}")
   }
+
+  test("production tier breaks the 100k residue-class coupling of the oracle tier") {
+    import spark.implicits._
+    // ids exactly 100 000 apart: the portable bucket is identical by
+    // construction; the xxhash64 tier must NOT couple them
+    val pairs = (0L until 400L).map(i => (i, i + 100000L))
+    val ids = pairs.flatMap(p => Seq(p._1, p._2)).toDF("doc_id")
+    val pct = lit(50)
+    val keptPortable = Sampling.proportional(ids, "doc_id", pct, seed = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val coupledPortable = pairs.count(p =>
+      keptPortable(p._1) == keptPortable(p._2))
+    assert(coupledPortable == pairs.size, "oracle tier should couple residue classes")
+    val keptFull = Sampling.proportionalFull(ids, "doc_id", pct, seed = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val coupledFull = pairs.count(p => keptFull(p._1) == keptFull(p._2))
+    // independent fates → ~50% agreement, nowhere near 100%
+    assert(coupledFull < pairs.size * 3 / 4, s"coupledFull=$coupledFull")
+    // rate still near target
+    assert(math.abs(keptFull.size / 800.0 - 0.5) < 0.06)
+    // tokenBudgetCapFull stays within budget and samples uniformly
+    val docs = (0L until 500L).map(i => (i, "en", 100L)).toDF("doc_id", "lang", "n_tokens")
+    val capped = Sampling.tokenBudgetCapFull(
+      docs, "doc_id", Seq("lang"), col("n_tokens"), budget = 5000L, seed = 1)
+    val kept = capped.select("doc_id").collect().map(_.getLong(0))
+    assert(kept.length == 50 && kept.max > 200L)
+  }
 }
