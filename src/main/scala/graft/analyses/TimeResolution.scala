@@ -144,8 +144,12 @@ object TimeResolution {
       // min/max ride whichever pass runs — they are the histogram range.
       val kmad =
         if (cfg.iqrSpread)
-          Stats.binnedIqrStd(
-            fannedW, Seq("replica", "k1", "k2"), "delta_t", col("m"), "kmad",
+          // replica dimension PIVOTED into aggregate columns: the heavy
+          // binned pass reads dt once (no ×replicas row explode) — see
+          // Stats.binnedIqrStdPivotReplicas
+          Stats.binnedIqrStdPivotReplicas(
+            dt, Seq("k1", "k2"), "delta_t", cfg.replicas,
+            r => multiplicity(col("n_trigger"), r, cfg.seed), "kmad",
             bins = 2048, rangeOf = dt, rangeKeys = Seq("k1", "k2"))
         else {
           val fanned = fannedW

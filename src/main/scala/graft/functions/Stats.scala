@@ -158,6 +158,79 @@ object Stats {
         sum(weight).as("__n"),
         min(col(value)).as("__bmin"),
         max(col(value)).as("__bmax"))
+    iqrInterpolate(binned, keys, out, bins)
+  }
+
+  /** [[binnedIqrStd]] for the bootstrap shape: the replica dimension is
+    * PIVOTED into aggregate columns instead of exploded into rows. The
+    * heavy binned pass runs over the UN-FANNED frame — one codegen'd
+    * hash-agg with 3·(replicas+1) aggregate columns (weighted count +
+    * per-replica min/max), keyed on (keys, bucket) — and the replica
+    * dimension is restored by unpivoting the tiny (groups × bins) result.
+    * At 34 replicas this is a 34× cut of hash-agg input rows; the
+    * multiplicity expression is evaluated per (row, replica) either way.
+    *
+    * Output schema and semantics match [[binnedIqrStd]] run over the
+    * exploded frame: (keys..., replica, out, lo, hi).
+    */
+  def binnedIqrStdPivotReplicas(
+      df: DataFrame,
+      keys: Seq[String],
+      value: String,
+      replicas: Int,
+      mult: Column => Column, // replica literal -> per-row multiplicity
+      out: String,
+      bins: Int,
+      rangeOf: DataFrame,
+      rangeKeys: Seq[String]): DataFrame = {
+    require(
+      rangeKeys.forall(keys.contains),
+      s"rangeKeys must be a subset of keys (rangeKeys=$rangeKeys, keys=$keys)")
+    val gr = rangeOf.groupBy(rangeKeys.map(col): _*)
+      .agg(min(col(value)).as("__glo"), max(col(value)).as("__ghi"))
+    val width = (col("__ghi") - col("__glo")) / lit(bins)
+    val wSafe = when(col("__ghi") > col("__glo"), width).otherwise(lit(1.0))
+    val bucket = least(
+      greatest(floor((col(value) - col("__glo")) / wSafe), lit(0L)),
+      lit(bins - 1L))
+    val rs = 0 to replicas
+    val aggs = rs.flatMap { r =>
+      val m = mult(lit(r))
+      Seq(
+        sum(m).as(s"__n$r"),
+        min(when(m > 0, col(value))).as(s"__bmin$r"),
+        max(when(m > 0, col(value))).as(s"__bmax$r"))
+    }
+    val pivoted = df.join(broadcast(gr), rangeKeys)
+      .groupBy((keys.map(col) :+ col("__glo") :+ col("__ghi") :+ bucket.as("__b")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    // restore the replica dimension over the tiny binned table; drop
+    // (replica, bucket) cells the replica never sampled — the exploded
+    // form never produced them
+    val unpivoted = pivoted
+      .select(
+        (keys.map(col) :+ col("__glo") :+ col("__ghi") :+ col("__b") :+
+          explode(array(rs.map(r => struct(
+            lit(r).as("replica"),
+            col(s"__n$r").as("__n"),
+            col(s"__bmin$r").as("__bmin"),
+            col(s"__bmax$r").as("__bmax"))): _*)).as("__r")): _*)
+      .select(
+        (keys.map(col) :+ col("__r.replica").as("replica") :+ col("__glo") :+
+          col("__ghi") :+ col("__b") :+ col("__r.__n").as("__n") :+
+          col("__r.__bmin").as("__bmin") :+ col("__r.__bmax").as("__bmax")): _*)
+      .filter(col("__n") > 0)
+    iqrInterpolate(unpivoted, keys :+ "replica", out, bins)
+  }
+
+  private def iqrInterpolate(
+      binned: DataFrame,
+      keys: Seq[String],
+      out: String,
+      bins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val width = (col("__ghi") - col("__glo")) / lit(bins)
+    val wSafe = when(col("__ghi") > col("__glo"), width).otherwise(lit(1.0))
     val wOrd = Window.partitionBy(keys.map(col): _*).orderBy("__b")
     val wAll = Window.partitionBy(keys.map(col): _*)
     val c = binned

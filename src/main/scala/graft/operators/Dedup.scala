@@ -160,19 +160,38 @@ object Dedup {
       .withColumn("__rn", row_number().over(wDoc))
       .withColumn("__n", count(lit(1)).over(wDocAll))
       .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
-      .select(col(id), col("h"), col("__n"))
-    val cand = pref.select(col(id).as("id_a"), col("h"), col("__n").as("na"))
-      .join(pref.select(col(id).as("id_b"), col("h"), col("__n").as("nb")), Seq("h"))
+      .select(col(id), col("h"), col("__n"), col("__rn"))
+    // POSITIONAL filter (PPJoin): a true pair needs overlap ≥
+    // α = ⌈t/(1+t)·(|A|+|B|)⌉, and a shared prefix shingle at positions
+    // (pa, pb) bounds the remaining overlap by 1 + min(na−pa, nb−pb).
+    // Filtering per shared-shingle row is lossless: a true pair's FIRST
+    // shared prefix shingle always satisfies the bound, so the pair
+    // survives the dropDuplicates. This prunes the candidate set BEFORE
+    // the verify joins — the stage that otherwise dominates (at t=0.5 the
+    // prefix is half of every doc, so raw candidates are ~10³× the
+    // true-pair count).
+    val alpha = ceil(lit(threshold) / (lit(1.0) + threshold) * (col("na") + col("nb")))
+    val cand = pref
+      .select(col(id).as("id_a"), col("h"), col("__n").as("na"), col("__rn").as("pa"))
+      .join(
+        pref.select(col(id).as("id_b"), col("h"), col("__n").as("nb"), col("__rn").as("pb")),
+        Seq("h"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("na") * lit(threshold) <= col("nb")
         && col("nb") * lit(threshold) <= col("na"))
+      .filter(lit(1) + least(col("na") - col("pa"), col("nb") - col("pb")) >= alpha)
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    // string-exact verify on the candidate pairs only. (A semi-join
+    // exact verify on the candidate pairs only — on HASHED shingle sets
+    // (array<bigint>), so the two verify joins shuffle 8-byte longs
+    // instead of k-gram strings (collision odds ~n²/2⁶⁵, immaterial; the
+    // candidate join above already keys on the same hashes). A semi-join
     // pruning the corpus to candidate ids before re-shingling would
     // re-evaluate the whole uncached candidate chain per verify side —
-    // two linear corpus re-shingles are the cheaper honest cost.)
-    val docSh = docShingleSets(df, id, text, k).filter(size(col("sh")) > 0)
+    // two linear corpus re-shingles are the cheaper honest cost.
+    val docSh = docShingleSets(df, id, text, k)
+      .filter(size(col("sh")) > 0)
+      .select(col(id), transform(col("sh"), s => xxhash64(s)).as("sh"))
     cand
       .join(docSh.select(col(id).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docSh.select(col(id).as("id_b"), col("sh").as("sh_b")), "id_b")
