@@ -104,6 +104,41 @@ object GroupingQueries {
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_orderkey")).as("n_exact")))
 
+  /** t-digest quantiles with an in-engine accuracy certificate. The
+    * sketch estimate itself is engine-specific (like [[approxDistinct]]),
+    * so the ORACLE row checks the property that matters instead: for each
+    * (group, q) the TRUE rank of the estimate — recomputed exactly
+    * against the table — must sit within 1% of q. The Spark side emits
+    * the boolean verdicts; the DuckDB side is the literal all-true
+    * table, so the hash matches iff every estimate is in tolerance.
+    */
+  val tdigestQuantiles: Q = {
+    val qs = Seq(0.25, 0.5, 0.75, 0.99)
+    Q(
+      "agg_tdigest",
+      Some(s"""SELECT DISTINCT l_returnflag, q, TRUE AS ok
+              |FROM lineitem
+              |CROSS JOIN (VALUES ${qs.map(q => s"(CAST($q AS DOUBLE))").mkString(", ")}) t(q)
+              |ORDER BY l_returnflag, q""".stripMargin),
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("x"))
+        val qsLit = array(qs.map(lit): _*)
+        val est = li.groupBy("l_returnflag")
+          .agg(graft.functions.TDigest.quantilesAgg(col("x"), qs).as("est"))
+          .select(col("l_returnflag"), posexplode(col("est")).as(Seq("i", "est_v")))
+          .withColumn("q", element_at(qsLit, col("i") + 1))
+          .drop("i")
+        li.join(broadcast(est), "l_returnflag")
+          .groupBy("l_returnflag", "q")
+          .agg(avg(when(col("x") <= col("est_v"), 1.0).otherwise(0.0)).as("rank"))
+          .select(
+            col("l_returnflag"), col("q"),
+            (abs(col("rank") - col("q")) < lit(0.01)).as("ok"))
+          .orderBy("l_returnflag", "q")
+      })
+  }
+
   /** Salted two-stage aggregation, oracle-checked against the PLAIN
     * aggregate — proving salting is a pure physical rewrite (decimal
     * partials merge exactly).
@@ -144,5 +179,5 @@ object GroupingQueries {
 
   def all: Seq[Q] = Seq(
     rollup, cube_, groupingSets, approxDistinct, distinctExact,
-    saltedAgg, saltedJoin)
+    tdigestQuantiles, saltedAgg, saltedJoin)
 }
