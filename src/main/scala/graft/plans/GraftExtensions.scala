@@ -57,8 +57,24 @@ object GraftExtensions {
       f(exprs)
     }
 
+  /** Typed Aggregator → Catalyst aggregate expression, the same
+    * construction Spark's `udf.register(udaf(...))` path uses — so
+    * Aggregators are injectable through `injectFunction` like any
+    * expression builder (not only registrable per-session).
+    */
+  private def aggBuilder[IN, BUF, OUT](
+      agg: org.apache.spark.sql.expressions.Aggregator[IN, BUF, OUT],
+      enc: org.apache.spark.sql.Encoder[IN])(e: Seq[Expression]): Expression =
+    org.apache.spark.sql.GraftBridge.scalaAggregator(agg, enc, e)
+
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_fast" -> arity("dot_fast", 2)(e => DotProduct(e.head, e(1))),
+    "mad_std" -> arity("mad_std", 1)(
+      aggBuilder(new graft.functions.Stats.MadStdAgg(), org.apache.spark.sql.Encoders.DOUBLE)),
+    "tdigest_quartiles" -> arity("tdigest_quartiles", 1)(
+      aggBuilder(
+        new graft.functions.TDigest.Agg(100.0, Seq(0.25, 0.5, 0.75)),
+        org.apache.spark.sql.Encoders.DOUBLE)),
     "cosine_sim" -> arity("cosine_sim", 2) { e =>
       import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
       Divide(
@@ -74,18 +90,12 @@ object GraftExtensions {
       (FunctionIdentifier(name), new ExpressionInfo("graft.plans.GraftExtensions", name), b)
     }
 
-  /** Register every graft SQL function on an existing session, plus the
-    * `mad_std` aggregate (a typed Aggregator — registered through the UDF
-    * registry, the supported path for SQL-callable Aggregators).
+  /** Register every graft SQL function (aggregates included — they share
+    * the expression-builder form via [[aggBuilder]]) on an existing
+    * session.
     */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "scala_udf")
     }
-    spark.udf.register(
-      "mad_std",
-      org.apache.spark.sql.functions.udaf(
-        new graft.functions.Stats.MadStdAgg(),
-        org.apache.spark.sql.Encoders.DOUBLE))
-  }
 }

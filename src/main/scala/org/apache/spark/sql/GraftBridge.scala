@@ -13,4 +13,16 @@ object GraftBridge {
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Typed Aggregator → Catalyst aggregate expression (the construction
+    * Spark's own `udf.register(udaf(...))` uses; `UserDefinedAggregator`
+    * is `private[sql]`, hence bridged here).
+    */
+  def scalaAggregator[IN, BUF, OUT](
+      agg: org.apache.spark.sql.expressions.Aggregator[IN, BUF, OUT],
+      enc: Encoder[IN],
+      children: Seq[Expression]): Expression =
+    org.apache.spark.sql.execution.aggregate.ScalaAggregator(
+      org.apache.spark.sql.expressions.UserDefinedAggregator(agg, enc),
+      children).toAggregateExpression()
 }

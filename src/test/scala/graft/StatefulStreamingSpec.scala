@@ -82,11 +82,15 @@ class StatefulStreamingSpec extends AnyFunSuite {
     assert(row.getString(1) == org.apache.commons.codec.digest.DigestUtils.md5Hex("the quick fox"))
     assert(row.getInt(2) == 3)
     assert(row.getString(3) == "en")
-    // mad_std as a SQL aggregate
+    // aggregates (built through the same injector-shared aggBuilder)
     spark.range(0, 101).createOrReplaceTempView("graft_fn_range")
     val m = spark.sql("SELECT mad_std(CAST(id AS DOUBLE)) AS m FROM graft_fn_range")
       .collect().head.getDouble(0)
     assert(math.abs(m - 25 * 1.4826) < 1e-9, s"mad_std=$m")
+    val td = spark.sql(
+      "SELECT tdigest_quartiles(CAST(id AS DOUBLE)) AS q FROM graft_fn_range")
+      .collect().head.getSeq[Double](0)
+    assert(td.length == 3 && math.abs(td(1) - 50.0) < 1.0, s"tdigest=$td")
   }
 
   test("GraftExtensions injector applies to a fresh extensions-enabled session") {
