@@ -192,6 +192,42 @@ object TextQueries {
     (s, dir) =>
       Dedup.prefixJaccardPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5))
 
+  /** Duplicate CLUSTERS from the near-dup pair graph: connected
+    * components via min-label propagation (every doc gets the smallest
+    * doc_id transitively reachable through Jaccard-0.5 pairs; singletons
+    * map to themselves). The oracle replays the pair derivation and then
+    * computes the TRANSITIVE CLOSURE with a recursive CTE — so the
+    * fixed-point of the distributed propagation is hash-checked against
+    * an independent exact closure.
+    */
+  val dedupComponents: Q = Q(
+    "dedup_components",
+    Some("""WITH RECURSIVE
+           |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           |         FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+           |       FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+           |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |         GROUP BY 1, 2),
+           |jp AS (SELECT id_a, id_b FROM cand p
+           |       JOIN sizes sa ON p.id_a = sa.doc_id
+           |       JOIN sizes sb ON p.id_b = sb.doc_id
+           |       WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+           |          UNION SELECT id_b, id_a FROM jp),
+           |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+           |          UNION
+           |          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+           |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin),
+    (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text", k = 3, threshold = 0.5)
+      graft.operators.Components.labelPropagationFixed(
+        d.select("doc_id"), pairs, "doc_id", "id_a", "id_b", iters = 6)
+    })
+
   /** Portable MinHash+LSH, HASH-EXACT: md5-based shingle hashes and
     * seeded universal-hash permutations are plain ANSI arithmetic, so the
     * oracle (generated from the same constants) replays the entire
@@ -495,6 +531,7 @@ object TextQueries {
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
+    dedupComponents,
     dedupLines, dedupMinHash, dedupMinHashHash, dedupSimHash, dedupSimHashHash,
     mmBytes, mmFeatures, mmFrames, pipelineClean, splitStratified,
     pipelineEmbedSplit)

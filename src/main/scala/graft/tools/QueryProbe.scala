@@ -26,14 +26,16 @@ object QueryProbe {
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime
       val df = q(spark, sfDir) // eager operators do their work here
-      val n = df.count()
+      // execute THIS df's plan (count() would build a separate execution
+      // and leave df's adaptive plan in its initial state)
+      val n = df.collect().length
       println(s"PROBE run$i rows=$n sec=${(System.nanoTime - t0) / 1e9}")
       if (i == 1) {
         val plan = df.queryExecution.executedPlan.toString
         def c(p: String) = p.r.findAllIn(plan).length
-        println(s"PROBE plan exchanges=${c("Exchange hash")} reused=${c("ReusedExchange")}"
+        println(s"PROBE plan exchanges=${c("Exchange hash")} reused=${c("Reused")}"
           + s" windows=${c("Window ")} codegen=${c("WholeStageCodegen")}"
-          + s" sorts=${c("Sort ")}")
+          + s" sorts=${c("Sort ")} stages=${c("ShuffleQueryStage")}")
       }
     }
     spark.stop()

@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Components
+
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("label propagation finds dup clusters; eager and fixed tiers agree") {
+    import spark.implicits._
+    // chain {1-2-3}, pair {10,11}, triangle {5,6,7}, singletons 20, 21
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 7L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("id_a", "id_b")
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 5L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L)
+    val eager = Components.labelPropagation(nodes, pairs, "doc_id", "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(eager == expected)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked RDD caches: ${spark.sparkContext.getPersistentRDDs.keys}")
+    val fixed = Components.labelPropagationFixed(nodes, pairs, "doc_id", "id_a", "id_b", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixed == expected)
+  }
+
+  test("a long chain needs diameter rounds and the eager tier finds it") {
+    import spark.implicits._
+    // path 0-1-2-...-9: min label 0 must travel 9 hops
+    val nodes = (0L to 9L).toDF("doc_id")
+    val pairs = (0L to 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Components.labelPropagation(nodes, pairs, "doc_id", "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 9L).map(_ -> 0L).toMap)
+    // an under-provisioned fixed unroll is NOT converged — documents why
+    // the eager tier exists
+    val shallow = Components
+      .labelPropagationFixed(nodes, pairs, "doc_id", "id_a", "id_b", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shallow(9L) != 0L)
+  }
+
+  test("empty pair set: every node is its own component") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Components.labelPropagation(nodes, pairs, "doc_id", "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+  }
+}
