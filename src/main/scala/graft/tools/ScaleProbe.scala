@@ -124,6 +124,19 @@ object ScaleProbe {
           scaledDocs(docs, c), "doc_id", "text",
           k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5).count()
       }
+      timed("components", c) {
+        val d = scaledDocs(docs, c)
+        val pairs = graft.operators.Dedup.prefixJaccardPairs(
+          d, "doc_id", "text", k = 3, threshold = 0.5)
+        graft.operators.Components.labelPropagationFixed(
+          d.select("doc_id"), pairs, "doc_id", "id_a", "id_b", iters = 6).count()
+      }
+      time("tdigest", c) { df =>
+        df.groupBy("l_returnflag")
+          .agg(graft.functions.TDigest.quantilesAgg(
+            col("l_extendedprice").cast("double"), Seq(0.25, 0.5, 0.75, 0.99)).as("q"))
+          .collect().length.toLong
+      }
     }
     spark.stop()
   }
