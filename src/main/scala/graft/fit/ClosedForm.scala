@@ -1,0 +1,59 @@
+package graft.fit
+
+/** Closed-form Gaussian estimation (Caruana's algorithm): fit a parabola
+  * a + b·u + c·u² to the log of the histogram counts by unweighted least
+  * squares, then read the Gaussian parameters off the parabola —
+  * μ = −b/2c, σ = √(−1/2c), A = exp(a − b²/4c). One aggregation pass, no
+  * iteration — the SQL-expressible counterpart of the Nelder–Mead fit in
+  * [[FitAggregators]] (reference fit loop:
+  * `scripts/time_resolution_beta_scan.py:177-193`), and the estimator a
+  * production pipeline would use to SEED that fit.
+  *
+  * Everything here is emitted as SQL TEXT shared verbatim between the
+  * Spark plan (`expr(...)`) and the DuckDB oracle, so both engines
+  * evaluate the identical IEEE expression tree — the same
+  * generate-from-one-source trick that made the LSH oracle hash-exact.
+  * Numeric constants use e-notation (`2.0e0`), which parses as DOUBLE in
+  * both dialects (a bare `2.0` is DECIMAL in Spark SQL).
+  *
+  * Conditioning: callers should feed CENTERED, UNIT-SPACED bin indices
+  * (u = bucket − nBins/2, exact small integers) rather than raw bin
+  * centers — power sums up to u⁴ then stay exact integers and the
+  * normal-equation matrix is well-conditioned, so the Cramer solve is
+  * bit-stable. Map back with μ_x = center + width·μ_u, σ_x = width·σ_u.
+  */
+object ClosedForm {
+
+  private def det3(
+      m00: String, m01: String, m02: String,
+      m10: String, m11: String, m12: String,
+      m20: String, m21: String, m22: String): String =
+    s"($m00*($m11*$m22 - $m12*$m21) - $m01*($m10*$m22 - $m12*$m20)" +
+      s" + $m02*($m10*$m21 - $m11*$m20))"
+
+  /** Cramer-rule texts `(d, na, nb, nc)` solving the 3×3 normal equations
+    * M·[a,b,c]ᵀ = r over column names s0,su,su2,su3,su4 (power sums) and
+    * sy,suy,su2y (moment sums): a = na/d, b = nb/d, c = nc/d.
+    */
+  val cramerTexts: (String, String, String, String) = {
+    val d  = det3("s0", "su", "su2", "su", "su2", "su3", "su2", "su3", "su4")
+    val na = det3("sy", "su", "su2", "suy", "su2", "su3", "su2y", "su3", "su4")
+    val nb = det3("s0", "sy", "su2", "su", "suy", "su3", "su2", "su2y", "su4")
+    val nc = det3("s0", "su", "sy", "su", "su2", "suy", "su2", "su3", "su2y")
+    (d, na, nb, nc)
+  }
+
+  /** Gaussian-parameter texts over solved columns (a, b, c), mapping the
+    * u-space parabola back to x-space for bins of `width` centered (u=0)
+    * at `center`. Non-concave parabolas (c ≥ 0 — no Gaussian peak) yield
+    * NULL rather than a domain error in either engine.
+    */
+  def paramTexts(center: Double, width: Double): (String, String, String) = {
+    val cT = s"${center.toString}e0"
+    val wT = s"${width.toString}e0"
+    val mu = s"$cT + $wT * (-(b) / (2.0e0 * c))"
+    val sg = s"CASE WHEN c < 0.0e0 THEN $wT * SQRT(-1.0e0 / (2.0e0 * c)) ELSE NULL END"
+    val am = s"CASE WHEN c < 0.0e0 THEN EXP(a - (b * b) / (4.0e0 * c)) ELSE NULL END"
+    (mu, sg, am)
+  }
+}

@@ -105,6 +105,89 @@ object FitQueries {
           FitAggregators.crossingAt(0.75)(col("l_quantity"), col("y")).as("x75"))
     })
 
+  /** N1 closed-form twin with a FULL DuckDB oracle: Caruana's algorithm
+    * (parabola fit to the log-histogram) gives Gaussian μ/σ/amplitude in
+    * one aggregation pass with no iteration, so — unlike the Nelder–Mead
+    * form above — it IS expressible in portable SQL. The entire solve is
+    * emitted from [[graft.fit.ClosedForm]] as shared SQL text evaluated
+    * by both engines, making this the hash-exact correctness anchor for
+    * the fit family (the iterative fits stay tolerance-checked by specs).
+    *
+    * Bin indices are centered to u = bucket − 12 ∈ [−12, 12]: power sums
+    * through u⁴ are exact small integers (order-independent in any
+    * engine), log-moment sums go through DetAgg decimals, and the Cramer
+    * solve on the well-conditioned system is a fixed IEEE tree.
+    */
+  val n1Caruana: Q = {
+    val (d, na, nb, nc) = graft.fit.ClosedForm.cramerTexts
+    val (muT, sgT, amT) = graft.fit.ClosedForm.paramTexts(center = 125.0, width = 10.0)
+    import graft.functions.DetAgg
+    import graft.functions.DetAgg.{Sql => D}
+    Q(
+      "n1_gaussian_caruana",
+      Some(s"""WITH po AS (
+              |  SELECT l_returnflag, l_orderkey, ${D.dsum("l_quantity")} AS qty
+              |  FROM lineitem GROUP BY 1, 2),
+              |h AS (
+              |  SELECT l_returnflag,
+              |    CAST(LEAST(GREATEST(FLOOR((qty - 0.0e0) / 1.0e1), 0), 24) AS BIGINT) AS bucket,
+              |    COUNT(*) AS n
+              |  FROM po GROUP BY 1, 2),
+              |uy AS (
+              |  SELECT l_returnflag, bucket - 12 AS u, LN(CAST(n AS DOUBLE)) AS y FROM h),
+              |m AS (
+              |  SELECT l_returnflag,
+              |    CAST(COUNT(*) AS DOUBLE) AS s0,
+              |    CAST(SUM(u) AS DOUBLE) AS su,
+              |    CAST(SUM(u*u) AS DOUBLE) AS su2,
+              |    CAST(SUM(u*u*u) AS DOUBLE) AS su3,
+              |    CAST(SUM(u*u*u*u) AS DOUBLE) AS su4,
+              |    ${D.dsum("y")} AS sy,
+              |    ${D.dsum("u * y")} AS suy,
+              |    ${D.dsum("u * u * y")} AS su2y
+              |  FROM uy GROUP BY 1),
+              |abc AS (
+              |  SELECT l_returnflag, ($na)/($d) AS a, ($nb)/($d) AS b, ($nc)/($d) AS c FROM m)
+              |SELECT l_returnflag, ROUND($muT, 6) AS mu, ROUND($sgT, 6) AS sigma,
+              |  ROUND($amT, 6) AS amplitude
+              |FROM abc""".stripMargin),
+      (s, dir) => {
+        val perOrder = Tables.load(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_orderkey")
+          .agg(DetAgg.dsum(col("l_quantity")).as("qty"))
+        val hist = perOrder
+          .select(
+            col("l_returnflag"),
+            least(greatest(floor((col("qty") - lit(0.0)) / lit(10.0)), lit(0L)), lit(24L))
+              .as("bucket"))
+          .groupBy("l_returnflag", "bucket")
+          .agg(count(lit(1)).as("n"))
+        val uy = hist.select(
+          col("l_returnflag"),
+          (col("bucket") - lit(12L)).as("u"),
+          expr("LN(CAST(n AS DOUBLE))").as("y"))
+        val m = uy.groupBy("l_returnflag").agg(
+          count(lit(1)).cast("double").as("s0"),
+          sum(col("u")).cast("double").as("su"),
+          sum(col("u") * col("u")).cast("double").as("su2"),
+          sum(col("u") * col("u") * col("u")).cast("double").as("su3"),
+          sum(col("u") * col("u") * col("u") * col("u")).cast("double").as("su4"),
+          DetAgg.dsum(col("y")).as("sy"),
+          DetAgg.dsum(col("u") * col("y")).as("suy"),
+          DetAgg.dsum(col("u") * col("u") * col("y")).as("su2y"))
+        m.select(
+            col("l_returnflag"),
+            expr(s"($na)/($d)").as("a"),
+            expr(s"($nb)/($d)").as("b"),
+            expr(s"($nc)/($d)").as("c"))
+          .select(
+            col("l_returnflag"),
+            round(expr(muT), 6).as("mu"),
+            round(expr(sgT), 6).as("sigma"),
+            round(expr(amT), 6).as("amplitude"))
+      })
+  }
+
   /** S13 support: the fitted-curve sample table a plot layer would
     * consume — Gaussian fits from N1 sampled on a per-group grid.
     */
@@ -116,5 +199,6 @@ object FitQueries {
       graft.fit.CurveTables.gaussianSamples(fits, Seq("l_returnflag"), nPoints = 50)
     })
 
-  def all: Seq[Q] = Seq(n1Gaussian, n2Langauss, n3Erf, n4Crossings, n1CurveSamples)
+  def all: Seq[Q] =
+    Seq(n1Gaussian, n2Langauss, n3Erf, n4Crossings, n1Caruana, n1CurveSamples)
 }

@@ -38,6 +38,61 @@ class FitSpec extends AnyFunSuite {
     assert(math.abs(got.amplitude - 10.0) < 1e-2)
   }
 
+  test("ClosedForm Caruana solve recovers injected Gaussian from log-histogram") {
+    import spark.implicits._
+    val (mu0, sg0, a0) = (1.7, 3.1, 500.0)
+    // noiseless log-parabola input: y = ln(A·exp(−(u−μ)²/2σ²)) on u∈[−12,12]
+    val rows = (-12 to 12).map { u =>
+      ("g", u.toLong, math.log(a0) - (u - mu0) * (u - mu0) / (2 * sg0 * sg0))
+    }
+    val uy = rows.toDF("g", "u", "y")
+    val m = uy.groupBy("g").agg(
+      count(lit(1)).cast("double").as("s0"),
+      sum(col("u")).cast("double").as("su"),
+      sum(col("u") * col("u")).cast("double").as("su2"),
+      sum(col("u") * col("u") * col("u")).cast("double").as("su3"),
+      sum(col("u") * col("u") * col("u") * col("u")).cast("double").as("su4"),
+      sum(col("y")).as("sy"),
+      sum(col("u") * col("y")).as("suy"),
+      sum(col("u") * col("u") * col("y")).as("su2y"))
+    val (d, na, nb, nc) = graft.fit.ClosedForm.cramerTexts
+    val (muT, sgT, amT) = graft.fit.ClosedForm.paramTexts(center = 0.0, width = 1.0)
+    val got = m
+      .select(
+        expr(s"($na)/($d)").as("a"),
+        expr(s"($nb)/($d)").as("b"),
+        expr(s"($nc)/($d)").as("c"))
+      .select(expr(muT).as("mu"), expr(sgT).as("sigma"), expr(amT).as("amplitude"))
+      .head()
+    assert(math.abs(got.getDouble(0) - mu0) < 1e-9, s"mu=${got.getDouble(0)}")
+    assert(math.abs(got.getDouble(1) - sg0) < 1e-9, s"sigma=${got.getDouble(1)}")
+    assert(math.abs(got.getDouble(2) - a0) < 1e-6, s"amp=${got.getDouble(2)}")
+  }
+
+  test("ClosedForm yields NULL params on a non-concave (no-peak) profile") {
+    import spark.implicits._
+    val uy = (-5 to 5).map(u => ("g", u.toLong, 0.1 * u * u)).toDF("g", "u", "y")
+    val m = uy.groupBy("g").agg(
+      count(lit(1)).cast("double").as("s0"),
+      sum(col("u")).cast("double").as("su"),
+      sum(col("u") * col("u")).cast("double").as("su2"),
+      sum(col("u") * col("u") * col("u")).cast("double").as("su3"),
+      sum(col("u") * col("u") * col("u") * col("u")).cast("double").as("su4"),
+      sum(col("y")).as("sy"),
+      sum(col("u") * col("y")).as("suy"),
+      sum(col("u") * col("u") * col("y")).as("su2y"))
+    val (d, na, nb, nc) = graft.fit.ClosedForm.cramerTexts
+    val (_, sgT, amT) = graft.fit.ClosedForm.paramTexts(center = 0.0, width = 1.0)
+    val got = m
+      .select(
+        expr(s"($na)/($d)").as("a"),
+        expr(s"($nb)/($d)").as("b"),
+        expr(s"($nc)/($d)").as("c"))
+      .select(expr(sgT).as("sigma"), expr(amT).as("amplitude"))
+      .head()
+    assert(got.isNullAt(0) && got.isNullAt(1))
+  }
+
   test("fitErf recovers injected parameters") {
     val p0 = CurveFits.ErfParams(1.0, 0.5, 2.0, 1.0)
     val xs = (-60 to 80).map(_ * 0.05).toArray
