@@ -133,6 +133,55 @@ object SimilarityQueries {
         queryId = 0L, nprobe = 4, topK = 20)
     })
 
+  /** IVF search with a FIXED coarse quantizer and a HASH-EXACT oracle:
+    * the trained `sim_ivf_topk` above is rows-only because Lloyd
+    * iterations are engine-specific, but the SEARCH kernel — normalize,
+    * nearest-centroid assignment, probe selection, probe-filtered top-k —
+    * is pure arithmetic. Pin the centroids to seeded literals (a valid
+    * coarse quantizer: random unit anchors) and the entire search path
+    * mirrors into SQL generated from the SAME literals, the trick that
+    * made `sim_lsh_pairs` hash-exact. Assignment ties and the top-k cut
+    * order identically in both engines (round-then-order, id tiebreaks).
+    */
+  val simIvfFixed: Q = {
+    val k = 8; val nprobe = 3; val topK = 20
+    val cents = Similarity.hyperplanes(k, dim = 64, seed = 7L).map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    }
+    val centLits = cents.zipWithIndex
+      .map { case (c, j) => s"($j, ${c.map(_.toString).mkString("[", ", ", "]")})" }
+      .mkString(",\n      ")
+    Q(
+      "sim_ivf_fixed_topk",
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |n AS (SELECT vec_id,
+              |        list_transform(v, x -> x / SQRT(list_dot_product(v, v))) AS vn
+              |      FROM e),
+              |q AS (SELECT vn AS qv FROM n WHERE vec_id = 0),
+              |cs AS (SELECT * FROM (VALUES
+              |      $centLits) AS t(j, c)),
+              |scored AS (SELECT n.vec_id, cs.j,
+              |        ROUND(list_dot_product(n.vn, cs.c), 9) AS s
+              |      FROM n CROSS JOIN cs),
+              |assign AS (SELECT vec_id, j AS cluster FROM (
+              |        SELECT vec_id, j,
+              |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn
+              |        FROM scored)
+              |      WHERE rn = 1),
+              |probes AS (SELECT cs.j FROM cs CROSS JOIN q
+              |      ORDER BY list_dot_product(q.qv, cs.c) DESC, cs.j LIMIT $nprobe)
+              |SELECT n.vec_id, ROUND(list_dot_product(n.vn, q.qv), 6) AS cos, a.cluster
+              |FROM n JOIN assign a USING (vec_id) CROSS JOIN q
+              |WHERE a.cluster IN (SELECT j FROM probes)
+              |ORDER BY cos DESC, vec_id LIMIT $topK""".stripMargin),
+      (s, dir) =>
+        graft.operators.Ivf.searchTopK(
+          emb(s, dir), "vec_id", "embedding",
+          graft.operators.Ivf.Model(cents),
+          queryId = 0L, nprobe = nprobe, topK = topK))
+  }
+
   /** PQ-compressed ANN with exact re-rank: 64 floats → 8 codes, ADC
     * shortlist, exact top-20 (rows-only: codebook training is
     * engine-specific; PqSpec pins recall vs brute force).
@@ -152,5 +201,6 @@ object SimilarityQueries {
         enc, e, "vec_id", "embedding", model, qv, topK = 20, rerank = 100)
     })
 
-  def all: Seq[Q] = Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simPq)
+  def all: Seq[Q] =
+    Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simIvfFixed, simPq)
 }
