@@ -528,10 +528,91 @@ object TextQueries {
           graft.functions.DetAgg.davg(round(col("nrm"), 6)).as("avg_norm"))
     })
 
+  /** Benchmark decontamination (training-pipeline gate): sources src0/src1
+    * stand in for the held-out benchmark; every other document reports the
+    * fraction of its distinct trigram shingles that appear anywhere in the
+    * benchmark. Spark joins hashed shingles against the broadcast distinct
+    * benchmark set; the oracle replays it on shingle strings.
+    */
+  val decontamNgram: Q = Q(
+    "decontam_ngram",
+    Some("""WITH toks AS (SELECT doc_id, source,
+           |         string_split_regex(trim(text), '\s+') AS t
+           |       FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, source,
+           |         concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+           |       FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)),
+           |bs AS (SELECT DISTINCT s FROM sh WHERE source IN ('src0', 'src1')),
+           |ev AS (SELECT doc_id, s FROM sh WHERE source NOT IN ('src0', 'src1')),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ev GROUP BY 1),
+           |hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM ev
+           |         WHERE s IN (SELECT s FROM bs) GROUP BY 1)
+           |SELECT sizes.doc_id, n_sh, COALESCE(n_hit, 0) AS n_hit,
+           |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_sh AS overlap,
+           |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_sh >= 0.5 AS contaminated
+           |FROM sizes LEFT JOIN hits USING (doc_id)""".stripMargin),
+    (s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("source").isin("src0", "src1"))
+      val corpus = d.filter(!col("source").isin("src0", "src1"))
+      graft.operators.Decontam.overlap(
+        corpus, bench, "doc_id", "text", k = 3, threshold = 0.5)
+    })
+
+  /** Repetition-based quality signals (the Gopher-rules shape): most-
+    * frequent-token mass and duplicate-trigram fraction per document. All
+    * outputs are integer counts or single int/int IEEE divisions — fully
+    * portable.
+    */
+  val textRepetition: Q = Q(
+    "text_repetition",
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           |       FROM documents),
+           |tc AS (SELECT doc_id, tok, COUNT(*) AS c
+           |       FROM toks, LATERAL unnest(t) AS u(tok) GROUP BY 1, 2),
+           |top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_token_count,
+           |          CAST(SUM(c) AS BIGINT) AS n_tokens
+           |        FROM tc GROUP BY 1),
+           |tri AS (SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS g
+           |        FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS gi(i)),
+           |td AS (SELECT doc_id, COUNT(*) AS tri_total,
+           |          COUNT(DISTINCT g) AS tri_distinct
+           |        FROM tri GROUP BY 1)
+           |SELECT top.doc_id, n_tokens, top_token_count,
+           |  CAST(top_token_count AS DOUBLE) / n_tokens AS frac_top_token,
+           |  COALESCE(tri_total, 0) AS tri_total,
+           |  COALESCE(tri_distinct, 0) AS tri_distinct,
+           |  CASE WHEN COALESCE(tri_total, 0) > 0
+           |    THEN 1.0e0 - CAST(tri_distinct AS DOUBLE) / tri_total
+           |    ELSE 0.0e0 END AS frac_dup_trigram
+           |FROM top LEFT JOIN td USING (doc_id)""".stripMargin),
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+      val top = base
+        .select(col("doc_id"), explode(col("t")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max("c").as("top_token_count"), sum("c").as("n_tokens"))
+      val tri = base.select(
+        col("doc_id"),
+        greatest(size(col("t")) - lit(2), lit(0)).cast("long").as("tri_total"),
+        size(Dedup.shingleFromTokens(col("t"), 3)).cast("long").as("tri_distinct"))
+      top
+        .join(tri, Seq("doc_id"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("top_token_count"),
+          (col("top_token_count").cast("double") / col("n_tokens")).as("frac_top_token"),
+          col("tri_total"), col("tri_distinct"),
+          when(col("tri_total") > 0,
+            lit(1.0) - col("tri_distinct").cast("double") / col("tri_total"))
+            .otherwise(lit(0.0)).as("frac_dup_trigram"))
+    })
+
   def all: Seq[Q] = Seq(
-    textTokens, textQuality, textLangId, textFingerprint,
+    textTokens, textQuality, textLangId, textFingerprint, textRepetition,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
-    dedupComponents,
+    dedupComponents, decontamNgram,
     dedupLines, dedupMinHash, dedupMinHashHash, dedupSimHash, dedupSimHashHash,
     mmBytes, mmFeatures, mmFrames, pipelineClean, splitStratified,
     pipelineEmbedSplit)
