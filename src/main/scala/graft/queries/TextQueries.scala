@@ -609,8 +609,70 @@ object TextQueries {
             .otherwise(lit(0.0)).as("frac_dup_trigram"))
     })
 
+  /** BM25 keyword ranking over the corpus for a fixed query-term set —
+    * the retrieval shape a data pipeline uses for targeted corpus
+    * inspection. tf/df/dl are exact integers; the per-term score is ONE
+    * shared formula text evaluated by both engines (k1=1.2, b=0.75), and
+    * per-doc scores sum through DetAgg decimals so partial-aggregation
+    * order can't break the hash. Top-50 cut is round-then-order with an
+    * id tiebreak.
+    */
+  val textBm25: Q = {
+    val terms = Seq("spark", "window", "merge")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    // shared per-term BM25 text over columns tf, df, dl, n_docs, avgdl
+    val scoreText =
+      "LN(1.0e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))" +
+        " * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0))" +
+        " / (CAST(tf AS DOUBLE)" +
+        " + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * (CAST(dl AS DOUBLE) / avgdl)))"
+    import graft.functions.DetAgg
+    import graft.functions.DetAgg.{Sql => D}
+    Q(
+      "text_bm25",
+      Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |       FROM documents),
+              |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+              |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+              |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              |       FROM dl),
+              |tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+              |       FROM toks, LATERAL unnest(t) AS u(tok)
+              |       WHERE tok IN ($termList) GROUP BY 1, 2),
+              |df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+              |sc AS (SELECT tf.doc_id, $scoreText AS s
+              |       FROM tf JOIN df USING (tok)
+              |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st)
+              |SELECT doc_id, ROUND(${D.dsum("s")}, 6) AS bm25
+              |FROM sc GROUP BY doc_id
+              |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin),
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), TextFunctions.tokens(col("text")).as("t"))
+        val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+        val st = dl.agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+        val tf = toks
+          .select(col("doc_id"), explode(col("t")).as("tok"))
+          .filter(col("tok").isin(terms: _*))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+        val sc = tf
+          .join(broadcast(df), "tok")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(st))
+          .select(col("doc_id"), expr(scoreText).as("s"))
+        sc.groupBy("doc_id")
+          .agg(round(DetAgg.dsum(col("s")), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(50)
+      })
+  }
+
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
+    textBm25,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
     dedupComponents, decontamNgram,
     dedupLines, dedupMinHash, dedupMinHashHash, dedupSimHash, dedupSimHashHash,
