@@ -22,26 +22,40 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** Fixed-round propagation as a PURE LAZY plan: `iters` unrolled
-    * join+agg stages, no caches, no driver loop — correct whenever
-    * `iters` ≥ the dup-graph diameter (document clusters: single
-    * digits). Output: (id, component) for every node in `nodes`, where
-    * component = min node id reachable through `pairs` (singletons map
-    * to themselves).
+  /** Symmetric closure of the pair list — the ONLY place the (potentially
+    * expensive) pair derivation is referenced, and it ends in a distinct
+    * exchange, so every downstream consumer (pair-node set, self-loops,
+    * propagation rounds, singleton anti-join) re-reads that one shuffle
+    * output via ReuseExchange instead of recomputing the pair plan.
     */
-  /** Symmetric closure of the pair list PLUS a self-loop per node — the
-    * self-loops make one propagation round a SINGLE join+agg over
-    * `labels` (min over neighbors-including-self). Referencing `labels`
-    * once per round keeps the unrolled lazy plan LINEAR in the round
-    * count; the naive union(labels, neighbor-mins) form references it
-    * twice and the plan tree doubles per round.
-    */
-  private def symEdges(
-      nodes: DataFrame, pairs: DataFrame, id: String, a: String, b: String): DataFrame =
+  private def symPairs(pairs: DataFrame, a: String, b: String): DataFrame =
+    // pair emitters produce unique strictly-oriented (a < b) pairs, so the
+    // two orientations are disjoint and the union needs no distinct — the
+    // pair plan's own final exchange is the reuse point
     pairs.select(col(a).as("__src"), col(b).as("__dst"))
       .unionByName(pairs.select(col(b).as("__src"), col(a).as("__dst")))
-      .unionByName(nodes.select(col(id).as("__src"), col(id).as("__dst")))
-      .distinct()
+
+  /** Nodes that appear in at least one pair — the only nodes whose label
+    * can ever differ from their own id. Everything else is a singleton
+    * and bypasses propagation entirely, so the per-round shuffles move
+    * the DUP-GRAPH (typically a sliver of the corpus), not the corpus:
+    * at 100 TB the propagation cost tracks how much duplication exists,
+    * not how much data. The symmetric closure contains every pair-node
+    * as a `__src`.
+    */
+  private def pairNodes(sym: DataFrame, id: String): DataFrame =
+    sym.select(col("__src").as(id)).distinct()
+
+  /** Closure + a self-loop per pair-node — the self-loops make one
+    * propagation round a SINGLE join+agg over `labels` (min over
+    * neighbors-including-self). Referencing `labels` once per round
+    * keeps the unrolled lazy plan LINEAR in the round count; the naive
+    * union(labels, neighbor-mins) form references it twice and the plan
+    * tree doubles per round. `sym` has no self-loops (pairs are strict),
+    * so the union needs no extra distinct — no extra shuffle.
+    */
+  private def symEdges(sym: DataFrame, pn: DataFrame, id: String): DataFrame =
+    sym.unionByName(pn.select(col(id).as("__src"), col(id).as("__dst")))
 
   private def round(edges: DataFrame, labels: DataFrame, id: String): DataFrame =
     edges
@@ -49,6 +63,14 @@ object Components {
       .groupBy(col("__src").as(id))
       .agg(min("component").as("component"))
 
+  /** Fixed-round propagation as a PURE LAZY plan: `iters` unrolled
+    * join+agg stages over the pair-node subgraph, no caches, no driver
+    * loop — correct whenever `iters` ≥ the dup-graph diameter (document
+    * clusters: single digits). Singletons join back via one broadcast
+    * anti-join with component = id. Output: (id, component) for every
+    * node in `nodes`, component = min node id transitively reachable
+    * through `pairs`.
+    */
   def labelPropagationFixed(
       nodes: DataFrame,
       pairs: DataFrame,
@@ -56,11 +78,15 @@ object Components {
       a: String,
       b: String,
       iters: Int): DataFrame = {
-    val edges = symEdges(nodes, pairs, id, a, b)
-    var labels = nodes.select(col(id)).distinct()
-      .withColumn("component", col(id))
+    val sym = symPairs(pairs, a, b)
+    val pn = pairNodes(sym, id)
+    val edges = symEdges(sym, pn, id)
+    var labels = pn.withColumn("component", col(id))
     (1 to iters).foreach(_ => labels = round(edges, labels, id))
-    labels
+    val singletons = nodes.select(col(id)).distinct()
+      .join(pn, Seq(id), "left_anti")
+      .withColumn("component", col(id))
+    labels.unionByName(singletons)
   }
 
   /** Convergence-checked tier: iterate EAGERLY with per-round persisted
@@ -80,13 +106,15 @@ object Components {
       b: String,
       maxIters: Int = 20): DataFrame = {
     val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = symEdges(nodes, pairs, id, a, b)
+    val sym = symPairs(pairs, a, b)
+    val pn = pairNodes(sym, id)
+    val edges = symEdges(sym, pn, id)
     def labelSum(df: DataFrame): BigDecimal =
-      BigDecimal(df.agg(sum(col("component").cast("decimal(38,0)")).as("s"))
-        .collect()(0).getDecimal(0))
+      Option(df.agg(sum(col("component").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0))   // null on an empty (pair-free) graph
+        .map(BigDecimal(_)).getOrElse(BigDecimal(0))
     val needed = Caching.withCachedLevel(level, edges) {
-      var cur = nodes.select(col(id)).distinct()
-        .withColumn("component", col(id)).persist(level)
+      var cur = pn.withColumn("component", col(id)).persist(level)
       var curSum = labelSum(cur)
       var k = 0
       var converged = false

@@ -223,6 +223,9 @@ object TextQueries {
            |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin),
     (s, dir) => {
       val d = docs(s, dir)
+      // plain shingle-join pairs: cheaper than the prefix-filtered form
+      // INSIDE an unrolled multi-round plan (the PPJoin window sorts
+      // replicate per round faster than exchange reuse dedupes them)
       val pairs = Dedup.jaccardPairs(d, "doc_id", "text", k = 3, threshold = 0.5)
       graft.operators.Components.labelPropagationFixed(
         d.select("doc_id"), pairs, "doc_id", "id_a", "id_b", iters = 6)
