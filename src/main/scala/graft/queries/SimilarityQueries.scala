@@ -201,6 +201,78 @@ object SimilarityQueries {
         enc, e, "vec_id", "embedding", model, qv, topK = 20, rerank = 100)
     })
 
+  /** PQ search with FIXED codebooks and a HASH-EXACT oracle — the PQ twin
+    * of [[simIvfFixed]]: codebook training stays engine-specific
+    * (rows-only above), but encode → ADC shortlist → exact re-rank is
+    * pure arithmetic, so with seeded literal codebooks the whole search
+    * pipeline mirrors into SQL generated from the same literals. The ADC
+    * per-row sum is a FIXED left-associative chain (s = 0..m−1) in both
+    * engines, so the unrounded shortlist cut is still deterministic.
+    */
+  val simPqFixed: Q = {
+    val m = 8; val k = 16; val subDim = 8; val rerank = 100; val topK = 20
+    val books: Array[Array[Array[Double]]] = {
+      val flat = Similarity.hyperplanes(m * k, dim = subDim, seed = 23L)
+      (0 until m).toArray.map(s => (0 until k).toArray.map(j => flat(s * k + j)))
+    }
+    def dl(x: Double): String = {
+      val s = x.toString
+      if (s.contains("E") || s.contains("e")) s else s + "e0"
+    }
+    val centLits = (0 until m).flatMap { s =>
+      books(s).zipWithIndex.map { case (c, j) =>
+        val half = c.map(x => x * x).sum / 2.0
+        s"($s, $j, ${c.map(_.toString).mkString("[", ", ", "]")}, ${dl(half)})"
+      }
+    }.mkString(",\n      ")
+    val adcChain = (0 until m)
+      .map(s => s"MAX(CASE WHEN s = $s THEN t END)")
+      .mkString("0.0e0 + ", " + ", "")
+    Q(
+      "sim_pq_fixed_topk",
+      Some(s"""WITH cents AS (SELECT * FROM (VALUES
+              |      $centLits) AS t(s, j, c, half)),
+              |eq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+              |q0 AS (SELECT list_transform(qv, x -> x / SQRT(list_dot_product(qv, qv))) AS q
+              |       FROM eq),
+              |tbl AS (SELECT s, j,
+              |        list_dot_product(c, q[s*$subDim+1 : s*$subDim+$subDim]) AS t
+              |      FROM cents CROSS JOIN q0),
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |n AS (SELECT vec_id,
+              |        list_transform(v, x -> x / SQRT(list_dot_product(v, v))) AS vn
+              |      FROM e),
+              |sc AS (SELECT n.vec_id, cents.s, cents.j,
+              |        ROUND(list_dot_product(vn[cents.s*$subDim+1 : cents.s*$subDim+$subDim],
+              |                               cents.c) - cents.half, 9) AS score
+              |      FROM n CROSS JOIN cents),
+              |codes AS (SELECT vec_id, s, j FROM (
+              |        SELECT vec_id, s, j,
+              |          ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY score DESC, j) AS rn
+              |        FROM sc)
+              |      WHERE rn = 1),
+              |ct AS (SELECT c.vec_id, c.s, tbl.t FROM codes c JOIN tbl USING (s, j)),
+              |adc AS (SELECT vec_id, $adcChain AS adc FROM ct GROUP BY vec_id),
+              |short AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT $rerank)
+              |SELECT e.vec_id,
+              |  ROUND(list_dot_product(e.v, eq.qv)
+              |    / (SQRT(list_dot_product(e.v, e.v)) * SQRT(list_dot_product(eq.qv, eq.qv))), 6)
+              |    AS cos
+              |FROM e JOIN short USING (vec_id) CROSS JOIN eq
+              |ORDER BY cos DESC, vec_id LIMIT $topK""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val model = graft.operators.Pq.Model(books)
+        val enc = graft.operators.Pq.encode(e, "vec_id", "embedding", model)
+        val qv = e.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .collect().head.getSeq[Double](0).toArray
+        graft.operators.Pq.searchTopK(
+          enc, e, "vec_id", "embedding", model, qv, topK = topK, rerank = rerank)
+      })
+  }
+
   def all: Seq[Q] =
-    Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simIvfFixed, simPq)
+    Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simIvfFixed, simPq,
+      simPqFixed)
 }
