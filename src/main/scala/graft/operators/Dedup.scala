@@ -69,6 +69,53 @@ object Dedup {
       .groupBy("dedup_key")
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental dedup — the daily-ingest shape: flag each INCOMING
+    * document against the EXISTING corpus on two tiers, exact
+    * (normalized-content fingerprint membership) and near (any existing
+    * doc with k-gram Jaccard ≥ threshold). Returns one row per incoming
+    * doc: (id, exact_dup, near_dup, kept).
+    *
+    * At 100 TB the existing side is a precomputed fingerprint/shingle
+    * store read from parquet, not recomputed — both tiers here consume
+    * only (key) / (id, shingle-hash) projections, exactly the columns
+    * such a store persists. The near tier shuffles by shingle hash, so
+    * cost tracks shared-shingle volume, never |incoming| × |existing|.
+    */
+  def incrementalFlags(
+      incoming: DataFrame,
+      existing: DataFrame,
+      id: String,
+      text: String,
+      fingerprint: Column => Column,
+      k: Int,
+      threshold: Double): DataFrame = {
+    val exKeys = existing.select(fingerprint(col(text)).as("__key")).distinct()
+    val exact = incoming
+      .select(col(id), fingerprint(col(text)).as("__key"))
+      .join(exKeys.withColumn("__hit", lit(true)), Seq("__key"), "left")
+      .select(col(id), coalesce(col("__hit"), lit(false)).as("exact_dup"))
+    val inSh = Dedup.shingles(incoming, id, text, k)
+      .select(col(id).as("__in"), xxhash64(col("shingle")).as("h"))
+    val exSh = Dedup.shingles(existing, id, text, k)
+      .select(col(id).as("__ex"), xxhash64(col("shingle")).as("h"))
+    val inSizes = inSh.groupBy("__in").agg(count(lit(1)).as("na"))
+    val exSizes = exSh.groupBy("__ex").agg(count(lit(1)).as("nb"))
+    val near = inSh.join(exSh, "h")
+      .groupBy("__in", "__ex").agg(count(lit(1)).as("common"))
+      .join(inSizes, "__in")
+      .join(exSizes, "__ex")
+      .filter(
+        col("common").cast("double") / (col("na") + col("nb") - col("common"))
+          >= lit(threshold))
+      .select(col("__in").as(id))
+      .distinct()
+      .withColumn("near_dup", lit(true))
+    exact
+      .join(near, Seq(id), "left")
+      .na.fill(false, Seq("near_dup"))
+      .withColumn("kept", !col("exact_dup") && !col("near_dup"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs: shingle self-join → common
     * counts → |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. Quadratic in docs
     * sharing a shingle — use [[minHashPairs]] when that bound is unsafe.

@@ -231,6 +231,59 @@ object TextQueries {
         d.select("doc_id"), pairs, "doc_id", "id_a", "id_b", iters = 6)
     })
 
+  /** Incremental (new-batch-vs-corpus) dedup — the daily-ingest shape:
+    * sources src0–src9 stand in for the already-ingested corpus, the
+    * rest arrive as the new batch, and every incoming doc is flagged on
+    * an exact tier (normalized-content fingerprint membership) and a
+    * near tier (any existing doc at trigram Jaccard ≥ 0.5). Fully
+    * oracle-checked; at scale the existing side reads a persisted
+    * fingerprint/shingle store instead of recomputing (see
+    * [[graft.operators.Dedup.incrementalFlags]]).
+    */
+  val dedupIncremental: Q = {
+    val exSrcs = (0 to 9).map(i => s"'src$i'").mkString(", ")
+    Q(
+      "dedup_incremental",
+      Some(s"""WITH ex AS (SELECT * FROM documents WHERE source IN ($exSrcs)),
+              |inc AS (SELECT * FROM documents WHERE source NOT IN ($exSrcs)),
+              |exk AS (SELECT DISTINCT
+              |          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+              |        FROM ex),
+              |exact AS (SELECT doc_id,
+              |          md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+              |            IN (SELECT fp FROM exk) AS exact_dup
+              |        FROM inc),
+              |ish AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+              |        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |              FROM inc) toks,
+              |          LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)),
+              |esh AS (SELECT DISTINCT doc_id AS ex_id,
+              |          concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+              |        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              |              FROM ex) toks,
+              |          LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)),
+              |isz AS (SELECT doc_id, COUNT(*) AS na FROM ish GROUP BY 1),
+              |esz AS (SELECT ex_id, COUNT(*) AS nb FROM esh GROUP BY 1),
+              |near AS (SELECT DISTINCT p.doc_id FROM (
+              |          SELECT ish.doc_id, esh.ex_id, COUNT(*) AS common
+              |          FROM ish JOIN esh ON ish.s = esh.s GROUP BY 1, 2) p
+              |        JOIN isz USING (doc_id) JOIN esz USING (ex_id)
+              |        WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5)
+              |SELECT e.doc_id, exact_dup, near.doc_id IS NOT NULL AS near_dup,
+              |  NOT exact_dup AND near.doc_id IS NULL AS kept
+              |FROM exact e LEFT JOIN near ON e.doc_id = near.doc_id""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val srcs = (0 to 9).map(i => s"src$i")
+        graft.operators.Dedup.incrementalFlags(
+          incoming = d.filter(!col("source").isin(srcs: _*)),
+          existing = d.filter(col("source").isin(srcs: _*)),
+          id = "doc_id", text = "text",
+          fingerprint = TextFunctions.fingerprint,
+          k = 3, threshold = 0.5)
+      })
+  }
+
   /** Portable MinHash+LSH, HASH-EXACT: md5-based shingle hashes and
     * seeded universal-hash permutations are plain ANSI arithmetic, so the
     * oracle (generated from the same constants) replays the entire
@@ -677,7 +730,7 @@ object TextQueries {
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
     textBm25,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
-    dedupComponents, decontamNgram,
+    dedupComponents, decontamNgram, dedupIncremental,
     dedupLines, dedupMinHash, dedupMinHashHash, dedupSimHash, dedupSimHashHash,
     mmBytes, mmFeatures, mmFrames, pipelineClean, splitStratified,
     pipelineEmbedSplit)

@@ -141,6 +141,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got(4L) == "two: <EMAIL> and <PHONE>!")
   }
 
+  test("incrementalFlags: exact, near, and fresh incoming docs flag correctly") {
+    import spark.implicits._
+    val existing = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "Alpha  beta GAMMA delta epsilon zeta eta theta"), // exact (normalized)
+      (2L, "one two three four five six seven eight nine updated"), // near
+      (3L, "entirely novel content with no overlap whatsoever today")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.incrementalFlags(
+      incoming, existing, "doc_id", "text",
+      TextFunctions.fingerprint, k = 3, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    // exact tier normalizes case/whitespace; the shingle tier is
+    // case-sensitive (jaccardPairs semantics), so doc 1 is exact-only
+    assert(got(1L) == ((true, false, false)))
+    assert(got(2L) == ((false, true, false)))
+    assert(got(3L) == ((false, false, true)))
+  }
+
   test("langId: stopword argmax with alphabetical tiebreak; CJK → zh") {
     import spark.implicits._
     val df = Seq(
