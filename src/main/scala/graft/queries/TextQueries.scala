@@ -726,9 +726,42 @@ object TextQueries {
       })
   }
 
+  /** Per-source corpus report — the composed stats a pipeline owner
+    * watches per ingest: volume, token mass, mean length, language mix,
+    * exact-dup rate. Counts are exact; every ratio is one IEEE division.
+    */
+  val corpusReport: Q = Q(
+    "corpus_report",
+    Some("""WITH b AS (SELECT source, lang,
+           |    len(string_split_regex(trim(text), '\s+')) AS n_tok,
+           |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+           |  FROM documents)
+           |SELECT source,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS mean_tokens,
+           |  CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS DOUBLE) / COUNT(*) AS frac_en,
+           |  1.0e0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*) AS dup_rate
+           |FROM b GROUP BY source""".stripMargin),
+    (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("source"), col("lang"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          (sum("n_tok").cast("double") / count(lit(1))).as("mean_tokens"),
+          (count(when(col("lang") === "en", lit(1))).cast("double") / count(lit(1)))
+            .as("frac_en"),
+          (lit(1.0) - countDistinct(col("fp")).cast("double") / count(lit(1)))
+            .as("dup_rate")))
+
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
-    textBm25,
+    textBm25, corpusReport,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
     dedupComponents, decontamNgram, dedupIncremental,
     dedupLines, dedupMinHash, dedupMinHashHash, dedupSimHash, dedupSimHashHash,
