@@ -94,4 +94,33 @@ class PlanSpec extends AnyFunSuite {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("bucketed tables co-locate an equi-join: no exchange on either side") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val conf = s.conf
+    val saved = scala.util.Try(conf.get("spark.sql.autoBroadcastJoinThreshold")).toOption
+    s.sql("DROP TABLE IF EXISTS g_bucket_l")
+    s.sql("DROP TABLE IF EXISTS g_bucket_r")
+    try {
+      (1 to 2000).map(i => (i.toLong % 97, i.toDouble)).toDF("k", "x")
+        .write.bucketBy(8, "k").sortBy("k").saveAsTable("g_bucket_l")
+      (1 to 2000).map(i => (i.toLong % 89, s"v$i")).toDF("k", "v")
+        .write.bucketBy(8, "k").sortBy("k").saveAsTable("g_bucket_r")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      val j = s.table("g_bucket_l").join(s.table("g_bucket_r"), "k")
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        "bucketed join still shuffles:\n" + p.take(1200))
+    } finally {
+      saved match {
+        case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      s.sql("DROP TABLE IF EXISTS g_bucket_l")
+      s.sql("DROP TABLE IF EXISTS g_bucket_r")
+    }
+  }
 }
