@@ -131,6 +131,19 @@ object ScaleProbe {
         graft.operators.Components.labelPropagationFixed(
           d.select("doc_id"), pairs, "doc_id", "id_a", "id_b", iters = 6).count()
       }
+      timed("decontam", c) {
+        val d = scaledDocs(docs, c)
+        graft.operators.Decontam.overlap(
+          d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", k = 3, threshold = 0.5).count()
+      }
+      timed("incremental", c) {
+        val d = scaledDocs(docs, c)
+        graft.operators.Dedup.incrementalFlags(
+          d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", graft.functions.TextFunctions.fingerprint,
+          k = 3, threshold = 0.5).count()
+      }
       time("tdigest", c) { df =>
         df.groupBy("l_returnflag")
           .agg(graft.functions.TDigest.quantilesAgg(
