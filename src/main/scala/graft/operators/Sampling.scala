@@ -73,6 +73,60 @@ object Sampling {
       seed: Int): DataFrame =
     tokenBudgetCapBy(df, strata, tokens, budget, shuffleKeyFull(col(id), seed), col(id))
 
+  /** Temperature-scaled source mixing — the standard multilingual /
+    * multi-source rebalancing: stratum s gets a document budget
+    * ∝ n_s^τ (τ < 1 flattens the mix toward rare strata), filled with
+    * the stratum's lowest-shuffle-key docs (uniform, deterministic).
+    *
+    * τ = 0.5: weights are `sqrt(n_s)` — sqrt is a correctly-rounded IEEE
+    * op in every engine, and the weight total goes through a DetAgg
+    * decimal, so targets are bit-portable (this is the oracle tier).
+    * Arbitrary τ goes through `pow` (production tier — pow's last-ulp is
+    * libm-specific, spec-verified instead).
+    */
+  def temperatureMixSqrt(
+      df: DataFrame,
+      id: String,
+      stratum: String,
+      budget: Long,
+      seed: Int): DataFrame =
+    temperatureMixBy(df, id, stratum, budget, seed, n => sqrt(n.cast("double")))
+
+  /** [[temperatureMixSqrt]] with arbitrary temperature (production tier,
+    * `pow`-based weights).
+    */
+  def temperatureMix(
+      df: DataFrame,
+      id: String,
+      stratum: String,
+      budget: Long,
+      tau: Double,
+      seed: Int): DataFrame =
+    temperatureMixBy(df, id, stratum, budget, seed, n => pow(n.cast("double"), lit(tau)))
+
+  private def temperatureMixBy(
+      df: DataFrame,
+      id: String,
+      stratum: String,
+      budget: Long,
+      seed: Int,
+      weight: Column => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.DetAgg
+    val counts = df.groupBy(stratum).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", weight(col("__n")))
+    val tot = counts.agg(DetAgg.dsum(col("__w")).as("__wsum"))
+    val targets = counts.crossJoin(broadcast(tot))
+      .select(
+        col(stratum),
+        floor(lit(budget.toDouble) * col("__w") / col("__wsum")).as("__target"))
+    val w = Window.partitionBy(col(stratum)).orderBy(shuffleKey(col(id), seed), col(id))
+    df.join(broadcast(targets), stratum)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("__target"))
+      .drop("__rn", "__target")
+  }
+
   private def tokenBudgetCapBy(
       df: DataFrame,
       strata: Seq[String],

@@ -131,6 +131,33 @@ object ProfileQueries {
           sum(col("n_tokens")).as("total_tokens"))
     })
 
+  /** Temperature mixing at τ = 0.5: per-language doc budgets ∝ √n_lang
+    * out of 300 total, filled by hash order — kept counts per language.
+    * The √-weight total rides a DetAgg decimal, so the floor'd targets
+    * are bit-portable (see `Sampling.temperatureMixSqrt`).
+    */
+  val sampleTemperature: Q = Q(
+    "sample_temperature",
+    Some(s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+            |w AS (SELECT lang, SQRT(CAST(n AS DOUBLE)) AS w FROM c),
+            |tot AS (SELECT ${graft.functions.DetAgg.Sql.dsum("w")} AS wsum FROM w),
+            |t AS (SELECT lang, FLOOR(3.0e2 * w / wsum) AS target
+            |      FROM w CROSS JOIN tot),
+            |r AS (SELECT doc_id, lang,
+            |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+            |          ((doc_id + 7) % 100000) * 2654435761 % 4294967296, doc_id) AS rn
+            |      FROM documents)
+            |SELECT lang, COUNT(*) AS n_kept
+            |FROM r JOIN t USING (lang) WHERE rn <= target
+            |GROUP BY lang""".stripMargin),
+    (s, dir) =>
+      graft.operators.Sampling.temperatureMixSqrt(
+        Tables.load(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", budget = 300L, seed = 7)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept")))
+
   def all: Seq[Q] = Seq(
-    profileLineitem, textRedact, ksQuantity, sampleMix, sampleBudget)
+    profileLineitem, textRedact, ksQuantity, sampleMix, sampleBudget,
+    sampleTemperature)
 }

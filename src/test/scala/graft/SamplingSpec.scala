@@ -69,4 +69,24 @@ class SamplingSpec extends AnyFunSuite {
     val kept = capped.select("doc_id").collect().map(_.getLong(0))
     assert(kept.length == 50 && kept.max > 200L)
   }
+
+  test("temperature mixing flattens toward rare strata; τ=1 is proportional") {
+    import spark.implicits._
+    // 900 "big" docs vs 100 "small": proportional shares 90/10,
+    // √-weights 30/10 → shares 75/25
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1001 to 1100).map(i => (i.toLong, "small"))).toDF("doc_id", "s")
+    val sqrtKept = Sampling.temperatureMixSqrt(df, "doc_id", "s", budget = 100L, seed = 3)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sqrtKept == Map("big" -> 75L, "small" -> 25L), sqrtKept.toString)
+    val propKept = Sampling.temperatureMix(df, "doc_id", "s", budget = 100L, tau = 1.0, seed = 3)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(propKept == Map("big" -> 90L, "small" -> 10L), propKept.toString)
+    // determinism: same seed → same kept set
+    val a = Sampling.temperatureMixSqrt(df, "doc_id", "s", 100L, seed = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMixSqrt(df, "doc_id", "s", 100L, seed = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
 }
