@@ -272,7 +272,32 @@ object SimilarityQueries {
       })
   }
 
+  /** Per-label embedding centroids in long form (label, pos, mean) — the
+    * distributed vector-statistics shape behind cluster summaries and
+    * k-means updates: one posexplode + hash aggregate, per-dimension
+    * means through DetAgg decimals (order-independent, hash-exact).
+    */
+  val embCentroids: Q = {
+    import graft.functions.DetAgg
+    import graft.functions.DetAgg.{Sql => D}
+    Q(
+      "emb_centroids",
+      Some(s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |x AS (SELECT label, g.i - 1 AS pos, v[g.i] AS x
+              |      FROM e, LATERAL unnest(generate_series(1, len(v))) AS g(i))
+              |SELECT label, pos, ${D.davg("x")} AS mean
+              |FROM x GROUP BY 1, 2""".stripMargin),
+      (s, dir) =>
+        emb(s, dir)
+          .select(
+            col("label"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+          .groupBy("label", "pos")
+          .agg(DetAgg.davg(col("x")).as("mean"))
+          .select(col("label"), col("pos").cast("long").as("pos"), col("mean")))
+  }
+
   def all: Seq[Q] =
     Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simIvfFixed, simPq,
-      simPqFixed)
+      simPqFixed, embCentroids)
 }
