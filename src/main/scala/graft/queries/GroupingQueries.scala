@@ -86,13 +86,25 @@ object GroupingQueries {
     */
   val approxDistinct: Q = Q(
     "agg_approx_distinct",
-    None,
+    // accuracy CERTIFICATE (the t-digest pattern): the HLL estimate is
+    // engine-specific, so the oracle checks the property instead — the
+    // exact count must match AND the Spark-side verdict that the sketch
+    // landed within 5% must be true. DuckDB emits the exact counts with
+    // literal TRUE; the hash matches iff every group's estimate is in
+    // tolerance.
+    Some("""SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact,
+           |  TRUE AS within_5pct
+           |FROM lineitem GROUP BY l_returnflag""".stripMargin),
     (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           countDistinct(col("l_orderkey")).as("n_exact"),
-          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("n_approx")))
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("n_approx"))
+        .select(
+          col("l_returnflag"), col("n_exact"),
+          (abs(col("n_approx").cast("double") - col("n_exact"))
+            / col("n_exact") < lit(0.05)).as("within_5pct")))
 
   /** Exact-distinct twin of [[approxDistinct]] — hash-checked. */
   val distinctExact: Q = Q(
