@@ -36,4 +36,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(s.nonEmpty && s.subsetOf(b), s"streamed=${s.size} batch=${b.size}")
     } finally q.stop()
   }
+
+  test("streaming t-digest window quantiles: estimates sit inside the exact envelope") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_stream_q")
+    Files.copy(
+      Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    graft.streaming.QuantileStream.runOnce(
+      spark, dir.toString, qs = Seq(0.25, 0.5, 0.75), "stream_q_out")
+    val rows = spark.table("stream_q_out").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val qs = r.getSeq[Double](2)
+      val (n, vmin, vmax) = (r.getLong(3), r.getDouble(4), r.getDouble(5))
+      assert(qs.length == 3)
+      // quantile estimates must be monotone and inside [min, max]
+      assert(qs.sliding(2).forall(p => p.head <= p.last), qs.toString)
+      assert(qs.head >= vmin - 1e-9 && qs.last <= vmax + 1e-9,
+        s"q=$qs outside [$vmin,$vmax] (n=$n)")
+    }
+    // per-window medians should agree with exact batch medians in rank:
+    // the true rank of the streamed estimate must be within 5% of 0.5
+    val batch = spark.read.schema(EventsStream.eventsSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(collect_list(col("value")).as("vs"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("vs"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getSeq[Double](2).sorted)
+      .toMap
+    rows.foreach { r =>
+      val key = (r.getTimestamp(0), r.getString(1))
+      val med = r.getSeq[Double](2)(1)
+      val vs = batch(key)
+      val rank = vs.count(_ <= med).toDouble / vs.length
+      assert(math.abs(rank - 0.5) < 0.05 || vs.length < 20,
+        s"median rank $rank off for $key (n=${vs.length})")
+    }
+  }
 }
