@@ -759,9 +759,78 @@ object TextQueries {
           (lit(1.0) - countDistinct(col("fp")).cast("double") / count(lit(1)))
             .as("dup_rate")))
 
+  /** Capstone pretraining-mix pipeline — the round-3 operators chained
+    * end to end as ONE lazy plan with ONE oracle: benchmark
+    * decontamination (src0/src1 as the held-out set) → exact dedup
+    * (min-id survivor per fingerprint) → temperature mixing (τ = 0.5 by
+    * language, 200-doc budget) → per-language report. Every stage is the
+    * bit-portable tier of its operator, so the composition is hash-exact
+    * even though it crosses four operator families.
+    */
+  val pipelineMix: Q = Q(
+    "pipeline_pretraining_mix",
+    Some(s"""WITH toks AS (SELECT doc_id, source,
+            |         string_split_regex(trim(text), '\\s+') AS t
+            |       FROM documents),
+            |sh AS (SELECT DISTINCT doc_id, source,
+            |         concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+            |       FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)),
+            |bs AS (SELECT DISTINCT s FROM sh WHERE source IN ('src0', 'src1')),
+            |ev AS (SELECT doc_id, s FROM sh WHERE source NOT IN ('src0', 'src1')),
+            |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ev GROUP BY 1),
+            |hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM ev
+            |         WHERE s IN (SELECT s FROM bs) GROUP BY 1),
+            |flagged AS (SELECT sizes.doc_id
+            |       FROM sizes LEFT JOIN hits USING (doc_id)
+            |       WHERE CAST(COALESCE(n_hit, 0) AS DOUBLE) / n_sh >= 0.5),
+            |clean AS (SELECT doc_id, lang, text,
+            |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            |       FROM documents
+            |       WHERE source NOT IN ('src0', 'src1')
+            |         AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+            |ded AS (SELECT doc_id, lang, text FROM (
+            |         SELECT doc_id, lang, text,
+            |           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            |         FROM clean)
+            |       WHERE rn = 1),
+            |c AS (SELECT lang, COUNT(*) AS n FROM ded GROUP BY lang),
+            |w AS (SELECT lang, SQRT(CAST(n AS DOUBLE)) AS w FROM c),
+            |tot AS (SELECT ${graft.functions.DetAgg.Sql.dsum("w")} AS wsum FROM w),
+            |tg AS (SELECT lang, FLOOR(2.0e2 * w / wsum) AS target
+            |       FROM w CROSS JOIN tot),
+            |r AS (SELECT doc_id, lang,
+            |         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+            |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+            |           ((doc_id + 13) % 100000) * 2654435761 % 4294967296, doc_id) AS rn
+            |       FROM ded)
+            |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+            |FROM r JOIN tg USING (lang) WHERE rn <= target
+            |GROUP BY lang""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val bench = d.filter(col("source").isin("src0", "src1"))
+      val corpus = d.filter(!col("source").isin("src0", "src1"))
+      val clean = graft.operators.Decontam.clean(
+        corpus, bench, "doc_id", "text", k = 3, threshold = 0.5)
+      val ded = clean
+        .withColumn("__fp", TextFunctions.fingerprint(col("text")))
+        .withColumn(
+          "__rn",
+          row_number().over(Window.partitionBy("__fp").orderBy("doc_id")))
+        .filter(col("__rn") === 1)
+        .select("doc_id", "lang", "text")
+      graft.operators.Sampling
+        .temperatureMixSqrt(ded, "doc_id", "lang", budget = 200L, seed = 13)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(TextFunctions.tokens(col("text"))).cast("long")).as("n_tokens"))
+    })
+
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
-    textBm25, corpusReport,
+    textBm25, corpusReport, pipelineMix,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
     dedupComponents, decontamNgram, dedupIncremental,
     dedupLines, dedupMinHash, dedupMinHashHash, dedupSimHash, dedupSimHashHash,
