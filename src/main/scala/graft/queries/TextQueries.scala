@@ -432,6 +432,53 @@ object TextQueries {
           xxhash64(col("features").cast(StringType)).as("features_hash"))
     })
 
+  /** HASH-EXACT twin of `mm_features`: the SAME `extractFeatures`
+    * mapPartitions operator, but emitting the feature lanes in long form
+    * (media_id, lane, feat) so every value is hashable — and the oracle
+    * replays the full byte-level computation in DuckDB: UTF-8 bytes via
+    * hex-pair parsing, FNV-1a with HUGEINT wrap-around multiplication
+    * (the 2⁶⁴ modulus fits: (2⁶⁴−1)·2⁴⁰ < 2¹²⁷), byte-lane means with
+    * the float rounding mirrored by a DOUBLE→FLOAT→DOUBLE cast chain.
+    * This closes the last oracle-less operator family — the multimodal
+    * plumbing's arithmetic is now bit-checked, with only the codec stub
+    * itself (by design) engine-local.
+    */
+  val mmFeaturesHash: Q = Q(
+    "mm_features_hash",
+    Some("""WITH d AS (SELECT doc_id AS media_id, text FROM documents),
+           |b AS (SELECT media_id,
+           |        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           |        list_transform(range(1, octet_length(encode(text)) * 2, 2),
+           |          i -> CAST(CAST('0x' || substr(hex(encode(text)), CAST(i AS INT), 2)
+           |                 AS BIGINT) AS HUGEINT)) AS bytes
+           |      FROM d),
+           |h AS (SELECT media_id, n_bytes, bytes,
+           |        list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), bytes),
+           |          (a, x) -> (xor(a, x) * 1099511628211) % 18446744073709551616) AS hu
+           |      FROM b),
+           |l AS (SELECT media_id, n_bytes, hu, bytes, UNNEST(range(0, 8)) AS lane FROM h)
+           |SELECT media_id, n_bytes,
+           |  CAST(CASE WHEN hu >= 9223372036854775808
+           |    THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS content_hash,
+           |  CAST(lane AS BIGINT) AS lane,
+           |  CAST(CAST(CAST(COALESCE(list_sum(list_transform(bytes,
+           |        (x, i) -> CASE WHEN (i - 1) % 8 = lane THEN x ELSE CAST(0 AS HUGEINT) END)), 0)
+           |      AS DOUBLE) / greatest(n_bytes, 1) AS FLOAT) AS DOUBLE) AS feat
+           |FROM l""".stripMargin),
+    (s, dir) => {
+      val media = docs(s, dir).select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.extractFeatures(media)
+        .select(
+          col("media_id"), col("n_bytes"), col("content_hash"),
+          posexplode(col("features")).as(Seq("lane", "feat")))
+        .select(
+          col("media_id"), col("n_bytes"), col("content_hash"),
+          col("lane").cast(LongType).as("lane"),
+          col("feat").cast("double").as("feat"))
+    })
+
   /** Multimodal frame sampling: every 7th frame index of each synthetic
     * `video` row — pure plan-side arithmetic ([[Multimodal.sampleFrameIndexes]]),
     * so it is fully oracle-checked (`generate_series` mirror).
@@ -834,6 +881,6 @@ object TextQueries {
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
     dedupComponents, decontamNgram, dedupIncremental,
     dedupLines, dedupMinHash, dedupMinHashHash, dedupSimHash, dedupSimHashHash,
-    mmBytes, mmFeatures, mmFrames, pipelineClean, splitStratified,
+    mmBytes, mmFeatures, mmFeaturesHash, mmFrames, pipelineClean, splitStratified,
     pipelineEmbedSplit)
 }
