@@ -90,7 +90,34 @@ object FitQueries {
     */
   val n4Crossings: Q = Q(
     "n4_interp_crossing",
-    None,
+    // full oracle for the buffering CrossingAgg aggregator itself: the
+    // ECDF y-values are cume_dist rationals (identical doubles in both
+    // engines), the x grid is integer-valued, so the bracket-scan
+    // inverse interpolation (Interp.firstCrossing) mirrors bit-exactly —
+    // including the y0==level plateau case, where x0 + 1.0·(x1−x0) is
+    // exact on integer x. Same segment/crossing SQL shape as the
+    // pipeline_ipd oracle.
+    Some("""WITH e AS (SELECT l_returnflag, l_quantity,
+           |         cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
+           |       FROM lineitem),
+           |m AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x, MAX(cd) AS y
+           |      FROM e GROUP BY 1, 2),
+           |seg AS (SELECT l_returnflag, x AS x1, y AS y1,
+           |         LAG(x) OVER w AS x0, LAG(y) OVER w AS y0
+           |       FROM m WINDOW w AS (PARTITION BY l_returnflag ORDER BY x)),
+           |c AS (SELECT l_returnflag, tt.t,
+           |         MIN(CASE WHEN y0 = tt.t THEN x0
+           |           ELSE x0 + ((tt.t - y0) / (y1 - y0)) * (x1 - x0) END) AS xc
+           |       FROM seg, (SELECT UNNEST([2.5e-1, 5.0e-1, 7.5e-1]) AS t) tt
+           |       WHERE x0 IS NOT NULL
+           |         AND (y0 = tt.t OR (y0 < tt.t AND y1 >= tt.t)
+           |              OR (y0 > tt.t AND y1 <= tt.t))
+           |       GROUP BY 1, 2)
+           |SELECT l_returnflag,
+           |  MAX(CASE WHEN t = 2.5e-1 THEN xc END) AS x25,
+           |  MAX(CASE WHEN t = 5.0e-1 THEN xc END) AS x50,
+           |  MAX(CASE WHEN t = 7.5e-1 THEN xc END) AS x75
+           |FROM c GROUP BY l_returnflag""".stripMargin),
     (s, dir) => {
       val ecdf = Stats.ecdf(
         Tables.load(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
