@@ -145,75 +145,126 @@ object FitQueries {
     * engine), log-moment sums go through DetAgg decimals, and the Cramer
     * solve on the well-conditioned system is a fixed IEEE tree.
     */
-  val n1Caruana: Q = {
-    val (d, na, nb, nc) = graft.fit.ClosedForm.cramerTexts
-    val (muT, sgT, amT) = graft.fit.ClosedForm.paramTexts(center = 125.0, width = 10.0)
-    import graft.functions.DetAgg
+  private val cramer = graft.fit.ClosedForm.cramerTexts
+  private val caruanaParams =
+    graft.fit.ClosedForm.paramTexts(center = 125.0, width = 10.0)
+
+  /** Shared oracle CTE chain ending in `p(l_returnflag, mu, sigma,
+    * amplitude)` — UNROUNDED params, consumed by both the fit query and
+    * the curve-sample twin.
+    */
+  private val caruanaSqlPrefix: String = {
+    val (d, na, nb, nc) = cramer
+    val (muT, sgT, amT) = caruanaParams
     import graft.functions.DetAgg.{Sql => D}
-    Q(
-      "n1_gaussian_caruana",
-      Some(s"""WITH po AS (
-              |  SELECT l_returnflag, l_orderkey, ${D.dsum("l_quantity")} AS qty
-              |  FROM lineitem GROUP BY 1, 2),
-              |h AS (
-              |  SELECT l_returnflag,
-              |    CAST(LEAST(GREATEST(FLOOR((qty - 0.0e0) / 1.0e1), 0), 24) AS BIGINT) AS bucket,
-              |    COUNT(*) AS n
-              |  FROM po GROUP BY 1, 2),
-              |uy AS (
-              |  SELECT l_returnflag, bucket - 12 AS u, LN(CAST(n AS DOUBLE)) AS y FROM h),
-              |m AS (
-              |  SELECT l_returnflag,
-              |    CAST(COUNT(*) AS DOUBLE) AS s0,
-              |    CAST(SUM(u) AS DOUBLE) AS su,
-              |    CAST(SUM(u*u) AS DOUBLE) AS su2,
-              |    CAST(SUM(u*u*u) AS DOUBLE) AS su3,
-              |    CAST(SUM(u*u*u*u) AS DOUBLE) AS su4,
-              |    ${D.dsum("y")} AS sy,
-              |    ${D.dsum("u * y")} AS suy,
-              |    ${D.dsum("u * u * y")} AS su2y
-              |  FROM uy GROUP BY 1),
-              |abc AS (
-              |  SELECT l_returnflag, ($na)/($d) AS a, ($nb)/($d) AS b, ($nc)/($d) AS c FROM m)
-              |SELECT l_returnflag, ROUND($muT, 6) AS mu, ROUND($sgT, 6) AS sigma,
-              |  ROUND($amT, 6) AS amplitude
-              |FROM abc""".stripMargin),
-      (s, dir) => {
-        val perOrder = Tables.load(s, dir, "lineitem")
-          .groupBy("l_returnflag", "l_orderkey")
-          .agg(DetAgg.dsum(col("l_quantity")).as("qty"))
-        val hist = perOrder
-          .select(
-            col("l_returnflag"),
-            least(greatest(floor((col("qty") - lit(0.0)) / lit(10.0)), lit(0L)), lit(24L))
-              .as("bucket"))
-          .groupBy("l_returnflag", "bucket")
-          .agg(count(lit(1)).as("n"))
-        val uy = hist.select(
-          col("l_returnflag"),
-          (col("bucket") - lit(12L)).as("u"),
-          expr("LN(CAST(n AS DOUBLE))").as("y"))
-        val m = uy.groupBy("l_returnflag").agg(
-          count(lit(1)).cast("double").as("s0"),
-          sum(col("u")).cast("double").as("su"),
-          sum(col("u") * col("u")).cast("double").as("su2"),
-          sum(col("u") * col("u") * col("u")).cast("double").as("su3"),
-          sum(col("u") * col("u") * col("u") * col("u")).cast("double").as("su4"),
-          DetAgg.dsum(col("y")).as("sy"),
-          DetAgg.dsum(col("u") * col("y")).as("suy"),
-          DetAgg.dsum(col("u") * col("u") * col("y")).as("su2y"))
-        m.select(
-            col("l_returnflag"),
-            expr(s"($na)/($d)").as("a"),
-            expr(s"($nb)/($d)").as("b"),
-            expr(s"($nc)/($d)").as("c"))
-          .select(
-            col("l_returnflag"),
-            round(expr(muT), 6).as("mu"),
-            round(expr(sgT), 6).as("sigma"),
-            round(expr(amT), 6).as("amplitude"))
-      })
+    s"""WITH po AS (
+       |  SELECT l_returnflag, l_orderkey, ${D.dsum("l_quantity")} AS qty
+       |  FROM lineitem GROUP BY 1, 2),
+       |h AS (
+       |  SELECT l_returnflag,
+       |    CAST(LEAST(GREATEST(FLOOR((qty - 0.0e0) / 1.0e1), 0), 24) AS BIGINT) AS bucket,
+       |    COUNT(*) AS n
+       |  FROM po GROUP BY 1, 2),
+       |uy AS (
+       |  SELECT l_returnflag, bucket - 12 AS u, LN(CAST(n AS DOUBLE)) AS y FROM h),
+       |m AS (
+       |  SELECT l_returnflag,
+       |    CAST(COUNT(*) AS DOUBLE) AS s0,
+       |    CAST(SUM(u) AS DOUBLE) AS su,
+       |    CAST(SUM(u*u) AS DOUBLE) AS su2,
+       |    CAST(SUM(u*u*u) AS DOUBLE) AS su3,
+       |    CAST(SUM(u*u*u*u) AS DOUBLE) AS su4,
+       |    ${D.dsum("y")} AS sy,
+       |    ${D.dsum("u * y")} AS suy,
+       |    ${D.dsum("u * u * y")} AS su2y
+       |  FROM uy GROUP BY 1),
+       |abc AS (
+       |  SELECT l_returnflag, ($na)/($d) AS a, ($nb)/($d) AS b, ($nc)/($d) AS c FROM m),
+       |p AS (
+       |  SELECT l_returnflag, $muT AS mu, $sgT AS sigma, $amT AS amplitude FROM abc)""".stripMargin
   }
+
+  /** Spark twin of [[caruanaSqlPrefix]]: (l_returnflag, mu, sigma,
+    * amplitude), unrounded.
+    */
+  private def caruanaFits(s: SparkSession, dir: String): DataFrame = {
+    val (d, na, nb, nc) = cramer
+    val (muT, sgT, amT) = caruanaParams
+    import graft.functions.DetAgg
+    val perOrder = Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_orderkey")
+      .agg(DetAgg.dsum(col("l_quantity")).as("qty"))
+    val hist = perOrder
+      .select(
+        col("l_returnflag"),
+        least(greatest(floor((col("qty") - lit(0.0)) / lit(10.0)), lit(0L)), lit(24L))
+          .as("bucket"))
+      .groupBy("l_returnflag", "bucket")
+      .agg(count(lit(1)).as("n"))
+    val uy = hist.select(
+      col("l_returnflag"),
+      (col("bucket") - lit(12L)).as("u"),
+      expr("LN(CAST(n AS DOUBLE))").as("y"))
+    val m = uy.groupBy("l_returnflag").agg(
+      count(lit(1)).cast("double").as("s0"),
+      sum(col("u")).cast("double").as("su"),
+      sum(col("u") * col("u")).cast("double").as("su2"),
+      sum(col("u") * col("u") * col("u")).cast("double").as("su3"),
+      sum(col("u") * col("u") * col("u") * col("u")).cast("double").as("su4"),
+      DetAgg.dsum(col("y")).as("sy"),
+      DetAgg.dsum(col("u") * col("y")).as("suy"),
+      DetAgg.dsum(col("u") * col("u") * col("y")).as("su2y"))
+    m.select(
+        col("l_returnflag"),
+        expr(s"($na)/($d)").as("a"),
+        expr(s"($nb)/($d)").as("b"),
+        expr(s"($nc)/($d)").as("c"))
+      .select(
+        col("l_returnflag"),
+        expr(muT).as("mu"),
+        expr(sgT).as("sigma"),
+        expr(amT).as("amplitude"))
+  }
+
+  val n1Caruana: Q = Q(
+    "n1_gaussian_caruana",
+    Some(s"""$caruanaSqlPrefix
+            |SELECT l_returnflag, ROUND(mu, 6) AS mu, ROUND(sigma, 6) AS sigma,
+            |  ROUND(amplitude, 6) AS amplitude
+            |FROM p""".stripMargin),
+    (s, dir) =>
+      caruanaFits(s, dir).select(
+        col("l_returnflag"),
+        round(col("mu"), 6).as("mu"),
+        round(col("sigma"), 6).as("sigma"),
+        round(col("amplitude"), 6).as("amplitude")))
+
+  /** HASH-EXACT curve-sample twin (S13): [[graft.fit.CurveTables
+    * .gaussianSamples]] over the closed-form fits — grid arithmetic and
+    * the Gaussian kernel mirror as one shared IEEE tree; round-6 absorbs
+    * the exp/pow last-ulp.
+    */
+  val n1CurveSamplesHash: Q = Q(
+    "n1_curve_samples_hash",
+    Some(s"""$caruanaSqlPrefix,
+            |g AS (
+            |  SELECT l_returnflag, mu, sigma, amplitude,
+            |    UNNEST(generate_series(0, 49)) AS i
+            |  FROM p),
+            |sm AS (
+            |  SELECT l_returnflag, mu, sigma, amplitude,
+            |    (mu - 4.0e0 * sigma) + i * ((8.0e0 * sigma) / 49) AS x
+            |  FROM g)
+            |SELECT l_returnflag, ROUND(x, 6) AS x,
+            |  ROUND(amplitude * EXP(-0.5e0 * POWER((x - mu) / sigma, 2)), 6) AS y
+            |FROM sm""".stripMargin),
+    (s, dir) =>
+      graft.fit.CurveTables
+        .gaussianSamples(caruanaFits(s, dir), Seq("l_returnflag"), nPoints = 50)
+        .select(
+          col("l_returnflag"),
+          round(col("x"), 6).as("x"),
+          round(col("y"), 6).as("y")))
 
   /** S13 support: the fitted-curve sample table a plot layer would
     * consume — Gaussian fits from N1 sampled on a per-group grid.
@@ -227,5 +278,6 @@ object FitQueries {
     })
 
   def all: Seq[Q] =
-    Seq(n1Gaussian, n2Langauss, n3Erf, n4Crossings, n1Caruana, n1CurveSamples)
+    Seq(n1Gaussian, n2Langauss, n3Erf, n4Crossings, n1Caruana, n1CurveSamples,
+      n1CurveSamplesHash)
 }
