@@ -32,6 +32,28 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got == Map(1L -> "", 2L -> "short", 3L -> ""))
   }
 
+  test("decontam / incremental dedup / temperature mix survive empty inputs") {
+    import spark.implicits._
+    val docs = Seq((1L, "some ordinary text here", "en")).toDF("doc_id", "text", "lang")
+    // empty corpus against a benchmark; empty benchmark against a corpus
+    assert(graft.operators.Decontam.overlap(
+      emptyDocs(), docs.drop("lang"), "doc_id", "text", 3, 0.5).count() == 0)
+    assert(graft.operators.Decontam.clean(
+      docs.drop("lang"), emptyDocs(), "doc_id", "text", 3, 0.5).count() == 1)
+    // incremental dedup of an empty batch / against an empty corpus
+    assert(Dedup.incrementalFlags(
+      emptyDocs(), docs.drop("lang"), "doc_id", "text",
+      graft.functions.TextFunctions.fingerprint, 3, 0.5).count() == 0)
+    val fresh = Dedup.incrementalFlags(
+      docs.drop("lang"), emptyDocs(), "doc_id", "text",
+      graft.functions.TextFunctions.fingerprint, 3, 0.5).collect()
+    assert(fresh.length == 1 && fresh.head.getBoolean(3)) // kept
+    // temperature mix of an empty frame and of a single-stratum frame
+    assert(Sampling.temperatureMixSqrt(
+      emptyDocs().withColumn("lang", lit("en")), "doc_id", "lang", 10L, 1).count() == 0)
+    assert(Sampling.temperatureMixSqrt(docs, "doc_id", "lang", 10L, 1).count() == 1)
+  }
+
   test("LSH on a single vector yields no pairs") {
     import spark.implicits._
     val one = Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
