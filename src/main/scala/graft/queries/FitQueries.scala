@@ -88,36 +88,42 @@ object FitQueries {
     * reference's threshold style ({25, 50, 75}% here; the IPD thresholds
     * of `scripts/calculate_inter_pixel_distance_for_single_1D_scan.py:72`).
     */
+  /** Shared oracle CTE chain for the quantity-ECDF crossings: ends in
+    * `piv(l_returnflag, x25, x50, x75)` plus the raw ECDF points `m`.
+    * Mirrors `Interp.firstCrossing` bit-exactly: cume_dist rationals are
+    * identical doubles in both engines, the x grid is integer-valued (so
+    * the y0==level plateau case x0 + 1.0·(x1−x0) is exact), same
+    * segment/crossing SQL shape as the pipeline_ipd oracle.
+    */
+  private val crossingSqlPrefix: String =
+    """WITH e AS (SELECT l_returnflag, l_quantity,
+      |         cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
+      |       FROM lineitem),
+      |m AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x, MAX(cd) AS y
+      |      FROM e GROUP BY 1, 2),
+      |seg AS (SELECT l_returnflag, x AS x1, y AS y1,
+      |         LAG(x) OVER w AS x0, LAG(y) OVER w AS y0
+      |       FROM m WINDOW w AS (PARTITION BY l_returnflag ORDER BY x)),
+      |c AS (SELECT l_returnflag, tt.t,
+      |         MIN(CASE WHEN y0 = tt.t THEN x0
+      |           ELSE x0 + ((tt.t - y0) / (y1 - y0)) * (x1 - x0) END) AS xc
+      |       FROM seg, (SELECT UNNEST([2.5e-1, 5.0e-1, 7.5e-1]) AS t) tt
+      |       WHERE x0 IS NOT NULL
+      |         AND (y0 = tt.t OR (y0 < tt.t AND y1 >= tt.t)
+      |              OR (y0 > tt.t AND y1 <= tt.t))
+      |       GROUP BY 1, 2),
+      |piv AS (SELECT l_returnflag,
+      |         MAX(CASE WHEN t = 2.5e-1 THEN xc END) AS x25,
+      |         MAX(CASE WHEN t = 5.0e-1 THEN xc END) AS x50,
+      |         MAX(CASE WHEN t = 7.5e-1 THEN xc END) AS x75
+      |       FROM c GROUP BY l_returnflag)""".stripMargin
+
   val n4Crossings: Q = Q(
     "n4_interp_crossing",
-    // full oracle for the buffering CrossingAgg aggregator itself: the
-    // ECDF y-values are cume_dist rationals (identical doubles in both
-    // engines), the x grid is integer-valued, so the bracket-scan
-    // inverse interpolation (Interp.firstCrossing) mirrors bit-exactly —
-    // including the y0==level plateau case, where x0 + 1.0·(x1−x0) is
-    // exact on integer x. Same segment/crossing SQL shape as the
-    // pipeline_ipd oracle.
-    Some("""WITH e AS (SELECT l_returnflag, l_quantity,
-           |         cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
-           |       FROM lineitem),
-           |m AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x, MAX(cd) AS y
-           |      FROM e GROUP BY 1, 2),
-           |seg AS (SELECT l_returnflag, x AS x1, y AS y1,
-           |         LAG(x) OVER w AS x0, LAG(y) OVER w AS y0
-           |       FROM m WINDOW w AS (PARTITION BY l_returnflag ORDER BY x)),
-           |c AS (SELECT l_returnflag, tt.t,
-           |         MIN(CASE WHEN y0 = tt.t THEN x0
-           |           ELSE x0 + ((tt.t - y0) / (y1 - y0)) * (x1 - x0) END) AS xc
-           |       FROM seg, (SELECT UNNEST([2.5e-1, 5.0e-1, 7.5e-1]) AS t) tt
-           |       WHERE x0 IS NOT NULL
-           |         AND (y0 = tt.t OR (y0 < tt.t AND y1 >= tt.t)
-           |              OR (y0 > tt.t AND y1 <= tt.t))
-           |       GROUP BY 1, 2)
-           |SELECT l_returnflag,
-           |  MAX(CASE WHEN t = 2.5e-1 THEN xc END) AS x25,
-           |  MAX(CASE WHEN t = 5.0e-1 THEN xc END) AS x50,
-           |  MAX(CASE WHEN t = 7.5e-1 THEN xc END) AS x75
-           |FROM c GROUP BY l_returnflag""".stripMargin),
+    // full oracle for the buffering CrossingAgg aggregator itself — see
+    // crossingSqlPrefix
+    Some(s"""$crossingSqlPrefix
+            |SELECT l_returnflag, x25, x50, x75 FROM piv""".stripMargin),
     (s, dir) => {
       val ecdf = Stats.ecdf(
         Tables.load(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
@@ -277,7 +283,46 @@ object FitQueries {
       graft.fit.CurveTables.gaussianSamples(fits, Seq("l_returnflag"), nPoints = 50)
     })
 
+  /** N3 closed-form twin: quantile-based erf-transition estimate — the
+    * erf model's location is the ECDF median crossing and its width is
+    * IQR / (2·z₀.₂₅) (z₀.₂₅ = 0.6744897501960817, the exact-double
+    * normal quartile), with offset/scale from the exact ECDF envelope.
+    * Every input is a bit-proven crossing or a cume_dist rational and
+    * every op is ±·/ — hash-exact with no rounding at all, anchoring the
+    * N3 family beside the Nelder–Mead fit (which stays spec-checked).
+    */
+  val n3ErfQuantile: Q = Q(
+    "n3_erf_quantile",
+    Some(s"""$crossingSqlPrefix,
+            |mm AS (SELECT l_returnflag, MIN(y) AS ymin, MAX(y) AS ymax
+            |       FROM m GROUP BY 1)
+            |SELECT l_returnflag, x50 AS x0,
+            |  (x75 - x25) / 1.3489795003921634e0 AS sigma,
+            |  ymax - ymin AS y_scale, ymin AS y_offset
+            |FROM piv JOIN mm USING (l_returnflag)""".stripMargin),
+    (s, dir) => {
+      val ecdf = Stats.ecdf(
+        Tables.load(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
+        Seq("l_returnflag"), col("l_quantity"))
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(max("ecdf").as("y"))
+      ecdf
+        .groupBy("l_returnflag")
+        .agg(
+          FitAggregators.crossingAt(0.25)(col("l_quantity"), col("y")).as("x25"),
+          FitAggregators.crossingAt(0.50)(col("l_quantity"), col("y")).as("x50"),
+          FitAggregators.crossingAt(0.75)(col("l_quantity"), col("y")).as("x75"),
+          min("y").as("ymin"),
+          max("y").as("ymax"))
+        .select(
+          col("l_returnflag"),
+          col("x50").as("x0"),
+          expr("(x75 - x25) / 1.3489795003921634e0").as("sigma"),
+          (col("ymax") - col("ymin")).as("y_scale"),
+          col("ymin").as("y_offset"))
+    })
+
   def all: Seq[Q] =
-    Seq(n1Gaussian, n2Langauss, n3Erf, n4Crossings, n1Caruana, n1CurveSamples,
-      n1CurveSamplesHash)
+    Seq(n1Gaussian, n2Langauss, n3Erf, n3ErfQuantile, n4Crossings, n1Caruana,
+      n1CurveSamples, n1CurveSamplesHash)
 }

@@ -114,6 +114,19 @@ class FitSpec extends AnyFunSuite {
     assert(math.abs(got.sigma - sigma) / sigma < 0.35, s"sigma=${got.sigma}")
   }
 
+  test("quantile-based erf estimate recovers location and width of a normal CDF") {
+    // y = Φ((x − 3)/2): x0 = 3, σ = 2
+    val xs = (-700 to 1300).map(_ * 0.01).toArray
+    val ys = xs.map(x => 0.5 * (1.0 +
+      org.apache.commons.math3.special.Erf.erf((x - 3.0) / (2.0 * math.sqrt(2.0)))))
+    val x25 = Interp.firstCrossing(xs, ys, 0.25)
+    val x50 = Interp.firstCrossing(xs, ys, 0.50)
+    val x75 = Interp.firstCrossing(xs, ys, 0.75)
+    val sigma = (x75 - x25) / 1.3489795003921634
+    assert(math.abs(x50 - 3.0) < 1e-3, s"x0=$x50")
+    assert(math.abs(sigma - 2.0) < 1e-3, s"sigma=$sigma")
+  }
+
   test("interp1d + crossings: exact on piecewise-linear data") {
     val xs = Array(0.0, 1.0, 2.0, 3.0)
     val ys = Array(0.0, 10.0, 10.0, 0.0)
