@@ -322,7 +322,98 @@ object FitQueries {
           col("ymin").as("y_offset"))
     })
 
+  /** N2 closed-form twin: peak + FWHM estimate of the Langauss profile —
+    * the standard seed for the iterative fit (mpv ≈ peak-bin center,
+    * width ≈ full width at half maximum from linear half-max crossings
+    * left/right of the peak). Bin centers are exact dyadic doubles,
+    * counts are integers, the half-max level is one exact division, and
+    * the crossing interpolation is the same shared text on both sides —
+    * hash-exact with no rounding.
+    */
+  val n2LangaussFwhm: Q = {
+    val interp = "x0 + ((h - y0) / (y1 - y0)) * (x1 - x0)"
+    Q(
+      "n2_langauss_fwhm",
+      Some(s"""WITH po AS (
+              |  SELECT l_returnflag, l_orderkey,
+              |    ${graft.functions.DetAgg.Sql.dsum("l_extendedprice * (1 - l_discount)")} AS rev
+              |  FROM lineitem GROUP BY 1, 2),
+              |hst AS (
+              |  SELECT l_returnflag,
+              |    CAST(LEAST(GREATEST(FLOOR((rev - 0.0e0) / 1.0e4), 0), 39) AS BIGINT) AS bucket,
+              |    COUNT(*) AS n
+              |  FROM po GROUP BY 1, 2),
+              |pts AS (
+              |  SELECT l_returnflag, bucket,
+              |    0.0e0 + (bucket + 5.0e-1) * 1.0e4 AS x, CAST(n AS DOUBLE) AS y
+              |  FROM hst),
+              |pk AS (
+              |  SELECT l_returnflag, x AS x_peak, y AS y_peak FROM (
+              |    SELECT l_returnflag, x, y,
+              |      ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY y DESC, bucket) AS rn
+              |    FROM pts)
+              |  WHERE rn = 1),
+              |seg AS (
+              |  SELECT l_returnflag, x AS x1, y AS y1,
+              |    LAG(x) OVER w AS x0, LAG(y) OVER w AS y0
+              |  FROM pts WINDOW w AS (PARTITION BY l_returnflag ORDER BY x)),
+              |j AS (
+              |  SELECT seg.l_returnflag, x0, y0, x1, y1, x_peak, y_peak / 2.0e0 AS h
+              |  FROM seg JOIN pk ON seg.l_returnflag = pk.l_returnflag
+              |  WHERE x0 IS NOT NULL)
+              |SELECT l_returnflag,
+              |  MAX(x_peak) AS mpv_est,
+              |  MAX(h) AS half_max,
+              |  MAX(CASE WHEN y0 >= h AND y1 < h AND x0 >= x_peak THEN $interp END)
+              |    - MIN(CASE WHEN y0 < h AND y1 >= h AND x1 <= x_peak THEN $interp END)
+              |    AS fwhm
+              |FROM j GROUP BY l_returnflag""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.DetAgg
+        val po = Tables.load(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_orderkey")
+          .agg(DetAgg.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        val hst = po
+          .select(
+            col("l_returnflag"),
+            least(greatest(floor((col("rev") - lit(0.0)) / lit(10000.0)), lit(0L)), lit(39L))
+              .as("bucket"))
+          .groupBy("l_returnflag", "bucket")
+          .agg(count(lit(1)).as("n"))
+        val pts = hst.select(
+          col("l_returnflag"), col("bucket"),
+          (lit(0.0) + (col("bucket") + lit(0.5)) * lit(10000.0)).as("x"),
+          col("n").cast("double").as("y"))
+        val pk = pts
+          .withColumn(
+            "rn",
+            row_number().over(
+              Window.partitionBy("l_returnflag").orderBy(col("y").desc, col("bucket"))))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("x").as("x_peak"), col("y").as("y_peak"))
+        val w = Window.partitionBy("l_returnflag").orderBy("x")
+        val seg = pts
+          .select(
+            col("l_returnflag"), col("x").as("x1"), col("y").as("y1"),
+            lag("x", 1).over(w).as("x0"), lag("y", 1).over(w).as("y0"))
+          .filter(col("x0").isNotNull)
+        val j = seg
+          .join(pk, "l_returnflag")
+          .withColumn("h", col("y_peak") / lit(2.0))
+        val interpC = expr(interp)
+        j.groupBy("l_returnflag")
+          .agg(
+            max("x_peak").as("mpv_est"),
+            max("h").as("half_max"),
+            (max(when(col("y0") >= col("h") && col("y1") < col("h")
+                && col("x0") >= col("x_peak"), interpC))
+              - min(when(col("y0") < col("h") && col("y1") >= col("h")
+                && col("x1") <= col("x_peak"), interpC))).as("fwhm"))
+      })
+  }
+
   def all: Seq[Q] =
-    Seq(n1Gaussian, n2Langauss, n3Erf, n3ErfQuantile, n4Crossings, n1Caruana,
-      n1CurveSamples, n1CurveSamplesHash)
+    Seq(n1Gaussian, n2Langauss, n2LangaussFwhm, n3Erf, n3ErfQuantile, n4Crossings,
+      n1Caruana, n1CurveSamples, n1CurveSamplesHash)
 }
