@@ -227,6 +227,10 @@ object TextQueries {
       // INSIDE an unrolled multi-round plan (the PPJoin window sorts
       // replicate per round faster than exchange reuse dedupes them)
       val pairs = Dedup.jaccardPairs(d, "doc_id", "text", k = 3, threshold = 0.5)
+      // fixed-round tier: 6 unrolled rounds cover any plausible dup-graph
+      // diameter (near-dup clusters are near-cliques, diameter 2-4); the
+      // convergence-checked labelPropagation tier was measured ~60% slower
+      // here because its eager probe pays the pair derivation a second time
       graft.operators.Components.labelPropagationFixed(
         d.select("doc_id"), pairs, "doc_id", "id_a", "id_b", iters = 6)
     })
