@@ -189,7 +189,122 @@ object GroupingQueries {
           count(lit(1)).as("n"))
     })
 
+  /** Grouped ordinary least squares (y ~ a + b·x per group) from exact
+    * DetAgg moment sums — slope, intercept, and r² as one fixed IEEE
+    * tree shared with the oracle. The distributed-regression shape: one
+    * aggregation pass regardless of group sizes.
+    */
+  val linreg: Q = {
+    import graft.functions.DetAgg
+    import graft.functions.DetAgg.{Sql => D}
+    val slope = "(n * sxy - sx * sy) / (n * sx2 - sx * sx)"
+    val icept = s"(sy - ($slope) * sx) / n"
+    val r2 = s"(($slope) * ($slope)) * (n * sx2 - sx * sx) / (n * sy2 - sy * sy)"
+    Q(
+      "a12_linreg",
+      Some(s"""WITH m AS (
+              |  SELECT l_returnflag,
+              |    CAST(COUNT(*) AS DOUBLE) AS n,
+              |    ${D.dsum("l_quantity")} AS sx,
+              |    ${D.dsum("l_extendedprice")} AS sy,
+              |    ${D.dsum("l_quantity * l_extendedprice")} AS sxy,
+              |    ${D.dsum("l_quantity * l_quantity")} AS sx2,
+              |    ${D.dsum("l_extendedprice * l_extendedprice")} AS sy2
+              |  FROM lineitem GROUP BY 1)
+              |SELECT l_returnflag, $slope AS slope, $icept AS intercept, ROUND($r2, 9) AS r2
+              |FROM m""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            DetAgg.dsum(col("l_quantity")).as("sx"),
+            DetAgg.dsum(col("l_extendedprice")).as("sy"),
+            DetAgg.dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+            DetAgg.dsum(col("l_quantity") * col("l_quantity")).as("sx2"),
+            DetAgg.dsum(col("l_extendedprice") * col("l_extendedprice")).as("sy2"))
+          .select(
+            col("l_returnflag"),
+            expr(slope).as("slope"),
+            expr(icept).as("intercept"),
+            round(expr(r2), 9).as("r2")))
+  }
+
+  /** Pairwise Pearson correlations in long form (col_a, col_b, corr) —
+    * the feature-correlation matrix, one aggregation pass for all pairs,
+    * every entry from exact decimal moments.
+    */
+  val corrMatrix: Q = {
+    import graft.functions.DetAgg
+    import graft.functions.DetAgg.{Sql => D}
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    def corrText(a: String, b: String) =
+      s"(n * s_${a}_${b} - s_$a * s_$b)" +
+        s" / (SQRT(n * s2_$a - s_$a * s_$a) * SQRT(n * s2_$b - s_$b * s_$b))"
+    val pairs = cols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    Q(
+      "a13_corr_matrix",
+      Some(s"""WITH m AS (
+              |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              |    ${cols.map(c => s"${D.dsum(c)} AS s_$c").mkString(",\n    ")},
+              |    ${cols.map(c => s"${D.dsum(s"$c * $c")} AS s2_$c").mkString(",\n    ")},
+              |    ${pairs.map { case (a, b) => s"${D.dsum(s"$a * $b")} AS s_${a}_${b}" }
+                 .mkString(",\n    ")}
+              |  FROM lineitem)
+              |${pairs.map { case (a, b) =>
+                 s"SELECT '$a' AS col_a, '$b' AS col_b, ${corrText(a, b)} AS corr FROM m"
+               }.mkString("\nUNION ALL\n")}""".stripMargin),
+      (s, dir) => {
+        val m = Tables.load(s, dir, "lineitem").agg(
+          count(lit(1)).cast("double").as("n"),
+          (cols.map(c => DetAgg.dsum(col(c)).as(s"s_$c")) ++
+            cols.map(c => DetAgg.dsum(col(c) * col(c)).as(s"s2_$c")) ++
+            pairs.map { case (a, b) => DetAgg.dsum(col(a) * col(b)).as(s"s_${a}_${b}") }): _*)
+        pairs
+          .map { case (a, b) =>
+            m.select(
+              lit(a).as("col_a"), lit(b).as("col_b"),
+              expr(corrText(a, b)).as("corr"))
+          }
+          .reduce(_ unionByName _)
+      })
+  }
+
+  /** Per-group z-score normalization — the feature-scaling pass of a
+    * training pipeline, as ONE window over decimal-routed moment sums
+    * (no two-pass join). Row-level output, hash-exact.
+    */
+  val zscore: Q = {
+    import graft.functions.DetAgg
+    Q(
+      "w5_zscore",
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag,
+             |  (l_quantity - CAST(SUM(CAST(l_quantity AS DECIMAL(30,6)))
+             |      OVER w AS DOUBLE) / COUNT(*) OVER w)
+             |    / SQRT((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6)))
+             |          OVER w AS DOUBLE)
+             |        - CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) OVER w AS DOUBLE)
+             |          * CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) OVER w AS DOUBLE)
+             |          / COUNT(*) OVER w)
+             |      / (COUNT(*) OVER w - 1)) AS z
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_returnflag)""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_returnflag")
+        val sx = sum(DetAgg.dec(col("l_quantity"))).over(w).cast("double")
+        val sxx = sum(DetAgg.dec(col("l_quantity") * col("l_quantity"))).over(w).cast("double")
+        val n = count(lit(1)).over(w)
+        val mean = sx / n
+        val std = sqrt((sxx - sx * sx / n) / (n - lit(1)))
+        Tables.load(s, dir, "lineitem")
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            ((col("l_quantity") - mean) / std).as("z"))
+      })
+  }
+
   def all: Seq[Q] = Seq(
     rollup, cube_, groupingSets, approxDistinct, distinctExact,
-    tdigestQuantiles, saltedAgg, saltedJoin)
+    tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore)
 }
