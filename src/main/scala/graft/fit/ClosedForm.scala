@@ -43,6 +43,44 @@ object ClosedForm {
     (d, na, nb, nc)
   }
 
+  /** Acklam's inverse-normal-CDF approximation (public, ~1.15e-9 max
+    * relative error) as shared SQL text over a probability column `p` ∈
+    * (0, 1): piecewise rational polynomials, central branch pure ±·/,
+    * tail branches via sqrt(−2·ln p). Feeding the result through a
+    * DetAgg decimal (6 dp) before any cross-row sum absorbs the tail
+    * branches' ln last-ulp, so probit REGRESSION is oracle-portable.
+    */
+  def probitText(p: String): String = {
+    val a = Seq(
+      "-3.969683028665376e1", "2.209460984245205e2", "-2.759285104469687e2",
+      "1.38357751867269e2", "-3.066479806614716e1", "2.506628277459239e0")
+    val b = Seq(
+      "-5.447609879822406e1", "1.615858368580409e2", "-1.556989798598866e2",
+      "6.680131188771972e1", "-1.328068155288572e1")
+    val c = Seq(
+      "-7.784894002430293e-3", "-3.223964580411365e-1", "-2.400758277161838e0",
+      "-2.549732539343734e0", "4.374664141464968e0", "2.938163982698783e0")
+    val d = Seq(
+      "7.784695709041462e-3", "3.224671290700398e-1", "2.445134137142996e0",
+      "3.754408661907416e0")
+    def horner(coef: Seq[String], x: String): String =
+      coef.reduceLeft((acc, k) => s"(($acc) * $x + $k)")
+    val central = {
+      val q = s"($p - 5.0e-1)"; val r = s"($q * $q)"
+      s"(${horner(a, r)} * $q) / (${horner(b, r)} * $r + 1.0e0)"
+    }
+    val lowTail = {
+      val q = s"SQRT(-2.0e0 * LN($p))"
+      s"(${horner(c, q)}) / (${horner(d, q)} * $q + 1.0e0)"
+    }
+    val highTail = {
+      val q = s"SQRT(-2.0e0 * LN(1.0e0 - $p))"
+      s"(-(${horner(c, q)}) / (${horner(d, q)} * $q + 1.0e0))"
+    }
+    s"(CASE WHEN $p < 2.425e-2 THEN $lowTail" +
+      s" WHEN $p > 9.7575e-1 THEN $highTail ELSE $central END)"
+  }
+
   /** Gaussian-parameter texts over solved columns (a, b, c), mapping the
     * u-space parabola back to x-space for bins of `width` centered (u=0)
     * at `center`. Non-concave parabolas (c ≥ 0 — no Gaussian peak) yield

@@ -413,7 +413,66 @@ object FitQueries {
       })
   }
 
+  /** N3 regression twin — a FULL-DATA closed-form erf fit: probit
+    * transform (Acklam inverse-normal, shared SQL text from
+    * [[graft.fit.ClosedForm.probitText]]) linearizes the ECDF, then
+    * ordinary least squares of x on z reads off location (intercept)
+    * and width (slope). Uses every ECDF point below 1.0, not just three
+    * quantiles; z-moments ride DetAgg decimals (absorbing the tail
+    * branches' ln last-ulp), the OLS solve is one shared IEEE tree, and
+    * outputs round at 6.
+    */
+  val n3ErfProbit: Q = {
+    val zT = graft.fit.ClosedForm.probitText("y")
+    val slope = "(n * szx - sz * sx) / (n * sz2 - sz * sz)"
+    val icept = s"(sx - ($slope) * sz) / n"
+    import graft.functions.DetAgg
+    import graft.functions.DetAgg.{Sql => D}
+    Q(
+      "n3_erf_probit",
+      Some(s"""WITH e AS (SELECT l_returnflag, l_quantity,
+              |         cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
+              |       FROM lineitem),
+              |m AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x, MAX(cd) AS y
+              |      FROM e GROUP BY 1, 2),
+              |pz AS (SELECT l_returnflag, x, $zT AS z FROM m WHERE y < 1.0e0),
+              |s AS (SELECT l_returnflag,
+              |        CAST(COUNT(*) AS DOUBLE) AS n,
+              |        ${D.dsum("z")} AS sz,
+              |        ${D.dsum("x")} AS sx,
+              |        ${D.dsum("z * x")} AS szx,
+              |        ${D.dsum("z * z")} AS sz2
+              |      FROM pz GROUP BY 1)
+              |SELECT l_returnflag, ROUND($icept, 6) AS x0, ROUND($slope, 6) AS sigma
+              |FROM s""".stripMargin),
+      (s, dir) => {
+        val pts = Stats.ecdf(
+          Tables.load(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
+          Seq("l_returnflag"), col("l_quantity"))
+          .groupBy("l_returnflag", "l_quantity")
+          .agg(max("ecdf").as("y"))
+          .select(
+            col("l_returnflag"),
+            col("l_quantity").cast("double").as("x"),
+            col("y"))
+          .filter(col("y") < lit(1.0))
+          .withColumn("z", expr(zT))
+        pts
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            DetAgg.dsum(col("z")).as("sz"),
+            DetAgg.dsum(col("x")).as("sx"),
+            DetAgg.dsum(col("z") * col("x")).as("szx"),
+            DetAgg.dsum(col("z") * col("z")).as("sz2"))
+          .select(
+            col("l_returnflag"),
+            round(expr(icept), 6).as("x0"),
+            round(expr(slope), 6).as("sigma"))
+      })
+  }
+
   def all: Seq[Q] =
-    Seq(n1Gaussian, n2Langauss, n2LangaussFwhm, n3Erf, n3ErfQuantile, n4Crossings,
-      n1Caruana, n1CurveSamples, n1CurveSamplesHash)
+    Seq(n1Gaussian, n2Langauss, n2LangaussFwhm, n3Erf, n3ErfQuantile, n3ErfProbit,
+      n4Crossings, n1Caruana, n1CurveSamples, n1CurveSamplesHash)
 }

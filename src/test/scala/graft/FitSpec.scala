@@ -127,6 +127,28 @@ class FitSpec extends AnyFunSuite {
     assert(math.abs(sigma - 2.0) < 1e-3, s"sigma=$sigma")
   }
 
+  test("Acklam probit regression recovers a normal CDF's location and width") {
+    import spark.implicits._
+    // exact Φ((x − 3)/2) points, including both tail branches of Acklam
+    val pts = (-500 to 1100 by 10).map { i =>
+      val x = i * 0.01
+      (x, 0.5 * (1.0 +
+        org.apache.commons.math3.special.Erf.erf((x - 3.0) / (2.0 * math.sqrt(2.0)))))
+    }.filter { case (_, y) => y > 1e-12 && y < 1.0 - 1e-12 }
+    val df = pts.toDF("x", "y")
+      .withColumn("z", expr(graft.fit.ClosedForm.probitText("y")))
+    val r = df.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum("z").as("sz"), sum("x").as("sx"),
+      sum(col("z") * col("x")).as("szx"), sum(col("z") * col("z")).as("sz2"))
+      .select(
+        expr("(n * szx - sz * sx) / (n * sz2 - sz * sz)").as("sigma"),
+        expr("(sx - ((n * szx - sz * sx) / (n * sz2 - sz * sz)) * sz) / n").as("x0"))
+      .head()
+    assert(math.abs(r.getDouble(0) - 2.0) < 1e-6, s"sigma=${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 3.0) < 1e-6, s"x0=${r.getDouble(1)}")
+  }
+
   test("interp1d + crossings: exact on piecewise-linear data") {
     val xs = Array(0.0, 1.0, 2.0, 3.0)
     val ys = Array(0.0, 10.0, 10.0, 0.0)
