@@ -119,5 +119,54 @@ object CoreQueries {
           DetAgg.davg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order")))
 
-  def all: Seq[Q] = Seq(q1Agg, q1Full, p1Filter, j2Dim)
+  /** TPC-H Q3 shape: selective fact×fact×dim three-way join with a
+    * ranked aggregate cut — the canonical "shipping priority" OLAP
+    * pattern. Both orderkey joins are equi-joins on the natural key (at
+    * scale: co-partitioned or runtime-filtered); the top-10 is
+    * round-then-order with full key tiebreaks.
+    */
+  val q3Shipping: Q = Q(
+    "q3_shipping_priority",
+    Some(s"""SELECT l_orderkey,
+            |  ROUND(${D.dsum("l_extendedprice * (1 - l_discount)")}, 6) AS revenue,
+            |  o_orderdate, o_orderpriority
+            |FROM customer
+            |JOIN orders ON c_custkey = o_custkey
+            |JOIN lineitem ON l_orderkey = o_orderkey
+            |WHERE c_mktsegment = 'BUILDING'
+            |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin),
+    (s, dir) =>
+      cust(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .join(ord(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(li(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(
+          DetAgg.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10))
+
+  /** S13 extension: 2-D histogram (heatmap plot table) — quantity ×
+    * discount occupancy per cell, clamped edges, one hash aggregate.
+    */
+  val hist2d: Q = Q(
+    "a7_histogram2d",
+    Some("""SELECT
+           |  CAST(LEAST(GREATEST(FLOOR((l_quantity - 0.0e0) / 5.0e0), 0), 9) AS BIGINT) AS bx,
+           |  CAST(LEAST(GREATEST(FLOOR((l_discount - 0.0e0) / 1.0e-2), 0), 10) AS BIGINT) AS by,
+           |  COUNT(*) AS n
+           |FROM lineitem GROUP BY 1, 2""".stripMargin),
+    (s, dir) =>
+      li(s, dir)
+        .select(
+          least(greatest(floor((col("l_quantity") - lit(0.0)) / lit(5.0)), lit(0L)), lit(9L))
+            .as("bx"),
+          least(greatest(floor((col("l_discount") - lit(0.0)) / lit(0.01)), lit(0L)), lit(10L))
+            .as("by"))
+        .groupBy("bx", "by")
+        .agg(count(lit(1)).as("n")))
+
+  def all: Seq[Q] = Seq(q1Agg, q1Full, p1Filter, j2Dim, q3Shipping, hist2d)
 }
