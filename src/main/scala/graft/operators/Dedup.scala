@@ -60,6 +60,38 @@ object Dedup {
     docShingleSets(df, id, text, k)
       .select(col(id), explode(col("sh")).as("shingle"))
 
+  /** Split documents into overlapping token-window chunks — the
+    * pre-tokenization step of a pretraining pipeline (long docs become
+    * max-length training sequences with `overlap` tokens of context
+    * carry-over). Pure plan-side arithmetic: one token split per doc
+    * (lambda-bound, see [[shingleFromTokens]]), chunk starts via
+    * `sequence` stride, slices clamp at the document end. Output:
+    * (id, chunk_idx, chunk_text, n_chunk_tokens), embarrassingly
+    * parallel at any scale.
+    */
+  def chunkDocs(
+      df: DataFrame,
+      id: String,
+      text: String,
+      maxTokens: Int,
+      overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens, "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    df.select(col(id), TextFunctions.tokens(col(text)).as("__toks"))
+      .select(
+        col(id),
+        col("__toks"),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "__start")))
+      .select(
+        col(id),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"), col("__start") + 1, lit(maxTokens)))
+          .as("chunk_text"),
+        size(slice(col("__toks"), col("__start") + 1, lit(maxTokens))).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
   /** Exact dedup: group documents by a normalized key, keep the smallest
     * id as the canonical survivor (reference has no dedup — this is the
     * driver-mandated extension surface, SURVEY §7.2 #8).

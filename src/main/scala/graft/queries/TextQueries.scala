@@ -879,9 +879,26 @@ object TextQueries {
           sum(size(TextFunctions.tokens(col("text"))).cast("long")).as("n_tokens"))
     })
 
+  /** Document chunking: overlapping 40-token windows with 8 tokens of
+    * overlap (stride 32) — the pre-tokenization sequence-preparation
+    * step. Slices clamp at the doc end; every chunk row is hash-checked.
+    */
+  val textChunk: Q = Q(
+    "text_chunk",
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+           |       FROM documents),
+           |st AS (SELECT doc_id, tk, g.i - 1 AS ci
+           |       FROM t, LATERAL unnest(generate_series(1, ((len(tk) - 1) // 32) + 1)) AS g(i))
+           |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+           |  array_to_string(tk[ci*32+1 : ci*32+40], ' ') AS chunk_text,
+           |  CAST(len(tk[ci*32+1 : ci*32+40]) AS BIGINT) AS n_chunk_tokens
+           |FROM st""".stripMargin),
+    (s, dir) =>
+      Dedup.chunkDocs(docs(s, dir), "doc_id", "text", maxTokens = 40, overlap = 8))
+
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
-    textBm25, corpusReport, pipelineMix,
+    textBm25, corpusReport, pipelineMix, textChunk,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
     dedupComponents, decontamNgram, dedupIncremental,
     dedupLines, dedupMinHash, dedupMinHashHash, dedupSimHash, dedupSimHashHash,

@@ -163,6 +163,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((false, false, true)))
   }
 
+  test("chunkDocs: stride/overlap windows cover the doc, short docs = one chunk") {
+    import spark.implicits._
+    val long = (1 to 100).map(_.toString).mkString(" ")
+    val df = Seq((1L, long), (2L, "a b c")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .chunkDocs(df, "doc_id", "text", maxTokens = 40, overlap = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    // starts 0, 32, 64, 96 → 4 chunks; last is the clamped tail
+    assert(got.keys.count(_._1 == 1L) == 4)
+    assert(got((1L, 0L))._1.split(" ").head == "1" && got((1L, 0L))._2 == 40L)
+    assert(got((1L, 1L))._1.split(" ").head == "33") // 8-token overlap
+    assert(got((1L, 3L))._1 == "97 98 99 100" && got((1L, 3L))._2 == 4L)
+    // consecutive chunks share exactly the overlap region
+    assert(got((1L, 0L))._1.split(" ").takeRight(8).toSeq ==
+      got((1L, 1L))._1.split(" ").take(8).toSeq)
+    assert(got((2L, 0L)) == (("a b c", 3L)) && got.keys.count(_._1 == 2L) == 1)
+  }
+
   test("langId: stopword argmax with alphabetical tiebreak; CJK → zh") {
     import spark.implicits._
     val df = Seq(
