@@ -113,5 +113,45 @@ object EventQueries {
         .select(col("event_id"), col("user_id"), col("asof_value").as("asof_value"))
     })
 
-  def all: Seq[Q] = Seq(e1Buckets, e2Sessionize, e3Json, e4AsOf)
+  /** Conversion funnel (view → click → purchase): per user, the first
+    * view, the first click strictly after it, the first purchase
+    * strictly after that — stage survivor counts. Works on RAW
+    * nanosecond longs on both sides (no timestamp truncation in play),
+    * two hash-aggregate + join rounds, no window over the full stream.
+    */
+  val e5Funnel: Q = Q(
+    "e5_funnel",
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS t FROM events),
+           |v AS (SELECT user_id, MIN(t) AS tv FROM e
+           |      WHERE event_type = 'view' GROUP BY 1),
+           |c AS (SELECT e.user_id, MIN(t) AS tc FROM e JOIN v USING (user_id)
+           |      WHERE event_type = 'click' AND t > tv GROUP BY 1),
+           |p AS (SELECT e.user_id, MIN(t) AS tp FROM e JOIN c USING (user_id)
+           |      WHERE event_type = 'purchase' AND t > tc GROUP BY 1)
+           |SELECT 'view' AS stage, COUNT(*) AS n_users FROM v
+           |UNION ALL SELECT 'click_after_view', COUNT(*) FROM c
+           |UNION ALL SELECT 'purchase_after_click', COUNT(*) FROM p""".stripMargin),
+    (s, dir) => {
+      // raw ns longs — deliberately NOT loadEvents (its µs timestamp
+      // conversion is irrelevant here and ns keeps both engines exact)
+      val e = s.read
+        .schema(graft.streaming.EventsStream.eventsSchema)
+        .parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_type"), col("ts").as("t"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("t").as("tv"))
+      val c = e.join(v, "user_id")
+        .filter(col("event_type") === "click" && col("t") > col("tv"))
+        .groupBy("user_id").agg(min("t").as("tc"))
+      val p = e.join(c, "user_id")
+        .filter(col("event_type") === "purchase" && col("t") > col("tc"))
+        .groupBy("user_id").agg(min("t").as("tp"))
+      v.agg(count(lit(1)).as("n_users")).select(lit("view").as("stage"), col("n_users"))
+        .unionByName(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("click_after_view").as("stage"), col("n_users")))
+        .unionByName(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("purchase_after_click").as("stage"), col("n_users")))
+    })
+
+  def all: Seq[Q] = Seq(e1Buckets, e2Sessionize, e3Json, e4AsOf, e5Funnel)
 }
