@@ -83,7 +83,12 @@ object GraftExtensions {
     },
     "graft_fingerprint" -> arity("graft_fingerprint", 1)(template(fingerprintSql)),
     "graft_token_count" -> arity("graft_token_count", 1)(template(tokenCountSql)),
-    "graft_lang_id" -> arity("graft_lang_id", 1)(template(langIdSql)))
+    "graft_lang_id" -> arity("graft_lang_id", 1)(template(langIdSql)),
+    // Acklam inverse-normal CDF (shared text with the n3_erf_probit
+    // oracle); the argument subtree is substituted at each placeholder
+    // occurrence, so pass a column, not an expensive expression
+    "graft_probit" -> arity("graft_probit", 1)(
+      template(graft.fit.ClosedForm.probitText("x0"))))
 
   val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     builders.map { case (name, b) =>

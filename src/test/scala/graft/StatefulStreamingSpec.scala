@@ -91,6 +91,14 @@ class StatefulStreamingSpec extends AnyFunSuite {
       "SELECT tdigest_quartiles(CAST(id AS DOUBLE)) AS q FROM graft_fn_range")
       .collect().head.getSeq[Double](0)
     assert(td.length == 3 && math.abs(td(1) - 50.0) < 1.0, s"tdigest=$td")
+    // probit: exact 0 at the median, ±1.96 at 2.5/97.5% (Acklam ~1e-9)
+    val pr = spark.sql(
+      "SELECT graft_probit(0.5e0) AS z50, graft_probit(0.975e0) AS z975," +
+        " graft_probit(0.025e0) AS z025")
+      .collect().head
+    assert(pr.getDouble(0) == 0.0)
+    assert(math.abs(pr.getDouble(1) - 1.959963985) < 1e-6)
+    assert(math.abs(pr.getDouble(2) + 1.959963985) < 1e-6)
   }
 
   test("GraftExtensions injector applies to a fresh extensions-enabled session") {
