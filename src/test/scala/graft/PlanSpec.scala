@@ -95,6 +95,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("decontam membership join broadcasts the benchmark shingle set") {
+    val q = graft.queries.TextQueries.decontamNgram
+    val p = plan(q)
+    // the corpus-vs-benchmark membership test must be a broadcast semi
+    // join — a shuffled semi join would move the whole corpus's shingles
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      p.take(1500))
+  }
+
   test("bucketed tables co-locate an equi-join: no exchange on either side") {
     import org.apache.spark.sql.functions._
     val s = spark
