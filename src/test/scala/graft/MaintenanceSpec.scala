@@ -36,6 +36,24 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(after.agg(sum("v")).collect().head.getDouble(0) == sumBefore)
   }
 
+  test("schema evolution: appended files with new columns merge, old rows null-fill") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 9.5)).toDF("id", "v", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "score", "v"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score"))) // old rows null-fill
+    assert(rows(2).getDouble(rows(2).fieldIndex("score")) == 9.5)
+    // and the default read (no mergeSchema) still works on the latest schema
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
   test("ks2Samp: identical samples give 0, disjoint give 1, shifted in between") {
     import spark.implicits._
     val same = (1 to 100).flatMap(i => Seq((i.toDouble, true), (i.toDouble, false)))
