@@ -304,7 +304,40 @@ object GroupingQueries {
       })
   }
 
+  /** Approximate heavy hitters (frequent items) with a containment
+    * CERTIFICATE: Spark's `freqItems` (Karp/Misra–Gries style) GUARANTEES
+    * every item above the support threshold appears in its result — so
+    * the oracle-checkable property is exact-heavy-hitter containment.
+    * The query emits every token whose exact relative frequency is ≥ 2×
+    * the sketch support together with an in-sketch verdict; the oracle
+    * recomputes the exact heavy hitters and emits literal TRUE. The
+    * sketch itself is one sub-shuffle pass with bounded state — at
+    * 100 TB it finds hot tokens without a full token shuffle.
+    */
+  val freqItems: Q = Q(
+    "agg_freq_items",
+    Some("""WITH t AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+           |       FROM documents),
+           |tot AS (SELECT COUNT(*) AS n FROM t),
+           |c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok)
+           |SELECT tok, cnt, TRUE AS in_sketch
+           |FROM c CROSS JOIN tot
+           |WHERE CAST(cnt AS DOUBLE) / n >= 0.02""".stripMargin),
+    (s, dir) => {
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      // the sketch result is tiny (≤ 1/support items) — driver-side by design
+      val sketch: Seq[String] = toks.stat.freqItems(Seq("tok"), 0.01)
+        .collect().head.getSeq[String](0)
+      val total = toks.agg(count(lit(1)).as("n"))
+      toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt").cast("double") / col("n") >= lit(0.02))
+        .select(col("tok"), col("cnt"), col("tok").isin(sketch: _*).as("in_sketch"))
+    })
+
   def all: Seq[Q] = Seq(
     rollup, cube_, groupingSets, approxDistinct, distinctExact,
-    tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore)
+    tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore,
+    freqItems)
 }
