@@ -66,18 +66,18 @@ object SimilarityQueries {
       Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", threshold = 0.35)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos")))
 
-  /** Random-hyperplane LSH near-dup pairs — sub-quadratic candidate
-    * generation, exact verify. HASH-EXACT oracle: the sign-band keys are
-    * plain dot products against seeded hyperplane literals, so the whole
-    * pipeline (banding → candidate dedup → cosine verify) is mirrored in
-    * SQL generated from the SAME `Similarity.hyperplanes(...)` call —
-    * `list_dot_product` is sequential like `dotFast`, proven bit-equal by
-    * `sim_cosine_all`. Containment in brute force is additionally pinned
-    * by DedupSpec.
+  /** DuckDB SQL fragment deriving the banded-LSH candidate pairs from the
+    * SAME seeded hyperplanes `Similarity.lshNearDupPairs` uses — the
+    * recipe that makes LSH queries hash-exact. `fromCte` must expose
+    * `($idCol, v DOUBLE[])`; the fragment defines CTEs `__lshk`,
+    * `__lshbanded`, `__lshcand(id_a, id_b)` for the caller to verify
+    * against. `list_dot_product` is sequential like `dotFast`, proven
+    * bit-equal by `sim_cosine_all`.
     */
-  val simLsh: Q = {
-    val bands = 8; val planesPerBand = 8
-    val planes = Similarity.hyperplanes(bands * planesPerBand, dim = 64, seed = 42L)
+  def lshCandidateSql(
+      idCol: String, fromCte: String,
+      dim: Int, bands: Int, planesPerBand: Int, seed: Long): String = {
+    val planes = Similarity.hyperplanes(bands * planesPerBand, dim, seed)
     def planeLit(p: Array[Double]) = p.map(_.toString).mkString("[", ", ", "]")
     val bandDefs = (0 until bands).map { b =>
       (0 until planesPerBand).map { p =>
@@ -87,25 +87,38 @@ object SimilarityQueries {
       }.mkString(" + ") + s" AS b$b"
     }.mkString(",\n    ")
     val unions = (0 until bands)
-      .map(b => s"SELECT vec_id, $b AS band, b$b AS bkey FROM k")
+      .map(b => s"SELECT $idCol, $b AS band, b$b AS bkey FROM __lshk")
       .mkString("\n  UNION ALL ")
+    s"""__lshk AS (SELECT $idCol,
+       |    $bandDefs
+       |  FROM $fromCte),
+       |__lshbanded AS (
+       |  $unions),
+       |__lshcand AS (
+       |  SELECT DISTINCT l.$idCol AS id_a, r.$idCol AS id_b
+       |  FROM __lshbanded l JOIN __lshbanded r
+       |    ON l.band = r.band AND l.bkey = r.bkey AND l.$idCol < r.$idCol)""".stripMargin
+  }
+
+  /** Random-hyperplane LSH near-dup pairs — sub-quadratic candidate
+    * generation, exact verify. HASH-EXACT oracle: the sign-band keys are
+    * plain dot products against seeded hyperplane literals, so the whole
+    * pipeline (banding → candidate dedup → cosine verify) is mirrored in
+    * SQL generated from the SAME `Similarity.hyperplanes(...)` call —
+    * see [[lshCandidateSql]]. Containment in brute force is additionally
+    * pinned by DedupSpec.
+    */
+  val simLsh: Q = {
+    val bands = 8; val planesPerBand = 8
     Q(
       "sim_lsh_pairs",
       Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              |k AS (SELECT vec_id,
-              |    $bandDefs
-              |  FROM e),
-              |banded AS (
-              |  $unions),
-              |cand AS (
-              |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
-              |  FROM banded l JOIN banded r
-              |    ON l.band = r.band AND l.bkey = r.bkey AND l.vec_id < r.vec_id)
+              |${lshCandidateSql("vec_id", "e", dim = 64, bands = bands, planesPerBand = planesPerBand, seed = 42L)}
               |SELECT id_a, id_b,
               |  ROUND(list_dot_product(a.v, b.v)
               |    / (SQRT(list_dot_product(a.v, a.v))
               |       * SQRT(list_dot_product(b.v, b.v))), 6) AS cos
-              |FROM cand
+              |FROM __lshcand cand
               |JOIN e a ON cand.id_a = a.vec_id
               |JOIN e b ON cand.id_b = b.vec_id
               |WHERE list_dot_product(a.v, b.v)

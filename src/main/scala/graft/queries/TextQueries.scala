@@ -565,8 +565,10 @@ object TextQueries {
 
   /** Full training-data pipeline composition, ONE lazy plan, fully
     * oracle-checked: quality gate → exact dedup → embedding join →
-    * cosine near-dup removal (drop the larger id of each pair ≥ 0.92;
-    * brute-force pairs here — the LSH tier is the drop-in at scale) →
+    * cosine near-dup removal via banded LSH (drop the larger id of each
+    * verified pair ≥ 0.92 — sub-quadratic candidate generation, the
+    * production shape at scale; hash-exact because the oracle derives
+    * its candidate set from the SAME seeded hyperplanes) →
     * deterministic stratified split → per-(split, lang) stats. The shape
     * a "switch your corpus pipeline to this library" user runs end to
     * end.
@@ -583,9 +585,12 @@ object TextQueries {
             |s AS (SELECT g.doc_id, g.lang FROM g JOIN k ON g.doc_id = k.keep_id),
             |e AS (SELECT s.doc_id, s.lang, CAST(em.embedding AS DOUBLE[]) AS v
             |      FROM s JOIN embeddings em ON s.doc_id = em.vec_id),
+            |${SimilarityQueries.lshCandidateSql("doc_id", "e", dim = 64, bands = 8, planesPerBand = 8, seed = 42L)},
             |drops AS (
-            |  SELECT DISTINCT b.doc_id
-            |  FROM e a JOIN e b ON a.doc_id < b.doc_id
+            |  SELECT DISTINCT c.id_b AS doc_id
+            |  FROM __lshcand c
+            |  JOIN e a ON c.id_a = a.doc_id
+            |  JOIN e b ON c.id_b = b.doc_id
             |  WHERE list_dot_product(a.v, b.v)
             |      / (SQRT(list_dot_product(a.v, a.v))
             |         * SQRT(list_dot_product(b.v, b.v))) >= 0.92),
@@ -616,13 +621,10 @@ object TextQueries {
             .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
           survivors("doc_id") === col("vec_id"))
         .select(col("doc_id"), col("lang"), col("v"))
-      val a = withVec.select(col("doc_id").as("id_a"), col("v").as("va"))
-      val b = withVec.select(col("doc_id").as("id_b"), col("v").as("vb"))
-      val drops = a.crossJoin(b)
-        .filter(col("id_a") < col("id_b"))
-        .filter(
-          dot(col("va"), col("vb"))
-            / (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))) >= 0.92)
+      val drops = graft.operators.Similarity
+        .lshNearDupPairs(
+          withVec.select(col("doc_id"), col("v")), "doc_id", "v",
+          dim = 64, bands = 8, planesPerBand = 8, threshold = 0.92, seed = 42L)
         .select(col("id_b").as("doc_id"))
         .distinct()
       val kept = withVec.join(drops, Seq("doc_id"), "left_anti")

@@ -104,6 +104,12 @@ class PlanSpec extends AnyFunSuite {
       p.take(1500))
   }
 
+  test("pipeline_embed_split: near-dup stage is banded LSH, not a cartesian") {
+    val p = plan(graft.queries.TextQueries.pipelineEmbedSplit)
+    assert(!p.contains("CartesianProduct"),
+      "embed-split pipeline still ships an all-pairs cross join:\n" + p.take(1500))
+  }
+
   test("bucketed tables co-locate an equi-join: no exchange on either side") {
     import org.apache.spark.sql.functions._
     val s = spark
