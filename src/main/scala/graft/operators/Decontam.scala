@@ -35,13 +35,17 @@ object Decontam {
     val bs = Dedup.shingles(benchmark, id, text, k)
       .select(xxhash64(col("shingle")).as("h"))
       .distinct()
-    val sizes = cs.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
-    val hits = cs.join(broadcast(bs), Seq("h"), "left_semi")
-      .groupBy(col(id)).agg(count(lit(1)).as("n_hit"))
+      .withColumn("__bhit", lit(1))
+    // Membership resolved by a broadcast LEFT join so n_sh and n_hit come
+    // out of ONE aggregate over the exploded shingles (the semi-join form
+    // forced two independent aggregates over the same relation — the
+    // exploded corpus was shuffled and counted twice).
     val ratio = col("n_hit").cast("double") / col("n_sh")
-    sizes
-      .join(hits, Seq(id), "left")
-      .na.fill(0L, Seq("n_hit"))
+    cs.join(broadcast(bs), Seq("h"), "left")
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_sh"),
+        count(col("__bhit")).as("n_hit"))
       .withColumn("overlap", ratio)
       .withColumn("contaminated", ratio >= lit(threshold))
   }

@@ -227,11 +227,13 @@ object TextQueries {
       // INSIDE an unrolled multi-round plan (the PPJoin window sorts
       // replicate per round faster than exchange reuse dedupes them)
       val pairs = Dedup.jaccardPairs(d, "doc_id", "text", k = 3, threshold = 0.5)
-      // fixed-round tier: 6 unrolled rounds cover any plausible dup-graph
-      // diameter (near-dup clusters are near-cliques, diameter 2-4); the
-      // convergence-checked labelPropagation tier was measured ~60% slower
-      // here because its eager probe pays the pair derivation a second time
-      graft.operators.Components.labelPropagationFixed(
+      // checked fixed-round tier: 6 unrolled rounds cover any plausible
+      // dup-graph diameter (near-dup clusters are near-cliques, diameter
+      // 2-4), and a 7th round asserts the fixed point INSIDE the plan, so
+      // a deeper-than-assumed graph fails loudly instead of silently
+      // under-merging. The eager labelPropagation tier stays ~60% slower
+      // here (its probe pays the pair derivation a second time).
+      graft.operators.Components.labelPropagationChecked(
         d.select("doc_id"), pairs, "doc_id", "id_a", "id_b", iters = 6)
     })
 
@@ -864,21 +866,31 @@ object TextQueries {
       val d = docs(s, dir)
       val bench = d.filter(col("source").isin("src0", "src1"))
       val corpus = d.filter(!col("source").isin("src0", "src1"))
-      val clean = graft.operators.Decontam.clean(
-        corpus, bench, "doc_id", "text", k = 3, threshold = 0.5)
-      val ded = clean
-        .withColumn("__fp", TextFunctions.fingerprint(col("text")))
+      // ONE projection pass computes every per-doc feature the downstream
+      // stages need (fingerprint for dedup, token count for the report) —
+      // the r3 plan re-read the full `text` column through the anti-join,
+      // the dedup window, AND the final aggregate.
+      val feat = corpus.select(
+        col("doc_id"), col("lang"),
+        TextFunctions.fingerprint(col("text")).as("__fp"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("__n_tok"))
+      val flagged = graft.operators.Decontam.overlap(
+          corpus, bench, "doc_id", "text", k = 3, threshold = 0.5)
+        .filter(col("contaminated"))
+        .select("doc_id")
+      val ded = feat
+        .join(flagged, Seq("doc_id"), "left_anti")
         .withColumn(
           "__rn",
           row_number().over(Window.partitionBy("__fp").orderBy("doc_id")))
         .filter(col("__rn") === 1)
-        .select("doc_id", "lang", "text")
+        .select("doc_id", "lang", "__n_tok")
       graft.operators.Sampling
         .temperatureMixSqrt(ded, "doc_id", "lang", budget = 200L, seed = 13)
         .groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),
-          sum(size(TextFunctions.tokens(col("text"))).cast("long")).as("n_tokens"))
+          sum("__n_tok").as("n_tokens"))
     })
 
   /** Document chunking: overlapping 40-token windows with 8 tokens of

@@ -98,10 +98,13 @@ class PlanSpec extends AnyFunSuite {
   test("decontam membership join broadcasts the benchmark shingle set") {
     val q = graft.queries.TextQueries.decontamNgram
     val p = plan(q)
-    // the corpus-vs-benchmark membership test must be a broadcast semi
-    // join — a shuffled semi join would move the whole corpus's shingles
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
-      p.take(1500))
+    // the corpus-vs-benchmark membership test must be a broadcast join —
+    // a shuffled join would move the whole corpus's shingles — and the
+    // per-doc (n_sh, n_hit) counts must come out of ONE aggregate pass
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs <= 4, s"expected one partial+final aggregate chain, got $aggs:\n" + p.take(1500))
   }
 
   test("pipeline_embed_split: near-dup stage is banded LSH, not a cartesian") {
