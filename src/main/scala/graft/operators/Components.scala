@@ -89,6 +89,48 @@ object Components {
     labels.unionByName(singletons)
   }
 
+  /** [[labelPropagationFixed]] plus a LOUD under-merge guard: one extra
+    * propagation round is appended and every pair-node's label is
+    * asserted stationary between round `iters` and `iters`+1 inside the
+    * plan itself (`assert_true` — labels only decrease under
+    * min-propagation, so round-to-round stability at every node IS the
+    * fixed point). A dup graph deeper than `iters` fails the job with a
+    * clear message instead of silently returning under-merged
+    * components (chain-shaped graphs from overlapping chunking /
+    * paragraph pipelines can exceed the near-clique diameter the fixed
+    * tier assumes). Cost: one extra join+agg round; the round-`iters`
+    * aggregate subtree is shared between the check join and the extra
+    * round, so ReuseExchange pays it once.
+    */
+  def labelPropagationChecked(
+      nodes: DataFrame,
+      pairs: DataFrame,
+      id: String,
+      a: String,
+      b: String,
+      iters: Int): DataFrame = {
+    val sym = symPairs(pairs, a, b)
+    val pn = pairNodes(sym, id)
+    val edges = symEdges(sym, pn, id)
+    var labels = pn.withColumn("component", col(id))
+    (1 to iters).foreach(_ => labels = round(edges, labels, id))
+    val next = round(edges, labels, id)
+    val checked = next.as("__n").join(labels.as("__p"), col(s"__n.$id") === col(s"__p.$id"))
+      .select(
+        col(s"__n.$id").as(id),
+        when(
+          assert_true(
+            col("__n.component") === col("__p.component"),
+            lit(s"connected components did not converge within $iters rounds — " +
+              "the pair graph is deeper than the fixed-round tier assumes; " +
+              "raise iters or use labelPropagation")).isNull,
+          col("__n.component")).as("component"))
+    val singletons = nodes.select(col(id)).distinct()
+      .join(pn, Seq(id), "left_anti")
+      .withColumn("component", col(id))
+    checked.unionByName(singletons)
+  }
+
   /** Convergence-checked tier: iterate EAGERLY with per-round persisted
     * labels until the assignment is stationary — labels only decrease
     * under min-propagation, so the per-round label sum is one scalar
@@ -126,6 +168,10 @@ object Components {
           else { cur.unpersist(blocking = false); cur = next; curSum = nextSum; k += 1 }
         }
       } finally cur.unpersist(blocking = false)
+      if (!converged)
+        throw new IllegalStateException(
+          s"connected components did not converge within $maxIters rounds — " +
+            "the pair graph is adversarially deep; raise maxIters")
       k
     }
     labelPropagationFixed(nodes, pairs, id, a, b, math.max(needed, 1))

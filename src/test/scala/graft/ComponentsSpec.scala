@@ -42,6 +42,41 @@ class ComponentsSpec extends AnyFunSuite {
     assert(shallow(9L) != 0L)
   }
 
+  test("checked tier: silent under-merge on a diameter-8 chain becomes a loud failure") {
+    import spark.implicits._
+    // path 0-1-...-8: diameter 8 — min label 0 needs 8 propagation hops.
+    // The unchecked 6-round tier returns WRONG components with no signal;
+    // the checked tier's in-plan fixed-point assertion fails the job.
+    val nodes = (0L to 8L).toDF("doc_id")
+    val pairs = (0L to 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val silent = Components
+      .labelPropagationFixed(nodes, pairs, "doc_id", "id_a", "id_b", 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(silent(8L) != 0L, "expected the unchecked 6-round tier to under-merge")
+    val ex = intercept[Exception] {
+      Components.labelPropagationChecked(nodes, pairs, "doc_id", "id_a", "id_b", 6)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("did not converge")), ex.toString)
+    // provisioned at >= diameter, the checked tier returns the exact answer
+    val ok = Components
+      .labelPropagationChecked(nodes, pairs, "doc_id", "id_a", "id_b", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok == (0L to 8L).map(_ -> 0L).toMap)
+  }
+
+  test("eager tier throws instead of returning an unconverged labeling") {
+    import spark.implicits._
+    val nodes = (0L to 9L).toDF("doc_id")
+    val pairs = (0L to 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Components.labelPropagation(nodes, pairs, "doc_id", "id_a", "id_b", maxIters = 3)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("empty pair set: every node is its own component") {
     import spark.implicits._
     val nodes = Seq(1L, 2L).toDF("doc_id")
