@@ -92,8 +92,10 @@ object Sampling {
       seed: Int): DataFrame =
     temperatureMixBy(df, id, stratum, budget, seed, n => sqrt(n.cast("double")))
 
-  /** [[temperatureMixSqrt]] with arbitrary temperature (production tier,
-    * `pow`-based weights).
+  /** [[temperatureMixSqrt]] with arbitrary temperature (`pow`-based
+    * weights). Still fills strata in ORACLE-tier shuffle-key order
+    * (mod-100k residue classes) so it stays comparable to the checked
+    * queries; run [[temperatureMixFull]] in production.
     */
   def temperatureMix(
       df: DataFrame,
@@ -102,7 +104,23 @@ object Sampling {
       budget: Long,
       tau: Double,
       seed: Int): DataFrame =
-    temperatureMixBy(df, id, stratum, budget, seed, n => pow(n.cast("double"), lit(tau)))
+    temperatureMixBy(df, id, stratum, budget, seed,
+      n => pow(n.cast("double"), lit(tau)))
+
+  /** The production temperature mix: `pow` weights AND full-id xxhash64
+    * within-stratum ordering — strata with more than ~100k docs get a
+    * true uniform fill instead of the mod-100k key's residue-class
+    * coupling (ids 100k apart share a fate under the oracle-tier key).
+    */
+  def temperatureMixFull(
+      df: DataFrame,
+      id: String,
+      stratum: String,
+      budget: Long,
+      tau: Double,
+      seed: Int): DataFrame =
+    temperatureMixBy(df, id, stratum, budget, seed,
+      n => pow(n.cast("double"), lit(tau)), full = true)
 
   private def temperatureMixBy(
       df: DataFrame,
@@ -110,7 +128,8 @@ object Sampling {
       stratum: String,
       budget: Long,
       seed: Int,
-      weight: Column => Column): DataFrame = {
+      weight: Column => Column,
+      full: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.DetAgg
     val counts = df.groupBy(stratum).agg(count(lit(1)).as("__n"))
@@ -120,7 +139,8 @@ object Sampling {
       .select(
         col(stratum),
         floor(lit(budget.toDouble) * col("__w") / col("__wsum")).as("__target"))
-    val w = Window.partitionBy(col(stratum)).orderBy(shuffleKey(col(id), seed), col(id))
+    val key = if (full) shuffleKeyFull(col(id), seed) else shuffleKey(col(id), seed)
+    val w = Window.partitionBy(col(stratum)).orderBy(key, col(id))
     df.join(broadcast(targets), stratum)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= col("__target"))

@@ -89,4 +89,25 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b)
   }
+
+  test("temperatureMixFull decouples the 100k residue classes in the stratum fill") {
+    import spark.implicits._
+    // one stratum of id pairs exactly 100 000 apart: the oracle-tier key
+    // is identical within each pair (id tiebreak sorts them adjacently),
+    // so a 50%-budget fill keeps or drops pairs almost together; the
+    // full-key fill must give them independent fates
+    val pairs = (0L until 400L).map(i => (i, i + 100000L))
+    val df = pairs.flatMap(p => Seq(p._1, p._2)).map((_, "en")).toDF("doc_id", "s")
+    val keptOracle = Sampling.temperatureMix(df, "doc_id", "s", budget = 400L, tau = 0.7, seed = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val coupledOracle = pairs.count(p => keptOracle(p._1) == keptOracle(p._2))
+    assert(coupledOracle >= pairs.size - 1,
+      s"oracle tier should couple residue-class pairs: $coupledOracle")
+    val keptFull = Sampling.temperatureMixFull(df, "doc_id", "s", budget = 400L, tau = 0.7, seed = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val coupledFull = pairs.count(p => keptFull(p._1) == keptFull(p._2))
+    assert(coupledFull < pairs.size * 3 / 4, s"coupledFull=$coupledFull")
+    // same stratum targets as the oracle-tier fill (the weights are shared)
+    assert(keptFull.size == keptOracle.size)
+  }
 }
