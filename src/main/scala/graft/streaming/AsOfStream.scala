@@ -57,13 +57,20 @@ object AsOfStream {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: Long, batch: Iterator[Tick], state: GroupState[Buf]) =>
           val prev = state.getOption.getOrElse(Buf(Nil, Nil))
+          val wm = state.getCurrentWatermarkMs()
           var lefts = prev.lefts
           var rights = prev.rights
           batch.foreach { t =>
-            if (t.side == 0) lefts = (t.ts.getTime, t.left_id) :: lefts
-            else rights = (t.ts.getTime, t.value) :: rights
+            // standard late-data contract: a probe older than the current
+            // watermark is DROPPED at ingest — the rights buffer is
+            // already pruned to the single newest right ≤ wm, so a late
+            // probe could only ever see a plausible-but-wrong (or absent)
+            // match. Late RIGHTS are still accepted: one newer than the
+            // retained row improves future matches, one older is pruned.
+            if (t.side == 0) {
+              if (t.ts.getTime > wm) lefts = (t.ts.getTime, t.left_id) :: lefts
+            } else rights = (t.ts.getTime, t.value) :: rights
           }
-          val wm = state.getCurrentWatermarkMs()
           // lefts at or before the watermark have their final match now
           val (ripe, pending) = lefts.partition(_._1 <= wm)
           val out = ripe.sortBy(l0 => (l0._1, l0._2)).map { case (lt, id) =>
@@ -86,8 +93,15 @@ object AsOfStream {
             state.update(Buf(pending, kept))
             if (pending.nonEmpty)
               state.setTimeoutTimestamp(pending.map(_._1).min)
-            else
-              state.setTimeoutTimestamp(math.max(wm + 1, wm + idleTtlSeconds * 1000))
+            else {
+              // idle TTL anchored to EVENT time (newest retained right),
+              // not the raw watermark — at the first trigger the watermark
+              // is still 0, and `wm + ttl` would land in 1970 and expire
+              // the key the moment the watermark initializes
+              val newest = kept.map(_._1).max
+              state.setTimeoutTimestamp(
+                math.max(wm + 1, math.max(newest, wm) + idleTtlSeconds * 1000))
+            }
           }
           out.iterator
       }

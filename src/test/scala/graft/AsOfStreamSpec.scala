@@ -80,6 +80,43 @@ class AsOfStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a probe older than the watermark is dropped, not answered wrongly") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val lefts = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val rights = MemoryStream[(Long, Double, java.sql.Timestamp)]
+    val out = AsOfStream.asOfStream(
+      lefts.toDF().toDF("key", "left_id", "ts"),
+      rights.toDF().toDF("key", "value", "ts"),
+      watermark = "1 seconds")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("asof_late_out").start()
+    try {
+      // rights at 10 and 100; the 300s row drives the watermark to 299,
+      // after which the state retains only the newest right ≤ wm (100)
+      rights.addData((1L, 5.0, ts(10)), (1L, 7.0, ts(100)), (2L, 0.0, ts(300)))
+      q.processAllAvailable()
+      // probe at 50 is LATE (wm = 299). Its true match (the 10s right) was
+      // legitimately pruned — emitting None would be plausible-but-wrong,
+      // so the probe must be dropped at ingest.
+      lefts.addData((1L, 50L, ts(50)))
+      // an in-time probe on the same key still matches the retained right
+      lefts.addData((1L, 51L, ts(400)))
+      rights.addData((2L, 0.0, ts(1000)))
+      q.processAllAvailable()
+      rights.addData((2L, 0.0, ts(2000)))
+      q.processAllAvailable()
+      val got = spark.table("asof_late_out")
+        .filter(col("key") === 1L)
+        .select("left_id", "asof_value").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+        .toMap
+      assert(!got.contains(50L), s"late probe should be dropped, got=$got")
+      assert(got.get(51L).contains(Some(7.0)), s"got=$got")
+    } finally q.stop()
+  }
+
   test("idle TTL drops a key's retained reference; a pre-TTL probe still matches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
