@@ -69,7 +69,10 @@ object TDigest {
       val om = new Array[Double](m); val ow = new Array[Double](m)
       var i = 1
       while (i < m) {
-        val q = (wSoFar + curW + sw(i) / 2) / total
+        // size bound evaluated at the MIDPOINT of the would-be merged
+        // centroid (Dunning's published form) — the right-edge variant
+        // slightly over-admits merges near the tails
+        val q = (wSoFar + (curW + sw(i)) / 2) / total
         val limit = 4.0 * total * q * (1.0 - q) / compression
         if (curW + sw(i) <= limit) {
           // weighted-mean merge into the current centroid
