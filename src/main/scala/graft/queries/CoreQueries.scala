@@ -121,8 +121,13 @@ object CoreQueries {
 
   /** TPC-H Q3 shape: selective fact×fact×dim three-way join with a
     * ranked aggregate cut — the canonical "shipping priority" OLAP
-    * pattern. Both orderkey joins are equi-joins on the natural key (at
-    * scale: co-partitioned or runtime-filtered); the top-10 is
+    * pattern. Join shape is pinned for scale: the filtered customer
+    * side BROADCASTS into orders, and the orders×lineitem equi-join is
+    * a SHUFFLED hash join on the natural key with the selective
+    * customer⋈orders output as build side — without the hint, sf0.1
+    * file stats tempt AQE into broadcasting the pruned LINEITEM fact
+    * scan, a shape that dies at 100 TB (and its 600k-row broadcast
+    * build was the slowest step of the whole suite here). The top-10 is
     * round-then-order with full key tiebreaks.
     */
   val q3Shipping: Q = Q(
@@ -137,8 +142,9 @@ object CoreQueries {
             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
             |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin),
     (s, dir) =>
-      cust(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      cust(s, dir).filter(col("c_mktsegment") === "BUILDING").hint("broadcast")
         .join(ord(s, dir), col("c_custkey") === col("o_custkey"))
+        .hint("shuffle_hash")
         .join(li(s, dir), col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(round(

@@ -107,6 +107,14 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs <= 4, s"expected one partial+final aggregate chain, got $aggs:\n" + p.take(1500))
   }
 
+  test("q3: customer broadcasts, orders×lineitem shuffles — the fact scan never broadcasts") {
+    val p = plan(CoreQueries.q3Shipping)
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("ShuffledHashJoin"),
+      "orders×lineitem must be a shuffled join (broadcasting the lineitem " +
+        "fact side dies at scale):\n" + p.take(1200))
+  }
+
   test("pipeline_embed_split: near-dup stage is banded LSH, not a cartesian") {
     val p = plan(graft.queries.TextQueries.pipelineEmbedSplit)
     assert(!p.contains("CartesianProduct"),
