@@ -7,12 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded/feature-extracted per partition.
   *
-  * The heavy codecs (JPEG/PNG/audio) are NOT available in this
-  * environment, so the decode kernel is a clearly-marked deterministic
-  * STUB — but everything Spark-side is real and tested: the schema
+  * IMAGE payloads decode for real through the JDK's built-in
+  * `javax.imageio` (PNG/BMP/JPEG/GIF — no external dependency): decode →
+  * fixed 8×8 luminance resample → 64 features. Payloads ImageIO cannot
+  * read (and the audio/video codecs, which are genuinely absent in this
+  * environment) fall back to the clearly-marked deterministic
+  * byte-statistics STUB, which is also the bit-portable oracle tier.
+  * Everything Spark-side is real and tested either way: the schema
   * convention, the per-partition batch shape (one iterator pass, no
-  * per-row setup cost), partition sizing, and the feature schema. Swapping
-  * `stubDecode` for a real codec is a one-function change.
+  * per-row setup cost), partition sizing, and the feature schema.
   *
   * At 100 TB: binary payloads ride the scan (parquet keeps them
   * column-pruned away unless referenced); feature extraction is
@@ -39,13 +42,15 @@ object Multimodal {
     StructField("content_hash", LongType, nullable = false),
     StructField("features", ArrayType(FloatType), nullable = false)))
 
-  /** STUB decode: a real build replaces this with the codec call
-    * (e.g. TwelveMonkeys ImageIO / JavaCV decode + resize + embed).
-    * Deterministic fake: 8 features derived from byte statistics, so the
-    * plumbing is testable end-to-end.
+  /** STUB decode — the fallback for payloads no available codec reads
+    * (and the bit-portable oracle tier): 8 features derived from byte
+    * statistics, so the plumbing is testable end-to-end. Audio/video
+    * codecs are absent in this environment; a real build swaps this for
+    * the codec call (JavaCV / javax.sound) the same way [[decodeImage]]
+    * plugs in ImageIO.
     */
   def stubDecode(payload: Array[Byte]): Array[Float] = {
-    // ??? <- real codec goes here; deterministic fake below
+    // ??? <- real audio/video codec goes here; deterministic fake below
     val n = payload.length.max(1)
     val sums = new Array[Long](8)
     var i = 0
@@ -53,21 +58,74 @@ object Multimodal {
     sums.map(s => (s.toDouble / n).toFloat)
   }
 
+  /** Number of luminance cells per image axis (64 features total). */
+  val ImageGrid = 8
+
+  /** REAL image decode via the JDK's built-in ImageIO readers (PNG, BMP,
+    * JPEG, GIF, WBMP — zero external dependencies): decode, resample on a
+    * fixed (8·grid)² point lattice, and emit one mean luminance in [0,1]
+    * per 8×8 cell. Resolution-independent (the lattice, not the pixel
+    * count, bounds work per image) and deterministic. Returns None when
+    * the payload is not a decodable image — callers fall back to
+    * [[stubDecode]].
+    */
+  def decodeImage(payload: Array[Byte]): Option[Array[Float]] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sub = 8 // sample points per cell axis: 64 samples per cell
+        val lattice = ImageGrid * sub
+        val sums = new Array[Double](ImageGrid * ImageGrid)
+        var sy = 0
+        while (sy < lattice) {
+          val y = (sy * h) / lattice
+          val cy = sy / sub
+          var sx = 0
+          while (sx < lattice) {
+            val x = (sx * w) / lattice
+            val rgb = img.getRGB(x, y)
+            val lum = 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            sums(cy * ImageGrid + sx / sub) += lum
+            sx += 1
+          }
+          sy += 1
+        }
+        Some(sums.map(s => (s / (sub * sub * 255.0)).toFloat))
+      }
+    } catch { case _: Exception => None }
+  }
+
   /** Per-partition feature extraction over the binary payload column.
     * One decoder instantiation per partition (the `iter.map` closure),
-    * mirroring arrow-batched `mapInPandas` economics.
+    * mirroring arrow-batched `mapInPandas` economics. Image payloads go
+    * through the real ImageIO decoder when readable; everything else
+    * (and undecodable bytes) takes the deterministic stub tier, so the
+    * operator never fails on a corrupt payload — it degrades.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media
-      .select("media_id", "payload")
-      .rdd
+    val typed =
+      if (media.columns.contains("media_type"))
+        media.select(col("media_id"), col("payload"), col("media_type"))
+      else // opaque-payload callers: stub tier (also the oracle tier)
+        media.select(col("media_id"), col("payload"), lit("binary").as("media_type"))
+    val rdd = typed.rdd
       .mapPartitions { iter =>
-        // per-partition decoder init would go here
+        // ImageIO plugin scan happens once per JVM; per-partition decoder
+        // state (scratch buffers, codec contexts) would init here
         iter.map { r =>
           val id = r.getLong(0)
           val payload = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-          val feats = stubDecode(payload)
+          val mediaType = r.getString(2)
+          val feats =
+            if (mediaType == "image") decodeImage(payload).getOrElse(stubDecode(payload))
+            else stubDecode(payload)
           var h = 1469598103934665603L // FNV-1a over payload: cheap content id
           payload.foreach { b => h ^= (b & 0xffL); h *= 1099511628211L }
           Row(id, payload.length, h, feats.toSeq)

@@ -30,6 +30,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.map { case (k, v) => k -> v.getLong(2) } == again)
   }
 
+  private def pngBytes(w: Int, h: Int)(color: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, color(x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("decodeImage: real PNG decodes to a 64-cell luminance grid") {
+    // left half black, right half white
+    val png = pngBytes(32, 32)((x, _) => if (x < 16) 0x000000 else 0xffffff)
+    val feats = Multimodal.decodeImage(png).get
+    assert(feats.length == Multimodal.ImageGrid * Multimodal.ImageGrid)
+    // cells in the left 4 columns ~0, right 4 columns ~1
+    for (cy <- 0 until 8; cx <- 0 until 8) {
+      val v = feats(cy * 8 + cx)
+      if (cx < 4) assert(v < 0.05, s"cell ($cx,$cy)=$v should be dark")
+      else assert(v > 0.95, s"cell ($cx,$cy)=$v should be bright")
+    }
+    // non-image bytes: None (caller falls back to the stub tier)
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+  }
+
+  test("extractFeatures routes decodable images through ImageIO, the rest through the stub") {
+    import spark.implicits._
+    val png = pngBytes(16, 16)((_, _) => 0x808080)
+    val df = Seq(
+      (10L, png, "image"), // real decode: 64 features
+      (11L, png, "audio"), // same bytes, non-image type: stub 8
+      (12L, "garbage".getBytes("UTF-8"), "image")) // undecodable image: stub 8
+      .toDF("media_id", "payload", "media_type")
+    val got = Multimodal.extractFeatures(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    assert(got(10L).length == 64)
+    assert(got(10L).forall(v => math.abs(v - 128.0 / 255.0) < 0.01))
+    assert(got(11L).length == 8)
+    assert(got(12L).length == 8)
+  }
+
   test("sampleFrameIndexes strides only video rows") {
     val idx = Multimodal.sampleFrameIndexes(media(), stride = 3).collect()
       .map(r => (r.getLong(0), r.getAs[Number](1).longValue())).toSet
