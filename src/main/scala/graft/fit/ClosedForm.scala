@@ -86,11 +86,16 @@ object ClosedForm {
     * at `center`. Non-concave parabolas (c ≥ 0 — no Gaussian peak) yield
     * NULL rather than a domain error in either engine.
     */
-  def paramTexts(center: Double, width: Double): (String, String, String) = {
-    val cT = s"${center.toString}e0"
-    val wT = s"${width.toString}e0"
-    val mu = s"$cT + $wT * (-(b) / (2.0e0 * c))"
-    val sg = s"CASE WHEN c < 0.0e0 THEN $wT * SQRT(-1.0e0 / (2.0e0 * c)) ELSE NULL END"
+  def paramTexts(center: Double, width: Double): (String, String, String) =
+    paramTextsCols(s"${center.toString}e0", s"${width.toString}e0")
+
+  /** [[paramTexts]] with center/width as arbitrary column EXPRESSIONS —
+    * for pipelines whose histogram range is data-driven (per-group
+    * lo/hi) rather than a literal.
+    */
+  def paramTextsCols(center: String, width: String): (String, String, String) = {
+    val mu = s"($center) + ($width) * (-(b) / (2.0e0 * c))"
+    val sg = s"CASE WHEN c < 0.0e0 THEN ($width) * SQRT(-1.0e0 / (2.0e0 * c)) ELSE NULL END"
     val am = s"CASE WHEN c < 0.0e0 THEN EXP(a - (b * b) / (4.0e0 * c)) ELSE NULL END"
     (mu, sg, am)
   }
