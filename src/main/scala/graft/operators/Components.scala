@@ -131,6 +131,112 @@ object Components {
     checked.unionByName(singletons)
   }
 
+  /** Adversarial-depth tier: alternating large-star / small-star edge
+    * rewiring (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014 — public algorithm, original implementation).
+    * Min-label propagation needs O(diameter) rounds, so a million-hop
+    * chain needs a million shuffles; star rewiring halves path lengths
+    * each alternation and converges in O(log n) rounds on ANY graph
+    * shape. Use it when the pair graph may be chain-shaped (overlapping
+    * chunking, paragraph pipelines) or its diameter is simply unknown.
+    *
+    *  - large-star: every node links its larger neighbors to its
+    *    smallest-known neighbor (one groupBy + one join per round);
+    *  - small-star: every node links its smaller-or-equal neighbors to
+    *    the minimum, collapsing local stars;
+    *  - fixed point: the edge set is a union of stars (child → component
+    *    root); detected by a (count, Σsrc, Σdst) triple going stationary
+    *    (decimal sums — overflow-safe for any 64-bit id space).
+    *
+    * Output matches [[labelPropagation]]: (id, component = min reachable
+    * node id) for every node in `nodes`. Eager (per-round persists, all
+    * released); throws if `maxIters` alternations don't converge.
+    */
+  def alternatingStar(
+      nodes: DataFrame,
+      pairs: DataFrame,
+      id: String,
+      a: String,
+      b: String,
+      maxIters: Int = 30): DataFrame = {
+    val spark = nodes.sparkSession
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+    // lineage breaker: persist the round's edges as an RDD and restart the
+    // LOGICAL plan from it (LogicalRDD). persist() alone keeps the full
+    // Catalyst tree, and each alternation references the previous round's
+    // plan several times — tree size would grow geometrically and OOM the
+    // driver around round ten.
+    def brk(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.persist(level)
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    // canonical (u = hi, v = lo) edge list
+    var (edges, edgesRdd) = brk(
+      canon(pairs.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))))
+    def stat(df: DataFrame): (Long, BigDecimal, BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)),
+        sum(col("u").cast("decimal(38,0)")),
+        sum(col("v").cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0),
+        Option(r.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0)),
+        Option(r.getDecimal(2)).map(BigDecimal(_)).getOrElse(BigDecimal(0)))
+    }
+    var cur = stat(edges)
+    var k = 0
+    var converged = cur._1 == 0L
+    try {
+      while (k < maxIters && !converged) {
+        // LARGE-STAR over both orientations: x's strictly-larger
+        // neighbors re-link to x's minimum (incl. x itself)
+        val sym = edges.select(col("u").as("x"), col("v").as("y"))
+          .unionByName(edges.select(col("v").as("x"), col("u").as("y")))
+        val mins = sym.groupBy("x").agg(least(min(col("y")), col("x")).as("m"))
+        val (ls, lsRdd) = brk(canon(
+          sym.filter(col("y") > col("x"))
+            .join(mins, "x")
+            .select(col("y").as("u"), col("m").as("v"))))
+        // SMALL-STAR on (hi → lo) edges: hi's smaller neighbors (and hi)
+        // all re-link to hi's minimum neighbor
+        val lmins = ls.groupBy("u").agg(min(col("v")).as("m"))
+        val (ss, ssRdd) = brk(canon(
+          ls.join(lmins, "u")
+            .select(col("v").as("u"), col("m").as("v"))
+            .unionByName(ls.select(col("u"), col("v")).join(lmins, "u")
+              .select(col("u"), col("m").as("v")))))
+        val next = stat(ss)
+        lsRdd.unpersist(blocking = false)
+        edgesRdd.unpersist(blocking = false)
+        edges = ss
+        edgesRdd = ssRdd
+        converged = next == cur
+        cur = next
+        k += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"alternating-star components did not converge within $maxIters rounds")
+      // fixed point = union of stars: every edge is (child, root)
+      val assigned = edges.groupBy(col("u").as(id)).agg(min(col("v")).as("component"))
+      val roots = edges.select(col("v").as(id)).distinct()
+        .join(assigned.select(col(id)), Seq(id), "left_anti")
+        .withColumn("component", col(id))
+      val labeled = assigned.unionByName(roots)
+      val singletons = nodes.select(col(id).cast("long").as(id)).distinct()
+        .join(labeled.select(col(id)), Seq(id), "left_anti")
+        .withColumn("component", col(id))
+      val out = labeled.unionByName(singletons)
+      // materialize inside the persist bracket (output is one row per node;
+      // callers needing laziness can re-derive — correctness first here)
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally edgesRdd.unpersist(blocking = false)
+  }
+
   /** Convergence-checked tier: iterate EAGERLY with per-round persisted
     * labels until the assignment is stationary — labels only decrease
     * under min-propagation, so the per-round label sum is one scalar

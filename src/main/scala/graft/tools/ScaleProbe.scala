@@ -30,7 +30,8 @@ object ScaleProbe {
     (0 until copies).map { i =>
       docs.select(
         (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"$$1c$i").as("text"))
+        regexp_replace(col("text"), "(\\S+)", s"$$1c$i").as("text"),
+        col("lang"))
     }.reduce(_ unionAll _)
 
   /** Scale the embeddings table by replication with DETERMINISTIC per-copy
@@ -62,11 +63,14 @@ object ScaleProbe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     li.groupBy("l_returnflag").count().collect() // warmup
 
-    def timed(name: String, copies: Int)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = body
-      println(f"""{"probe":"$name","copies":$copies,"rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
-    }
+    // optional CLI filter: `runMain graft.tools.ScaleProbe <probe-name>`
+    val only = args.headOption
+    def timed(name: String, copies: Int)(body: => Long): Unit =
+      if (only.forall(_ == name)) {
+        val t0 = System.nanoTime()
+        val n = body
+        println(f"""{"probe":"$name","copies":$copies,"rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      }
     def time(name: String, copies: Int)(body: DataFrame => Long): Unit =
       timed(name, copies)(body(scaled(li, copies)))
 
@@ -148,6 +152,36 @@ object ScaleProbe {
         df.groupBy("l_returnflag")
           .agg(graft.functions.TDigest.quantilesAgg(
             col("l_extendedprice").cast("double"), Seq(0.25, 0.5, 0.75, 0.99)).as("q"))
+          .collect().length.toLong
+      }
+      timed("embed_split", c) {
+        // the pipeline_embed_split shape end to end: quality gate → exact
+        // dedup → embedding join → banded-LSH near-dup drop → split →
+        // stats. Scaled docs and embeddings share the same id offsets, so
+        // the embedding join stays aligned across copies.
+        val d = scaledDocs(docs, c)
+        val e = scaledEmb(emb, c)
+        val gated = d.select(
+          col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.fingerprint(col("text")).as("fp"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"))
+          .filter(col("n_tokens") >= 30)
+        val keep = gated.groupBy("fp").agg(min("doc_id").as("keep_id"))
+        val survivors = gated.join(keep, gated("doc_id") === keep("keep_id"), "left_semi")
+        val withVec = survivors
+          .join(e.select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+            survivors("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("lang"), col("v"))
+        val drops = graft.operators.Similarity
+          .lshNearDupPairs(withVec.select(col("doc_id"), col("v")), "doc_id", "v",
+            dim = 64, bands = 8, planesPerBand = 8, threshold = 0.92, seed = 42L)
+          .select(col("id_b").as("doc_id")).distinct()
+        val kept = withVec.join(drops, Seq("doc_id"), "left_anti")
+          .withColumn("nrm", sqrt(graft.plans.VectorExpressions.dotFast(col("v"), col("v"))))
+        graft.operators.Splits
+          .trainValTest(kept, "doc_id", trainPct = 80, valPct = 10, seed = 7)
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n"), avg("nrm"))
           .collect().length.toLong
       }
     }

@@ -77,6 +77,39 @@ class ComponentsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  test("alternating-star solves a 1000-hop chain in O(log n) rounds") {
+    import spark.implicits._
+    // a chain this deep would need 999 label-propagation rounds; the
+    // star-rewiring tier must finish well inside its 30-round default
+    val n = 1000L
+    val nodes = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Components.alternatingStar(nodes, pairs, "doc_id", "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    assert(got.values.forall(_ == 0L), got.filter(_._2 != 0L).take(5).toString)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked RDD caches: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
+  test("alternating-star agrees with label propagation on a mixed graph") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 5L, 6L, 7L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("id_a", "id_b")
+    val star = Components.alternatingStar(nodes, pairs, "doc_id", "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Components.labelPropagation(nodes, pairs, "doc_id", "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+    // empty pair set degenerates to singletons
+    val empty = Components.alternatingStar(
+      Seq(4L, 9L).toDF("doc_id"),
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "doc_id", "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(empty == Map(4L -> 4L, 9L -> 9L))
+  }
+
   test("empty pair set: every node is its own component") {
     import spark.implicits._
     val nodes = Seq(1L, 2L).toDF("doc_id")
