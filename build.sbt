@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // a 100+-query bench generates thousands of whole-stage-codegen classes;
+  // the JVM default 240m code cache fills mid-suite, JIT silently stops
+  // compiling, and every later query runs interpreted (measured 5-12x
+  // inflation on whatever happens to run late in the suite)
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

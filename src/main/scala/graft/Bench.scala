@@ -34,8 +34,12 @@ object Bench {
       .groupBy("l_returnflag").count().collect()
     catch { case _: Throwable => }
     // deterministic execution order + per-query cache hygiene so timings
-    // are comparable run-to-run and round-to-round
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // are comparable run-to-run and round-to-round; SPARK_GRAFT_BENCH_ONLY
+    // (comma-separated names) isolates a subset for noise diagnosis
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
