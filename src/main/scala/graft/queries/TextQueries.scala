@@ -227,14 +227,15 @@ object TextQueries {
       // INSIDE an unrolled multi-round plan (the PPJoin window sorts
       // replicate per round faster than exchange reuse dedupes them)
       val pairs = Dedup.jaccardPairs(d, "doc_id", "text", k = 3, threshold = 0.5)
-      // checked fixed-round tier: 6 unrolled rounds cover any plausible
-      // dup-graph diameter (near-dup clusters are near-cliques, diameter
-      // 2-4), and a 7th round asserts the fixed point INSIDE the plan, so
-      // a deeper-than-assumed graph fails loudly instead of silently
-      // under-merging. The eager labelPropagation tier stays ~60% slower
-      // here (its probe pays the pair derivation a second time).
-      graft.operators.Components.labelPropagationChecked(
-        d.select("doc_id"), pairs, "doc_id", "id_a", "id_b", iters = 6)
+      // alternating-star tier: converges on ANY graph shape in O(log n)
+      // rounds with true fixed-point detection (no diameter assumption,
+      // no silent under-merge), and it materializes the pair derivation
+      // exactly ONCE — ScaleProbe showed the unrolled lazy tiers
+      // recompute the shingle self-join per round whenever exchange
+      // reuse misses (13 s → 42 s swings at ×4); the star tier is flat
+      // (≈8 s at 1×/2×/4×) and faster in the worst case.
+      graft.operators.Components.alternatingStar(
+        d.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
     })
 
   /** Incremental (new-batch-vs-corpus) dedup — the daily-ingest shape:

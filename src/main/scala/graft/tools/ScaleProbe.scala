@@ -129,11 +129,22 @@ object ScaleProbe {
           k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5).count()
       }
       timed("components", c) {
+        // mirrors the REGISTERED dedup_components tier: plain shingle-join
+        // pairs (PPJoin's window sorts replicate badly inside unrolled
+        // multi-round plans) + the checked fixed-round propagation
         val d = scaledDocs(docs, c)
-        val pairs = graft.operators.Dedup.prefixJaccardPairs(
+        val pairs = graft.operators.Dedup.jaccardPairs(
           d, "doc_id", "text", k = 3, threshold = 0.5)
-        graft.operators.Components.labelPropagationFixed(
+        graft.operators.Components.labelPropagationChecked(
           d.select("doc_id"), pairs, "doc_id", "id_a", "id_b", iters = 6).count()
+      }
+      timed("components_star", c) {
+        // the adversarial-depth tier on the same pair graph
+        val d = scaledDocs(docs, c)
+        val pairs = graft.operators.Dedup.jaccardPairs(
+          d, "doc_id", "text", k = 3, threshold = 0.5)
+        graft.operators.Components.alternatingStar(
+          d.select("doc_id"), pairs, "doc_id", "id_a", "id_b").count()
       }
       timed("decontam", c) {
         val d = scaledDocs(docs, c)
