@@ -285,6 +285,101 @@ object SimilarityQueries {
       })
   }
 
+  /** IVF+PQ composed ANN with FIXED models and a HASH-EXACT oracle — the
+    * 100 TB index shape (coarse-cell pruning → ADC scoring → exact
+    * re-rank) verified end to end: the oracle chains the [[simIvfFixed]]
+    * assignment/probe CTEs with the [[simPqFixed]] encode/ADC/re-rank
+    * CTEs, all generated from the same seeded literals the Spark side
+    * uses, with the ADC restricted to the probed cells. Trained-model
+    * recall is pinned by IvfPqSpec.
+    */
+  val simIvfPqFixed: Q = {
+    val kIvf = 8; val nprobe = 3
+    val m = 8; val k = 16; val subDim = 8; val rerank = 60; val topK = 20
+    val cents = Similarity.hyperplanes(kIvf, dim = 64, seed = 7L).map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    }
+    val books: Array[Array[Array[Double]]] = {
+      val flat = Similarity.hyperplanes(m * k, dim = subDim, seed = 23L)
+      (0 until m).toArray.map(s => (0 until k).toArray.map(j => flat(s * k + j)))
+    }
+    def dl(x: Double): String = {
+      val s = x.toString
+      if (s.contains("E") || s.contains("e")) s else s + "e0"
+    }
+    val ivfLits = cents.zipWithIndex
+      .map { case (c, j) => s"($j, ${c.map(_.toString).mkString("[", ", ", "]")})" }
+      .mkString(",\n      ")
+    val pqLits = (0 until m).flatMap { s =>
+      books(s).zipWithIndex.map { case (c, j) =>
+        val half = c.map(x => x * x).sum / 2.0
+        s"($s, $j, ${c.map(_.toString).mkString("[", ", ", "]")}, ${dl(half)})"
+      }
+    }.mkString(",\n      ")
+    val adcChain = (0 until m)
+      .map(s => s"MAX(CASE WHEN s = $s THEN t END)")
+      .mkString("0.0e0 + ", " + ", "")
+    Q(
+      "sim_ivfpq_fixed_topk",
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |n AS (SELECT vec_id,
+              |        list_transform(v, x -> x / SQRT(list_dot_product(v, v))) AS vn
+              |      FROM e),
+              |eq AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+              |q0 AS (SELECT list_transform(qv, x -> x / SQRT(list_dot_product(qv, qv))) AS q
+              |       FROM eq),
+              |ivfc AS (SELECT * FROM (VALUES
+              |      $ivfLits) AS t(j, c)),
+              |iscored AS (SELECT n.vec_id, ivfc.j,
+              |        ROUND(list_dot_product(n.vn, ivfc.c), 9) AS s
+              |      FROM n CROSS JOIN ivfc),
+              |assign AS (SELECT vec_id, j AS cluster FROM (
+              |        SELECT vec_id, j,
+              |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn
+              |        FROM iscored)
+              |      WHERE rn = 1),
+              |probes AS (SELECT ivfc.j FROM ivfc CROSS JOIN q0
+              |      ORDER BY list_dot_product(q0.q, ivfc.c) DESC, ivfc.j LIMIT $nprobe),
+              |cents AS (SELECT * FROM (VALUES
+              |      $pqLits) AS t(s, j, c, half)),
+              |tbl AS (SELECT s, j,
+              |        list_dot_product(c, q[s*$subDim+1 : s*$subDim+$subDim]) AS t
+              |      FROM cents CROSS JOIN q0),
+              |sc AS (SELECT n.vec_id, cents.s, cents.j,
+              |        ROUND(list_dot_product(vn[cents.s*$subDim+1 : cents.s*$subDim+$subDim],
+              |                               cents.c) - cents.half, 9) AS score
+              |      FROM n CROSS JOIN cents),
+              |codes AS (SELECT vec_id, s, j FROM (
+              |        SELECT vec_id, s, j,
+              |          ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY score DESC, j) AS rn
+              |        FROM sc)
+              |      WHERE rn = 1),
+              |ct AS (SELECT c.vec_id, c.s, tbl.t FROM codes c JOIN tbl USING (s, j)
+              |       JOIN assign a ON c.vec_id = a.vec_id
+              |       WHERE a.cluster IN (SELECT j FROM probes)),
+              |adc AS (SELECT vec_id, $adcChain AS adc FROM ct GROUP BY vec_id),
+              |short AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT $rerank)
+              |SELECT e.vec_id,
+              |  ROUND(list_dot_product(e.v, eq.qv)
+              |    / (SQRT(list_dot_product(e.v, e.v)) * SQRT(list_dot_product(eq.qv, eq.qv))), 6)
+              |    AS cos
+              |FROM e JOIN short USING (vec_id) CROSS JOIN eq
+              |ORDER BY cos DESC, vec_id LIMIT $topK""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val ivfModel = graft.operators.Ivf.Model(cents)
+        val pqModel = graft.operators.Pq.Model(books)
+        val indexed = graft.operators.IvfPq.index(e, "vec_id", "embedding", ivfModel, pqModel)
+        val qv = e.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .collect().head.getSeq[Double](0).toArray
+        graft.operators.IvfPq.searchTopK(
+          indexed, e, "vec_id", "embedding", ivfModel, pqModel, qv,
+          nprobe = nprobe, topK = topK, rerank = rerank)
+      })
+  }
+
   /** Per-label embedding centroids in long form (label, pos, mean) — the
     * distributed vector-statistics shape behind cluster summaries and
     * k-means updates: one posexplode + hash aggregate, per-dimension
@@ -312,5 +407,5 @@ object SimilarityQueries {
 
   def all: Seq[Q] =
     Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simIvfFixed, simPq,
-      simPqFixed, embCentroids)
+      simPqFixed, simIvfPqFixed, embCentroids)
 }
