@@ -106,4 +106,50 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got.getAs[Double]("spread") == 0.0)
     assert(got.getAs[Double]("lo") == 5.0 && got.getAs[Double]("hi") == 5.0)
   }
+
+  test("alternating-star components tolerate duplicated and reversed pairs") {
+    import spark.implicits._
+    // the same undirected edge arriving in both orientations and
+    // duplicated — the shape a union of per-band pair emitters produces
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L))
+      .toDF("id_a", "id_b") // includes a self-loop to discard
+    val got = graft.operators.Components
+      .alternatingStar(nodes, pairs, "doc_id", "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
+  test("image decode edge shapes: 1x1 pixel and truncated payloads") {
+    val one = {
+      val img = new java.awt.image.BufferedImage(
+        1, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xffffff)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val feats = graft.operators.Multimodal.decodeImage(one).get
+    assert(feats.length == 64 && feats.forall(v => math.abs(v - 1.0) < 1e-6))
+    // a valid header with a truncated body must fall back, not throw
+    assert(graft.operators.Multimodal.decodeImage(one.take(20)).isEmpty)
+  }
+
+  test("ivf+pq search over a probe set with fewer candidates than rerank") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val df = (0 until 30).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val ivf = graft.operators.Ivf.train(df, "vec_id", "embedding", k = 4, iters = 2, seed = 1L)
+    val pq = graft.operators.Pq.train(df, "vec_id", "embedding", dim = 8, m = 2, k = 4,
+      iters = 2, seed = 2L)
+    val idx = graft.operators.IvfPq.index(df, "vec_id", "embedding", ivf, pq)
+    val qv = df.filter(col("vec_id") === 0L).collect().head
+      .getSeq[Float](1).map(_.toDouble).toArray
+    // nprobe=1 can leave < rerank candidates; the limit must just clamp
+    val got = graft.operators.IvfPq.searchTopK(
+      idx, df, "vec_id", "embedding", ivf, pq, qv, nprobe = 1, topK = 10, rerank = 100)
+      .collect()
+    assert(got.nonEmpty && got.length <= 10)
+  }
 }
