@@ -168,64 +168,85 @@ object AnalysisQueries {
               Bootstrap.portableMultiplicity(
                 col("n_trigger") * lit(131L) + col("replica") * lit(104729L))))
           .filter(col("m") > 0)
-        val fanx = fanp
-          .withColumn("__dup", explode(array_repeat(lit(1), col("m"))))
-          .drop("__dup", "m")
         val keys = Seq("replica", "k1", "k2")
         val pw = Window.partitionBy(keys.map(col): _*)
-        def rankSel(v: String): org.apache.spark.sql.Column = expr(medianSel(v))
-        def medianAgg(v: String): org.apache.spark.sql.Column =
-          sum(rankSel(v)) / count(rankSel(v))
-        val r1 = fanx
-          .withColumn("rn", row_number().over(pw.orderBy(col("dps"))))
-          .withColumn("n", count(lit(1)).over(pw))
-        val med = r1.groupBy(keys.map(col): _*).agg(medianAgg("dps").as("md"))
-        val r3 = fanx.join(med, keys)
-          .withColumn("adev", abs(col("dps") - col("md")))
-          .withColumn("rn", row_number().over(pw.orderBy(col("adev"))))
-          .withColumn("n", count(lit(1)).over(pw))
-        val sp = r3.groupBy(keys.map(col): _*).agg(
-          round(medianAgg("adev") * lit(1.4826e0), 6).as("kmad"),
-          min(col("dps")).as("lo"), max(col("dps")).as("hi"))
-        val best = sp
-          .withColumn("brn", row_number().over(
-            Window.partitionBy("replica").orderBy(col("kmad"), col("k1"), col("k2"))))
-          .filter(col("brn") === 1)
-          .select("replica", "k1", "k2", "kmad", "lo", "hi")
-        val hist = fanp.join(best.select("replica", "k1", "k2", "lo", "hi"), keys)
-          .withColumn("bucket", expr(bucketT))
-          .groupBy("replica", "bucket")
-          .agg(sum(col("m")).as("cnt"), min("lo").as("lo"), min("hi").as("hi"))
-        val uy = hist.select(
-          col("replica"), (col("bucket") - lit(25L)).as("u"),
-          expr("LN(CAST(cnt AS DOUBLE))").as("y"), col("lo"), col("hi"))
-        val mm = uy.groupBy("replica").agg(
-          count(lit(1)).cast("double").as("s0"),
-          sum(col("u")).cast("double").as("su"),
-          sum(col("u") * col("u")).cast("double").as("su2"),
-          sum(col("u") * col("u") * col("u")).cast("double").as("su3"),
-          sum(col("u") * col("u") * col("u") * col("u")).cast("double").as("su4"),
-          DetAgg.dsum(col("y")).as("sy"),
-          DetAgg.dsum(col("u") * col("y")).as("suy"),
-          DetAgg.dsum(col("u") * col("u") * col("y")).as("su2y"),
-          min("lo").as("lo"), min("hi").as("hi"))
-        val fits = mm
-          .select(
-            col("replica"), col("lo"), col("hi"),
-            expr(s"($na)/($det)").as("a"),
-            expr(s"($nb)/($det)").as("b"),
-            expr(s"($nc)/($det)").as("c"))
-          .select(
-            col("replica"),
-            expr(muT).as("mu"), expr(sgT).as("sigma"), expr(amT).as("amplitude"))
-        best.join(fits, "replica")
-          .select(
-            col("replica").cast("long").as("replica"),
-            col("k1").cast("long").as("k1"), col("k2").cast("long").as("k2"),
-            col("kmad"),
-            round(col("mu"), 6).as("mu"),
-            round(col("sigma"), 6).as("sigma"),
-            round(col("amplitude"), 6).as("amplitude"))
+        // WEIGHTED exact median: a row of weight m covers positions
+        // (cum−m, cum] of the would-be exploded sequence, so the value at
+        // target position p is the row with cum−m < p ≤ cum. The two
+        // middle positions are selected by running-weight arithmetic —
+        // bit-identical to exploding m copies and rank-selecting (same
+        // multiset, same positional values, (a+b)/2 over ≤2 terms), but
+        // the explode never materializes. Tie order inside equal dps runs
+        // doesn't matter: every covering row holds the same value.
+        val hitsExpr =
+          "(CASE WHEN cum - m < CAST(FLOOR((n + 1) / 2.0e0) AS BIGINT) " +
+            "AND CAST(FLOOR((n + 1) / 2.0e0) AS BIGINT) <= cum THEN 1 ELSE 0 END) + " +
+            "(CASE WHEN cum - m < CAST(FLOOR((n + 2) / 2.0e0) AS BIGINT) " +
+            "AND CAST(FLOOR((n + 2) / 2.0e0) AS BIGINT) <= cum THEN 1 ELSE 0 END)"
+        def weightedMedian(df: org.apache.spark.sql.DataFrame, v: String)
+            : org.apache.spark.sql.DataFrame = {
+          val ranked = df
+            .withColumn("cum", sum(col("m")).over(
+              pw.orderBy(col(v)).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .withColumn("n", sum(col("m")).over(pw))
+            .withColumn("hits", expr(hitsExpr))
+          ranked.groupBy(keys.map(col): _*).agg(
+            (sum(col(v) * col("hits")) / sum(col("hits"))).as(s"__med_$v"),
+            min(col("dps")).as(s"__lo_$v"), max(col("dps")).as(s"__hi_$v"))
+        }
+        // deliberately LAZY: the Δt fan is recomputed per pass — it is a
+        // cheap scan+join+explode, and materializing 60M rows to a cache
+        // (measured) costs nearly 2× what the recomputes do
+        val result = {
+          val med = weightedMedian(fanp, "dps")
+            .select((keys.map(col) :+ col("__med_dps").as("md")): _*)
+          val sp = weightedMedian(
+            fanp.join(med, keys).withColumn("adev", abs(col("dps") - col("md"))), "adev")
+            .select(
+              (keys.map(col) :+
+                round(col("__med_adev") * lit(1.4826e0), 6).as("kmad") :+
+                col("__lo_adev").as("lo") :+ col("__hi_adev").as("hi")): _*)
+          val best = sp
+            .withColumn("brn", row_number().over(
+              Window.partitionBy("replica").orderBy(col("kmad"), col("k1"), col("k2"))))
+            .filter(col("brn") === 1)
+            .select("replica", "k1", "k2", "kmad", "lo", "hi")
+          val hist = fanp.join(best.select("replica", "k1", "k2", "lo", "hi"), keys)
+            .withColumn("bucket", expr(bucketT))
+            .groupBy("replica", "bucket")
+            .agg(sum(col("m")).as("cnt"), min("lo").as("lo"), min("hi").as("hi"))
+          val uy = hist.select(
+            col("replica"), (col("bucket") - lit(25L)).as("u"),
+            expr("LN(CAST(cnt AS DOUBLE))").as("y"), col("lo"), col("hi"))
+          val mm = uy.groupBy("replica").agg(
+            count(lit(1)).cast("double").as("s0"),
+            sum(col("u")).cast("double").as("su"),
+            sum(col("u") * col("u")).cast("double").as("su2"),
+            sum(col("u") * col("u") * col("u")).cast("double").as("su3"),
+            sum(col("u") * col("u") * col("u") * col("u")).cast("double").as("su4"),
+            DetAgg.dsum(col("y")).as("sy"),
+            DetAgg.dsum(col("u") * col("y")).as("suy"),
+            DetAgg.dsum(col("u") * col("u") * col("y")).as("su2y"),
+            min("lo").as("lo"), min("hi").as("hi"))
+          val fits = mm
+            .select(
+              col("replica"), col("lo"), col("hi"),
+              expr(s"($na)/($det)").as("a"),
+              expr(s"($nb)/($det)").as("b"),
+              expr(s"($nc)/($det)").as("c"))
+            .select(
+              col("replica"),
+              expr(muT).as("mu"), expr(sgT).as("sigma"), expr(amT).as("amplitude"))
+          best.join(fits, "replica")
+            .select(
+              col("replica").cast("long").as("replica"),
+              col("k1").cast("long").as("k1"), col("k2").cast("long").as("k2"),
+              col("kmad"),
+              round(col("mu"), 6).as("mu"),
+              round(col("sigma"), 6).as("sigma"),
+              round(col("amplitude"), 6).as("amplitude"))
+        }
+        result
       })
   }
 
