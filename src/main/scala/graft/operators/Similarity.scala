@@ -88,6 +88,37 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Cluster-scoped near-duplicate pairs — the SemDeDup shape (public
+    * literature: cluster the embeddings, compare only within a cluster):
+    * assign every vector to its nearest centroid, emit (a < b) pairs with
+    * cosine ≥ `threshold` INSIDE each cluster. Complements
+    * [[lshNearDupPairs]]: LSH recall depends on the threshold band,
+    * cluster scoping recall depends on the quantizer — both turn O(n²)
+    * into per-bucket work, and at 100 TB the cluster column doubles as a
+    * partition key (compare [[Ivf.writePartitioned]]). Pairs whose
+    * members land in different cells are missed by construction — the
+    * documented trade of the method.
+    */
+  def clusterNearDupPairs(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      model: Ivf.Model,
+      threshold: Double): DataFrame = {
+    val assigned = Ivf.assign(df, vec, model)
+      .select(col(id), col("cluster"), asDouble(col(vec)).as("__v"))
+      .withColumn("__n", sqrt(dotF(col("__v"), col("__v"))))
+    val a = assigned.select(
+      col("cluster"), col(id).as("id_a"), col("__v").as("va"), col("__n").as("na"))
+    val b = assigned.select(
+      col("cluster"), col(id).as("id_b"), col("__v").as("vb"), col("__n").as("nb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dotF(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("cluster"), col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Random-hyperplane LSH near-dup pairs: bucket on the `numPlanes`-bit
     * sign signature, exact-verify cosine within buckets. Recall comes from
     * `bands` independent sign-bands (each `planesPerBand` bits).

@@ -285,6 +285,59 @@ object SimilarityQueries {
       })
   }
 
+  /** Cluster-scoped semantic near-dup pairs (the SemDeDup shape) with a
+    * FIXED quantizer and a HASH-EXACT oracle: nearest-centroid assignment
+    * mirrors `sim_ivf_fixed_topk`'s CTE, then the pair join + cosine
+    * verify runs INSIDE each cell — the third embedding near-dup tier
+    * beside brute force (`dedup_embcos_pairs`) and banded LSH
+    * (`sim_lsh_pairs`). Trained-quantizer recall is pinned by DedupSpec-
+    * style containment in the brute-force pair set (SimilaritySpec? see
+    * OperatorsSpec).
+    */
+  val semanticDedup: Q = {
+    val k = 8
+    val cents = Similarity.hyperplanes(k, dim = 64, seed = 7L).map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    }
+    val centLits = cents.zipWithIndex
+      .map { case (c, j) => s"($j, ${c.map(_.toString).mkString("[", ", ", "]")})" }
+      .mkString(",\n      ")
+    Q(
+      "dedup_semantic_pairs",
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |n AS (SELECT vec_id,
+              |        list_transform(v, x -> x / SQRT(list_dot_product(v, v))) AS vn
+              |      FROM e),
+              |cs AS (SELECT * FROM (VALUES
+              |      $centLits) AS t(j, c)),
+              |scored AS (SELECT n.vec_id, cs.j,
+              |        ROUND(list_dot_product(n.vn, cs.c), 9) AS s
+              |      FROM n CROSS JOIN cs),
+              |assign AS (SELECT vec_id, j AS cluster FROM (
+              |        SELECT vec_id, j,
+              |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn
+              |        FROM scored)
+              |      WHERE rn = 1)
+              |SELECT la.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+              |  ROUND(list_dot_product(a.v, b.v)
+              |    / (SQRT(list_dot_product(a.v, a.v))
+              |       * SQRT(list_dot_product(b.v, b.v))), 6) AS cos
+              |FROM e a JOIN assign la ON a.vec_id = la.vec_id
+              |JOIN assign lb ON la.cluster = lb.cluster
+              |JOIN e b ON b.vec_id = lb.vec_id AND a.vec_id < b.vec_id
+              |WHERE list_dot_product(a.v, b.v)
+              |    / (SQRT(list_dot_product(a.v, a.v))
+              |       * SQRT(list_dot_product(b.v, b.v))) >= 0.35""".stripMargin),
+      (s, dir) =>
+        Similarity.clusterNearDupPairs(
+          emb(s, dir), "vec_id", "embedding",
+          graft.operators.Ivf.Model(cents), threshold = 0.35)
+          .select(
+            col("cluster").cast("long").as("cluster"),
+            col("id_a"), col("id_b"), round(col("cos"), 6).as("cos")))
+  }
+
   /** IVF+PQ composed ANN with FIXED models and a HASH-EXACT oracle — the
     * 100 TB index shape (coarse-cell pruning → ADC scoring → exact
     * re-rank) verified end to end: the oracle chains the [[simIvfFixed]]
@@ -407,5 +460,5 @@ object SimilarityQueries {
 
   def all: Seq[Q] =
     Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simIvfFixed, simPq,
-      simPqFixed, simIvfPqFixed, embCentroids)
+      simPqFixed, simIvfPqFixed, semanticDedup, embCentroids)
 }

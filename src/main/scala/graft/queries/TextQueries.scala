@@ -894,6 +894,36 @@ object TextQueries {
           sum("__n_tok").as("n_tokens"))
     })
 
+  /** Char-trigram LM quality score (the CCNet perplexity-proxy shape):
+    * every document's average negative log-likelihood under the corpus's
+    * own add-one-smoothed char-trigram model. Per-term LN is rounded to
+    * 6 dp and summed through DetAgg decimals (the house ln-portability
+    * recipe), so the whole scorer is hash-exact.
+    */
+  val textLmScore: Q = {
+    import graft.functions.DetAgg.{Sql => D}
+    Q(
+      "text_lm_score",
+      Some(s"""WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+              |tri AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tri
+              |        FROM d, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)),
+              |tc AS (SELECT tri, COUNT(*) AS c_tri FROM tri GROUP BY 1),
+              |pc AS (SELECT substr(tri, 1, 2) AS pre, SUM(c_tri) AS c_pre FROM tc GROUP BY 1),
+              |terms AS (SELECT t0.doc_id,
+              |    -ROUND(LN((COALESCE(tc.c_tri, 0) + 1.0e0) / (COALESCE(pc.c_pre, 0) + 2.56e2)), 6)
+              |      AS nll
+              |  FROM tri t0
+              |  LEFT JOIN tc USING (tri)
+              |  LEFT JOIN pc ON substr(t0.tri, 1, 2) = pc.pre)
+              |SELECT doc_id, COUNT(*) AS n_tri,
+              |  ROUND(${D.dsum("nll")} / COUNT(*), 6) AS avg_nll
+              |FROM terms GROUP BY doc_id""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        graft.operators.LmScore.score(d, d, "doc_id", "text")
+      })
+  }
+
   /** Document chunking: overlapping 40-token windows with 8 tokens of
     * overlap (stride 32) — the pre-tokenization sequence-preparation
     * step. Slices clamp at the doc end; every chunk row is hash-checked.
@@ -913,7 +943,7 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
-    textBm25, corpusReport, pipelineMix, textChunk,
+    textBm25, corpusReport, pipelineMix, textChunk, textLmScore,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
     dedupComponents, decontamNgram, dedupIncremental,
     dedupLines, dedupMinHash, dedupMinHashHash, dedupSimHash, dedupSimHashHash,

@@ -112,6 +112,25 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.contains((0L, 1L)))
   }
 
+  test("cluster-scoped (SemDeDup) pairs ⊆ brute force and catch the planted pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val rows = Seq((0L, base), (1L, near)) ++
+      (2L to 40L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val ivf = graft.operators.Ivf.train(df, "vec_id", "embedding", k = 4, iters = 2, seed = 1L)
+    val brute = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clustered = Similarity.clusterNearDupPairs(df, "vec_id", "embedding", ivf, 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clustered.subsetOf(brute))
+    // near-identical vectors must land in the same cell of ANY reasonable
+    // quantizer — the pair the method exists to find
+    assert(clustered.contains((0L, 1L)))
+  }
+
   test("dedupLines keeps first occurrence of long lines, all short lines, order intact") {
     import spark.implicits._
     val longA = "this is a sufficiently long repeated boilerplate line"
