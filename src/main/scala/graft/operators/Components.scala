@@ -226,14 +226,18 @@ object Components {
         .join(assigned.select(col(id)), Seq(id), "left_anti")
         .withColumn("component", col(id))
       val labeled = assigned.unionByName(roots)
+      // materialize ONLY the pair-subgraph labels inside the persist
+      // bracket — bounded by the dup volume (2·|pairs| at worst), never
+      // the corpus. The singleton majority stays a LAZY anti-join against
+      // this small materialized frame, so the returned plan owns no
+      // persisted state and the driver never holds corpus-sized rows.
+      val labeledRows = labeled.collect()
+      val labeledDf = spark.createDataFrame(
+        java.util.Arrays.asList(labeledRows: _*), labeled.schema)
       val singletons = nodes.select(col(id).cast("long").as(id)).distinct()
-        .join(labeled.select(col(id)), Seq(id), "left_anti")
+        .join(labeledDf.select(col(id)), Seq(id), "left_anti")
         .withColumn("component", col(id))
-      val out = labeled.unionByName(singletons)
-      // materialize inside the persist bracket (output is one row per node;
-      // callers needing laziness can re-derive — correctness first here)
-      val rows = out.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      labeledDf.unionByName(singletons)
     } finally edgesRdd.unpersist(blocking = false)
   }
 
