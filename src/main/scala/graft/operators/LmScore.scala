@@ -44,14 +44,30 @@ object LmScore {
       text: String,
       alpha: Int = 256): DataFrame = {
     import graft.functions.DetAgg
-    val triC = charTrigrams(corpus, id, text)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // TRAIN: one aggregate over the exploded corpus, then the model — an
+    // alphabet-bounded distinct-trigram table, ≲10⁵ rows for real text
+    // regardless of corpus size — comes to the driver like any trained
+    // model (the Ivf-centroid discipline). Deriving the prefix table
+    // driver-side keeps the plan at exactly two corpus passes; leaving
+    // both tables lazy re-derived the full explode+aggregate subtree per
+    // reference whenever exchange reuse missed.
+    val triRows = charTrigrams(corpus, id, text)
       .groupBy("tri").agg(count(lit(1)).as("c_tri"))
-    val preC = triC
-      .groupBy(substring(col("tri"), 1, 2).as("pre"))
-      .agg(sum(col("c_tri")).as("c_pre"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val preRows = triRows
+      .groupBy(_._1.substring(0, 2))
+      .map { case (pre, rows) => pre -> rows.map(_._2).sum }
+      .toSeq
+    val triC = triRows.toSeq.toDF("tri", "c_tri")
+    val preC = preRows.toDF("pre", "c_pre")
     val nll: Column = -round(
       log((col("c_tri").cast("double") + lit(1.0))
         / (col("c_pre").cast("double") + lit(alpha.toDouble))), 6)
+    // SCORE: the second corpus pass — explode, two broadcast joins
+    // against the local model tables, one per-doc aggregate
     charTrigrams(docs, id, text)
       .join(broadcast(triC), Seq("tri"), "left")
       .na.fill(0L, Seq("c_tri"))
