@@ -39,6 +39,16 @@ class SqliteReadSpec extends AnyFunSuite {
     assert(r0.getDouble(2) <= 0.0 && r0.getDouble(3) >= 0.0)
   }
 
+  test("affinity parsing: a short name that substring-matches an earlier column") {
+    // column "a" appears inside "category" earlier in the CREATE TABLE
+    // body; the affinity must come from "a"'s own declaration, not from
+    // wherever the letter first occurs in the body
+    val sql = """CREATE TABLE "t" ("category" TEXT, "a" INTEGER, "b (V)" REAL)"""
+    assert(graft.sources.SqliteRead.columnsOf(sql) == Seq("category", "a", "b (V)"))
+    assert(graft.sources.SqliteRead.affinitiesOf(sql).map(_.typeName) ==
+      Seq("string", "long", "double"))
+  }
+
   test("sqlite table lands as parquet and joins into the engine") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sqlite").toString
     val dest = s"$dir/iv_curve.parquet"
