@@ -26,6 +26,20 @@ object Sampling {
   def proportional(df: DataFrame, id: String, pct: Column, seed: Int): DataFrame =
     df.filter(Splits.bucket100(col(id), seed) < pct)
 
+  /** Integer UPSAMPLING — the repeat-factor side of dataset mixing
+    * (high-quality sources shown to training more than once): every row
+    * is replicated `factor` times (a per-row Column, so callers express
+    * per-source factors as a CASE) with a 0-based `copy` index, giving
+    * each repetition a distinct identity for downstream shuffling /
+    * sharding. factor ≤ 0 drops the row. Pure plan-side arithmetic — no
+    * shuffle, deterministic, linear in the OUTPUT size.
+    */
+  def upsample(df: DataFrame, factor: Column): DataFrame =
+    df.withColumn(
+      "copy",
+      explode(when(factor >= 1, sequence(lit(0L), factor.cast("long") - 1))
+        .otherwise(array())))
+
   /** [[proportional]] with the full-id xxhash64 bucket — the tier to run
     * in production (no 100k residue-class coupling).
     */

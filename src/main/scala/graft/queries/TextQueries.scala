@@ -924,6 +924,47 @@ object TextQueries {
       })
   }
 
+  /** S-surface extension: JSONL sink + scan round-trip inside the
+    * verified path — the interchange format of training corpora. The
+    * documents table goes out as one-JSON-object-per-line and comes back
+    * through the schema'd scan; the oracle reads the parquet directly,
+    * so any escaping/typing corruption in the round trip breaks the
+    * hash.
+    */
+  val jsonlRoundtrip: Q = Q(
+    "s_jsonl_roundtrip",
+    Some("SELECT doc_id, source, lang, text FROM documents"),
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val d = docs(s, dir).select("doc_id", "source", "lang", "text")
+      val tmp = "/tmp/graft_jsonl_roundtrip_documents"
+      graft.sources.TextSources.writeJsonl(d, tmp)
+      graft.sources.TextSources.readJsonl(s, tmp, StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("source", StringType),
+        StructField("lang", StringType),
+        StructField("text", StringType))))
+    })
+
+  /** Repeat-factor dataset mixing (upsampling): src0 documents appear 3×,
+    * src1 2×, everything else once — each repetition carries a distinct
+    * (doc_id, copy) identity. Oracle replays the replication with
+    * generate_series; fully hash-exact.
+    */
+  val sampleUpsample: Q = Q(
+    "sample_upsample",
+    Some("""SELECT doc_id, source, CAST(g.c AS BIGINT) AS copy
+           |FROM documents,
+           |  LATERAL unnest(generate_series(0,
+           |    CASE WHEN source = 'src0' THEN 2
+           |         WHEN source = 'src1' THEN 1 ELSE 0 END)) AS g(c)""".stripMargin),
+    (s, dir) =>
+      graft.operators.Sampling.upsample(
+        docs(s, dir).select("doc_id", "source"),
+        when(col("source") === "src0", 3)
+          .when(col("source") === "src1", 2)
+          .otherwise(1)))
+
   /** Document chunking: overlapping 40-token windows with 8 tokens of
     * overlap (stride 32) — the pre-tokenization sequence-preparation
     * step. Slices clamp at the doc end; every chunk row is hash-checked.
@@ -944,6 +985,7 @@ object TextQueries {
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
     textBm25, corpusReport, pipelineMix, textChunk, textLmScore,
+    jsonlRoundtrip, sampleUpsample,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
     dedupComponents, decontamNgram, dedupIncremental,
     dedupLines, dedupMinHash, dedupMinHashHash, dedupSimHash, dedupSimHashHash,

@@ -47,6 +47,20 @@ object TextSources {
   def readCsv(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** JSONL sink — the interchange format of training corpora (one JSON
+    * object per line). Keeps the input partitioning: corpus-sized tables
+    * must not coalesce.
+    */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** JSONL scan with an explicit schema (no inference pass over a 100 TB
+    * corpus; malformed lines surface as nulls under the default
+    * PERMISSIVE mode rather than killing the job).
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** S4: minimal XLSX sheet scan (reference reads device-info sheets,
     * `scripts/devices_info.py:3-9`). An .xlsx is a zip of XML; this reads
     * `xl/worksheets/sheet1.xml` + `xl/sharedStrings.xml` directly —
