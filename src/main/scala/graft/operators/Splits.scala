@@ -47,4 +47,25 @@ object Splits {
         .when(b < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /** Adds a deterministic `shard` column in [0, n) — the dataloader-prep
+    * step: shard membership is a pure function of the id (same portable
+    * hash family as [[bucket100]]), so every re-run of the writer
+    * produces identical shards and a training job can address shard k
+    * without a manifest. Use [[writeSharded]] to land them as
+    * partitioned parquet.
+    */
+  def shard(df: DataFrame, id: String, n: Int, seed: Int): DataFrame =
+    df.withColumn(
+      "shard",
+      pmod(pmod(col(id) + lit(seed), lit(100000L)) * lit(2654435761L), lit(4294967296L)) % n)
+
+  /** Land the corpus as `n` deterministic shards: parquet partitioned by
+    * `shard`, so a dataloader reading shard k is partition-pruned to its
+    * files before a row is read — the same storage discipline as
+    * [[Ivf.writePartitioned]].
+    */
+  def writeSharded(df: DataFrame, id: String, n: Int, seed: Int, path: String): Unit =
+    shard(df, id, n, seed)
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
 }

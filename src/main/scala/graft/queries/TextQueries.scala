@@ -965,6 +965,29 @@ object TextQueries {
           .when(col("source") === "src1", 2)
           .otherwise(1)))
 
+  /** Deterministic sharding (the dataloader-prep step): every document's
+    * shard in [0, 16) is a pure hash of its id, so shards are identical
+    * across re-runs with no manifest. Per-shard counts + token sums are
+    * the balance report a sharded writer emits; fully hash-exact.
+    */
+  val splitShards: Q = Q(
+    "split_shards",
+    Some("""WITH s AS (SELECT doc_id,
+           |    ((doc_id + 7) % 100000) * 2654435761 % 4294967296 % 16 AS shard,
+           |    len(string_split_regex(trim(text), '\s+')) AS n_tok
+           |  FROM documents)
+           |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+           |FROM s GROUP BY shard""".stripMargin),
+    (s, dir) =>
+      graft.operators.Splits
+        .shard(
+          docs(s, dir).select(
+            col("doc_id"),
+            TextFunctions.tokenCount(col("text")).as("n_tok")),
+          "doc_id", n = 16, seed = 7)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens")))
+
   /** Document chunking: overlapping 40-token windows with 8 tokens of
     * overlap (stride 32) — the pre-tokenization sequence-preparation
     * step. Slices clamp at the doc end; every chunk row is hash-checked.
@@ -985,7 +1008,7 @@ object TextQueries {
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
     textBm25, corpusReport, pipelineMix, textChunk, textLmScore,
-    jsonlRoundtrip, sampleUpsample,
+    jsonlRoundtrip, sampleUpsample, splitShards,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
     dedupComponents, decontamNgram, dedupIncremental,
     dedupLines, dedupMinHash, dedupMinHashHash, dedupSimHash, dedupSimHashHash,

@@ -66,6 +66,25 @@ class PlanSpec extends AnyFunSuite {
       s"expected 1 selected partition, scan=${scans.map(_.selectedPartitions.partitionCount)}")
   }
 
+  test("sharded corpus write: a dataloader reading shard k is partition-pruned") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/c"
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    graft.operators.Splits.writeSharded(docs, "doc_id", n = 8, seed = 7, path = dir)
+    val one = spark.read.parquet(dir).filter(col("shard") === 3)
+    val scans = one.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.head.selectedPartitions.partitionCount == 1,
+      s"expected 1 selected shard partition, got ${scans.map(_.selectedPartitions.partitionCount)}")
+    // determinism: a second write lands every doc in the same shard
+    val again = java.nio.file.Files.createTempDirectory("graft_shards2").toString + "/c"
+    graft.operators.Splits.writeSharded(docs, "doc_id", n = 8, seed = 7, path = again)
+    val a = spark.read.parquet(dir).select("doc_id", "shard")
+    val b = spark.read.parquet(again).select("doc_id", "shard")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective dim join") {
     import org.apache.spark.sql.functions._
     val conf = spark.conf
