@@ -165,6 +165,24 @@ object ScaleProbe {
             col("l_extendedprice").cast("double"), Seq(0.25, 0.5, 0.75, 0.99)).as("q"))
           .collect().length.toLong
       }
+      timed("lm_score", c) {
+        // char-trigram LM: the model stays alphabet-bounded while the
+        // corpus grows, so train + score should track corpus size
+        val d = scaledDocs(docs, c)
+        graft.operators.LmScore.score(d, d, "doc_id", "text").count()
+      }
+      timed("semantic_pairs", c) {
+        // cluster-scoped near-dup at FIXED k: cells grow linearly with
+        // the corpus, so within-cell pair work grows quadratically — the
+        // measured reminder that k must scale with the corpus (the
+        // cluster count, not the corpus, bounds per-cell cost)
+        val e = scaledEmb(emb, c)
+        val cents = graft.operators.Similarity.hyperplanes(8, dim = 64, seed = 7L).map { v =>
+          val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+        }
+        graft.operators.Similarity.clusterNearDupPairs(
+          e, "vec_id", "embedding", graft.operators.Ivf.Model(cents), threshold = 0.35).count()
+      }
       timed("embed_split", c) {
         // the pipeline_embed_split shape end to end: quality gate → exact
         // dedup → embedding join → banded-LSH near-dup drop → split →
