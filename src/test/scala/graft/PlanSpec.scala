@@ -146,19 +146,18 @@ class PlanSpec extends AnyFunSuite {
     import s.implicits._
     val conf = s.conf
     val saved = scala.util.Try(conf.get("spark.sql.autoBroadcastJoinThreshold")).toOption
-    s.sql("DROP TABLE IF EXISTS g_bucket_l")
-    s.sql("DROP TABLE IF EXISTS g_bucket_r")
     try {
-      (1 to 2000).map(i => (i.toLong % 97, i.toDouble)).toDF("k", "x")
-        .write.bucketBy(8, "k").sortBy("k").saveAsTable("g_bucket_l")
-      (1 to 2000).map(i => (i.toLong % 89, s"v$i")).toDF("k", "v")
-        .write.bucketBy(8, "k").sortBy("k").saveAsTable("g_bucket_r")
+      graft.sources.Bucketing.writeBucketed(
+        (1 to 2000).map(i => (i.toLong % 97, i.toDouble)).toDF("k", "x"),
+        "g_bucket_l", buckets = 8, keys = Seq("k"))
+      graft.sources.Bucketing.writeBucketed(
+        (1 to 2000).map(i => (i.toLong % 89, s"v$i")).toDF("k", "v"),
+        "g_bucket_r", buckets = 8, keys = Seq("k"))
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
-      val j = s.table("g_bucket_l").join(s.table("g_bucket_r"), "k")
+      val j = graft.sources.Bucketing.coLocatedJoin(s, "g_bucket_l", "g_bucket_r", Seq("k"))
       j.collect()
-      val p = j.queryExecution.executedPlan.toString
-      assert(!p.contains("Exchange"),
-        "bucketed join still shuffles:\n" + p.take(1200))
+      assert(graft.sources.Bucketing.exchangeCount(j) == 0,
+        "bucketed join still shuffles:\n" + j.queryExecution.executedPlan.toString.take(1200))
     } finally {
       saved match {
         case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
