@@ -13,9 +13,13 @@ import org.apache.spark.sql.SparkSession
   *    on GC/compilation windows and can't distinguish noise from
   *    regressions.
   *
-  * Prints ONE driver-consumed JSON line and persists the same payload to
-  * `SPARK_GRAFT_BENCH_OUT` (default `bench_local.json`) so the full
-  * per-query record survives driver-side log truncation.
+  * Prints the driver-consumed JSON line TWICE — before the run summary is
+  * persisted and again as the very last stdout emission after
+  * `spark.stop()` — and keeps it short (millisecond precision, not raw
+  * doubles), because the r4 driver record was tail-truncated mid-line
+  * (`BENCH_r04.json: parsed: null`): a tail capture that clips the only
+  * copy of a 4 KB line zeroes the round's bench. The same payload is also
+  * persisted to `SPARK_GRAFT_BENCH_OUT` (default `bench_local.json`).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -50,16 +54,23 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    System.out.flush()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out), (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
+    // re-emit as the final stdout line: if the tail capture clipped the
+    // first copy, this one survives; if both survive, they are identical
+    // and any "last matching line" parse still gets the full record
+    println(line)
+    System.out.flush()
   }
 }

@@ -325,11 +325,45 @@ object Stats {
   }
 
   /** ECDF per group: `cume_dist()` over the value ordering (reference
-    * `scripts/clean_beta_scan.py:212-220`). Pure window pass.
+    * `scripts/clean_beta_scan.py:212-220`). Pure window pass — but ONE
+    * SORT TASK PER GROUP: each group's entire history lands in a single
+    * window partition. Fine for the reference's per-measurement scans
+    * (two devices, bounded rows); a serialization point when groups are
+    * few and huge. Use [[ecdfByValueCounts]] as the production tier at
+    * scale; this form is kept for per-measurement use.
     */
   def ecdf(df: DataFrame, groupCols: Seq[String], x: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(x)
     df.withColumn("ecdf", cume_dist().over(w))
+  }
+
+  /** Scale-safe ECDF, identical output to [[ecdf]]: aggregate to
+    * per-(group, value) counts first — a HASH AGGREGATE with map-side
+    * partials, so a billion-row group reduces before it shuffles — then
+    * window over the (distinct-value-bounded) count table, then join the
+    * per-value ecdf back to the rows. The only sorted relation is the
+    * distinct-value table (physically bounded: a measurement column has
+    * far fewer distinct values than rows); the row-level stages are
+    * aggregate + join, both skew-tolerant and AQE-splittable. cume_dist
+    * ≡ cumulative count ÷ group total over the RANGE frame, which is
+    * exactly what the running sum over distinct values computes — ties
+    * collapse into one count row, so tie semantics match by construction.
+    */
+  def ecdfByValueCounts(df: DataFrame, groupCols: Seq[String], x: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val counts = df.groupBy(gcols :+ col(x): _*).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(gcols: _*).orderBy(col(x))
+    val wAll = Window.partitionBy(gcols: _*)
+    val cum = counts
+      .withColumn("ecdf", sum("__c").over(w).cast("double") / sum("__c").over(wAll))
+      .select(groupCols.map(c => col(c).as(s"__g_$c")) ++ Seq(col(x).as("__x"), col("ecdf")): _*)
+    // null-safe join keys so null measurements get the same ecdf rows the
+    // window form assigns them
+    val cond = (groupCols.map(c => df(c) <=> cum(s"__g_$c")) :+ (df(x) <=> cum("__x")))
+      .reduce(_ && _)
+    df.join(cum, cond)
+      .select(df.columns.map(df(_)) :+ cum("ecdf"): _*)
   }
 }

@@ -228,12 +228,13 @@ object Components {
       val labeled = assigned.unionByName(roots)
       // materialize ONLY the pair-subgraph labels inside the persist
       // bracket — bounded by the dup volume (2·|pairs| at worst), never
-      // the corpus. The singleton majority stays a LAZY anti-join against
-      // this small materialized frame, so the returned plan owns no
-      // persisted state and the driver never holds corpus-sized rows.
-      val labeledRows = labeled.collect()
-      val labeledDf = spark.createDataFrame(
-        java.util.Arrays.asList(labeledRows: _*), labeled.schema)
+      // the corpus — to a scratch parquet, entirely on the executors. At
+      // 100 TB with realistic 20-30 % duplication the labels are billions
+      // of rows, so a driver collect() here would OOM exactly on the
+      // corpora dedup exists for; the scan-backed frame keeps the
+      // singleton majority a LAZY anti-join and the returned plan owns no
+      // persisted state and no driver-resident rows.
+      val labeledDf = graft.pipeline.PipelineStage.scratch(labeled, "components-labels")
       val singletons = nodes.select(col(id).cast("long").as(id)).distinct()
         .join(labeledDf.select(col(id)), Seq(id), "left_anti")
         .withColumn("component", col(id))

@@ -186,20 +186,33 @@ object Dedup {
   /** Cross-corpus line dedup (C4-style cleanup): every line of length ≥
     * `minLen` keeps only its FIRST occurrence corpus-wide (first = lowest
     * (doc, position)); short lines always survive. Documents are then
-    * reassembled in original line order. One shuffle on the line text for
-    * the first-occurrence window, one on doc id for reassembly — both
-    * scale-free of document length skew (lines, not whole docs, are the
-    * shuffle unit).
+    * reassembled in original line order.
+    *
+    * Skew design: short lines bypass the dedup stage entirely — they are
+    * kept unconditionally AND they are exactly the corpus-hottest values
+    * ("", "---", separators), so shuffling them by line text would hand
+    * one task a corpus-wide group. For the eligible lines, "first
+    * occurrence" is computed as `min(struct(id, pos))` per line — a HASH
+    * AGGREGATE, not a `row_number` window: partial (map-side) aggregation
+    * collapses every duplicate of a hot long line to one row per input
+    * partition before the shuffle, so even a boilerplate line repeated
+    * across the whole corpus moves O(partitions) rows, never O(copies).
+    * One skew-proof shuffle on line text, one on doc id for reassembly.
     */
   def dedupLines(df: DataFrame, id: String, text: String, minLen: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val lines = df.select(
       col(id),
       posexplode(split(col(text), "\n", -1)).as(Seq("pos", "line")))
-    val w = Window.partitionBy("line").orderBy(col(id), col("pos"))
-    val kept = lines
-      .withColumn("__rn", row_number().over(w))
-      .filter(length(col("line")) < minLen || col("__rn") === 1)
+    val first = lines
+      .filter(length(col("line")) >= minLen)
+      .groupBy(col("line"))
+      .agg(min(struct(col(id), col("pos"))).as("__first"))
+      .select(
+        col("__first").getField(id).as(id),
+        col("__first").getField("pos").as("pos"),
+        col("line"))
+    val kept = first.unionByName(
+      lines.filter(length(col("line")) < minLen).select(col(id), col("pos"), col("line")))
     kept.groupBy(col(id))
       .agg(concat_ws(
         "\n",

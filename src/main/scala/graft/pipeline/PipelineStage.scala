@@ -31,4 +31,28 @@ object PipelineStage {
     }
     spark.read.parquet(outPath)
   }
+
+  /** Materialize an INTERMEDIATE frame to a self-cleaning scratch parquet
+    * and return the scan over it — the distributed alternative to
+    * `collect()`-and-`createDataFrame` for results that are small relative
+    * to the corpus but still unbounded (dup-cluster labels, trained
+    * codebooks at extreme k, …). The write runs on the executors, the
+    * read-back is a fresh parquet scan, and the driver never holds the
+    * rows; the path is registered for recursive deletion at JVM exit.
+    *
+    * Scratch root: `spark.graft.scratch.dir` if set — on a real cluster
+    * point it at shared storage (HDFS/object-store scratch), since a
+    * driver-local default cannot be read back by other executors —
+    * falling back to `java.io.tmpdir`, which is correct for local[*].
+    */
+  def scratch(df: DataFrame, tag: String): DataFrame = {
+    val spark = df.sparkSession
+    val base = spark.conf.getOption("spark.graft.scratch.dir")
+      .getOrElse(sys.props("java.io.tmpdir"))
+    val path = new Path(base, s"graft-scratch-$tag-${java.util.UUID.randomUUID()}")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.parquet(path.toString)
+    fs.deleteOnExit(path)
+    spark.read.parquet(path.toString)
+  }
 }

@@ -359,8 +359,11 @@ object RelationalQueries {
     (s, dir) =>
       Stats.histogram(li(s, dir), col("l_extendedprice"), 900.0, 105000.0, 20))
 
-  /** A8: ECDF per group via cume_dist (reference
-    * `scripts/clean_beta_scan.py:212-220`).
+  /** A8: ECDF per group (reference `scripts/clean_beta_scan.py:212-220`)
+    * — production tier: per-value counts + window over distinct values +
+    * join back ([[Stats.ecdfByValueCounts]]), so no group ever becomes a
+    * single sort task; the oracle stays the cume_dist definition, which
+    * the counts form reproduces exactly (StatsSpec pins tier equality).
     */
   val a8Ecdf: Q = Q(
     "a8_ecdf",
@@ -368,9 +371,9 @@ object RelationalQueries {
            |  cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS ecdf
            |FROM lineitem""".stripMargin),
     (s, dir) =>
-      Stats.ecdf(
+      Stats.ecdfByValueCounts(
         li(s, dir).select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"),
-        Seq("l_returnflag"), col("l_quantity")))
+        Seq("l_returnflag"), "l_quantity"))
 
   /** A11: distinct values / distinct counts (reference
     * `set(df['device_name'])` control flow, `scripts/time_resolution_beta_

@@ -896,9 +896,11 @@ object TextQueries {
 
   /** Char-trigram LM quality score (the CCNet perplexity-proxy shape):
     * every document's average negative log-likelihood under the corpus's
-    * own add-one-smoothed char-trigram model. Per-term LN is rounded to
-    * 6 dp and summed through DetAgg decimals (the house ln-portability
-    * recipe), so the whole scorer is hash-exact.
+    * own add-one-smoothed char-trigram model, min-count-capped (trigrams
+    * seen once are unseen — bounds the model on junk/noise corpora, see
+    * [[graft.operators.LmScore]]). Per-term LN is rounded to 6 dp and
+    * summed through DetAgg decimals (the house ln-portability recipe),
+    * so the whole scorer is hash-exact.
     */
   val textLmScore: Q = {
     import graft.functions.DetAgg.{Sql => D}
@@ -907,7 +909,7 @@ object TextQueries {
       Some(s"""WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
               |tri AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tri
               |        FROM d, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)),
-              |tc AS (SELECT tri, COUNT(*) AS c_tri FROM tri GROUP BY 1),
+              |tc AS (SELECT tri, COUNT(*) AS c_tri FROM tri GROUP BY 1 HAVING COUNT(*) >= 2),
               |pc AS (SELECT substr(tri, 1, 2) AS pre, SUM(c_tri) AS c_pre FROM tc GROUP BY 1),
               |terms AS (SELECT t0.doc_id,
               |    -ROUND(LN((COALESCE(tc.c_tri, 0) + 1.0e0) / (COALESCE(pc.c_pre, 0) + 2.56e2)), 6)

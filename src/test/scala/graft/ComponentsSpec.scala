@@ -110,6 +110,29 @@ class ComponentsSpec extends AnyFunSuite {
     assert(empty == Map(4L -> 4L, 9L -> 9L))
   }
 
+  test("alternating-star holds no driver-materialized labels in its plan") {
+    import spark.implicits._
+    // round-trip sources through parquet so the ONLY way a LocalRelation
+    // can appear in the result plan is a driver-side collect of labels —
+    // the 100 TB OOM path this spec pins shut. The labels must instead be
+    // a distributed scratch-parquet scan (HadoopFsRelation leaf).
+    val dir = java.nio.file.Files.createTempDirectory("components-plan").toString
+    (0L to 99L).toDF("doc_id").write.parquet(s"$dir/nodes")
+    (0L until 99L by 2).map(i => (i, i + 1)).toDF("id_a", "id_b")
+      .write.parquet(s"$dir/pairs")
+    val nodes = spark.read.parquet(s"$dir/nodes")
+    val pairs = spark.read.parquet(s"$dir/pairs")
+    val got = Components.alternatingStar(nodes, pairs, "doc_id", "id_a", "id_b")
+    val leaves = got.queryExecution.optimizedPlan.collectLeaves()
+    assert(!leaves.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"driver-materialized relation leaked into the components plan:\n$leaves")
+    val m = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == 100 && (0L until 99L by 2).forall(i => m(i + 1) == i && m(i) == i))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked RDD caches: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
   test("empty pair set: every node is its own component") {
     import spark.implicits._
     val nodes = Seq(1L, 2L).toDF("doc_id")

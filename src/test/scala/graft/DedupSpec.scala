@@ -144,6 +144,36 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2L) == "unique middle content that is long enough\nok")
   }
 
+  test("dedupLines: corpus-hot lines (short separators AND long boilerplate) stay skew-safe") {
+    import spark.implicits._
+    // 100k docs all sharing the same hot short separator ("--") and the
+    // same hot long boilerplate line. Pre-fix, each hot value formed ONE
+    // window partition holding a corpus-wide sorted group; now the short
+    // line never enters the dedup shuffle and the long line collapses
+    // map-side via partial min-aggregation. The assertion is semantic —
+    // identical output to the windowed definition — with the planted
+    // volume making a single-task sort visibly pathological if ever
+    // reintroduced.
+    val boiler = "subscribe to our newsletter for updates and offers today"
+    val n = 100000L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(lit(s"--\n$boiler\n--\nunique line of doc number "), col("id"),
+        lit(" padded to pass the minimum length bar")).as("text"))
+    val got = Dedup.dedupLines(docs, "doc_id", "text", minLen = 30)
+    assert(got.count() == n)
+    val doc0 = got.filter(col("doc_id") === 0L).collect()(0).getString(1)
+    assert(doc0 ==
+      s"--\n$boiler\n--\nunique line of doc number 0 padded to pass the minimum length bar")
+    // every other doc loses the boilerplate but keeps both separators + its unique line
+    val doc7 = got.filter(col("doc_id") === 7L).collect()(0).getString(1)
+    assert(doc7 == "--\n--\nunique line of doc number 7 padded to pass the minimum length bar")
+    // plan check: the line-dedup stage must be an Aggregate, not a Window —
+    // windows sort whole partitions and cannot partially aggregate
+    val plan = got.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), s"line dedup regressed to a window sort:\n$plan")
+  }
+
   test("redactPii replaces emails and phone-shaped runs, leaves prose alone") {
     import spark.implicits._
     val got = Seq(

@@ -23,6 +23,32 @@ class LmScoreSpec extends AnyFunSuite {
       s"junk=${scored(100L)} fluentAvg=$fluentAvg")
   }
 
+  test("adversarial high-entropy corpus: model stays bounded, scoring stays finite") {
+    import spark.implicits._
+    // a binary/unicode-noise corpus — the documents a perplexity filter
+    // exists to catch. Deterministic per-doc pseudo-random chars over a
+    // wide alphabet: distinct trigrams grow with corpus size (here tens
+    // of thousands), but almost all are singletons, so the capped model
+    // must stay near-empty instead of scaling with corpus entropy.
+    val alphabet = ((33 to 126) ++ (0x400 to 0x4ff) ++ (0x4e00 to 0x4eff)).map(_.toChar)
+    val noise = (0 until 400).map { d =>
+      val rng = new scala.util.Random(d)
+      (d.toLong, Array.fill(200)(alphabet(rng.nextInt(alphabet.length))).mkString)
+    }
+    val corpus = noise.toDF("doc_id", "text")
+    val uncapped = LmScore.charTrigrams(corpus, "doc_id", "text")
+      .select("tri").distinct().count()
+    val capped = LmScore.trigramModel(corpus, "doc_id", "text", minCount = 2L)
+    assert(uncapped > 50000L, s"fixture not adversarial enough: $uncapped distinct trigrams")
+    assert(capped.length < uncapped / 50,
+      s"model cap failed: ${capped.length} of $uncapped trigrams survived")
+    // scoring against the capped model still returns a finite high NLL
+    // for every doc (unseen trigrams hit pure smoothing mass)
+    val scored = LmScore.score(corpus, corpus, "doc_id", "text")
+      .collect().map(r => r.getDouble(2))
+    assert(scored.length == 400 && scored.forall(s => !s.isNaN && !s.isInfinite && s > 0))
+  }
+
   test("charTrigrams: positions, lowering, and the sub-3-char guard") {
     import spark.implicits._
     val df = Seq((1L, " AbCd "), (2L, "xy")).toDF("doc_id", "text")

