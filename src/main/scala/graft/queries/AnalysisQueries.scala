@@ -45,10 +45,12 @@ object AnalysisQueries {
     * grid point → Caruana closed-form Gaussian fit. Same stages, each in
     * its bit-portable tier:
     *
-    *  - the median inside MAD is ONE window sort + rank-selected
-    *    (a+b)/2 — sorting the same double multiset and averaging two
-    *    values is bit-identical in any IEEE engine, so kmad needs no
-    *    tolerance at all;
+    *  - the median inside MAD is rank-selected (a+b)/2 — sorting the
+    *    same double multiset and averaging two values is bit-identical
+    *    in any IEEE engine, so kmad needs no tolerance at all; median
+    *    and MAD-median are FUSED into one linear window chain over a
+    *    single exchange of the fan (two in-partition sorts, no
+    *    self-join);
     *  - multiplicities are the Knuth-hash Poisson tier (the A10 recipe);
     *  - histogram bucketing shares one expression text (lo/hi are MIN/MAX
     *    — exact — so bucket indices match bit-for-bit);
@@ -145,22 +147,35 @@ object AnalysisQueries {
         import org.apache.spark.sql.expressions.Window
         import graft.functions.DetAgg
         val li = Tables.load(s, dir, "lineitem")
-        val base = li.filter(col("l_linenumber").isin(1, 2))
-          .groupBy("l_orderkey", "l_linenumber")
-          .agg(min("l_extendedprice").as("p"))
-          .select(
-            col("l_orderkey").as("n_trigger"), col("l_linenumber").as("dev"),
-            (col("p") * lit(1.0e-9)).as("t0"))
+        // the per-(trigger, device) timing base is referenced by BOTH
+        // sides of the device self-join and (through the fan) by both the
+        // MAD chain and the histogram pass — left lazy, lineitem gets
+        // scanned and pre-aggregated four times. It is tiny relative to
+        // the fan (one row per trigger×device, no 81×(R+1) expansion), so
+        // scratch-materialize it once; the fan explode itself stays lazy
+        // and recomputes from this scan — generating 8M rows from 40k via
+        // codegen'd explodes is cheaper than caching them (measured ~2×).
+        val base = graft.pipeline.PipelineStage.scratch(
+          li.filter(col("l_linenumber").isin(1, 2))
+            .groupBy("l_orderkey", "l_linenumber")
+            .agg(min("l_extendedprice").as("p"))
+            .select(
+              col("l_orderkey").as("n_trigger"), col("l_linenumber").as("dev"),
+              (col("p") * lit(1.0e-9)).as("t0")),
+          "caruana-base")
         val pa = base.filter(col("dev") === 1).select(col("n_trigger"), col("t0").as("t0a"))
         val pb = base.filter(col("dev") === 2).select(col("n_trigger"), col("t0").as("t0b"))
-        val dt = pa.join(pb, "n_trigger")
-          .withColumn("k1", explode(sequence(lit(10), lit(90), lit(10))))
-          .withColumn("k2", explode(sequence(lit(10), lit(90), lit(10))))
-          .select(
-            col("n_trigger"), col("k1"), col("k2"),
-            (((col("t0a") + col("k1") * lit(1.0e-10))
-              - (col("t0b") + col("k2") * lit(1.0e-10))) * lit(1.0e12)).as("dps"))
-        val fanp = dt
+        // SHUFFLE-MINIMAL fan: the window needs rows clustered by
+        // (replica, k1, k2), but hash partitioning on the SUBSET
+        // (replica, k1) already satisfies that clustering — so only the
+        // replica and k1 dimensions are exploded before the wire and the
+        // 9× k2 expansion (and the dps arithmetic) happen AFTER the
+        // exchange, inside the already-clustered partitions. The shuffle
+        // moves triggers×(R+1)×9 narrow rows instead of the full
+        // triggers×(R+1)×81 fan — 9× less — and the plan below the
+        // window is Exchange(replica, k1) → Generate(k2) → Sort, with no
+        // second exchange anywhere in the median chain.
+        val fanp = pa.join(pb, "n_trigger")
           .withColumn("replica", explode(sequence(lit(0), lit(R))))
           .withColumn(
             "m",
@@ -168,6 +183,15 @@ object AnalysisQueries {
               Bootstrap.portableMultiplicity(
                 col("n_trigger") * lit(131L) + col("replica") * lit(104729L))))
           .filter(col("m") > 0)
+          .withColumn("k1", explode(sequence(lit(10), lit(90), lit(10))))
+          .select(col("replica"), col("k1"), col("m"), col("t0a"), col("t0b"))
+          .repartition(col("replica"), col("k1"))
+          .withColumn("k2", explode(sequence(lit(10), lit(90), lit(10))))
+          .withColumn(
+            "dps",
+            ((col("t0a") + col("k1") * lit(1.0e-10))
+              - (col("t0b") + col("k2") * lit(1.0e-10))) * lit(1.0e12))
+          .select("replica", "k1", "k2", "dps", "m")
         val keys = Seq("replica", "k1", "k2")
         val pw = Window.partitionBy(keys.map(col): _*)
         // WEIGHTED exact median: a row of weight m covers positions
@@ -183,35 +207,80 @@ object AnalysisQueries {
             "AND CAST(FLOOR((n + 1) / 2.0e0) AS BIGINT) <= cum THEN 1 ELSE 0 END) + " +
             "(CASE WHEN cum - m < CAST(FLOOR((n + 2) / 2.0e0) AS BIGINT) " +
             "AND CAST(FLOOR((n + 2) / 2.0e0) AS BIGINT) <= cum THEN 1 ELSE 0 END)"
-        def weightedMedian(df: org.apache.spark.sql.DataFrame, v: String)
-            : org.apache.spark.sql.DataFrame = {
-          val ranked = df
-            .withColumn("cum", sum(col("m")).over(
-              pw.orderBy(col(v)).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-            .withColumn("n", sum(col("m")).over(pw))
-            .withColumn("hits", expr(hitsExpr))
-          ranked.groupBy(keys.map(col): _*).agg(
-            (sum(col(v) * col("hits")) / sum(col("hits"))).as(s"__med_$v"),
-            min(col("dps")).as(s"__lo_$v"), max(col("dps")).as(s"__hi_$v"))
-        }
-        // deliberately LAZY: the Δt fan is recomputed per pass — it is a
-        // cheap scan+join+explode, and materializing 60M rows to a cache
-        // (measured) costs nearly 2× what the recomputes do
+        // deliberately LAZY: the Δt fan is recomputed for the histogram
+        // pass — it is a cheap scan+join+explode, and materializing 60M
+        // rows to a cache (measured) costs nearly 2× what the recompute
+        // does
         val result = {
-          val med = weightedMedian(fanp, "dps")
-            .select((keys.map(col) :+ col("__med_dps").as("md")): _*)
-          val sp = weightedMedian(
-            fanp.join(med, keys).withColumn("adev", abs(col("dps") - col("md"))), "adev")
-            .select(
-              (keys.map(col) :+
-                round(col("__med_adev") * lit(1.4826e0), 6).as("kmad") :+
-                col("__lo_adev").as("lo") :+ col("__hi_adev").as("hi")): _*)
-          val best = sp
+          // FUSED median→MAD-median: one LINEAR chain over the fan. The
+          // group median is a whole-partition window aggregate of the
+          // rank-selected hits (sum(dps·hits)/sum(hits) — summing the ≤2
+          // selected terms, zeros are exact no-ops, so the value is
+          // bit-identical to the former groupBy+join staging), which
+          // keeps |dps − med| a projection over the SAME frame. The fan
+          // is computed and SHUFFLED once — hashpartitioning(replica,
+          // k1,k2) from the first window carries through to the adev
+          // window, the final aggregate, and the argmin, so the only
+          // per-pass cost left is the two in-partition sorts (dps, adev)
+          // that bit-exact medians inherently require. The former shape
+          // branched fanp into two window+join subtrees: two fan
+          // computations, two exchanges.
+          // windows sharing one (partition, order) spec fuse into a
+          // single Window operator even with different frames — so cum
+          // (running) and n (unbounded) ride one dps-ordered pass, and
+          // the md sums ride one more pass over the same ordering (no
+          // re-sort: the child is already dps-sorted). 3 window passes,
+          // 2 sorts, 1 exchange total.
+          val dpsW = pw.orderBy(col("dps"))
+          val adevW = pw.orderBy(col("adev"))
+          def running(w: org.apache.spark.sql.expressions.WindowSpec) =
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          def whole(w: org.apache.spark.sql.expressions.WindowSpec) =
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+          val ranked = fanp
+            .withColumn("cum", sum(col("m")).over(running(dpsW)))
+            .withColumn("n", sum(col("m")).over(whole(dpsW)))
+            .withColumn("hits", expr(hitsExpr))
+            .withColumn("md",
+              sum(col("dps") * col("hits")).over(whole(dpsW))
+                / sum(col("hits")).over(whole(dpsW)))
+            .withColumn("adev", abs(col("dps") - col("md")))
+            .withColumn("cum", sum(col("m")).over(running(adevW)))
+            .withColumn("hits", expr(hitsExpr))
+          val sp = ranked.groupBy(keys.map(col): _*).agg(
+            round((sum(col("adev") * col("hits")) / sum(col("hits"))) * lit(1.4826e0), 6)
+              .as("kmad"),
+            min(col("dps")).as("lo"), max(col("dps")).as("hi"))
+          val bestLazy = sp
             .withColumn("brn", row_number().over(
               Window.partitionBy("replica").orderBy(col("kmad"), col("k1"), col("k2"))))
             .filter(col("brn") === 1)
             .select("replica", "k1", "k2", "kmad", "lo", "hi")
-          val hist = fanp.join(best.select("replica", "k1", "k2", "lo", "hi"), keys)
+          // best is ≤ replicas+1 rows but sits on top of the whole
+          // two-sort fan chain, and it feeds BOTH the histogram join and
+          // the final fit join — left lazy, each consumer re-executes the
+          // chain. Materialize it eagerly (the flagship's own ≤R+1-row
+          // collect discipline) so the heavy chain runs exactly once.
+          val best = s.createDataFrame(
+            java.util.Arrays.asList(bestLazy.collect(): _*), bestLazy.schema)
+          // histogram pass without re-fanning: best holds exactly ONE
+          // (k1, k2) per replica, so joining the trigger table to best on
+          // replica alone reproduces precisely the fan rows of the best
+          // grid cells (1/81 of the fan) — triggers×(R+1) rows, no 81×
+          // explode, no second shuffle of the fan
+          val hist = pa.join(pb, "n_trigger")
+            .withColumn("replica", explode(sequence(lit(0), lit(R))))
+            .withColumn(
+              "m",
+              when(col("replica") === 0, 1).otherwise(
+                Bootstrap.portableMultiplicity(
+                  col("n_trigger") * lit(131L) + col("replica") * lit(104729L))))
+            .filter(col("m") > 0)
+            .join(broadcast(best.select("replica", "k1", "k2", "lo", "hi")), Seq("replica"))
+            .withColumn(
+              "dps",
+              ((col("t0a") + col("k1") * lit(1.0e-10))
+                - (col("t0b") + col("k2") * lit(1.0e-10))) * lit(1.0e12))
             .withColumn("bucket", expr(bucketT))
             .groupBy("replica", "bucket")
             .agg(sum(col("m")).as("cnt"), min("lo").as("lo"), min("hi").as("hi"))
