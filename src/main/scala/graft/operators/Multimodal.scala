@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   *
   * IMAGE payloads decode for real through the JDK's built-in
   * `javax.imageio` (PNG/BMP/JPEG/GIF — no external dependency): decode →
-  * fixed 8×8 luminance resample → 64 features. Payloads ImageIO cannot
-  * read (and the audio/video codecs, which are genuinely absent in this
-  * environment) fall back to the clearly-marked deterministic
-  * byte-statistics STUB, which is also the bit-portable oracle tier.
+  * fixed 8×8 luminance resample → 64 features. AUDIO payloads decode for
+  * real through the JDK's built-in `javax.sound.sampled` (WAV/AIFF/AU
+  * PCM): mono mixdown → per-segment RMS + zero-crossing features.
+  * Payloads neither can read (and the video / compressed-audio codecs,
+  * which are genuinely absent in this environment) fall back to the
+  * clearly-marked deterministic byte-statistics STUB, which is also the
+  * bit-portable oracle tier.
   * Everything Spark-side is real and tested either way: the schema
   * convention, the per-partition batch shape (one iterator pass, no
   * per-row setup cost), partition sizing, and the feature schema.
@@ -44,13 +47,14 @@ object Multimodal {
 
   /** STUB decode — the fallback for payloads no available codec reads
     * (and the bit-portable oracle tier): 8 features derived from byte
-    * statistics, so the plumbing is testable end-to-end. Audio/video
-    * codecs are absent in this environment; a real build swaps this for
-    * the codec call (JavaCV / javax.sound) the same way [[decodeImage]]
-    * plugs in ImageIO.
+    * statistics, so the plumbing is testable end-to-end. Video and
+    * compressed-audio codecs are absent in this environment; a real
+    * build swaps this for the codec call (JavaCV / ffmpeg binding) the
+    * same way [[decodeImage]] plugs in ImageIO and [[decodeAudio]] plugs
+    * in javax.sound.
     */
   def stubDecode(payload: Array[Byte]): Array[Float] = {
-    // ??? <- real audio/video codec goes here; deterministic fake below
+    // ??? <- real video/compressed-audio codec goes here; deterministic fake below
     val n = payload.length.max(1)
     val sums = new Array[Long](8)
     var i = 0
@@ -60,6 +64,71 @@ object Multimodal {
 
   /** Number of luminance cells per image axis (64 features total). */
   val ImageGrid = 8
+
+  /** Time segments for audio features (2 features per segment). */
+  val AudioSegments = 8
+
+  /** REAL audio decode via the JDK's built-in `javax.sound.sampled` (WAV
+    * / AIFF / AU PCM — zero external dependencies): decode to 16-bit
+    * signed PCM, mix down to mono, and emit per-segment RMS energy and
+    * zero-crossing rate over [[AudioSegments]] equal time slices — 16
+    * features, resolution- and duration-independent in shape. Returns
+    * None when the payload is not decodable audio — callers fall back to
+    * [[stubDecode]] (compressed codecs like MP3/OGG are genuinely absent
+    * from the JDK; they'd plug in here the same way).
+    */
+  def decodeAudio(payload: Array[Byte]): Option[Array[Float]] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val target = new AudioFormat(
+        AudioFormat.Encoding.PCM_SIGNED,
+        fmt.getSampleRate, 16, fmt.getChannels, 2 * fmt.getChannels,
+        fmt.getSampleRate, false)
+      val pcm = AudioSystem.getAudioInputStream(target, ais)
+      val bytes =
+        try pcm.readAllBytes()
+        finally { pcm.close(); ais.close() }
+      val ch = target.getChannels.max(1)
+      val nSamples = bytes.length / 2 / ch
+      if (nSamples == 0) return None
+      val mono = new Array[Double](nSamples)
+      var i = 0
+      while (i < nSamples) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val off = (i * ch + c) * 2 // little-endian 16-bit
+          acc += (((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort) / 32768.0
+          c += 1
+        }
+        mono(i) = acc / ch
+        i += 1
+      }
+      val seg = AudioSegments
+      val feats = new Array[Float](seg * 2)
+      var g = 0
+      while (g < seg) {
+        val lo = (g.toLong * nSamples / seg).toInt
+        val hi = ((g + 1).toLong * nSamples / seg).toInt
+        var ss = 0.0
+        var zc = 0
+        var j = lo
+        while (j < hi) {
+          ss += mono(j) * mono(j)
+          if (j > lo && (mono(j) >= 0) != (mono(j - 1) >= 0)) zc += 1
+          j += 1
+        }
+        val n = (hi - lo).max(1)
+        feats(g) = math.sqrt(ss / n).toFloat
+        feats(seg + g) = zc.toFloat / n
+        g += 1
+      }
+      Some(feats)
+    } catch { case _: Exception => None }
+  }
 
   /** REAL image decode via the JDK's built-in ImageIO readers (PNG, BMP,
     * JPEG, GIF, WBMP — zero external dependencies): decode, resample on a
@@ -125,6 +194,7 @@ object Multimodal {
           val mediaType = r.getString(2)
           val feats =
             if (mediaType == "image") decodeImage(payload).getOrElse(stubDecode(payload))
+            else if (mediaType == "audio") decodeAudio(payload).getOrElse(stubDecode(payload))
             else stubDecode(payload)
           var h = 1469598103934665603L // FNV-1a over payload: cheap content id
           payload.foreach { b => h ^= (b & 0xffL); h *= 1099511628211L }

@@ -119,6 +119,35 @@ object Similarity {
       .select(col("cluster"), col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Quantizer size for a corpus of `rows` vectors targeting cells of
+    * ~`targetCellSize`: cells stay constant-sized as the corpus grows, so
+    * within-cell pair work grows LINEARLY with the corpus instead of
+    * quadratically (fixed k ⇒ cells grow with the corpus ⇒ O(n²/k) pair
+    * candidates — ScaleProbe's fixed-k `semantic_pairs` row measures
+    * exactly that blow-up).
+    */
+  def autoK(rows: Long, targetCellSize: Int): Int =
+    math.max(1L, (rows + targetCellSize - 1) / targetCellSize).min(Int.MaxValue).toInt
+
+  /** [[clusterNearDupPairs]] with the quantizer sized FROM the corpus —
+    * the production default. One count job picks k ≈ rows/targetCellSize,
+    * the coarse quantizer trains at that k, and pair work stays bounded
+    * per cell at any corpus size. The fixed-model overload remains the
+    * oracle tier (its centroid literals are mirrored into DuckDB SQL).
+    */
+  def clusterNearDupPairsAuto(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      threshold: Double,
+      targetCellSize: Int = 512,
+      iters: Int = 4,
+      seed: Long = 7L): DataFrame = {
+    val k = autoK(df.count(), targetCellSize)
+    val model = Ivf.train(df, id, vec, k, iters, seed)
+    clusterNearDupPairs(df, id, vec, model, threshold)
+  }
+
   /** Random-hyperplane LSH near-dup pairs: bucket on the `numPlanes`-bit
     * sign signature, exact-verify cosine within buckets. Recall comes from
     * `bands` independent sign-bands (each `planesPerBand` bits).

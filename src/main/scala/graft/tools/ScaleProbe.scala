@@ -48,6 +48,52 @@ object ScaleProbe {
             / lit(1000.0) - lit(0.5)) * lit(0.2)).as("embedding"))
     }.reduce(_ unionAll _)
 
+  /** Scale the embeddings keeping TRUE near-dup density LINEAR: copy i's
+    * vectors all go through the same per-copy Rademacher sign flip (a
+    * diagonal ±1 orthogonal transform keyed on (copy, dim)), which
+    * preserves every within-copy cosine — planted near-dups included —
+    * EXACTLY, while cross-copy cosines collapse toward zero (sign flips
+    * destroy the shared per-dimension mean that makes unrelated vectors
+    * of this table correlate; a mere dimension rotation would not).
+    * [[scaledEmb]]'s jittered replicas of one base vector are genuine
+    * near-dups of EACH OTHER, so on that fixture the true pair count
+    * itself grows quadratically in copies and pair-output growth says
+    * nothing about whether the ALGORITHM scales; this fixture makes
+    * output growth an algorithmic signal again (measured truth:
+    * 4137/8274/16548 pairs at 1×/2×/4×, 0 cross-copy).
+    */
+  def scaledEmbSign(emb: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { i =>
+      emb.select(
+        (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          when(pmod(xxhash64(lit(i), j), lit(2)) === 0, x).otherwise(-x)).as("embedding"))
+    }.reduce(_ unionAll _)
+
+  /** [[scaledEmbSign]] plus `planted` near-identical twins per copy
+    * (≈0.999 cosine to their source), probed at a threshold high enough
+    * (0.6 ≈ 4.8σ for random 64-dim directions) that chance-level pairs
+    * are negligible. Measured on the raw table: at 64 dims ANY threshold
+    * low enough to catch its organic 0.35-band near-dups admits a
+    * quadratic floor of pure-chance cross-copy pairs (0.35 is only
+    * 2.8σ — ~0.26 % of all pairs pass at random), so linear pair-output
+    * growth is structurally impossible there no matter the algorithm.
+    * Planted twins + a 4.8σ threshold make the true pair count
+    * `planted × copies` — exactly linear — so the probe's output growth
+    * is finally an algorithmic signal.
+    */
+  def scaledEmbPlanted(emb: DataFrame, copies: Int, planted: Int): DataFrame = {
+    val base = scaledEmbSign(emb, copies)
+    val twins = base
+      .filter(pmod(col("vec_id"), lit(100000000L)) < planted)
+      .select(
+        (col("vec_id") + lit(50000000L)).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          x + (pmod(xxhash64(col("vec_id"), j), lit(1000)).cast("double")
+            / lit(1000.0) - lit(0.5)) * lit(0.02)).as("embedding"))
+    base.unionAll(twins)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -176,12 +222,20 @@ object ScaleProbe {
         // the corpus, so within-cell pair work grows quadratically — the
         // measured reminder that k must scale with the corpus (the
         // cluster count, not the corpus, bounds per-cell cost)
-        val e = scaledEmb(emb, c)
+        val e = scaledEmbPlanted(emb, c, planted = 200)
         val cents = graft.operators.Similarity.hyperplanes(8, dim = 64, seed = 7L).map { v =>
           val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
         }
         graft.operators.Similarity.clusterNearDupPairs(
-          e, "vec_id", "embedding", graft.operators.Ivf.Model(cents), threshold = 0.35).count()
+          e, "vec_id", "embedding", graft.operators.Ivf.Model(cents), threshold = 0.6).count()
+      }
+      timed("semantic_pairs_auto", c) {
+        // the production tier: k derived from the corpus (cells ≈
+        // constant size) — the same probe should now grow ~linearly in
+        // both output rows (truth = 200·copies planted twins) and wall
+        val e = scaledEmbPlanted(emb, c, planted = 200)
+        graft.operators.Similarity.clusterNearDupPairsAuto(
+          e, "vec_id", "embedding", threshold = 0.6, targetCellSize = 512).count()
       }
       timed("embed_split", c) {
         // the pipeline_embed_split shape end to end: quality gate → exact

@@ -131,6 +131,30 @@ class DedupSpec extends AnyFunSuite {
     assert(clustered.contains((0L, 1L)))
   }
 
+  test("auto-sized SemDeDup: k tracks the corpus, pairs ⊆ brute force, planted pair found") {
+    import spark.implicits._
+    // the quantizer-sizing rule itself: cells ≈ targetCellSize at any n
+    assert(Similarity.autoK(0L, 512) == 1)
+    assert(Similarity.autoK(512L, 512) == 1)
+    assert(Similarity.autoK(513L, 512) == 2)
+    assert(Similarity.autoK(1L << 20, 512) == 2048)
+    assert(Similarity.autoK(4L << 20, 512) == 4 * 2048) // 4× corpus ⇒ 4× cells
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val rows = Seq((0L, base), (1L, near)) ++
+      (2L to 80L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val brute = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // targetCellSize 16 on 81 rows ⇒ k = 6: genuinely multi-cell
+    val auto = Similarity.clusterNearDupPairsAuto(
+      df, "vec_id", "embedding", threshold = 0.9, targetCellSize = 16, iters = 2, seed = 1L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(brute))
+    assert(auto.contains((0L, 1L)))
+  }
+
   test("dedupLines keeps first occurrence of long lines, all short lines, order intact") {
     import spark.implicits._
     val longA = "this is a sufficiently long repeated boilerplate line"

@@ -71,6 +71,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(12L).length == 8)
   }
 
+  private def wavBytes(
+      freq: Double, secs: Double, rate: Float = 8000f, amp: Double = 0.5): Array[Byte] = {
+    val n = (secs * rate).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * freq * i / rate) * amp * 32767).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("decodeAudio: real WAV decodes to per-segment RMS + zero-crossing features") {
+    val wav = wavBytes(440.0, 0.5)
+    val feats = Multimodal.decodeAudio(wav).get
+    assert(feats.length == Multimodal.AudioSegments * 2)
+    val rms = 0.5 / math.sqrt(2) // pure sine: amp/√2 in every segment
+    val zcr = 2 * 440.0 / 8000.0 // two crossings per cycle
+    for (g <- 0 until Multimodal.AudioSegments) {
+      assert(math.abs(feats(g) - rms) < 0.01, s"seg $g rms=${feats(g)}")
+      assert(math.abs(feats(Multimodal.AudioSegments + g) - zcr) < 0.01,
+        s"seg $g zcr=${feats(Multimodal.AudioSegments + g)}")
+    }
+    // non-audio bytes: None (caller falls back to the stub tier)
+    assert(Multimodal.decodeAudio("not audio at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAudio(Array.emptyByteArray).isEmpty)
+  }
+
+  test("extractFeatures routes decodable WAV audio through javax.sound") {
+    import spark.implicits._
+    val df = Seq(
+      (20L, wavBytes(440.0, 0.25), "audio"), // real decode: 16 features
+      (21L, "not a wav".getBytes("UTF-8"), "audio")) // undecodable: stub 8
+      .toDF("media_id", "payload", "media_type")
+    val got = Multimodal.extractFeatures(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    assert(got(20L).length == Multimodal.AudioSegments * 2)
+    assert(got(21L).length == 8)
+  }
+
   test("sampleFrameIndexes strides only video rows") {
     val idx = Multimodal.sampleFrameIndexes(media(), stride = 3).collect()
       .map(r => (r.getLong(0), r.getAs[Number](1).longValue())).toSet
