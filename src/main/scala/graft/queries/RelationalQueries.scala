@@ -468,10 +468,160 @@ object RelationalQueries {
     (s, dir) =>
       Stats.meanStd(li(s, dir), Seq("l_returnflag"), Seq("l_quantity", "l_extendedprice")))
 
+  /** S13 scatter-matrix sample table (reference
+    * `scripts/clean_beta_scan.py:245-258`): the exact table
+    * `px.scatter_matrix` consumes — dimensions chosen by COLUMN-SET
+    * ARITHMETIC over the wide measured-data frame (all columns minus the
+    * ignore set, minus every CFD threshold except t_50, minus the
+    * environment columns), colored by the per-trigger Accepted flag
+    * (apply_cuts conjunction joined back on n_trigger, reference P5+J1),
+    * with n_trigger as hover data. The set difference runs over the real
+    * wide schema — the env/t_k columns exist and are dropped, not never
+    * built.
+    */
+  val s13ScatterMatrix: Q = Q(
+    "s13_scatter_matrix",
+    Some("""WITH base AS (
+           |  SELECT l_orderkey AS n_trigger, l_linenumber AS dev,
+           |    MIN(l_extendedprice) * 1.0e-9 AS t0,
+           |    CAST(SUM(l_quantity) AS DOUBLE) AS charge,
+           |    MAX(l_discount) AS amp
+           |  FROM lineitem WHERE l_linenumber IN (1, 2) GROUP BY 1, 2),
+           |acc AS (
+           |  SELECT n_trigger, BOOL_AND(amp <= 0.08 AND charge >= 10) AS accepted
+           |  FROM base GROUP BY 1)
+           |SELECT b.n_trigger, 'dev' || CAST(b.dev AS VARCHAR) AS device_name,
+           |  a.accepted AS accepted,
+           |  b.amp AS "Amplitude (V)",
+           |  b.charge AS "Collected charge (V s)",
+           |  b.t0 + 50 * 1.0e-10 AS "t_50 (s)"
+           |FROM base b JOIN acc a USING (n_trigger)""".stripMargin),
+    (s, dir) => {
+      val base = li(s, dir).filter(col("l_linenumber").isin(1, 2))
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+          min("l_extendedprice").as("t0r"),
+          sum("l_quantity").cast("double").as("charge"),
+          max("l_discount").as("amp"),
+          max("l_tax").as("temp"))
+        .select(
+          col("l_orderkey").as("n_trigger"),
+          concat(lit("dev"), col("l_linenumber")).as("device_name"),
+          (col("t0r") * lit(1.0e-9)).as("t0"),
+          col("charge"), col("amp"), col("temp"))
+      // the full wide frame the reference iterates over: 9 CFD threshold
+      // columns + physics + environment columns
+      val wide = (1 to 9).foldLeft(
+        base
+          .withColumn("Amplitude (V)", col("amp"))
+          .withColumn("Collected charge (V s)", col("charge"))
+          .withColumn("Temperature (°C)", col("temp") * lit(100.0))
+          .withColumn("Humidity (%RH)", col("temp") * lit(500.0))
+          .withColumn("Bias voltage (V)", lit(111.0))
+          .withColumn("Bias current (A)", lit(1.0e-6))) { (df, i) =>
+        df.withColumn(s"t_${i * 10} (s)", col("t0") + lit(i * 10) * lit(1.0e-10))
+      }
+      // per-trigger accept conjunction over BOTH devices, joined back (P5+J1)
+      val accepted = wide.groupBy("n_trigger")
+        .agg(bool_and(col("amp") <= lit(0.08) && col("charge") >= lit(10.0)).as("accepted"))
+      val ignore = Set("n_trigger", "device_name", "t0", "charge", "amp", "temp") ++
+        Seq(1, 2, 3, 4, 6, 7, 8, 9).map(i => s"t_${i * 10} (s)") ++
+        Set("Temperature (°C)", "Humidity (%RH)", "Bias voltage (V)", "Bias current (A)")
+      val dims = wide.columns.filterNot(ignore).sorted
+      wide.join(accepted, "n_trigger")
+        .select(
+          Seq(col("n_trigger"), col("device_name"), col("accepted"))
+            ++ dims.map(c => col(s"`$c`")): _*)
+    })
+
+  /** S13 waveform-overlay 2-D histogram table (reference
+    * `scripts/clean_beta_scan.py:317-360`): per device, 2-D
+    * (time, amplitude) bin occupancy with DATA-DRIVEN bins exactly as the
+    * plot builds them — x bins start at the GLOBAL (unfiltered) time
+    * minimum with the distinct-time grid step, y bins at the per-device
+    * accepted minimum with the per-device distinct-amplitude step, counts
+    * normalized to per-device probability (`histnorm='probability'`).
+    * Steps are min-positive-diff over sorted distinct values (the
+    * reference's `np.diff(sorted(set(...)))[0]` on its regular ADC grid),
+    * computed in integer domain so bucket indices are bit-portable.
+    */
+  val s13WaveformsHist2d: Q = {
+    import org.apache.spark.sql.expressions.Window
+    Q(
+      "s13_waveforms_hist2d",
+      Some("""WITH w AS (
+             |  SELECT 'dev' || CAST(l_linenumber AS VARCHAR) AS device_name,
+             |    CAST(l_quantity AS BIGINT) AS t,
+             |    CAST(FLOOR(l_extendedprice / 100.0) AS BIGINT) AS a,
+             |    l_discount <= 0.08 AS accepted
+             |  FROM lineitem WHERE l_linenumber IN (1, 2)),
+             |tg AS (SELECT MIN(t) AS tmin FROM w),
+             |ts AS (SELECT COALESCE(MIN(d), 1) AS tstep FROM (
+             |    SELECT t - LAG(t) OVER (ORDER BY t) AS d
+             |    FROM (SELECT DISTINCT t FROM w)) WHERE d IS NOT NULL AND d > 0),
+             |acc AS (SELECT * FROM w WHERE accepted),
+             |ag AS (SELECT device_name, MIN(a) AS amin FROM acc GROUP BY 1),
+             |asx AS (SELECT device_name, COALESCE(MIN(d), 1) AS astep FROM (
+             |    SELECT device_name, a - LAG(a) OVER (PARTITION BY device_name ORDER BY a) AS d
+             |    FROM (SELECT DISTINCT device_name, a FROM acc))
+             |  WHERE d IS NOT NULL AND d > 0 GROUP BY 1),
+             |tot AS (SELECT device_name, COUNT(*) AS n FROM acc GROUP BY 1),
+             |b AS (SELECT acc.device_name,
+             |    tg.tmin + CAST(FLOOR(CAST(acc.t - tg.tmin AS DOUBLE) / ts.tstep) AS BIGINT)
+             |      * ts.tstep AS t_lo,
+             |    CAST(ag.amin + CAST(FLOOR(CAST(acc.a - ag.amin AS DOUBLE) / asx.astep) AS BIGINT)
+             |      * asx.astep AS DOUBLE) / 10.0 AS a_lo
+             |  FROM acc CROSS JOIN tg CROSS JOIN ts
+             |  JOIN ag ON acc.device_name = ag.device_name
+             |  JOIN asx ON acc.device_name = asx.device_name)
+             |SELECT b.device_name, b.t_lo, b.a_lo,
+             |  ROUND(CAST(COUNT(*) AS DOUBLE) / tot.n, 6) AS p
+             |FROM b JOIN tot ON b.device_name = tot.device_name
+             |GROUP BY b.device_name, b.t_lo, b.a_lo, tot.n""".stripMargin),
+      (s, dir) => {
+        val w = li(s, dir).filter(col("l_linenumber").isin(1, 2))
+          .select(
+            concat(lit("dev"), col("l_linenumber")).as("device_name"),
+            col("l_quantity").cast("long").as("t"),
+            floor(col("l_extendedprice") / lit(100.0)).cast("long").as("a"),
+            (col("l_discount") <= lit(0.08)).as("accepted"))
+        val tg = w.agg(min("t").as("tmin"))
+        val ts = w.select("t").distinct()
+          .withColumn("d", col("t") - lag("t", 1).over(Window.orderBy("t")))
+          .filter(col("d").isNotNull && col("d") > 0)
+          .agg(coalesce(min("d"), lit(1L)).as("tstep"))
+        val acc = w.filter(col("accepted"))
+        val ag = acc.groupBy("device_name").agg(min("a").as("amin"))
+        val astep = acc.select("device_name", "a").distinct()
+          .withColumn(
+            "d",
+            col("a") - lag("a", 1).over(Window.partitionBy("device_name").orderBy("a")))
+          .filter(col("d").isNotNull && col("d") > 0)
+          .groupBy("device_name").agg(coalesce(min("d"), lit(1L)).as("astep"))
+        val tot = acc.groupBy("device_name").agg(count(lit(1)).as("n"))
+        acc.crossJoin(broadcast(tg)).crossJoin(broadcast(ts))
+          .join(broadcast(ag), "device_name")
+          .join(broadcast(astep), "device_name")
+          .groupBy(
+            col("device_name"),
+            (col("tmin")
+              + floor((col("t") - col("tmin")).cast("double") / col("tstep")).cast("long")
+              * col("tstep")).as("t_lo"),
+            ((col("amin")
+              + floor((col("a") - col("amin")).cast("double") / col("astep")).cast("long")
+              * col("astep")).cast("double") / lit(10.0)).as("a_lo"))
+          .agg(count(lit(1)).as("cnt"))
+          .join(broadcast(tot), "device_name")
+          .select(
+            col("device_name"), col("t_lo"), col("a_lo"),
+            round(col("cnt").cast("double") / col("n"), 6).as("p"))
+      })
+  }
+
   def all: Seq[Q] = Seq(
     p2AggPredicate, p4Completeness, p5Cuts, p9Strings, p10Datetime, p13Casts,
     r1Pivot, r2Unpivot, j1Flags, j3Composite, j4SelfGrid,
     w1FirstHalf, w2TopK, w4WindowPack, fuzzyKeys,
     a5ArgMin, a7Histogram, a8Ecdf, a11Distinct, u1Union,
-    p11Tag, a2Mad, a1MeanStd)
+    p11Tag, a2Mad, a1MeanStd, s13ScatterMatrix, s13WaveformsHist2d)
 }

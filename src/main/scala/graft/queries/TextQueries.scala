@@ -238,6 +238,41 @@ object TextQueries {
         d.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
     })
 
+  /** Adversarial-depth components: a PLANTED 1000-hop chain (consecutive
+    * orderkeys linked pairwise) — diameter 999, the graph shape that
+    * breaks O(diameter) min-label propagation (999 shuffle rounds; the
+    * fixed tiers under-merge, ComponentsSpec proves both) and exactly
+    * what overlapping-chunk / paragraph-pipeline dup graphs degenerate
+    * into. The alternating-star tier converges in O(log n) ≈ 10
+    * alternations; the oracle computes the exact transitive closure with
+    * a recursive CTE, so the star fixed-point is hash-checked against an
+    * independent exhaustive reachability — every node must label to the
+    * global minimum key.
+    */
+  val dedupComponentsChain: Q = Q(
+    "dedup_components_chain",
+    Some("""WITH RECURSIVE
+           |n AS (SELECT DISTINCT l_orderkey AS id FROM lineitem ORDER BY id LIMIT 1000),
+           |e AS (SELECT id AS src, LEAD(id) OVER (ORDER BY id) AS dst FROM n),
+           |edges AS (SELECT src, dst FROM e WHERE dst IS NOT NULL
+           |          UNION SELECT dst, src FROM e WHERE dst IS NOT NULL),
+           |reach AS (SELECT id, id AS r FROM n
+           |          UNION
+           |          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+           |SELECT id AS node_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nodes = graft.sources.Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("node_id")).distinct()
+        .orderBy("node_id").limit(1000)
+      val pairs = nodes
+        .withColumn("id_b", lead("node_id", 1).over(Window.orderBy("node_id")))
+        .filter(col("id_b").isNotNull)
+        .select(col("node_id").as("id_a"), col("id_b"))
+      graft.operators.Components.alternatingStar(
+        nodes, pairs, "node_id", "id_a", "id_b")
+    })
+
   /** Incremental (new-batch-vs-corpus) dedup — the daily-ingest shape:
     * sources src0–src9 stand in for the already-ingested corpus, the
     * rest arrive as the new batch, and every incoming doc is flagged on
@@ -1012,7 +1047,7 @@ object TextQueries {
     textBm25, corpusReport, pipelineMix, textChunk, textLmScore,
     jsonlRoundtrip, sampleUpsample, splitShards,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
-    dedupComponents, decontamNgram, dedupIncremental,
+    dedupComponents, dedupComponentsChain, decontamNgram, dedupIncremental,
     dedupLines, dedupMinHash, dedupMinHashHash, dedupSimHash, dedupSimHashHash,
     mmBytes, mmFeatures, mmFeaturesHash, mmFrames, pipelineClean, splitStratified,
     pipelineEmbedSplit)
