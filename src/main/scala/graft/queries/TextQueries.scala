@@ -248,6 +248,12 @@ object TextQueries {
     * a recursive CTE, so the star fixed-point is hash-checked against an
     * independent exhaustive reachability — every node must label to the
     * global minimum key.
+    *
+    * Cost shape: ~11 alternations × one job each — at toy scale the wall
+    * time (~15 s) is almost purely Spark's per-round stage-scheduling
+    * floor, NOT data volume; the same log(diameter) rounds amortize over
+    * billions of edges at 100 TB (ScaleProbe `components_star` is flat at
+    * ×4 data). The bench number buys the adversarial-depth guarantee.
     */
   val dedupComponentsChain: Q = Q(
     "dedup_components_chain",
