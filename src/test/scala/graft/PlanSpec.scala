@@ -140,6 +140,35 @@ class PlanSpec extends AnyFunSuite {
       "embed-split pipeline still ships an all-pairs cross join:\n" + p.take(1500))
   }
 
+  test("a8_ecdf: every window runs over the distinct-value aggregate, never raw rows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // the scale guarantee of the counts tier: the only sorted relation is
+    // the per-(group, value) count table — a window whose subtree has no
+    // aggregate would put a whole group back into one sort task
+    val lp = RelationalQueries.a8Ecdf.run(spark, sf).queryExecution.optimizedPlan
+    val wins = lp.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the cumulative window in the plan")
+    wins.foreach { w =>
+      assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+        s"ECDF window sorts raw rows (one task per group):\n$w")
+    }
+  }
+
+  test("dedup_lines: the registered query plans with NO window (hash aggregate only)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val lp = graft.queries.TextQueries.dedupLines.run(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(lp.collect { case w: LWindow => w }.isEmpty,
+      "line dedup regressed to a row_number window — corpus-hot lines " +
+        "become single-task sort partitions:\n" + lp.toString.take(1200))
+  }
+
+  test("s13_waveforms_hist2d: bin scalars broadcast — the fact side never sort-merge-joins") {
+    val p = plan(RelationalQueries.s13WaveformsHist2d)
+    assert(!p.contains("SortMergeJoin"),
+      "data-driven bin parameters must broadcast onto the sample rows:\n" + p.take(1500))
+  }
+
   test("bucketed tables co-locate an equi-join: no exchange on either side") {
     import org.apache.spark.sql.functions._
     val s = spark
