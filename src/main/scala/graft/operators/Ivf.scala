@@ -56,6 +56,59 @@ object Ivf {
     (-array_max(array(scored: _*)).getField("negj")).cast("int")
   }
 
+  /** Largest k assigned through the literal-expression path. [[clusterCol]]
+    * embeds every centroid as a typed literal in ONE expression — ideal
+    * for oracle mirroring and codegen at small k, but the expression tree
+    * (k structs × dim literals) outgrows codegen somewhere past a few
+    * hundred centroids. Above this bound assignment switches to the
+    * broadcast-kernel tier.
+    */
+  val ExprAssignMaxK = 64
+
+  /** Broadcast-kernel assignment for large k (the auto-sized SemDeDup
+    * regime): centroids broadcast once, a tight JVM loop per partition
+    * scores k×dim per row. Scoring semantics are BIT-IDENTICAL to
+    * [[clusterCol]] — sequential left-to-right dot (same as the codegen'd
+    * [[dotFast]]), HALF_UP round to 9 dp (the exact arithmetic of Spark's
+    * `round`), first-maximum tie = smallest cluster id — IvfSpec pins the
+    * tiers equal. mapPartitions is justified here (SURVEY §2 preference
+    * (d)): per-row k-way scoring is genuine imperative per-partition work
+    * no bounded expression tree can express.
+    */
+  private[graft] def assignKernel(normalizedDf: DataFrame, model: Model): DataFrame = {
+    val spark = normalizedDf.sparkSession
+    val bc = spark.sparkContext.broadcast(model.centroids)
+    val schema = normalizedDf.schema.add("cluster", org.apache.spark.sql.types.IntegerType)
+    val vIdx = normalizedDf.schema.fieldIndex("__v")
+    val rdd = normalizedDf.rdd.mapPartitions { it =>
+      val cents = bc.value
+      it.map { r =>
+        val v = r.getSeq[Double](vIdx).toArray
+        var bestS = Double.NegativeInfinity
+        var bestJ = 0
+        var j = 0
+        while (j < cents.length) {
+          val c = cents(j)
+          val n = math.min(v.length, c.length)
+          var s = 0.0
+          var i = 0
+          while (i < n) { s += v(i) * c(i); i += 1 }
+          val sr = java.math.BigDecimal.valueOf(s)
+            .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (sr > bestS) { bestS = sr; bestJ = j }
+          j += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bestJ)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Tier-dispatched cluster assignment over an already-normalized frame. */
+  private def withCluster(normalizedDf: DataFrame, model: Model, as: String): DataFrame =
+    if (model.k <= ExprAssignMaxK) normalizedDf.withColumn(as, clusterCol(model))
+    else assignKernel(normalizedDf, model).withColumnRenamed("cluster", as)
+
   /** Train the coarse quantizer: deterministic seeding (k smallest
     * xxhash64(id, seed)) + `iters` Lloyd iterations.
     */
@@ -74,29 +127,48 @@ object Ivf {
     Caching.withCached(data) {
       // deterministic k-means++-style init: hash-sample a candidate pool
       // (one pass), then greedy max-min selection on the driver — avoids
-      // the two-centroids-in-one-cluster degeneracy of naive seeding
-      val pool = data
-        .withColumn("__h", xxhash64(col(id), lit(seed)))
-        .orderBy("__h")
-        .limit(math.max(50 * k, 200))
-        .select("__v")
-        .collect()
-        .map(_.getSeq[Double](0).toArray)
-      val chosen = scala.collection.mutable.ArrayBuffer(pool.head)
-      while (chosen.length < k && chosen.length < pool.length) {
-        val next = pool.maxBy { p =>
-          chosen.map(c => {
-            var d = 0.0; var i = 0
-            while (i < p.length) { val t = p(i) - c(i); d += t * t; i += 1 }
-            d
-          }).min
-        }
-        chosen += next
-      }
-      var model = Model(chosen.toArray)
+      // the two-centroids-in-one-cluster degeneracy of naive seeding.
+      // The greedy is O(pool·k·dim) with pool = 50·k, so past ~1k
+      // centroids (the auto-sized-quantizer regime, where k tracks the
+      // CORPUS) both the pool collect and the driver CPU would grow with
+      // the data — there the init degrades gracefully to pure hash
+      // seeding: the k smallest xxhash64(id) vectors ARE the centroids
+      // (one pass; k×dim to the driver — the size of the model itself,
+      // which training must hold anyway). Lloyd iterations repair any
+      // seeding degeneracy either way.
+      val GreedyInitMaxK = 1024
+      val chosen: Array[Array[Double]] =
+        if (k <= GreedyInitMaxK) {
+          val pool = data
+            .withColumn("__h", xxhash64(col(id), lit(seed)))
+            .orderBy("__h")
+            .limit(math.max(50 * k, 200))
+            .select("__v")
+            .collect()
+            .map(_.getSeq[Double](0).toArray)
+          val acc = scala.collection.mutable.ArrayBuffer(pool.head)
+          while (acc.length < k && acc.length < pool.length) {
+            val next = pool.maxBy { p =>
+              acc.map(c => {
+                var d = 0.0; var i = 0
+                while (i < p.length) { val t = p(i) - c(i); d += t * t; i += 1 }
+                d
+              }).min
+            }
+            acc += next
+          }
+          acc.toArray
+        } else data
+          .withColumn("__h", xxhash64(col(id), lit(seed)))
+          .orderBy("__h")
+          .limit(k)
+          .select("__v")
+          .collect()
+          .map(_.getSeq[Double](0).toArray)
+      var model = Model(chosen)
       val dim = chosen.head.length
       for (_ <- 0 until iters) {
-        val assigned = data.withColumn("__c", clusterCol(model))
+        val assigned = withCluster(data, model, "__c")
         // per-dimension sums via posexplode + hash agg — no per-group
         // buffering, only k×dim rows ever reach the driver
         val sums = assigned
@@ -125,7 +197,7 @@ object Ivf {
 
   /** Assign every row to its inverted list: adds `cluster`. */
   def assign(df: DataFrame, vec: String, model: Model): DataFrame =
-    normalized(df, vec).withColumn("cluster", clusterCol(model)).drop("__v")
+    withCluster(normalized(df, vec), model, "cluster").drop("__v")
 
   /** Top-k for a BATCH of queries in ONE corpus pass — the production
     * shape (a training pipeline looks up thousands of queries, not one).
@@ -162,7 +234,7 @@ object Ivf {
         explode(transform(
           slice(sort_array(scored, asc = false), 1, nprobe),
           x => -x.getField("negj"))))
-    val corpus = normalized(df, vec).withColumn("cluster", clusterCol(model))
+    val corpus = withCluster(normalized(df, vec), model, "cluster")
     val w = Window.partitionBy(qid).orderBy(col("cos").desc, col(id))
     corpus
       .join(broadcast(probes), "cluster")
@@ -227,7 +299,7 @@ object Ivf {
     val qv = normalized(df.filter(col(id) === queryId), vec).select("__v")
       .collect().head.getSeq[Double](0).toArray
     // corpus pass: ONE scan — normalize, coarse-score, probe-filter, top-k
-    val data = normalized(df, vec).withColumn("cluster", clusterCol(model))
+    val data = withCluster(normalized(df, vec), model, "cluster")
     val probes = model.centroids.zipWithIndex
       .map { case (c, j) => (j, c.zip(qv).map { case (a, b) => a * b }.sum) }
       .sortBy { case (j, s) => (-s, j) }

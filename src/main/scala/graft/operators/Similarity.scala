@@ -124,10 +124,15 @@ object Similarity {
     * within-cell pair work grows LINEARLY with the corpus instead of
     * quadratically (fixed k ⇒ cells grow with the corpus ⇒ O(n²/k) pair
     * candidates — ScaleProbe's fixed-k `semantic_pairs` row measures
-    * exactly that blow-up).
+    * exactly that blow-up). Capped at 2¹⁶ cells: the flat model (k×dim
+    * doubles on the driver, broadcast to every task) stops being the
+    * right shape somewhere past that — beyond the cap, cells grow past
+    * the target again and the honest next tier is a two-level
+    * (hierarchical) quantizer, which this library does not ship; the cap
+    * makes that boundary explicit instead of OOMing inside train().
     */
   def autoK(rows: Long, targetCellSize: Int): Int =
-    math.max(1L, (rows + targetCellSize - 1) / targetCellSize).min(Int.MaxValue).toInt
+    math.max(1L, (rows + targetCellSize - 1) / targetCellSize).min(1L << 16).toInt
 
   /** [[clusterNearDupPairs]] with the quantizer sized FROM the corpus —
     * the production default. One count job picks k ≈ rows/targetCellSize,

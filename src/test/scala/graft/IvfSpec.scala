@@ -89,4 +89,49 @@ class IvfSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(ivf.intersect(brute).size >= 8, s"recall ${ivf.intersect(brute).size}/10")
   }
+
+  test("kernel assignment tier is bit-identical to the expression tier") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 400L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val model = Ivf.train(df, "vec_id", "embedding", k = 8, iters = 2, seed = 5L)
+    // expression path (k=8 ≤ ExprAssignMaxK)
+    val expr = Ivf.assign(df, "embedding", model)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // kernel path: force it by padding the model ABOVE the expression
+    // bound with exact COPIES of centroid 0 — a pad scores identically to
+    // centroid 0, so the smaller-id tie-break guarantees a pad can never
+    // win; assignments must therefore be exactly the expression tier's
+    val padded = Ivf.Model(model.centroids ++
+      Array.fill(Ivf.ExprAssignMaxK + 1 - model.k)(model.centroids(0).clone()))
+    val kernel = Ivf.assign(df, "embedding", padded)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kernel.values.forall(_ < model.k), "a padding centroid won a row")
+    assert(kernel == expr)
+  }
+
+  test("auto-sized SemDeDup above the expression bound: large-k train + kernel assign") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val rows = Seq((0L, base), (1L, near)) ++
+      (2L to 600L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    // targetCellSize 8 on 601 rows ⇒ k = 76 > ExprAssignMaxK = 64:
+    // exercises hash-seeded init + kernel Lloyd + kernel assignment
+    assert(Similarity.autoK(601L, 8) > Ivf.ExprAssignMaxK)
+    val auto = Similarity.clusterNearDupPairsAuto(
+      df, "vec_id", "embedding", threshold = 0.9, targetCellSize = 8, iters = 2, seed = 1L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(brute))
+    assert(auto.contains((0L, 1L)), "planted near-identical pair missed")
+    // the cap: autoK never exceeds the flat-model bound
+    assert(Similarity.autoK(1L << 40, 512) == (1 << 16))
+  }
 }
