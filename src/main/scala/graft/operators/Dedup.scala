@@ -241,14 +241,20 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val sh = shingles(df, id, text, k)
       .select(col(id), xxhash64(col("shingle")).as("h"))
-    // frequencies and sizes as WINDOWS over one shingle pass — a
-    // groupBy+join staging re-runs the (expensive) shingle extraction per
-    // consumer; the two doc-partitioned windows share one shuffle+sort
-    val wH = Window.partitionBy("h")
+    // document frequency as a HASH AGGREGATE + join, NOT a
+    // `partitionBy(h)` window: a corpus-hot shingle ("the", separators)
+    // would put every one of its rows into a single window task, and
+    // window partitions — unlike skewed join partitions — cannot be split
+    // by AQE. The aggregate collapses hot shingles map-side; the join
+    // back on h is skew-splittable. Price: the shingle pass runs twice
+    // (freq + join side) — linear, and consistent with the
+    // no-persisted-state contract. The two DOC-partitioned windows are
+    // bounded by document length and share one shuffle+sort.
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("__df"))
     val wDoc = Window.partitionBy(col(id)).orderBy(col("__df"), col("h"))
     val wDocAll = Window.partitionBy(col(id))
     val pref = sh
-      .withColumn("__df", count(lit(1)).over(wH))
+      .join(freq, "h")
       .withColumn("__rn", row_number().over(wDoc))
       .withColumn("__n", count(lit(1)).over(wDocAll))
       .filter(col("__rn") <= col("__n") - ceil(lit(threshold) * col("__n")) + 1)
