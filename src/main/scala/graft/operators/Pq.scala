@@ -72,17 +72,23 @@ object Pq {
       posexplode(array((0 until m).map(s => subVec(col(vec), s, subDim)): _*))
         .as(Seq("s", "sv")))
     Caching.withCached(subs) {
-      // per-subspace hash-ordered candidate pool, greedy max-min seeding
+      // per-subspace hash-ordered candidate pool, greedy max-min seeding.
+      // One TakeOrdered job per subspace, NOT a partitionBy(s) window:
+      // with only m subspaces the window form funneled the ENTIRE n×m
+      // subvector relation through m single-task sorts; TakeOrdered keeps
+      // a poolN-heap per partition, so the pool derivation stays parallel
+      // at any corpus size (m is a small model constant, so m jobs over
+      // the bracket-cached relation are cheap).
       val poolN = math.max(20 * k, 100)
-      val w = Window.partitionBy("s").orderBy("__h")
-      val pool = subs
-        .withColumn("__h", xxhash64(col(id), col("s"), lit(seed)))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= poolN)
-        .select("s", "sv")
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (s, rows) => s -> rows.map(_.getSeq[Double](1).toArray) }
+      val hashed = subs.withColumn("__h", xxhash64(col(id), col("s"), lit(seed)))
+      val pool: Map[Int, Array[Array[Double]]] = (0 until m).map { s =>
+        s -> hashed.filter(col("s") === s)
+          .orderBy("__h")
+          .limit(poolN)
+          .select("sv")
+          .collect()
+          .map(_.getSeq[Double](0).toArray)
+      }.toMap
       val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { s =>
         val cand = pool(s)
         val chosen = scala.collection.mutable.ArrayBuffer(cand.head)

@@ -155,9 +155,18 @@ object Sampling {
         floor(lit(budget.toDouble) * col("__w") / col("__wsum")).as("__target"))
     val key = if (full) shuffleKeyFull(col(id), seed) else shuffleKey(col(id), seed)
     val w = Window.partitionBy(col(stratum)).orderBy(key, col(id))
+    // the rank filter carries a LITERAL bound alongside the per-stratum
+    // column target: every target is ≤ budget by construction, so the
+    // extra conjunct changes nothing semantically — but a literal
+    // `row_number ≤ k` is what Spark's InferWindowGroupLimit needs to
+    // insert a map-side (Partial) group limit, so each input partition
+    // forwards at most `budget` rows per stratum instead of the whole
+    // stratum flooding one window task (a 100 TB corpus has billions of
+    // rows in its biggest language). SamplingSpec pins the
+    // WindowGroupLimit in the plan.
     df.join(broadcast(targets), stratum)
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= col("__target"))
+      .filter(col("__rn") <= lit(budget) && col("__rn") <= col("__target"))
       .drop("__rn", "__target")
   }
 

@@ -290,14 +290,20 @@ object GroupingQueries {
              |FROM lineitem
              |WINDOW w AS (PARTITION BY l_returnflag)""".stripMargin),
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("l_returnflag")
-        val sx = sum(DetAgg.dec(col("l_quantity"))).over(w).cast("double")
-        val sxx = sum(DetAgg.dec(col("l_quantity") * col("l_quantity"))).over(w).cast("double")
-        val n = count(lit(1)).over(w)
-        val mean = sx / n
-        val std = sqrt((sxx - sx * sx / n) / (n - lit(1)))
-        Tables.load(s, dir, "lineitem")
+        // group stats as a HASH AGGREGATE broadcast back onto the rows,
+        // not a whole-partition window: there are 3 returnflag groups, so
+        // the window form put a third of the corpus into each window
+        // task. Decimal sums are order-independent (DetAgg), so the
+        // aggregate is bit-identical to the window the oracle describes.
+        val li = Tables.load(s, dir, "lineitem")
+        val stats = li.groupBy("l_returnflag").agg(
+          sum(DetAgg.dec(col("l_quantity"))).cast("double").as("__sx"),
+          sum(DetAgg.dec(col("l_quantity") * col("l_quantity"))).cast("double").as("__sxx"),
+          count(lit(1)).as("__n"))
+        val mean = col("__sx") / col("__n")
+        val std = sqrt((col("__sxx") - col("__sx") * col("__sx") / col("__n"))
+          / (col("__n") - lit(1)))
+        li.join(broadcast(stats), "l_returnflag")
           .select(
             col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
             ((col("l_quantity") - mean) / std).as("z"))

@@ -920,13 +920,18 @@ object TextQueries {
           corpus, bench, "doc_id", "text", k = 3, threshold = 0.5)
         .filter(col("contaminated"))
         .select("doc_id")
+      // exact-dup keep-first as a hash aggregate (min doc_id per
+      // fingerprint, carried with its columns via struct ordering on the
+      // unique leading key) — the row_number window form gave a
+      // corpus-hot boilerplate fingerprint a single-task sort partition
       val ded = feat
         .join(flagged, Seq("doc_id"), "left_anti")
-        .withColumn(
-          "__rn",
-          row_number().over(Window.partitionBy("__fp").orderBy("doc_id")))
-        .filter(col("__rn") === 1)
-        .select("doc_id", "lang", "__n_tok")
+        .groupBy("__fp")
+        .agg(min(struct(col("doc_id"), col("lang"), col("__n_tok"))).as("__first"))
+        .select(
+          col("__first.doc_id").as("doc_id"),
+          col("__first.lang").as("lang"),
+          col("__first.__n_tok").as("__n_tok"))
       graft.operators.Sampling
         .temperatureMixSqrt(ded, "doc_id", "lang", budget = 200L, seed = 13)
         .groupBy("lang")

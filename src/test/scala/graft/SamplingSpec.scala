@@ -110,4 +110,18 @@ class SamplingSpec extends AnyFunSuite {
     // same stratum targets as the oracle-tier fill (the weights are shared)
     assert(keptFull.size == keptOracle.size)
   }
+
+  test("stratum rank filter plans with a map-side WindowGroupLimit") {
+    import spark.implicits._
+    val df = (0L until 5000L).map(i => (i, s"lang${i % 4}")).toDF("doc_id", "lang")
+    val out = graft.operators.Sampling
+      .temperatureMixSqrt(df, "doc_id", "lang", budget = 100L, seed = 3)
+    val p = out.queryExecution.executedPlan.toString
+    // the literal budget conjunct must trigger InferWindowGroupLimit so
+    // each input partition forwards at most `budget` rows per stratum —
+    // without it, a corpus-scale stratum lands in ONE window task
+    assert(p.contains("WindowGroupLimit"),
+      "rank filter lost its literal bound — stratum windows are unbounded:\n" + p.take(1200))
+    assert(out.count() <= 100)
+  }
 }
