@@ -170,6 +170,16 @@ object Sampling {
       .drop("__rn", "__target")
   }
 
+  /** Shared cap kernel. The running-sum window alone would hold every row
+    * of a stratum in one task (a 100 TB corpus's biggest language in one
+    * sort partition); a LITERAL `row_number ≤ budget` pre-filter — its
+    * own rank-only window, so InferWindowGroupLimit inserts a map-side
+    * group limit — prunes each stratum to its ordered prefix of at most
+    * `budget` rows first (implied by `cum ≤ budget` whenever every doc
+    * has ≥ 1 token; oracle SQL carries the same conjunct so both engines
+    * share the degenerate zero-token-run semantics). The exact running
+    * sum then runs over ≤ budget rows per stratum.
+    */
   private def tokenBudgetCapBy(
       df: DataFrame,
       strata: Seq[String],
@@ -177,11 +187,12 @@ object Sampling {
       budget: Long,
       order: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(strata.map(col): _*)
-      .orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    df.withColumn("__cum", sum(tokens).over(w))
+    val wOrd = Window.partitionBy(strata.map(col): _*).orderBy(order: _*)
+    val w = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("__rn", row_number().over(wOrd))
+      .filter(col("__rn") <= budget)
+      .withColumn("__cum", sum(tokens).over(w))
       .filter(col("__cum") <= budget)
-      .drop("__cum")
+      .drop("__rn", "__cum")
   }
 }

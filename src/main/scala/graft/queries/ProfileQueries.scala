@@ -112,12 +112,13 @@ object ProfileQueries {
            |  FROM documents),
            |c AS (
            |  SELECT lang, n_tokens,
+           |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn,
            |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY hk, doc_id
            |      ROWS UNBOUNDED PRECEDING) AS cum
            |  FROM t)
            |SELECT lang, COUNT(*) AS n_docs,
            |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-           |FROM c WHERE cum <= 20000 GROUP BY lang""".stripMargin),
+           |FROM c WHERE rn <= 20000 AND cum <= 20000 GROUP BY lang""".stripMargin),
     (s, dir) => {
       val d = Tables.load(s, dir, "documents").select(
         col("doc_id"), col("lang"),

@@ -123,5 +123,13 @@ class SamplingSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"),
       "rank filter lost its literal bound — stratum windows are unbounded:\n" + p.take(1200))
     assert(out.count() <= 100)
+    // the token-budget cap's rank pre-filter must get the same map-side
+    // group limit before its running-sum window
+    val cap = graft.operators.Sampling.tokenBudgetCapFull(
+      df.withColumn("n_tok", lit(7L)), "doc_id", Seq("lang"), col("n_tok"),
+      budget = 500L, seed = 1)
+    val cp = cap.queryExecution.executedPlan.toString
+    assert(cp.contains("WindowGroupLimit"),
+      "token cap's rank pre-filter lost the group limit:\n" + cp.take(1200))
   }
 }
