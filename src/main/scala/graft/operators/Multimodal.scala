@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   * fixed 8×8 luminance resample → 64 features. AUDIO payloads decode for
   * real through the JDK's built-in `javax.sound.sampled` (WAV/AIFF/AU
   * PCM): mono mixdown → per-segment RMS + zero-crossing features.
-  * Payloads neither can read (and the video / compressed-audio codecs,
-  * which are genuinely absent in this environment) fall back to the
-  * clearly-marked deterministic byte-statistics STUB, which is also the
-  * bit-portable oracle tier.
+  * VIDEO payloads decode for real when they are MJPEG-in-AVI — the RIFF
+  * container is hand-parsed and frames are ImageIO JPEGs: sampled-frame
+  * luminance cells + temporal profile. Payloads none of these can read
+  * (compressed audio and the H.264-family video codecs are genuinely
+  * absent from the JDK) fall back to the clearly-marked deterministic
+  * byte-statistics STUB, which is also the bit-portable oracle tier.
   * Everything Spark-side is real and tested either way: the schema
   * convention, the per-partition batch shape (one iterator pass, no
   * per-row setup cost), partition sizing, and the feature schema.
@@ -143,30 +145,98 @@ object Multimodal {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        val sub = 8 // sample points per cell axis: 64 samples per cell
-        val lattice = ImageGrid * sub
-        val sums = new Array[Double](ImageGrid * ImageGrid)
-        var sy = 0
-        while (sy < lattice) {
-          val y = (sy * h) / lattice
-          val cy = sy / sub
-          var sx = 0
-          while (sx < lattice) {
-            val x = (sx * w) / lattice
-            val rgb = img.getRGB(x, y)
-            val lum = 0.299 * ((rgb >> 16) & 0xff) +
-              0.587 * ((rgb >> 8) & 0xff) +
-              0.114 * (rgb & 0xff)
-            sums(cy * ImageGrid + sx / sub) += lum
-            sx += 1
-          }
-          sy += 1
-        }
-        Some(sums.map(s => (s / (sub * sub * 255.0)).toFloat))
+      else Some(cellLuminance(img).map(_.toFloat))
+    } catch { case _: Exception => None }
+  }
+
+  /** Shared decode kernel: mean luminance in [0,1] per 8×8 cell, sampled
+    * on a fixed (8·grid)² lattice — resolution-independent (the lattice,
+    * not the pixel count, bounds work per image/frame).
+    */
+  private def cellLuminance(img: java.awt.image.BufferedImage): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sub = 8 // sample points per cell axis: 64 samples per cell
+    val lattice = ImageGrid * sub
+    val sums = new Array[Double](ImageGrid * ImageGrid)
+    var sy = 0
+    while (sy < lattice) {
+      val y = (sy * h) / lattice
+      val cy = sy / sub
+      var sx = 0
+      while (sx < lattice) {
+        val x = (sx * w) / lattice
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) +
+          0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        sums(cy * ImageGrid + sx / sub) += lum
+        sx += 1
       }
+      sy += 1
+    }
+    sums.map(_ / (sub * sub * 255.0))
+  }
+
+  /** Frames sampled per video for feature extraction. */
+  val VideoFrameSample = 8
+
+  /** REAL video decode for MJPEG-in-AVI — the one video coding the JDK
+    * can fully handle without external codecs: the AVI (RIFF) container
+    * is walked chunk-by-chunk and each `..db`/`..dc` movi payload is a
+    * standalone JPEG frame ImageIO decodes. Up to [[VideoFrameSample]]
+    * frames are sampled on an even stride (seek-style — work per video is
+    * bounded by the sample count, not the frame count); features are the
+    * per-cell luminance means over sampled frames (64) plus the per-frame
+    * mean-luminance temporal profile (8) = 72 features. Returns None for
+    * containers/codecs this build cannot read (H.264 etc. would plug in
+    * here via a JavaCV/ffmpeg binding exactly like this decoder plugs in
+    * ImageIO) — callers fall back to [[stubDecode]].
+    */
+  def decodeVideo(payload: Array[Byte]): Option[Array[Float]] = {
+    if (payload == null || payload.length < 12) return None
+    def ascii(off: Int): String = new String(payload, off, 4, "US-ASCII")
+    def le32(off: Int): Long =
+      (payload(off) & 0xffL) | ((payload(off + 1) & 0xffL) << 8) |
+        ((payload(off + 2) & 0xffL) << 16) | ((payload(off + 3) & 0xffL) << 24)
+    if (ascii(0) != "RIFF" || ascii(8) != "AVI ") return None
+    try {
+      // walk the chunk tree collecting movi video payloads (ids ...db/...dc)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (offset, length)
+      def walk(off0: Int, end: Int): Unit = {
+        var off = off0
+        while (off + 8 <= end) {
+          val id = ascii(off)
+          val size = le32(off + 4).toInt
+          if (size < 0 || off + 8 + size > payload.length) return
+          if (id == "LIST" && size >= 4) walk(off + 12, off + 8 + size)
+          else if ((id.endsWith("db") || id.endsWith("dc")) && size > 0)
+            frames += ((off + 8, size))
+          off += 8 + size + (size & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, math.min(12 + le32(4).toInt - 4, payload.length))
+      if (frames.isEmpty) return None
+      val n = frames.length
+      val take = math.min(VideoFrameSample, n)
+      val sampled = (0 until take).map(i => frames((i.toLong * n / take).toInt))
+      val cells = new Array[Double](ImageGrid * ImageGrid)
+      val profile = new Array[Float](VideoFrameSample)
+      var decoded = 0
+      sampled.foreach { case (off, len) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload, off, len))
+        if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+          val c = cellLuminance(img)
+          var i = 0
+          var mean = 0.0
+          while (i < cells.length) { cells(i) += c(i); mean += c(i); i += 1 }
+          if (decoded < VideoFrameSample) profile(decoded) = (mean / cells.length).toFloat
+          decoded += 1
+        }
+      }
+      if (decoded == 0) None
+      else Some(cells.map(s => (s / decoded).toFloat) ++ profile)
     } catch { case _: Exception => None }
   }
 
@@ -195,6 +265,7 @@ object Multimodal {
           val feats =
             if (mediaType == "image") decodeImage(payload).getOrElse(stubDecode(payload))
             else if (mediaType == "audio") decodeAudio(payload).getOrElse(stubDecode(payload))
+            else if (mediaType == "video") decodeVideo(payload).getOrElse(stubDecode(payload))
             else stubDecode(payload)
           var h = 1469598103934665603L // FNV-1a over payload: cheap content id
           payload.foreach { b => h ^= (b & 0xffL); h *= 1099511628211L }

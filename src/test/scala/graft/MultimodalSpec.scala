@@ -117,6 +117,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(21L).length == 8)
   }
 
+  private def jpegBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Minimal MJPEG-in-AVI container: RIFF(AVI (LIST hdrl(avih), LIST
+    * movi(00dc JPEG frames))) with little-endian sizes and word-aligned
+    * chunks — the shape a real MJPEG capture produces.
+    */
+  private def aviBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad: Array[Byte] = if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    val hdrl = chunk("LIST", "hdrl".getBytes("US-ASCII") ++ chunk("avih", new Array[Byte](56)))
+    val movi = chunk(
+      "LIST",
+      "movi".getBytes("US-ASCII") ++ frames.flatMap(f => chunk("00dc", f)).toArray)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  test("decodeVideo: MJPEG-in-AVI decodes to sampled-frame cells + temporal profile") {
+    val avi = aviBytes(Seq(
+      jpegBytes(16, 16, 0x20), jpegBytes(16, 16, 0x80), jpegBytes(16, 16, 0xe0)))
+    val feats = Multimodal.decodeVideo(avi).get
+    assert(feats.length == 64 + Multimodal.VideoFrameSample)
+    // cell means = average of the three gray frames (JPEG-lossy tolerance)
+    val expectedMean = (0x20 + 0x80 + 0xe0) / 3.0 / 255.0
+    for (i <- 0 until 64)
+      assert(math.abs(feats(i) - expectedMean) < 0.05, s"cell $i=${feats(i)}")
+    // temporal profile follows the dark → mid → bright frame order
+    val profile = feats.drop(64)
+    assert(profile(0) < profile(1) && profile(1) < profile(2))
+    assert(profile.drop(3).forall(_ == 0.0f)) // unfilled sample slots
+    // non-AVI / corrupt payloads: None (caller falls back to the stub tier)
+    assert(Multimodal.decodeVideo("not a video".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeVideo(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeVideo(aviBytes(Seq("junk frame".getBytes("UTF-8")))).isEmpty)
+  }
+
+  test("extractFeatures routes MJPEG AVI video through the real decoder") {
+    import spark.implicits._
+    val avi = aviBytes(Seq(jpegBytes(16, 16, 0x40), jpegBytes(16, 16, 0xc0)))
+    val df = Seq(
+      (30L, avi, "video"), // real decode: 64 + 8 features
+      (31L, "mp4-ish garbage".getBytes("UTF-8"), "video")) // undecodable: stub 8
+      .toDF("media_id", "payload", "media_type")
+    val got = Multimodal.extractFeatures(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    assert(got(30L).length == 64 + Multimodal.VideoFrameSample)
+    assert(got(31L).length == 8)
+  }
+
   test("sampleFrameIndexes strides only video rows") {
     val idx = Multimodal.sampleFrameIndexes(media(), stride = 3).collect()
       .map(r => (r.getLong(0), r.getAs[Number](1).longValue())).toSet
