@@ -62,6 +62,17 @@ object LmScore {
     * train time (dropped from the model AND from the prefix mass) and
     * therefore identically at score time.
     */
+  /** Per-doc scorer result: term count + exact scale-6 decimal NLL sum. */
+  private case class LmSum(n_tri: Long, sum_nll: BigDecimal)
+
+  /** First two code points of a trigram — the conditional's prefix, with
+    * the same character semantics Spark's `substring` uses.
+    */
+  private def pre2(t: String): String = {
+    val cps = t.codePointCount(0, t.length)
+    if (cps <= 2) t else t.substring(0, t.offsetByCodePoints(0, 2))
+  }
+
   def score(
       corpus: DataFrame,
       docs: DataFrame,
@@ -69,38 +80,88 @@ object LmScore {
       text: String,
       alpha: Int = 256,
       minCount: Long = 2L): DataFrame = {
-    import graft.functions.DetAgg
     val spark = corpus.sparkSession
     import spark.implicits._
     // TRAIN: one aggregate over the exploded corpus, then the CAPPED
     // model comes to the driver like any trained model (the Ivf-centroid
     // discipline) — bounded by repeated-content volume, never by corpus
-    // entropy (see object doc). Deriving the prefix table driver-side
-    // from the capped rows keeps the plan at exactly two corpus passes
-    // and keeps the prefix mass consistent with the capped model; leaving
-    // both tables lazy re-derived the full explode+aggregate subtree per
-    // reference whenever exchange reuse missed.
+    // entropy (see object doc).
     val triRows = trigramModel(corpus, id, text, minCount)
     val preRows = triRows
-      .groupBy(_._1.substring(0, 2))
+      .groupBy(r => pre2(r._1))
       .map { case (pre, rows) => pre -> rows.map(_._2).sum }
       .toSeq
-    val triC = triRows.toSeq.toDF("tri", "c_tri")
-    val preC = preRows.toDF("pre", "c_pre")
-    val nll: Column = -round(
-      log((col("c_tri").cast("double") + lit(1.0))
-        / (col("c_pre").cast("double") + lit(alpha.toDouble))), 6)
-    // SCORE: the second corpus pass — explode, two broadcast joins
-    // against the local model tables, one per-doc aggregate
-    charTrigrams(docs, id, text)
-      .join(broadcast(triC), Seq("tri"), "left")
-      .na.fill(0L, Seq("c_tri"))
-      .withColumn("pre", substring(col("tri"), 1, 2))
-      .join(broadcast(preC), Seq("pre"), "left")
-      .na.fill(0L, Seq("c_pre"))
-      .groupBy(col(id))
-      .agg(
-        count(lit(1)).as("n_tri"),
-        round(DetAgg.dsum(nll) / count(lit(1)), 6).as("avg_nll"))
+    // Per-term NLL micros computed driver-side with the EXACT functions
+    // Spark's expressions evaluate on executors — java.lang.Math.log and
+    // the scala-BigDecimal HALF_UP setScale that Catalyst's Round(_, 6)
+    // performs on doubles — so the per-term bits are identical to the r4
+    // explode+join plan's (same JVM, same library calls), and therefore
+    // to the oracle's ROUND(LN(...), 6). Each value is an exact multiple
+    // of 1e-6, held as micro-unit Longs so per-doc sums are exact
+    // integers (associative and order-independent: the DetAgg guarantee
+    // without the decimal aggregate).
+    def nllMicros(cTri: Long, cPre: Long): Long = {
+      val rounded = BigDecimal(math.log((cTri + 1.0) / (cPre + alpha.toDouble)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.round(-rounded * 1e6)
+    }
+    // Model maps keyed by packed code points (21 bits each — zero string
+    // allocation in the scoring loop). Trigram keys always hold exactly 3
+    // code points by construction of `substring(__t, i, 3)`.
+    def pack(cp1: Int, cp2: Int, cp3: Int): Long =
+      (cp1.toLong << 42) | (cp2.toLong << 21) | cp3.toLong
+    def packStr(s: String): Long = {
+      val cp1 = s.codePointAt(0)
+      val i2 = Character.charCount(cp1)
+      val cp2 = if (i2 < s.length) s.codePointAt(i2) else 0
+      val i3 = i2 + Character.charCount(cp2)
+      val cp3 = if (i3 < s.length) s.codePointAt(i3) else 0
+      pack(cp1, cp2, cp3)
+    }
+    val preMass = preRows.toMap
+    val triMap = new scala.collection.mutable.LongMap[Long](triRows.length * 2)
+    triRows.foreach { case (t, c) => triMap(packStr(t)) = nllMicros(c, preMass(pre2(t))) }
+    val preMap = new scala.collection.mutable.LongMap[Long](preRows.length * 2)
+    preRows.foreach { case (p, c) => preMap(packStr(p)) = nllMicros(0L, c) } // unseen tri, seen prefix
+    val unseenMicros = nllMicros(0L, 0L) // unseen prefix: -round(log(1/alpha), 6)
+    // SCORE: ONE map-only pass. The scorer slides a code-point window over
+    // the (Spark-lowered and -trimmed) text — the same triples
+    // `transform(sequence(1, length-2), i -> substring(__t, i, 3))`
+    // enumerates — and looks each up in the broadcast model maps.
+    // Replaces the r4 shape (explode → two broadcast joins → hash agg):
+    // same bits, no per-trigram row materialization, no shuffle at all.
+    val bTri = spark.sparkContext.broadcast(triMap)
+    val bPre = spark.sparkContext.broadcast(preMap)
+    val scoreUdf = udf { t: String =>
+      if (t == null || t.codePointCount(0, t.length) < 3) LmSum(0L, BigDecimal(0))
+      else {
+        val tri = bTri.value
+        val pre = bPre.value
+        var n = 0L
+        var micros = 0L
+        var cp1 = t.codePointAt(0)
+        var i = Character.charCount(cp1)
+        var cp2 = t.codePointAt(i)
+        i += Character.charCount(cp2)
+        while (i < t.length) {
+          val cp3 = t.codePointAt(i)
+          i += Character.charCount(cp3)
+          micros += tri.getOrElse(
+            pack(cp1, cp2, cp3),
+            pre.getOrElse(pack(cp1, cp2, 0), unseenMicros))
+          n += 1
+          cp1 = cp2
+          cp2 = cp3
+        }
+        LmSum(n, BigDecimal(java.math.BigDecimal.valueOf(micros, 6)))
+      }
+    }
+    docs
+      .select(col(id), scoreUdf(lower(trim(col(text)))).as("__r"))
+      .filter(col("__r.n_tri") > 0) // <3-char docs produced no rows before
+      .select(
+        col(id),
+        col("__r.n_tri").as("n_tri"),
+        round(col("__r.sum_nll").cast("double") / col("__r.n_tri"), 6).as("avg_nll"))
   }
 }
