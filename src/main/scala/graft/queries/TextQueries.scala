@@ -770,32 +770,41 @@ object TextQueries {
     * order can't break the hash. Top-50 cut is round-then-order with an
     * id tiebreak.
     */
+  private val bm25Terms = Seq("spark", "window", "merge")
+  // shared per-term BM25 text over columns tf, df, dl, n_docs, avgdl
+  private val bm25ScoreText =
+    "LN(1.0e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))" +
+      " * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0))" +
+      " / (CAST(tf AS DOUBLE)" +
+      " + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * (CAST(dl AS DOUBLE) / avgdl)))"
+  /** The BM25 oracle CTE chain ending in `sc(doc_id, s)` — shared between
+    * `text_bm25` and the hybrid-fusion query so the texts cannot drift.
+    */
+  private val bm25SqlCtes: String = {
+    val termList = bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |       FROM documents),
+       |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+       |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+       |       FROM dl),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+       |       FROM toks, LATERAL unnest(t) AS u(tok)
+       |       WHERE tok IN ($termList) GROUP BY 1, 2),
+       |df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, $bm25ScoreText AS s
+       |       FROM tf JOIN df USING (tok)
+       |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st)""".stripMargin
+  }
+
   val textBm25: Q = {
-    val terms = Seq("spark", "window", "merge")
-    val termList = terms.map(t => s"'$t'").mkString(", ")
-    // shared per-term BM25 text over columns tf, df, dl, n_docs, avgdl
-    val scoreText =
-      "LN(1.0e0 + (n_docs - df + 0.5e0) / (df + 0.5e0))" +
-        " * (CAST(tf AS DOUBLE) * (1.2e0 + 1.0e0))" +
-        " / (CAST(tf AS DOUBLE)" +
-        " + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * (CAST(dl AS DOUBLE) / avgdl)))"
+    val terms = bm25Terms
+    val scoreText = bm25ScoreText
     import graft.functions.DetAgg
     import graft.functions.DetAgg.{Sql => D}
     Q(
       "text_bm25",
-      Some(s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-              |       FROM documents),
-              |dl AS (SELECT doc_id, len(t) AS dl FROM toks),
-              |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-              |         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-              |       FROM dl),
-              |tf AS (SELECT doc_id, tok, COUNT(*) AS tf
-              |       FROM toks, LATERAL unnest(t) AS u(tok)
-              |       WHERE tok IN ($termList) GROUP BY 1, 2),
-              |df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
-              |sc AS (SELECT tf.doc_id, $scoreText AS s
-              |       FROM tf JOIN df USING (tok)
-              |       JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st)
+      Some(s"""$bm25SqlCtes
               |SELECT doc_id, ROUND(${D.dsum("s")}, 6) AS bm25
               |FROM sc GROUP BY doc_id
               |ORDER BY bm25 DESC, doc_id LIMIT 50""".stripMargin),
@@ -822,6 +831,63 @@ object TextQueries {
           .limit(50)
       })
   }
+
+  /** Hybrid retrieval with reciprocal-rank fusion — the standard RAG
+    * two-retriever shape (public literature: RRF, Cormack et al.): the
+    * BM25 keyword list (text_bm25's exact top-50) and the embedding-cosine
+    * list (sim_topk's exact top-20 against vector 0, vec_id ≡ doc_id in
+    * the test tables) each vote 1/(60 + rank); docs are re-ranked by the
+    * fused score. Ranks come from `row_number` over (score DESC, id) — a
+    * deterministic total order both engines share — computed on the
+    * ALREADY-CUT top-k lists (≤ 50 rows), so the unpartitioned windows are
+    * bounded by k, never by corpus size; the corpus-scale work is exactly
+    * the two retrievers' own scale-safe plans. Rank reciprocals are one
+    * addition of two exact-input divisions — bit-identical across engines.
+    */
+  val textHybridRrf: Q = Q(
+    "text_hybrid_rrf",
+    Some(s"""$bm25SqlCtes,
+            |bm AS (SELECT doc_id, ROUND(CAST(SUM(CAST(s AS DECIMAL(30,6))) AS DOUBLE), 6) AS bm25
+            |       FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+            |bmr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM bm),
+            |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+            |      FROM embeddings WHERE vec_id = 0),
+            |cs AS (SELECT vec_id,
+            |         ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+            |           / (SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+            |                                    CAST(embedding AS DOUBLE[])))
+            |              * SQRT(list_dot_product(qv, qv))), 6) AS cos
+            |       FROM embeddings CROSS JOIN q
+            |       ORDER BY cos DESC, vec_id LIMIT 20),
+            |csr AS (SELECT vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r FROM cs)
+            |SELECT COALESCE(bmr.doc_id, csr.doc_id) AS doc_id,
+            |  bmr.r AS bm25_rank, csr.r AS cos_rank,
+            |  ROUND(COALESCE(1.0e0 / (60 + bmr.r), 0.0e0)
+            |      + COALESCE(1.0e0 / (60 + csr.r), 0.0e0), 9) AS rrf
+            |FROM bmr FULL OUTER JOIN csr ON bmr.doc_id = csr.doc_id
+            |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bm = textBm25.run(s, dir) // (doc_id, bm25) — exact top-50
+      val cs = SimilarityQueries.simTopK.run(s, dir) // (vec_id, cos) — exact top-20
+      // unpartitioned windows are safe here: inputs are the top-k cuts
+      val bmr = bm
+        .withColumn(
+          "r", row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("r").as("bm25_rank"))
+      val csr = cs
+        .withColumn(
+          "r", row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+        .select(col("vec_id").as("doc_id"), col("r").as("cos_rank"))
+      bmr.join(csr, Seq("doc_id"), "full_outer")
+        .select(
+          col("doc_id"), col("bm25_rank"), col("cos_rank"),
+          round(
+            coalesce(lit(1.0) / (lit(60) + col("bm25_rank")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("cos_rank")), lit(0.0)), 9).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    })
 
   /** Per-source corpus report — the composed stats a pipeline owner
     * watches per ingest: volume, token mass, mean length, language mix,
@@ -1055,7 +1121,7 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
-    textBm25, corpusReport, pipelineMix, textChunk, textLmScore,
+    textBm25, textHybridRrf, corpusReport, pipelineMix, textChunk, textLmScore,
     jsonlRoundtrip, sampleUpsample, splitShards,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
     dedupComponents, dedupComponentsChain, decontamNgram, dedupIncremental,
