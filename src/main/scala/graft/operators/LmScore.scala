@@ -156,9 +156,15 @@ object LmScore {
         LmSum(n, BigDecimal(java.math.BigDecimal.valueOf(micros, 6)))
       }
     }
+    // The <3-code-point drop happens BEFORE the scorer (a doc scores iff
+    // it has ≥1 trigram ⟺ its lowered-trimmed text has ≥3 code points) —
+    // filtering on the udf's struct field instead would let predicate
+    // pushdown inline the deterministic udf into the Filter and evaluate
+    // the whole scoring pass twice per document.
     docs
-      .select(col(id), scoreUdf(lower(trim(col(text)))).as("__r"))
-      .filter(col("__r.n_tri") > 0) // <3-char docs produced no rows before
+      .select(col(id), lower(trim(col(text))).as("__t"))
+      .filter(length(col("__t")) >= 3)
+      .select(col(id), scoreUdf(col("__t")).as("__r"))
       .select(
         col(id),
         col("__r.n_tri").as("n_tri"),

@@ -224,8 +224,11 @@ object Multimodal {
       val profile = new Array[Float](VideoFrameSample)
       var decoded = 0
       sampled.foreach { case (off, len) =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload, off, len))
+        // per-frame tolerance: one truncated frame skips, it doesn't drop
+        // the whole video to the stub tier
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload, off, len))
+          catch { case _: Exception => null }
         if (img != null && img.getWidth > 0 && img.getHeight > 0) {
           val c = cellLuminance(img)
           var i = 0

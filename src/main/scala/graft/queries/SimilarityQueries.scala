@@ -30,20 +30,29 @@ object SimilarityQueries {
       Similarity.scoreAgainst(emb(s, dir), "vec_id", "embedding", queryId = 0L)
         .select(col("vec_id"), round(col("cos"), 6).as("cos")))
 
+  /** Oracle CTEs `q(qv)`, `cs(vec_id, cos)` for the brute-force cosine
+    * top-20 against vec_id 0 — shared between `sim_topk` and the
+    * hybrid-RRF query so the texts cannot drift.
+    */
+  private[queries] val cosTopkSqlCtes: String =
+    """q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id = 0),
+      |cs AS (SELECT vec_id,
+      |         ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+      |           / (SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                                    CAST(embedding AS DOUBLE[])))
+      |              * SQRT(list_dot_product(qv, qv))), 6) AS cos
+      |       FROM embeddings CROSS JOIN q
+      |       ORDER BY cos DESC, vec_id LIMIT 20)""".stripMargin
+
   /** Brute-force cosine top-k (k = 20) against vec_id 0; round-then-order
     * with id tiebreak keeps the cut deterministic across engines.
     */
   val simTopK: Q = Q(
     "sim_topk",
-    Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
-           |           FROM embeddings WHERE vec_id = 0)
-           |SELECT vec_id,
-           |  ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
-           |    / (SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
-           |                             CAST(embedding AS DOUBLE[])))
-           |       * SQRT(list_dot_product(qv, qv))), 6) AS cos
-           |FROM embeddings CROSS JOIN q
-           |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin),
+    Some(s"""WITH $cosTopkSqlCtes
+            |SELECT vec_id, cos FROM cs
+            |ORDER BY cos DESC, vec_id""".stripMargin),
     (s, dir) =>
       Similarity.topK(emb(s, dir), "vec_id", "embedding", queryId = 0L, k = 20))
 

@@ -847,18 +847,10 @@ object TextQueries {
   val textHybridRrf: Q = Q(
     "text_hybrid_rrf",
     Some(s"""$bm25SqlCtes,
-            |bm AS (SELECT doc_id, ROUND(CAST(SUM(CAST(s AS DECIMAL(30,6))) AS DOUBLE), 6) AS bm25
+            |bm AS (SELECT doc_id, ROUND(${graft.functions.DetAgg.Sql.dsum("s")}, 6) AS bm25
             |       FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
             |bmr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM bm),
-            |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
-            |      FROM embeddings WHERE vec_id = 0),
-            |cs AS (SELECT vec_id,
-            |         ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
-            |           / (SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
-            |                                    CAST(embedding AS DOUBLE[])))
-            |              * SQRT(list_dot_product(qv, qv))), 6) AS cos
-            |       FROM embeddings CROSS JOIN q
-            |       ORDER BY cos DESC, vec_id LIMIT 20),
+            |${SimilarityQueries.cosTopkSqlCtes},
             |csr AS (SELECT vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r FROM cs)
             |SELECT COALESCE(bmr.doc_id, csr.doc_id) AS doc_id,
             |  bmr.r AS bm25_rank, csr.r AS cos_rank,

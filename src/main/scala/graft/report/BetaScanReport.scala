@@ -46,23 +46,26 @@ object BetaScanReport {
       cutLines = priceCuts)
 
     // N1's own binned input + its fitted-curve samples, overlaid the way
-    // the reference overlays the Langauss fit on the charge histogram.
+    // the reference overlays the Langauss fit on the charge histogram —
+    // one figure PER GROUP, because each fit's amplitude matches its own
+    // group's histogram counts, not the pooled ones. The sliced tables
+    // are cached: each figure collects a filtered view, and without the
+    // cache every slice would re-run the fit/aggregation job.
     val perOrder = graft.sources.Tables.load(spark, sfDir, "lineitem")
       .groupBy("l_returnflag", "l_orderkey")
       .agg(sum("l_quantity").as("qty"))
+      .cache()
     val w = 250.0 / 25
-    val fitHist = perOrder
-      .select(least(greatest(floor(col("qty") / lit(w)), lit(0L)), lit(24L)).cast("long").as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("n"))
-      .withColumn("bin_lo", col("bucket") * lit(w))
-    val curves = FitQueries.n1CurveSamples.run(spark, sfDir)
-    val fitFig = HtmlReport.histogram(
-      fitHist,
-      binWidth = w,
-      title = "Gaussian fit on per-order quantity",
-      xLabel = "sum(l_quantity) per order",
-      curves = Seq("A", "N", "R").map(g =>
-        s"fit $g" -> curves.filter(col("l_returnflag") === g).select("x", "y")))
+    val curves = FitQueries.n1CurveSamples.run(spark, sfDir).cache()
+    val fitFigs = Seq("A", "N", "R").map { g =>
+      HtmlReport.histogram(
+        graft.functions.Stats.histogram(
+          perOrder.filter(col("l_returnflag") === g), col("qty"), 0.0, 250.0, 25),
+        binWidth = w,
+        title = s"Gaussian fit on per-order quantity — $g",
+        xLabel = "sum(l_quantity) per order",
+        curves = Seq(s"fit $g" -> curves.filter(col("l_returnflag") === g).select("x", "y")))
+    }
 
     val ecdfFig = HtmlReport.ecdf(
       RelationalQueries.a8Ecdf.run(spark, sfDir),
@@ -72,14 +75,14 @@ object BetaScanReport {
       xLabel = "l_quantity",
       cutLines = qtyCuts)
 
-    val sm = RelationalQueries.s13ScatterMatrix.run(spark, sfDir)
+    val sm = RelationalQueries.s13ScatterMatrix.run(spark, sfDir).cache()
     val smFig = HtmlReport.scatterMatrix(
       sm,
       dims = Seq("Amplitude (V)", "Collected charge (V s)", "t_50 (s)"),
       colorCol = "accepted",
       title = "Scatter matrix")
 
-    val wf = RelationalQueries.s13WaveformsHist2d.run(spark, sfDir)
+    val wf = RelationalQueries.s13WaveformsHist2d.run(spark, sfDir).cache()
     val wfFigs = Seq("dev1", "dev2").map { dev =>
       HtmlReport.heatmap(
         wf.filter(col("device_name") === dev),
@@ -109,15 +112,17 @@ object BetaScanReport {
       xLabel = "l_returnflag",
       yLabel = "l_linenumber")
 
-    HtmlReport.page(
+    val page = HtmlReport.page(
       "graft beta-scan report",
       Seq(
         "Histogram with cuts" -> hist,
-        "Binned fit overlay" -> fitFig,
+        "Binned fit overlay" -> fitFigs.mkString("\n"),
         "ECDF with cuts" -> ecdfFig,
         "Scatter matrix" -> smFig,
         "Waveform overlays" -> wfFigs.mkString("\n"),
         "IV curves" -> ivFig,
         "Pivot matrix" -> kGrid))
+    Seq(perOrder, curves, sm, wf).foreach(_.unpersist())
+    page
   }
 }

@@ -223,6 +223,8 @@ object HtmlReport {
       .map(r => (num(r, 0), valueCols.indices.map(i => num(r, i + 1))))
       .sortBy(_._1)
       .toSeq
+    if (rows.isEmpty) // empty table → empty framed figure, like heatmap
+      return Svg.chart(Svg.Frame.fit(Nil, Nil), title, xLabel, yLabel, Nil)
     val vals = rows.flatMap(_._2).filter(v => !v.isNaN)
     val (vmin, vmax) = if (vals.isEmpty) (0.0, 1.0) else (vals.min, vals.max)
     val keys = rows.map(_._1)
