@@ -163,6 +163,20 @@ class PlanSpec extends AnyFunSuite {
         "become single-task sort partitions:\n" + lp.toString.take(1200))
   }
 
+  test("text_lm_score: the scoring pass is map-only — no exchange, no join, no window") {
+    // training runs at plan-build time (driver-held capped model); the
+    // RETURNED plan is the score pass, which must stay scan → filter →
+    // project(udf) — a regression back to explode + broadcast joins + agg
+    // doubles the corpus passes and reintroduces a shuffle
+    val p = plan(graft.queries.TextQueries.textLmScore)
+    assert(!p.contains("Exchange"),
+      "lm scoring regressed to a shuffling plan:\n" + p.take(1500))
+    assert(!p.contains("Join"),
+      "lm scoring regressed to model-table joins:\n" + p.take(1500))
+    assert(!p.contains("Generate"),
+      "lm scoring regressed to a per-trigram explode:\n" + p.take(1500))
+  }
+
   test("s13_waveforms_hist2d: bin scalars broadcast — the fact side never sort-merge-joins") {
     val p = plan(RelationalQueries.s13WaveformsHist2d)
     assert(!p.contains("SortMergeJoin"),
