@@ -54,14 +54,6 @@ object LmScore {
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
 
-  /** Per-document average negative log-likelihood under the corpus's own
-    * add-one-smoothed char-trigram model: (id, n_tri, avg_nll). `alpha`
-    * is the smoothing vocabulary size (a fixed constant, not data-
-    * derived, so scores are comparable across corpora); `minCount` is the
-    * model cap — trigrams rarer than it are treated as unseen, both at
-    * train time (dropped from the model AND from the prefix mass) and
-    * therefore identically at score time.
-    */
   /** Per-doc scorer result: term count + exact scale-6 decimal NLL sum. */
   private case class LmSum(n_tri: Long, sum_nll: BigDecimal)
 
@@ -73,70 +65,93 @@ object LmScore {
     if (cps <= 2) t else t.substring(0, t.offsetByCodePoints(0, 2))
   }
 
-  def score(
+  /** Trained scoring model, driver-held and serializable: packed-trigram
+    * and packed-prefix NLL micro-unit tables plus the unseen constant.
+    * Rides a broadcast in batch scoring and a task closure in streaming
+    * scoring identically — size is the capped model, never the corpus.
+    */
+  final case class Model(
+      triMicros: scala.collection.mutable.LongMap[Long],
+      preMicros: scala.collection.mutable.LongMap[Long],
+      unseenMicros: Long) extends Serializable
+
+  // Model maps are keyed by packed code points (21 bits each — zero
+  // string allocation in the scoring loop). Trigram keys always hold
+  // exactly 3 code points by construction of `substring(__t, i, 3)`.
+  private def pack(cp1: Int, cp2: Int, cp3: Int): Long =
+    (cp1.toLong << 42) | (cp2.toLong << 21) | cp3.toLong
+
+  private def packStr(s: String): Long = {
+    val cp1 = s.codePointAt(0)
+    val i2 = Character.charCount(cp1)
+    val cp2 = if (i2 < s.length) s.codePointAt(i2) else 0
+    val i3 = i2 + Character.charCount(cp2)
+    val cp3 = if (i3 < s.length) s.codePointAt(i3) else 0
+    pack(cp1, cp2, cp3)
+  }
+
+  /** TRAIN: one aggregate over the exploded corpus, then the CAPPED model
+    * comes to the driver like any trained model (the Ivf-centroid
+    * discipline) — bounded by repeated-content volume, never by corpus
+    * entropy (see object doc).
+    *
+    * Per-term NLL micros are computed driver-side with the EXACT
+    * functions Spark's expressions evaluate on executors —
+    * java.lang.Math.log and the scala-BigDecimal HALF_UP setScale that
+    * Catalyst's Round(_, 6) performs on doubles — so the per-term bits
+    * are identical to an explode+join plan's (same JVM, same library
+    * calls), and therefore to the oracle's ROUND(LN(...), 6). Each value
+    * is an exact multiple of 1e-6, held as micro-unit Longs so per-doc
+    * sums are exact integers (associative and order-independent: the
+    * DetAgg guarantee without the decimal aggregate).
+    */
+  def train(
       corpus: DataFrame,
-      docs: DataFrame,
       id: String,
       text: String,
       alpha: Int = 256,
-      minCount: Long = 2L): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    // TRAIN: one aggregate over the exploded corpus, then the CAPPED
-    // model comes to the driver like any trained model (the Ivf-centroid
-    // discipline) — bounded by repeated-content volume, never by corpus
-    // entropy (see object doc).
+      minCount: Long = 2L): Model = {
     val triRows = trigramModel(corpus, id, text, minCount)
     val preRows = triRows
       .groupBy(r => pre2(r._1))
       .map { case (pre, rows) => pre -> rows.map(_._2).sum }
       .toSeq
-    // Per-term NLL micros computed driver-side with the EXACT functions
-    // Spark's expressions evaluate on executors — java.lang.Math.log and
-    // the scala-BigDecimal HALF_UP setScale that Catalyst's Round(_, 6)
-    // performs on doubles — so the per-term bits are identical to the r4
-    // explode+join plan's (same JVM, same library calls), and therefore
-    // to the oracle's ROUND(LN(...), 6). Each value is an exact multiple
-    // of 1e-6, held as micro-unit Longs so per-doc sums are exact
-    // integers (associative and order-independent: the DetAgg guarantee
-    // without the decimal aggregate).
     def nllMicros(cTri: Long, cPre: Long): Long = {
       val rounded = BigDecimal(math.log((cTri + 1.0) / (cPre + alpha.toDouble)))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       math.round(-rounded * 1e6)
-    }
-    // Model maps keyed by packed code points (21 bits each — zero string
-    // allocation in the scoring loop). Trigram keys always hold exactly 3
-    // code points by construction of `substring(__t, i, 3)`.
-    def pack(cp1: Int, cp2: Int, cp3: Int): Long =
-      (cp1.toLong << 42) | (cp2.toLong << 21) | cp3.toLong
-    def packStr(s: String): Long = {
-      val cp1 = s.codePointAt(0)
-      val i2 = Character.charCount(cp1)
-      val cp2 = if (i2 < s.length) s.codePointAt(i2) else 0
-      val i3 = i2 + Character.charCount(cp2)
-      val cp3 = if (i3 < s.length) s.codePointAt(i3) else 0
-      pack(cp1, cp2, cp3)
     }
     val preMass = preRows.toMap
     val triMap = new scala.collection.mutable.LongMap[Long](triRows.length * 2)
     triRows.foreach { case (t, c) => triMap(packStr(t)) = nllMicros(c, preMass(pre2(t))) }
     val preMap = new scala.collection.mutable.LongMap[Long](preRows.length * 2)
     preRows.foreach { case (p, c) => preMap(packStr(p)) = nllMicros(0L, c) } // unseen tri, seen prefix
-    val unseenMicros = nllMicros(0L, 0L) // unseen prefix: -round(log(1/alpha), 6)
-    // SCORE: ONE map-only pass. The scorer slides a code-point window over
-    // the (Spark-lowered and -trimmed) text — the same triples
-    // `transform(sequence(1, length-2), i -> substring(__t, i, 3))`
-    // enumerates — and looks each up in the broadcast model maps.
-    // Replaces the r4 shape (explode → two broadcast joins → hash agg):
-    // same bits, no per-trigram row materialization, no shuffle at all.
-    val bTri = spark.sparkContext.broadcast(triMap)
-    val bPre = spark.sparkContext.broadcast(preMap)
+    Model(triMap, preMap, nllMicros(0L, 0L)) // unseen prefix: -round(log(1/alpha), 6)
+  }
+
+  /** SCORE: ONE map-only pass (PlanSpec pins the shape). The scorer
+    * slides a code-point window over the (Spark-lowered and -trimmed)
+    * text — the same triples
+    * `transform(sequence(1, length-2), i -> substring(__t, i, 3))`
+    * enumerates — and looks each up in the broadcast model maps.
+    * Replaces the r4 shape (explode → two broadcast joins → hash agg):
+    * same bits, no per-trigram row materialization, no shuffle at all —
+    * which also makes it STATELESS under Structured Streaming (see
+    * [[graft.streaming.QualityScoreStream]]). `keep` columns pass
+    * through untouched (event time, source tags for downstream windows).
+    */
+  def scoreWith(
+      model: Model,
+      docs: DataFrame,
+      id: String,
+      text: String,
+      keep: Seq[String] = Nil): DataFrame = {
+    val spark = docs.sparkSession
+    val bModel = spark.sparkContext.broadcast(model)
     val scoreUdf = udf { t: String =>
       if (t == null || t.codePointCount(0, t.length) < 3) LmSum(0L, BigDecimal(0))
       else {
-        val tri = bTri.value
-        val pre = bPre.value
+        val m = bModel.value
         var n = 0L
         var micros = 0L
         var cp1 = t.codePointAt(0)
@@ -146,9 +161,9 @@ object LmScore {
         while (i < t.length) {
           val cp3 = t.codePointAt(i)
           i += Character.charCount(cp3)
-          micros += tri.getOrElse(
+          micros += m.triMicros.getOrElse(
             pack(cp1, cp2, cp3),
-            pre.getOrElse(pack(cp1, cp2, 0), unseenMicros))
+            m.preMicros.getOrElse(pack(cp1, cp2, 0), m.unseenMicros))
           n += 1
           cp1 = cp2
           cp2 = cp3
@@ -161,13 +176,30 @@ object LmScore {
     // filtering on the udf's struct field instead would let predicate
     // pushdown inline the deterministic udf into the Filter and evaluate
     // the whole scoring pass twice per document.
+    val kept = keep.map(col)
     docs
-      .select(col(id), lower(trim(col(text))).as("__t"))
+      .select((col(id) +: kept :+ lower(trim(col(text))).as("__t")): _*)
       .filter(length(col("__t")) >= 3)
-      .select(col(id), scoreUdf(col("__t")).as("__r"))
-      .select(
-        col(id),
-        col("__r.n_tri").as("n_tri"),
-        round(col("__r.sum_nll").cast("double") / col("__r.n_tri"), 6).as("avg_nll"))
+      .select((col(id) +: kept :+ scoreUdf(col("__t")).as("__r")): _*)
+      .select((col(id) +: kept :+
+        col("__r.n_tri").as("n_tri") :+
+        round(col("__r.sum_nll").cast("double") / col("__r.n_tri"), 6).as("avg_nll")): _*)
   }
+
+  /** Per-document average negative log-likelihood under the corpus's own
+    * add-one-smoothed char-trigram model: (id, n_tri, avg_nll). `alpha`
+    * is the smoothing vocabulary size (a fixed constant, not data-
+    * derived, so scores are comparable across corpora); `minCount` is the
+    * model cap — trigrams rarer than it are treated as unseen, both at
+    * train time (dropped from the model AND from the prefix mass) and
+    * therefore identically at score time. See [[train]] / [[scoreWith]].
+    */
+  def score(
+      corpus: DataFrame,
+      docs: DataFrame,
+      id: String,
+      text: String,
+      alpha: Int = 256,
+      minCount: Long = 2L): DataFrame =
+    scoreWith(train(corpus, id, text, alpha, minCount), docs, id, text)
 }
