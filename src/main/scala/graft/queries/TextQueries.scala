@@ -1006,27 +1006,93 @@ object TextQueries {
     * summed through DetAgg decimals (the house ln-portability recipe),
     * so the whole scorer is hash-exact.
     */
-  val textLmScore: Q = {
+  /** The LM-scoring oracle CTE chain ending in
+    * `scored(doc_id, n_tri, avg_nll)` — shared between `text_lm_score`
+    * and the perplexity-mix pipeline so the texts cannot drift.
+    */
+  private val lmScoreSqlCtes: String = {
     import graft.functions.DetAgg.{Sql => D}
+    s"""WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+       |tri AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tri
+       |        FROM d, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)),
+       |tc AS (SELECT tri, COUNT(*) AS c_tri FROM tri GROUP BY 1 HAVING COUNT(*) >= 2),
+       |pc AS (SELECT substr(tri, 1, 2) AS pre, SUM(c_tri) AS c_pre FROM tc GROUP BY 1),
+       |terms AS (SELECT t0.doc_id,
+       |    -ROUND(LN((COALESCE(tc.c_tri, 0) + 1.0e0) / (COALESCE(pc.c_pre, 0) + 2.56e2)), 6)
+       |      AS nll
+       |  FROM tri t0
+       |  LEFT JOIN tc USING (tri)
+       |  LEFT JOIN pc ON substr(t0.tri, 1, 2) = pc.pre),
+       |scored AS (SELECT doc_id, COUNT(*) AS n_tri,
+       |    ROUND(${D.dsum("nll")} / COUNT(*), 6) AS avg_nll
+       |  FROM terms GROUP BY doc_id)""".stripMargin
+  }
+
+  val textLmScore: Q = Q(
+    "text_lm_score",
+    Some(s"""$lmScoreSqlCtes
+            |SELECT doc_id, n_tri, avg_nll FROM scored""".stripMargin),
+    (s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.LmScore.score(d, d, "doc_id", "text")
+    })
+
+  /** §3-style composed pipeline #4: CCNet-shaped perplexity filtering +
+    * budget mixing as ONE lazy plan (public literature: CCNet keeps the
+    * low-perplexity head of each source; budget fill is the
+    * sample_token_budget idiom). Per source: score every doc under the
+    * corpus's own capped trigram LM (the map-only scorer), keep docs at
+    * or below the source's median NLL (the "head half"), then fill a
+    * per-source trigram-mass budget best-quality-first with the
+    * rank-guard + ROWS-frame running sum (WindowGroupLimit prunes
+    * map-side because every doc has n_tri ≥ 1 ⇒ rank ≤ budget). Output
+    * is the per-source mix report. Medians interpolate identically in
+    * both engines; mean NLL sums through DetAgg decimals — fully
+    * hash-exact end to end.
+    */
+  val pipelinePerplexityMix: Q = {
+    import graft.functions.DetAgg
+    import graft.functions.DetAgg.{Sql => D}
+    val budget = 5000L
     Q(
-      "text_lm_score",
-      Some(s"""WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
-              |tri AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS tri
-              |        FROM d, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)),
-              |tc AS (SELECT tri, COUNT(*) AS c_tri FROM tri GROUP BY 1 HAVING COUNT(*) >= 2),
-              |pc AS (SELECT substr(tri, 1, 2) AS pre, SUM(c_tri) AS c_pre FROM tc GROUP BY 1),
-              |terms AS (SELECT t0.doc_id,
-              |    -ROUND(LN((COALESCE(tc.c_tri, 0) + 1.0e0) / (COALESCE(pc.c_pre, 0) + 2.56e2)), 6)
-              |      AS nll
-              |  FROM tri t0
-              |  LEFT JOIN tc USING (tri)
-              |  LEFT JOIN pc ON substr(t0.tri, 1, 2) = pc.pre)
-              |SELECT doc_id, COUNT(*) AS n_tri,
-              |  ROUND(${D.dsum("nll")} / COUNT(*), 6) AS avg_nll
-              |FROM terms GROUP BY doc_id""".stripMargin),
+      "pipeline_perplexity_mix",
+      Some(s"""$lmScoreSqlCtes,
+              |sdoc AS (SELECT s.doc_id, dd.source, s.n_tri, s.avg_nll
+              |         FROM scored s JOIN documents dd USING (doc_id)),
+              |med AS (SELECT source, median(avg_nll) AS m FROM sdoc GROUP BY 1),
+              |kept AS (SELECT sdoc.* FROM sdoc JOIN med USING (source)
+              |         WHERE avg_nll <= m),
+              |capped AS (SELECT *,
+              |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY avg_nll, doc_id) AS rn,
+              |    SUM(n_tri) OVER (PARTITION BY source ORDER BY avg_nll, doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM kept)
+              |SELECT source, COUNT(*) AS n_docs,
+              |  CAST(SUM(n_tri) AS BIGINT) AS n_terms,
+              |  ROUND(${D.dsum("avg_nll")} / COUNT(*), 6) AS mean_nll
+              |FROM capped WHERE rn <= $budget AND cum <= $budget
+              |GROUP BY source""".stripMargin),
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val d = docs(s, dir)
-        graft.operators.LmScore.score(d, d, "doc_id", "text")
+        val model = graft.operators.LmScore.train(d, "doc_id", "text")
+        val scored = graft.operators.LmScore
+          .scoreWith(model, d, "doc_id", "text", keep = Seq("source"))
+        val med = scored.groupBy("source").agg(median(col("avg_nll")).as("m"))
+        val kept = scored.join(broadcast(med), "source")
+          .filter(col("avg_nll") <= col("m"))
+        val wOrd = Window.partitionBy("source").orderBy(col("avg_nll"), col("doc_id"))
+        val w = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+        kept
+          .withColumn("__rn", row_number().over(wOrd))
+          .filter(col("__rn") <= budget)
+          .withColumn("__cum", sum("n_tri").over(w))
+          .filter(col("__cum") <= budget)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tri").cast("long").as("n_terms"),
+            round(DetAgg.dsum(col("avg_nll")) / count(lit(1)), 6).as("mean_nll"))
       })
   }
 
@@ -1114,6 +1180,7 @@ object TextQueries {
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
     textBm25, textHybridRrf, corpusReport, pipelineMix, textChunk, textLmScore,
+    pipelinePerplexityMix,
     jsonlRoundtrip, sampleUpsample, splitShards,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
     dedupComponents, dedupComponentsChain, decontamNgram, dedupIncremental,
