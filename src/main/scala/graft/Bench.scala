@@ -30,6 +30,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // rank-guard conjuncts (rn <= budget) must map-side-prune at real
+      // budget sizes, not just below Spark's default 1000-row threshold
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/scan paths so the first timed query isn't

@@ -15,6 +15,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // rank-guard conjuncts (rn <= budget) must map-side-prune at real
+      // budget sizes, not just below Spark's default 1000-row threshold
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -102,6 +102,9 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // rank-guard conjuncts (rn <= budget) must map-side-prune at real
+      // budget sizes, not just below Spark's default 1000-row threshold
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -216,6 +219,27 @@ object ScaleProbe {
         // corpus grows, so train + score should track corpus size
         val d = scaledDocs(docs, c)
         graft.operators.LmScore.score(d, d, "doc_id", "text").count()
+      }
+      timed("perplexity_mix", c) {
+        // the CCNet-shaped pipeline: map-only scoring + broadcast median
+        // gate + budget window — should track corpus size like lm_score
+        // (lang stands in for source: scaledDocs carries no source column)
+        import org.apache.spark.sql.expressions.Window
+        val d = scaledDocs(docs, c)
+        val model = graft.operators.LmScore.train(d, "doc_id", "text")
+        val scored = graft.operators.LmScore
+          .scoreWith(model, d, "doc_id", "text", keep = Seq("lang"))
+        val med = scored.groupBy("lang").agg(median(col("avg_nll")).as("m"))
+        val kept = scored.join(broadcast(med), "lang")
+          .filter(col("avg_nll") <= col("m"))
+        val wOrd = Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id"))
+        kept
+          .withColumn("__rn", row_number().over(wOrd))
+          .filter(col("__rn") <= 5000L)
+          .withColumn("__cum",
+            sum("n_tri").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+          .filter(col("__cum") <= 5000L)
+          .groupBy("lang").agg(count(lit(1)).as("n")).count()
       }
       timed("semantic_pairs", c) {
         // cluster-scoped near-dup at FIXED k: cells grow linearly with

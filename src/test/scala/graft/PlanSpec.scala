@@ -177,6 +177,16 @@ class PlanSpec extends AnyFunSuite {
       "lm scoring regressed to a per-trigram explode:\n" + p.take(1500))
   }
 
+  test("pipeline_perplexity_mix: median gate broadcasts, budget window group-limits map-side") {
+    val p = plan(graft.queries.TextQueries.pipelinePerplexityMix)
+    assert(p.contains("WindowGroupLimit"),
+      "budget rank guard lost its map-side WindowGroupLimit:\n" + p.take(1500))
+    assert(p.contains("BroadcastHashJoin"),
+      "per-source median gate regressed to a shuffled join:\n" + p.take(1500))
+    assert(!p.contains("Generate"),
+      "scoring stage regressed to a per-trigram explode:\n" + p.take(1500))
+  }
+
   test("s13_waveforms_hist2d: bin scalars broadcast — the fact side never sort-merge-joins") {
     val p = plan(RelationalQueries.s13WaveformsHist2d)
     assert(!p.contains("SortMergeJoin"),

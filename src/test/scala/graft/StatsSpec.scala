@@ -14,6 +14,8 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // match the engine mains: rank guards map-side-prune at real budgets
+    .config("spark.sql.optimizer.windowGroupLimitThreshold", "1000000")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
