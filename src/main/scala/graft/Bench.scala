@@ -26,13 +26,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val spark = SparkSession.builder()
+    val spark = GraftSession.tune(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      // rank-guard conjuncts (rn <= budget) must map-side-prune at real
-      // budget sizes, not just below Spark's default 1000-row threshold
-      .config("spark.sql.optimizer.windowGroupLimitThreshold", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/scan paths so the first timed query isn't

@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Engine-wide session tuning, shared by every main and the test session
+  * so a new entry point cannot silently drop it.
+  */
+object GraftSession {
+
+  /** Rank-guard conjuncts (`rn <= budget`) must map-side-prune at real
+    * budget sizes — Spark's `InferWindowGroupLimit` only fires below
+    * `windowGroupLimitThreshold`, which defaults to 1000 rows, far under
+    * the engine's sampling/mixing budgets (5k–20k). The group limit's
+    * per-partition memory is bounded by the budget either way.
+    */
+  def tune(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.optimizer.windowGroupLimitThreshold", "1000000")
+}

@@ -67,8 +67,8 @@ object LmScore {
 
   /** Trained scoring model, driver-held and serializable: packed-trigram
     * and packed-prefix NLL micro-unit tables plus the unseen constant.
-    * Rides a broadcast in batch scoring and a task closure in streaming
-    * scoring identically — size is the capped model, never the corpus.
+    * [[scoreWith]] ships it to executors as a broadcast (batch and
+    * streaming alike) — size is the capped model, never the corpus.
     */
   final case class Model(
       triMicros: scala.collection.mutable.LongMap[Long],
@@ -139,13 +139,20 @@ object LmScore {
     * which also makes it STATELESS under Structured Streaming (see
     * [[graft.streaming.QualityScoreStream]]). `keep` columns pass
     * through untouched (event time, source tags for downstream windows).
+    *
+    * `keepUnscored = true` emits docs with no trigram (<3 code points
+    * after lower+trim) as (n_tri = 0, avg_nll = null) instead of
+    * dropping them — monitors need empty/garbage-short floods VISIBLE as
+    * volume, not silently filtered (the default drop is the
+    * text_lm_score contract and stays bit-identical).
     */
   def scoreWith(
       model: Model,
       docs: DataFrame,
       id: String,
       text: String,
-      keep: Seq[String] = Nil): DataFrame = {
+      keep: Seq[String] = Nil,
+      keepUnscored: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     val bModel = spark.sparkContext.broadcast(model)
     val scoreUdf = udf { t: String =>
@@ -177,13 +184,17 @@ object LmScore {
     // pushdown inline the deterministic udf into the Filter and evaluate
     // the whole scoring pass twice per document.
     val kept = keep.map(col)
-    docs
-      .select((col(id) +: kept :+ lower(trim(col(text))).as("__t")): _*)
-      .filter(length(col("__t")) >= 3)
+    val base = docs.select((col(id) +: kept :+ lower(trim(col(text))).as("__t")): _*)
+    val gated = if (keepUnscored) base else base.filter(length(col("__t")) >= 3)
+    val avgNll =
+      if (keepUnscored)
+        when(col("__r.n_tri") > 0,
+          round(col("__r.sum_nll").cast("double") / col("__r.n_tri"), 6))
+      else round(col("__r.sum_nll").cast("double") / col("__r.n_tri"), 6)
+    gated
       .select((col(id) +: kept :+ scoreUdf(col("__t")).as("__r")): _*)
       .select((col(id) +: kept :+
-        col("__r.n_tri").as("n_tri") :+
-        round(col("__r.sum_nll").cast("double") / col("__r.n_tri"), 6).as("avg_nll")): _*)
+        col("__r.n_tri").as("n_tri") :+ avgNll.as("avg_nll")): _*)
   }
 
   /** Per-document average negative log-likelihood under the corpus's own

@@ -195,4 +195,36 @@ object Sampling {
       .filter(col("__cum") <= budget)
       .drop("__rn", "__cum")
   }
+
+  /** CCNet-shaped perplexity selection (public literature): keep each
+    * stratum's low-NLL median half of an LM-scored table, then fill a
+    * per-stratum term-mass `budget` best-quality-first with the
+    * rank-guard + ROWS-cumsum idiom above (map-side prunable: every
+    * scored doc has n_tri ≥ 1, so cum ≤ budget ⇒ rank ≤ budget).
+    * `scored` must carry (`id`, `stratum`, `n_tri`, `avg_nll`) — the
+    * [[graft.operators.LmScore.scoreWith]] output with the stratum kept;
+    * materialize it first (one scoring pass) since the median gate reads
+    * it twice. Shared by the registered `pipeline_perplexity_mix` query
+    * and its ScaleProbe so the timed shape cannot drift from the shipped
+    * one.
+    */
+  def perplexityKeep(
+      scored: DataFrame,
+      id: String,
+      stratum: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val med = scored.groupBy(stratum).agg(median(col("avg_nll")).as("__m"))
+    val kept = scored.join(broadcast(med), stratum)
+      .filter(col("avg_nll") <= col("__m"))
+      .drop("__m")
+    val wOrd = Window.partitionBy(stratum).orderBy(col("avg_nll"), col(id))
+    kept
+      .withColumn("__rn", row_number().over(wOrd))
+      .filter(col("__rn") <= budget)
+      .withColumn("__cum",
+        sum("n_tri").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("__cum") <= budget)
+      .drop("__rn", "__cum")
+  }
 }

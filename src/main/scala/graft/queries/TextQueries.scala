@@ -1073,21 +1073,16 @@ object TextQueries {
               |FROM capped WHERE rn <= $budget AND cum <= $budget
               |GROUP BY source""".stripMargin),
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val d = docs(s, dir)
         val model = graft.operators.LmScore.train(d, "doc_id", "text")
-        val scored = graft.operators.LmScore
-          .scoreWith(model, d, "doc_id", "text", keep = Seq("source"))
-        val med = scored.groupBy("source").agg(median(col("avg_nll")).as("m"))
-        val kept = scored.join(broadcast(med), "source")
-          .filter(col("avg_nll") <= col("m"))
-        val wOrd = Window.partitionBy("source").orderBy(col("avg_nll"), col("doc_id"))
-        val w = wOrd.rowsBetween(Window.unboundedPreceding, 0)
-        kept
-          .withColumn("__rn", row_number().over(wOrd))
-          .filter(col("__rn") <= budget)
-          .withColumn("__cum", sum("n_tri").over(w))
-          .filter(col("__cum") <= budget)
+        // scratch-materialize the scored table: the median gate reads it
+        // twice, and without the materialization the dominant cost (UDF
+        // scoring of every document) would be paid twice per run
+        val scored = graft.pipeline.PipelineStage.scratch(
+          graft.operators.LmScore
+            .scoreWith(model, d, "doc_id", "text", keep = Seq("source")),
+          "perplexity-scored")
+        graft.operators.Sampling.perplexityKeep(scored, "doc_id", "source", budget)
           .groupBy("source")
           .agg(
             count(lit(1)).as("n_docs"),

@@ -22,8 +22,11 @@ import graft.operators.LmScore
   */
 object QualityScoreStream {
 
-  /** Per (event-time window, source): document volume, decimal-summed
-    * mean NLL, and the window's worst (highest-NLL) document score.
+  /** Per (event-time window, source): TOTAL document volume (including
+    * unscoreable empty/garbage-short docs — a flood of those is exactly
+    * the ingest failure a monitor must surface, so `keepUnscored` keeps
+    * them visible as volume), scoreable count, decimal-summed mean NLL
+    * over the scoreable ones, and the window's worst (highest-NLL) score.
     */
   def monitor(
       model: LmScore.Model,
@@ -32,16 +35,17 @@ object QualityScoreStream {
       text: String = "text",
       watermark: String = "10 minutes",
       windowLen: String = "5 minutes"): DataFrame =
-    LmScore.scoreWith(model, docs, id, text, keep = Seq("source", "ts"))
+    LmScore.scoreWith(model, docs, id, text, keep = Seq("source", "ts"), keepUnscored = true)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(DetAgg.dsum(col("avg_nll")) / count(lit(1)), 6).as("mean_nll"),
+        count(col("avg_nll")).as("n_scored"),
+        round(DetAgg.dsum(col("avg_nll")) / count(col("avg_nll")), 6).as("mean_nll"),
         max(col("avg_nll")).as("worst_nll"))
       .select(
         col("window.start").as("window_start"),
-        col("source"), col("n_docs"), col("mean_nll"), col("worst_nll"))
+        col("source"), col("n_docs"), col("n_scored"), col("mean_nll"), col("worst_nll"))
 
   /** Synchronous local drive into a memory sink (spec/smoke path):
     * read a parquet-backed document stream, score with `model`, emit

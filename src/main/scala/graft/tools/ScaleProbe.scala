@@ -97,14 +97,11 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.GraftSession.tune(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      // rank-guard conjuncts (rn <= budget) must map-side-prune at real
-      // budget sizes, not just below Spark's default 1000-row threshold
-      .config("spark.sql.optimizer.windowGroupLimitThreshold", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -221,24 +218,16 @@ object ScaleProbe {
         graft.operators.LmScore.score(d, d, "doc_id", "text").count()
       }
       timed("perplexity_mix", c) {
-        // the CCNet-shaped pipeline: map-only scoring + broadcast median
-        // gate + budget window — should track corpus size like lm_score
-        // (lang stands in for source: scaledDocs carries no source column)
-        import org.apache.spark.sql.expressions.Window
+        // the CCNet-shaped pipeline via the SAME operator the registered
+        // query ships (perplexityKeep over a scratch-materialized scored
+        // table) — lang stands in for source: scaledDocs has no source
         val d = scaledDocs(docs, c)
         val model = graft.operators.LmScore.train(d, "doc_id", "text")
-        val scored = graft.operators.LmScore
-          .scoreWith(model, d, "doc_id", "text", keep = Seq("lang"))
-        val med = scored.groupBy("lang").agg(median(col("avg_nll")).as("m"))
-        val kept = scored.join(broadcast(med), "lang")
-          .filter(col("avg_nll") <= col("m"))
-        val wOrd = Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id"))
-        kept
-          .withColumn("__rn", row_number().over(wOrd))
-          .filter(col("__rn") <= 5000L)
-          .withColumn("__cum",
-            sum("n_tri").over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
-          .filter(col("__cum") <= 5000L)
+        val scored = graft.pipeline.PipelineStage.scratch(
+          graft.operators.LmScore
+            .scoreWith(model, d, "doc_id", "text", keep = Seq("lang")),
+          "probe-perplexity-scored")
+        graft.operators.Sampling.perplexityKeep(scored, "doc_id", "lang", budget = 5000L)
           .groupBy("lang").agg(count(lit(1)).as("n")).count()
       }
       timed("semantic_pairs", c) {

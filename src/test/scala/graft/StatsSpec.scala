@@ -9,13 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.Stats
 
 object TestSpark {
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = GraftSession.tune(SparkSession.builder())
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    // match the engine mains: rank guards map-side-prune at real budgets
-    .config("spark.sql.optimizer.windowGroupLimitThreshold", "1000000")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
