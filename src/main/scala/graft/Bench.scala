@@ -67,10 +67,14 @@ object Bench {
       java.nio.file.Paths.get(out), (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
-    // re-emit as the final stdout line: if the tail capture clipped the
-    // first copy, this one survives; if both survive, they are identical
-    // and any "last matching line" parse still gets the full record
+    // re-emit after spark.stop() so the full record survives a tail capture
+    // that starts late; then emit a COMPACT summary as the very last line —
+    // the per-query record is ~2.2 KB and a 2 KB tail window clips its head,
+    // so the final parse target must fit any plausible window on its own
     println(line)
+    val compact =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n":${results.size},"reps":$reps,"sf":"$sfDir"}"""
+    println(compact)
     System.out.flush()
   }
 }

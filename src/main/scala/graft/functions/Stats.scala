@@ -351,13 +351,7 @@ object Stats {
     * collapse into one count row, so tie semantics match by construction.
     */
   def ecdfByValueCounts(df: DataFrame, groupCols: Seq[String], x: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val gcols = groupCols.map(col)
-    val counts = df.groupBy(gcols :+ col(x): _*).agg(count(lit(1)).as("__c"))
-    val w = Window.partitionBy(gcols: _*).orderBy(col(x))
-    val wAll = Window.partitionBy(gcols: _*)
-    val cum = counts
-      .withColumn("ecdf", sum("__c").over(w).cast("double") / sum("__c").over(wAll))
+    val cum = ecdfPoints(df, groupCols, x)
       .select(groupCols.map(c => col(c).as(s"__g_$c")) ++ Seq(col(x).as("__x"), col("ecdf")): _*)
     // null-safe join keys so null measurements get the same ecdf rows the
     // window form assigns them
@@ -365,5 +359,27 @@ object Stats {
       .reduce(_ && _)
     df.join(cum, cond)
       .select(df.columns.map(df(_)) :+ cum("ecdf"): _*)
+  }
+
+  /** Distinct-value ECDF profile (group…, x, ecdf) — the scale-safe
+    * count-table stage of [[ecdfByValueCounts]] WITHOUT the join back to
+    * rows, for consumers that want the per-value profile itself (fit
+    * feeders, crossing interpolation). Value-identical to
+    * `ecdf(df, g, x).groupBy(g, x).agg(max("ecdf"))`: cume_dist at a value
+    * is cumulative-count ÷ group-total, the exact integer division the
+    * running sum over distinct values performs — but the only window sort
+    * is over the distinct-value table (hash aggregate with map-side
+    * partials first), never one task per group holding the group's whole
+    * row history.
+    */
+  def ecdfPoints(df: DataFrame, groupCols: Seq[String], x: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val counts = df.groupBy(gcols :+ col(x): _*).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(gcols: _*).orderBy(col(x))
+    val wAll = Window.partitionBy(gcols: _*)
+    counts
+      .withColumn("ecdf", sum("__c").over(w).cast("double") / sum("__c").over(wAll))
+      .drop("__c")
   }
 }

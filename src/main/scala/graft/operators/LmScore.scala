@@ -152,9 +152,25 @@ object LmScore {
       id: String,
       text: String,
       keep: Seq[String] = Nil,
+      keepUnscored: Boolean = false): DataFrame =
+    scoreWithBroadcast(
+      docs.sparkSession.sparkContext.broadcast(model),
+      docs, id, text, keep, keepUnscored)
+
+  /** [[scoreWith]] against a CALLER-OWNED broadcast of the model. This is
+    * the repeated-scoring entry point: `scoreWith(model, …)` broadcasts on
+    * every call and the block lives until the context dies, so a loop
+    * (probe reps, repeated batch scoring, streaming restarts) accumulates
+    * executor-side broadcast blocks. Broadcast once, score many, and
+    * `destroy()` when the last returned plan has been consumed.
+    */
+  def scoreWithBroadcast(
+      bModel: org.apache.spark.broadcast.Broadcast[Model],
+      docs: DataFrame,
+      id: String,
+      text: String,
+      keep: Seq[String] = Nil,
       keepUnscored: Boolean = false): DataFrame = {
-    val spark = docs.sparkSession
-    val bModel = spark.sparkContext.broadcast(model)
     val scoreUdf = udf { t: String =>
       if (t == null || t.codePointCount(0, t.length) < 3) LmSum(0L, BigDecimal(0))
       else {

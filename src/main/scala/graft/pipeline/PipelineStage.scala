@@ -42,17 +42,38 @@ object PipelineStage {
     *
     * Scratch root: `spark.graft.scratch.dir` if set — on a real cluster
     * point it at shared storage (HDFS/object-store scratch), since a
-    * driver-local default cannot be read back by other executors —
-    * falling back to `java.io.tmpdir`, which is correct for local[*].
+    * driver-local default cannot be read back by other executors — falling
+    * back to `java.io.tmpdir` ONLY under a local master. On any non-local
+    * master with the conf unset we fail fast instead: executors writing
+    * parquet to their own local disks and the read-back scan silently
+    * missing rows is data loss, not a degraded mode.
     */
   def scratch(df: DataFrame, tag: String): DataFrame = {
     val spark = df.sparkSession
-    val base = spark.conf.getOption("spark.graft.scratch.dir")
-      .getOrElse(sys.props("java.io.tmpdir"))
+    val base = scratchBase(
+      spark.sparkContext.master,
+      spark.conf.getOption("spark.graft.scratch.dir"))
     val path = new Path(base, s"graft-scratch-$tag-${java.util.UUID.randomUUID()}")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     df.write.parquet(path.toString)
     fs.deleteOnExit(path)
     spark.read.parquet(path.toString)
   }
+
+  /** Resolve the scratch root for a given master URL. Factored out of
+    * [[scratch]] so the non-local guard is unit-testable without standing
+    * up a cluster: a configured dir always wins; otherwise `java.io.tmpdir`
+    * is only acceptable when the master is `local`/`local[...]`, where
+    * driver and executors share one filesystem.
+    */
+  private[graft] def scratchBase(
+      master: String, configured: Option[String]): String =
+    configured.getOrElse {
+      require(
+        master.startsWith("local"),
+        s"spark.graft.scratch.dir must be set under non-local master " +
+          s"'$master': a java.io.tmpdir scratch parquet written by " +
+          "executors on their own disks cannot be read back as one dataset")
+      sys.props("java.io.tmpdir")
+    }
 }

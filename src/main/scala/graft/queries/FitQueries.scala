@@ -31,6 +31,23 @@ object FitQueries {
       .withColumn("center", lit(lo) + (col("bucket") + lit(0.5)) * lit(w))
   }
 
+  /** Shared ECDF feeder for the erf/crossing family: the distinct-value
+    * quantity profile (l_returnflag, l_quantity, y) via the SCALE-SAFE
+    * value-counts tier ([[Stats.ecdfPoints]]) — hash aggregate with
+    * map-side partials, window sort only over the bounded distinct-value
+    * table. Value-identical to the former
+    * `Stats.ecdf(...).groupBy(g, x).agg(max("ecdf"))` window form (and to
+    * the oracles' `cume_dist ... GROUP BY, MAX(cd)` CTE): cume_dist at a
+    * value is cumulative-count ÷ group-total, the same integer division
+    * the running sum performs — but no single task ever holds a group's
+    * full row history.
+    */
+  private def ecdfProfile(s: SparkSession, dir: String): DataFrame =
+    Stats.ecdfPoints(
+      Tables.load(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
+      Seq("l_returnflag"), "l_quantity")
+      .withColumnRenamed("ecdf", "y")
+
   /** N1: Gaussian fit per group over the histogram of per-order quantity
     * sums (CLT makes them near-normal — the Δt-fit shape of
     * `scripts/time_resolution_beta_scan.py:177-193`).
@@ -73,11 +90,7 @@ object FitQueries {
     "n3_erf_fit",
     None,
     (s, dir) => {
-      val ecdf = Stats.ecdf(
-        Tables.load(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
-        Seq("l_returnflag"), col("l_quantity"))
-        .groupBy("l_returnflag", "l_quantity")
-        .agg(max("ecdf").as("y"))
+      val ecdf = ecdfProfile(s, dir)
       ecdf
         .groupBy("l_returnflag")
         .agg(FitAggregators.erfFit(col("l_quantity"), col("y")).as("fit"))
@@ -125,11 +138,7 @@ object FitQueries {
     Some(s"""$crossingSqlPrefix
             |SELECT l_returnflag, x25, x50, x75 FROM piv""".stripMargin),
     (s, dir) => {
-      val ecdf = Stats.ecdf(
-        Tables.load(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
-        Seq("l_returnflag"), col("l_quantity"))
-        .groupBy("l_returnflag", "l_quantity")
-        .agg(max("ecdf").as("y"))
+      val ecdf = ecdfProfile(s, dir)
       ecdf
         .groupBy("l_returnflag")
         .agg(
@@ -301,11 +310,7 @@ object FitQueries {
             |  ymax - ymin AS y_scale, ymin AS y_offset
             |FROM piv JOIN mm USING (l_returnflag)""".stripMargin),
     (s, dir) => {
-      val ecdf = Stats.ecdf(
-        Tables.load(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
-        Seq("l_returnflag"), col("l_quantity"))
-        .groupBy("l_returnflag", "l_quantity")
-        .agg(max("ecdf").as("y"))
+      val ecdf = ecdfProfile(s, dir)
       ecdf
         .groupBy("l_returnflag")
         .agg(
@@ -446,11 +451,7 @@ object FitQueries {
               |SELECT l_returnflag, ROUND($icept, 6) AS x0, ROUND($slope, 6) AS sigma
               |FROM s""".stripMargin),
       (s, dir) => {
-        val pts = Stats.ecdf(
-          Tables.load(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
-          Seq("l_returnflag"), col("l_quantity"))
-          .groupBy("l_returnflag", "l_quantity")
-          .agg(max("ecdf").as("y"))
+        val pts = ecdfProfile(s, dir)
           .select(
             col("l_returnflag"),
             col("l_quantity").cast("double").as("x"),

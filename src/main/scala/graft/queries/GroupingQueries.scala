@@ -303,10 +303,18 @@ object GroupingQueries {
         val mean = col("__sx") / col("__n")
         val std = sqrt((col("__sxx") - col("__sx") * col("__sx") / col("__n"))
           / (col("__n") - lit(1)))
-        li.join(broadcast(stats), "l_returnflag")
+        // null-safe (<=>) join, not an inner equi-join: the window form
+        // this replaces PARTITIONs null keys into their own group, so a
+        // null-keyed row must match the null-keyed stats row instead of
+        // being dropped (TPC-H keys are non-null, but the rewrite must be
+        // null-equivalent to the oracle by construction, not by data).
+        // Dataset aliases because stats derives from li (self-join lineage).
+        li.as("li")
+          .join(broadcast(stats.as("st")),
+            col("li.l_returnflag") <=> col("st.l_returnflag"))
           .select(
-            col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-            ((col("l_quantity") - mean) / std).as("z"))
+            col("li.l_orderkey"), col("li.l_linenumber"), col("li.l_returnflag"),
+            ((col("li.l_quantity") - mean) / std).as("z"))
       })
   }
 

@@ -32,6 +32,20 @@ class PipelineSourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 1)
   }
 
+  test("PipelineStage.scratchBase: fails fast on a non-local master without a configured dir") {
+    // configured dir always wins, regardless of master
+    assert(PipelineStage.scratchBase("spark://host:7077", Some("/shared/scratch")) == "/shared/scratch")
+    assert(PipelineStage.scratchBase("local[32]", Some("/shared/scratch")) == "/shared/scratch")
+    // local masters may fall back to java.io.tmpdir (one shared filesystem)
+    assert(PipelineStage.scratchBase("local[32]", None) == sys.props("java.io.tmpdir"))
+    assert(PipelineStage.scratchBase("local", None) == sys.props("java.io.tmpdir"))
+    // non-local + unset = silent data loss on read-back → must throw
+    for (m <- Seq("spark://host:7077", "yarn", "k8s://https://host:6443")) {
+      val e = intercept[IllegalArgumentException](PipelineStage.scratchBase(m, None))
+      assert(e.getMessage.contains("spark.graft.scratch.dir"))
+    }
+  }
+
   test("key=value txt scan (S6)") {
     val f = Files.createTempDirectory("graft_kv").resolve("result.txt")
     Files.writeString(f, "Inter-pixel distance (m) = 9.81e-05\nthreshold = 50\n# comment line\n")

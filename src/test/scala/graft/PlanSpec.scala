@@ -154,6 +154,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("fit-family ECDF feeders: every window runs over the distinct-value aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // r5 verdict item: n3/n4 fed from the cume_dist window over RAW rows —
+    // one sort task per group holding the group's whole history. The swap
+    // to the value-counts tier must hold for every fit feeder.
+    for (q <- Seq(
+        graft.queries.FitQueries.n3Erf,
+        graft.queries.FitQueries.n3ErfQuantile,
+        graft.queries.FitQueries.n3ErfProbit,
+        graft.queries.FitQueries.n4Crossings)) {
+      val lp = q.run(spark, sf).queryExecution.optimizedPlan
+      val wins = lp.collect { case w: LWindow => w }
+      assert(wins.nonEmpty, s"${q.name}: expected the cumulative window in the plan")
+      wins.foreach { w =>
+        assert(w.child.collect { case a: Aggregate => a }.nonEmpty,
+          s"${q.name}: ECDF window sorts raw rows (one task per group):\n$w")
+      }
+    }
+  }
+
   test("dedup_lines: the registered query plans with NO window (hash aggregate only)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     val lp = graft.queries.TextQueries.dedupLines.run(spark, sf)
