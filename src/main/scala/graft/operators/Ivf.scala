@@ -83,6 +83,12 @@ object Ivf {
     val rdd = normalizedDf.rdd.mapPartitions { it =>
       val cents = bc.value
       it.map { r =>
+        // null embedding → null cluster, matching the expression tier
+        // (dot(null) → null score → null cluster) — without the guard the
+        // tiers claimed bit-identical diverge on nulls and behavior flips
+        // with model size
+        if (r.isNullAt(vIdx)) org.apache.spark.sql.Row.fromSeq(r.toSeq :+ null)
+        else {
         val v = r.getSeq[Double](vIdx).toArray
         var bestS = Double.NegativeInfinity
         var bestJ = 0
@@ -99,18 +105,68 @@ object Ivf {
           j += 1
         }
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bestJ)
+        }
       }
     }
     spark.createDataFrame(rdd, schema)
   }
 
-  /** Tier-dispatched cluster assignment over an already-normalized frame. */
+  /** Tier-dispatched cluster assignment over an already-normalized frame.
+    * Null embeddings get a NULL cluster in every tier — without the
+    * explicit guard the expression tier's null-score structs lose the
+    * array_max to their own negj field and a null vector lands in
+    * cluster 0, while the kernel tier NPEs: the tiers must agree, and
+    * "no cluster" is the only honest label for a row that cannot be
+    * scored.
+    */
   private def withCluster(normalizedDf: DataFrame, model: Model, as: String): DataFrame =
-    if (model.k <= ExprAssignMaxK) normalizedDf.withColumn(as, clusterCol(model))
+    if (model.k <= ExprAssignMaxK)
+      normalizedDf.withColumn(as, when(col("__v").isNotNull, clusterCol(model)))
     else assignKernel(normalizedDf, model).withColumnRenamed("cluster", as)
 
+  /** Deterministic bounded training sample: hash-thin `df` to ≈ `cap`
+    * rows (cap ≤ 0 ⇒ no sampling). Quantizer quality is a property of the
+    * SAMPLE, not the corpus — k centroids are fit against O(k) points
+    * regardless of corpus size, so training cost stops growing with the
+    * data while the assignment pass (the only corpus-wide stage) stays
+    * one linear map. The thinning predicate is a pure column expression
+    * (seeded xxhash64 mod), so it pushes into the scan and the skipped
+    * rows are never deserialized.
+    */
+  private def boundedSample(df: DataFrame, id: String, seed: Long, cap: Long): DataFrame =
+    if (cap <= 0L) df else hashThin(df, id, seed, df.count(), cap)
+
+  /** The thinning predicate of [[boundedSample]] with the corpus size
+    * supplied by the caller — for pipelines that already ran the count
+    * (e.g. auto-k sizing), so the input plan is not evaluated twice.
+    */
+  private[graft] def hashThin(
+      df: DataFrame, id: String, seed: Long, rows: Long, cap: Long): DataFrame =
+    if (cap <= 0L || rows <= cap) df
+    else {
+      val Mod = 1L << 20
+      val keep = math.max(1L, (cap * Mod) / rows)
+      df.filter(pmod(xxhash64(col(id), lit(seed ^ 0x53414d50L)), lit(Mod)) < lit(keep))
+    }
+
+  /** Hash seeding for large k: the k smallest-min-hash DISTINCT vectors.
+    * The distinct (groupBy __v, min hash) matters on dedup corpora —
+    * duplicate vectors would otherwise seed duplicate centroids, and with
+    * ties assigned to the smaller cluster id the duplicate stays
+    * point-less through every Lloyd iteration, silently shrinking
+    * effective k below the sized target.
+    */
+  private[graft] def hashSeedFrame(data: DataFrame, id: String, k: Int, seed: Long): DataFrame =
+    data
+      .withColumn("__h", xxhash64(col(id), lit(seed)))
+      .groupBy("__v").agg(min("__h").as("__h"))
+      .orderBy("__h")
+      .limit(k)
+
   /** Train the coarse quantizer: deterministic seeding (k smallest
-    * xxhash64(id, seed)) + `iters` Lloyd iterations.
+    * xxhash64(id, seed)) + `iters` Lloyd iterations over a bounded
+    * hash-sample (`sampleCap` > 0 — the production tier for auto-sized k;
+    * 0 keeps the full corpus for small fixed-k models and back-compat).
     */
   def train(
       df: DataFrame,
@@ -118,12 +174,15 @@ object Ivf {
       vec: String,
       k: Int,
       iters: Int,
-      seed: Long): Model = {
+      seed: Long,
+      sampleCap: Long = 0L): Model = {
     // Training is eager (each iteration collects k×dim centroid sums), so
     // the normalized corpus is bracket-cached for the seeding pass + all
     // Lloyd iterations and guaranteed-unpersisted on return — round 1
     // rebuilt this scan+normalize ~5× (53 s at sf0.1).
-    val data = normalized(df, vec).select(col(id), col("__v"))
+    val data = normalized(boundedSample(df, id, seed, sampleCap), vec)
+      .select(col(id), col("__v"))
+      .filter(col("__v").isNotNull)
     Caching.withCached(data) {
       // deterministic k-means++-style init: hash-sample a candidate pool
       // (one pass), then greedy max-min selection on the driver — avoids
@@ -158,10 +217,7 @@ object Ivf {
             acc += next
           }
           acc.toArray
-        } else data
-          .withColumn("__h", xxhash64(col(id), lit(seed)))
-          .orderBy("__h")
-          .limit(k)
+        } else hashSeedFrame(data, id, k, seed)
           .select("__v")
           .collect()
           .map(_.getSeq[Double](0).toArray)
@@ -198,6 +254,119 @@ object Ivf {
   /** Assign every row to its inverted list: adds `cluster`. */
   def assign(df: DataFrame, vec: String, model: Model): DataFrame =
     withCluster(normalized(df, vec), model, "cluster").drop("__v")
+
+  /** Largest k for which the trained codebook lives on the driver as a
+    * [[Model]] (collected seeds + per-iteration k×dim sum collects +
+    * task-closure/broadcast shipping). Past it, [[trainCodebook]] +
+    * [[assignByJoin]] keep the codebook in scratch parquet end to end —
+    * the driver never holds a row of it.
+    */
+  val DriverModelMaxK = 4096
+
+  /** Train the coarse quantizer WITHOUT the codebook ever touching the
+    * driver — the extreme-k tier (k > [[DriverModelMaxK]], the auto-sized
+    * SemDeDup regime where k tracks the corpus). Returns a scratch-parquet
+    *-backed codebook `(__j int, __c array<double>)`.
+    *
+    * Same algorithm as [[train]]'s hash-seeded tier, expressed as plans:
+    * seeds are the k smallest-min-hash distinct vectors (numbered by a
+    * window over the k-row limit), each Lloyd iteration assigns the
+    * bounded sample via [[assignByJoin]]'s broadcast-join kernel and
+    * re-derives centroids with a distributed posexplode aggregate —
+    * per-dim means reassembled with collect_list+array_sort over the
+    * k×dim count table, normalized in-plan. Every iteration's codebook is
+    * scratch-materialized ([[graft.pipeline.PipelineStage.scratch]]): the
+    * write runs on the executors, lineage breaks per round, and clusters
+    * that lost all points keep their previous centroid via the left-join
+    * coalesce (the same rule the driver loop applies).
+    */
+  def trainCodebook(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      k: Int,
+      iters: Int,
+      seed: Long,
+      sampleCap: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val data = normalized(boundedSample(df, id, seed, sampleCap), vec)
+      .select(col(id), col("__v"))
+      .filter(col("__v").isNotNull)
+    Caching.withCached(data) {
+      var codebook = graft.pipeline.PipelineStage.scratch(
+        hashSeedFrame(data, id, k, seed)
+          // k rows: the single-partition window is bounded by the model size
+          .select(
+            (row_number().over(Window.orderBy("__h")) - 1).as("__j"),
+            col("__v").as("__c")),
+        "ivf-seed")
+      for (i <- 0 until iters) {
+        val assigned = joinLabels(data, id, codebook, "__cl")
+        val dims = data.join(assigned, Seq(id))
+          .select(col("__cl"), posexplode(col("__v")).as(Seq("pos", "x")))
+          .groupBy("__cl", "pos")
+          .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        val means = dims
+          .groupBy("__cl")
+          .agg(array_sort(collect_list(struct(col("pos"), (col("s") / col("n")).as("m"))))
+            .as("pm"))
+          .select(
+            col("__cl").as("__j"),
+            transform(col("pm"), p => p.getField("m")).as("__m"))
+          // norm bound as a lambda variable — see [[normalized]]
+          .select(
+            col("__j"),
+            when(sqrt(dotFast(col("__m"), col("__m"))) > 0,
+              flatten(transform(
+                array(sqrt(dotFast(col("__m"), col("__m")))),
+                n => transform(col("__m"), x => x / n))))
+              .as("__cnew"))
+        codebook = graft.pipeline.PipelineStage.scratch(
+          codebook.join(means, Seq("__j"), "left")
+            .select(col("__j"), coalesce(col("__cnew"), col("__c")).as("__c")),
+          s"ivf-lloyd-$i")
+      }
+      codebook
+    }
+  }
+
+  /** Cluster labels for an already-normalized `(id, __v, …)` frame against
+    * a codebook DataFrame, via broadcast-join + argmax aggregate — the
+    * assignment tier that never materializes the codebook on the driver.
+    * Scoring semantics are IDENTICAL to [[clusterCol]]/[[assignKernel]]:
+    * round(dot, 9) HALF_UP, max(struct(score, −j)) ties to the smaller
+    * cluster id. Null vectors are filtered here; callers re-attach them
+    * with a left join (null cluster — the expression tier's verdict).
+    * The argmax is a hash aggregate keyed on `id`, so the k candidate rows
+    * per input row collapse map-side (rows arrive partition-local from the
+    * broadcast join) and only (id, best) ever shuffles.
+    */
+  private def joinLabels(
+      normalizedDf: DataFrame,
+      id: String,
+      codebook: DataFrame,
+      as: String): DataFrame =
+    normalizedDf
+      .select(col(id), col("__v"))
+      .filter(col("__v").isNotNull)
+      .crossJoin(broadcast(codebook))
+      .select(
+        col(id),
+        struct(
+          round(dotFast(col("__v"), col("__c")), 9).as("s"),
+          (-col("__j")).as("negj")).as("__sc"))
+      .groupBy(id)
+      .agg(max("__sc").as("__best"))
+      .select(col(id), (-col("__best").getField("negj")).cast("int").as(as))
+
+  /** Assign every row to its inverted list from a scratch-backed codebook
+    * (see [[trainCodebook]]): adds `cluster`, null for null embeddings.
+    * One shuffle of (id, cluster) plus the join back — at extreme k that
+    * trade (vs shipping a multi-GB model in every task closure) is the
+    * point; below [[DriverModelMaxK]] prefer [[assign]].
+    */
+  def assignByJoin(df: DataFrame, id: String, vec: String, codebook: DataFrame): DataFrame =
+    df.join(joinLabels(normalized(df, vec), id, codebook, "cluster"), Seq(id), "left")
 
   /** Top-k for a BATCH of queries in ONE corpus pass — the production
     * shape (a training pipeline looks up thousands of queries, not one).

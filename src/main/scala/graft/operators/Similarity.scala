@@ -104,13 +104,25 @@ object Similarity {
       id: String,
       vec: String,
       model: Ivf.Model,
+      threshold: Double): DataFrame =
+    pairsWithinCell(Ivf.assign(df, vec, model), id, vec, threshold)
+
+  /** The within-cell pair join + exact cosine verify shared by both
+    * quantizer tiers: `assigned` carries (id, vec, cluster). Null-cluster
+    * rows (null embeddings) drop out of the equi-join — no pair can be
+    * verified against a missing vector.
+    */
+  private def pairsWithinCell(
+      assigned: DataFrame,
+      id: String,
+      vec: String,
       threshold: Double): DataFrame = {
-    val assigned = Ivf.assign(df, vec, model)
+    val keyed = assigned
       .select(col(id), col("cluster"), asDouble(col(vec)).as("__v"))
       .withColumn("__n", sqrt(dotF(col("__v"), col("__v"))))
-    val a = assigned.select(
+    val a = keyed.select(
       col("cluster"), col(id).as("id_a"), col("__v").as("va"), col("__n").as("na"))
-    val b = assigned.select(
+    val b = keyed.select(
       col("cluster"), col(id).as("id_b"), col("__v").as("vb"), col("__n").as("nb"))
     a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
@@ -139,6 +151,18 @@ object Similarity {
     * the coarse quantizer trains at that k, and pair work stays bounded
     * per cell at any corpus size. The fixed-model overload remains the
     * oracle tier (its centroid literals are mirrored into DuckDB SQL).
+    *
+    * Training is BOUNDED in the corpus on both axes:
+    *  - it runs on a hash-sample of ≈ `pointsPerCentroid` × k vectors
+    *    (quantizer quality is a property of the sample, and k itself is
+    *    capped — see [[autoK]] — so the sample tops out at
+    *    pointsPerCentroid × 2¹⁶ vectors no matter the corpus);
+    *  - past `driverModelMaxK` centroids the codebook never touches the
+    *    driver: [[Ivf.trainCodebook]] keeps every iteration in scratch
+    *    parquet and [[Ivf.assignByJoin]] labels the corpus with a
+    *    broadcast join instead of a collected model.
+    * The corpus-wide work is therefore exactly one linear assignment pass
+    * plus the per-cell pair join, at any scale.
     */
   def clusterNearDupPairsAuto(
       df: DataFrame,
@@ -147,10 +171,21 @@ object Similarity {
       threshold: Double,
       targetCellSize: Int = 512,
       iters: Int = 4,
-      seed: Long = 7L): DataFrame = {
-    val k = autoK(df.count(), targetCellSize)
-    val model = Ivf.train(df, id, vec, k, iters, seed)
-    clusterNearDupPairs(df, id, vec, model, threshold)
+      seed: Long = 7L,
+      pointsPerCentroid: Int = 64,
+      driverModelMaxK: Int = Ivf.DriverModelMaxK): DataFrame = {
+    val rows = df.count()
+    val k = autoK(rows, targetCellSize)
+    // one count sizes BOTH k and the training sample — hashThin reuses it
+    // so the input plan is never evaluated twice just to measure itself
+    val trainSet = Ivf.hashThin(df, id, seed, rows, pointsPerCentroid.toLong * k)
+    if (k <= driverModelMaxK) {
+      val model = Ivf.train(trainSet, id, vec, k, iters, seed)
+      clusterNearDupPairs(df, id, vec, model, threshold)
+    } else {
+      val codebook = Ivf.trainCodebook(trainSet, id, vec, k, iters, seed)
+      pairsWithinCell(Ivf.assignByJoin(df, id, vec, codebook), id, vec, threshold)
+    }
   }
 
   /** Random-hyperplane LSH near-dup pairs: bucket on the `numPlanes`-bit

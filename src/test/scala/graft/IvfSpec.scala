@@ -113,6 +113,109 @@ class IvfSpec extends AnyFunSuite {
     assert(kernel == expr)
   }
 
+  test("null embeddings get a null cluster in every assignment tier (no NPE)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows: Seq[(Long, Array[Float])] =
+      (0L until 50L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat))) :+
+        (50L, null.asInstanceOf[Array[Float]])
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Ivf.train(df, "vec_id", "embedding", k = 4, iters = 2, seed = 3L)
+    // expression tier (k ≤ ExprAssignMaxK)
+    val exprNull = Ivf.assign(df, "embedding", model)
+      .filter(col("vec_id") === 50L).collect().head
+    assert(exprNull.isNullAt(exprNull.fieldIndex("cluster")))
+    // kernel tier: pad above the expression bound with copies of centroid 0
+    val padded = Ivf.Model(model.centroids ++
+      Array.fill(Ivf.ExprAssignMaxK + 1 - model.k)(model.centroids(0).clone()))
+    val kernelNull = Ivf.assign(df, "embedding", padded)
+      .filter(col("vec_id") === 50L).collect().head
+    assert(kernelNull.isNullAt(kernelNull.fieldIndex("cluster")))
+    // join tier against a codebook built from the same model
+    val codebook = model.centroids.zipWithIndex
+      .map { case (c, j) => (j, c.toSeq) }.toSeq.toDF("__j", "__c")
+    val joinNull = Ivf.assignByJoin(df, "vec_id", "embedding", codebook)
+      .filter(col("vec_id") === 50L).collect().head
+    assert(joinNull.isNullAt(joinNull.fieldIndex("cluster")))
+  }
+
+  test("hash seeding ignores duplicate vectors: seeds are distinct") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // 10 distinct directions, each duplicated 40× (a dedup-shaped corpus)
+    val dirs = Array.fill(10)(Array.fill(8)(rnd.nextGaussian()))
+    val rows = (0 until 400).map(i => (i.toLong, dirs(i % 10).map(_.toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    // normalized frame the seeding consumes (same shape train() feeds it)
+    val data = df
+      .withColumn("__v", col("embedding").cast("array<double>"))
+      .select(col("vec_id"), col("__v"))
+    val seeds = Ivf.hashSeedFrame(data, "vec_id", k = 8, seed = 9L)
+      .select("__v").collect().map(_.getSeq[Double](0))
+    assert(seeds.length == 8)
+    assert(seeds.distinct.length == 8,
+      "duplicate vectors seeded duplicate centroids — effective k shrank")
+  }
+
+  test("sample-trained quantizer keeps full-trained assignment quality") {
+    val df = clustered()
+    def purity(m: Ivf.Model): Double = {
+      val assigned = Ivf.assign(df, "embedding", m)
+      val cells = assigned
+        .groupBy((org.apache.spark.sql.functions.col("vec_id") % 4).as("truth"), assigned("cluster"))
+        .count().collect()
+        .groupBy(_.getInt(1))
+        .map { case (_, rows) => rows.map(_.getLong(2)).max.toDouble / rows.map(_.getLong(2)).sum }
+      cells.sum / cells.size
+    }
+    val full = purity(Ivf.train(df, "vec_id", "embedding", k = 4, iters = 5, seed = 9L))
+    // cap at half the corpus — recall is a property of the sample
+    val sampled = purity(Ivf.train(df, "vec_id", "embedding", k = 4, iters = 5, seed = 9L,
+      sampleCap = 100L))
+    assert(full > 0.9, s"full-trained purity $full")
+    assert(sampled >= full - 0.05, s"sample-trained purity $sampled vs full $full")
+  }
+
+  test("join-assignment tier is bit-identical to the expression tier") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val df = (0L until 300L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val model = Ivf.train(df, "vec_id", "embedding", k = 8, iters = 2, seed = 5L)
+    val expr = Ivf.assign(df, "embedding", model)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val codebook = model.centroids.zipWithIndex
+      .map { case (c, j) => (j, c.toSeq) }.toSeq.toDF("__j", "__c")
+    val joined = Ivf.assignByJoin(df, "vec_id", "embedding", codebook)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(joined == expr)
+  }
+
+  test("off-driver codebook regime: trainCodebook + assignByJoin finds the planted pair") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val rows = Seq((0L, base), (1L, near)) ++
+      (2L to 400L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    // driverModelMaxK = 0 forces the scratch-codebook + join-assign tier
+    // at a spec-sized k (the production trigger is k > 4096)
+    val auto = Similarity.clusterNearDupPairsAuto(
+      df, "vec_id", "embedding", threshold = 0.9, targetCellSize = 16, iters = 2,
+      seed = 1L, driverModelMaxK = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(brute))
+    assert(auto.contains((0L, 1L)), "planted near-identical pair missed")
+  }
+
   test("auto-sized SemDeDup above the expression bound: large-k train + kernel assign") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
