@@ -15,4 +15,12 @@ object GraftSession {
     */
   def tune(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.optimizer.windowGroupLimitThreshold", "1000000")
+      // Cached plans are otherwise exempt from AQE partition coalescing
+      // (Spark keeps their output partitioning stable by default), so an
+      // iterative operator that persists a tiny intermediate (e.g.
+      // alternating-star's large-star output) would materialize it with
+      // the full shuffle-partition count — hundreds of empty tasks per
+      // round. The engine has no consumer that relies on a cached plan's
+      // physical partitioning, so let AQE right-size them.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
 }

@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Spill (scratch-parquet checkpoint) cadence for [[alternatingStar]],
+    * in 2-alternation batches: parquet round-trips cost ~3× an RDD
+    * persist locally, but unspilled lineage grows task binaries and
+    * loses recoverability — every 3rd batch (≈ 6 alternations) bounds
+    * both while shallow dup graphs (1-2 batches) never pay a spill
+    * inside the loop at all.
+    */
+  private val CheckpointEvery = 3
+
   /** Symmetric closure of the pair list — the ONLY place the (potentially
     * expensive) pair derivation is referenced, and it ends in a distinct
     * exchange, so every downstream consumer (pair-node set, self-loops,
@@ -168,88 +177,183 @@ object Components {
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
-    // lineage breaker: persist the round's edges as an RDD and restart the
-    // LOGICAL plan from it (LogicalRDD). persist() alone keeps the full
-    // Catalyst tree, and each alternation references the previous round's
-    // plan several times — tree size would grow geometrically and OOM the
-    // driver around round ten.
-    def brk(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd.persist(level)
-      (spark.createDataFrame(rdd, df.schema), rdd)
-    }
-    // canonical (u = hi, v = lo) edge list
-    var (edges, edgesRdd) = brk(
-      canon(pairs.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))))
-    def stat(df: DataFrame): (Long, BigDecimal, BigDecimal) = {
-      val r = df.agg(
-        count(lit(1)),
-        sum(col("u").cast("decimal(38,0)")),
-        sum(col("v").cast("decimal(38,0)"))).collect()(0)
-      (r.getLong(0),
-        Option(r.getDecimal(1)).map(BigDecimal(_)).getOrElse(BigDecimal(0)),
-        Option(r.getDecimal(2)).map(BigDecimal(_)).getOrElse(BigDecimal(0)))
-    }
-    var cur = stat(edges)
-    var k = 0
-    var converged = cur._1 == 0L
-    try {
-      while (k < maxIters && !converged) {
-        // LARGE-STAR over both orientations: x's strictly-larger
-        // neighbors re-link to x's minimum (incl. x itself). Output is
-        // already canonically oriented (u = y > x ≥ m = v) and loop-free,
-        // and duplicate edges are harmless to the small-star min
-        // aggregates — so NO intermediate canon/distinct shuffle here;
-        // the round's single distinct runs once, on the small-star
-        // output. (A deep chain pays ~log n rounds of pure fixed stage
-        // cost, so one fewer shuffle per round is a 25-30 % wall cut on
-        // adversarial graphs.)
-        val sym = edges.select(col("u").as("x"), col("v").as("y"))
-          .unionByName(edges.select(col("v").as("x"), col("u").as("y")))
-        val mins = sym.groupBy("x").agg(least(min(col("y")), col("x")).as("m"))
-        val (ls, lsRdd) = brk(
-          sym.filter(col("y") > col("x"))
-            .join(mins, "x")
-            .select(col("y").as("u"), col("m").as("v")))
-        // SMALL-STAR on (hi → lo) edges: hi's smaller neighbors (and hi)
-        // all re-link to hi's minimum neighbor
-        val lmins = ls.groupBy("u").agg(min(col("v")).as("m"))
-        val (ss, ssRdd) = brk(canon(
-          ls.join(lmins, "u")
-            .select(col("v").as("u"), col("m").as("v"))
-            .unionByName(ls.select(col("u"), col("v")).join(lmins, "u")
-              .select(col("u"), col("m").as("v")))))
-        val next = stat(ss)
-        lsRdd.unpersist(blocking = false)
-        edgesRdd.unpersist(blocking = false)
-        edges = ss
-        edgesRdd = ssRdd
-        converged = next == cur
-        cur = next
-        k += 1
+    // Batch materializer + fused convergence stat, two tiers à la GraphX's
+    // persist-every-iteration / checkpoint-every-N:
+    //
+    //  - default (fast path): persist the batch output as an RDD and
+    //    collect the (count, Σu, Σv) convergence triple with the SAME
+    //    aggregate action that forces the persist — one job, no extra
+    //    stat jobs. Lineage is NOT truncated (task binaries keep the RDD
+    //    ancestry), which is fine for a few batches;
+    //  - every `CheckpointEvery`-th batch (spill tier): write the edges
+    //    to a scratch parquet instead — TRUE lineage truncation (an RDD
+    //    persist cuts recomputation but every task binary still
+    //    serializes the full RDD ancestry, which otherwise grows
+    //    ~100 KB/round and becomes per-task deserialization cost on deep
+    //    graphs) — with the triple collected as observed metrics of the
+    //    SAME write action. The file is also a reliable recovery point
+    //    (re-readable after executor loss, unlike a lost persisted RDD
+    //    whose lineage root was already unpersisted). Scratch files
+    //    self-delete at JVM exit (PipelineStage.scratch contract); a run
+    //    leaves O(log n / CheckpointEvery) dup-graph-bounded files.
+    val dbg = sys.props.contains("graft.cc.debug") || sys.env.contains("GRAFT_CC_DEBUG")
+    def triple(n: Long, su: Any, sv: Any): (Long, BigDecimal, BigDecimal) = {
+      def dec(x: Any): BigDecimal = x match {
+        case null => BigDecimal(0)
+        case d: java.math.BigDecimal => BigDecimal(d)
+        case d: org.apache.spark.sql.types.Decimal => d.toBigDecimal
+        case other => BigDecimal(other.toString)
       }
-      if (!converged)
-        throw new IllegalStateException(
-          s"alternating-star components did not converge within $maxIters rounds")
-      // fixed point = union of stars: every edge is (child, root)
-      val assigned = edges.groupBy(col("u").as(id)).agg(min(col("v")).as("component"))
-      val roots = edges.select(col("v").as(id)).distinct()
-        .join(assigned.select(col(id)), Seq(id), "left_anti")
-        .withColumn("component", col(id))
-      val labeled = assigned.unionByName(roots)
-      // materialize ONLY the pair-subgraph labels inside the persist
-      // bracket — bounded by the dup volume (2·|pairs| at worst), never
-      // the corpus — to a scratch parquet, entirely on the executors. At
-      // 100 TB with realistic 20-30 % duplication the labels are billions
-      // of rows, so a driver collect() here would OOM exactly on the
-      // corpora dedup exists for; the scan-backed frame keeps the
-      // singleton majority a LAZY anti-join and the returned plan owns no
-      // persisted state and no driver-resident rows.
-      val labeledDf = graft.pipeline.PipelineStage.scratch(labeled, "components-labels")
-      val singletons = nodes.select(col(id).cast("long").as(id)).distinct()
-        .join(labeledDf.select(col(id)), Seq(id), "left_anti")
-        .withColumn("component", col(id))
-      labeledDf.unionByName(singletons)
-    } finally edgesRdd.unpersist(blocking = false)
+      (n, dec(su), dec(sv))
+    }
+    def matStat(df: DataFrame, tag: String, spill: Boolean)
+        : (DataFrame, (Long, BigDecimal, BigDecimal), Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]) = {
+      val t0 = System.nanoTime()
+      val r =
+        if (spill) {
+          val obs = org.apache.spark.sql.Observation()
+          val written = graft.pipeline.PipelineStage.scratch(
+            df.observe(
+              obs,
+              count(lit(1)).as("n"),
+              sum(col("u").cast("decimal(38,0)")).as("su"),
+              sum(col("v").cast("decimal(38,0)")).as("sv")),
+            tag)
+          val m = obs.get
+          (written, triple(m("n").asInstanceOf[Long], m("su"), m("sv")), None)
+        } else {
+          val rdd = df.rdd.persist(level)
+          val sdf = spark.createDataFrame(rdd, df.schema)
+          val row = sdf.agg(
+            count(lit(1)),
+            sum(col("u").cast("decimal(38,0)")),
+            sum(col("v").cast("decimal(38,0)"))).collect()(0)
+          (sdf, triple(row.getLong(0), row.get(1), row.get(2)), Some(rdd))
+        }
+      if (dbg) println(f"CCDBG $tag spill=$spill mat=${(System.nanoTime() - t0) / 1e9}%.3f")
+      r
+    }
+    // Canonical (u = hi, v = lo) edge list — LAZY: the first batch's
+    // single write action computes the (possibly expensive) pair plan
+    // exactly once, because canon ends in the distinct exchange every
+    // in-batch reference reuses. No up-front materialization: the
+    // convergence comparison just starts from a None sentinel, which
+    // costs one no-op batch ONLY when the input is already a star
+    // forest (never for real pair-emitter output, which is unoriented
+    // pairs, not parent pointers).
+    var edges = canon(pairs.select(col(a).cast("long").as("u"), col(b).cast("long").as("v")))
+    // One large-star + small-star alternation as a LAZY plan; the only
+    // materialization inside is the large-star output (referenced twice
+    // by small-star with no shared trailing exchange, so without a
+    // persist it would compute twice). The alternation's own output ends
+    // in canon's distinct EXCHANGE, so a downstream plan that references
+    // it twice (the next alternation's symmetrization) pays it once via
+    // ReuseExchange — which is what lets two alternations share one
+    // eager action below.
+    def alternate(in: DataFrame, dedup: Boolean): (DataFrame, DataFrame) = {
+      // LARGE-STAR over both orientations: x's strictly-larger
+      // neighbors re-link to x's minimum (incl. x itself). Output is
+      // already canonically oriented (u = y > x ≥ m = v) and loop-free,
+      // and duplicate edges are harmless to the small-star min
+      // aggregates — so NO intermediate canon/distinct shuffle here;
+      // the alternation's single distinct runs once, on the small-star
+      // output. (A deep chain pays ~log n rounds of pure fixed stage
+      // cost, so one fewer shuffle per round is a 25-30 % wall cut on
+      // adversarial graphs.)
+      val sym = in.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(in.select(col("v").as("x"), col("u").as("y")))
+      val mins = sym.groupBy("x").agg(least(min(col("y")), col("x")).as("m"))
+      val ls = sym.filter(col("y") > col("x"))
+        .join(mins, "x")
+        .select(col("y").as("u"), col("m").as("v"))
+        .persist(level)
+      // SMALL-STAR on (hi → lo) edges: hi's smaller neighbors (and hi)
+      // all re-link to hi's minimum neighbor. Both outputs (v → m and
+      // u → m) come from the SAME joined row, so one join + explode
+      // replaces the former two-join union — one scan of ls and one
+      // exchange fewer per alternation (round latency is the cost of
+      // this operator; the data is tiny relative to the stage floor).
+      val lmins = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val raw = ls.join(lmins, "u")
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u").as("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      // `dedup = false` skips canon's distinct EXCHANGE for a mid-batch
+      // edge set: the next large-star's min aggregates are insensitive
+      // to duplicate edges and to the (v = m) self-loops small-star can
+      // emit (a self-loop contributes y = x to a min that already
+      // includes x), and multiplicity grows at most ~2× across one
+      // undeduped alternation before the batch-end canon collapses it.
+      // The undeduped output also has NO trailing exchange, so its
+      // consumers fuse it into their own map-side stages instead of
+      // waiting on a distinct stage — one fewer serial stage per batch
+      // on graphs whose cost is pure round latency.
+      (if (dedup) canon(raw) else raw, ls)
+    }
+    var cur: Option[(Long, BigDecimal, BigDecimal)] = None
+    var k = 0
+    var batch = 0
+    var converged = false
+    // RDDs whose lineage the CURRENT edge state may still depend on:
+    // previous batches' (unspilled) outputs. Released wholesale at each
+    // spill (the file re-roots everything) and after the final labels
+    // materialization.
+    val liveRdds = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    while (k < maxIters && !converged) {
+      // TWO alternations per eager step: the loop's cost on adversarial
+      // graphs is pure fixed per-round stage latency, so halving the
+      // materialization points halves the file round-trips and driver
+      // syncs. The mid-batch edge set needs no materialization of its
+      // own — it stays undeduped (see `dedup = false` above) and fuses
+      // into the second alternation's own stages. Both endpoint sums
+      // only decrease under star rewiring and strictly decrease unless
+      // the edge set is already a fixed point, so comparing the stat
+      // triple across a double alternation detects exactly the same
+      // fixed point (at worst one no-op alternation after an odd-round
+      // convergence, on an already-collapsed edge set).
+      val ta = System.nanoTime()
+      val (mid, ls1) = alternate(edges, dedup = false)
+      val (out, ls2) = alternate(mid, dedup = true)
+      if (dbg) println(f"CCDBG round-$k%d plan=${(System.nanoTime() - ta) / 1e9}%.3f")
+      val spill = batch % CheckpointEvery == CheckpointEvery - 1
+      val (ss, next, rdd) = matStat(out, s"cc-edges-$k", spill)
+      ls1.unpersist(blocking = false)
+      ls2.unpersist(blocking = false)
+      if (spill) { liveRdds.foreach(_.unpersist(blocking = false)); liveRdds.clear() }
+      rdd.foreach(liveRdds += _)
+      edges = ss
+      converged = next._1 == 0L || cur.contains(next)
+      cur = Some(next)
+      k += 2
+      batch += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"alternating-star components did not converge within $maxIters rounds")
+    // fixed point = union of stars: every edge is (child, root)
+    val assigned = edges.groupBy(col("u").as(id)).agg(min(col("v")).as("component"))
+    val roots = edges.select(col("v").as(id)).distinct()
+      .join(assigned.select(col(id)), Seq(id), "left_anti")
+      .withColumn("component", col(id))
+    val labeled = assigned.unionByName(roots)
+    // Materialize ONLY the pair-subgraph labels — bounded by the dup
+    // volume (2·|pairs| at worst), never the corpus — to a scratch
+    // parquet, entirely on the executors. At 100 TB with realistic
+    // 20-30 % duplication the labels are billions of rows, so a driver
+    // collect() here would OOM exactly on the corpora dedup exists for;
+    // the file re-roots the fixed point so every still-live loop RDD can
+    // be released here — the returned plan is rooted entirely in files,
+    // keeps the singleton majority a LAZY anti-join, and owns no
+    // persisted state and no driver-resident rows.
+    val labeledDf = graft.pipeline.PipelineStage.scratch(labeled, "components-labels")
+    liveRdds.foreach(_.unpersist(blocking = false))
+    liveRdds.clear()
+    val singletons = nodes.select(col(id).cast("long").as(id)).distinct()
+      .join(labeledDf.select(col(id)), Seq(id), "left_anti")
+      .withColumn("component", col(id))
+    labeledDf.unionByName(singletons)
   }
 
   /** Convergence-checked tier: iterate EAGERLY with per-round persisted

@@ -57,7 +57,10 @@ object PipelineStage {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     df.write.parquet(path.toString)
     fs.deleteOnExit(path)
-    spark.read.parquet(path.toString)
+    // the writer's schema IS the file schema — passing it skips the
+    // footer-reading schema-inference job a bare read would run (eager
+    // per-call driver latency, noticeable for iterative callers)
+    spark.read.schema(df.schema).parquet(path.toString)
   }
 
   /** Resolve the scratch root for a given master URL. Factored out of
