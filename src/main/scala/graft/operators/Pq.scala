@@ -73,22 +73,26 @@ object Pq {
         .as(Seq("s", "sv")))
     Caching.withCached(subs) {
       // per-subspace hash-ordered candidate pool, greedy max-min seeding.
-      // One TakeOrdered job per subspace, NOT a partitionBy(s) window:
-      // with only m subspaces the window form funneled the ENTIRE n×m
-      // subvector relation through m single-task sorts; TakeOrdered keeps
-      // a poolN-heap per partition, so the pool derivation stays parallel
-      // at any corpus size (m is a small model constant, so m jobs over
-      // the bracket-cached relation are cheap).
+      // ONE rank-guarded window job for all m subspaces, not m TakeOrdered
+      // jobs: the `rn <= poolN` filter turns the window into a map-side
+      // WindowGroupLimit (GraftSession raises the threshold above poolN),
+      // so each task forwards at most poolN rows per subspace and the m
+      // single-task group sorts see poolN-bounded input, never the full
+      // n×m relation — and the pool derivation costs one scheduler
+      // round-trip instead of m (training latency is m small jobs deep,
+      // which dominated this operator's benchmark).
       val poolN = math.max(20 * k, 100)
       val hashed = subs.withColumn("__h", xxhash64(col(id), col("s"), lit(seed)))
-      val pool: Map[Int, Array[Array[Double]]] = (0 until m).map { s =>
-        s -> hashed.filter(col("s") === s)
-          .orderBy("__h")
-          .limit(poolN)
-          .select("sv")
-          .collect()
-          .map(_.getSeq[Double](0).toArray)
-      }.toMap
+      val pool: Map[Int, Array[Array[Double]]] = hashed
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("s").orderBy(col("__h"), col(id))))
+        .filter(col("__rn") <= poolN)
+        .select(col("s"), col("__h"), col("sv"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (s, rows) =>
+          s -> rows.sortBy(_.getLong(1)).map(_.getSeq[Double](2).toArray)
+        }
       val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { s =>
         val cand = pool(s)
         val chosen = scala.collection.mutable.ArrayBuffer(cand.head)
