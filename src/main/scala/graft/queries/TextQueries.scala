@@ -1091,6 +1091,50 @@ object TextQueries {
       })
   }
 
+  /** The streaming quality monitor's SERVING SHAPE as a registered batch
+    * query with a hash-exact oracle: the exact
+    * [[graft.streaming.QualityScoreStream.monitor]] plan — map-only LM
+    * scoring with unscored docs kept visible, then the per-(window,
+    * source) volume/quality aggregate — run over static tables (the
+    * watermark node analyzes away on batch input, so this IS the
+    * streaming code path, not a re-implementation). Documents get their
+    * event time from the events table (doc_id = event_id), and the
+    * 5-minute window start is emitted as an epoch bucket per the
+    * `e1_time_buckets` convention. The oracle mirrors the trained
+    * min-count-capped trigram model through the shared `scored` CTEs, so
+    * the model-serving aggregate gets the same bit-exact gate as every
+    * other production path.
+    */
+  val streamQualityMonitor: Q = {
+    import graft.functions.DetAgg.{Sql => D}
+    Q(
+      "stream_quality_monitor",
+      Some(s"""$lmScoreSqlCtes,
+              |tsd AS (SELECT d.doc_id, d.source, e.ts
+              |        FROM documents d JOIN events e ON e.event_id = d.doc_id),
+              |g AS (SELECT CAST(FLOOR(epoch(t.ts) / 300) AS BIGINT) AS bucket,
+              |        t.source, s.avg_nll
+              |      FROM tsd t LEFT JOIN scored s USING (doc_id))
+              |SELECT bucket, source, COUNT(*) AS n_docs,
+              |  COUNT(avg_nll) AS n_scored,
+              |  ROUND(${D.dsum("avg_nll")} / COUNT(avg_nll), 6) AS mean_nll,
+              |  MAX(avg_nll) AS worst_nll
+              |FROM g GROUP BY 1, 2""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val model = graft.operators.LmScore.train(d, "doc_id", "text")
+        val withTs = d.join(
+          graft.sources.Tables.loadEvents(s, dir)
+            .select(col("event_id").as("doc_id"), col("ts")),
+          "doc_id")
+        graft.streaming.QualityScoreStream.monitor(model, withTs)
+          .select(
+            floor(unix_timestamp(col("window_start")) / 300).cast("long").as("bucket"),
+            col("source"), col("n_docs"), col("n_scored"),
+            col("mean_nll"), col("worst_nll"))
+      })
+  }
+
   /** S-surface extension: JSONL sink + scan round-trip inside the
     * verified path — the interchange format of training corpora. The
     * documents table goes out as one-JSON-object-per-line and comes back
@@ -1175,7 +1219,7 @@ object TextQueries {
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
     textBm25, textHybridRrf, corpusReport, pipelineMix, textChunk, textLmScore,
-    pipelinePerplexityMix,
+    pipelinePerplexityMix, streamQualityMonitor,
     jsonlRoundtrip, sampleUpsample, splitShards,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
     dedupComponents, dedupComponentsChain, decontamNgram, dedupIncremental,
