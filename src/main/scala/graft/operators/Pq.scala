@@ -46,6 +46,22 @@ object Pq {
   private def subVec(vec: Column, sub: Int, subDim: Int): Column =
     slice(normFull(vec), sub * subDim + 1, subDim)
 
+  /** The all-subspaces seeding-pool plan: top-`poolN` hash-ordered rows
+    * per subspace via ONE rank-guarded window. Factored out so PqSpec can
+    * pin that the rank filter actually plans as a map-side
+    * WindowGroupLimit (each task forwards ≤ poolN rows per subspace —
+    * the property that keeps the m single-task group sorts poolN-bounded
+    * at any corpus size).
+    */
+  private[graft] def seedPoolPlan(hashed: DataFrame, id: String, poolN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    hashed
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("s").orderBy(col("__h"), col(id))))
+      .filter(col("__rn") <= poolN)
+      .select(col("s"), col("__h"), col("sv"))
+  }
+
   /** Train all `m` subspace codebooks JOINTLY: one long-form
     * (id, subspace, subvector) relation is bracket-cached and every Lloyd
     * iteration is ONE aggregation covering every subspace — m separate
@@ -83,16 +99,13 @@ object Pq {
       // which dominated this operator's benchmark).
       val poolN = math.max(20 * k, 100)
       val hashed = subs.withColumn("__h", xxhash64(col(id), col("s"), lit(seed)))
-      val pool: Map[Int, Array[Array[Double]]] = hashed
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy("s").orderBy(col("__h"), col(id))))
-        .filter(col("__rn") <= poolN)
-        .select(col("s"), col("__h"), col("sv"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (s, rows) =>
-          s -> rows.sortBy(_.getLong(1)).map(_.getSeq[Double](2).toArray)
-        }
+      val pool: Map[Int, Array[Array[Double]]] =
+        seedPoolPlan(hashed, id, poolN)
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (s, rows) =>
+            s -> rows.sortBy(_.getLong(1)).map(_.getSeq[Double](2).toArray)
+          }
       val books: Array[Array[Array[Double]]] = (0 until m).toArray.map { s =>
         val cand = pool(s)
         val chosen = scala.collection.mutable.ArrayBuffer(cand.head)

@@ -41,4 +41,22 @@ class PqSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(got.intersect(brute).size >= 8, s"recall ${got.intersect(brute).size}/10")
   }
+
+  test("seeding-pool rank guard plans as a map-side WindowGroupLimit") {
+    import org.apache.spark.sql.functions._
+    // the pool derivation claims every task forwards <= poolN rows per
+    // subspace — that is only true if InferWindowGroupLimit fires on the
+    // rn <= poolN filter (GraftSession raises the threshold); a silent
+    // regression here funnels the full n x m subvector relation into the
+    // m group sorts
+    val subs = clustered().select(
+      col("vec_id"),
+      posexplode(array((0 to 1).map(_ => col("embedding").cast("array<double>")): _*))
+        .as(Seq("s", "sv")))
+    val hashed = subs.withColumn("__h", xxhash64(col("vec_id"), col("s"), lit(1L)))
+    val p = Pq.seedPoolPlan(hashed, "vec_id", poolN = 100)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      "pool rank guard lost its map-side WindowGroupLimit:\n" + p.take(1500))
+  }
 }
