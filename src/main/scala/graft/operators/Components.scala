@@ -314,19 +314,31 @@ object Components {
       // fixed point (at worst one no-op alternation after an odd-round
       // convergence, on an already-collapsed edge set).
       val ta = System.nanoTime()
-      val (mid, ls1) = alternate(edges, dedup = false)
-      val (out, ls2) = alternate(mid, dedup = true)
-      if (dbg) println(f"CCDBG round-$k%d plan=${(System.nanoTime() - ta) / 1e9}%.3f")
+      // The FIRST batch runs a single alternation: shallow near-clique
+      // dup graphs (the common case) reach their fixed point within it,
+      // so the confirming batch is their only other eager step — one
+      // alternation saved per call. Deep graphs lose nothing: ceil((d
+      // rounds − 1) / 2) + 1 batches either way.
+      val alts = if (cur.isEmpty) 1 else 2
+      val (out, lss) =
+        if (alts == 1) {
+          val (o, ls) = alternate(edges, dedup = true)
+          (o, Seq(ls))
+        } else {
+          val (mid, ls1) = alternate(edges, dedup = false)
+          val (o, ls2) = alternate(mid, dedup = true)
+          (o, Seq(ls1, ls2))
+        }
+      if (dbg) println(f"CCDBG round-$k%d alts=$alts plan=${(System.nanoTime() - ta) / 1e9}%.3f")
       val spill = batch % CheckpointEvery == CheckpointEvery - 1
       val (ss, next, rdd) = matStat(out, s"cc-edges-$k", spill)
-      ls1.unpersist(blocking = false)
-      ls2.unpersist(blocking = false)
+      lss.foreach(_.unpersist(blocking = false))
       if (spill) { liveRdds.foreach(_.unpersist(blocking = false)); liveRdds.clear() }
       rdd.foreach(liveRdds += _)
       edges = ss
       converged = next._1 == 0L || cur.contains(next)
       cur = Some(next)
-      k += 2
+      k += alts
       batch += 1
     }
     if (!converged)
