@@ -161,8 +161,12 @@ object Components {
     *    (decimal sums — overflow-safe for any 64-bit id space).
     *
     * Output matches [[labelPropagation]]: (id, component = min reachable
-    * node id) for every node in `nodes`. Eager (per-round persists, all
-    * released); throws if `maxIters` alternations don't converge.
+    * node id) for every node in `nodes`. Eager in BATCHES — one
+    * alternation first (shallow graphs converge inside it), then two per
+    * materializing action, with RDD persists checkpointed to scratch
+    * parquet every [[CheckpointEvery]] batches; every persist is
+    * released before return. Throws if `maxIters` alternations don't
+    * converge.
     */
   def alternatingStar(
       nodes: DataFrame,
@@ -234,9 +238,9 @@ object Components {
       r
     }
     // Canonical (u = hi, v = lo) edge list — LAZY: the first batch's
-    // single write action computes the (possibly expensive) pair plan
-    // exactly once, because canon ends in the distinct exchange every
-    // in-batch reference reuses. No up-front materialization: the
+    // single materializing action computes the (possibly expensive) pair
+    // plan exactly once, because canon ends in the distinct exchange
+    // every in-batch reference reuses. No up-front materialization: the
     // convergence comparison just starts from a None sentinel, which
     // costs one no-op batch ONLY when the input is already a star
     // forest (never for real pair-emitter output, which is unoriented
@@ -245,8 +249,8 @@ object Components {
     // One large-star + small-star alternation as a LAZY plan; the only
     // materialization inside is the large-star output (referenced twice
     // by small-star with no shared trailing exchange, so without a
-    // persist it would compute twice). The alternation's own output ends
-    // in canon's distinct EXCHANGE, so a downstream plan that references
+    // persist it would compute twice). A `dedup = true` output ends in
+    // canon's distinct EXCHANGE, so a downstream plan that references
     // it twice (the next alternation's symmetrization) pays it once via
     // ReuseExchange — which is what lets two alternations share one
     // eager action below.
@@ -301,6 +305,12 @@ object Components {
     // materialization.
     val liveRdds = scala.collection.mutable.ListBuffer
       .empty[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    // Every persist is released on EVERY path: the per-batch `finally`
+    // covers the large-star caches when a batch action fails, and the
+    // outer `finally` covers the live batch RDDs when the loop throws
+    // (non-convergence, job failure) — a long-lived session must not
+    // accumulate cache blocks from failed dedup runs.
+    try {
     while (k < maxIters && !converged) {
       // TWO alternations per eager step: the loop's cost on adversarial
       // graphs is pure fixed per-round stage latency, so halving the
@@ -331,8 +341,9 @@ object Components {
         }
       if (dbg) println(f"CCDBG round-$k%d alts=$alts plan=${(System.nanoTime() - ta) / 1e9}%.3f")
       val spill = batch % CheckpointEvery == CheckpointEvery - 1
-      val (ss, next, rdd) = matStat(out, s"cc-edges-$k", spill)
-      lss.foreach(_.unpersist(blocking = false))
+      val (ss, next, rdd) =
+        try matStat(out, s"cc-edges-$k", spill)
+        finally lss.foreach(_.unpersist(blocking = false))
       if (spill) { liveRdds.foreach(_.unpersist(blocking = false)); liveRdds.clear() }
       rdd.foreach(liveRdds += _)
       edges = ss
@@ -356,16 +367,18 @@ object Components {
     // 20-30 % duplication the labels are billions of rows, so a driver
     // collect() here would OOM exactly on the corpora dedup exists for;
     // the file re-roots the fixed point so every still-live loop RDD can
-    // be released here — the returned plan is rooted entirely in files,
-    // keeps the singleton majority a LAZY anti-join, and owns no
-    // persisted state and no driver-resident rows.
+    // be released (the outer finally) — the returned plan is rooted
+    // entirely in files, keeps the singleton majority a LAZY anti-join,
+    // and owns no persisted state and no driver-resident rows.
     val labeledDf = graft.pipeline.PipelineStage.scratch(labeled, "components-labels")
-    liveRdds.foreach(_.unpersist(blocking = false))
-    liveRdds.clear()
     val singletons = nodes.select(col(id).cast("long").as(id)).distinct()
       .join(labeledDf.select(col(id)), Seq(id), "left_anti")
       .withColumn("component", col(id))
     labeledDf.unionByName(singletons)
+    } finally {
+      liveRdds.foreach(_.unpersist(blocking = false))
+      liveRdds.clear()
+    }
   }
 
   /** Convergence-checked tier: iterate EAGERLY with per-round persisted

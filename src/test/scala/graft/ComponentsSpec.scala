@@ -90,6 +90,10 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.values.forall(_ == 0L), got.filter(_._2 != 0L).take(5).toString)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       s"leaked RDD caches: ${spark.sparkContext.getPersistentRDDs.keys}")
+    // the large-star intermediates are DATAFRAME persists now — the
+    // CacheManager must come back empty too, or a long session would
+    // serve future plans from stale registered caches
+    assert(spark.sharedState.cacheManager.isEmpty, "leaked CacheManager entries")
   }
 
   test("alternating-star agrees with label propagation on a mixed graph") {
