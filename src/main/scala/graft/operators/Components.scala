@@ -34,6 +34,48 @@ object Components {
     */
   private val CheckpointEvery = 3
 
+  /** Per-partition union-find contraction: replaces each partition's
+    * subgraph with its star forest (every member → the set's MIN node,
+    * the same labeling invariant the global rounds converge to). A
+    * mapPartitions kernel on purpose — "collapse this partition's edges
+    * to roots" is genuinely per-partition imperative state (a path-
+    * compressed parent map, O(nodes in partition)) with no declarative
+    * equivalent that doesn't replay the whole global-round machinery.
+    * Input must be canonical (u > v) edges; output is canonical, one
+    * edge per non-root node, duplicate-free WITHIN a partition (the
+    * loop's first batch distinct handles cross-partition duplicates).
+    */
+  private[graft] def localStars(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val spark = edges.sparkSession
+    implicit val enc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val contracted = edges
+      .repartitionByRange(col("u"), col("v"))
+      .as[(Long, Long)](enc)
+      .mapPartitions { it =>
+        val parent = new scala.collection.mutable.LongMap[Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (c != r) { val n = parent(c); parent(c) = r; c = n } // path compression
+          r
+        }
+        it.foreach { case (u, v) =>
+          if (!parent.contains(u)) parent(u) = u
+          if (!parent.contains(v)) parent(v) = v
+          val ru = find(u)
+          val rv = find(v)
+          if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv } // min wins
+        }
+        parent.keysIterator.toArray.iterator.flatMap { n =>
+          val r = find(n)
+          if (r != n) Iterator((n, r)) else Iterator.empty
+        }
+      }(enc)
+    contracted.toDF("u", "v")
+  }
+
   /** Symmetric closure of the pair list — the ONLY place the (potentially
     * expensive) pair derivation is referenced, and it ends in a distinct
     * exchange, so every downstream consumer (pair-node set, self-loops,
@@ -245,7 +287,22 @@ object Components {
     // costs one no-op batch ONLY when the input is already a star
     // forest (never for real pair-emitter output, which is unoriented
     // pairs, not parent pointers).
-    var edges = canon(pairs.select(col(a).cast("long").as("u"), col(b).cast("long").as("v")))
+    //
+    // LOCAL CONTRACTION first (one narrow pass, the standard big-graph
+    // CC preprocessing): range-partition the canonical edges and replace
+    // each partition's subgraph with its union-find star forest. Global
+    // rounds then start from per-partition stars, so the remaining
+    // diameter is bounded by the CROSS-partition structure — for the
+    // id-local chain graphs real chunking pipelines emit (doc N's chunks
+    // pair consecutive ids), range partitioning puts runs of the chain
+    // in one partition and the global round count drops from ~log2(n)
+    // to ~log2(partitions). Range on (u, v), not u alone, so a mega-star
+    // (billions of edges sharing one u) splits across partitions instead
+    // of funneling one task's union-find map; memory per task is
+    // O(nodes in partition), the bound the partitioner already enforces
+    // for the edge rows themselves.
+    var edges = localStars(
+      canon(pairs.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))))
     // One large-star + small-star alternation as a LAZY plan; the only
     // materialization inside is the large-star output (referenced twice
     // by small-star with no shared trailing exchange, so without a
