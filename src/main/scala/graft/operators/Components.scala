@@ -26,10 +26,10 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** Spill (scratch-parquet checkpoint) cadence for [[alternatingStar]],
-    * in 2-alternation batches: parquet round-trips cost ~3× an RDD
-    * persist locally, but unspilled lineage grows task binaries and
-    * loses recoverability — every 3rd batch (≈ 6 alternations) bounds
-    * both while shallow dup graphs (1-2 batches) never pay a spill
+    * in alternation rounds: parquet round-trips cost ~3× an RDD persist
+    * locally, but unspilled lineage grows task binaries and loses
+    * recoverability — every 3rd round bounds both while shallow dup
+    * graphs (1-2 rounds after local contraction) never pay a spill
     * inside the loop at all.
     */
   private val CheckpointEvery = 3
@@ -203,12 +203,13 @@ object Components {
     *    (decimal sums — overflow-safe for any 64-bit id space).
     *
     * Output matches [[labelPropagation]]: (id, component = min reachable
-    * node id) for every node in `nodes`. Eager in BATCHES — one
-    * alternation first (shallow graphs converge inside it), then two per
-    * materializing action, with RDD persists checkpointed to scratch
-    * parquet every [[CheckpointEvery]] batches; every persist is
-    * released before return. Throws if `maxIters` alternations don't
-    * converge.
+    * node id) for every node in `nodes`. Per-partition union-find
+    * contraction runs first (most shallow dup graphs converge inside
+    * it); the global loop is eager, one alternation per materializing
+    * action, with RDD persists checkpointed to scratch parquet every
+    * [[CheckpointEvery]] rounds; every persist is released before
+    * return, on every exit path. Throws if `maxIters` alternations
+    * don't converge.
     */
   def alternatingStar(
       nodes: DataFrame,
@@ -306,12 +307,10 @@ object Components {
     // One large-star + small-star alternation as a LAZY plan; the only
     // materialization inside is the large-star output (referenced twice
     // by small-star with no shared trailing exchange, so without a
-    // persist it would compute twice). A `dedup = true` output ends in
-    // canon's distinct EXCHANGE, so a downstream plan that references
-    // it twice (the next alternation's symmetrization) pays it once via
-    // ReuseExchange — which is what lets two alternations share one
-    // eager action below.
-    def alternate(in: DataFrame, dedup: Boolean): (DataFrame, DataFrame) = {
+    // persist it would compute twice). The output ends in canon's
+    // distinct EXCHANGE, so the next batch's two references to the
+    // materialized edge state reuse one computation.
+    def alternate(in: DataFrame): (DataFrame, DataFrame) = {
       // LARGE-STAR over both orientations: x's strictly-larger
       // neighbors re-link to x's minimum (incl. x itself). Output is
       // already canonically oriented (u = y > x ≥ m = v) and loop-free,
@@ -340,17 +339,7 @@ object Components {
           struct(col("v").as("u"), col("m").as("v")),
           struct(col("u").as("u"), col("m").as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
-      // `dedup = false` skips canon's distinct EXCHANGE for a mid-batch
-      // edge set: the next large-star's min aggregates are insensitive
-      // to duplicate edges and to the (v = m) self-loops small-star can
-      // emit (a self-loop contributes y = x to a min that already
-      // includes x), and multiplicity grows at most ~2× across one
-      // undeduped alternation before the batch-end canon collapses it.
-      // The undeduped output also has NO trailing exchange, so its
-      // consumers fuse it into their own map-side stages instead of
-      // waiting on a distinct stage — one fewer serial stage per batch
-      // on graphs whose cost is pure round latency.
-      (if (dedup) canon(raw) else raw, ls)
+      (canon(raw), ls)
     }
     var cur: Option[(Long, BigDecimal, BigDecimal)] = None
     var k = 0
@@ -369,44 +358,28 @@ object Components {
     // accumulate cache blocks from failed dedup runs.
     try {
     while (k < maxIters && !converged) {
-      // TWO alternations per eager step: the loop's cost on adversarial
-      // graphs is pure fixed per-round stage latency, so halving the
-      // materialization points halves the file round-trips and driver
-      // syncs. The mid-batch edge set needs no materialization of its
-      // own — it stays undeduped (see `dedup = false` above) and fuses
-      // into the second alternation's own stages. Both endpoint sums
-      // only decrease under star rewiring and strictly decrease unless
-      // the edge set is already a fixed point, so comparing the stat
-      // triple across a double alternation detects exactly the same
-      // fixed point (at worst one no-op alternation after an odd-round
-      // convergence, on an already-collapsed edge set).
+      // ONE alternation per eager step. A 2-alternation batch variant
+      // (undeduped mid-batch edge set fused into the second alternation)
+      // was measured and REJECTED: after local contraction the round
+      // counts are small, and the deeper per-action plan cost more than
+      // the saved driver sync on every graph shape tried (shallow
+      // near-clique AND the 1000-hop chain). Endpoint sums only decrease
+      // under star rewiring and strictly decrease unless the edge set is
+      // a fixed point, so consecutive-stat equality IS the fixed-point
+      // test.
       val ta = System.nanoTime()
-      // The FIRST batch runs a single alternation: shallow near-clique
-      // dup graphs (the common case) reach their fixed point within it,
-      // so the confirming batch is their only other eager step — one
-      // alternation saved per call. Deep graphs lose nothing: ceil((d
-      // rounds − 1) / 2) + 1 batches either way.
-      val alts = if (cur.isEmpty) 1 else 2
-      val (out, lss) =
-        if (alts == 1) {
-          val (o, ls) = alternate(edges, dedup = true)
-          (o, Seq(ls))
-        } else {
-          val (mid, ls1) = alternate(edges, dedup = false)
-          val (o, ls2) = alternate(mid, dedup = true)
-          (o, Seq(ls1, ls2))
-        }
-      if (dbg) println(f"CCDBG round-$k%d alts=$alts plan=${(System.nanoTime() - ta) / 1e9}%.3f")
+      val (out, ls) = alternate(edges)
+      if (dbg) println(f"CCDBG round-$k%d plan=${(System.nanoTime() - ta) / 1e9}%.3f")
       val spill = batch % CheckpointEvery == CheckpointEvery - 1
       val (ss, next, rdd) =
         try matStat(out, s"cc-edges-$k", spill)
-        finally lss.foreach(_.unpersist(blocking = false))
+        finally ls.unpersist(blocking = false)
       if (spill) { liveRdds.foreach(_.unpersist(blocking = false)); liveRdds.clear() }
       rdd.foreach(liveRdds += _)
       edges = ss
       converged = next._1 == 0L || cur.contains(next)
       cur = Some(next)
-      k += alts
+      k += 1
       batch += 1
     }
     if (!converged)
