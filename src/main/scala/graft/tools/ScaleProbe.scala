@@ -192,6 +192,20 @@ object ScaleProbe {
         graft.operators.Components.alternatingStar(
           d.select("doc_id"), pairs, "doc_id", "id_a", "id_b").count()
       }
+      timed("components_chain", c) {
+        // adversarial DEPTH scaling: a planted single chain over every
+        // scaled doc id (length n, 2n, 4n at 1×/2×/4×) — the worst graph
+        // shape for round-based CC. Wall time should grow ~log(n) global
+        // rounds after local contraction, not linearly with depth.
+        val spark = docs.sparkSession
+        val n = 10000L * c
+        import spark.implicits._
+        val nodes = spark.range(n).select(col("id").as("doc_id"))
+        val pairsDf = spark.range(n - 1)
+          .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+        graft.operators.Components.alternatingStar(
+          nodes, pairsDf, "doc_id", "id_a", "id_b").count()
+      }
       timed("decontam", c) {
         val d = scaledDocs(docs, c)
         graft.operators.Decontam.overlap(
