@@ -302,8 +302,18 @@ object Components {
     // of funneling one task's union-find map; memory per task is
     // O(nodes in partition), the bound the partitioner already enforces
     // for the edge rows themselves.
-    var edges = localStars(
-      canon(pairs.select(col(a).cast("long").as("u"), col(b).cast("long").as("v"))))
+    // The canonical edges are PERSISTED across the contraction:
+    // repartitionByRange computes its bounds with a separate RDD sampling
+    // job over its child, so an unpersisted (and typically expensive —
+    // shingle joins, LSH bands) pair plan would execute twice before the
+    // first batch. The persist makes the sampling pass populate the cache
+    // and the range shuffle read it back; it is released as soon as the
+    // first batch's materialization re-roots the edge state.
+    val canonEdges = canon(
+      pairs.select(col(a).cast("long").as("u"), col(b).cast("long").as("v")))
+      .persist(level)
+    var canonLive = true
+    var edges = localStars(canonEdges)
     // One large-star + small-star alternation as a LAZY plan; the only
     // materialization inside is the large-star output (referenced twice
     // by small-star with no shared trailing exchange, so without a
@@ -376,6 +386,7 @@ object Components {
         finally ls.unpersist(blocking = false)
       if (spill) { liveRdds.foreach(_.unpersist(blocking = false)); liveRdds.clear() }
       rdd.foreach(liveRdds += _)
+      if (canonLive) { canonEdges.unpersist(blocking = false); canonLive = false }
       edges = ss
       converged = next._1 == 0L || cur.contains(next)
       cur = Some(next)
@@ -406,6 +417,7 @@ object Components {
       .withColumn("component", col(id))
     labeledDf.unionByName(singletons)
     } finally {
+      if (canonLive) { canonEdges.unpersist(blocking = false); canonLive = false }
       liveRdds.foreach(_.unpersist(blocking = false))
       liveRdds.clear()
     }
