@@ -312,8 +312,17 @@ object Components {
     val canonEdges = canon(
       pairs.select(col(a).cast("long").as("u"), col(b).cast("long").as("v")))
       .persist(level)
+    // The contraction OUTPUT is persisted too: the first alternation
+    // references its input four times (two sym orientations, each read by
+    // the min aggregate and the re-link join), and only the range
+    // exchange below the union-find kernel is dedup'd by ReuseExchange —
+    // unpersisted, the kernel itself would run 4× over the full dup graph
+    // in the most expensive batch. Both persists are dup-graph-bounded
+    // and released once the first batch's materialization re-roots the
+    // edge state.
     var canonLive = true
-    var edges = localStars(canonEdges)
+    val contracted = localStars(canonEdges).persist(level)
+    var edges: DataFrame = contracted
     // One large-star + small-star alternation as a LAZY plan; the only
     // materialization inside is the large-star output (referenced twice
     // by small-star with no shared trailing exchange, so without a
@@ -353,7 +362,6 @@ object Components {
     }
     var cur: Option[(Long, BigDecimal, BigDecimal)] = None
     var k = 0
-    var batch = 0
     var converged = false
     // RDDs whose lineage the CURRENT edge state may still depend on:
     // previous batches' (unspilled) outputs. Released wholesale at each
@@ -380,18 +388,21 @@ object Components {
       val ta = System.nanoTime()
       val (out, ls) = alternate(edges)
       if (dbg) println(f"CCDBG round-$k%d plan=${(System.nanoTime() - ta) / 1e9}%.3f")
-      val spill = batch % CheckpointEvery == CheckpointEvery - 1
+      val spill = k % CheckpointEvery == CheckpointEvery - 1
       val (ss, next, rdd) =
         try matStat(out, s"cc-edges-$k", spill)
         finally ls.unpersist(blocking = false)
       if (spill) { liveRdds.foreach(_.unpersist(blocking = false)); liveRdds.clear() }
       rdd.foreach(liveRdds += _)
-      if (canonLive) { canonEdges.unpersist(blocking = false); canonLive = false }
+      if (canonLive) {
+        canonEdges.unpersist(blocking = false)
+        contracted.unpersist(blocking = false)
+        canonLive = false
+      }
       edges = ss
       converged = next._1 == 0L || cur.contains(next)
       cur = Some(next)
       k += 1
-      batch += 1
     }
     if (!converged)
       throw new IllegalStateException(
@@ -417,7 +428,11 @@ object Components {
       .withColumn("component", col(id))
     labeledDf.unionByName(singletons)
     } finally {
-      if (canonLive) { canonEdges.unpersist(blocking = false); canonLive = false }
+      if (canonLive) {
+        canonEdges.unpersist(blocking = false)
+        contracted.unpersist(blocking = false)
+        canonLive = false
+      }
       liveRdds.foreach(_.unpersist(blocking = false))
       liveRdds.clear()
     }

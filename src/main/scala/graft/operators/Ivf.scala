@@ -258,15 +258,35 @@ object Ivf {
   /** Largest k for which the trained codebook lives on the driver as a
     * [[Model]] (collected seeds + per-iteration k×dim sum collects +
     * task-closure/broadcast shipping). Past it, [[trainCodebook]] +
-    * [[assignByJoin]] keep the codebook in scratch parquet end to end —
-    * the driver never holds a row of it.
+    * [[assignByJoin]] keep the codebook in scratch parquet: the driver
+    * never holds it as a long-lived model — the only driver-side
+    * materialization left is the TRANSIENT broadcast build inside
+    * [[joinLabels]]' broadcast tier (freed by the context cleaner), and
+    * past [[BroadcastCodebookMaxRows]] even that goes away.
     */
   val DriverModelMaxK = 4096
 
-  /** Train the coarse quantizer WITHOUT the codebook ever touching the
-    * driver — the extreme-k tier (k > [[DriverModelMaxK]], the auto-sized
-    * SemDeDup regime where k tracks the corpus). Returns a scratch-parquet
-    *-backed codebook `(__j int, __c array<double>)`.
+  /** Largest codebook (rows) the assignment join ships as a broadcast.
+    * A broadcast relation is built ON THE DRIVER before distribution, so
+    * the broadcast tier still materializes the codebook there transiently
+    * — fine to ~1M × dim doubles, a false economy beyond (a 10⁷-centroid
+    * auto-k codebook is tens of GB: driver build + per-executor copy both
+    * stop being sane). Past this bound [[joinLabels]] uses a plain
+    * (un-hinted) crossJoin instead: Catalyst plans the scratch-parquet
+    * side as a distributed cartesian — every row still scores against
+    * every centroid, but NO single node ever holds the whole codebook.
+    */
+  val BroadcastCodebookMaxRows = 1L << 20
+
+  /** Train the coarse quantizer WITHOUT the codebook ever living on the
+    * driver as a collected model — the extreme-k tier
+    * (k > [[DriverModelMaxK]], the auto-sized SemDeDup regime where k
+    * tracks the corpus). Returns a scratch-parquet-backed codebook
+    * `(__j int, __c array<double>)`. Up to [[BroadcastCodebookMaxRows]]
+    * each iteration's assignment join still builds a TRANSIENT broadcast
+    * of the codebook (driver-side by Spark's broadcast mechanics, freed
+    * by the context cleaner); past that bound the join runs as a
+    * distributed cartesian and no node holds the whole codebook.
     *
     * Same algorithm as [[train]]'s hash-seeded tier, expressed as plans:
     * seeds are the k smallest-min-hash distinct vectors (numbered by a
@@ -301,7 +321,7 @@ object Ivf {
             col("__v").as("__c")),
         "ivf-seed")
       for (i <- 0 until iters) {
-        val assigned = joinLabels(data, id, codebook, "__cl")
+        val assigned = joinLabels(data, id, codebook, "__cl", k.toLong)
         val dims = data.join(assigned, Seq(id))
           .select(col("__cl"), posexplode(col("__v")).as(Seq("pos", "x")))
           .groupBy("__cl", "pos")
@@ -345,11 +365,14 @@ object Ivf {
       normalizedDf: DataFrame,
       id: String,
       codebook: DataFrame,
-      as: String): DataFrame =
+      as: String,
+      codebookRows: Long): DataFrame =
     normalizedDf
       .select(col(id), col("__v"))
       .filter(col("__v").isNotNull)
-      .crossJoin(broadcast(codebook))
+      .crossJoin(
+        if (codebookRows <= BroadcastCodebookMaxRows) broadcast(codebook)
+        else codebook)
       .select(
         col(id),
         struct(
@@ -363,10 +386,15 @@ object Ivf {
     * (see [[trainCodebook]]): adds `cluster`, null for null embeddings.
     * One shuffle of (id, cluster) plus the join back — at extreme k that
     * trade (vs shipping a multi-GB model in every task closure) is the
-    * point; below [[DriverModelMaxK]] prefer [[assign]].
+    * point; below [[DriverModelMaxK]] prefer [[assign]]. The codebook is
+    * counted up front (k rows, a parquet-metadata job) to pick the
+    * broadcast vs distributed-cartesian tier — see
+    * [[BroadcastCodebookMaxRows]].
     */
   def assignByJoin(df: DataFrame, id: String, vec: String, codebook: DataFrame): DataFrame =
-    df.join(joinLabels(normalized(df, vec), id, codebook, "cluster"), Seq(id), "left")
+    df.join(
+      joinLabels(normalized(df, vec), id, codebook, "cluster", codebook.count()),
+      Seq(id), "left")
 
   /** Top-k for a BATCH of queries in ONE corpus pass — the production
     * shape (a training pipeline looks up thousands of queries, not one).

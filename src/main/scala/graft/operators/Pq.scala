@@ -52,14 +52,35 @@ object Pq {
     * WindowGroupLimit (each task forwards ≤ poolN rows per subspace —
     * the property that keeps the m single-task group sorts poolN-bounded
     * at any corpus size).
+    *
+    * The map-side bound only exists when the session's
+    * `windowGroupLimitThreshold` covers `poolN` (GraftSession.tune raises
+    * it; Spark's default is 1000 < poolN for k > 50) — and Pq is a public
+    * operator, so a plain-session caller must NOT silently fall into m
+    * single-task sorts over the FULL n×m relation. Below the threshold
+    * the plan degrades to a union of per-subspace TakeOrdered branches
+    * instead: one job, m heap-bounded top-poolN sorts, no unbounded
+    * window partition anywhere — the shape the rank-guarded window was
+    * an m-jobs-to-one optimization of, never a replacement for.
     */
-  private[graft] def seedPoolPlan(hashed: DataFrame, id: String, poolN: Int): DataFrame = {
+  private[graft] def seedPoolPlan(
+      hashed: DataFrame, id: String, poolN: Int, m: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    hashed
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("s").orderBy(col("__h"), col(id))))
-      .filter(col("__rn") <= poolN)
-      .select(col("s"), col("__h"), col("sv"))
+    val thr = hashed.sparkSession.conf
+      .get("spark.sql.optimizer.windowGroupLimitThreshold", "1000").toLong
+    if (thr >= poolN)
+      hashed
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("s").orderBy(col("__h"), col(id))))
+        .filter(col("__rn") <= poolN)
+        .select(col("s"), col("__h"), col("sv"))
+    else
+      (0 until m)
+        .map(s => hashed.filter(col("s") === s)
+          .orderBy(col("__h"), col(id))
+          .limit(poolN)
+          .select(col("s"), col("__h"), col("sv")))
+        .reduce(_ unionByName _)
   }
 
   /** Train all `m` subspace codebooks JOINTLY: one long-form
@@ -100,7 +121,7 @@ object Pq {
       val poolN = math.max(20 * k, 100)
       val hashed = subs.withColumn("__h", xxhash64(col(id), col("s"), lit(seed)))
       val pool: Map[Int, Array[Array[Double]]] =
-        seedPoolPlan(hashed, id, poolN)
+        seedPoolPlan(hashed, id, poolN, m)
           .collect()
           .groupBy(_.getInt(0))
           .map { case (s, rows) =>

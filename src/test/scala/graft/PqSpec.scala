@@ -54,9 +54,36 @@ class PqSpec extends AnyFunSuite {
       posexplode(array((0 to 1).map(_ => col("embedding").cast("array<double>")): _*))
         .as(Seq("s", "sv")))
     val hashed = subs.withColumn("__h", xxhash64(col("vec_id"), col("s"), lit(1L)))
-    val p = Pq.seedPoolPlan(hashed, "vec_id", poolN = 100)
+    val p = Pq.seedPoolPlan(hashed, "vec_id", poolN = 100, m = 2)
       .queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"),
       "pool rank guard lost its map-side WindowGroupLimit:\n" + p.take(1500))
+  }
+
+  test("seeding pool degrades to TakeOrdered branches below the window threshold") {
+    import org.apache.spark.sql.functions._
+    // Pq is a public operator: a plain session (windowGroupLimitThreshold
+    // at Spark's default 1000 < poolN) must not fall into unbounded
+    // single-task window sorts — the plan dispatches to a union of
+    // per-subspace heap-bounded TakeOrdered branches with the same output
+    val subs = clustered().select(
+      col("vec_id"),
+      posexplode(array((0 to 1).map(_ => col("embedding").cast("array<double>")): _*))
+        .as(Seq("s", "sv")))
+    val hashed = subs.withColumn("__h", xxhash64(col("vec_id"), col("s"), lit(1L)))
+    val key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1000")
+      val pool = Pq.seedPoolPlan(hashed, "vec_id", poolN = 2000, m = 2)
+      val plan = pool.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        "fallback tier did not plan as TakeOrdered:\n" + plan.take(1500))
+      assert(!plan.contains("WindowGroupLimit"))
+      spark.conf.set(key, "1000000")
+      val viaWindow = Pq.seedPoolPlan(hashed, "vec_id", poolN = 2000, m = 2)
+      assert(pool.collect().map(_.toString).sorted.sameElements(
+        viaWindow.collect().map(_.toString).sorted))
+    } finally spark.conf.set(key, prev)
   }
 }
