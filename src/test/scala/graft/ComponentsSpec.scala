@@ -137,6 +137,36 @@ class ComponentsSpec extends AnyFunSuite {
       s"leaked RDD caches: ${spark.sparkContext.getPersistentRDDs.keys}")
   }
 
+  test("alternating-star matches a union-find oracle on seeded random graphs") {
+    import spark.implicits._
+    // density sweep: sparse forest (m < n, mostly trees + singletons),
+    // critical (m ≈ n, a giant component emerges), dense (m >> n, few
+    // blobs) — the regimes where contraction, the star rounds, and the
+    // singleton anti-join each dominate differently
+    for ((seed, m) <- Seq((1, 60), (2, 150), (3, 500))) {
+      val rnd = new scala.util.Random(seed)
+      val n = 150
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Components.alternatingStar(
+        (0L until n.toLong).toDF("doc_id"),
+        edges.toDF("id_a", "id_b"),
+        "doc_id", "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed m=$m")
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"leaked RDD caches after seed=$seed: " +
+          spark.sparkContext.getPersistentRDDs.keys)
+    }
+  }
+
   test("empty pair set: every node is its own component") {
     import spark.implicits._
     val nodes = Seq(1L, 2L).toDF("doc_id")
