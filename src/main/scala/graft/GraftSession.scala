@@ -10,11 +10,15 @@ object GraftSession {
   /** Rank-guard conjuncts (`rn <= budget`) must map-side-prune at real
     * budget sizes — Spark's `InferWindowGroupLimit` only fires below
     * `windowGroupLimitThreshold`, which defaults to 1000 rows, far under
-    * the engine's sampling/mixing budgets (5k–20k). The group limit's
-    * per-partition memory is bounded by the budget either way.
+    * the engine's sampling/mixing budgets. Set to Int.MaxValue: the
+    * group limit is a sort-order scan filter (no per-group buffering),
+    * so there is no memory reason to cap it, and any budget it cannot
+    * cover has already outgrown `row_number` itself — that regime is
+    * [[graft.operators.Sampling.tokenBudgetCapFullSharded]]'s, not a
+    * window's.
     */
   def tune(b: SparkSession.Builder): SparkSession.Builder =
-    b.config("spark.sql.optimizer.windowGroupLimitThreshold", "1000000")
+    b.config("spark.sql.optimizer.windowGroupLimitThreshold", Int.MaxValue.toString)
       // Cached plans are otherwise exempt from AQE partition coalescing
       // (Spark keeps their output partitioning stable by default), so an
       // iterative operator that persists a tiny intermediate (e.g.

@@ -178,7 +178,11 @@ object Sampling {
     * `budget` rows first (implied by `cum ≤ budget` whenever every doc
     * has ≥ 1 token; oracle SQL carries the same conjunct so both engines
     * share the degenerate zero-token-run semantics). The exact running
-    * sum then runs over ≤ budget rows per stratum.
+    * sum then runs over ≤ budget rows per stratum. Both bounds assume the
+    * budget is under the session's windowGroupLimitThreshold and a
+    * stratum's kept prefix fits one task's sort — past either (billions-
+    * token budgets, billion-doc strata), use the row-identical
+    * [[tokenBudgetCapFullSharded]] prefix-sum tier.
     */
   private def tokenBudgetCapBy(
       df: DataFrame,
@@ -194,6 +198,88 @@ object Sampling {
       .withColumn("__cum", sum(tokens).over(w))
       .filter(col("__cum") <= budget)
       .drop("__rn", "__cum")
+  }
+
+  /** [[tokenBudgetCapFull]] with NO per-stratum window partition — the
+    * extreme-scale tier. The rank-guarded window tier is map-side-prunable
+    * only while the literal budget stays under the session's
+    * `windowGroupLimitThreshold`, and its final window still lands each
+    * whole stratum in ONE task's sort; at 100 TB (multi-billion-token
+    * budgets, a biggest-language stratum of billions of docs) both bounds
+    * die. Here the stratum is split into `2^shardBits` ORDERED shards by
+    * the top bits of the full-range xxhash64 shuffle key — a pure,
+    * monotone column expression, so the plan stays one lazy tree with no
+    * range-sampling pass and no partition-id nondeterminism — and the
+    * running total is assembled as (exclusive prefix over the tiny
+    * per-(shard, stratum) totals relation) + (within-shard window). Every
+    * window partition is a 1/2^shardBits slice of a stratum; the totals
+    * relation is ≤ shards × strata rows. Output is row-identical to
+    * [[tokenBudgetCapFull]] (same total order, same rank + running-sum
+    * predicate; spec-pinned).
+    */
+  def tokenBudgetCapFullSharded(
+      df: DataFrame,
+      id: String,
+      strata: Seq[String],
+      tokens: Column,
+      budget: Long,
+      seed: Int,
+      shardBits: Int = 10): DataFrame =
+    tokenBudgetCapShardedBy(
+      df, strata, tokens, budget, shuffleKeyFull(col(id), seed), col(id), shardBits)
+
+  /** Sharded prefix-sum kernel of [[tokenBudgetCapFullSharded]]. `key`
+    * must be a long whose ORDER defines the fill order (uniform over the
+    * full signed-long range for balanced shards — a narrow-range key is
+    * still correct, it just degenerates toward one shard, e.g. the
+    * mod-100k oracle key, which is how the registered query stays
+    * DuckDB-checkable).
+    */
+  private[graft] def tokenBudgetCapShardedBy(
+      df: DataFrame,
+      strata: Seq[String],
+      tokens: Column,
+      budget: Long,
+      key: Column,
+      tie: Column,
+      shardBits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardBits >= 1 && shardBits <= 20, s"shardBits $shardBits out of range")
+    val gcols = strata.map(col)
+    // arithmetic >> preserves signed order, so the shard index is monotone
+    // in the key and shard-prefix + within-shard order IS the total order
+    val base = df
+      .withColumn("__tok", tokens)
+      .withColumn("__key", key.cast("long"))
+      .withColumn(
+        "__shard",
+        shiftright(col("__key"), 64 - shardBits) + lit(1L << (shardBits - 1)))
+    val shardCols = col("__shard") +: gcols
+    val perShard = base.groupBy(shardCols: _*)
+      .agg(sum(col("__tok")).as("__ps"), count(lit(1)).as("__pc"))
+    // exclusive prefix over shards within each stratum — a window over the
+    // shards × strata totals relation, entirely in-plan (no driver rows)
+    val wOff = Window.partitionBy(gcols: _*).orderBy(col("__shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perShard.select(
+      col("__shard").as("__oshard") +:
+        strata.map(c => col(c).as(s"__og_$c")) :+
+        coalesce(sum(col("__ps")).over(wOff), lit(0L)).as("__tbase") :+
+        coalesce(sum(col("__pc")).over(wOff), lit(0L)).as("__rbase"): _*)
+    // null-safe stratum keys: the window tier's partitionBy keeps null
+    // strata, so the offset join must too
+    val cond = strata
+      .map(c => col(c) <=> col(s"__og_$c"))
+      .foldLeft(col("__shard") === col("__oshard"))(_ && _)
+    val wIn = Window.partitionBy(shardCols: _*).orderBy(col("__key"), tie)
+    base.join(broadcast(offsets), cond)
+      .withColumn("__grn", col("__rbase") + row_number().over(wIn))
+      .withColumn("__gcum", col("__tbase") +
+        sum(col("__tok")).over(wIn.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("__grn") <= budget && col("__gcum") <= budget)
+      .drop(
+        (Seq("__tok", "__key", "__shard", "__oshard", "__tbase", "__rbase",
+          "__grn", "__gcum") ++ strata.map(c => s"__og_$c")): _*)
   }
 
   /** CCNet-shaped perplexity selection (public literature): keep each

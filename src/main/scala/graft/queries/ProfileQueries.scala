@@ -158,7 +158,47 @@ object ProfileQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept")))
 
+  /** The SHARDED prefix-sum budget kernel
+    * ([[graft.operators.Sampling.tokenBudgetCapShardedBy]] — the
+    * extreme-scale tier whose window partitions are shard slices, never a
+    * whole stratum) against the SAME oracle as `sample_token_budget`:
+    * shard structure affects execution, not output, so the oracle-tier
+    * mod-100k key keeps it DuckDB-checkable (the key's narrow range
+    * degenerates to one shard here; SamplingSpec pins row-identity to the
+    * window tier under the full-range balanced key).
+    */
+  val sampleBudgetSharded: Q = Q(
+    "sample_token_budget_sharded",
+    Some("""WITH t AS (
+           |  SELECT doc_id, lang,
+           |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           |    ((doc_id + 5) % 100000) * 2654435761 % 4294967296 AS hk
+           |  FROM documents),
+           |c AS (
+           |  SELECT lang, n_tokens,
+           |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn,
+           |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY hk, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM t)
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+           |FROM c WHERE rn <= 20000 AND cum <= 20000 GROUP BY lang""".stripMargin),
+    (s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Sampling
+        .tokenBudgetCapShardedBy(
+          d, Seq("lang"), col("n_tokens"), budget = 20000L,
+          graft.operators.Sampling.shuffleKey(col("doc_id"), seed = 5),
+          col("doc_id"), shardBits = 10)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"))
+    })
+
   def all: Seq[Q] = Seq(
     profileLineitem, textRedact, ksQuantity, sampleMix, sampleBudget,
-    sampleTemperature)
+    sampleTemperature, sampleBudgetSharded)
 }

@@ -70,6 +70,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept.length == 50 && kept.max > 200L)
   }
 
+  test("sharded prefix-sum budget cap is row-identical to the window tier") {
+    import spark.implicits._
+    // varied token counts + two strata + null stratum rows: the sharded
+    // tier must reproduce the window tier's rank AND running-sum
+    // semantics exactly, including null-stratum grouping
+    val docs = (0L until 600L)
+      .map(i => (i, if (i % 7 == 0) null else if (i % 2 == 0) "en" else "de",
+        (i % 13) + 1L))
+      .toDF("doc_id", "lang", "n_tokens")
+    val window = Sampling.tokenBudgetCapFull(
+      docs, "doc_id", Seq("lang"), col("n_tokens"), budget = 700L, seed = 3)
+    val sharded = Sampling.tokenBudgetCapFullSharded(
+      docs, "doc_id", Seq("lang"), col("n_tokens"), budget = 700L, seed = 3)
+    val a = window.collect().map(_.toString).sorted
+    val b = sharded.collect().map(_.toString).sorted
+    assert(a.sameElements(b), s"window=${a.length} sharded=${b.length}")
+    assert(b.nonEmpty)
+    // the shard split actually spreads the stratum: with full-range
+    // xxhash64 keys and 2^10 shards, 600 docs land in many shards — the
+    // within-shard window partitions are slices, never a whole stratum
+    val shards = docs
+      .select((shiftright(xxhash64(col("doc_id"), lit(3)), 54) + lit(512L)).as("s"))
+      .distinct().count()
+    assert(shards > 100, s"degenerate shard split: $shards")
+  }
+
   test("temperature mixing flattens toward rare strata; τ=1 is proportional") {
     import spark.implicits._
     // 900 "big" docs vs 100 "small": proportional shares 90/10,
