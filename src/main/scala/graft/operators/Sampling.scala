@@ -136,6 +136,25 @@ object Sampling {
     temperatureMixBy(df, id, stratum, budget, seed,
       n => pow(n.cast("double"), lit(tau)), full = true)
 
+  /** Per-stratum doc targets ∝ weight(n) out of `budget` — shared by the
+    * window and sharded temperature tiers so the fill bound cannot drift
+    * between them.
+    */
+  private def strataTargets(
+      df: DataFrame,
+      stratum: String,
+      budget: Long,
+      weight: Column => Column): DataFrame = {
+    import graft.functions.DetAgg
+    val counts = df.groupBy(stratum).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", weight(col("__n")))
+    val tot = counts.agg(DetAgg.dsum(col("__w")).as("__wsum"))
+    counts.crossJoin(broadcast(tot))
+      .select(
+        col(stratum),
+        floor(lit(budget.toDouble) * col("__w") / col("__wsum")).as("__target"))
+  }
+
   private def temperatureMixBy(
       df: DataFrame,
       id: String,
@@ -145,14 +164,7 @@ object Sampling {
       weight: Column => Column,
       full: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.functions.DetAgg
-    val counts = df.groupBy(stratum).agg(count(lit(1)).as("__n"))
-      .withColumn("__w", weight(col("__n")))
-    val tot = counts.agg(DetAgg.dsum(col("__w")).as("__wsum"))
-    val targets = counts.crossJoin(broadcast(tot))
-      .select(
-        col(stratum),
-        floor(lit(budget.toDouble) * col("__w") / col("__wsum")).as("__target"))
+    val targets = strataTargets(df, stratum, budget, weight)
     val key = if (full) shuffleKeyFull(col(id), seed) else shuffleKey(col(id), seed)
     val w = Window.partitionBy(col(stratum)).orderBy(key, col(id))
     // the rank filter carries a LITERAL bound alongside the per-stratum
@@ -242,6 +254,64 @@ object Sampling {
       budget: Long,
       key: Column,
       tie: Column,
+      shardBits: Int): DataFrame =
+    shardedPrefix(df, strata, tokens, key, tie, shardBits)
+      .filter(col("__grn") <= budget && col("__gcum") <= budget)
+      .drop("__grn", "__gcum")
+
+  /** [[temperatureMixFull]] with the sharded-prefix fill — the
+    * extreme-scale temperature tier, same hazard and same cure as
+    * [[tokenBudgetCapFullSharded]]: the window tier's per-stratum rank
+    * sort holds a stratum's budget-bounded prefix in one task, which
+    * dies when budgets reach billions; here the global rank is assembled
+    * from shard-slice windows. Row-identical to [[temperatureMixFull]]
+    * (spec-pinned).
+    */
+  def temperatureMixFullSharded(
+      df: DataFrame,
+      id: String,
+      stratum: String,
+      budget: Long,
+      tau: Double,
+      seed: Int,
+      shardBits: Int = 10): DataFrame =
+    temperatureMixSharded(
+      df, id, stratum, budget, seed,
+      n => pow(n.cast("double"), lit(tau)),
+      shuffleKeyFull(col(id), seed), shardBits)
+
+  /** Sharded temperature fill with an explicit weight/key pair — the
+    * oracle-checkable entry ([[temperatureMixSqrt]] weights + the
+    * mod-100k key keep DuckDB parity; shard structure never changes
+    * output).
+    */
+  private[graft] def temperatureMixSharded(
+      df: DataFrame,
+      id: String,
+      stratum: String,
+      budget: Long,
+      seed: Int,
+      weight: Column => Column,
+      key: Column,
+      shardBits: Int): DataFrame = {
+    val targets = strataTargets(df, stratum, budget, weight)
+    df.join(broadcast(targets), stratum)
+      .transform(d => shardedPrefix(d, Seq(stratum), lit(1L), key, col(id), shardBits))
+      .filter(col("__grn") <= col("__target"))
+      .drop("__grn", "__gcum", "__target")
+  }
+
+  /** Sharded-prefix kernel shared by the extreme-scale budget and
+    * temperature tiers: adds `__grn` (global 1-based rank by (key, tie)
+    * within each stratum) and `__gcum` (running `tokens` total in that
+    * order) with NO per-stratum window partition anywhere in the plan.
+    */
+  private def shardedPrefix(
+      df: DataFrame,
+      strata: Seq[String],
+      tokens: Column,
+      key: Column,
+      tie: Column,
       shardBits: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shardBits >= 1 && shardBits <= 20, s"shardBits $shardBits out of range")
@@ -276,10 +346,9 @@ object Sampling {
       .withColumn("__grn", col("__rbase") + row_number().over(wIn))
       .withColumn("__gcum", col("__tbase") +
         sum(col("__tok")).over(wIn.rowsBetween(Window.unboundedPreceding, 0)))
-      .filter(col("__grn") <= budget && col("__gcum") <= budget)
       .drop(
-        (Seq("__tok", "__key", "__shard", "__oshard", "__tbase", "__rbase",
-          "__grn", "__gcum") ++ strata.map(c => s"__og_$c")): _*)
+        (Seq("__tok", "__key", "__shard", "__oshard", "__tbase", "__rbase")
+          ++ strata.map(c => s"__og_$c")): _*)
   }
 
   /** CCNet-shaped perplexity selection (public literature): keep each

@@ -198,7 +198,38 @@ object ProfileQueries {
           sum(col("n_tokens")).as("total_tokens"))
     })
 
+  /** The sharded temperature fill
+    * ([[graft.operators.Sampling.temperatureMixSharded]]) against
+    * `sample_temperature`'s oracle — same √-weight targets, same
+    * oracle-tier key (degenerate single shard, unchanged output);
+    * SamplingSpec pins row-identity to the window tier under the
+    * full-range balanced key.
+    */
+  val sampleTemperatureSharded: Q = Q(
+    "sample_temperature_sharded",
+    Some(s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+            |w AS (SELECT lang, SQRT(CAST(n AS DOUBLE)) AS w FROM c),
+            |tot AS (SELECT ${graft.functions.DetAgg.Sql.dsum("w")} AS wsum FROM w),
+            |t AS (SELECT lang, FLOOR(3.0e2 * w / wsum) AS target
+            |      FROM w CROSS JOIN tot),
+            |r AS (SELECT doc_id, lang,
+            |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+            |          ((doc_id + 7) % 100000) * 2654435761 % 4294967296, doc_id) AS rn
+            |      FROM documents)
+            |SELECT lang, COUNT(*) AS n_kept
+            |FROM r JOIN t USING (lang) WHERE rn <= target
+            |GROUP BY lang""".stripMargin),
+    (s, dir) =>
+      graft.operators.Sampling.temperatureMixSharded(
+        Tables.load(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", budget = 300L, seed = 7,
+        n => sqrt(n.cast("double")),
+        graft.operators.Sampling.shuffleKey(col("doc_id"), seed = 7),
+        shardBits = 10)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept")))
+
   def all: Seq[Q] = Seq(
     profileLineitem, textRedact, ksQuantity, sampleMix, sampleBudget,
-    sampleTemperature, sampleBudgetSharded)
+    sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded)
 }

@@ -96,6 +96,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(shards > 100, s"degenerate shard split: $shards")
   }
 
+  test("sharded temperature fill is row-identical to the window tier") {
+    import spark.implicits._
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1001 to 1100).map(i => (i.toLong, "small"))).toDF("doc_id", "s")
+    val window = Sampling.temperatureMixFull(
+      df, "doc_id", "s", budget = 200L, tau = 0.7, seed = 9)
+    val sharded = Sampling.temperatureMixFullSharded(
+      df, "doc_id", "s", budget = 200L, tau = 0.7, seed = 9)
+    val a = window.collect().map(_.toString).sorted
+    val b = sharded.collect().map(_.toString).sorted
+    assert(a.sameElements(b), s"window=${a.length} sharded=${b.length}")
+    assert(b.nonEmpty)
+  }
+
   test("temperature mixing flattens toward rare strata; τ=1 is proportional") {
     import spark.implicits._
     // 900 "big" docs vs 100 "small": proportional shares 90/10,
