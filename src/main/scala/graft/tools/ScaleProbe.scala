@@ -244,6 +244,29 @@ object ScaleProbe {
         graft.operators.Sampling.perplexityKeep(scored, "doc_id", "lang", budget = 5000L)
           .groupBy("lang").agg(count(lit(1)).as("n")).count()
       }
+      timed("token_budget_sharded", c) {
+        // the extreme-scale budget tier vs its stratum-window twin on the
+        // same growing corpus: both should track corpus size (one scan +
+        // one bounded shuffle); the sharded tier's window partitions are
+        // shard slices, so its flatness must not depend on the budget
+        // staying under windowGroupLimitThreshold
+        val d = scaledDocs(docs, c).select(
+          col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tokens"))
+        graft.operators.Sampling.tokenBudgetCapFullSharded(
+          d, "doc_id", Seq("lang"), col("n_tokens"), budget = 20000L, seed = 5)
+          .groupBy("lang").agg(sum("n_tokens")).count()
+      }
+      timed("token_budget_window", c) {
+        val d = scaledDocs(docs, c).select(
+          col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tokens"))
+        graft.operators.Sampling.tokenBudgetCapFull(
+          d, "doc_id", Seq("lang"), col("n_tokens"), budget = 20000L, seed = 5)
+          .groupBy("lang").agg(sum("n_tokens")).count()
+      }
       timed("semantic_pairs", c) {
         // cluster-scoped near-dup at FIXED k: cells grow linearly with
         // the corpus, so within-cell pair work grows quadratically — the
