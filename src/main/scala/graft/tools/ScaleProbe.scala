@@ -246,8 +246,9 @@ object ScaleProbe {
       }
       timed("token_budget_sharded", c) {
         // the extreme-scale budget tier vs its stratum-window twin on the
-        // same growing corpus: both should track corpus size (one scan +
-        // one bounded shuffle); the sharded tier's window partitions are
+        // same growing corpus: both should track corpus size (the sharded
+        // tier pays TWO column-pruned corpus passes — shard totals, then
+        // the fill — vs the window tier's one); its window partitions are
         // shard slices, so its flatness must not depend on the budget
         // staying under windowGroupLimitThreshold
         val d = scaledDocs(docs, c).select(
