@@ -255,7 +255,7 @@ object Sampling {
       key: Column,
       tie: Column,
       shardBits: Int): DataFrame =
-    shardedPrefix(df, strata, tokens, key, tie, shardBits)
+    shardedPrefix(df, strata, Some(tokens), key, tie, shardBits)
       .filter(col("__grn") <= budget && col("__gcum") <= budget)
       .drop("__grn", "__gcum")
 
@@ -296,20 +296,34 @@ object Sampling {
       shardBits: Int): DataFrame = {
     val targets = strataTargets(df, stratum, budget, weight)
     df.join(broadcast(targets), stratum)
-      .transform(d => shardedPrefix(d, Seq(stratum), lit(1L), key, col(id), shardBits))
+      // rank-only kernel: a running sum of 1s would just duplicate the
+      // rank at the cost of a second corpus-wide window aggregate
+      .transform(d => shardedPrefix(d, Seq(stratum), None, key, col(id), shardBits))
       .filter(col("__grn") <= col("__target"))
-      .drop("__grn", "__gcum", "__target")
+      .drop("__grn", "__target")
   }
 
   /** Sharded-prefix kernel shared by the extreme-scale budget and
     * temperature tiers: adds `__grn` (global 1-based rank by (key, tie)
-    * within each stratum) and `__gcum` (running `tokens` total in that
-    * order) with NO per-stratum window partition anywhere in the plan.
+    * within each stratum) and — when `tokens` is supplied — `__gcum`
+    * (running `tokens` total in that order) with NO per-stratum window
+    * partition anywhere in the plan. Row-identity caveats handled here so
+    * both tiers stay bit-equal to their window twins:
+    *
+    *  - a NULL sort key (null id under the oracle-tier shuffle key)
+    *    yields a null shard, which must survive the offsets join (`<=>`)
+    *    and rank FIRST — shard `orderBy` is ASC NULLS FIRST, exactly the
+    *    window tier's key order;
+    *  - the running sum over nullable tokens is null precisely while the
+    *    global prefix holds NO non-null token (SQL sum-over-frame
+    *    semantics): assembled from shard-local sums via a non-null
+    *    prefix COUNT, since `tbase + within` alone would go null at every
+    *    shard head and drop rows the window tier keeps.
     */
   private def shardedPrefix(
       df: DataFrame,
       strata: Seq[String],
-      tokens: Column,
+      tokens: Option[Column],
       key: Column,
       tie: Column,
       shardBits: Int): DataFrame = {
@@ -318,37 +332,46 @@ object Sampling {
     val gcols = strata.map(col)
     // arithmetic >> preserves signed order, so the shard index is monotone
     // in the key and shard-prefix + within-shard order IS the total order
-    val base = df
-      .withColumn("__tok", tokens)
+    val keyed = df
       .withColumn("__key", key.cast("long"))
       .withColumn(
         "__shard",
         shiftright(col("__key"), 64 - shardBits) + lit(1L << (shardBits - 1)))
+    val base = tokens.fold(keyed)(t => keyed.withColumn("__tok", t))
     val shardCols = col("__shard") +: gcols
-    val perShard = base.groupBy(shardCols: _*)
-      .agg(sum(col("__tok")).as("__ps"), count(lit(1)).as("__pc"))
+    val aggs = count(lit(1)).as("__pc") +: (if (tokens.isDefined)
+      Seq(sum(col("__tok")).as("__ps"), count(col("__tok")).as("__pn"))
+    else Nil)
+    val perShard = base.groupBy(shardCols: _*).agg(aggs.head, aggs.tail: _*)
     // exclusive prefix over shards within each stratum — a window over the
     // shards × strata totals relation, entirely in-plan (no driver rows)
     val wOff = Window.partitionBy(gcols: _*).orderBy(col("__shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = perShard.select(
-      col("__shard").as("__oshard") +:
+      (col("__shard").as("__oshard") +:
         strata.map(c => col(c).as(s"__og_$c")) :+
-        coalesce(sum(col("__ps")).over(wOff), lit(0L)).as("__tbase") :+
-        coalesce(sum(col("__pc")).over(wOff), lit(0L)).as("__rbase"): _*)
-    // null-safe stratum keys: the window tier's partitionBy keeps null
-    // strata, so the offset join must too
+        coalesce(sum(col("__pc")).over(wOff), lit(0L)).as("__rbase")) ++
+        (if (tokens.isDefined)
+          Seq(
+            coalesce(sum(col("__ps")).over(wOff), lit(0L)).as("__tbase"),
+            coalesce(sum(col("__pn")).over(wOff), lit(0L)).as("__nnbase"))
+        else Nil): _*)
+    // null-safe shard AND stratum keys: the window tier keeps null strata
+    // and null-key rows, so the offsets join must too
     val cond = strata
       .map(c => col(c) <=> col(s"__og_$c"))
-      .foldLeft(col("__shard") === col("__oshard"))(_ && _)
+      .foldLeft(col("__shard") <=> col("__oshard"))(_ && _)
     val wIn = Window.partitionBy(shardCols: _*).orderBy(col("__key"), tie)
-    base.join(broadcast(offsets), cond)
+    val wCum = wIn.rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = base.join(broadcast(offsets), cond)
       .withColumn("__grn", col("__rbase") + row_number().over(wIn))
-      .withColumn("__gcum", col("__tbase") +
-        sum(col("__tok")).over(wIn.rowsBetween(Window.unboundedPreceding, 0)))
+    tokens.fold(ranked)(_ => ranked
+      .withColumn("__gcum",
+        when(col("__nnbase") + count(col("__tok")).over(wCum) > 0,
+          col("__tbase") + coalesce(sum(col("__tok")).over(wCum), lit(0L)))))
       .drop(
-        (Seq("__tok", "__key", "__shard", "__oshard", "__tbase", "__rbase")
-          ++ strata.map(c => s"__og_$c")): _*)
+        (Seq("__tok", "__key", "__shard", "__oshard", "__tbase", "__rbase",
+          "__nnbase") ++ strata.map(c => s"__og_$c")): _*)
   }
 
   /** CCNet-shaped perplexity selection (public literature): keep each

@@ -99,13 +99,13 @@ object ProfileQueries {
         .groupBy("source", "lang")
         .agg(count(lit(1)).as("n")))
 
-  /** Token-budget capping: each language keeps a uniform hash-ordered
-    * sample of docs until 20k whitespace tokens — kept counts + exact
-    * token totals per language.
+  /** Oracle SQL shared VERBATIM by the window- and sharded-tier
+    * budget/temperature queries: the tiers are row-identical by
+    * construction, so they must stay against literally one oracle —
+    * a drift between twin copies would silently fork the contract.
     */
-  val sampleBudget: Q = Q(
-    "sample_token_budget",
-    Some("""WITH t AS (
+  private val tokenBudgetOracle: String =
+    """WITH t AS (
            |  SELECT doc_id, lang,
            |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
            |    ((doc_id + 5) % 100000) * 2654435761 % 4294967296 AS hk
@@ -118,7 +118,29 @@ object ProfileQueries {
            |  FROM t)
            |SELECT lang, COUNT(*) AS n_docs,
            |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-           |FROM c WHERE rn <= 20000 AND cum <= 20000 GROUP BY lang""".stripMargin),
+           |FROM c WHERE rn <= 20000 AND cum <= 20000 GROUP BY lang""".stripMargin
+
+  private val temperatureOracle: String =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+            |w AS (SELECT lang, SQRT(CAST(n AS DOUBLE)) AS w FROM c),
+            |tot AS (SELECT ${graft.functions.DetAgg.Sql.dsum("w")} AS wsum FROM w),
+            |t AS (SELECT lang, FLOOR(3.0e2 * w / wsum) AS target
+            |      FROM w CROSS JOIN tot),
+            |r AS (SELECT doc_id, lang,
+            |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+            |          ((doc_id + 7) % 100000) * 2654435761 % 4294967296, doc_id) AS rn
+            |      FROM documents)
+            |SELECT lang, COUNT(*) AS n_kept
+            |FROM r JOIN t USING (lang) WHERE rn <= target
+            |GROUP BY lang""".stripMargin
+
+  /** Token-budget capping: each language keeps a uniform hash-ordered
+    * sample of docs until 20k whitespace tokens — kept counts + exact
+    * token totals per language.
+    */
+  val sampleBudget: Q = Q(
+    "sample_token_budget",
+    Some(tokenBudgetOracle),
     (s, dir) => {
       val d = Tables.load(s, dir, "documents").select(
         col("doc_id"), col("lang"),
@@ -139,18 +161,7 @@ object ProfileQueries {
     */
   val sampleTemperature: Q = Q(
     "sample_temperature",
-    Some(s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
-            |w AS (SELECT lang, SQRT(CAST(n AS DOUBLE)) AS w FROM c),
-            |tot AS (SELECT ${graft.functions.DetAgg.Sql.dsum("w")} AS wsum FROM w),
-            |t AS (SELECT lang, FLOOR(3.0e2 * w / wsum) AS target
-            |      FROM w CROSS JOIN tot),
-            |r AS (SELECT doc_id, lang,
-            |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
-            |          ((doc_id + 7) % 100000) * 2654435761 % 4294967296, doc_id) AS rn
-            |      FROM documents)
-            |SELECT lang, COUNT(*) AS n_kept
-            |FROM r JOIN t USING (lang) WHERE rn <= target
-            |GROUP BY lang""".stripMargin),
+    Some(temperatureOracle),
     (s, dir) =>
       graft.operators.Sampling.temperatureMixSqrt(
         Tables.load(s, dir, "documents").select("doc_id", "lang"),
@@ -169,20 +180,7 @@ object ProfileQueries {
     */
   val sampleBudgetSharded: Q = Q(
     "sample_token_budget_sharded",
-    Some("""WITH t AS (
-           |  SELECT doc_id, lang,
-           |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-           |    ((doc_id + 5) % 100000) * 2654435761 % 4294967296 AS hk
-           |  FROM documents),
-           |c AS (
-           |  SELECT lang, n_tokens,
-           |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn,
-           |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY hk, doc_id
-           |      ROWS UNBOUNDED PRECEDING) AS cum
-           |  FROM t)
-           |SELECT lang, COUNT(*) AS n_docs,
-           |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-           |FROM c WHERE rn <= 20000 AND cum <= 20000 GROUP BY lang""".stripMargin),
+    Some(tokenBudgetOracle),
     (s, dir) => {
       val d = Tables.load(s, dir, "documents").select(
         col("doc_id"), col("lang"),
@@ -207,18 +205,7 @@ object ProfileQueries {
     */
   val sampleTemperatureSharded: Q = Q(
     "sample_temperature_sharded",
-    Some(s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
-            |w AS (SELECT lang, SQRT(CAST(n AS DOUBLE)) AS w FROM c),
-            |tot AS (SELECT ${graft.functions.DetAgg.Sql.dsum("w")} AS wsum FROM w),
-            |t AS (SELECT lang, FLOOR(3.0e2 * w / wsum) AS target
-            |      FROM w CROSS JOIN tot),
-            |r AS (SELECT doc_id, lang,
-            |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
-            |          ((doc_id + 7) % 100000) * 2654435761 % 4294967296, doc_id) AS rn
-            |      FROM documents)
-            |SELECT lang, COUNT(*) AS n_kept
-            |FROM r JOIN t USING (lang) WHERE rn <= target
-            |GROUP BY lang""".stripMargin),
+    Some(temperatureOracle),
     (s, dir) =>
       graft.operators.Sampling.temperatureMixSharded(
         Tables.load(s, dir, "documents").select("doc_id", "lang"),

@@ -77,7 +77,10 @@ class SamplingSpec extends AnyFunSuite {
     // semantics exactly, including null-stratum grouping
     val docs = (0L until 600L)
       .map(i => (i, if (i % 7 == 0) null else if (i % 2 == 0) "en" else "de",
-        (i % 13) + 1L))
+        // every 5th token count NULL: the running sum must stay null only
+        // while a stratum's global prefix holds no non-null token — a
+        // shard-local sum would go null at every shard head and drop rows
+        if (i % 5 == 0) null else java.lang.Long.valueOf((i % 13) + 1L)))
       .toDF("doc_id", "lang", "n_tokens")
     val window = Sampling.tokenBudgetCapFull(
       docs, "doc_id", Seq("lang"), col("n_tokens"), budget = 700L, seed = 3)
@@ -87,6 +90,20 @@ class SamplingSpec extends AnyFunSuite {
     val b = sharded.collect().map(_.toString).sorted
     assert(a.sameElements(b), s"window=${a.length} sharded=${b.length}")
     assert(b.nonEmpty)
+    // null id under the narrow oracle-tier key → null shuffle key → null
+    // shard: must survive the offsets join and rank NULLS FIRST, exactly
+    // like the window tier's key order
+    val withNullId = ((0L until 50L).map(i => (java.lang.Long.valueOf(i), "en", 10L))
+      :+ ((null.asInstanceOf[java.lang.Long], "en", 10L)))
+      .toDF("doc_id", "lang", "n_tokens")
+    val wNull = Sampling.tokenBudgetCap(
+      withNullId, "doc_id", Seq("lang"), col("n_tokens"), budget = 200L, seed = 5)
+      .collect().map(_.toString).sorted
+    val sNull = Sampling.tokenBudgetCapShardedBy(
+      withNullId, Seq("lang"), col("n_tokens"), budget = 200L,
+      Sampling.shuffleKey(col("doc_id"), seed = 5), col("doc_id"), shardBits = 10)
+      .collect().map(_.toString).sorted
+    assert(wNull.sameElements(sNull), s"window=${wNull.length} sharded=${sNull.length}")
     // the shard split actually spreads the stratum: with full-range
     // xxhash64 keys and 2^10 shards, 600 docs land in many shards — the
     // within-shard window partitions are slices, never a whole stratum
