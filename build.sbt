@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-process stdout must pass through UNDECORATED: the default
+// LoggedOutput strategy prefixes every line with "[info] ", which means
+// no bare JSON line from Bench ever reaches the driver's tail capture
+// (BENCH_r04..r06 all recorded `parsed: null` because of it). Project-
+// level (task-unscoped) so both `run` and `runMain` fork options
+// delegate to it.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

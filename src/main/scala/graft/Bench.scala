@@ -70,11 +70,16 @@ object Bench {
     // re-emit after spark.stop() so the full record survives a tail capture
     // that starts late; then emit a COMPACT summary as the very last line —
     // the per-query record is ~2.2 KB and a 2 KB tail window clips its head,
-    // so the final parse target must fit any plausible window on its own
+    // so the final parse target must fit any plausible window on its own.
+    // Three channels, because r4-r6 each lost one: stdout (undecorated now
+    // that build.sbt sets outputStrategy := StdoutOutput), stderr (sbt
+    // never decorates it), and the SPARK_GRAFT_BENCH_OUT file above.
     println(line)
     val compact =
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","n":${results.size},"reps":$reps,"sf":"$sfDir"}"""
     println(compact)
     System.out.flush()
+    System.err.println(compact)
+    System.err.flush()
   }
 }

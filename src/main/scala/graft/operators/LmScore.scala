@@ -25,6 +25,16 @@ import org.apache.spark.sql.functions._
   * log-likelihoods are rounded to 6 dp and summed through DetAgg
   * decimals, the house recipe that makes ln(·) oracle-portable.
   */
+/** Per-doc scorer result: term count + exact scale-6 decimal NLL sum.
+  * TOP-LEVEL and PUBLIC deliberately: this is the scoring udf's return
+  * type, so Janino-generated serializer code must be able to call
+  * `n_tri()`/`sum_nll()` on it. As a `private` nested class (the r6
+  * shape) every such projection failed to compile ("No applicable
+  * constructor/method found") and silently fell back to interpreter
+  * mode across the whole LM-scoring path.
+  */
+case class LmSum(n_tri: Long, sum_nll: BigDecimal)
+
 object LmScore {
 
   /** (id, tri) — lowercased character trigrams, one row per position.
@@ -53,9 +63,6 @@ object LmScore {
       .filter(col("c_tri") >= minCount)
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
-
-  /** Per-doc scorer result: term count + exact scale-6 decimal NLL sum. */
-  private case class LmSum(n_tri: Long, sum_nll: BigDecimal)
 
   /** First two code points of a trigram — the conditional's prefix, with
     * the same character semantics Spark's `substring` uses.

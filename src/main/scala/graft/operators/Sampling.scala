@@ -254,8 +254,9 @@ object Sampling {
       budget: Long,
       key: Column,
       tie: Column,
-      shardBits: Int): DataFrame =
-    shardedPrefix(df, strata, Some(tokens), key, tie, shardBits)
+      shardBits: Int,
+      maxOffsetRows: Long = MaxOffsetRows): DataFrame =
+    shardedPrefix(df, strata, Some(tokens), key, tie, shardBits, maxOffsetRows)
       .filter(col("__grn") <= budget && col("__gcum") <= budget)
       .drop("__grn", "__gcum")
 
@@ -276,38 +277,62 @@ object Sampling {
       seed: Int,
       shardBits: Int = 10): DataFrame =
     temperatureMixSharded(
-      df, id, stratum, budget, seed,
+      df, id, stratum, budget,
       n => pow(n.cast("double"), lit(tau)),
       shuffleKeyFull(col(id), seed), shardBits)
 
   /** Sharded temperature fill with an explicit weight/key pair — the
     * oracle-checkable entry ([[temperatureMixSqrt]] weights + the
     * mod-100k key keep DuckDB parity; shard structure never changes
-    * output).
+    * output). The fill order is entirely determined by `key` — there is
+    * deliberately NO separate seed parameter, so a caller cannot pass an
+    * inconsistent seed/key pair.
     */
   private[graft] def temperatureMixSharded(
       df: DataFrame,
       id: String,
       stratum: String,
       budget: Long,
-      seed: Int,
       weight: Column => Column,
       key: Column,
-      shardBits: Int): DataFrame = {
+      shardBits: Int,
+      maxOffsetRows: Long = MaxOffsetRows): DataFrame = {
     val targets = strataTargets(df, stratum, budget, weight)
     df.join(broadcast(targets), stratum)
       // rank-only kernel: a running sum of 1s would just duplicate the
       // rank at the cost of a second corpus-wide window aggregate
-      .transform(d => shardedPrefix(d, Seq(stratum), None, key, col(id), shardBits))
+      .transform(d =>
+        shardedPrefix(d, Seq(stratum), None, key, col(id), shardBits, maxOffsetRows))
       .filter(col("__grn") <= col("__target"))
       .drop("__grn", "__target")
   }
+
+  /** Broadcast-safety bound on [[shardedPrefix]]'s offsets relation
+    * (OCCUPIED (shard, strata) combinations — the rows that actually
+    * broadcast). 2²² rows of a handful of small columns is low hundreds
+    * of MB, comfortably under Spark's hard 8 GB BroadcastExchange limit
+    * even with wide stratum columns.
+    */
+  private[graft] val MaxOffsetRows: Long = 1L << 22
 
   /** Sharded-prefix kernel shared by the extreme-scale budget and
     * temperature tiers: adds `__grn` (global 1-based rank by (key, tie)
     * within each stratum) and — when `tokens` is supplied — `__gcum`
     * (running `tokens` total in that order) with NO per-stratum window
-    * partition anywhere in the plan. Row-identity caveats handled here so
+    * partition anywhere in the plan.
+    *
+    * INTENDED REGIME: few HUGE strata (languages, sources — ≤ ~10⁵
+    * strata). The offsets relation broadcasts up to 2^shardBits ×
+    * stratum-cardinality rows; a corpus with millions of strata would
+    * balloon that broadcast (and `strataTargets`' collect in the
+    * temperature tier), while ALSO being exactly the regime where the
+    * plain window tiers are the right choice — many small strata means
+    * small per-stratum window partitions. A distributed count of the
+    * offsets relation guards the mismatch: past `maxOffsetRows` the job
+    * fails fast with a descriptive error BEFORE the BroadcastExchange is
+    * built, instead of OOMing the driver.
+    *
+    * Row-identity caveats handled here so
     * both tiers stay bit-equal to their window twins:
     *
     *  - a NULL sort key (null id under the oracle-tier shuffle key)
@@ -326,7 +351,8 @@ object Sampling {
       tokens: Option[Column],
       key: Column,
       tie: Column,
-      shardBits: Int): DataFrame = {
+      shardBits: Int,
+      maxOffsetRows: Long = MaxOffsetRows): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shardBits >= 1 && shardBits <= 20, s"shardBits $shardBits out of range")
     val gcols = strata.map(col)
@@ -361,9 +387,24 @@ object Sampling {
     val cond = strata
       .map(c => col(c) <=> col(s"__og_$c"))
       .foldLeft(col("__shard") <=> col("__oshard"))(_ && _)
+    // regime guard (see scaladoc): a distributed count of the offsets
+    // relation, raised as a descriptive error before the broadcast. The
+    // count's aggregate subtree is identical to perShard's, so Spark's
+    // exchange reuse serves it from the same shuffle, not a second scan.
+    val guard = perShard.agg(count(lit(1)).as("__ocnt"))
+    val guarded = offsets.crossJoin(broadcast(guard))
+      .filter(assert_true(
+        col("__ocnt") <= lit(maxOffsetRows),
+        format_string(
+          "shardedPrefix offsets relation has %d rows (occupied shard x strata " +
+            "combinations), over the broadcast-safe bound %d. The sharded tiers " +
+            "are for few-large-strata corpora; for many small strata use the " +
+            "window tier (tokenBudgetCapFull / temperatureMixFull) or lower shardBits.",
+          col("__ocnt"), lit(maxOffsetRows))).isNull)
+      .drop("__ocnt")
     val wIn = Window.partitionBy(shardCols: _*).orderBy(col("__key"), tie)
     val wCum = wIn.rowsBetween(Window.unboundedPreceding, 0)
-    val ranked = base.join(broadcast(offsets), cond)
+    val ranked = base.join(broadcast(guarded), cond)
       .withColumn("__grn", col("__rbase") + row_number().over(wIn))
     tokens.fold(ranked)(_ => ranked
       .withColumn("__gcum",

@@ -209,7 +209,7 @@ object ProfileQueries {
     (s, dir) =>
       graft.operators.Sampling.temperatureMixSharded(
         Tables.load(s, dir, "documents").select("doc_id", "lang"),
-        "doc_id", "lang", budget = 300L, seed = 7,
+        "doc_id", "lang", budget = 300L,
         n => sqrt(n.cast("double")),
         graft.operators.Sampling.shuffleKey(col("doc_id"), seed = 7),
         shardBits = 10)

@@ -90,6 +90,10 @@ class SamplingSpec extends AnyFunSuite {
     val b = sharded.collect().map(_.toString).sorted
     assert(a.sameElements(b), s"window=${a.length} sharded=${b.length}")
     assert(b.nonEmpty)
+    // null STRATUM rows are a real group in both tiers (the `<=>` offsets
+    // join must not drop them): pin that some survive the cap
+    assert(sharded.filter(col("lang").isNull).count() > 0,
+      "null-stratum rows lost by the sharded offsets join")
     // null id under the narrow oracle-tier key → null shuffle key → null
     // shard: must survive the offsets join and rank NULLS FIRST, exactly
     // like the window tier's key order
@@ -115,8 +119,12 @@ class SamplingSpec extends AnyFunSuite {
 
   test("sharded temperature fill is row-identical to the window tier") {
     import spark.implicits._
+    // includes null-STRATUM rows: both tiers fill targets through the same
+    // stratum join, so null-stratum fates must be IDENTICAL (pinned here),
+    // whatever the join's null semantics
     val df = ((1 to 900).map(i => (i.toLong, "big")) ++
-      (1001 to 1100).map(i => (i.toLong, "small"))).toDF("doc_id", "s")
+      (1001 to 1100).map(i => (i.toLong, "small")) ++
+      (2001 to 2050).map(i => (i.toLong, null.asInstanceOf[String]))).toDF("doc_id", "s")
     val window = Sampling.temperatureMixFull(
       df, "doc_id", "s", budget = 200L, tau = 0.7, seed = 9)
     val sharded = Sampling.temperatureMixFullSharded(
@@ -125,6 +133,39 @@ class SamplingSpec extends AnyFunSuite {
     val b = sharded.collect().map(_.toString).sorted
     assert(a.sameElements(b), s"window=${a.length} sharded=${b.length}")
     assert(b.nonEmpty)
+  }
+
+  test("shardedPrefix fails fast with a descriptive error past the offsets bound") {
+    import spark.implicits._
+    // 60 strata, one doc each: 60 occupied (shard, stratum) combos > the
+    // test bound of 10 — the guard must raise BEFORE any broadcast, with a
+    // message that steers the caller back to the window tier
+    val docs = (0L until 60L).map(i => (i, s"s$i", 5L)).toDF("doc_id", "lang", "n_tokens")
+    val e = intercept[Throwable] {
+      Sampling.tokenBudgetCapShardedBy(
+        docs, Seq("lang"), col("n_tokens"), budget = 100L,
+        Sampling.shuffleKeyFull(col("doc_id"), seed = 1), col("doc_id"),
+        shardBits = 10, maxOffsetRows = 10L).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("offsets relation"), s"unexpected error: $msgs")
+    // same guard on the temperature tier
+    val e2 = intercept[Throwable] {
+      Sampling.temperatureMixSharded(
+        docs, "doc_id", "lang", budget = 100L,
+        n => sqrt(n.cast("double")),
+        Sampling.shuffleKeyFull(col("doc_id"), seed = 1),
+        shardBits = 10, maxOffsetRows = 10L).collect()
+    }
+    val msgs2 = Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs2.contains("offsets relation"), s"unexpected error: $msgs2")
+    // under the bound the same shape still runs
+    assert(Sampling.tokenBudgetCapShardedBy(
+      docs, Seq("lang"), col("n_tokens"), budget = 100L,
+      Sampling.shuffleKeyFull(col("doc_id"), seed = 1), col("doc_id"),
+      shardBits = 10, maxOffsetRows = 100L).count() > 0)
   }
 
   test("temperature mixing flattens toward rare strata; τ=1 is proportional") {
