@@ -266,23 +266,25 @@ object Ivf {
     */
   val DriverModelMaxK = 4096
 
-  /** Largest codebook (rows) the assignment join ships as a broadcast.
-    * A broadcast relation is built ON THE DRIVER before distribution, so
-    * the broadcast tier still materializes the codebook there transiently
-    * — fine to ~1M × dim doubles, a false economy beyond (a 10⁷-centroid
-    * auto-k codebook is tens of GB: driver build + per-executor copy both
-    * stop being sane). Past this bound [[joinLabels]] uses a plain
-    * (un-hinted) crossJoin instead: Catalyst plans the scratch-parquet
-    * side as a distributed cartesian — every row still scores against
-    * every centroid, but NO single node ever holds the whole codebook.
+  /** Largest ESTIMATED codebook (rows × dim × 8 bytes of raw doubles) the
+    * assignment join ships as a broadcast. A broadcast relation is built
+    * ON THE DRIVER before distribution AND Spark hard-fails any
+    * BroadcastExchange past 8 GB — so the tier cutoff must track BYTES,
+    * not rows: 2²⁰ rows is a comfortable broadcast at dim 64 (~0.5 GB)
+    * and a guaranteed job failure at dim 1024 (~8 GB). 1 GB leaves
+    * headroom for row/struct overhead on top of the raw doubles. Past
+    * this bound [[joinLabels]] uses a plain (un-hinted) crossJoin
+    * instead: Catalyst plans the scratch-parquet side as a distributed
+    * cartesian — every row still scores against every centroid, but NO
+    * single node ever holds the whole codebook.
     */
-  val BroadcastCodebookMaxRows = 1L << 20
+  val BroadcastCodebookMaxBytes = 1L << 30
 
   /** Train the coarse quantizer WITHOUT the codebook ever living on the
     * driver as a collected model — the extreme-k tier
     * (k > [[DriverModelMaxK]], the auto-sized SemDeDup regime where k
     * tracks the corpus). Returns a scratch-parquet-backed codebook
-    * `(__j int, __c array<double>)`. Up to [[BroadcastCodebookMaxRows]]
+    * `(__j int, __c array<double>)`. Up to [[BroadcastCodebookMaxBytes]]
     * each iteration's assignment join still builds a TRANSIENT broadcast
     * of the codebook (driver-side by Spark's broadcast mechanics, freed
     * by the context cleaner); past that bound the join runs as a
@@ -320,8 +322,12 @@ object Ivf {
             (row_number().over(Window.orderBy("__h")) - 1).as("__j"),
             col("__v").as("__c")),
         "ivf-seed")
+      // one k-row job sizes the broadcast-vs-cartesian tier for every
+      // Lloyd iteration (the byte bound needs dim, which only the data has)
+      val dim = codebook.select(size(col("__c"))).first().getInt(0)
+      val bytesEst = k.toLong * dim * 8L
       for (i <- 0 until iters) {
-        val assigned = joinLabels(data, id, codebook, "__cl", k.toLong)
+        val assigned = joinLabels(data, id, codebook, "__cl", bytesEst)
         val dims = data.join(assigned, Seq(id))
           .select(col("__cl"), posexplode(col("__v")).as(Seq("pos", "x")))
           .groupBy("__cl", "pos")
@@ -366,12 +372,12 @@ object Ivf {
       id: String,
       codebook: DataFrame,
       as: String,
-      codebookRows: Long): DataFrame =
+      codebookBytes: Long): DataFrame =
     normalizedDf
       .select(col(id), col("__v"))
       .filter(col("__v").isNotNull)
       .crossJoin(
-        if (codebookRows <= BroadcastCodebookMaxRows) broadcast(codebook)
+        if (codebookBytes <= BroadcastCodebookMaxBytes) broadcast(codebook)
         else codebook)
       .select(
         col(id),
@@ -386,14 +392,36 @@ object Ivf {
     * (see [[trainCodebook]]): adds `cluster`, null for null embeddings.
     * One shuffle of (id, cluster) plus the join back — at extreme k that
     * trade (vs shipping a multi-GB model in every task closure) is the
-    * point; below [[DriverModelMaxK]] prefer [[assign]]. The codebook is
-    * counted up front (k rows, a parquet-metadata job) to pick the
-    * broadcast vs distributed-cartesian tier — see
-    * [[BroadcastCodebookMaxRows]].
+    * point; below [[DriverModelMaxK]] prefer [[assign]].
+    *
+    * API CONTRACT: this entry is EAGER — it runs one small Spark job at
+    * call time (a single aggregate over the codebook: row count + dim) to
+    * size the broadcast-vs-cartesian tier, cheap for a scratch-parquet
+    * codebook but a full job for an arbitrary unmaterialized DataFrame.
+    * Callers that already know the codebook's shape — [[trainCodebook]]
+    * knows k and dim — should use the (rows, dim) overload, which stays
+    * fully lazy.
     */
-  def assignByJoin(df: DataFrame, id: String, vec: String, codebook: DataFrame): DataFrame =
+  def assignByJoin(df: DataFrame, id: String, vec: String, codebook: DataFrame): DataFrame = {
+    val r = codebook.agg(count(lit(1)), max(size(col("__c")))).first()
+    assignByJoin(df, id, vec, codebook,
+      r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
+  }
+
+  /** [[assignByJoin]] with a caller-supplied codebook shape — no eager
+    * sizing job; the broadcast-vs-cartesian tier comes from the
+    * rows × dim × 8 byte estimate (see [[BroadcastCodebookMaxBytes]]).
+    */
+  def assignByJoin(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      codebook: DataFrame,
+      codebookRows: Long,
+      dim: Int): DataFrame =
     df.join(
-      joinLabels(normalized(df, vec), id, codebook, "cluster", codebook.count()),
+      joinLabels(normalized(df, vec), id, codebook, "cluster",
+        codebookRows * math.max(dim, 1).toLong * 8L),
       Seq(id), "left")
 
   /** Top-k for a BATCH of queries in ONE corpus pass — the production

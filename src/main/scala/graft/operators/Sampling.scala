@@ -389,8 +389,10 @@ object Sampling {
       .foldLeft(col("__shard") <=> col("__oshard"))(_ && _)
     // regime guard (see scaladoc): a distributed count of the offsets
     // relation, raised as a descriptive error before the broadcast. The
-    // count's aggregate subtree is identical to perShard's, so Spark's
-    // exchange reuse serves it from the same shuffle, not a second scan.
+    // count only needs the grouping keys, so Catalyst prunes its branch
+    // to a narrow (key-columns-only) scan — at 100 TB that is a few
+    // percent of the corpus bytes, runs as one of the FIRST stages, and
+    // fails the job cleanly before any wide pass or broadcast build.
     val guard = perShard.agg(count(lit(1)).as("__ocnt"))
     val guarded = offsets.crossJoin(broadcast(guard))
       .filter(assert_true(

@@ -259,6 +259,16 @@ object ScaleProbe {
           d, "doc_id", Seq("lang"), col("n_tokens"), budget = 20000L, seed = 5)
           .groupBy("lang").agg(sum("n_tokens")).count()
       }
+      timed("temperature_sharded", c) {
+        // the sharded TEMPERATURE fill on the same growing corpus — its
+        // flatness was previously inferred from the shared kernel with the
+        // budget tier; this measures it. Extra work vs that tier: the
+        // strata-weight aggregate feeding the broadcast targets relation.
+        val d = scaledDocs(docs, c).select(col("doc_id"), col("lang"))
+        graft.operators.Sampling.temperatureMixFullSharded(
+          d, "doc_id", "lang", budget = 20000L, tau = 0.7, seed = 7)
+          .groupBy("lang").agg(count(lit(1)).as("n")).count()
+      }
       timed("token_budget_window", c) {
         val d = scaledDocs(docs, c).select(
           col("doc_id"), col("lang"),

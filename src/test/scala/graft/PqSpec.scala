@@ -42,6 +42,25 @@ class PqSpec extends AnyFunSuite {
     assert(got.intersect(brute).size >= 8, s"recall ${got.intersect(brute).size}/10")
   }
 
+  test("trainCached memoizes per (corpusKey, params) and matches train() exactly") {
+    val df = clustered()
+    val a = Pq.trainCached(df, "vec_id", "embedding", dim = 16, m = 4, k = 8,
+      iters = 4, seed = 3L, corpusKey = "pqspec-corpus")
+    // second call: no retraining — the SAME instance comes back
+    val b = Pq.trainCached(df, "vec_id", "embedding", dim = 16, m = 4, k = 8,
+      iters = 4, seed = 3L, corpusKey = "pqspec-corpus")
+    assert(a eq b, "cache returned a different instance — model was retrained")
+    // and it is bit-identical to an uncached training run (determinism)
+    val fresh = Pq.train(df, "vec_id", "embedding", dim = 16, m = 4, k = 8,
+      iters = 4, seed = 3L)
+    assert(a.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      fresh.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // a different parameter is a different cache entry
+    val other = Pq.trainCached(df, "vec_id", "embedding", dim = 16, m = 4, k = 8,
+      iters = 4, seed = 4L, corpusKey = "pqspec-corpus")
+    assert(!(other eq a))
+  }
+
   test("seeding-pool rank guard plans as a map-side WindowGroupLimit") {
     import org.apache.spark.sql.functions._
     // the pool derivation claims every task forwards <= poolN rows per
