@@ -255,6 +255,29 @@ object Ivf {
   def assign(df: DataFrame, vec: String, model: Model): DataFrame =
     withCluster(normalized(df, vec), model, "cluster").drop("__v")
 
+  /** Process-wide trained-model cache behind [[trainCached]]. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Long, Long), Model]
+
+  /** [[train]], memoized per JVM — train-once / serve-many for repeated
+    * searches over a stable corpus (training is deterministic in
+    * (corpus, params)). `corpusKey` names the corpus (e.g. its path);
+    * the CALLER owns key hygiene — a reused key over changed data
+    * returns the stale model.
+    */
+  def trainCached(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      k: Int,
+      iters: Int,
+      seed: Long,
+      corpusKey: String,
+      sampleCap: Long = 0L): Model =
+    modelCache.computeIfAbsent(
+      (corpusKey, k, iters, seed, sampleCap),
+      _ => train(df, id, vec, k, iters, seed, sampleCap))
+
   /** Largest k for which the trained codebook lives on the driver as a
     * [[Model]] (collected seeds + per-iteration k×dim sum collects +
     * task-closure/broadcast shipping). Past it, [[trainCodebook]] +

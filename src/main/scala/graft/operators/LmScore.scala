@@ -136,6 +136,30 @@ object LmScore {
     Model(triMap, preMap, nllMicros(0L, 0L)) // unseen prefix: -round(log(1/alpha), 6)
   }
 
+  /** Process-wide trained-model cache behind [[trainCached]]. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String, Int, Long), Model]
+
+  /** [[train]], memoized per JVM — the train-once / serve-many shape for
+    * repeated scoring over a stable reference corpus (every registered
+    * scoring query retrained the same model per invocation; training is
+    * deterministic in (corpus, params), so the memo is
+    * semantics-preserving). `corpusKey` names the corpus (e.g. its
+    * path); the CALLER owns key hygiene — a reused key over changed data
+    * returns the stale model. The cached [[Model]]'s maps are read-only
+    * after construction, so cross-thread sharing is safe.
+    */
+  def trainCached(
+      corpus: DataFrame,
+      id: String,
+      text: String,
+      corpusKey: String,
+      alpha: Int = 256,
+      minCount: Long = 2L): Model =
+    modelCache.computeIfAbsent(
+      (corpusKey, id, text, alpha, minCount),
+      _ => train(corpus, id, text, alpha, minCount))
+
   /** SCORE: ONE map-only pass (PlanSpec pins the shape). The scorer
     * slides a code-point window over the (Spark-lowered and -trimmed)
     * text — the same triples

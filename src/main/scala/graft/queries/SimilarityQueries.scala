@@ -150,7 +150,8 @@ object SimilarityQueries {
     None,
     (s, dir) => {
       val e = emb(s, dir)
-      val model = graft.operators.Ivf.train(e, "vec_id", "embedding", k = 16, iters = 3, seed = 11L)
+      val model = graft.operators.Ivf.trainCached(
+        e, "vec_id", "embedding", k = 16, iters = 3, seed = 11L, corpusKey = dir)
       graft.operators.Ivf.searchTopK(e, "vec_id", "embedding", model,
         queryId = 0L, nprobe = 4, topK = 20)
     })

