@@ -68,7 +68,7 @@ object HtmlReport {
     val f = Svg.Frame.fit(xs, ys)
     val body =
       Seq(Svg.bars(f, bins, Svg.color(0))) ++
-        curvePts.zipWithIndex.map { case ((_, pts), i) => Svg.polyline(f, pts, Svg.color(i + 1), dash = "6 3") } ++
+        curvePts.zipWithIndex.map { case ((n, pts), i) => Svg.polyline(f, pts, Svg.color(i + 1), dash = "6 3", name = n) } ++
         cutLines.map { case (x, note) => Svg.vline(f, x, note) }
     val legend = ("data", Svg.color(0)) +: curvePts.zipWithIndex.map { case ((n, _), i) => (n, Svg.color(i + 1)) }
     Svg.chart(f, title, xLabel, "Count", body, legend)
@@ -96,7 +96,7 @@ object HtmlReport {
     val series = rows.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (g, pts) => g -> pts.map(p => (p._2, p._3)).sortBy(_._1).toSeq }
     val f = Svg.Frame.fit(rows.map(_._2).toSeq ++ cutLines.map(_._1), Seq(0.0, 1.0))
-    val body = series.zipWithIndex.map { case ((_, pts), i) => Svg.steps(f, pts, Svg.color(i)) } ++
+    val body = series.zipWithIndex.map { case ((g, pts), i) => Svg.steps(f, pts, Svg.color(i), name = g) } ++
       cutLines.map { case (x, note) => Svg.vline(f, x, note) }
     val legend = series.zipWithIndex.map { case ((g, _), i) => (g, Svg.color(i)) }
     Svg.chart(f, title, xLabel, "ECDF", body, legend)
@@ -129,11 +129,11 @@ object HtmlReport {
     val f = Svg.Frame.fit(
       rows.map(_._2).toSeq,
       rows.flatMap(r => Seq(r._3 - r._4, r._3 + r._4)).toSeq)
-    val body = series.zipWithIndex.flatMap { case ((_, pts), i) =>
+    val body = series.zipWithIndex.flatMap { case ((g, pts), i) =>
       val c = Svg.color(i)
-      Seq(Svg.polyline(f, pts.map(p => (p._1, p._2)), c)) ++
-        (if (errCol.isDefined) Seq(Svg.errorBars(f, pts, c)) else Nil) :+
-        Svg.dots(f, pts.map(p => (p._1, p._2)), c, r = 2.0)
+      Seq(Svg.polyline(f, pts.map(p => (p._1, p._2)), c, name = g)) ++
+        (if (errCol.isDefined) Seq(Svg.errorBars(f, pts, c, name = g)) else Nil) :+
+        Svg.dots(f, pts.map(p => (p._1, p._2)), c, r = 2.0, name = g)
     }
     val legend = series.take(maxLegend).zipWithIndex.map { case ((g, _), i) => (g, Svg.color(i)) } ++
       (if (series.length > maxLegend) Seq((s"… ${series.length - maxLegend} more", "#999999")) else Nil)
@@ -155,7 +155,7 @@ object HtmlReport {
     val series = rows.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (g, pts) => g -> pts.map(p => (p._2, p._3)).sortBy(identity).toSeq }
     val f = Svg.Frame.fit(rows.map(_._2).toSeq, rows.map(_._3).toSeq)
-    val body = series.zipWithIndex.map { case ((_, pts), i) => Svg.dots(f, pts, Svg.color(i)) }
+    val body = series.zipWithIndex.map { case ((g, pts), i) => Svg.dots(f, pts, Svg.color(i), name = g) }
     val legend = series.zipWithIndex.map { case ((g, _), i) => (g, Svg.color(i)) }
     Svg.chart(f, title, xCol, yCol, body, legend)
   }
@@ -242,7 +242,18 @@ object HtmlReport {
       Some(xTicks), Some(yTicks))
   }
 
-  /** Assemble figures into one self-contained HTML page. */
+  /** The plotly zoom/pan analogue: one STATIC embedded script (a constant
+    * byte string — determinism unchanged; no external fetch) that lets
+    * every figure wheel-zoom about the cursor, drag-pan, and
+    * double-click-reset by mutating its `viewBox`. Hover tooltips need no
+    * script at all — marks carry native SVG `<title>` children.
+    */
+  private val PanZoomScript: String =
+    """<script>(function(){function attach(s){var init=s.getAttribute("viewBox").split(" ").map(Number);var vb=init.slice();function set(){s.setAttribute("viewBox",vb.join(" "))}s.addEventListener("wheel",function(e){e.preventDefault();var k=e.deltaY<0?0.8:1.25;var r=s.getBoundingClientRect();var mx=vb[0]+(e.clientX-r.left)/r.width*vb[2];var my=vb[1]+(e.clientY-r.top)/r.height*vb[3];vb[0]=mx-(mx-vb[0])*k;vb[1]=my-(my-vb[1])*k;vb[2]*=k;vb[3]*=k;set()},{passive:false});var drag=null;s.addEventListener("mousedown",function(e){drag=[e.clientX,e.clientY];e.preventDefault()});window.addEventListener("mousemove",function(e){if(!drag)return;var r=s.getBoundingClientRect();vb[0]-=(e.clientX-drag[0])/r.width*vb[2];vb[1]-=(e.clientY-drag[1])/r.height*vb[3];drag=[e.clientX,e.clientY];set()});window.addEventListener("mouseup",function(){drag=null});s.addEventListener("dblclick",function(){vb=init.slice();set()})}var fs=document.querySelectorAll("figure>svg");for(var i=0;i<fs.length;i++)attach(fs[i])})();</script>"""
+
+  /** Assemble figures into one self-contained HTML page (hover via native
+    * SVG titles; zoom/pan via [[PanZoomScript]]).
+    */
   def page(title: String, sections: Seq[(String, String)]): String = {
     val sb = new StringBuilder
     sb ++= "<!DOCTYPE html>\n<html><head><meta charset=\"utf-8\"/><title>"
@@ -254,7 +265,8 @@ object HtmlReport {
     sections.foreach { case (heading, svg) =>
       sb ++= s"<h2>${Svg.esc(heading)}</h2>\n<figure>$svg</figure>\n"
     }
-    sb ++= "</body></html>\n"
+    sb ++= PanZoomScript
+    sb ++= "\n</body></html>\n"
     sb.toString
   }
 

@@ -9,9 +9,15 @@ import java.util.Locale
   * `scripts/compare_measurements.py:236-338`); this module renders the
   * SAME figure families from the engine's already-aggregated plot tables
   * (histogram bins A7, ECDF points A8, fitted-curve samples N1/N2, pivot
-  * matrices R3) into self-contained SVG: no JavaScript, no CDN fetch, and
-  * every coordinate formatted under `Locale.ROOT` at fixed precision so
-  * reports are stable enough to golden-test.
+  * matrices R3) into self-contained SVG: no external fetch of any kind,
+  * and every coordinate formatted under `Locale.ROOT` at fixed precision
+  * so reports are stable enough to golden-test.
+  *
+  * Interactivity, matching the plotly hover/zoom the reference relies on:
+  * every data mark carries a native SVG `<title>` child (browser hover
+  * tooltip — value readout with zero script), and [[HtmlReport.page]]
+  * embeds one static pan/zoom script over the figures' `viewBox`. Both
+  * are constant byte streams, so determinism is unchanged.
   *
   * Scale note: nothing here touches a DataFrame — inputs are plain Seqs
   * that [[HtmlReport]] produces via a hard-capped collect of plot TABLES
@@ -32,6 +38,13 @@ object Svg {
 
   def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
+
+  /** Native hover tooltip child for a mark — the plotly hover-label
+    * analogue, rendered by browsers with zero script. Empty text renders
+    * nothing.
+    */
+  def tip(text: String): String =
+    if (text.isEmpty) "" else s"<title>${esc(text)}</title>"
 
   /** Pixel coordinates: fixed two decimals, Locale.ROOT — the
     * byte-determinism contract for every geometric attribute.
@@ -144,7 +157,9 @@ object Svg {
     sb.toString
   }
 
-  /** Histogram bars from (bin_lo, bin_hi, count) triples. */
+  /** Histogram bars from (bin_lo, bin_hi, count) triples, each carrying a
+    * bin-range/count hover tooltip.
+    */
   def bars(f: Frame, bins: Seq[(Double, Double, Double)], fill: String, opacity: Double = 0.75): String =
     bins.map { case (lo, hi, n) =>
       val x = f.sx(lo)
@@ -152,27 +167,30 @@ object Svg {
       val yTop = f.sy(n)
       val yBase = f.sy(math.max(f.ylo, 0.0))
       val h = math.max(yBase - yTop, 0.0)
-      s"""<rect x="${px(x)}" y="${px(yTop)}" width="${px(w)}" height="${px(h)}" fill="$fill" fill-opacity="$opacity"/>"""
+      s"""<rect x="${px(x)}" y="${px(yTop)}" width="${px(w)}" height="${px(h)}" fill="$fill" fill-opacity="$opacity">${tip(s"[${label(lo)}, ${label(hi)}): ${label(n)}")}</rect>"""
     }.mkString
 
   private def finite(p: (Double, Double)): Boolean =
     !p._1.isNaN && !p._1.isInfinite && !p._2.isNaN && !p._2.isInfinite
 
-  /** Connected line through points (pre-sorted by caller). */
-  def polyline(f: Frame, pts: Seq[(Double, Double)], stroke: String, dash: String = "", width: Double = 1.5): String = {
+  /** Connected line through points (pre-sorted by caller); `name`, when
+    * given, becomes the series hover tooltip on the stroke.
+    */
+  def polyline(f: Frame, pts: Seq[(Double, Double)], stroke: String, dash: String = "", width: Double = 1.5, name: String = ""): String = {
     val fin = pts.filter(finite)
     if (fin.isEmpty) return ""
     val d = fin.zipWithIndex.map { case ((x, y), i) =>
       s"${if (i == 0) "M" else "L"}${px(f.sx(x))} ${px(f.sy(y))}"
     }.mkString(" ")
     val dashAttr = if (dash.nonEmpty) s""" stroke-dasharray="$dash"""" else ""
-    s"""<path d="$d" fill="none" stroke="$stroke" stroke-width="$width"$dashAttr/>"""
+    s"""<path d="$d" fill="none" stroke="$stroke" stroke-width="$width"$dashAttr>${tip(name)}</path>"""
   }
 
   /** Right-continuous HV step line — the ECDF mark (`px.ecdf`,
-    * `scripts/clean_beta_scan.py:212`).
+    * `scripts/clean_beta_scan.py:212`); `name`, when given, becomes the
+    * series hover tooltip on the stroke.
     */
-  def steps(f: Frame, pts: Seq[(Double, Double)], stroke: String, width: Double = 1.5): String = {
+  def steps(f: Frame, pts: Seq[(Double, Double)], stroke: String, width: Double = 1.5, name: String = ""): String = {
     val fin = pts.filter(finite)
     if (fin.isEmpty) return ""
     val sb = new StringBuilder(s"M${px(f.sx(fin.head._1))} ${px(f.sy(fin.head._2))}")
@@ -181,14 +199,18 @@ object Svg {
         sb ++= s" L${px(f.sx(x1))} ${px(f.sy(y0))} L${px(f.sx(x1))} ${px(f.sy(y1))}"
       case _ => ()
     }
-    s"""<path d="$sb" fill="none" stroke="$stroke" stroke-width="$width"/>"""
+    s"""<path d="$sb" fill="none" stroke="$stroke" stroke-width="$width">${tip(name)}</path>"""
   }
 
-  /** Scatter points. */
-  def dots(f: Frame, pts: Seq[(Double, Double)], fill: String, r: Double = 2.2, opacity: Double = 0.8): String =
+  /** Scatter points, each carrying an (x, y) hover tooltip prefixed by
+    * `name` when given.
+    */
+  def dots(f: Frame, pts: Seq[(Double, Double)], fill: String, r: Double = 2.2, opacity: Double = 0.8, name: String = ""): String = {
+    val prefix = if (name.isEmpty) "" else s"$name: "
     pts.filter(finite).map { case (x, y) =>
-      s"""<circle cx="${px(f.sx(x))}" cy="${px(f.sy(y))}" r="${px(r)}" fill="$fill" fill-opacity="$opacity"/>"""
+      s"""<circle cx="${px(f.sx(x))}" cy="${px(f.sy(y))}" r="${px(r)}" fill="$fill" fill-opacity="$opacity">${tip(s"$prefix(${label(x)}, ${label(y)})")}</circle>"""
     }.mkString
+  }
 
   /** Vertical marker line with rotated annotation — the cut-line mark
     * (`add_vline` with `annotation_textangle=-90`,
@@ -204,19 +226,23 @@ object Svg {
   }
 
   /** Vertical error bars with end caps (`error_y`,
-    * `scripts/time_resolution_beta_scan.py:290-360` jitter-vs-voltage).
+    * `scripts/time_resolution_beta_scan.py:290-360` jitter-vs-voltage);
+    * each bar group hovers as `y ± e`.
     */
-  def errorBars(f: Frame, pts: Seq[(Double, Double, Double)], stroke: String, cap: Double = 3.0): String =
+  def errorBars(f: Frame, pts: Seq[(Double, Double, Double)], stroke: String, cap: Double = 3.0, name: String = ""): String = {
+    val prefix = if (name.isEmpty) "" else s"$name: "
     pts.filter(p => finite((p._1, p._2)) && !p._3.isNaN && !p._3.isInfinite).map { case (x, y, e) =>
       val xp = px(f.sx(x))
       val y0 = px(f.sy(y - e))
       val y1 = px(f.sy(y + e))
       val xl = px(f.sx(x) - cap)
       val xr = px(f.sx(x) + cap)
-      s"""<line x1="$xp" y1="$y0" x2="$xp" y2="$y1" stroke="$stroke" stroke-width="1"/>""" +
+      s"""<g>${tip(s"$prefix${label(y)} ± ${label(e)}")}""" +
+        s"""<line x1="$xp" y1="$y0" x2="$xp" y2="$y1" stroke="$stroke" stroke-width="1"/>""" +
         s"""<line x1="$xl" y1="$y0" x2="$xr" y2="$y0" stroke="$stroke" stroke-width="1"/>""" +
-        s"""<line x1="$xl" y1="$y1" x2="$xr" y2="$y1" stroke="$stroke" stroke-width="1"/>"""
+        s"""<line x1="$xl" y1="$y1" x2="$xr" y2="$y1" stroke="$stroke" stroke-width="1"/></g>"""
     }.mkString
+  }
 
   /** Viridis color stops (public matplotlib colormap), linearly
     * interpolated in RGB — the 2-D histogram / contour fill.
@@ -240,7 +266,8 @@ object Svg {
 
   /** Heatmap cells from (xlo, xhi, ylo, yhi, value), colored by value
     * within [vmin, vmax] (`go.Histogram2d`,
-    * `scripts/clean_beta_scan.py:330-344`).
+    * `scripts/clean_beta_scan.py:330-344`), each hovering its cell extent
+    * and value.
     */
   def cells(f: Frame, cs: Seq[(Double, Double, Double, Double, Double)], vmin: Double, vmax: Double): String =
     cs.map { case (xlo, xhi, ylo, yhi, v) =>
@@ -249,6 +276,6 @@ object Svg {
       val w = math.max(f.sx(xhi) - f.sx(xlo), 0.5)
       val y = f.sy(yhi)
       val h = math.max(f.sy(ylo) - f.sy(yhi), 0.5)
-      s"""<rect x="${px(x)}" y="${px(y)}" width="${px(w)}" height="${px(h)}" fill="${viridis(t)}"/>"""
+      s"""<rect x="${px(x)}" y="${px(y)}" width="${px(w)}" height="${px(h)}" fill="${viridis(t)}">${tip(s"x [${label(xlo)}, ${label(xhi)}), y [${label(ylo)}, ${label(yhi)}): ${label(v)}")}</rect>"""
     }.mkString
 }

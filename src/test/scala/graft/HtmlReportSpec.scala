@@ -72,6 +72,9 @@ class HtmlReportSpec extends AnyFunSuite {
     assert(svg.contains("stroke-dasharray=\"6 3\"")) // fit overlay
     assert(svg.contains("stroke-dasharray=\"4 3\"")) // cut line
     assert(svg.contains("cut"))
+    // hover tooltips: bin range/count on bars, series name on the curve
+    assert(svg.contains("<title>[0, 1): 10</title>"))
+    assert(svg.contains("<title>fit</title>"))
   }
 
   test("ecdf figure renders one step path per group and collapses ties plan-side") {
@@ -84,6 +87,8 @@ class HtmlReportSpec extends AnyFunSuite {
     val svg = HtmlReport.ecdf(pts, "g", "x", "e", "x")
     assert(svg.sliding(6).count(_ == "<path ") == 2) // one step path per group
     assert(svg.contains(Svg.color(0)) && svg.contains(Svg.color(1)))
+    // each step path hovers its group name
+    assert(svg.contains("<title>A</title>") && svg.contains("<title>B</title>"))
   }
 
   test("bounded collect refuses fact-table-sized input with guidance") {
@@ -113,10 +118,15 @@ class HtmlReportSpec extends AnyFunSuite {
     assert(html.contains("A higher cut") && html.contains("A lower cut"))
     // heatmap cells and error bars made it in
     assert(html.contains("#440154") || html.contains("#fde725"))
-    // self-contained: no scripts, stylesheets links, or CDN fetches (the
-    // only URL is the SVG xmlns namespace identifier, which is not fetched)
-    assert(!html.contains("<script") && !html.contains("<link") && !html.contains("cdn"))
+    // self-contained: no stylesheet links or CDN fetches, and the ONLY
+    // script is the single embedded pan/zoom block with no src (the only
+    // URL is the SVG xmlns namespace identifier, which is not fetched)
+    assert(!html.contains("<link") && !html.contains("cdn"))
+    assert("<script".r.findAllIn(html).size == 1 && !html.contains("<script src"))
     assert(!html.replace("\"http://www.w3.org/2000/svg\"", "").contains("http"))
+    // interactivity: marks hover via native SVG titles; figures pan/zoom
+    // by viewBox mutation
+    assert(html.contains("<title>") && html.contains("viewBox"))
     // byte-deterministic across renders
     assert(html == BetaScanReport.render(spark, dir))
     val out = Files.createTempDirectory("graft-report").resolve("report.html")
