@@ -255,15 +255,13 @@ object Ivf {
   def assign(df: DataFrame, vec: String, model: Model): DataFrame =
     withCluster(normalized(df, vec), model, "cluster").drop("__v")
 
-  /** Process-wide trained-model cache behind [[trainCached]]. */
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Long, Long), Model]
-
-  /** [[train]], memoized per JVM — train-once / serve-many for repeated
-    * searches over a stable corpus (training is deterministic in
-    * (corpus, params)). `corpusKey` names the corpus (e.g. its path);
-    * the CALLER owns key hygiene — a reused key over changed data
-    * returns the stale model.
+  /** [[train]], memoized per JVM via [[TrainCache]] — train-once /
+    * serve-many for repeated searches over a stable corpus (training is
+    * deterministic in (corpus, params)). `corpusKey` names the corpus
+    * (e.g. its path); the CALLER owns key hygiene — a reused key over
+    * changed data returns the stale model. The key carries the full
+    * parameter list including `id`/`vec`, so two vector columns of the
+    * same corpus are distinct entries.
     */
   def trainCached(
       df: DataFrame,
@@ -274,9 +272,9 @@ object Ivf {
       seed: Long,
       corpusKey: String,
       sampleCap: Long = 0L): Model =
-    modelCache.computeIfAbsent(
-      (corpusKey, k, iters, seed, sampleCap),
-      _ => train(df, id, vec, k, iters, seed, sampleCap))
+    TrainCache.memo("ivf", Seq(corpusKey, id, vec, k, iters, seed, sampleCap)) {
+      train(df, id, vec, k, iters, seed, sampleCap)
+    }
 
   /** Largest k for which the trained codebook lives on the driver as a
     * [[Model]] (collected seeds + per-iteration k×dim sum collects +
@@ -285,7 +283,7 @@ object Ivf {
     * never holds it as a long-lived model — the only driver-side
     * materialization left is the TRANSIENT broadcast build inside
     * [[joinLabels]]' broadcast tier (freed by the context cleaner), and
-    * past [[BroadcastCodebookMaxRows]] even that goes away.
+    * past [[BroadcastCodebookMaxBytes]] even that goes away.
     */
   val DriverModelMaxK = 4096
 
@@ -346,10 +344,13 @@ object Ivf {
             col("__v").as("__c")),
         "ivf-seed")
       // one k-row job sizes the broadcast-vs-cartesian tier for every
-      // Lloyd iteration (the byte bound needs dim, which only the data has)
-      val dim = codebook.select(size(col("__c"))).first().getInt(0)
-      val bytesEst = k.toLong * dim * 8L
-      for (i <- 0 until iters) {
+      // Lloyd iteration (the byte bound needs dim, which only the data
+      // has). An empty/all-null-vector corpus seeds an EMPTY codebook:
+      // skip Lloyd entirely and return it — assignByJoin's left join
+      // yields null clusters downstream, same as the lazy path did.
+      val dimRow = codebook.select(size(col("__c"))).head(1)
+      val bytesEst = k.toLong * dimRow.headOption.fold(0)(_.getInt(0)) * 8L
+      for (i <- 0 until (if (dimRow.isEmpty) 0 else iters)) {
         val assigned = joinLabels(data, id, codebook, "__cl", bytesEst)
         val dims = data.join(assigned, Seq(id))
           .select(col("__cl"), posexplode(col("__v")).as(Seq("pos", "x")))

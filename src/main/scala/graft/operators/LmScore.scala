@@ -3,6 +3,16 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** Per-doc scorer result: term count + exact scale-6 decimal NLL sum.
+  * TOP-LEVEL and PUBLIC deliberately: this is the scoring udf's return
+  * type, so Janino-generated serializer code must be able to call
+  * `n_tri()`/`sum_nll()` on it. As a `private` nested class (the r6
+  * shape) every such projection failed to compile ("No applicable
+  * constructor/method found") and silently fell back to interpreter
+  * mode across the whole LM-scoring path.
+  */
+case class LmSum(n_tri: Long, sum_nll: BigDecimal)
+
 /** Character n-gram language-model scoring — the perplexity-proxy
   * quality filter of CCNet-style pipelines (public literature): train
   * character-trigram statistics on a reference corpus, score each
@@ -25,16 +35,6 @@ import org.apache.spark.sql.functions._
   * log-likelihoods are rounded to 6 dp and summed through DetAgg
   * decimals, the house recipe that makes ln(·) oracle-portable.
   */
-/** Per-doc scorer result: term count + exact scale-6 decimal NLL sum.
-  * TOP-LEVEL and PUBLIC deliberately: this is the scoring udf's return
-  * type, so Janino-generated serializer code must be able to call
-  * `n_tri()`/`sum_nll()` on it. As a `private` nested class (the r6
-  * shape) every such projection failed to compile ("No applicable
-  * constructor/method found") and silently fell back to interpreter
-  * mode across the whole LM-scoring path.
-  */
-case class LmSum(n_tri: Long, sum_nll: BigDecimal)
-
 object LmScore {
 
   /** (id, tri) — lowercased character trigrams, one row per position.
@@ -136,10 +136,6 @@ object LmScore {
     Model(triMap, preMap, nllMicros(0L, 0L)) // unseen prefix: -round(log(1/alpha), 6)
   }
 
-  /** Process-wide trained-model cache behind [[trainCached]]. */
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String, Int, Long), Model]
-
   /** [[train]], memoized per JVM — the train-once / serve-many shape for
     * repeated scoring over a stable reference corpus (every registered
     * scoring query retrained the same model per invocation; training is
@@ -147,7 +143,8 @@ object LmScore {
     * semantics-preserving). `corpusKey` names the corpus (e.g. its
     * path); the CALLER owns key hygiene — a reused key over changed data
     * returns the stale model. The cached [[Model]]'s maps are read-only
-    * after construction, so cross-thread sharing is safe.
+    * after construction, so cross-thread sharing is safe. Memoized via
+    * [[TrainCache]] on the full parameter list.
     */
   def trainCached(
       corpus: DataFrame,
@@ -156,9 +153,9 @@ object LmScore {
       corpusKey: String,
       alpha: Int = 256,
       minCount: Long = 2L): Model =
-    modelCache.computeIfAbsent(
-      (corpusKey, id, text, alpha, minCount),
-      _ => train(corpus, id, text, alpha, minCount))
+    TrainCache.memo("lm", Seq(corpusKey, id, text, alpha, minCount)) {
+      train(corpus, id, text, alpha, minCount)
+    }
 
   /** SCORE: ONE map-only pass (PlanSpec pins the shape). The scorer
     * slides a code-point window over the (Spark-lowered and -trimmed)

@@ -178,12 +178,6 @@ object Pq {
     }
   }
 
-  /** Process-wide trained-model cache behind [[trainCached]], keyed by a
-    * caller-owned corpus key + every training parameter.
-    */
-  private val modelCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Int, Long), Model]
-
   /** [[train]], memoized per JVM. Training is DETERMINISTIC in
     * (corpus, parameters) — seeded hash pool, greedy init, fixed
     * iteration count — so two calls over the same corpus return
@@ -191,7 +185,8 @@ object Pq {
     * waste: the production shape is train-once / serve-many (at sf0.1 the
     * ~1.5 s training pass dominated every sim_pq_topk call). `corpusKey`
     * names the corpus (e.g. its path); the CALLER owns key hygiene — a
-    * reused key over changed data returns the stale model.
+    * reused key over changed data returns the stale model. Memoized via
+    * [[TrainCache]] on the full parameter list including `id`/`vec`.
     */
   def trainCached(
       df: DataFrame,
@@ -203,9 +198,9 @@ object Pq {
       iters: Int,
       seed: Long,
       corpusKey: String): Model =
-    modelCache.computeIfAbsent(
-      (corpusKey, dim, m, k, iters, seed),
-      _ => train(df, id, vec, dim, m, k, iters, seed))
+    TrainCache.memo("pq", Seq(corpusKey, id, vec, dim, m, k, iters, seed)) {
+      train(df, id, vec, dim, m, k, iters, seed)
+    }
 
   /** Encode: adds `codes` (array<int>, length m) — the per-subspace
     * nearest-centroid ids (nearest by L2 = max ⟨x,c⟩ − ‖c‖²/2, exact

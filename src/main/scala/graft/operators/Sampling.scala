@@ -393,6 +393,15 @@ object Sampling {
     // to a narrow (key-columns-only) scan — at 100 TB that is a few
     // percent of the corpus bytes, runs as one of the FIRST stages, and
     // fails the job cleanly before any wide pass or broadcast build.
+    // Deliberately NOT an unpartitioned count(...) window over `offsets`:
+    // that would funnel the whole offsets relation through ONE task —
+    // cheap in the good regime but a single-task sort of a possibly
+    // billion-row relation in exactly the failure regime the guard
+    // exists for. And the seemingly-free exchange reuse with the offsets
+    // branch does not materialize: column pruning narrows this branch's
+    // perShard scan below the offsets branch's, so their exchanges are
+    // not canonically equal. The fully-parallel narrow re-scan is the
+    // honest price of failing fast.
     val guard = perShard.agg(count(lit(1)).as("__ocnt"))
     val guarded = offsets.crossJoin(broadcast(guard))
       .filter(assert_true(

@@ -125,8 +125,9 @@ class HtmlReportSpec extends AnyFunSuite {
     assert("<script".r.findAllIn(html).size == 1 && !html.contains("<script src"))
     assert(!html.replace("\"http://www.w3.org/2000/svg\"", "").contains("http"))
     // interactivity: marks hover via native SVG titles; figures pan/zoom
-    // by viewBox mutation
-    assert(html.contains("<title>") && html.contains("viewBox"))
+    // by viewBox mutation — assert the ATTRIBUTE on the svg markup, not
+    // just the script's own source text mentioning the word
+    assert(html.contains("<title>") && html.contains("viewBox=\"0 0 "))
     // byte-deterministic across renders
     assert(html == BetaScanReport.render(spark, dir))
     val out = Files.createTempDirectory("graft-report").resolve("report.html")

@@ -50,6 +50,32 @@ class IvfSpec extends AnyFunSuite {
     assert(!(other eq a))
   }
 
+  test("trainCached keys on the vector COLUMN — a second column of the same corpus is a distinct entry") {
+    import org.apache.spark.sql.functions._
+    // same corpusKey, different vec column: must NOT return the model
+    // trained on the other column (the r7 code-review defect)
+    val df = clustered().withColumn("embedding_b", transform(col("embedding"), x => -x))
+    val a = Ivf.trainCached(df, "vec_id", "embedding", k = 4, iters = 5, seed = 9L,
+      corpusKey = "ivfspec-twocol")
+    val b = Ivf.trainCached(df, "vec_id", "embedding_b", k = 4, iters = 5, seed = 9L,
+      corpusKey = "ivfspec-twocol")
+    assert(!(b eq a), "cache returned the embedding-trained model for embedding_b")
+    assert(a.centroids.flatten.toSeq != b.centroids.flatten.toSeq)
+  }
+
+  test("trainCodebook on an empty / all-null-vector corpus returns an empty codebook instead of throwing") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Ivf.trainCodebook(empty, "vec_id", "embedding", k = 4, iters = 2, seed = 1L).count() == 0L)
+    val allNull = Seq((1L, null.asInstanceOf[Array[Float]]), (2L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val cb = Ivf.trainCodebook(allNull, "vec_id", "embedding", k = 4, iters = 2, seed = 1L)
+    assert(cb.count() == 0L)
+    // downstream assignment still degrades gracefully: null clusters
+    val assigned = Ivf.assignByJoin(allNull, "vec_id", "embedding", cb)
+    assert(assigned.count() == 2L && assigned.filter(assigned("cluster").isNull).count() == 2L)
+  }
+
   test("partitioned IVF layout prunes the scan to the probed cells") {
     import org.apache.spark.sql.functions._
     val df = clustered()

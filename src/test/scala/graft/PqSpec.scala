@@ -61,6 +61,20 @@ class PqSpec extends AnyFunSuite {
     assert(!(other eq a))
   }
 
+  test("trainCached keys on the vector COLUMN — a second column of the same corpus is a distinct entry") {
+    import org.apache.spark.sql.functions._
+    // same corpusKey, different vec column: must NOT return the codebook
+    // trained on the other column (the r7 code-review defect)
+    val df = clustered().withColumn("embedding_b", transform(col("embedding"), x => -x))
+    val a = Pq.trainCached(df, "vec_id", "embedding", dim = 16, m = 4, k = 8,
+      iters = 4, seed = 3L, corpusKey = "pqspec-twocol")
+    val b = Pq.trainCached(df, "vec_id", "embedding_b", dim = 16, m = 4, k = 8,
+      iters = 4, seed = 3L, corpusKey = "pqspec-twocol")
+    assert(!(b eq a), "cache returned the embedding-trained codebook for embedding_b")
+    assert(a.codebooks.map(_.map(_.toSeq).toSeq).toSeq !=
+      b.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
   test("seeding-pool rank guard plans as a map-side WindowGroupLimit") {
     import org.apache.spark.sql.functions._
     // the pool derivation claims every task forwards <= poolN rows per
