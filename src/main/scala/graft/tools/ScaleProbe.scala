@@ -111,6 +111,9 @@ object ScaleProbe {
 
     // optional CLI filter: `runMain graft.tools.ScaleProbe <probe-name>`
     val only = args.headOption
+    // copy ladder, override with SPARK_GRAFT_PROBE_COPIES=1,2,4,8
+    val copiesLadder = sys.env.getOrElse("SPARK_GRAFT_PROBE_COPIES", "1,2,4")
+      .split(",").map(_.trim.toInt).toSeq
     def timed(name: String, copies: Int)(body: => Long): Unit =
       if (only.forall(_ == name)) {
         val t0 = System.nanoTime()
@@ -120,7 +123,7 @@ object ScaleProbe {
     def time(name: String, copies: Int)(body: DataFrame => Long): Unit =
       timed(name, copies)(body(scaled(li, copies)))
 
-    for (c <- Seq(1, 2, 4)) {
+    for (c <- copiesLadder) {
       time("q1_agg", c) { df =>
         df.groupBy("l_returnflag", "l_linestatus")
           .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
