@@ -13,9 +13,11 @@ import graft.sources.Tables
   * notes lead/lag absent — these close that gap for the training-pipeline
   * surface).
   *
-  * Timestamp parity note: `events.ts` is nanosecond parquet; Spark reads
-  * µs — every oracle-visible timestamp goes through `date_trunc('second')`
-  * so both engines see identical values.
+  * Timestamp parity note: `events.ts` arrives at µs TimestampType via
+  * [[graft.sources.Tables.loadEvents]], which probes the physical unit on
+  * disk (the generator has shipped both raw-ns INT64 and annotated-µs
+  * TIMESTAMP) — every oracle-visible timestamp additionally goes through
+  * `date_trunc('second')` so both engines see identical values.
   */
 object EventQueries {
 
@@ -132,8 +134,11 @@ object EventQueries {
            |UNION ALL SELECT 'click_after_view', COUNT(*) FROM c
            |UNION ALL SELECT 'purchase_after_click', COUNT(*) FROM p""".stripMargin),
     (s, dir) => {
-      // raw ns longs — deliberately NOT loadEvents (its µs timestamp
-      // conversion is irrelevant here and ns keeps both engines exact)
+      // raw epoch longs — deliberately NOT loadEvents: only the ORDER of
+      // t matters here (all comparisons are within-engine), so whichever
+      // physical unit the data generation stores (ns INT64 or annotated
+      // µs TIMESTAMP, both of which the forced-long schema reads as the
+      // stored integer) the stage counts are exact on both engines
       val e = s.read
         .schema(graft.streaming.EventsStream.eventsSchema)
         .parquet(s"$dir/events.parquet")

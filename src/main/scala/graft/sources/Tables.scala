@@ -20,16 +20,16 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores `ts` as nanosecond INT64, which Spark 4's
-    * parquet reader rejects as an illegal timestamp type — read it as a
-    * raw long and convert with exact integer division (ns → µs).
+  /** The events table: `ts` normalized to TimestampType whichever
+    * generation of the test data is on disk — early generations store
+    * raw nanosecond INT64 (illegal for Spark 4's schema inference, so it
+    * is forced to long and integer-divided to µs), current ones an
+    * annotated µs TIMESTAMP read verbatim. The probe-and-branch lives in
+    * [[graft.streaming.EventsStream.readBatch]], shared with the
+    * streaming sources so batch and stream can never disagree on units.
     */
   def loadEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.read
-      .schema(graft.streaming.EventsStream.eventsSchema)
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    graft.streaming.EventsStream.readBatch(spark, s"$dir/events.parquet")
 
   /** CSV scan with an explicit schema (never infer on big data: schema
     * inference is a full extra pass over the files).

@@ -13,10 +13,13 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** The events parquet stores `ts` as nanosecond INT64, which the
-    * streaming parquet reader refuses to coerce to TimestampType (batch
-    * reads do) — so ingest it as long and convert with exact integer
-    * division (double division would lose precision above 2⁵³ ns).
+  /** Reader schema for the raw-INT64 generation of the events parquet
+    * (ts = nanoseconds since epoch, a physical type Spark's schema
+    * inference rejects — so it must be forced to long and converted with
+    * exact integer division; double division would lose precision above
+    * 2⁵³ ns). Later generations annotate `ts` as a proper µs TIMESTAMP,
+    * handled by [[eventsSchemaTs]] — use [[readBatch]]/[[readStreamed]]
+    * to get the right one for whatever is on disk.
     */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -26,12 +29,55 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Reader schema for the annotated-TIMESTAMP generation: forcing
+    * TimestampType makes the parquet reader deliver the stored micros
+    * verbatim (no session-timezone conversion anywhere on the path), so
+    * epochs agree bit-exactly with any other engine reading the file.
+    */
+  val eventsSchemaTs: StructType = StructType(
+    eventsSchema.fields.map {
+      case StructField("ts", _, n, m) => StructField("ts", TimestampType, n, m)
+      case f => f
+    })
+
+  /** True when `path`'s events parquet carries `ts` as an annotated
+    * TIMESTAMP column (current test-data generation); false for the raw
+    * ns-INT64 generation, whose footer schema inference throws. One
+    * footer read, no data scan — cheap enough to probe per call, and
+    * probing (rather than hard-coding a unit) keeps every event consumer
+    * correct across test-data regenerations.
+    */
+  def tsIsTimestamp(spark: SparkSession, path: String): Boolean =
+    try spark.read.parquet(path).schema("ts").dataType != LongType
+    catch { case _: Throwable => false }
+
+  /** Batch scan of an events parquet with `ts` normalized to
+    * TimestampType (µs), whichever generation is on disk.
+    */
+  def readBatch(spark: SparkSession, path: String): DataFrame =
+    if (tsIsTimestamp(spark, path))
+      spark.read.schema(eventsSchemaTs).parquet(path)
+    else
+      spark.read.schema(eventsSchema).parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Streaming scan of an events parquet directory, `ts` normalized to
+    * TimestampType (µs). The unit is probed batch-side from whatever is
+    * already at `path` before the stream starts (streaming sources
+    * require an explicit schema, so the probe cannot ride the stream
+    * itself); files arriving later must keep the same physical schema,
+    * which is the standing contract of a parquet directory source anyway.
+    */
+  def readStreamed(spark: SparkSession, path: String): DataFrame =
+    if (tsIsTimestamp(spark, path))
+      spark.readStream.schema(eventsSchemaTs).parquet(path)
+    else
+      spark.readStream.schema(eventsSchema).parquet(path)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
   /** Windowed per-type counts/sums over a parquet directory source. */
   def windowedAgg(spark: SparkSession, path: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    readStreamed(spark, path)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(

@@ -24,10 +24,7 @@ object QuantileStream {
       spark: SparkSession,
       path: String,
       qs: Seq[Double]): DataFrame =
-    spark.readStream
-      .schema(EventsStream.eventsSchema)
-      .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    EventsStream.readStreamed(spark, path)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(

@@ -87,10 +87,7 @@ object SessionizeStream {
     */
   def runOnce(spark: SparkSession, path: String, gapSeconds: Long, sinkTable: String) = {
     import spark.implicits._
-    val events = spark.readStream
-      .schema(EventsStream.eventsSchema)
-      .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = EventsStream.readStreamed(spark, path)
       .select("user_id", "event_id", "ts")
       .as[Event]
     val q = sessionize(events, gapSeconds)

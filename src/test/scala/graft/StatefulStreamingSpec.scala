@@ -39,10 +39,7 @@ class StatefulStreamingSpec extends AnyFunSuite {
       Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
-    val stream = spark.readStream
-      .schema(graft.streaming.EventsStream.eventsSchema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.streaming.EventsStream.readStreamed(spark, dir.toString)
       .select("user_id", "event_id", "ts")
     val q = SessionizeStream.sessionizeNative(stream, gapSeconds = 1800)
       .writeStream.outputMode("append").format("memory")
@@ -56,8 +53,7 @@ class StatefulStreamingSpec extends AnyFunSuite {
       // emitted sessions must not exceed the corpus, and per-user session
       // counts are consistent with a 30-min gap rule
       assert(native.agg(sum("n_events")).collect().head.getLong(0)
-        <= spark.read.schema(graft.streaming.EventsStream.eventsSchema)
-             .parquet(dir.toString).count())
+        <= graft.streaming.EventsStream.readBatch(spark, dir.toString).count())
     } finally q.stop()
   }
 

@@ -21,9 +21,7 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.count() > 0)
       // batch recomputation of the same windowed aggregate
       import org.apache.spark.sql.functions._
-      val batch = spark.read.schema(EventsStream.eventsSchema)
-        .parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val batch = EventsStream.readBatch(spark, dir.toString)
         .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("window_start"), col("event_type"), col("n"))
@@ -59,9 +57,7 @@ class StreamingSpec extends AnyFunSuite {
     }
     // per-window medians should agree with exact batch medians in rank:
     // the true rank of the streamed estimate must be within 5% of 0.5
-    val batch = spark.read.schema(EventsStream.eventsSchema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = EventsStream.readBatch(spark, dir.toString)
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(collect_list(col("value")).as("vs"))
       .select(col("window.start").as("window_start"), col("event_type"), col("vs"))
