@@ -263,29 +263,72 @@ object Stats {
 
   /** Two-sample Kolmogorov–Smirnov statistic: max |F₁(v) − F₂(v)| over
     * distinct values (the tie-correct form: ECDFs evaluated after all
-    * equal values). One hash-agg per distinct value, then a cumulative
-    * window — EXACT tier: the window is a global sort, fine while
-    * distinct-value count is bounded (quantized detector values, token
-    * counts). For unbounded continuous values at 100 TB, bin first
-    * (same micro-bin trick as [[binnedIqrStd]]) — the KS of binned ECDFs
-    * bounds the true KS within 1/bins.
+    * equal values). One hash-agg per distinct value, then cumulative
+    * counts — computed SHARDED, never as a global one-partition window:
+    * the distinct-values relation is range-sharded by the monotone top
+    * bits of the value's IEEE-754 sortable-long view
+    * ([[graft.plans.DoubleSortableBits]], the double-key analogue of
+    * [[graft.operators.Sampling]]'s sharded prefix tiers), per-shard
+    * totals take one tiny window over ≤ 2^shardBits rows, their
+    * exclusive prefix broadcasts back, and the cumulative finishes with
+    * per-SHARD windows only. Continuous values at 100 TB — where the
+    * distinct-value relation approaches corpus size — keep ~uniform
+    * shards for free because the top bits of the sortable view follow
+    * the value distribution's own spread; a global sort never exists in
+    * the plan. Sample totals ride a broadcast 1-row aggregate instead of
+    * an unpartitioned `sum over ()`.
     *
-    * Output: one row, `ks` double. Deterministic: counts are integers,
-    * the two divisions and subtraction are the same IEEE ops in any
-    * engine — oracle-comparable unrounded.
+    * Output: one row, `ks` double. Deterministic under ANY partitioning:
+    * cumulative counts are exact integer sums (association-free), and
+    * the final max-of-|difference| is over the same IEEE division and
+    * subtraction in any engine and any order — oracle-comparable
+    * unrounded, bit-equal to the single-window form it replaced.
     */
-  def ks2Samp(df: DataFrame, value: String, inSample1: Column): DataFrame = {
+  def ks2Samp(
+      df: DataFrame,
+      value: String,
+      inSample1: Column,
+      shardBits: Int = 12): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(shardBits >= 1 && shardBits <= 20, s"shardBits $shardBits out of range")
     val g = df.groupBy(col(value).as("__v"))
       .agg(
         sum(when(inSample1, 1L).otherwise(0L)).as("__c1"),
         sum(when(inSample1, 0L).otherwise(1L)).as("__c2"))
-    val wCum = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy()
-    g.withColumn("__r1", sum("__c1").over(wCum))
-      .withColumn("__r2", sum("__c2").over(wCum))
-      .withColumn("__n1", sum("__c1").over(wAll))
-      .withColumn("__n2", sum("__c2").over(wAll))
+    // monotone shard index: cast→double is monotone for any numeric __v,
+    // sortable-bits is monotone in the double, arithmetic >> keeps the
+    // signed order; +2^(bits-1) maps it into [0, 2^bits). A null value
+    // sorts first under the window form's ASC NULLS FIRST — shard -1
+    // reproduces that.
+    val keyed = g.withColumn(
+      "__shard",
+      when(col("__v").isNull, lit(-1L)).otherwise(
+        shiftright(
+          graft.plans.ScalarExpressions.sortableBits(col("__v").cast("double")),
+          64 - shardBits) + lit(1L << (shardBits - 1))))
+    // exclusive prefix of per-shard totals: a window over ≤ 2^shardBits
+    // rows (bounded by construction, same shape as the sampling kernel's
+    // offsets relation). The constant-valued partition key marks the
+    // single partition as DELIBERATE: WindowExec only logs its
+    // single-partition hazard warning for an empty partition spec, and a
+    // bounded ≤4096-row prefix window is not a hazard. It must be
+    // non-foldable (`__shard * 0`, never a literal) or ConstantFolding
+    // strips it back to the empty spec.
+    val wOff = Window.partitionBy(col("__shard") * lit(0L))
+      .orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("__shard")
+      .agg(sum("__c1").as("__s1"), sum("__c2").as("__s2"))
+      .select(
+        col("__shard").as("__oshard"),
+        coalesce(sum("__s1").over(wOff), lit(0L)).as("__b1"),
+        coalesce(sum("__s2").over(wOff), lit(0L)).as("__b2"))
+    val totals = g.agg(sum("__c1").as("__n1"), sum("__c2").as("__n2"))
+    val wCum = Window.partitionBy("__shard").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    keyed.join(broadcast(offsets), col("__shard") === col("__oshard"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__r1", col("__b1") + sum("__c1").over(wCum))
+      .withColumn("__r2", col("__b2") + sum("__c2").over(wCum))
       .agg(max(abs(
         col("__r1").cast("double") / col("__n1")
           - col("__r2").cast("double") / col("__n2"))).as("ks"))

@@ -338,9 +338,12 @@ object Ivf {
     Caching.withCached(data) {
       var codebook = graft.pipeline.PipelineStage.scratch(
         hashSeedFrame(data, id, k, seed)
-          // k rows: the single-partition window is bounded by the model size
+          // k rows: the single-partition window is bounded by the model
+          // size — the non-foldable constant partition key marks it as
+          // deliberate (empty specs draw WindowExec's hazard warning)
           .select(
-            (row_number().over(Window.orderBy("__h")) - 1).as("__j"),
+            (row_number().over(
+              Window.partitionBy(col("__h") * lit(0L)).orderBy("__h")) - 1).as("__j"),
             col("__v").as("__c")),
         "ivf-seed")
       // one k-row job sizes the broadcast-vs-cartesian tier for every

@@ -587,7 +587,10 @@ object RelationalQueries {
             (col("l_discount") <= lit(0.08)).as("accepted"))
         val tg = w.agg(min("t").as("tmin"))
         val ts = w.select("t").distinct()
-          .withColumn("d", col("t") - lag("t", 1).over(Window.orderBy("t")))
+          // distinct quantities: bounded by the value domain (~50), the
+          // constant partition key marks the single partition deliberate
+          .withColumn("d", col("t") - lag("t", 1)
+            .over(Window.partitionBy(col("t") * lit(0L)).orderBy("t")))
           .filter(col("d").isNotNull && col("d") > 0)
           .agg(coalesce(min("d"), lit(1L)).as("tstep"))
         val acc = w.filter(col("accepted"))

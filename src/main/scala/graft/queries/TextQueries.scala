@@ -272,7 +272,10 @@ object TextQueries {
         .select(col("l_orderkey").as("node_id")).distinct()
         .orderBy("node_id").limit(1000)
       val pairs = nodes
-        .withColumn("id_b", lead("node_id", 1).over(Window.orderBy("node_id")))
+        // 1000-node planted chain: bounded input, deliberate single
+        // partition (constant key suppresses the WindowExec hazard warn)
+        .withColumn("id_b", lead("node_id", 1)
+          .over(Window.partitionBy(col("node_id") * lit(0L)).orderBy("node_id")))
         .filter(col("id_b").isNotNull)
         .select(col("node_id").as("id_a"), col("id_b"))
       graft.operators.Components.alternatingStar(
@@ -862,14 +865,18 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val bm = textBm25.run(s, dir) // (doc_id, bm25) — exact top-50
       val cs = SimilarityQueries.simTopK.run(s, dir) // (vec_id, cos) — exact top-20
-      // unpartitioned windows are safe here: inputs are the top-k cuts
+      // single-partition windows are safe here: inputs are the top-k
+      // cuts (≤50/≤20 rows) — constant partition keys mark them
+      // deliberate so WindowExec does not warn
       val bmr = bm
         .withColumn(
-          "r", row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+          "r", row_number().over(Window.partitionBy(col("doc_id") * lit(0L))
+            .orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
         .select(col("doc_id"), col("r").as("bm25_rank"))
       val csr = cs
         .withColumn(
-          "r", row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+          "r", row_number().over(Window.partitionBy(col("vec_id") * lit(0L))
+            .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
         .select(col("vec_id").as("doc_id"), col("r").as("cos_rank"))
       bmr.join(csr, Seq("doc_id"), "full_outer")
         .select(

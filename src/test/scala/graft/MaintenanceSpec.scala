@@ -72,4 +72,49 @@ class MaintenanceSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(math.abs(ksMid - 0.25) < 1e-12, s"ks=$ksMid")
   }
+
+  test("ks2Samp sharded cumulative is bit-equal to the single-window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // adversarial values for the sortable-bits sharding: negatives,
+    // zero, subnormal-ish magnitudes, wide exponent spread, ties
+    val rng = new scala.util.Random(7)
+    val vals = Seq(-1e300, -42.5, -1e-200, 0.0, 1e-200, 0.25, 0.25, 1e300) ++
+      (1 to 400).map(_ => math.pow(10, rng.nextInt(200) - 100) *
+        (if (rng.nextBoolean()) 1 else -1) * rng.nextDouble())
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (v, i % 3 == 0) }.toDF("v", "s")
+    for (bits <- Seq(1, 4, 12)) {
+      val sharded = graft.functions.Stats.ks2Samp(df, "v", col("s"), shardBits = bits)
+        .collect().head.getDouble(0)
+      val g = df.groupBy(col("v").as("__v")).agg(
+        sum(when(col("s"), 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("s"), 0L).otherwise(1L)).as("__c2"))
+      val wCum = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy()
+      val single = g.withColumn("__r1", sum("__c1").over(wCum))
+        .withColumn("__r2", sum("__c2").over(wCum))
+        .withColumn("__n1", sum("__c1").over(wAll))
+        .withColumn("__n2", sum("__c2").over(wAll))
+        .agg(max(abs(
+          col("__r1").cast("double") / col("__n1")
+            - col("__r2").cast("double") / col("__n2"))))
+        .collect().head.getDouble(0)
+      assert(sharded == single, s"bits=$bits sharded=$sharded single=$single")
+    }
+  }
+
+  test("sortableBits is monotone over adversarial doubles") {
+    import spark.implicits._
+    val vs = Seq(
+      Double.NegativeInfinity, -1e308, -1.0, -1e-308, -0.0, 0.0,
+      1e-308, 1.0, 1e308, Double.PositiveInfinity)
+    val bits = vs.toDF("v")
+      .select(graft.plans.ScalarExpressions.sortableBits(col("v")).as("b"))
+      .collect().map(_.getLong(0))
+    // -0.0 and 0.0 are adjacent (bit-distinct) but ordered; all other
+    // neighbors are strictly increasing
+    assert(bits.sliding(2).forall(p => p(0) <= p(1)), bits.mkString(","))
+    assert(bits.distinct.length >= vs.length - 1)
+  }
 }
