@@ -96,10 +96,21 @@ object GroupingQueries {
            |  TRUE AS within_5pct
            |FROM lineitem GROUP BY l_returnflag""".stripMargin),
     (s, dir) =>
+      // dedup (flag, key) FIRST: mixing countDistinct with the HLL
+      // aggregate in one pass makes Catalyst Expand every input row ×2
+      // and run the whole scan through a non-codegen ObjectHashAggregate.
+      // The HLL sketch is insertion-idempotent — the estimate over the
+      // deduplicated pairs is REGISTER-identical to the estimate over the
+      // raw multiset — so pre-aggregating keeps the wide pass in
+      // whole-stage codegen with map-side partials and feeds both
+      // aggregates from the (much smaller) distinct-pairs relation.
       Tables.load(s, dir, "lineitem")
+        .select("l_returnflag", "l_orderkey").distinct()
         .groupBy("l_returnflag")
         .agg(
-          countDistinct(col("l_orderkey")).as("n_exact"),
+          // count(col) over the deduped pairs == countDistinct(col): both
+          // skip nulls, and the pairs are unique by construction
+          count(col("l_orderkey")).as("n_exact"),
           approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("n_approx"))
         .select(
           col("l_returnflag"), col("n_exact"),
