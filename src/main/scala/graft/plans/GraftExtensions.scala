@@ -69,6 +69,7 @@ object GraftExtensions {
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_fast" -> arity("dot_fast", 2)(e => DotProduct(e.head, e(1))),
+    "sortable_bits" -> arity("sortable_bits", 1)(e => DoubleSortableBits(e.head)),
     "mad_std" -> arity("mad_std", 1)(
       aggBuilder(new graft.functions.Stats.MadStdAgg(), org.apache.spark.sql.Encoders.DOUBLE)),
     "tdigest_quartiles" -> arity("tdigest_quartiles", 1)(

@@ -156,6 +156,18 @@ object ScaleProbe {
           wide, graft.analyses.TimeResolution.Config(
             "dev1", "dev2", replicas = 8, seed = 42L, iqrSpread = true)).count()
       }
+      time("ks_sharded", c) { df =>
+        // KS over a near-continuous value whose DISTINCT count grows
+        // linearly with copies (price + copy-shifted key jitter) — the
+        // regime where the old single-window cumulative became a
+        // one-task sort and the sharded prefix must stay flat
+        graft.functions.Stats.ks2Samp(
+          df.filter(col("l_returnflag").isin("A", "R"))
+            .withColumn(
+              "__val",
+              col("l_extendedprice") + col("l_orderkey").cast("double") / lit(1e9)),
+          "__val", col("l_returnflag") === "A").collect().length.toLong
+      }
       timed("lsh_pairs", c) {
         graft.operators.Similarity.lshNearDupPairs(
           scaledEmb(emb, c), "vec_id", "embedding",

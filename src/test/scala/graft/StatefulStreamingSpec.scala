@@ -95,6 +95,13 @@ class StatefulStreamingSpec extends AnyFunSuite {
     assert(pr.getDouble(0) == 0.0)
     assert(math.abs(pr.getDouble(1) - 1.959963985) < 1e-6)
     assert(math.abs(pr.getDouble(2) + 1.959963985) < 1e-6)
+    // sortable_bits: identity on non-negative raw bits, strict order
+    val sb = spark.sql(
+      "SELECT sortable_bits(1.5d) AS a, sortable_bits(-1.5d) AS b," +
+        " sortable_bits(0.0d) AS z")
+      .collect().head
+    assert(sb.getLong(0) == java.lang.Double.doubleToRawLongBits(1.5))
+    assert(sb.getLong(1) < sb.getLong(2) && sb.getLong(2) < sb.getLong(0))
   }
 
   test("GraftExtensions injector applies to a fresh extensions-enabled session") {
