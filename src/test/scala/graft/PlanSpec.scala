@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 
 import graft.queries.{CoreQueries, RelationalQueries}
 
@@ -40,6 +41,29 @@ class PlanSpec extends AnyFunSuite {
   test("w2: top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan(RelationalQueries.w2TopK)
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("approx-distinct certificate: no Expand pass, aggregates stay partial+final") {
+    // mixing countDistinct with the HLL sketch in one agg would plan an
+    // Expand (x2 input rows) + ObjectHashAggregate over the whole scan;
+    // the pre-deduped form must keep the wide pass Expand-free
+    val p = plan(graft.queries.GroupingQueries.approxDistinct)
+    assert(!p.contains("Expand"), p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(500))
+  }
+
+  test("ks2Samp: the corpus-wide cumulative never passes a single-partition exchange") {
+    // the sharded prefix form's only SinglePartition exchange feeds the
+    // <=2^shardBits shard-totals window and the 1-row totals aggregate;
+    // the distinct-values relation itself must arrive at its window
+    // hash-partitioned by shard
+    val df = graft.functions.Stats.ks2Samp(
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .filter(col("l_returnflag").isin("A", "R")),
+      "l_extendedprice", col("l_returnflag") === "A")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(__shard"),
+      "per-shard cumulative window is not hash-partitioned:\n" + p.take(1200))
   }
 
   test("p2: scalar-aggregate predicate broadcasts the 1-row threshold") {
