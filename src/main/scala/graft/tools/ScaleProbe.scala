@@ -94,6 +94,19 @@ object ScaleProbe {
     base.unionAll(twins)
   }
 
+  /** Scale events by replication with shifted user/event ids: the
+    * sessionize window gets `copies`× more partitions at CONSTANT
+    * per-user depth — the growth mode a bigger corpus actually has.
+    */
+  def scaledEvents(ev: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { i =>
+      ev.select(
+        (col("event_id") + lit(i.toLong * 100000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i.toLong * 100000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -155,6 +168,41 @@ object ScaleProbe {
         graft.analyses.TimeResolution.run(
           wide, graft.analyses.TimeResolution.Config(
             "dev1", "dev2", replicas = 8, seed = 42L, iqrSpread = true)).count()
+      }
+      timed("sessionize", c) {
+        // the e2 plan shape: one shuffle on user_id feeds lag + running
+        // sum + the session aggregate; copies grow the PARTITION COUNT
+        // of the window, never its depth
+        import org.apache.spark.sql.expressions.Window
+        val ev = scaledEvents(
+          graft.streaming.EventsStream.readBatch(spark, s"$sfDir/events.parquet"), c)
+        val w = Window.partitionBy("user_id").orderBy(col("tss"), col("event_id"))
+        val t = ev.select(
+          col("user_id"), col("event_id"), date_trunc("second", col("ts")).as("tss"))
+        val marked = t.withColumn(
+          "new_session",
+          when(
+            lag(col("tss"), 1).over(w).isNull ||
+              (unix_timestamp(col("tss")) - unix_timestamp(lag(col("tss"), 1).over(w)) > 1800),
+            1).otherwise(0))
+        marked
+          .withColumn(
+            "session_id",
+            sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"), min("tss"), max("tss"))
+          .count()
+      }
+      timed("asof_join", c) {
+        val ev = scaledEvents(
+          graft.streaming.EventsStream.readBatch(spark, s"$sfDir/events.parquet"), c)
+          .withColumn("us", unix_micros(col("ts")))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "us")
+        val views = ev.filter(col("event_type") === "view")
+          .select("user_id", "us", "value")
+        graft.operators.AsOfJoin
+          .asOf(clicks, views, Seq("user_id"), "us", "us", Seq("value")).count()
       }
       time("ks_sharded", c) { df =>
         // KS over a near-continuous value whose DISTINCT count grows
