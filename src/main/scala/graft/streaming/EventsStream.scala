@@ -43,13 +43,19 @@ object EventsStream {
   /** True when `path`'s events parquet carries `ts` as an annotated
     * TIMESTAMP column (current test-data generation); false for the raw
     * ns-INT64 generation, whose footer schema inference throws. One
-    * footer read, no data scan — cheap enough to probe per call, and
+    * footer read, no data scan, memoized per path for the JVM's lifetime
+    * (a dataset's physical schema cannot change under a running job) —
     * probing (rather than hard-coding a unit) keeps every event consumer
     * correct across test-data regenerations.
     */
   def tsIsTimestamp(spark: SparkSession, path: String): Boolean =
-    try spark.read.parquet(path).schema("ts").dataType != LongType
-    catch { case _: Throwable => false }
+    unitCache.computeIfAbsent(
+      path,
+      _ => try spark.read.parquet(path).schema("ts").dataType != LongType
+      catch { case _: Throwable => java.lang.Boolean.FALSE })
+
+  private val unitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
 
   /** Batch scan of an events parquet with `ts` normalized to
     * TimestampType (µs), whichever generation is on disk.
