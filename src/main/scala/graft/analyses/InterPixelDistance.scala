@@ -34,7 +34,12 @@ object InterPixelDistance {
       .agg(crossingAggs.head, crossingAggs.tail: _*)
     val left = perPad.filter(col("Pad") === "left").drop("Pad")
     val right = perPad.filter(col("Pad") === "right").drop("Pad")
-    val joined = left.alias("l").join(right.alias("r"), "measurement_name")
+    // FULL outer: a measurement missing one pad (e.g. a truncated scan)
+    // keeps its row with null IPDs — the same degenerate-input behavior
+    // as the SQL oracle's conditional-aggregation form, which was only
+    // visible once a tiny scale factor cut the synthetic profile mid-
+    // measurement (sf0.001 drive, round 8)
+    val joined = left.alias("l").join(right.alias("r"), Seq("measurement_name"), "full_outer")
     val ipdCols = thresholds.map(t =>
       abs(col(s"r.x_$t") - col(s"l.x_$t")).as(s"IPD (m) at $t%"))
     joined.select((col("measurement_name") +: ipdCols): _*)
