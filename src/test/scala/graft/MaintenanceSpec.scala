@@ -82,8 +82,11 @@ class MaintenanceSpec extends AnyFunSuite {
     val vals = Seq(-1e300, -42.5, -1e-200, 0.0, 1e-200, 0.25, 0.25, 1e300) ++
       (1 to 400).map(_ => math.pow(10, rng.nextInt(200) - 100) *
         (if (rng.nextBoolean()) 1 else -1) * rng.nextDouble())
-    val df = vals.zipWithIndex
-      .map { case (v, i) => (v, i % 3 == 0) }.toDF("v", "s")
+    // null values ride shard -1 (the window form's ASC NULLS FIRST slot)
+    val df = (vals.zipWithIndex
+      .map { case (v, i) => (Option(v), i % 3 == 0) } ++
+      Seq((Option.empty[Double], true), (Option.empty[Double], false)))
+      .toDF("v", "s")
     for (bits <- Seq(1, 4, 12)) {
       val sharded = graft.functions.Stats.ks2Samp(df, "v", col("s"), shardBits = bits)
         .collect().head.getDouble(0)
