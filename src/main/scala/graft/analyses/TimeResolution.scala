@@ -149,7 +149,12 @@ object TimeResolution {
           // Stats.binnedIqrStdPivotReplicas
           Stats.binnedIqrStdPivotReplicas(
             dt, Seq("k1", "k2"), "delta_t", cfg.replicas,
-            r => multiplicity(col("n_trigger"), r, cfg.seed), "kmad",
+            // replica 0 is the real pass — multiplicity 1 BY INDEX, so the
+            // expression is a plain literal (multiplicity(lit(0)) would
+            // build the trivially-true `0 === 0` branch: same value, but
+            // a dead xxhash subtree in codegen and a Column warn per run)
+            r => if (r == 0) lit(1)
+                 else multiplicity(col("n_trigger"), lit(r), cfg.seed), "kmad",
             bins = 2048, rangeOf = dt, rangeKeys = Seq("k1", "k2"))
         else {
           val fanned = fannedW

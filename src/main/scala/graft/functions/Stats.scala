@@ -178,7 +178,7 @@ object Stats {
       keys: Seq[String],
       value: String,
       replicas: Int,
-      mult: Column => Column, // replica literal -> per-row multiplicity
+      mult: Int => Column, // replica index -> per-row multiplicity
       out: String,
       bins: Int,
       rangeOf: DataFrame,
@@ -195,7 +195,7 @@ object Stats {
       lit(bins - 1L))
     val rs = 0 to replicas
     val aggs = rs.flatMap { r =>
-      val m = mult(lit(r))
+      val m = mult(r)
       Seq(
         sum(m).as(s"__n$r"),
         min(when(m > 0, col(value))).as(s"__bmin$r"),
