@@ -334,6 +334,46 @@ object Stats {
           - col("__r2").cast("double") / col("__n2"))).as("ks"))
   }
 
+  /** Population stability index between two slices of a value column —
+    * the standard production drift monitor next to [[ks2Samp]] (PSI < 0.1
+    * stable, > 0.25 shifted). Fixed-range equi-width bucketing from a
+    * broadcast 1-row min/max aggregate, one hash-aggregate over ≤ `bins`
+    * buckets, zero-share floors at `eps` (the conventional guard for
+    * empty buckets), and the final Σ (pA−pB)·ln(pA/pB) rides the
+    * DetAgg decimal route so the ≤ `bins`-term sum is order-independent.
+    * No window anywhere; every relation after the scan is ≤ `bins` rows.
+    *
+    * Output: one row, `psi` double, rounded to 6 — the same rounding
+    * contract as the LM-score family, which pins ln() bit-parity between
+    * engines in practice.
+    */
+  def psi(
+      df: DataFrame,
+      value: String,
+      inSliceA: Column,
+      bins: Int = 20,
+      eps: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"bins $bins out of range")
+    val v = col(value).cast("double")
+    val r = df.agg(
+      min(v).as("__lo"), max(v).as("__hi"),
+      sum(when(inSliceA, 1L).otherwise(0L)).as("__na"),
+      sum(when(inSliceA, 0L).otherwise(1L)).as("__nb"))
+    val w = (col("__hi") - col("__lo")) / lit(bins)
+    val wSafe = when(col("__hi") > col("__lo"), w).otherwise(lit(1.0))
+    val bucket = least(
+      greatest(floor((v - col("__lo")) / wSafe), lit(0L)),
+      lit(bins - 1L))
+    val pa = greatest(col("__ca").cast("double") / col("__na"), lit(eps))
+    val pb = greatest(col("__cb").cast("double") / col("__nb"), lit(eps))
+    df.crossJoin(broadcast(r))
+      .groupBy(bucket.as("__b"), col("__na"), col("__nb"))
+      .agg(
+        sum(when(inSliceA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(inSliceA, 0L).otherwise(1L)).as("__cb"))
+      .agg(round(graft.functions.DetAgg.dsum((pa - pb) * log(pa / pb)), 6).as("psi"))
+  }
+
   /** The reference's `mean_std` (reference `scripts/utils.py:118-146`):
     * groupBy(keys) then mean/std/median/MAD_std of every value column, with
     * flattened `"col stat"` names (units-in-names survive verbatim —

@@ -79,6 +79,44 @@ object ProfileQueries {
         "l_quantity",
         col("l_returnflag") === "A"))
 
+  /** Population stability index between the same two slices as
+    * [[ksQuantity]] — the bucketed companion drift metric (PSI is what
+    * production monitors alarm on; KS is the exact-distribution check).
+    * Whole plan is windowless: broadcast 1-row range/totals, one bucket
+    * hash-aggregate (≤ 20 rows), decimal-routed final sum.
+    */
+  val psiQuantity: Q = {
+    import graft.functions.DetAgg.{Sql => D}
+    val paS = "GREATEST(CAST(ca AS DOUBLE) / na, 1e-6)"
+    val pbS = "GREATEST(CAST(cb AS DOUBLE) / nb, 1e-6)"
+    Q(
+      "stat_psi",
+      Some(s"""WITH src AS (
+              |  SELECT CAST(l_quantity AS DOUBLE) AS v,
+              |    l_returnflag = 'A' AS a
+              |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+              |r AS (
+              |  SELECT MIN(v) AS lo, MAX(v) AS hi,
+              |    SUM(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+              |    SUM(CASE WHEN a THEN 0 ELSE 1 END) AS nb
+              |  FROM src),
+              |g AS (
+              |  SELECT LEAST(GREATEST(FLOOR((v - lo) /
+              |      (CASE WHEN hi > lo THEN (hi - lo) / 20.0 ELSE 1.0 END)), 0), 19) AS b,
+              |    na, nb,
+              |    SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+              |    SUM(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+              |  FROM src CROSS JOIN r GROUP BY 1, 2, 3)
+              |SELECT ROUND(${D.dsum(s"($paS - $pbS) * LN($paS / $pbS)")}, 6) AS psi
+              |FROM g""".stripMargin),
+      (s, dir) =>
+        graft.functions.Stats.psi(
+          Tables.load(s, dir, "lineitem").filter(col("l_returnflag").isin("A", "R")),
+          "l_quantity",
+          col("l_returnflag") === "A",
+          bins = 20))
+  }
+
   /** Data mixing: per-source keep percentages (web 50%, books 100%,
     * otherwise 20%) — survivor counts per (source, lang).
     */
@@ -217,6 +255,6 @@ object ProfileQueries {
         .agg(count(lit(1)).as("n_kept")))
 
   def all: Seq[Q] = Seq(
-    profileLineitem, textRedact, ksQuantity, sampleMix, sampleBudget,
+    profileLineitem, textRedact, ksQuantity, psiQuantity, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded)
 }

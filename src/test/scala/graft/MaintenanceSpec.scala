@@ -73,6 +73,27 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(math.abs(ksMid - 0.25) < 1e-12, s"ks=$ksMid")
   }
 
+  test("psi: identical slices ~0, disjoint slices large, shifted in between") {
+    import spark.implicits._
+    val same = (1 to 200).flatMap(i => Seq((i.toDouble, true), (i.toDouble, false)))
+      .toDF("v", "s")
+    val p0 = graft.functions.Stats.psi(same, "v", col("s")).collect().head.getDouble(0)
+    assert(p0 == 0.0, s"psi=$p0")
+    val disjoint = ((1 to 100).map(i => (i.toDouble, true))
+      ++ (201 to 300).map(i => (i.toDouble, false))).toDF("v", "s")
+    val p1 = graft.functions.Stats.psi(disjoint, "v", col("s")).collect().head.getDouble(0)
+    val shifted = ((1 to 100).map(i => (i.toDouble, true))
+      ++ (31 to 130).map(i => (i.toDouble, false))).toDF("v", "s")
+    val pMid = graft.functions.Stats.psi(shifted, "v", col("s")).collect().head.getDouble(0)
+    // conventional thresholds: <0.1 stable, >0.25 shifted
+    assert(p1 > 2.0, s"disjoint psi=$p1")
+    assert(pMid > 0.25 && pMid < p1, s"shifted psi=$pMid vs disjoint $p1")
+    // degenerate: constant column (hi == lo) must not divide by zero
+    val const = (1 to 50).map(i => (7.0, i % 2 == 0)).toDF("v", "s")
+    val pc = graft.functions.Stats.psi(const, "v", col("s")).collect().head.getDouble(0)
+    assert(pc == 0.0 || pc.abs < 1e-6, s"constant psi=$pc")
+  }
+
   test("ks2Samp sharded cumulative is bit-equal to the single-window form") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
