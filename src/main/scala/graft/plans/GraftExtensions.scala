@@ -68,7 +68,7 @@ object GraftExtensions {
     org.apache.spark.sql.GraftBridge.scalaAggregator(agg, enc, e)
 
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "dot_fast" -> arity("dot_fast", 2)(e => DotProduct(e.head, e(1))),
+    "dot_fast" -> arity("dot_fast", 2)(e => VectorExpressions.dotFastExpr(e.head, e(1))),
     "sortable_bits" -> arity("sortable_bits", 1)(e => DoubleSortableBits(e.head)),
     "mad_std" -> arity("mad_std", 1)(
       aggBuilder(new graft.functions.Stats.MadStdAgg(), org.apache.spark.sql.Encoders.DOUBLE)),
@@ -78,9 +78,10 @@ object GraftExtensions {
         org.apache.spark.sql.Encoders.DOUBLE)),
     "cosine_sim" -> arity("cosine_sim", 2) { e =>
       import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+      val dot = VectorExpressions.dotFastExpr _
       Divide(
-        DotProduct(e.head, e(1)),
-        Multiply(Sqrt(DotProduct(e.head, e.head)), Sqrt(DotProduct(e(1), e(1)))))
+        dot(e.head, e(1)),
+        Multiply(Sqrt(dot(e.head, e.head)), Sqrt(dot(e(1), e(1)))))
     },
     "graft_fingerprint" -> arity("graft_fingerprint", 1)(template(fingerprintSql)),
     "graft_token_count" -> arity("graft_token_count", 1)(template(tokenCountSql)),

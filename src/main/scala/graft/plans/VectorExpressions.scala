@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Custom Catalyst expressions for vector math.
   *
@@ -56,7 +56,25 @@ case class DotProduct(left: Expression, right: Expression)
 object VectorExpressions {
   import org.apache.spark.sql.GraftBridge.{column, expression}
 
-  /** Fast sequential dot product of two `array<double>` columns. */
+  /** Cast to the 8-byte layout [[DotProduct]]'s buffer readers assume.
+    * The expression itself cannot declare input types (Spark 4's
+    * `AbstractDataType` is `private[sql]`), and an undeclared
+    * `array<float>` input — the embeddings table's PHYSICAL type — would
+    * silently read garbage through the 8-byte-stride getters. A trivial
+    * cast on an already-`array<double>` column is erased by the
+    * optimizer, so the guard is free where it isn't needed.
+    */
+  private def asDoubles(c: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(c, ArrayType(DoubleType))
+
+  /** Fast sequential dot product of two array-of-numeric columns
+    * (coerced to `array<double>`).
+    */
   def dotFast(a: Column, b: Column): Column =
-    column(DotProduct(expression(a), expression(b)))
+    column(DotProduct(expression(a.cast(ArrayType(DoubleType))),
+      expression(b.cast(ArrayType(DoubleType)))))
+
+  /** SQL-builder form: coerce both operands, then dot. */
+  def dotFastExpr(a: Expression, b: Expression): Expression =
+    DotProduct(asDoubles(a), asDoubles(b))
 }

@@ -104,6 +104,20 @@ class StatefulStreamingSpec extends AnyFunSuite {
     assert(sb.getLong(1) < sb.getLong(2) && sb.getLong(2) < sb.getLong(0))
   }
 
+  test("dot_fast coerces float arrays instead of misreading them") {
+    // the embeddings table's PHYSICAL element type is float32; the
+    // 8-byte-stride buffer readers would silently return garbage without
+    // the builder-level cast (engine call sites cast via
+    // Similarity.asDouble — this pins the raw-SQL path)
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    val r = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b").createOrReplaceTempView("graft_fn_floats")
+    val d = spark.sql("SELECT dot_fast(a, b) AS d FROM graft_fn_floats")
+      .collect().head.getDouble(0)
+    assert(d == 32.0, s"dot=$d")
+  }
+
   test("GraftExtensions injector applies to a fresh extensions-enabled session") {
     // constructing the injector and applying it must not throw; full
     // builder wiring is exercised via spark.sql.extensions in deployment
