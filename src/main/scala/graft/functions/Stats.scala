@@ -311,10 +311,10 @@ object Stats {
     // offsets relation). The constant-valued partition key marks the
     // single partition as DELIBERATE: WindowExec only logs its
     // single-partition hazard warning for an empty partition spec, and a
-    // bounded ≤4096-row prefix window is not a hazard. It must be
-    // non-foldable (`__shard * 0`, never a literal) or ConstantFolding
-    // strips it back to the empty spec.
-    val wOff = Window.partitionBy(col("__shard") * lit(0L))
+    // bounded ≤4096-row prefix window is not a hazard (key contract:
+    // [[graft.plans.ScalarExpressions.singlePartitionKey]]).
+    val wOff = Window.partitionBy(
+      graft.plans.ScalarExpressions.singlePartitionKey(col("__shard")))
       .orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = keyed.groupBy("__shard")
       .agg(sum("__c1").as("__s1"), sum("__c2").as("__s2"))
@@ -343,6 +343,16 @@ object Stats {
     * DetAgg decimal route so the ≤ `bins`-term sum is order-independent.
     * No window anywhere; every relation after the scan is ≤ `bins` rows.
     *
+    * Null contract: rows with a null `value` are EXCLUDED before the
+    * range aggregate and the bucketing — each slice's shares are over
+    * its non-null rows only. (Without the filter, `floor((null−lo)/w)`
+    * is null and `greatest`/`least` skip nulls, so every null row would
+    * silently land in bucket 0 while still counting toward the slice
+    * totals — a distorted PSI with no error. [[ks2Samp]], by contrast,
+    * keeps nulls as their own group, shard −1: KS is an order statistic
+    * where "null sorts first" is well-defined; PSI's equi-width buckets
+    * have no place for a valueless row.)
+    *
     * Output: one row, `psi` double, rounded to 6 — the same rounding
     * contract as the LM-score family, which pins ln() bit-parity between
     * engines in practice.
@@ -355,7 +365,8 @@ object Stats {
       eps: Double = 1e-6): DataFrame = {
     require(bins >= 2, s"bins $bins out of range")
     val v = col(value).cast("double")
-    val r = df.agg(
+    val nn = df.filter(v.isNotNull)
+    val r = nn.agg(
       min(v).as("__lo"), max(v).as("__hi"),
       sum(when(inSliceA, 1L).otherwise(0L)).as("__na"),
       sum(when(inSliceA, 0L).otherwise(1L)).as("__nb"))
@@ -366,7 +377,7 @@ object Stats {
       lit(bins - 1L))
     val pa = greatest(col("__ca").cast("double") / col("__na"), lit(eps))
     val pb = greatest(col("__cb").cast("double") / col("__nb"), lit(eps))
-    df.crossJoin(broadcast(r))
+    nn.crossJoin(broadcast(r))
       .groupBy(bucket.as("__b"), col("__na"), col("__nb"))
       .agg(
         sum(when(inSliceA, 1L).otherwise(0L)).as("__ca"),

@@ -343,7 +343,7 @@ object Ivf {
           // deliberate (empty specs draw WindowExec's hazard warning)
           .select(
             (row_number().over(
-              Window.partitionBy(col("__h") * lit(0L)).orderBy("__h")) - 1).as("__j"),
+              Window.partitionBy(graft.plans.ScalarExpressions.singlePartitionKey(col("__h"))).orderBy("__h")) - 1).as("__j"),
             col("__v").as("__c")),
         "ivf-seed")
       // one k-row job sizes the broadcast-vs-cartesian tier for every

@@ -94,7 +94,8 @@ object ProfileQueries {
       Some(s"""WITH src AS (
               |  SELECT CAST(l_quantity AS DOUBLE) AS v,
               |    l_returnflag = 'A' AS a
-              |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+              |  FROM lineitem
+              |  WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL),
               |r AS (
               |  SELECT MIN(v) AS lo, MAX(v) AS hi,
               |    SUM(CASE WHEN a THEN 1 ELSE 0 END) AS na,

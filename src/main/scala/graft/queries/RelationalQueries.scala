@@ -594,7 +594,7 @@ object RelationalQueries {
           // distinct quantities: bounded by the value domain (~50), the
           // constant partition key marks the single partition deliberate
           .withColumn("d", col("t") - lag("t", 1)
-            .over(Window.partitionBy(col("t") * lit(0L)).orderBy("t")))
+            .over(Window.partitionBy(graft.plans.ScalarExpressions.singlePartitionKey(col("t"))).orderBy("t")))
           .filter(col("d").isNotNull && col("d") > 0)
           .agg(coalesce(min("d"), lit(1L)).as("tstep"))
         val acc = w.filter(col("accepted"))

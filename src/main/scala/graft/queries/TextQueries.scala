@@ -275,7 +275,7 @@ object TextQueries {
         // 1000-node planted chain: bounded input, deliberate single
         // partition (constant key suppresses the WindowExec hazard warn)
         .withColumn("id_b", lead("node_id", 1)
-          .over(Window.partitionBy(col("node_id") * lit(0L)).orderBy("node_id")))
+          .over(Window.partitionBy(graft.plans.ScalarExpressions.singlePartitionKey(col("node_id"))).orderBy("node_id")))
         .filter(col("id_b").isNotNull)
         .select(col("node_id").as("id_a"), col("id_b"))
       graft.operators.Components.alternatingStar(
@@ -870,12 +870,12 @@ object TextQueries {
       // deliberate so WindowExec does not warn
       val bmr = bm
         .withColumn(
-          "r", row_number().over(Window.partitionBy(col("doc_id") * lit(0L))
+          "r", row_number().over(Window.partitionBy(graft.plans.ScalarExpressions.singlePartitionKey(col("doc_id")))
             .orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
         .select(col("doc_id"), col("r").as("bm25_rank"))
       val csr = cs
         .withColumn(
-          "r", row_number().over(Window.partitionBy(col("vec_id") * lit(0L))
+          "r", row_number().over(Window.partitionBy(graft.plans.ScalarExpressions.singlePartitionKey(col("vec_id")))
             .orderBy(col("cos").desc, col("vec_id"))).cast("long"))
         .select(col("vec_id").as("doc_id"), col("r").as("cos_rank"))
       bmr.join(csr, Seq("doc_id"), "full_outer")

@@ -42,17 +42,30 @@ object EventsStream {
 
   /** True when `path`'s events parquet carries `ts` as an annotated
     * TIMESTAMP column (current test-data generation); false for the raw
-    * ns-INT64 generation, whose footer schema inference throws. One
-    * footer read, no data scan, memoized per path for the JVM's lifetime
-    * (a dataset's physical schema cannot change under a running job) —
-    * probing (rather than hard-coding a unit) keeps every event consumer
-    * correct across test-data regenerations.
+    * ns-INT64 generation — either a plain INT64 footer (inferred as
+    * LongType) or a TIMESTAMP(NANOS)-annotated one, which Spark's schema
+    * inference rejects with the `PARQUET_TYPE_*` analysis conditions.
+    * ONLY that rejection selects the legacy branch; anything else — a
+    * missing path (`PATH_NOT_FOUND` is also an AnalysisException, hence
+    * the condition match, not a type match), a corrupt footer, a
+    * transient IO failure — propagates to the caller instead of being
+    * memoized as "legacy" for the JVM lifetime, which would silently
+    * misread annotated-µs data 1000× off: exactly the round-7 failure
+    * mode this probe was built to prevent. (`computeIfAbsent` does not
+    * cache when the mapping function throws, so a one-off hiccup never
+    * poisons the cache.) One footer read, no data scan, memoized per
+    * path for the JVM's lifetime (a dataset's physical schema cannot
+    * change under a running job).
     */
   def tsIsTimestamp(spark: SparkSession, path: String): Boolean =
     unitCache.computeIfAbsent(
       path,
       _ => try spark.read.parquet(path).schema("ts").dataType != LongType
-      catch { case _: Throwable => java.lang.Boolean.FALSE })
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getCondition).exists(_.startsWith("PARQUET_TYPE")) =>
+          java.lang.Boolean.FALSE
+      })
 
   private val unitCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]

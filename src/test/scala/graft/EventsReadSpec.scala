@@ -47,6 +47,22 @@ class EventsReadSpec extends AnyFunSuite {
     assert(EventsStream.tsIsTimestamp(spark, tsPath))
   }
 
+  test("probe propagates a missing path instead of memoizing legacy") {
+    // ADVICE r8: the old catch-all turned ANY failure (missing path,
+    // corrupt footer, IO hiccup) into a permanently-cached "legacy
+    // ns-INT64" verdict — the silent 1000×-misread class again. Only the
+    // PARQUET_TYPE_* schema-inference rejection may select legacy.
+    val ghost = s"/nonexistent/graft_evread_${System.nanoTime()}/events.parquet"
+    intercept[org.apache.spark.sql.AnalysisException] {
+      EventsStream.tsIsTimestamp(spark, ghost)
+    }
+    // and the failure is NOT cached: a second probe still throws (a
+    // poisoned FALSE entry would return silently instead)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      EventsStream.tsIsTimestamp(spark, ghost)
+    }
+  }
+
   test("readBatch normalizes both generations to the same µs epoch") {
     val longPath = writeFixture(lit(micros * 1000L), "long2")
     val tsPath = writeFixture(timestamp_micros(lit(micros)), "ts2")

@@ -128,6 +128,60 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("psi excludes null values instead of binning them into bucket 0") {
+    import spark.implicits._
+    // ADVICE r8: floor((null-lo)/w) is null and greatest()/least() skip
+    // nulls, so pre-fix every null row landed in bucket 0 while still
+    // counting toward the slice totals — a silently distorted PSI. The
+    // contract is now: nulls are excluded everywhere (range, buckets,
+    // totals), so nulls must be a no-op.
+    val base = ((1 to 100).map(i => (Option(i.toDouble), true))
+      ++ (31 to 130).map(i => (Option(i.toDouble), false)))
+    val nulled = base ++ Seq.fill(40)((Option.empty[Double], false)) ++
+      Seq.fill(15)((Option.empty[Double], true))
+    val pBase = graft.functions.Stats.psi(base.toDF("v", "s"), "v", col("s"))
+      .collect().head.getDouble(0)
+    val pNulled = graft.functions.Stats.psi(nulled.toDF("v", "s"), "v", col("s"))
+      .collect().head.getDouble(0)
+    assert(pBase == pNulled, s"nulls distorted psi: $pBase vs $pNulled")
+  }
+
+  test("singlePartitionKey keeps one partition even when the key column is null") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // ADVICE r8: the inlined `col * lit(0L)` idiom silently split into
+    // TWO window partitions (0 and null) when the key was null — here
+    // row_number over 8 rows with 3 null keys must still be 1..8.
+    val df = (Seq(1L, 2L, 3L, 4L, 5L).map(Option(_))
+      ++ Seq.fill(3)(Option.empty[Long])).toDF("k")
+    val w = Window
+      .partitionBy(graft.plans.ScalarExpressions.singlePartitionKey(col("k")))
+      .orderBy(col("k").asc_nulls_first)
+    val rns = df.select(row_number().over(w).as("rn"))
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(rns == (1 to 8), s"split partitions: row_numbers $rns")
+  }
+
+  test("sortableBits canonicalizes sign-bit-set NaN above +Infinity") {
+    import spark.implicits._
+    // ADVICE r8: doubleToRawLongBits mapped a negative-sign NaN (readable
+    // from externally written parquet — SPARK-26021 removed unsafe-row
+    // NaN normalization) BELOW -Infinity, breaking the documented
+    // "NaN maps above +Inf" total order. doubleToLongBits canonicalizes
+    // every payload to the one positive quiet-NaN pattern.
+    val negNaN = java.lang.Double.longBitsToDouble(0xfff8000000000000L)
+    assert(negNaN.isNaN && java.lang.Double.doubleToRawLongBits(negNaN) < 0)
+    val bits = Seq(negNaN, Double.NaN, Double.PositiveInfinity).toDF("v")
+      .select(graft.plans.ScalarExpressions.sortableBits(col("v")).as("b"))
+      .collect().map(_.getLong(0))
+    assert(bits(0) == bits(1), s"NaN payloads not canonicalized: ${bits.toSeq}")
+    assert(bits(0) > bits(2), s"NaN below +Inf: ${bits.toSeq}")
+    // interpreted (non-codegen) path must agree with the codegen'd one
+    val interp = graft.plans.DoubleSortableBits(
+      org.apache.spark.sql.catalyst.expressions.Literal(negNaN)).eval(null)
+    assert(interp == bits(0), s"interpreted $interp vs codegen ${bits(0)}")
+  }
+
   test("sortableBits is monotone over adversarial doubles") {
     import spark.implicits._
     val vs = Seq(
