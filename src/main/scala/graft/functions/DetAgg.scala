@@ -60,6 +60,23 @@ object DetAgg {
   object Sql {
     def dsum(x: String): String =
       s"CAST(SUM(CAST($x AS DECIMAL(30,$Scale))) AS DOUBLE)"
+
+    /** Correctly-rounded decimal→double for the oracle side. DuckDB's
+      * direct `CAST(DECIMAL AS DOUBLE)` double-rounds (int128 → double,
+      * then ÷10^scale), which is 1 ulp off nearest for sums whose
+      * micro-unit magnitude exceeds 2^53 — e.g. Σ price² at sf0.01 is
+      * ~7.4e13 with 6 decimals ≈ 20 significant digits, and all three
+      * l_returnflag groups land on a misrounded ulp. Spark's
+      * `Decimal.toDouble` (BigDecimal.doubleValue) is correctly rounded,
+      * so the engines disagree on the MOMENT, not on any later
+      * arithmetic. Routing the oracle cast through VARCHAR (exact
+      * digits → fast_float strtod, single correct rounding) restores
+      * bit-parity with no change on the engine side. Use this form in
+      * any oracle whose unrounded result consumes a sum that can exceed
+      * 2^53 micro-units.
+      */
+    def dsumExact(x: String): String =
+      s"CAST(CAST(SUM(CAST($x AS DECIMAL(30,$Scale))) AS VARCHAR) AS DOUBLE)"
     def davg(x: String): String =
       s"${dsum(x)} / COUNT($x)"
     def dstd(x: String): String =

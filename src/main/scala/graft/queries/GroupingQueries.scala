@@ -202,8 +202,14 @@ object GroupingQueries {
 
   /** Grouped ordinary least squares (y ~ a + b·x per group) from exact
     * DetAgg moment sums — slope, intercept, and r² as one fixed IEEE
-    * tree shared with the oracle. The distributed-regression shape: one
-    * aggregation pass regardless of group sizes.
+    * tree shared with the oracle, UNROUNDED. The r5-r8 `ROUND(r2, 9)`
+    * was misdiagnosed as "engine-internal reassociation": the real
+    * divergence was the ORACLE's decimal→double cast of sy2 (Σ price²,
+    * ~20 significant digits) double-rounding 1 ulp off nearest —
+    * [[graft.functions.DetAgg.Sql.dsumExact]] fixes the cast, so the
+    * whole row is bit-exact with no rounding anywhere. The
+    * distributed-regression shape: one aggregation pass regardless of
+    * group sizes.
     */
   val linreg: Q = {
     import graft.functions.DetAgg
@@ -216,13 +222,13 @@ object GroupingQueries {
       Some(s"""WITH m AS (
               |  SELECT l_returnflag,
               |    CAST(COUNT(*) AS DOUBLE) AS n,
-              |    ${D.dsum("l_quantity")} AS sx,
-              |    ${D.dsum("l_extendedprice")} AS sy,
-              |    ${D.dsum("l_quantity * l_extendedprice")} AS sxy,
-              |    ${D.dsum("l_quantity * l_quantity")} AS sx2,
-              |    ${D.dsum("l_extendedprice * l_extendedprice")} AS sy2
+              |    ${D.dsumExact("l_quantity")} AS sx,
+              |    ${D.dsumExact("l_extendedprice")} AS sy,
+              |    ${D.dsumExact("l_quantity * l_extendedprice")} AS sxy,
+              |    ${D.dsumExact("l_quantity * l_quantity")} AS sx2,
+              |    ${D.dsumExact("l_extendedprice * l_extendedprice")} AS sy2
               |  FROM lineitem GROUP BY 1)
-              |SELECT l_returnflag, $slope AS slope, $icept AS intercept, ROUND($r2, 9) AS r2
+              |SELECT l_returnflag, $slope AS slope, $icept AS intercept, $r2 AS r2
               |FROM m""".stripMargin),
       (s, dir) =>
         Tables.load(s, dir, "lineitem")
@@ -238,12 +244,17 @@ object GroupingQueries {
             col("l_returnflag"),
             expr(slope).as("slope"),
             expr(icept).as("intercept"),
-            round(expr(r2), 9).as("r2")))
+            expr(r2).as("r2")))
   }
 
   /** Pairwise Pearson correlations in long form (col_a, col_b, corr) —
     * the feature-correlation matrix, one aggregation pass for all pairs,
-    * every entry from exact decimal moments.
+    * every entry from exact decimal moments. Oracle moments use
+    * [[graft.functions.DetAgg.Sql.dsumExact]]: the squared-price sums
+    * exceed 2^53 micro-units, where DuckDB's direct decimal→double cast
+    * is 1 ulp off nearest (see [[linreg]] — this query previously
+    * hash-matched only because the sqrt·division tree happened to absorb
+    * the ulp).
     */
   val corrMatrix: Q = {
     import graft.functions.DetAgg
@@ -257,9 +268,9 @@ object GroupingQueries {
       "a13_corr_matrix",
       Some(s"""WITH m AS (
               |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-              |    ${cols.map(c => s"${D.dsum(c)} AS s_$c").mkString(",\n    ")},
-              |    ${cols.map(c => s"${D.dsum(s"$c * $c")} AS s2_$c").mkString(",\n    ")},
-              |    ${pairs.map { case (a, b) => s"${D.dsum(s"$a * $b")} AS s_${a}_${b}" }
+              |    ${cols.map(c => s"${D.dsumExact(c)} AS s_$c").mkString(",\n    ")},
+              |    ${cols.map(c => s"${D.dsumExact(s"$c * $c")} AS s2_$c").mkString(",\n    ")},
+              |    ${pairs.map { case (a, b) => s"${D.dsumExact(s"$a * $b")} AS s_${a}_${b}" }
                  .mkString(",\n    ")}
               |  FROM lineitem)
               |${pairs.map { case (a, b) =>
