@@ -24,6 +24,12 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Largest per-shingle document multiplicity [[jaccardPairs]]'s exact
+    * self-join will accept (≈2.5e7 join rows from one shingle at the
+    * bound). Hotter shingles belong on the pruned/banded tiers.
+    */
+  val MaxDocsPerShingle: Long = 5000L
+
   /** Distinct k-token shingle array from a token-array expression.
     *
     * The token array is bound as a LAMBDA VARIABLE (`transform(array(t0),
@@ -150,14 +156,22 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs: shingle self-join → common
     * counts → |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. Quadratic in docs
-    * sharing a shingle — use [[minHashPairs]] when that bound is unsafe.
+    * sharing a shingle — use [[minHashPairs]] when that bound is unsafe,
+    * and the self-join is GUARDED on exactly that axis: an in-plan
+    * max-multiplicity aggregate over the shingle relation (one extra
+    * linear pass — the same honest-price pattern as
+    * `Sampling.shardedPrefix`'s offsets guard) fails the job with a
+    * descriptive error before the join can emit `maxDocsPerShingle`²
+    * rows from one hot shingle. [[prefixJaccardPairs]] (PPJoin) and
+    * [[minHashPairs]] are the scale paths.
     */
   def jaccardPairs(
       df: DataFrame,
       id: String,
       text: String,
       k: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxDocsPerShingle: Long = MaxDocsPerShingle): DataFrame = {
     // join on the 64-bit shingle hash: smaller shuffle + long compares
     // (collision probability ~n²/2⁶⁵ — immaterial). Deliberately NOT
     // cached: the exploded shingle relation is LARGER than the corpus, so
@@ -167,7 +181,19 @@ object Dedup {
     val sh = shingles(df, id, text, k)
       .select(col(id), xxhash64(col("shingle")).as("shingle"))
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val hottest = sh.groupBy("shingle").agg(count(lit(1)).as("__m"))
+      .agg(coalesce(max("__m"), lit(0L)).as("__hot"))
     val a = sh.select(col(id).as("id_a"), col("shingle"))
+      .crossJoin(broadcast(hottest))
+      .filter(assert_true(
+        col("__hot") <= lit(maxDocsPerShingle),
+        format_string(
+          "jaccardPairs is the exact-quadratic brute/oracle tier: the hottest " +
+            "shingle is shared by %d docs, over the brute-safe bound %d (one such " +
+            "shingle alone emits bound² join rows). Use prefixJaccardPairs (PPJoin) " +
+            "or minHashPairs for corpora with hot shingles.",
+          col("__hot"), lit(maxDocsPerShingle))).isNull)
+      .drop("__hot")
     val b = sh.select(col(id).as("id_b"), col("shingle"))
     val common = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))

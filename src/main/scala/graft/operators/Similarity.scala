@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Largest input the O(n²) brute tier will accept (≈1.25e9 pair
+    * evaluations at the bound — minutes on 32 cores, and the outer edge
+    * of "small dimension table"). Callers with more rows belong on the
+    * bucketed tiers.
+    */
+  val MaxBruteRows: Long = 50000L
+
   /** Sequential-fold dot product (higher-order-function reference form;
     * [[graft.plans.VectorExpressions.dotFast]] is the hot-path form — same
     * left-to-right summation, one JVM loop instead of per-element
@@ -66,11 +73,32 @@ object Similarity {
 
   /** Brute-force near-duplicate pairs: all (a, b), a < b, cosine ≥
     * threshold. O(n²) — correctness baseline and small-dimension-table
-    * path only.
+    * path only, and GUARDED as such: an in-plan row count (one narrow
+    * scan, runs as one of the first stages — the same honest-price
+    * pattern as `Sampling.shardedPrefix`'s offsets guard) fails the job
+    * with a descriptive error before the quadratic crossJoin can start
+    * if the input exceeds `maxBruteRows`. Nothing else stops a caller
+    * handing the brute tier a corpus; the scale paths are
+    * [[lshNearDupPairs]] / [[clusterNearDupPairs]].
     */
-  def nearDupPairs(df: DataFrame, id: String, vec: String, threshold: Double): DataFrame = {
+  def nearDupPairs(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      threshold: Double,
+      maxBruteRows: Long = MaxBruteRows): DataFrame = {
+    val guard = df.agg(count(lit(1)).as("__bn"))
     val a = df.select(col(id).as("id_a"), asDouble(col(vec)).as("va"))
       .withColumn("na", sqrt(dotF(col("va"), col("va"))))
+      .crossJoin(broadcast(guard))
+      .filter(assert_true(
+        col("__bn") <= lit(maxBruteRows),
+        format_string(
+          "nearDupPairs is the O(n²) brute/oracle tier: input has %d rows, over " +
+            "the brute-safe bound %d. Use lshNearDupPairs or clusterNearDupPairs " +
+            "(bucketed, never all-pairs) for corpus-scale inputs.",
+          col("__bn"), lit(maxBruteRows))).isNull)
+      .drop("__bn")
     val b = df.select(col(id).as("id_b"), asDouble(col(vec)).as("vb"))
       .withColumn("nb", sqrt(dotF(col("vb"), col("vb"))))
     a.crossJoin(b)

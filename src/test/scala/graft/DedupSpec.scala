@@ -44,6 +44,41 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty)
   }
 
+  test("jaccardPairs guard trips on a hot shingle over the bound, passes under it") {
+    // all 5 docs share the "the quick brown" family shingles only in the
+    // three near/exact dups; with the bound forced below that
+    // multiplicity the in-plan guard must fail the job with the
+    // degrade message, and with the default bound results are unchanged
+    val e = intercept[Exception] {
+      Dedup.jaccardPairs(corpus(), "doc_id", "text", k = 3,
+        threshold = 0.5, maxDocsPerShingle = 2L).collect()
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages(e).contains("brute-safe bound"), messages(e))
+    val ok = Dedup.jaccardPairs(corpus(), "doc_id", "text", k = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ok == Set((1L, 2L), (1L, 5L), (2L, 5L)), ok.toString)
+  }
+
+  test("nearDupPairs guard trips over maxBruteRows, passes under it") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.99, 0.14)),
+      (3L, Array(0.0, 1.0)), (4L, Array(1.0, 0.01))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      Similarity.nearDupPairs(vecs, "id", "vec", 0.95, maxBruteRows = 3L).collect()
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages(e).contains("brute-safe bound"), messages(e))
+    val ok = Similarity.nearDupPairs(vecs, "id", "vec", 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ok.contains((1L, 4L)) && !ok.contains((1L, 3L)), ok.toString)
+  }
+
   test("minhash LSH pairs are a subset of low-threshold exact jaccard and catch strong dups") {
     val mh = Dedup.minHashPairs(corpus(), "doc_id", "text", 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
