@@ -216,6 +216,22 @@ object ScaleProbe {
               col("l_extendedprice") + col("l_orderkey").cast("double") / lit(1e9)),
           "__val", col("l_returnflag") === "A").collect().length.toLong
       }
+      time("psi", c) { df =>
+        // windowless by construction (broadcast 1-row range agg + ≤bins-row
+        // hash agg) — probed to pin the expected flatness rather than
+        // infer it from the plan shape
+        graft.functions.Stats.psi(
+          df.filter(col("l_returnflag").isin("A", "R")),
+          "l_quantity", col("l_returnflag") === "A", bins = 20)
+          .collect().length.toLong
+      }
+      time("profile", c) { df =>
+        // one-pass multi-column profile: count/nulls/distinct/min/max/mean
+        // for three columns in a single aggregation
+        graft.operators.Profile.describeNumeric(
+          df, Seq("l_quantity", "l_extendedprice", "l_discount"))
+          .collect().length.toLong
+      }
       timed("lsh_pairs", c) {
         graft.operators.Similarity.lshNearDupPairs(
           scaledEmb(emb, c), "vec_id", "embedding",

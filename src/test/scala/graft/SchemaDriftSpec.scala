@@ -1,0 +1,172 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The physical-encoding drift defense (r9, VERDICT top item). The r7
+  * events regression (`ts` ns-INT64 → annotated-µs TIMESTAMP, three red
+  * oracle rows) and the r8 float32-embeddings near-miss (8-byte-stride
+  * reads of 4-byte data) were the same bug class — a consumer assuming a
+  * physical encoding the test-data generator is free to change — each
+  * fixed point-wise after the fact. This spec closes the class: it
+  * rewrites each test table at sf0.001 with the plausible alternate
+  * physical encodings (all VALUE-preserving, verified against the data:
+  * prices are 2-decimal exact, dates are midnight, float32 widens
+  * losslessly) and re-runs every consuming registry query against the
+  * variant, asserting results identical to the canonical generation's.
+  * A future regeneration that breaks a consumer turns up here as a red
+  * test naming the query, not as a red correctness round.
+  *
+  * Consuming queries are discovered from each query's analyzed plan
+  * (file-scan root paths), plus a pinned extras map for the seven
+  * queries whose construction materializes intermediates eagerly
+  * (flagship pair, multimodal stub family, perplexity mix, the two
+  * sink round-trips) — their scans don't survive into the final plan.
+  * A guard test fails if a registry query has no known source at all,
+  * so new opaque queries must be classified, not silently skipped.
+  */
+class SchemaDriftSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val base = "/root/testdata/sf0.001"
+  private val AllTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Queries whose builders materialize their table reads eagerly (the
+    * scan never reaches the returned DataFrame's plan), classified by
+    * reading their sources. The no-source guard test below keeps this
+    * map honest as the registry grows.
+    */
+  private val Extras: Map[String, Set[String]] = Map(
+    "flagship_time_resolution" -> Set("lineitem"),
+    "flagship_time_resolution_caruana" -> Set("lineitem"),
+    "mm_binary_bytes" -> Set("documents"),
+    "mm_features" -> Set("documents"),
+    "mm_features_hash" -> Set("documents"),
+    "pipeline_perplexity_mix" -> Set("documents"),
+    "s2_csv_roundtrip" -> Set("nation"),
+    "s_jsonl_roundtrip" -> Set("documents"))
+
+  private def scannedTables(df: DataFrame): Set[String] = {
+    val paths = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    AllTables.filter(t => paths.exists(_.contains(s"/$t.parquet"))).toSet
+  }
+
+  private lazy val consumers: Map[String, Set[String]] =
+    SparkEntry.queries.map { case (name, f) =>
+      val discovered =
+        try scannedTables(f(spark, base))
+        catch { case NonFatal(_) => Set.empty[String] }
+      name -> (discovered ++ Extras.getOrElse(name, Set.empty))
+    }
+
+  test("every registry query has at least one known source table") {
+    val orphans = consumers.collect { case (n, ts) if ts.isEmpty => n }.toSeq.sorted
+    assert(orphans.isEmpty,
+      s"queries with no discovered or pinned source table — classify them " +
+        s"in SchemaDriftSpec.Extras: ${orphans.mkString(", ")}")
+  }
+
+  /** Sorted lossless-rendered rows: bit-different doubles render as
+    * different JSON, row order is irrelevant.
+    */
+  private def run(name: String, dir: String): Seq[String] =
+    SparkEntry.queries(name)(spark, dir).toJSON.collect().sorted.toSeq
+
+  private val baseline = mutable.Map.empty[String, Seq[String]]
+
+  private def checkVariant(
+      tag: String,
+      rewrites: Map[String, DataFrame => DataFrame]): Unit = {
+    val dir = Files.createTempDirectory(s"graft_drift_$tag")
+    AllTables.foreach { t =>
+      val target = dir.resolve(s"$t.parquet")
+      rewrites.get(t) match {
+        case Some(f) =>
+          f(spark.read.parquet(s"$base/$t.parquet"))
+            .write.mode("overwrite").parquet(target.toString)
+        case None =>
+          Files.createSymbolicLink(target, Paths.get(s"$base/$t.parquet"))
+      }
+    }
+    val affected = consumers.collect {
+      case (q, ts) if rewrites.keySet.exists(ts) => q
+    }.toSeq.sorted
+    assert(affected.nonEmpty, s"variant $tag touched no query — stale table list?")
+    val diffs = affected.flatMap { q =>
+      val b = baseline.getOrElseUpdate(q, run(q, base))
+      val v = try Right(run(q, dir.toString)) catch { case NonFatal(e) => Left(e) }
+      v match {
+        case Left(e) => Some(s"$q: FAILED ${e.getClass.getSimpleName}: ${e.getMessage}")
+        case Right(r) if r != b =>
+          val firstDiff = b.zipAll(r, "<missing>", "<missing>")
+            .find { case (x, y) => x != y }
+          Some(s"$q: ${b.size} vs ${r.size} rows; first diff: $firstDiff")
+        case _ => None
+      }
+    }
+    assert(diffs.isEmpty,
+      s"variant $tag changed results for ${diffs.size}/${affected.size} " +
+        s"consuming queries:\n  ${diffs.mkString("\n  ")}")
+  }
+
+  test("events: ts re-encoded as raw epoch-ns INT64 (the r7 legacy generation)") {
+    // built through loadEvents (not the raw scan): the annotated µs
+    // column reads as TIMESTAMP_NTZ under schema inference, and only the
+    // forced-LTZ reader delivers the stored micros verbatim for the
+    // ns re-encode
+    checkVariant("events_ns", Map(
+      "events" -> (_ => graft.sources.Tables.loadEvents(spark, base).select(
+        col("event_id"), (unix_micros(col("ts")) * 1000).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props")))))
+  }
+
+  test("embeddings: vectors widened to float64") {
+    checkVariant("emb_f64", Map(
+      "embeddings" -> (_.withColumn("embedding", col("embedding").cast("array<double>")))))
+  }
+
+  test("lineitem: quantity/price/discount/tax re-encoded DECIMAL(12,2)") {
+    checkVariant("li_decimal", Map(
+      "lineitem" -> (df => df
+        .withColumn("l_quantity", col("l_quantity").cast("decimal(12,2)"))
+        .withColumn("l_extendedprice", col("l_extendedprice").cast("decimal(12,2)"))
+        .withColumn("l_discount", col("l_discount").cast("decimal(12,2)"))
+        .withColumn("l_tax", col("l_tax").cast("decimal(12,2)")))))
+  }
+
+  test("lineitem: shipdate narrowed to DATE") {
+    checkVariant("li_date", Map(
+      "lineitem" -> (_.withColumn("l_shipdate", col("l_shipdate").cast("date")))))
+  }
+
+  test("orders: totalprice DECIMAL(14,2), orderdate DATE") {
+    checkVariant("orders_dec_date", Map(
+      "orders" -> (df => df
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(14,2)"))
+        .withColumn("o_orderdate", col("o_orderdate").cast("date")))))
+  }
+
+  test("dimension tables: INT32 keys widened to INT64") {
+    checkVariant("dims_i64", Map(
+      "customer" -> (_.withColumn("c_nationkey", col("c_nationkey").cast("long"))),
+      "supplier" -> (_.withColumn("s_nationkey", col("s_nationkey").cast("long"))),
+      "nation" -> (df => df
+        .withColumn("n_nationkey", col("n_nationkey").cast("long"))
+        .withColumn("n_regionkey", col("n_regionkey").cast("long"))),
+      "region" -> (_.withColumn("r_regionkey", col("r_regionkey").cast("long")))))
+  }
+}
