@@ -539,4 +539,87 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Cross-document duplicate SUBSTRING spans — the exact-substring dedup
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499), re-expressed as a Spark plan
+    * instead of a single-node suffix array: every MAXIMAL character span
+    * of length ≥ `w` shared verbatim by two documents, reported as
+    * `(id_a, id_b, start_a, start_b, span_len)` with `id_a < id_b` and
+    * 1-based starts.
+    *
+    * Construction: one row per character offset `(id, p, key(p))` where
+    * `key(p)` is the `w`-char window at `p`; equal keys across two docs
+    * are a match at positions `(pa, pb)`; consecutive matches on the same
+    * DIAGONAL `pa − pb` (pa and pb both advancing by 1) belong to one
+    * shared span of length `(max pa − min pa) + w` — the classic
+    * gaps-and-islands merge, here per (pair, diagonal). A run of exactly
+    * the matching `w`-windows is equivalent to the suffix-array span: a
+    * shared span of length L ≥ w produces exactly the L − w + 1
+    * consecutive window matches the island reassembles.
+    *
+    * Scale shape: the position relation is O(total_chars) rows but only
+    * (id, p, hash64) — 24 bytes/char through the shuffle on the
+    * production tier (`portable = false` hashes each window to 64 bits
+    * with xxhash64, so window text never leaves the scan stage); the
+    * self-join is keyed by that hash; and the island windows partition by
+    * (id_a, id_b, diagonal) — bounded by one document's length, never by
+    * the corpus. The same hot-shingle guard as [[jaccardPairs]] caps
+    * boilerplate blowup: a window shared by m docs emits O(m²) match
+    * rows per position, so per-key multiplicity over the bound fails
+    * early with a descriptive error. A 64-bit collision could fabricate
+    * one match row (probability ~positions²/2⁶⁵ per key — immaterial);
+    * `portable = true` joins on the window text itself, the
+    * oracle-replayable evidence tier (DedupSpec pins both tiers equal).
+    */
+  def duplicateSpans(
+      df: DataFrame,
+      id: String,
+      text: String,
+      w: Int,
+      portable: Boolean = false,
+      maxDocsPerShingle: Long = MaxDocsPerShingle): DataFrame = {
+    require(w >= 2, s"span window must be at least 2 chars, got $w")
+    import org.apache.spark.sql.expressions.Window
+    // sequence(1, len-w+1) is DESCENDING when len < w (Spark defaults the
+    // step to -1 for start > stop) — filter short docs out first so the
+    // position relation is exactly the full windows.
+    val win = col(text).substr(col("p"), lit(w))
+    val pos = df
+      .filter(length(col(text)) >= w)
+      .select(col(id), col(text))
+      .select(col(id), explode(sequence(lit(1), length(col(text)) - (w - 1))).as("p"), col(text))
+      .select(col(id), col("p"), (if (portable) win else xxhash64(win)).as("__k"))
+    val hottest = pos.groupBy("__k").agg(count(lit(1)).as("__m"))
+      .agg(coalesce(max("__m"), lit(0L)).as("__hot"))
+    val a = pos.select(col(id).as("id_a"), col("p").as("pa"), col("__k"))
+      .crossJoin(broadcast(hottest))
+      .filter(assert_true(
+        col("__hot") <= lit(maxDocsPerShingle),
+        format_string(
+          "duplicateSpans' window self-join is quadratic per hot window: the " +
+            "hottest %d-char window occurs %d times, over the brute-safe bound %d. " +
+            "Raise w past the boilerplate length, strip boilerplate first, or use " +
+            "the banded tiers (minHashPairs/prefixJaccardPairs) for similarity-" +
+            "level dedup.",
+          lit(w), col("__hot"), lit(maxDocsPerShingle))).isNull)
+      .drop("__hot")
+    val b = pos.select(col(id).as("id_b"), col("p").as("pb"), col("__k"))
+    val matches = a.join(b, Seq("__k"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pa"), col("pb"))
+    // diagonal islands: within (pair, pa−pb), consecutive pa values are
+    // one maximal run — pa − row_number is constant exactly on a run.
+    val byDiag = Window
+      .partitionBy(col("id_a"), col("id_b"), (col("pa") - col("pb")).as("__diag"))
+      .orderBy(col("pa"))
+    matches
+      .withColumn("__isl", col("pa") - row_number().over(byDiag))
+      .groupBy(col("id_a"), col("id_b"), (col("pa") - col("pb")).as("__diag"), col("__isl"))
+      .agg(
+        min("pa").as("start_a"),
+        min("pb").as("start_b"),
+        (max("pa") - min("pa") + w).as("span_len"))
+      .select("id_a", "id_b", "start_a", "start_b", "span_len")
+  }
 }

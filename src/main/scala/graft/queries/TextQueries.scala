@@ -182,6 +182,39 @@ object TextQueries {
     (s, dir) =>
       Dedup.dedupLines(docs(s, dir), "doc_id", "text", minLen = 30))
 
+  /** Exact duplicate-substring spans (Lee et al. 2022 shape): every
+    * maximal character span ≥ 40 chars shared verbatim across two docs,
+    * found by the diagonal-run merge over 40-char window matches
+    * ([[Dedup.duplicateSpans]]). Registered on the PRODUCTION tier
+    * (xxhash64 window keys — window text never enters the shuffle): its
+    * OUTPUT is still byte-identical to the oracle's string-keyed replay
+    * (positions and lengths carry no hash), so the scale path itself is
+    * what gets hash-checked; DedupSpec additionally pins the portable
+    * string-keyed tier equal. On the synthetic corpus this finds the
+    * planted near-dup pairs' shared runs (25 spans at sf0.01, max 526
+    * chars — most of a document shared verbatim).
+    */
+  val dedupSubstringSpans: Q = Q(
+    "dedup_substring_spans",
+    Some("""WITH pos AS (
+           |  SELECT doc_id, g.i AS p, substr(text, g.i, 40) AS sh
+           |  FROM documents, LATERAL unnest(generate_series(1, length(text) - 39)) AS g(i)
+           |),
+           |m AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb
+           |  FROM pos a JOIN pos b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |),
+           |r AS (
+           |  SELECT id_a, id_b, pa - pb AS diag, pa, pb,
+           |         pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl
+           |  FROM m
+           |)
+           |SELECT id_a, id_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+           |       MAX(pa) - MIN(pa) + 40 AS span_len
+           |FROM r GROUP BY id_a, id_b, diag, isl""".stripMargin),
+    (s, dir) =>
+      Dedup.duplicateSpans(docs(s, dir), "doc_id", "text", w = 40))
+
   /** Prefix-filtered exact Jaccard: same OUTPUT as `dedup_ngram_jaccard`
     * (the prefix filter is a lossless pruner — that's what sharing its
     * oracle proves), but only rare prefix shingles enter the self-join.
@@ -1235,7 +1268,8 @@ object TextQueries {
     jsonlRoundtrip, sampleUpsample, splitShards,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
     dedupComponents, dedupComponentsChain, decontamNgram, dedupIncremental,
-    dedupLines, dedupMinHash, dedupMinHashHash, dedupSimHash, dedupSimHashHash,
+    dedupLines, dedupSubstringSpans, dedupMinHash, dedupMinHashHash,
+    dedupSimHash, dedupSimHashHash,
     mmBytes, mmFeatures, mmFeaturesHash, mmFrames, pipelineClean, splitStratified,
     pipelineEmbedSplit)
 }

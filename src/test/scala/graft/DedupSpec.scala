@@ -303,4 +303,59 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "de", 2L -> "en", 3L -> "zh", 4L -> "de"))
   }
+
+  private def spanRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toSet
+
+  test("duplicateSpans finds the planted maximal shared run and nothing else") {
+    import spark.implicits._
+    // docs 1 and 2 share "cdefghijklmnop" (14 chars) embedded at
+    // different offsets; doc 3 is disjoint. w=6 → one maximal island of
+    // 14-6+1 = 9 consecutive window matches on one diagonal.
+    val df = Seq(
+      (1L, "xxcdefghijklmnopqq"), // span starts at 3
+      (2L, "abcdefghijklmnopzz"), // span starts at 3 as well
+      (3L, "no shared content!")).toDF("doc_id", "text")
+    val got = spanRows(Dedup.duplicateSpans(df, "doc_id", "text", w = 6))
+    assert(got == Set((1L, 2L, 3, 3, 14)), got.toString)
+  }
+
+  test("duplicateSpans reports two islands for two disjoint shared spans") {
+    import spark.implicits._
+    // two shared 8-char runs separated by divergent middles: must come
+    // back as TWO maximal spans, not one merged one (different diagonals
+    // AND a gap).
+    val df = Seq(
+      (1L, "AAAABBBB....CCCCDDDD"),
+      (2L, "AAAABBBBxxxxxxCCCCDDDD")).toDF("doc_id", "text")
+    val got = spanRows(Dedup.duplicateSpans(df, "doc_id", "text", w = 7))
+    assert(got == Set((1L, 2L, 1, 1, 8), (1L, 2L, 13, 15, 8)), got.toString)
+  }
+
+  test("duplicateSpans portable (string-keyed) tier equals the xxhash64 production tier") {
+    val d = TestSpark.spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val prod = spanRows(Dedup.duplicateSpans(d, "doc_id", "text", w = 40))
+    val port = spanRows(Dedup.duplicateSpans(d, "doc_id", "text", w = 40, portable = true))
+    assert(prod == port)
+    assert(prod.nonEmpty) // the corpus has planted near-dups sharing >40-char runs
+  }
+
+  test("duplicateSpans ignores docs shorter than the window and trips the hot-window guard") {
+    import spark.implicits._
+    val short = Seq((1L, "tiny"), (2L, "also"), (3L, "small")).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(short, "doc_id", "text", w = 6).count() == 0L)
+    val hot = Seq(
+      (1L, "boilerplateboilerplate"),
+      (2L, "boilerplateboilerplate"),
+      (3L, "boilerplateboilerplate")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.duplicateSpans(hot, "doc_id", "text", w = 6, maxDocsPerShingle = 2L).collect()
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages(e).contains("brute-safe bound"), messages(e))
+  }
 }
