@@ -622,4 +622,27 @@ object Dedup {
         (max("pa") - min("pa") + w).as("span_len"))
       .select("id_a", "id_b", "start_a", "start_b", "span_len")
   }
+
+  /** Duplicate-cluster RESOLUTION — the step that actually drops rows:
+    * given component-labeled docs (from [[graft.operators.Components]])
+    * and a per-doc score, flag the single best doc per cluster as the
+    * keeper (`keep = true`), score descending with an id tiebreak, so a
+    * downstream `filter(keep)` materializes the deduplicated corpus
+    * while the full verdict table stays auditable (which doc won each
+    * cluster and what it beat).
+    *
+    * The ranking window partitions by COMPONENT — bounded by one
+    * duplicate cluster's size (singletons are 1-row partitions), never
+    * the corpus — the same bounded-window discipline as the top-k
+    * retrieval cuts.
+    */
+  def resolveKeep(
+      labeled: DataFrame,
+      id: String,
+      component: String,
+      score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCluster = Window.partitionBy(col(component)).orderBy(score.desc, col(id))
+    labeled.withColumn("keep", row_number().over(byCluster) === 1)
+  }
 }

@@ -271,6 +271,81 @@ object TextQueries {
         d.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
     })
 
+  /** Duplicate-cluster resolution — the END of the dedup pipeline, the
+    * step that actually decides which rows survive: near-dup components
+    * (same derivation as `dedup_components`) joined to the deterministic
+    * quality score (same tree as `text_quality`), then ONE keeper per
+    * cluster — best quality, doc_id tiebreak ([[Dedup.resolveKeep]];
+    * ranking windows are cluster-sized, never corpus-sized). The verdict
+    * table keeps every doc with its cluster, score, and keep flag, so
+    * both the cleaned corpus (`filter(keep)`) and the audit trail (what
+    * each keeper beat) come from one result. The oracle replays the
+    * recursive-CTE transitive closure, the quality tree, and the window
+    * independently — cluster membership, scores, AND the winner choice
+    * are all hash-checked.
+    */
+  val dedupKeepBest: Q = Q(
+    "dedup_keep_best",
+    Some("""WITH RECURSIVE
+           |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           |         FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+           |       FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+           |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |         GROUP BY 1, 2),
+           |jp AS (SELECT id_a, id_b FROM cand p
+           |       JOIN sizes sa ON p.id_a = sa.doc_id
+           |       JOIN sizes sb ON p.id_b = sb.doc_id
+           |       WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+           |          UNION SELECT id_b, id_a FROM jp),
+           |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+           |          UNION
+           |          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+           |comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+           |t2 AS (SELECT doc_id,
+           |  CAST(LENGTH(text) AS BIGINT) AS n_chars_calc,
+           |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           |  LENGTH(text) - LENGTH(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+           |  len(list_filter(string_split_regex(trim(text), '\s+'),
+           |      x -> x IN ('the', 'and', 'of', 'to', 'is', 'a'))) AS n_stop
+           |FROM documents),
+           |q AS (SELECT doc_id,
+           |  0.4 * (CAST(n_stop AS DOUBLE) / n_tokens)
+           |    + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars_calc)
+           |    + 0.3 * LEAST(n_tokens / 100.0, 1.0) AS quality
+           |FROM t2)
+           |SELECT c.doc_id, c.component, q.quality,
+           |  (ROW_NUMBER() OVER (PARTITION BY c.component
+           |                      ORDER BY q.quality DESC, c.doc_id) = 1) AS keep
+           |FROM comp c JOIN q ON c.doc_id = q.doc_id""".stripMargin),
+    (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text", k = 3, threshold = 0.5)
+      val comp = graft.operators.Components.alternatingStar(
+        d.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
+      val stop = Seq("the", "and", "of", "to", "is", "a")
+      // same staged tree as `text_quality` — bit-identical doubles, so
+      // the rank order (and therefore the winner) is engine-portable
+      val qual = d
+        .select(
+          col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars_calc"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          (length(col("text"))
+            - length(regexp_replace(col("text"), "[^\\w\\s]", ""))).cast(LongType).as("n_punct"),
+          TextFunctions.wordHits(col("text"), stop).cast(LongType).as("n_stop"))
+        .select(
+          col("doc_id"),
+          (lit(0.4) * (col("n_stop").cast("double") / col("n_tokens"))
+            + lit(0.3) * (lit(1.0) - col("n_punct").cast("double") / col("n_chars_calc"))
+            + lit(0.3) * least(col("n_tokens") / lit(100.0), lit(1.0))).as("quality"))
+      Dedup.resolveKeep(comp.join(qual, "doc_id"), "doc_id", "component", col("quality"))
+        .select("doc_id", "component", "quality", "keep")
+    })
+
   /** Adversarial-depth components: a PLANTED 1000-hop chain (consecutive
     * orderkeys linked pairwise) — diameter 999, the graph shape that
     * breaks O(diameter) min-label propagation (999 shuffle rounds; the
@@ -1267,7 +1342,8 @@ object TextQueries {
     pipelinePerplexityMix, streamQualityMonitor,
     jsonlRoundtrip, sampleUpsample, splitShards,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
-    dedupComponents, dedupComponentsChain, decontamNgram, dedupIncremental,
+    dedupComponents, dedupComponentsChain, dedupKeepBest, decontamNgram,
+    dedupIncremental,
     dedupLines, dedupSubstringSpans, dedupMinHash, dedupMinHashHash,
     dedupSimHash, dedupSimHashHash,
     mmBytes, mmFeatures, mmFeaturesHash, mmFrames, pipelineClean, splitStratified,

@@ -342,6 +342,19 @@ class DedupSpec extends AnyFunSuite {
     assert(prod.nonEmpty) // the corpus has planted near-dups sharing >40-char runs
   }
 
+  test("resolveKeep flags exactly one best-score keeper per cluster, id tiebreak") {
+    import spark.implicits._
+    val labeled = Seq(
+      (1L, 1L, 0.9), (2L, 1L, 0.7), (5L, 1L, 0.9), // cluster 1: tie 1 vs 5 → 1 wins
+      (3L, 3L, 0.2), // singleton
+      (4L, 4L, 0.5), (6L, 4L, 0.8) // cluster 4: 6 wins on score
+    ).toDF("doc_id", "component", "quality")
+    val got = Dedup.resolveKeep(labeled, "doc_id", "component", col("quality"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(got == Map(1L -> true, 2L -> false, 5L -> false,
+      3L -> true, 4L -> false, 6L -> true), got.toString)
+  }
+
   test("duplicateSpans ignores docs shorter than the window and trips the hot-window guard") {
     import spark.implicits._
     val short = Seq((1L, "tiny"), (2L, "also"), (3L, "small")).toDF("doc_id", "text")
