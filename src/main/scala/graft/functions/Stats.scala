@@ -385,6 +385,42 @@ object Stats {
       .agg(round(graft.functions.DetAgg.dsum((pa - pb) * log(pa / pb)), 6).as("psi"))
   }
 
+  /** Pearson chi-squared two-sample homogeneity test over a CATEGORICAL
+    * column — the third leg of the drift-monitor family: [[ks2Samp]] for
+    * continuous exact distribution, [[psi]] for binned shares, chi² for
+    * label/category mixes (source, language, event type). For categories
+    * c with per-slice counts Oₐ/O_b and expectations E = rowTotal ×
+    * colTotal / N: χ² = Σ_c (Oₐ−Eₐ)²/Eₐ + (O_b−E_b)²/E_b, with
+    * dof = #categories − 1.
+    *
+    * Shape: ONE scan — a hash aggregate keyed by category (map-side
+    * partials absorb any volume), totals re-aggregated from the ≤ #cats
+    * category relation itself (no second pass over the data), final Σ
+    * decimal-routed. Windowless; every post-scan relation is ≤ #cats
+    * rows. Null contract: a null category is a real category (counted
+    * like any other — a drifting null RATE is exactly what this monitor
+    * should catch); both slices must be non-empty or the expectations
+    * degenerate to 0/0 = NaN.
+    *
+    * Output: one row `(chi2 round-6, dof)` — the caller compares against
+    * the chi² quantile for its alert level.
+    */
+  def chi2Homogeneity(df: DataFrame, category: String, inSliceA: Column): DataFrame = {
+    val g = df.groupBy(col(category).as("__c"))
+      .agg(
+        sum(when(inSliceA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(inSliceA, 0L).otherwise(1L)).as("__cb"))
+    val tot = g.agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+    val ea = (col("__ca") + col("__cb")).cast("double") * col("__na") / (col("__na") + col("__nb"))
+    val eb = (col("__ca") + col("__cb")).cast("double") * col("__nb") / (col("__na") + col("__nb"))
+    g.crossJoin(broadcast(tot))
+      .agg(
+        round(graft.functions.DetAgg.dsum(
+          (col("__ca") - ea) * (col("__ca") - ea) / ea
+            + (col("__cb") - eb) * (col("__cb") - eb) / eb), 6).as("chi2"),
+        (count(lit(1)) - 1L).as("dof"))
+  }
+
   /** The reference's `mean_std` (reference `scripts/utils.py:118-146`):
     * groupBy(keys) then mean/std/median/MAD_std of every value column, with
     * flattened `"col stat"` names (units-in-names survive verbatim —

@@ -118,6 +118,36 @@ object ProfileQueries {
           bins = 20))
   }
 
+  /** Chi-squared homogeneity of the l_returnflag CATEGORY mix between
+    * the two l_linestatus slices — the categorical leg of the drift
+    * family (`stat_ks_2samp` continuous, `stat_psi` binned, this one for
+    * label/source/language mixes). One hash aggregate keyed by category,
+    * totals re-aggregated from the ≤ #cats relation, decimal-routed χ²
+    * sum — windowless end to end.
+    */
+  val chi2ReturnFlag: Q = {
+    val eaS = "CAST(ca + cb AS DOUBLE) * na / (na + nb)"
+    val ebS = "CAST(ca + cb AS DOUBLE) * nb / (na + nb)"
+    Q(
+      "stat_chi2",
+      Some(s"""WITH g AS (
+              |  SELECT l_returnflag AS c,
+              |    SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS ca,
+              |    SUM(CASE WHEN l_linestatus = 'O' THEN 0 ELSE 1 END) AS cb
+              |  FROM lineitem GROUP BY l_returnflag),
+              |t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM g)
+              |SELECT ROUND(${D.dsum(
+                s"(ca - $eaS) * (ca - $eaS) / ($eaS) + (cb - $ebS) * (cb - $ebS) / ($ebS)")}, 6)
+              |    AS chi2,
+              |  COUNT(*) - 1 AS dof
+              |FROM g CROSS JOIN t""".stripMargin),
+      (s, dir) =>
+        graft.functions.Stats.chi2Homogeneity(
+          Tables.load(s, dir, "lineitem"),
+          "l_returnflag",
+          col("l_linestatus") === "O"))
+  }
+
   /** Data mixing: per-source keep percentages (web 50%, books 100%,
     * otherwise 20%) — survivor counts per (source, lang).
     */
@@ -256,6 +286,7 @@ object ProfileQueries {
         .agg(count(lit(1)).as("n_kept")))
 
   def all: Seq[Q] = Seq(
-    profileLineitem, textRedact, ksQuantity, psiQuantity, sampleMix, sampleBudget,
+    profileLineitem, textRedact, ksQuantity, psiQuantity, chi2ReturnFlag,
+    sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded)
 }

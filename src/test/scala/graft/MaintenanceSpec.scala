@@ -94,6 +94,25 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(pc == 0.0 || pc.abs < 1e-6, s"constant psi=$pc")
   }
 
+  test("chi2: identical mixes 0, disjoint mixes ~N, null category counted, dof = cats-1") {
+    import spark.implicits._
+    // identical category mixes in both slices → expectations met exactly
+    val same = Seq("a", "b", "b", "c").flatMap(c => Seq((c, true), (c, false)))
+      .toDF("c", "s")
+    val r0 = graft.functions.Stats.chi2Homogeneity(same, "c", col("s")).collect().head
+    assert(r0.getDouble(0) == 0.0 && r0.getLong(1) == 2L, r0.toString)
+    // perfectly separated mixes → chi2 = N (the 2x2 extreme)
+    val disjoint = (Seq.fill(60)(("a", true)) ++ Seq.fill(40)(("b", false))).toDF("c", "s")
+    val r1 = graft.functions.Stats.chi2Homogeneity(disjoint, "c", col("s")).collect().head
+    assert(math.abs(r1.getDouble(0) - 100.0) < 1e-9 && r1.getLong(1) == 1L, r1.toString)
+    // a null category is a REAL category: a null-rate drift must move the
+    // statistic, not vanish (contrast: psi excludes valueless rows)
+    val withNulls = (Seq.fill(50)((Option("a"), true)) ++ Seq.fill(50)((Option("a"), false))
+      ++ Seq.fill(30)((Option.empty[String], false))).toDF("c", "s")
+    val r2 = graft.functions.Stats.chi2Homogeneity(withNulls, "c", col("s")).collect().head
+    assert(r2.getDouble(0) > 10.0 && r2.getLong(1) == 1L, r2.toString)
+  }
+
   test("ks2Samp sharded cumulative is bit-equal to the single-window form") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
