@@ -269,4 +269,74 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }
+
+  /** Largest query-set size [[hardNegatives]] will score exhaustively —
+    * cost is corpus × queries, so the query side must stay a broadcast
+    * relation, not a second corpus.
+    */
+  val MaxHardNegQueries: Long = 1024L
+
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-SIMILAR corpus vectors with a DIFFERENT
+    * label — the "confusable but wrong" examples a contrastive or
+    * reranker objective trains on. Exhaustive over corpus × queries
+    * (every query scores every differently-labeled row), so the query
+    * set is broadcast and GUARDED at `maxQueries` — mining negatives
+    * for a whole second corpus belongs on the ANN tiers (IVF/PQ probe →
+    * re-rank), not here.
+    *
+    * The per-query cut is a SALTED TOURNAMENT, not one corpus-wide
+    * window: stage 1 takes top-k within (query, xxhash64(id) mod
+    * `saltBuckets`) — partitions are corpus/saltBuckets rows — stage 2
+    * reduces the surviving saltBuckets×k rows per query. Because the
+    * ordering (rounded cos desc, id asc) is TOTAL, the tournament's
+    * result is exactly the direct top-k — the salt changes partitioning,
+    * never the answer, so the scale path is also the oracle path.
+    *
+    * Output: (query_id, vec_id, cos round-6) — k rows per query.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      id: String,
+      vec: String,
+      label: String,
+      k: Int,
+      saltBuckets: Int = 32,
+      maxQueries: Long = MaxHardNegQueries): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qGuard = queries.agg(count(lit(1)).as("__qn"))
+    val q = queries
+      .select(
+        col(id).as("query_id"),
+        col(label).as("__ql"),
+        asDouble(col(vec)).as("__qv"))
+      .withColumn("__qn2", sqrt(dotF(col("__qv"), col("__qv"))))
+      .crossJoin(broadcast(qGuard))
+      .filter(assert_true(
+        col("__qn") <= lit(maxQueries),
+        format_string(
+          "hardNegatives scores corpus × queries exhaustively: %d queries is over " +
+            "the broadcast-safe bound %d. Mine negatives for large query sets " +
+            "through the ANN tiers (Ivf.searchTopKBatch + label filter).",
+          col("__qn"), lit(maxQueries))).isNull)
+      .drop("__qn")
+    val c = corpus
+      .select(col(id), col(label), asDouble(col(vec)).as("__v"))
+      .withColumn("__vn", sqrt(dotF(col("__v"), col("__v"))))
+    val cand = c.join(broadcast(q), col(label) =!= col("__ql"))
+      .withColumn("cos", round(dotF(col("__v"), col("__qv")) / (col("__vn") * col("__qn2")), 6))
+      .select(col("query_id"), col(id), col("cos"))
+    val stage1 = Window
+      .partitionBy(col("query_id"), pmod(xxhash64(col(id)), lit(saltBuckets.toLong)))
+      .orderBy(col("cos").desc, col(id))
+    val stage2 = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col(id))
+    cand
+      .withColumn("__r1", row_number().over(stage1))
+      .filter(col("__r1") <= k)
+      .drop("__r1")
+      .withColumn("__r2", row_number().over(stage2))
+      .filter(col("__r2") <= k)
+      .select(col("query_id"), col(id), col("cos"))
+  }
 }

@@ -472,7 +472,38 @@ object SimilarityQueries {
           .select(col("label"), col("pos").cast("long").as("pos"), col("mean")))
   }
 
+  /** Hard-negative mining (contrastive training prep): for 5 query
+    * vectors, the 10 most-similar corpus vectors with a DIFFERENT label
+    * — the confusable-but-wrong examples a contrastive objective trains
+    * against. The engine side runs the salted two-stage tournament
+    * ([[Similarity.hardNegatives]] — no corpus-wide window partitions);
+    * the ordering is total (rounded cos desc, vec_id asc) so the
+    * tournament result is bit-identical to the oracle's direct
+    * per-query window.
+    */
+  val simHardNegatives: Q = Q(
+    "sim_hard_negatives",
+    Some("""WITH q AS (SELECT vec_id AS query_id, label AS ql,
+           |             CAST(embedding AS DOUBLE[]) AS qv
+           |           FROM embeddings WHERE vec_id < 5),
+           |c AS (SELECT query_id, e.vec_id,
+           |        ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv)
+           |          / (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+           |                                   CAST(e.embedding AS DOUBLE[])))
+           |             * SQRT(list_dot_product(qv, qv))), 6) AS cos
+           |      FROM embeddings e CROSS JOIN q WHERE e.label <> q.ql),
+           |r AS (SELECT query_id, vec_id, cos,
+           |        ROW_NUMBER() OVER (PARTITION BY query_id
+           |                           ORDER BY cos DESC, vec_id) AS rn
+           |      FROM c)
+           |SELECT query_id, vec_id, cos FROM r WHERE rn <= 10""".stripMargin),
+    (s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hardNegatives(
+        e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "label", k = 10)
+    })
+
   def all: Seq[Q] =
     Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simIvfFixed, simPq,
-      simPqFixed, simIvfPqFixed, semanticDedup, embCentroids)
+      simPqFixed, simIvfPqFixed, semanticDedup, embCentroids, simHardNegatives)
 }

@@ -342,6 +342,48 @@ class DedupSpec extends AnyFunSuite {
     assert(prod.nonEmpty) // the corpus has planted near-dups sharing >40-char runs
   }
 
+  test("hardNegatives: different-label top-k, tournament == direct window, guard trips") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 40 corpus vectors on a ring, labels alternate in blocks of 10; two
+    // queries. Salted tournament (saltBuckets larger than the corpus so
+    // most partitions are singletons — the adversarial split) must equal
+    // the direct single-window top-k.
+    val rows = (0 until 40).map { i =>
+      val a = i * 2 * math.Pi / 40
+      (i.toLong, Array(math.cos(a), math.sin(a)), i / 10)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val queries = df.filter(col("vec_id") < 2)
+    val got = Similarity.hardNegatives(df, queries, "vec_id", "embedding", "label", k = 5,
+      saltBuckets = 64)
+    val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // direct reference: score all, filter label, one window
+    val q = queries.select(col("vec_id").as("query_id"), col("label").as("ql"),
+      col("embedding").as("qv"))
+    val direct = df.crossJoin(q).filter(col("label") =!= col("ql"))
+      .withColumn("cos", round(
+        graft.operators.Similarity.cosine(col("embedding"), col("qv")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= 5)
+      .select("query_id", "vec_id", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotSet == direct, s"$gotSet vs $direct")
+    // negatives only: no returned vec shares its query's label
+    val labels = rows.map(r => r._1 -> r._3).toMap
+    assert(gotSet.forall { case (qid, vid, _) => labels(qid.toInt) != labels(vid.toInt) })
+    assert(gotSet.groupBy(_._1).forall(_._2.size == 5))
+    val e = intercept[Exception] {
+      Similarity.hardNegatives(df, queries, "vec_id", "embedding", "label", k = 5,
+        maxQueries = 1L).collect()
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages(e).contains("broadcast-safe bound"), messages(e))
+  }
+
   test("resolveKeep flags exactly one best-score keeper per cluster, id tiebreak") {
     import spark.implicits._
     val labeled = Seq(
