@@ -68,4 +68,47 @@ object Splits {
   def writeSharded(df: DataFrame, id: String, n: Int, seed: Int, path: String): Unit =
     shard(df, id, n, seed)
       .write.partitionBy("shard").mode("overwrite").parquet(path)
+
+  /** Seed-stable GLOBAL SHUFFLE for training export: every row gets its
+    * [[shard]] plus a deterministic 1-based position WITHIN the shard
+    * (ordered by an independently-seeded hash of the id, id tiebreak) —
+    * the "shuffle the corpus once, then stream shard k in order"
+    * contract a training run needs for reproducible batches and exact
+    * mid-epoch resume. Same portable-hash family as [[bucket100]]
+    * (oracle tier); [[shuffledFull]] is the xxhash64 production tier.
+    *
+    * The position window partitions by shard — choose `n` so a shard is
+    * a file-sized unit (the same sizing the export files need anyway)
+    * and the partitions stay bounded by design, never corpus-wide. The
+    * ordering hash uses `seed + 13`, decorrelating order from shard
+    * membership (both are affine in the same reduced id, so SHARING the
+    * seed would make within-shard order id-monotone — not a shuffle).
+    */
+  def shuffled(df: DataFrame, id: String, n: Int, seed: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = pmod(
+      pmod(col(id) + lit(seed.toLong + 13L), lit(100000L)) * lit(2654435761L),
+      lit(4294967296L))
+    shard(df, id, n, seed)
+      .withColumn("__ord", ord)
+      .withColumn(
+        "pos",
+        row_number().over(Window.partitionBy(col("shard")).orderBy(col("__ord"), col(id))))
+      .drop("__ord")
+  }
+
+  /** Production tier of [[shuffled]]: full-id xxhash64 for both shard
+    * and order (no residue-class periodicity on >100k-id spaces). Spec-
+    * verified (determinism, shard agreement with [[bucket100Full]]'s
+    * family), not oracle-expressible.
+    */
+  def shuffledFull(df: DataFrame, id: String, n: Int, seed: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("shard", pmod(xxhash64(col(id), lit(seed)), lit(n.toLong)))
+      .withColumn("__ord", xxhash64(col(id), lit(seed + 13)))
+      .withColumn(
+        "pos",
+        row_number().over(Window.partitionBy(col("shard")).orderBy(col("__ord"), col(id))))
+      .drop("__ord")
+  }
 }

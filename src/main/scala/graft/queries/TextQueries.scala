@@ -1319,6 +1319,26 @@ object TextQueries {
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens")))
 
+  /** Seed-stable global shuffle for export ([[Splits.shuffled]], oracle
+    * tier): every doc's shard AND its deterministic position within the
+    * shard — reproducible training batches and exact mid-epoch resume.
+    * Fully hash-checked: shard membership, the decorrelated ordering
+    * hash, and every row_number position replayed in SQL.
+    */
+  val splitShuffle: Q = Q(
+    "split_shuffle",
+    Some("""WITH h AS (SELECT doc_id,
+           |    ((doc_id + 7) % 100000) * 2654435761 % 4294967296 % 8 AS shard,
+           |    ((doc_id + 20) % 100000) * 2654435761 % 4294967296 AS o
+           |  FROM documents)
+           |SELECT doc_id, shard,
+           |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY o, doc_id) AS pos
+           |FROM h""".stripMargin),
+    (s, dir) =>
+      graft.operators.Splits
+        .shuffled(docs(s, dir).select("doc_id"), "doc_id", n = 8, seed = 7)
+        .select("doc_id", "shard", "pos"))
+
   /** Document chunking: overlapping 40-token windows with 8 tokens of
     * overlap (stride 32) — the pre-tokenization sequence-preparation
     * step. Slices clamp at the doc end; every chunk row is hash-checked.
@@ -1340,7 +1360,7 @@ object TextQueries {
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
     textBm25, textHybridRrf, corpusReport, pipelineMix, textChunk, textLmScore,
     pipelinePerplexityMix, streamQualityMonitor,
-    jsonlRoundtrip, sampleUpsample, splitShards,
+    jsonlRoundtrip, sampleUpsample, splitShards, splitShuffle,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
     dedupComponents, dedupComponentsChain, dedupKeepBest, decontamNgram,
     dedupIncremental,

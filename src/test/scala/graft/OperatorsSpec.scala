@@ -75,4 +75,33 @@ class OperatorsSpec extends AnyFunSuite {
     val fa = s1.filter(col("lang") === "a" && col("split") === "train").count().toDouble / 1000
     assert(math.abs(fa - 0.8) < 0.07, s"stratum frac $fa")
   }
+
+  test("shuffled export order: deterministic, dense per-shard positions, actually shuffled") {
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("id")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("shard"), r.getAs[Int]("pos")))
+        .sortBy(_._1)
+    val a = run(graft.operators.Splits.shuffled(df, "id", n = 8, seed = 7))
+    val b = run(graft.operators.Splits.shuffled(df.repartition(13), "id", n = 8, seed = 7))
+    assert(a.sameElements(b)) // partitioning-invariant
+    // positions are dense 1..size within every shard
+    a.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length), s"shard $sh")
+    }
+    // actually shuffled: within some shard, position order must not be
+    // id order (an id-monotone "shuffle" means the order seed collapsed)
+    val monotone = a.groupBy(_._2).values.forall { rows =>
+      val byPos = rows.sortBy(_._3).map(_._1)
+      byPos.sameElements(byPos.sorted)
+    }
+    assert(!monotone, "within-shard order is id-monotone — not a shuffle")
+    // production tier: same contracts, full-id hashing
+    val f1 = run(graft.operators.Splits.shuffledFull(df, "id", n = 8, seed = 7))
+    val f2 = run(graft.operators.Splits.shuffledFull(df.repartition(11), "id", n = 8, seed = 7))
+    assert(f1.sameElements(f2))
+    f1.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1 to rows.length), s"full shard $sh")
+    }
+  }
 }
