@@ -253,6 +253,15 @@ object ScaleProbe {
           scaledDocs(docs, c), "doc_id", "text",
           k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5).count()
       }
+      timed("dup_spans", c) {
+        // per-copy token suffixes keep planted within-copy dups sharing
+        // long char runs while cross-copy windows are disjoint — so the
+        // position relation AND the match volume both grow linearly in
+        // copies; anything super-linear means the window self-join is
+        // pairing across copies
+        graft.operators.Dedup.duplicateSpans(
+          scaledDocs(docs, c), "doc_id", "text", w = 40).count()
+      }
       timed("components", c) {
         // mirrors the REGISTERED dedup_components tier: plain shingle-join
         // pairs (PPJoin's window sorts replicate badly inside unrolled
