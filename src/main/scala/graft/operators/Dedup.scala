@@ -154,6 +154,76 @@ object Dedup {
       .withColumn("kept", !col("exact_dup") && !col("near_dup"))
   }
 
+  /** BLOOM-accelerated tier of [[incrementalFlags]]'s exact-fingerprint
+    * check — the classic daily-ingest shape at 100 TB: a Bloom filter
+    * over the EXISTING corpus' fingerprints is built once (mergeable
+    * distributed aggregate, collected as one bounded-size sketch — size
+    * is n·ln(1/fpp)/ln²2 bits, a function of key count and fpp, never of
+    * data bytes), broadcast, and every incoming row is membership-tested
+    * in memory during its scan. `mightContain = false` is DEFINITELY new
+    * (Bloom filters have no false negatives) and never enters a shuffle;
+    * only the positives — true dups plus ~fpp·|incoming| false alarms —
+    * are verified against the real key set with a semi-join, so the join
+    * volume shrinks from |incoming| to ≈ dup-rate·|incoming|. Output is
+    * row-identical to [[incrementalFlags]] (DedupSpec pins equality):
+    * the near-shingle tier is unchanged, the sketch only short-circuits
+    * the exact tier.
+    *
+    * The membership test is a Scala UDF over the broadcast sketch — the
+    * one operator class where no built-in or native expression fits (the
+    * probe needs the driver-built `util.sketch.BloomFilter`; Spark's own
+    * runtime-filter bloom is plan-internal and can't consume a
+    * persisted/reused sketch). At 100 TB the sketch would be persisted
+    * beside the fingerprint store and rebuilt only on compaction.
+    */
+  def incrementalFlagsBloom(
+      incoming: DataFrame,
+      existing: DataFrame,
+      id: String,
+      text: String,
+      fingerprint: Column => Column,
+      k: Int,
+      threshold: Double,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = incoming.sparkSession
+    val exKeys = existing.select(fingerprint(col(text)).as("__key")).distinct()
+    val bf = exKeys.stat.bloomFilter("__key", expectedItems, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val might = udf((key: String) => key != null && bfB.value.mightContainString(key))
+    val inKeys = incoming.select(col(id), fingerprint(col(text)).as("__key"))
+    // bloom-positive subset only → exact verify (no false negatives, so
+    // the filter is lossless; the semi-join kills the false positives)
+    val confirmed = inKeys
+      .filter(might(col("__key")))
+      .join(exKeys, Seq("__key"), "left_semi")
+      .select(col(id))
+      .withColumn("__hit", lit(true))
+    val exact = inKeys
+      .join(confirmed, Seq(id), "left")
+      .select(col(id), coalesce(col("__hit"), lit(false)).as("exact_dup"))
+    val inSh = Dedup.shingles(incoming, id, text, k)
+      .select(col(id).as("__in"), xxhash64(col("shingle")).as("h"))
+    val exSh = Dedup.shingles(existing, id, text, k)
+      .select(col(id).as("__ex"), xxhash64(col("shingle")).as("h"))
+    val inSizes = inSh.groupBy("__in").agg(count(lit(1)).as("na"))
+    val exSizes = exSh.groupBy("__ex").agg(count(lit(1)).as("nb"))
+    val near = inSh.join(exSh, "h")
+      .groupBy("__in", "__ex").agg(count(lit(1)).as("common"))
+      .join(inSizes, "__in")
+      .join(exSizes, "__ex")
+      .filter(
+        col("common").cast("double") / (col("na") + col("nb") - col("common"))
+          >= lit(threshold))
+      .select(col("__in").as(id))
+      .distinct()
+      .withColumn("near_dup", lit(true))
+    exact
+      .join(near, Seq(id), "left")
+      .na.fill(false, Seq("near_dup"))
+      .withColumn("kept", !col("exact_dup") && !col("near_dup"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs: shingle self-join → common
     * counts → |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. Quadratic in docs
     * sharing a shingle — use [[minHashPairs]] when that bound is unsafe,
@@ -579,37 +649,100 @@ object Dedup {
       w: Int,
       portable: Boolean = false,
       maxDocsPerShingle: Long = MaxDocsPerShingle): DataFrame = {
+    val pos = spanPositions(df, id, text, w, portable)
+    val a = spanGuarded(pos, w, maxDocsPerShingle)
+      .select(col(id).as("id_a"), col("p").as("pa"), col("__k"))
+    val b = pos.select(col(id).as("id_b"), col("p").as("pb"), col("__k"))
+    mergeDiagonalRuns(
+      a.join(b, Seq("__k"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("pa"), col("pb")),
+      w)
+  }
+
+  /** Cross-corpus form of [[duplicateSpans]] — span-level benchmark
+    * DECONTAMINATION (the other use Lee et al. 2022 put the substring
+    * machinery to): every maximal span of length ≥ `w` a corpus document
+    * shares verbatim with any benchmark document, as
+    * `(id_a = corpus doc, id_b = benchmark doc, start_a, start_b,
+    * span_len)`. Where [[Decontam.overlap]] scores per-DOCUMENT shingle
+    * overlap, this reports the exact leaked RUNS — which benchmark item,
+    * where in the document, and how long — so the cleanup can excise the
+    * span instead of dropping the whole doc. The multiplicity guard sits
+    * on the BENCHMARK side (the join's fan-out factor per corpus
+    * position); benchmarks are small next to a corpus, so their position
+    * relation broadcast-joins and the corpus side stays shuffle-free.
+    */
+  def duplicateSpansAgainst(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      id: String,
+      text: String,
+      w: Int,
+      portable: Boolean = false,
+      maxDocsPerShingle: Long = MaxDocsPerShingle): DataFrame = {
+    val cp = spanPositions(corpus, id, text, w, portable)
+      .select(col(id).as("id_a"), col("p").as("pa"), col("__k"))
+    val bp = spanGuarded(spanPositions(benchmark, id, text, w, portable), w, maxDocsPerShingle)
+      .select(col(id).as("id_b"), col("p").as("pb"), col("__k"))
+    mergeDiagonalRuns(
+      cp.join(broadcast(bp), Seq("__k"))
+        .select(col("id_a"), col("id_b"), col("pa"), col("pb")),
+      w)
+  }
+
+  /** One row per character offset: `(id, p, __k)` where `__k` is the
+    * `w`-char window at `p` — xxhash64'd on the production tier so window
+    * text never enters a shuffle. `sequence(1, len−w+1)` is DESCENDING
+    * when len < w (Spark defaults the step to −1 for start > stop), so
+    * short docs are filtered out first: the relation is exactly the full
+    * windows.
+    */
+  private def spanPositions(
+      df: DataFrame,
+      id: String,
+      text: String,
+      w: Int,
+      portable: Boolean): DataFrame = {
     require(w >= 2, s"span window must be at least 2 chars, got $w")
-    import org.apache.spark.sql.expressions.Window
-    // sequence(1, len-w+1) is DESCENDING when len < w (Spark defaults the
-    // step to -1 for start > stop) — filter short docs out first so the
-    // position relation is exactly the full windows.
     val win = col(text).substr(col("p"), lit(w))
-    val pos = df
-      .filter(length(col(text)) >= w)
+    df.filter(length(col(text)) >= w)
       .select(col(id), col(text))
       .select(col(id), explode(sequence(lit(1), length(col(text)) - (w - 1))).as("p"), col(text))
       .select(col(id), col("p"), (if (portable) win else xxhash64(win)).as("__k"))
+  }
+
+  /** The hot-window guard: the span join emits (multiplicity)² — or
+    * corpus-side-count × multiplicity — rows per repeated window, so a
+    * position relation whose hottest key exceeds the bound fails early
+    * with a descriptive error (in-plan `assert_true` over a broadcast
+    * 1-row max aggregate — one extra linear pass, the jaccardPairs
+    * pattern).
+    */
+  private def spanGuarded(pos: DataFrame, w: Int, maxDocsPerShingle: Long): DataFrame = {
     val hottest = pos.groupBy("__k").agg(count(lit(1)).as("__m"))
       .agg(coalesce(max("__m"), lit(0L)).as("__hot"))
-    val a = pos.select(col(id).as("id_a"), col("p").as("pa"), col("__k"))
+    pos
       .crossJoin(broadcast(hottest))
       .filter(assert_true(
         col("__hot") <= lit(maxDocsPerShingle),
         format_string(
-          "duplicateSpans' window self-join is quadratic per hot window: the " +
+          "the duplicate-span window join is quadratic per hot window: the " +
             "hottest %d-char window occurs %d times, over the brute-safe bound %d. " +
             "Raise w past the boilerplate length, strip boilerplate first, or use " +
             "the banded tiers (minHashPairs/prefixJaccardPairs) for similarity-" +
             "level dedup.",
           lit(w), col("__hot"), lit(maxDocsPerShingle))).isNull)
       .drop("__hot")
-    val b = pos.select(col(id).as("id_b"), col("p").as("pb"), col("__k"))
-    val matches = a.join(b, Seq("__k"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("pa"), col("pb"))
-    // diagonal islands: within (pair, pa−pb), consecutive pa values are
-    // one maximal run — pa − row_number is constant exactly on a run.
+  }
+
+  /** Diagonal gaps-and-islands merge: within (id_a, id_b, pa−pb),
+    * consecutive pa values are one maximal run — pa − row_number is
+    * constant exactly on a run. Window partitions are per (pair,
+    * diagonal): bounded by one document's length, never the corpus.
+    */
+  private def mergeDiagonalRuns(matches: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDiag = Window
       .partitionBy(col("id_a"), col("id_b"), (col("pa") - col("pb")).as("__diag"))
       .orderBy(col("pa"))

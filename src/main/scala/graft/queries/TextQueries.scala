@@ -823,6 +823,46 @@ object TextQueries {
         corpus, bench, "doc_id", "text", k = 3, threshold = 0.5)
     })
 
+  /** Span-level benchmark decontamination ([[Dedup.duplicateSpansAgainst]]):
+    * where `decontam_ngram` scores per-document shingle overlap, this
+    * reports the exact leaked RUNS — every maximal ≥40-char span a corpus
+    * doc (sources src2+) shares verbatim with a benchmark doc (src0/src1),
+    * with both offsets and the length, so cleanup can excise the span
+    * rather than drop the doc. Benchmark positions broadcast; the corpus
+    * side stays shuffle-free.
+    */
+  val decontamSpans: Q = Q(
+    "decontam_spans",
+    Some("""WITH cp AS (
+           |  SELECT doc_id, g.i AS p, substr(text, g.i, 40) AS sh
+           |  FROM documents, LATERAL unnest(generate_series(1, length(text) - 39)) AS g(i)
+           |  WHERE source NOT IN ('src0', 'src1')
+           |),
+           |bp AS (
+           |  SELECT doc_id, g.i AS p, substr(text, g.i, 40) AS sh
+           |  FROM documents, LATERAL unnest(generate_series(1, length(text) - 39)) AS g(i)
+           |  WHERE source IN ('src0', 'src1')
+           |),
+           |m AS (
+           |  SELECT cp.doc_id AS id_a, bp.doc_id AS id_b, cp.p AS pa, bp.p AS pb
+           |  FROM cp JOIN bp ON cp.sh = bp.sh
+           |),
+           |r AS (
+           |  SELECT id_a, id_b, pa - pb AS diag, pa, pb,
+           |         pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl
+           |  FROM m
+           |)
+           |SELECT id_a, id_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+           |       MAX(pa) - MIN(pa) + 40 AS span_len
+           |FROM r GROUP BY id_a, id_b, diag, isl""".stripMargin),
+    (s, dir) => {
+      val d = docs(s, dir)
+      Dedup.duplicateSpansAgainst(
+        d.filter(!col("source").isin("src0", "src1")),
+        d.filter(col("source").isin("src0", "src1")),
+        "doc_id", "text", w = 40)
+    })
+
   /** Repetition-based quality signals (the Gopher-rules shape): most-
     * frequent-token mass and duplicate-trigram fraction per document. All
     * outputs are integer counts or single int/int IEEE divisions — fully
@@ -1363,7 +1403,7 @@ object TextQueries {
     jsonlRoundtrip, sampleUpsample, splitShards, splitShuffle,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
     dedupComponents, dedupComponentsChain, dedupKeepBest, decontamNgram,
-    dedupIncremental,
+    decontamSpans, dedupIncremental,
     dedupLines, dedupSubstringSpans, dedupMinHash, dedupMinHashHash,
     dedupSimHash, dedupSimHashHash,
     mmBytes, mmFeatures, mmFeaturesHash, mmFrames, pipelineClean, splitStratified,

@@ -271,6 +271,27 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((false, false, true)))
   }
 
+  test("incrementalFlagsBloom is row-identical to the exact incrementalFlags tier") {
+    // the bloom sketch is a lossless PRE-FILTER (no false negatives; the
+    // verify semi-join kills false positives), so on any input the two
+    // tiers must agree row for row — here on the real sf0.001 corpus
+    // split the way dedup_incremental splits it, at an fpp high enough
+    // (0.2, 64 expected items for 250 keys) that false positives
+    // certainly occur and must be killed by the verify join
+    val d = TestSpark.spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val existing = d.filter(col("doc_id") % 2 === 0)
+    val incoming = d.filter(col("doc_id") % 2 === 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toSet
+    val exact = rows(graft.operators.Dedup.incrementalFlags(
+      incoming, existing, "doc_id", "text", TextFunctions.fingerprint, k = 3, threshold = 0.5))
+    val bloom = rows(graft.operators.Dedup.incrementalFlagsBloom(
+      incoming, existing, "doc_id", "text", TextFunctions.fingerprint, k = 3, threshold = 0.5,
+      expectedItems = 64L, fpp = 0.2))
+    assert(bloom == exact)
+    assert(exact.nonEmpty)
+  }
+
   test("chunkDocs: stride/overlap windows cover the doc, short docs = one chunk") {
     import spark.implicits._
     val long = (1 to 100).map(_.toString).mkString(" ")
@@ -332,6 +353,21 @@ class DedupSpec extends AnyFunSuite {
       (2L, "AAAABBBBxxxxxxCCCCDDDD")).toDF("doc_id", "text")
     val got = spanRows(Dedup.duplicateSpans(df, "doc_id", "text", w = 7))
     assert(got == Set((1L, 2L, 1, 1, 8), (1L, 2L, 13, 15, 8)), got.toString)
+  }
+
+  test("duplicateSpansAgainst finds corpus-vs-benchmark leaks only, both directions of offset") {
+    import spark.implicits._
+    // corpus doc 10 leaks benchmark doc 1's span; corpus docs 11/12 are
+    // clean; corpus docs 10 and 11 share a span WITH EACH OTHER which
+    // must NOT appear (cross form never pairs corpus with corpus)
+    val bench = Seq((1L, "benchmark answer: cdefghijklmnop end")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "xxcdefghijklmnopqq shared-corpus-run-123"),
+      (11L, "unrelated text here shared-corpus-run-123"),
+      (12L, "totally disjoint content with no overlap")).toDF("doc_id", "text")
+    val got = spanRows(Dedup.duplicateSpansAgainst(corpus, bench, "doc_id", "text", w = 6))
+    // bench span 'cdefghijklmnop' at 19..32 in doc 1; at 3..16 in doc 10
+    assert(got == Set((10L, 1L, 3, 19, 14)), got.toString)
   }
 
   test("duplicateSpans portable (string-keyed) tier equals the xxhash64 production tier") {
