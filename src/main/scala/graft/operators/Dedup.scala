@@ -650,14 +650,22 @@ object Dedup {
       portable: Boolean = false,
       maxDocsPerShingle: Long = MaxDocsPerShingle): DataFrame = {
     val pos = spanPositions(df, id, text, w, portable)
-    val a = spanGuarded(pos, w, maxDocsPerShingle)
-      .select(col(id).as("id_a"), col("p").as("pa"), col("__k"))
+    val a = pos.select(col(id).as("id_a"), col("p").as("pa"), col("__k"))
     val b = pos.select(col(id).as("id_b"), col("p").as("pb"), col("__k"))
-    mergeDiagonalRuns(
-      a.join(b, Seq("__k"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("pa"), col("pb")),
-      w)
+    // guard applied to the JOIN OUTPUT, not a join input: both sides stay
+    // canonically identical, leaving the planner free to pick the best
+    // self-join strategy (AQE broadcasts one side at bench scale — zero
+    // join shuffles; at corpus scale SMJ can reuse one exchange for both
+    // sides, which a guard-polluted left input would forbid). Failure
+    // semantics are unchanged: the broadcast max-multiplicity aggregate
+    // is materialized before the first join row streams, and every
+    // output row passes through the assert, so a hot-window corpus still
+    // dies on the first emitted match — before bound² rows can
+    // materialize anywhere.
+    val matches = spanGuarded(
+      a.join(b, Seq("__k")).filter(col("id_a") < col("id_b")),
+      pos, w, maxDocsPerShingle)
+    mergeDiagonalRuns(matches.select(col("id_a"), col("id_b"), col("pa"), col("pb")), w)
   }
 
   /** Cross-corpus form of [[duplicateSpans]] — span-level benchmark
@@ -683,7 +691,8 @@ object Dedup {
       maxDocsPerShingle: Long = MaxDocsPerShingle): DataFrame = {
     val cp = spanPositions(corpus, id, text, w, portable)
       .select(col(id).as("id_a"), col("p").as("pa"), col("__k"))
-    val bp = spanGuarded(spanPositions(benchmark, id, text, w, portable), w, maxDocsPerShingle)
+    val bpos = spanPositions(benchmark, id, text, w, portable)
+    val bp = spanGuarded(bpos, bpos, w, maxDocsPerShingle)
       .select(col(id).as("id_b"), col("p").as("pb"), col("__k"))
     mergeDiagonalRuns(
       cp.join(broadcast(bp), Seq("__k"))
@@ -719,10 +728,14 @@ object Dedup {
     * 1-row max aggregate — one extra linear pass, the jaccardPairs
     * pattern).
     */
-  private def spanGuarded(pos: DataFrame, w: Int, maxDocsPerShingle: Long): DataFrame = {
+  private def spanGuarded(
+      df: DataFrame,
+      pos: DataFrame,
+      w: Int,
+      maxDocsPerShingle: Long): DataFrame = {
     val hottest = pos.groupBy("__k").agg(count(lit(1)).as("__m"))
       .agg(coalesce(max("__m"), lit(0L)).as("__hot"))
-    pos
+    df
       .crossJoin(broadcast(hottest))
       .filter(assert_true(
         col("__hot") <= lit(maxDocsPerShingle),
