@@ -148,6 +148,49 @@ object ProfileQueries {
           col("l_linestatus") === "O"))
   }
 
+  /** The streaming drift monitor's plan run in BATCH over the events
+    * table (the same serving-both-ways proof as `stream_quality_monitor`):
+    * per 5-minute event-time window, χ² goodness-of-fit and PSI of the
+    * event-type mix against a literal uniform reference (0.2 × 5 types),
+    * plus the unseen-category count. One windowed aggregate with the
+    * categories as conditional-sum COLUMNS — the single-stateful-operator
+    * shape that makes the identical plan legal under a watermark.
+    */
+  val streamDriftMonitor: Q = {
+    val cats = Seq("click", "error", "purchase", "signup", "view")
+    val cnt = Map("click" -> "cc", "error" -> "ce", "purchase" -> "cp",
+      "signup" -> "cs", "view" -> "cv")
+    val sums = cats.map(c =>
+      s"SUM(CASE WHEN event_type = '$c' THEN 1 ELSE 0 END) AS ${cnt(c)}").mkString(",\n|  ")
+    val inList = cats.map(c => s"'$c'").mkString(", ")
+    val chi2 = cats.map { c =>
+      val o = cnt(c); s"($o - n*0.2)*($o - n*0.2)/(n*0.2)"
+    }.mkString(" + ")
+    val psi = cats.map { c =>
+      val o = s"GREATEST(CAST(${cnt(c)} AS DOUBLE)/n, 1e-6)"
+      s"($o - 0.2)*LN($o/0.2)"
+    }.mkString(" + ")
+    Q(
+      "stream_drift_monitor",
+      Some(s"""WITH g AS (SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS bucket,
+              |  $sums,
+              |  COUNT(*) AS n,
+              |  SUM(CASE WHEN event_type IN ($inList) THEN 0 ELSE 1 END) AS n_unseen
+              |FROM events GROUP BY 1)
+              |SELECT bucket, n AS n_events, n_unseen,
+              |  ROUND($chi2, 6) AS chi2,
+              |  ROUND($psi, 6) AS psi
+              |FROM g""".stripMargin),
+      (s, dir) =>
+        graft.streaming.DriftStream
+          .monitor(
+            Seq("click", "error", "purchase", "signup", "view").map(_ -> 0.2).toMap,
+            Tables.loadEvents(s, dir))
+          .select(
+            floor(unix_timestamp(col("window_start")) / 300).cast("long").as("bucket"),
+            col("n_events"), col("n_unseen"), col("chi2"), col("psi")))
+  }
+
   /** Data mixing: per-source keep percentages (web 50%, books 100%,
     * otherwise 20%) — survivor counts per (source, lang).
     */
@@ -287,6 +330,6 @@ object ProfileQueries {
 
   def all: Seq[Q] = Seq(
     profileLineitem, textRedact, ksQuantity, psiQuantity, chi2ReturnFlag,
-    sampleMix, sampleBudget,
+    streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded)
 }
