@@ -178,6 +178,85 @@ object Multimodal {
     sums.map(_ / (sub * sub * 255.0))
   }
 
+  /** REAL image RESIZE — decode via ImageIO, then an area-average
+    * luminance downsample to (outW × outH), hand-rolled with integer box
+    * edges (`y0 = r·h / outH`, exclusive `y1 = max(y0+1, (r+1)·h / outH)`)
+    * so the result is a pure function of the pixels — deterministic
+    * across JVMs, unlike Graphics2D's platform-dependent scalers. Output
+    * is row-major luminance in [0,1]. None for undecodable payloads
+    * (caller falls back, same contract as [[decodeImage]]).
+    */
+  def resizeImage(payload: Array[Byte], outW: Int, outH: Int): Option[Array[Float]] = {
+    require(outW > 0 && outH > 0, s"bad resize target ${outW}x$outH")
+    if (payload == null || payload.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Float](outW * outH)
+        var r = 0
+        while (r < outH) {
+          val y0 = r * h / outH
+          val y1 = math.max(y0 + 1, (r + 1) * h / outH)
+          var c = 0
+          while (c < outW) {
+            val x0 = c * w / outW
+            val x1 = math.max(x0 + 1, (c + 1) * w / outW)
+            var sum = 0.0
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sum += 0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) +
+                  0.114 * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            out(r * outW + c) = (sum / ((y1 - y0).toLong * (x1 - x0) * 255.0)).toFloat
+            c += 1
+          }
+          r += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** PLAN-SIDE nearest-neighbor resize of an opaque byte-grid payload —
+    * the hash-exact TWIN of the resize kernel: the payload is read as a
+    * raw `srcW`-wide grayscale grid (height = ⌊bytes / srcW⌋, tail
+    * truncated; payloads shorter than one row are dropped) and resampled
+    * to (outW × outH) with `src = ⌊dst · srcLen / outLen⌋` index
+    * arithmetic — the SAME mapping [[resizeImage]] uses for its box
+    * starts — entirely as codegen'd column expressions (sequence/explode,
+    * substr, hex), so an engine-independent oracle can replay every
+    * output pixel. Long form: (media_id, r, c, px).
+    */
+  def resizeRawGrid(media: DataFrame, srcW: Int, outW: Int, outH: Int): DataFrame = {
+    require(srcW > 0 && outW > 0 && outH > 0, s"bad grid ${srcW}→${outW}x$outH")
+    val r = floor(col("__i") / lit(outW)).cast("long")
+    val c = col("__i") % lit(outW.toLong)
+    val srcR = floor(r * col("__h") / lit(outH)).cast("long")
+    val srcC = floor(c * lit(srcW) / lit(outW)).cast("long")
+    val idx = srcR * lit(srcW.toLong) + srcC // 0-based byte offset
+    media
+      .select(col("media_id"), col("payload"), length(col("payload")).cast("long").as("__nb"))
+      .filter(col("__nb") >= srcW)
+      .withColumn("__h", floor(col("__nb") / lit(srcW)).cast("long"))
+      .withColumn("__i", explode(sequence(lit(0L), lit((outH.toLong * outW) - 1L))))
+      .select(
+        col("media_id"),
+        r.as("r"),
+        c.as("c"),
+        conv(hex(col("payload").substr((idx + 1L).cast("int"), lit(1))), 16, 10)
+          .cast("long").as("px"))
+  }
+
   /** Frames sampled per video for feature extraction. */
   val VideoFrameSample = 8
 

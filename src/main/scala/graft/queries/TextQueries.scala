@@ -573,6 +573,40 @@ object TextQueries {
         .select(col("media_id"), col("n_bytes").cast(LongType).as("n_bytes"))
     })
 
+  /** Plan-side nearest-neighbor resize of the opaque payload grid
+    * ([[Multimodal.resizeRawGrid]]): payload bytes as a raw 16-wide
+    * grayscale grid resampled to 8×8 with ⌊dst·srcLen/outLen⌋ index
+    * arithmetic — every output pixel replayed byte-for-byte in SQL, so
+    * the RESAMPLING kernel is hash-checked even though real image decode
+    * (the [[Multimodal.resizeImage]] tier, MultimodalSpec) can't be
+    * expressed in an oracle.
+    */
+  val mmResize: Q = Q(
+    "mm_resize",
+    Some("""WITH d AS (SELECT doc_id AS media_id, encode(text) AS payload
+           |           FROM documents),
+           |b AS (SELECT media_id, hex(payload) AS hx,
+           |        CAST(octet_length(payload) AS BIGINT) AS nb
+           |      FROM d WHERE octet_length(payload) >= 16),
+           |g AS (SELECT media_id, hx, CAST(FLOOR(nb / 16) AS BIGINT) AS h,
+           |        UNNEST(range(0, 64)) AS i
+           |      FROM b),
+           |m AS (SELECT media_id, hx, h,
+           |        CAST(FLOOR(i / 8) AS BIGINT) AS r, i % 8 AS c
+           |      FROM g)
+           |SELECT media_id, r, c,
+           |  CAST('0x' || substr(hx,
+           |    CAST((CAST(FLOOR(r * h / 8) AS BIGINT) * 16
+           |          + CAST(FLOOR(c * 16 / 8) AS BIGINT)) * 2 + 1 AS INT), 2)
+           |    AS BIGINT) AS px
+           |FROM m""".stripMargin),
+    (s, dir) =>
+      Multimodal.resizeRawGrid(
+        docs(s, dir).select(
+          col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("payload")),
+        srcW = 16, outW = 8, outH = 8))
+
   /** Full multimodal feature rows (stub decode) — rows-only. The raw
     * `array<float>` feature vector stays in MultimodalSpec; the declared
     * query projects a hashable surrogate (`xxhash64` of the rendered
@@ -1406,6 +1440,7 @@ object TextQueries {
     decontamSpans, dedupIncremental,
     dedupLines, dedupSubstringSpans, dedupMinHash, dedupMinHashHash,
     dedupSimHash, dedupSimHashHash,
-    mmBytes, mmFeatures, mmFeaturesHash, mmFrames, pipelineClean, splitStratified,
+    mmBytes, mmFeatures, mmFeaturesHash, mmFrames, mmResize, pipelineClean,
+    splitStratified,
     pipelineEmbedSplit)
 }

@@ -184,4 +184,39 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getAs[Number](1).longValue())).toSet
     assert(idx == Set((3L, 0L), (3L, 3L), (3L, 6L), (3L, 9L)))
   }
+
+  test("resizeImage: real PNG area-averages to exact quadrant means at any target") {
+    // quadrant image: TL black, TR white, BL white, BR black — a 2×2
+    // resize must hit the exact per-quadrant means, an upscale to 3×3
+    // must stay in [0,1] with the checker structure, and the center 3×3
+    // cell (box spanning all four quadrants equally) must average ~0.5
+    val png = pngBytes(32, 32)((x, y) =>
+      if ((x < 16) == (y < 16)) 0x000000 else 0xffffff)
+    val small = Multimodal.resizeImage(png, 2, 2).get
+    assert(small.length == 4)
+    assert(small(0) < 0.01 && small(3) < 0.01, small.toSeq.toString) // black quads
+    assert(small(1) > 0.99 && small(2) > 0.99, small.toSeq.toString) // white quads
+    val up = Multimodal.resizeImage(png, 3, 3).get
+    assert(up.length == 9 && up.forall(v => v >= 0f && v <= 1f))
+    assert(math.abs(up(4) - 0.5) < 0.05, s"center ${up(4)}") // spans all quadrants
+    assert(Multimodal.resizeImage("not an image".getBytes("UTF-8"), 2, 2).isEmpty)
+    // deterministic across calls (pure pixel function, no Graphics2D)
+    assert(Multimodal.resizeImage(png, 5, 7).get.toSeq ==
+      Multimodal.resizeImage(png, 5, 7).get.toSeq)
+  }
+
+  test("resizeRawGrid: plan-side nearest-neighbor selects the exact source bytes") {
+    import spark.implicits._
+    // 32-byte payload = a 16-wide, 2-row grid with distinct byte values;
+    // resize to 2×2 must pick bytes at (row 0/1 via floor(r*2/2)=r,
+    // col 0/8 via floor(c*16/2))
+    val payload = (0 until 32).map(_.toByte).toArray
+    val df = Seq((1L, payload), (2L, Array[Byte](1, 2, 3))) // doc 2: under one row — dropped
+      .toDF("media_id", "payload")
+    val got = Multimodal.resizeRawGrid(df, srcW = 16, outW = 2, outH = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 0L, 0L), (1L, 0L, 1L, 8L),
+      (1L, 1L, 0L, 16L), (1L, 1L, 1L, 24L)), got.toString)
+  }
 }
