@@ -158,5 +158,38 @@ object EventQueries {
           .select(lit("purchase_after_click").as("stage"), col("n_users")))
     })
 
-  def all: Seq[Q] = Seq(e1Buckets, e2Sessionize, e3Json, e4AsOf, e5Funnel)
+  /** Retention cohorts — the standard activity-grid analysis: users
+    * bucketed by first-seen UTC day, active-user counts per (cohort day,
+    * activity day, day offset). Two hash aggregates and one join, no
+    * windows; the activity relation is DISTINCT-reduced per (user, day)
+    * BEFORE the final aggregate, so the count is a plain `COUNT(*)` —
+    * no count-distinct Expand pass (the agg_approx_distinct lesson).
+    */
+  val e6Retention: Q = Q(
+    "e6_retention_cohort",
+    Some("""WITH e AS (SELECT user_id,
+           |             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d
+           |           FROM events),
+           |f AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id),
+           |a AS (SELECT DISTINCT user_id, d FROM e)
+           |SELECT cohort_day, d AS activity_day, d - cohort_day AS offset_days,
+           |  COUNT(*) AS n_users
+           |FROM a JOIN f USING (user_id)
+           |GROUP BY 1, 2""".stripMargin),
+    (s, dir) => {
+      val e = ev(s, dir).select(
+        col("user_id"),
+        floor(unix_timestamp(col("ts")) / 86400).cast(LongType).as("d"))
+      val first = e.groupBy("user_id").agg(min("d").as("cohort_day"))
+      e.distinct()
+        .join(first, "user_id")
+        .groupBy(col("cohort_day"), col("d").as("activity_day"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(
+          col("cohort_day"), col("activity_day"),
+          (col("activity_day") - col("cohort_day")).as("offset_days"),
+          col("n_users"))
+    })
+
+  def all: Seq[Q] = Seq(e1Buckets, e2Sessionize, e3Json, e4AsOf, e5Funnel, e6Retention)
 }

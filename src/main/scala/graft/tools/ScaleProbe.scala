@@ -225,6 +225,13 @@ object ScaleProbe {
           "l_quantity", col("l_returnflag") === "A", bins = 20)
           .collect().length.toLong
       }
+      time("chi2", c) { df =>
+        // same windowless family as psi (one category-keyed hash agg,
+        // totals from the ≤#cats relation) — pin the expected flatness
+        graft.functions.Stats.chi2Homogeneity(
+          df, "l_returnflag", col("l_linestatus") === "O")
+          .collect().length.toLong
+      }
       time("profile", c) { df =>
         // one-pass multi-column profile: count/nulls/distinct/min/max/mean
         // for three columns in a single aggregation
