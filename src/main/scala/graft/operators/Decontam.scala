@@ -66,4 +66,60 @@ object Decontam {
       .select(col(id))
     corpus.join(flagged, Seq(id), "left_anti")
   }
+
+  /** Upper bound on a broadcastable benchmark embedding set — same
+    * rationale as [[Similarity.MaxHardNegQueries]]: rows × dim × 8 B must
+    * sit comfortably inside an executor's broadcast budget.
+    */
+  val MaxBenchVectors: Long = 100000L
+
+  /** SEMANTIC decontamination — the embedding-space sibling of
+    * [[overlap]]: a corpus document is contaminated when its embedding is
+    * within cosine `threshold` of ANY benchmark embedding, catching the
+    * paraphrased leaks that n-gram shingles miss (the reason modern
+    * pipelines run both gates). Output: (`id`, max_cos rounded to 6,
+    * contaminated) per corpus vector.
+    *
+    * Scale shape: benchmarks are tiny next to a 100 TB corpus, so the
+    * benchmark side is norm-precomputed and BROADCAST; the corpus side is
+    * one shuffle-free scoring scan (codegen'd [[graft.plans
+    * .VectorExpressions.dotFast]] per candidate) followed by a per-id max
+    * aggregate — never a corpus×corpus product. A benchmark over
+    * [[MaxBenchVectors]] fails loudly (assert_true) instead of silently
+    * building an unbroadcastable relation; route such sets through the
+    * ANN tiers instead ([[Ivf.searchTopKBatch]]).
+    */
+  def semanticOverlap(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      id: String,
+      vec: String,
+      threshold: Double,
+      maxBench: Long = MaxBenchVectors): DataFrame = {
+    val dotF = graft.plans.VectorExpressions.dotFast _
+    val bGuard = benchmark.agg(count(lit(1)).as("__bn"))
+    val b = benchmark
+      .select(col(vec).cast("array<double>").as("__bv"))
+      .withColumn("__bnorm", sqrt(dotF(col("__bv"), col("__bv"))))
+      .crossJoin(broadcast(bGuard))
+      .filter(assert_true(
+        col("__bn") <= lit(maxBench),
+        format_string(
+          "semanticOverlap broadcasts the benchmark set: %d vectors is over the " +
+            "broadcast-safe bound %d. Score large benchmark sets through the ANN " +
+            "tiers (Ivf.searchTopKBatch).",
+          col("__bn"), lit(maxBench))).isNull)
+      .drop("__bn")
+    val c = corpus
+      .select(col(id), col(vec).cast("array<double>").as("__v"))
+      .withColumn("__vnorm", sqrt(dotF(col("__v"), col("__v"))))
+    c.join(broadcast(b))
+      .groupBy(col(id))
+      .agg(max(
+        dotF(col("__v"), col("__bv")) / (col("__vnorm") * col("__bnorm"))).as("__mc"))
+      .select(
+        col(id),
+        round(col("__mc"), 6).as("max_cos"),
+        (col("__mc") >= threshold).as("contaminated"))
+  }
 }

@@ -457,4 +457,42 @@ object Sampling {
       .filter(col("__cum") <= budget)
       .drop("__rn", "__cum")
   }
+
+  /** Per-domain cap — the Common-Crawl-style host/source limit: keep at
+    * most `k` documents per `domain`, best first under a caller-supplied
+    * total order (score desc, id tiebreak — pass BOTH so ties cannot
+    * make the cut nondeterministic).
+    *
+    * Scale shape: the naive form is one `row_number` window partitioned
+    * by domain — and a head domain at 100 TB (one host contributing
+    * billions of pages) funnels into a single window partition. This
+    * runs the salted tournament instead ([[Similarity.hardNegatives]]'s
+    * shape): stage 1 ranks within (domain, salt-of-id) — bounded
+    * fan-in — and keeps k per bucket; stage 2 re-ranks the surviving
+    * ≤ k·saltBuckets rows per domain. EXACT, not approximate: under a
+    * total order, every global top-k row is within the top k of its own
+    * salt bucket, so stage 1 never drops a winner — the driver replays a
+    * direct single-window SQL form and the hashes must match, making the
+    * production partitioning itself the verified path.
+    */
+  def domainCap(
+      df: DataFrame,
+      id: String,
+      domain: String,
+      order: Seq[Column],
+      k: Int,
+      saltBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k $k out of range")
+    val stage1 = Window
+      .partitionBy(col(domain), pmod(xxhash64(col(id)), lit(saltBuckets.toLong)))
+      .orderBy(order: _*)
+    val stage2 = Window.partitionBy(col(domain)).orderBy(order: _*)
+    df
+      .withColumn("__r1", row_number().over(stage1))
+      .filter(col("__r1") <= k)
+      .drop("__r1")
+      .withColumn("rank_in_domain", row_number().over(stage2))
+      .filter(col("rank_in_domain") <= k)
+  }
 }

@@ -328,8 +328,32 @@ object ProfileQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept")))
 
+  /** Per-domain cap ([[graft.operators.Sampling.domainCap]]): at most 8
+    * docs per `source`, largest first (n_chars desc, doc_id tiebreak) —
+    * the Common-Crawl host-limit step. The REGISTERED path is the salted
+    * tournament (head-domain-proof: no whole-domain window partition);
+    * the oracle replays the direct single-window form, and because the
+    * (n_chars desc, doc_id) order is total the two are hash-identical —
+    * the scale partitioning itself is what gets verified.
+    */
+  val sampleDomainCap: Q = Q(
+    "sample_domain_cap",
+    Some("""WITH r AS (SELECT doc_id, source, n_chars,
+           |    ROW_NUMBER() OVER (PARTITION BY source
+           |      ORDER BY n_chars DESC, doc_id) AS rank_in_domain
+           |  FROM documents)
+           |SELECT doc_id, source, n_chars, CAST(rank_in_domain AS BIGINT) AS rank_in_domain
+           |FROM r WHERE rank_in_domain <= 8""".stripMargin),
+    (s, dir) =>
+      graft.operators.Sampling.domainCap(
+        Tables.load(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "doc_id", "source",
+        Seq(col("n_chars").desc, col("doc_id")), k = 8)
+        .withColumn("rank_in_domain", col("rank_in_domain").cast("long")))
+
   def all: Seq[Q] = Seq(
     profileLineitem, textRedact, ksQuantity, psiQuantity, chi2ReturnFlag,
     streamDriftMonitor, sampleMix, sampleBudget,
-    sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded)
+    sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,
+    sampleDomainCap)
 }

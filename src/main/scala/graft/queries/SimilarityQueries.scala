@@ -503,7 +503,36 @@ object SimilarityQueries {
         e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "label", k = 10)
     })
 
+  /** Semantic decontamination ([[graft.operators.Decontam
+    * .semanticOverlap]]): corpus embeddings (label ≠ 0) scored for max
+    * cosine against the broadcast benchmark set (label 0) — flags the
+    * paraphrased leaks n-gram decontam (`decontam_ngram`) can't see.
+    * Same arithmetic contract as `dedup_embcos_pairs`: exact double dot
+    * products, round(…, 6) only on the reported max.
+    */
+  val decontamSemantic: Q = Q(
+    "decontam_semantic",
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+           |           FROM embeddings),
+           |b AS (SELECT v AS bv, SQRT(list_dot_product(v, v)) AS bn
+           |      FROM e WHERE label = 0),
+           |c AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS vn
+           |      FROM e WHERE label <> 0),
+           |m AS (SELECT c.vec_id,
+           |        MAX(list_dot_product(c.v, b.bv) / (c.vn * b.bn)) AS mc
+           |      FROM c, b GROUP BY c.vec_id)
+           |SELECT vec_id, ROUND(mc, 6) AS max_cos, mc >= 0.35 AS contaminated
+           |FROM m""".stripMargin),
+    (s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.Decontam.semanticOverlap(
+        e.filter(col("label") =!= 0),
+        e.filter(col("label") === 0),
+        "vec_id", "embedding", threshold = 0.35)
+    })
+
   def all: Seq[Q] =
     Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simIvfFixed, simPq,
-      simPqFixed, simIvfPqFixed, semanticDedup, embCentroids, simHardNegatives)
+      simPqFixed, simIvfPqFixed, semanticDedup, embCentroids, simHardNegatives,
+      decontamSemantic)
 }

@@ -104,6 +104,34 @@ object TextQueries {
         col("lang"),
         TextFunctions.langId(col("text")).as("lang_pred")))
 
+  /** Tokenizer-training support: corpus-wide adjacent-character-pair
+    * counts — exactly the statistic the first BPE merge step maximizes
+    * (Sennrich et al. 2016). Within-token pairs only (BPE never merges
+    * across whitespace), top 30 under the total (count desc, pair)
+    * order so the cutoff is tie-proof. One explode → one hash aggregate
+    * (map-side partials absorb the fan-out) → TakeOrdered; at 100 TB the
+    * pair alphabet is bounded (≤ |charset|²), so the post-aggregate
+    * relation is tiny regardless of corpus size — the shape of every
+    * merge iteration a distributed BPE trainer would run.
+    */
+  val textBpePairs: Q = Q(
+    "text_bpe_pairs",
+    Some("""WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS t
+           |            FROM documents),
+           |tt AS (SELECT t FROM tok WHERE length(t) >= 2),
+           |p AS (SELECT substring(t, g.i, 2) AS pair
+           |      FROM tt, LATERAL unnest(generate_series(1, length(t) - 1)) AS g(i))
+           |SELECT pair, COUNT(*) AS n
+           |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin),
+    (s, dir) =>
+      docs(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+        .filter(length(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(30))
+
   /** Document fingerprint: md5 over normalized text — portable content
     * addressing.
     */
@@ -1413,6 +1441,46 @@ object TextQueries {
         .shuffled(docs(s, dir).select("doc_id"), "doc_id", n = 8, seed = 7)
         .select("doc_id", "shard", "pos"))
 
+  /** Sequence packing, concat-and-cut tier ([[graft.operators.Packing
+    * .concatCut]]): every doc's shard, token count, first/last training-
+    * sequence index and in-sequence offset under GPT-style
+    * concatenate-and-cut at 512 tokens. Pure BIGINT prefix-sum
+    * arithmetic — every row hash-checked against the SQL replay. The
+    * boundary-respecting greedy tier shares this exact shard/order/token
+    * kernel and is registered rows-only (`pack_greedy`).
+    */
+  val packSequences: Q = Q(
+    "pack_sequences",
+    Some("""WITH t AS (SELECT doc_id,
+           |    ((doc_id + 11) % 100000) * 2654435761 % 4294967296 % 8 AS shard,
+           |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+           |  FROM documents),
+           |p AS (SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+           |    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+           |  FROM t)
+           |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  pre // 512 AS seq_first,
+           |  (pre + n_tokens - 1) // 512 AS seq_last,
+           |  pre % 512 AS seq_offset
+           |FROM p""".stripMargin),
+    (s, dir) =>
+      graft.operators.Packing.concatCut(
+        docs(s, dir), "doc_id", "text", seqLen = 512, nShards = 8, seed = 11))
+
+  /** Sequence packing, boundary-respecting greedy tier
+    * ([[graft.operators.Packing.greedyPack]]): first-fit-in-order fill —
+    * inherently sequential per shard, so rows-only at the driver;
+    * PackingSpec pins capacity / coverage / repartition-invariance, and
+    * `pack_sequences` is the hash-exact twin of the shared kernel.
+    */
+  val packGreedy: Q = Q(
+    "pack_greedy",
+    None,
+    (s, dir) =>
+      graft.operators.Packing.greedyPack(
+        docs(s, dir), "doc_id", "text", seqLen = 512, nShards = 8, seed = 11))
+
   /** Document chunking: overlapping 40-token windows with 8 tokens of
     * overlap (stride 32) — the pre-tokenization sequence-preparation
     * step. Slices clamp at the doc end; every chunk row is hash-checked.
@@ -1432,9 +1500,11 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
+    textBpePairs,
     textBm25, textHybridRrf, corpusReport, pipelineMix, textChunk, textLmScore,
     pipelinePerplexityMix, streamQualityMonitor,
     jsonlRoundtrip, sampleUpsample, splitShards, splitShuffle,
+    packSequences, packGreedy,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
     dedupComponents, dedupComponentsChain, dedupKeepBest, decontamNgram,
     decontamSpans, dedupIncremental,

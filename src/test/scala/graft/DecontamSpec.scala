@@ -45,4 +45,36 @@ class DecontamSpec extends AnyFunSuite {
       corpus, bench.limit(0), "doc_id", "text", k = 3, threshold = 0.5).collect()
     assert(got.length == 1 && got.head.getLong(2) == 0L && !got.head.getBoolean(4))
   }
+
+  test("semanticOverlap: max cosine against the benchmark set, threshold flag") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),   // cos 1.0 vs b1 → contaminated
+      (2L, Array(0.0f, 1.0f)),   // cos 1.0 vs b2 → contaminated
+      (3L, Array(1.0f, -1.0f))   // max cos ≈ 0.7071 vs b1 → below 0.9
+    ).toDF("vec_id", "embedding")
+    val benchV = Seq(
+      (10L, Array(2.0f, 0.0f)), (11L, Array(0.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Decontam
+      .semanticOverlap(corpus, benchV, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(got.map(x => (x._1, x._3)).toSeq == Seq((1L, true), (2L, true), (3L, false)))
+    assert(math.abs(got(2)._2 - 0.707107) < 1e-6)
+  }
+
+  test("semanticOverlap guard refuses an over-bound benchmark set") {
+    val corpus = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val benchV = Seq(
+      (10L, Array(2.0f, 0.0f)), (11L, Array(0.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Decontam.semanticOverlap(
+        corpus, benchV, "vec_id", "embedding", 0.9, maxBench = 1L).collect()
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages(e).contains("broadcast-safe bound"), messages(e))
+  }
 }

@@ -230,4 +230,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(cp.contains("WindowGroupLimit"),
       "token cap's rank pre-filter lost the group limit:\n" + cp.take(1200))
   }
+
+  test("domainCap: salted tournament equals the direct per-domain top-k") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // skewed domains: d0 holds 80% of rows, scores collide heavily so the
+    // id tiebreak is what keeps the order total
+    val df = (0L until 4000L)
+      .map(i => (i, if (i % 5 != 0) "d0" else s"d${1 + (i % 3)}", (i % 17).toDouble))
+      .toDF("doc_id", "domain", "score")
+    val got = graft.operators.Sampling
+      .domainCap(df, "doc_id", "domain", Seq(col("score").desc, col("doc_id")), k = 10)
+      .select("doc_id", "domain", "rank_in_domain")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val direct = df.withColumn("rank_in_domain", row_number().over(
+      Window.partitionBy("domain").orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank_in_domain") <= 10)
+      .select("doc_id", "domain", "rank_in_domain")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == direct)
+    assert(got.groupBy(_._2).forall(_._2.size == 10))
+  }
 }
