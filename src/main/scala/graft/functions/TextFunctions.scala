@@ -27,6 +27,21 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
 
+  /** Canonical text cleanup (ftfy-lite): Unicode NFC composition
+    * ([[graft.plans.ScalarExpressions.nfc]], a native codegen'd
+    * expression), control characters stripped (C0 except newline, plus
+    * DEL — the mojibake bytes crawls leak), space runs collapsed, ends
+    * trimmed. Run BEFORE fingerprinting/shingling so byte-level encoding
+    * accidents can't split a dedup class. Both regexes are RE2-safe
+    * (plain classes and escapes), so DuckDB replays them verbatim.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        graft.plans.ScalarExpressions.nfc(text),
+        "[\\x00-\\x09\\x0B-\\x1F\\x7F]", ""),
+      "  +", " "))
+
   /** Punctuation-character ratio: 1 - (chars surviving punctuation strip /
     * total chars).
     */

@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Order-preserving reinterpretation of a double as a signed long:
   * `x < y  ⟺  sortableBits(x) < sortableBits(y)` for all non-NaN
@@ -50,12 +51,54 @@ case class DoubleSortableBits(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization of a string column — the text-cleaning
+  * primitive (composed form: `e` + COMBINING ACUTE → `é`) that makes
+  * dedup fingerprints, shingles, and equality joins insensitive to how a
+  * crawler happened to encode the same glyphs. Spark has no built-in
+  * normalizer and a Scala UDF would break whole-stage codegen in the
+  * cleaning scan, so this is a native expression whose generated code
+  * calls the same static helper as the interpreted path. The helper
+  * fast-paths already-normalized input (the overwhelmingly common case:
+  * `Normalizer.isNormalized` is a cheap scan) and returns the INPUT
+  * UTF8String untouched, allocating only when composition actually
+  * rewrites bytes. DuckDB's `nfc_normalize` implements the same Unicode
+  * algorithm, so results are oracle-comparable byte-for-byte.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(s: Any): Any =
+    StringNormalize.nfc(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.StringNormalize.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Static normalization helper shared by [[NfcNormalize]]'s interpreted
+  * and generated paths (codegen references it by fully-qualified name).
+  */
+object StringNormalize {
+  def nfc(s: UTF8String): UTF8String = {
+    val j = s.toString
+    if (java.text.Normalizer.isNormalized(j, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(j, java.text.Normalizer.Form.NFC))
+  }
+}
+
 object ScalarExpressions {
   import org.apache.spark.sql.GraftBridge.{column, expression}
   import org.apache.spark.sql.functions.{coalesce, lit}
 
   /** Monotone long view of a double column (see [[DoubleSortableBits]]). */
   def sortableBits(x: Column): Column = column(DoubleSortableBits(expression(x)))
+
+  /** Unicode-NFC-normalized view of a string column (see [[NfcNormalize]]). */
+  def nfc(s: Column): Column = column(NfcNormalize(expression(s)))
 
   /** Key for a DELIBERATE single-partition window over a bounded (≤ a few
     * thousand rows by construction) relation: provably non-null and

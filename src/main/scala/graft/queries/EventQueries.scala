@@ -191,5 +191,41 @@ object EventQueries {
           col("n_users"))
     })
 
-  def all: Seq[Q] = Seq(e1Buckets, e2Sessionize, e3Json, e4AsOf, e5Funnel, e6Retention)
+  /** Rolling 1-hour activity per user — the RANGE-frame window (every
+    * event sees the count and exact value-sum of its user's trailing
+    * hour), the feature-engineering shape behind rate limits, burst
+    * detection, and session features. A range frame is SET-valued (all
+    * peers at the same second share one frame), so no tiebreak can make
+    * it nondeterministic, and the windowed value-sum rides an exact
+    * DECIMAL with one final cast — order-free in both engines. Scale
+    * shape: partitioned by user (bounded, millions of small partitions),
+    * and WindowExec evaluates a trailing range frame streamingly — state
+    * is one sliding frame, never the whole partition.
+    */
+  val e7Rolling: Q = Q(
+    "e7_rolling_activity",
+    Some("""WITH t AS (SELECT user_id, event_id,
+           |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es, value
+           |  FROM events)
+           |SELECT user_id, event_id, es,
+           |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           |  CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_1h
+           |FROM t
+           |WINDOW w AS (PARTITION BY user_id ORDER BY es
+           |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin),
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("es")).rangeBetween(-3600, 0)
+      ev(s, dir)
+        .select(
+          col("user_id"), col("event_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("es"),
+          col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h",
+          sum(col("value").cast("decimal(30,6)")).over(w).cast("double"))
+        .drop("value")
+    })
+
+  def all: Seq[Q] = Seq(
+    e1Buckets, e2Sessionize, e3Json, e4AsOf, e5Funnel, e6Retention, e7Rolling)
 }

@@ -132,6 +132,27 @@ object TextQueries {
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(30))
 
+  /** Canonical text cleanup ([[graft.functions.TextFunctions
+    * .normalizeText]]): Unicode NFC + control strip + space collapse,
+    * with a deterministic DIRTY suffix appended first (decomposed
+    * `cafe`+U+0301, a BEL, doubled spaces — the corpus itself is clean,
+    * same proof-by-synthesis as `text_redact`) so the normalization
+    * demonstrably bites on every row and both engines must compose the
+    * same bytes.
+    */
+  val textNormalize: Q = Q(
+    "text_normalize",
+    Some("""SELECT doc_id,
+           |  trim(regexp_replace(regexp_replace(
+           |    nfc_normalize(text || ' cafe' || chr(769) || chr(7) || '  x'),
+           |    '[\x00-\x09\x0B-\x1F\x7F]', '', 'g'), '  +', ' ', 'g')) AS clean
+           |FROM documents""".stripMargin),
+    (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextFunctions.normalizeText(
+          concat(col("text"), lit(" cafe\u0301\u0007  x"))).as("clean")))
+
   /** Document fingerprint: md5 over normalized text — portable content
     * addressing.
     */
@@ -1500,7 +1521,7 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
-    textBpePairs,
+    textBpePairs, textNormalize,
     textBm25, textHybridRrf, corpusReport, pipelineMix, textChunk, textLmScore,
     pipelinePerplexityMix, streamQualityMonitor,
     jsonlRoundtrip, sampleUpsample, splitShards, splitShuffle,

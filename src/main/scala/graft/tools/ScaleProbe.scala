@@ -423,6 +423,33 @@ object ScaleProbe {
           .agg(count(lit(1)).as("n"), avg("nrm"))
           .collect().length.toLong
       }
+      timed("pack_greedy", c) {
+        // the sequential-fill tier: per-shard mapPartitions. Shard count
+        // scales with the data (the training-file discipline), so the
+        // per-task run length stays bounded — expect linear wall, no
+        // single-task cliff.
+        graft.operators.Packing
+          .greedyPack(scaledDocs(docs, c), "doc_id", "text",
+            seqLen = 512, nShards = 16 * c, seed = 11)
+          .groupBy("shard")
+          .agg(max("seq_id"), sum("n_tokens"))
+          .collect().length.toLong
+      }
+      timed("domain_cap_skew", c) {
+        // 90% of rows in ONE head domain: the salted tournament must keep
+        // wall flat-ish (stage-1 windows bounded by salt fan-in) where the
+        // naive single-window form would funnel 90% of the corpus into one
+        // task.
+        val d = scaledDocs(docs, c).select(
+          col("doc_id"),
+          when(pmod(col("doc_id"), lit(10L)) < 9, lit("head"))
+            .otherwise(concat(lit("d"), pmod(col("doc_id"), lit(7L)))).as("domain"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+        graft.operators.Sampling
+          .domainCap(d, "doc_id", "domain",
+            Seq(col("n_tok").desc, col("doc_id")), k = 100)
+          .count()
+      }
     }
     spark.stop()
   }

@@ -251,4 +251,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == direct)
     assert(got.groupBy(_._2).forall(_._2.size == 10))
   }
+
+  test("domainCap plans both tournament stages with WindowGroupLimit") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, s"d${i % 3}", i.toDouble)).toDF("doc_id", "domain", "score")
+    val p = graft.operators.Sampling
+      .domainCap(df, "doc_id", "domain", Seq(col("score").desc, col("doc_id")), k = 5)
+      .queryExecution.executedPlan.toString
+    // the literal rank bound must reach BOTH windows so each input
+    // partition forwards at most k rows per (domain[, salt]) group —
+    // without it a head domain funnels whole into one window task
+    assert(p.sliding("WindowGroupLimit".length).count(_ == "WindowGroupLimit") >= 2,
+      "a tournament stage lost its map-side group limit:\n" + p.take(1500))
+  }
 }
