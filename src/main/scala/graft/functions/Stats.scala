@@ -512,4 +512,66 @@ object Stats {
       .withColumn("ecdf", sum("__c").over(w).cast("double") / sum("__c").over(wAll))
       .drop("__c")
   }
+
+  /** EXACT discrete quantiles (SQL-standard type-1: the smallest value
+    * whose cumulative count reaches ⌈q·n⌉) for a whole grid of probability
+    * levels in ONE pass — without a global sort and without
+    * `percentile_approx`'s error bar. The cumulative ranks ride the same
+    * sharded machinery as [[ks2Samp]]: distinct-value counts from a hash
+    * aggregate (map-side partials absorb any row volume), range-sharded by
+    * [[graft.plans.DoubleSortableBits]] top bits, exclusive per-shard
+    * offsets from a ≤ 2^shardBits-row broadcast window, per-SHARD
+    * cumulative windows only. The quantile grid joins as a literal
+    * relation and each level resolves with `min(v) where rank ≥ target` —
+    * a ≤ |grid|-row aggregate. At 100 TB the only data-sized structures
+    * are the scan and one hash shuffle of the distinct-value table;
+    * nothing ever funnels through a single task. Every rank is an exact
+    * integer, so the result is deterministic under ANY partitioning and
+    * oracle-comparable with zero tolerance (the ⌈q·n⌉ target is the same
+    * IEEE multiply-then-ceil in both engines).
+    *
+    * Null contract: null values are dropped (a quantile of nothing), and
+    * `n` counts non-null rows only — matching `quantile_disc`.
+    *
+    * Output: (q double, qv double) — one row per requested level.
+    */
+  def exactQuantiles(
+      df: DataFrame,
+      value: String,
+      qs: Seq[Double],
+      shardBits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantile levels $qs out of (0, 1]")
+    require(shardBits >= 1 && shardBits <= 20, s"shardBits $shardBits out of range")
+    val spark = df.sparkSession
+    val v = col(value).cast("double")
+    val g = df.filter(v.isNotNull).groupBy(v.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val keyed = g.withColumn(
+      "__shard",
+      shiftright(
+        graft.plans.ScalarExpressions.sortableBits(col("__v")),
+        64 - shardBits) + lit(1L << (shardBits - 1)))
+    val wOff = Window.partitionBy(
+      graft.plans.ScalarExpressions.singlePartitionKey(col("__shard")))
+      .orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("__shard")
+      .agg(sum("__c").as("__s"))
+      .select(
+        col("__shard").as("__oshard"),
+        coalesce(sum("__s").over(wOff), lit(0L)).as("__base"))
+    val total = g.agg(sum("__c").as("__n"))
+    val wCum = Window.partitionBy("__shard").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val grid = spark.createDataFrame(qs.map(Tuple1(_))).toDF("q")
+    keyed.join(broadcast(offsets), col("__shard") === col("__oshard"))
+      .withColumn("__r", col("__base") + sum("__c").over(wCum))
+      .crossJoin(broadcast(total))
+      .join(broadcast(grid),
+        col("__r") >= ceil(col("q") * col("__n")).cast("long"))
+      .groupBy("q")
+      .agg(min("__v").as("qv"))
+      .orderBy("q")
+  }
 }

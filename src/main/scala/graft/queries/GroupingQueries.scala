@@ -372,8 +372,44 @@ object GroupingQueries {
         .select(col("tok"), col("cnt"), col("tok").isin(sketch: _*).as("in_sketch"))
     })
 
+  /** Z-order (Morton) layout key over (l_quantity, l_extendedprice) —
+    * the multi-dimensional data-layout export ([[graft.operators.ZOrder]]:
+    * quantize both dims to 12 bits, interleave; range-partition + sort by
+    * the z-value and every output file covers a compact box in BOTH
+    * dimensions, so parquet min/max stats prune 2-D scan predicates that a
+    * single-column sort only serves for its own column). The interleave is
+    * pure shift/mask column arithmetic (no UDF, full codegen) and the
+    * oracle replays the identical bit algebra, so the layout key — the
+    * thing a 100 TB rewrite actually sorts by — is verified hash-exact.
+    * File-level span narrowing itself is pinned by ZOrderSpec on a real
+    * two-layout write.
+    */
+  val zorderExport: Q = {
+    val bits = 12
+    def qS(c: String, lo: Double, hi: Double): String =
+      s"CAST(LEAST(GREATEST(FLOOR(($c - $lo) / ${hi - lo} * ${1L << bits}), 0), ${(1L << bits) - 1}) AS BIGINT)"
+    val interleave = (0 until bits).map(b =>
+      s"(((qx >> $b) & 1) << ${2 * b}) + (((qy >> $b) & 1) << ${2 * b + 1})")
+      .mkString(" + ")
+    Q(
+      "export_zorder",
+      Some(s"""WITH q AS (
+              |  SELECT l_orderkey, l_linenumber,
+              |    ${qS("l_quantity", 1.0, 51.0)} AS qx,
+              |    ${qS("l_extendedprice", 900.0, 105000.0)} AS qy
+              |  FROM lineitem)
+              |SELECT l_orderkey, l_linenumber, $interleave AS z
+              |FROM q""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          graft.operators.ZOrder.zValue(
+            col("l_quantity"), 1.0, 51.0,
+            col("l_extendedprice"), 900.0, 105000.0, bits).as("z")))
+  }
+
   def all: Seq[Q] = Seq(
     rollup, cube_, groupingSets, approxDistinct, distinctExact,
     tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore,
-    freqItems)
+    freqItems, zorderExport)
 }

@@ -118,6 +118,36 @@ object ProfileQueries {
           bins = 20))
   }
 
+  /** EXACT discrete quantiles of l_extendedprice at a 6-level grid in one
+    * pass ([[graft.functions.Stats.exactQuantiles]]) — the zero-error
+    * companion to `agg_tdigest`'s sketch tier. The cumulative ranks ride
+    * the `ks2Samp` sharded kernel (distinct-value hash aggregate,
+    * sortable-bits range shards, per-shard windows only — no global sort,
+    * no one-task cliff), so the exact answer stays distributed at 100 TB.
+    * Integer ranks + the same IEEE ⌈q·n⌉ in both engines → hash-exact,
+    * no tolerance. The oracle replays the direct single-window cumulative.
+    */
+  val quantilesExact: Q = Q(
+    "stat_quantiles_exact",
+    Some("""WITH g AS (
+           |  SELECT CAST(l_extendedprice AS DOUBLE) AS v, COUNT(*) AS c
+           |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+           |c AS (
+           |  SELECT v,
+           |    SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r,
+           |    SUM(c) OVER () AS n
+           |  FROM g),
+           |qs AS (SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+           |SELECT q, MIN(v) AS qv
+           |FROM c CROSS JOIN qs
+           |WHERE r >= CAST(CEIL(q * n) AS BIGINT)
+           |GROUP BY q ORDER BY q""".stripMargin),
+    (s, dir) =>
+      graft.functions.Stats.exactQuantiles(
+        Tables.load(s, dir, "lineitem"),
+        "l_extendedprice",
+        Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99)))
+
   /** Chi-squared homogeneity of the l_returnflag CATEGORY mix between
     * the two l_linestatus slices — the categorical leg of the drift
     * family (`stat_ks_2samp` continuous, `stat_psi` binned, this one for
@@ -352,7 +382,8 @@ object ProfileQueries {
         .withColumn("rank_in_domain", col("rank_in_domain").cast("long")))
 
   def all: Seq[Q] = Seq(
-    profileLineitem, textRedact, ksQuantity, psiQuantity, chi2ReturnFlag,
+    profileLineitem, textRedact, ksQuantity, psiQuantity, quantilesExact,
+    chi2ReturnFlag,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,
     sampleDomainCap)

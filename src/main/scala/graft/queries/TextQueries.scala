@@ -1519,9 +1519,119 @@ object TextQueries {
     (s, dir) =>
       Dedup.chunkDocs(docs(s, dir), "doc_id", "text", maxTokens = 40, overlap = 8))
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1): the
+    * seven standard heuristic gates a pre-training filter applies before
+    * any model-based scoring — word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+    * alphabetic-word fraction, and a minimum of two distinct stop words.
+    * The corpus itself is clean single-line prose, so (the `text_redact` /
+    * `text_normalize` proof-by-synthesis pattern) a deterministic
+    * doc_id-keyed dirty suffix — bullet lines, a trailing ellipsis line,
+    * `##` symbol runs — is appended first so every rule demonstrably fires
+    * both ways on real rows. Everything is pure column arithmetic over the
+    * token array (higher-order functions, full codegen, RE2-portable
+    * regexes); per-doc work is bounded by doc length, no shuffle at all
+    * until the (absent) downstream aggregation — the cheapest possible
+    * 100 TB shape: one scan, one projection.
+    */
+  val textGopherRules: Q = {
+    // Gopher's rule is "≥ 2 distinct English stop words"; this corpus's
+    // function words are its own high-frequency vocabulary, so the stop
+    // set is the corpus-frequent analogue (same rule, discriminating
+    // outcome — the English list would fail every row vacuously).
+    val stops = Seq("the", "a", "data", "row", "value", "key", "join", "table")
+    val stopList = stops.map(s => s"'$s'").mkString(", ")
+    Q(
+      "text_gopher_rules",
+      Some(s"""WITH d AS (
+              |  SELECT doc_id,
+              |    text ||
+              |      (CASE WHEN doc_id % 3 = 0 THEN chr(10) || '- bullet one' || chr(10) || '- bullet two' ELSE '' END) ||
+              |      (CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'this line trails off...' ELSE '' END) ||
+              |      (CASE WHEN doc_id % 5 = 0 THEN ' ## ## ##' ELSE '' END) AS t
+              |  FROM documents),
+              |f AS (
+              |  SELECT doc_id, t,
+              |    string_split_regex(trim(t), '\\s+') AS toks,
+              |    string_split_regex(t, '\\n') AS lines
+              |  FROM d),
+              |m AS (
+              |  SELECT doc_id,
+              |    len(toks) AS n_words,
+              |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_wl,
+              |    CAST(length(t) - length(replace(t, '#', '')) + len(regexp_extract_all(t, '\\.\\.\\.')) AS DOUBLE) / len(toks) AS sym_ratio,
+              |    CAST(len(list_filter(lines, x -> regexp_matches(x, '^[-*] '))) AS DOUBLE) / len(lines) AS bullet_frac,
+              |    CAST(len(list_filter(lines, x -> regexp_matches(x, '\\.\\.\\.$$'))) AS DOUBLE) / len(lines) AS ellipsis_frac,
+              |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(toks) AS alpha_frac,
+              |    len(list_distinct(list_filter(toks, x -> x IN ($stopList)))) AS n_stops
+              |  FROM f)
+              |SELECT doc_id,
+              |  CAST(n_words AS BIGINT) AS n_words,
+              |  n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+              |  mean_wl >= 3.0 AND mean_wl <= 10.0 AS mean_word_len_ok,
+              |  sym_ratio <= 0.1 AS symbol_ratio_ok,
+              |  bullet_frac <= 0.9 AS bullet_ok,
+              |  ellipsis_frac <= 0.3 AS ellipsis_ok,
+              |  alpha_frac >= 0.8 AS alpha_ok,
+              |  n_stops >= 2 AS stopword_ok,
+              |  n_words >= 50 AND n_words <= 100000
+              |    AND mean_wl >= 3.0 AND mean_wl <= 10.0
+              |    AND sym_ratio <= 0.1 AND bullet_frac <= 0.9
+              |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+              |    AND n_stops >= 2 AS pass
+              |FROM m""".stripMargin),
+      (s, dir) => {
+        val t = concat(
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\n- bullet one\n- bullet two")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            lit("\nthis line trails off...")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" ## ## ##")).otherwise(lit("")))
+        val base = docs(s, dir).select(
+          col("doc_id"), t.as("t"),
+          TextFunctions.tokens(t).as("toks"),
+          split(t, "\\n").as("lines"))
+        val m = base.select(
+          col("doc_id"),
+          size(col("toks")).as("n_words"),
+          (aggregate(col("toks"), lit(0L), (a, x) => a + length(x))
+            .cast("double") / size(col("toks"))).as("mean_wl"),
+          ((length(col("t")) - length(regexp_replace(col("t"), "#", ""))
+            + size(regexp_extract_all(col("t"), lit("\\.\\.\\."), lit(0))))
+            .cast("double") / size(col("toks"))).as("sym_ratio"),
+          (size(filter(col("lines"), x => x.rlike("^[-*] ")))
+            .cast("double") / size(col("lines"))).as("bullet_frac"),
+          (size(filter(col("lines"), x => x.rlike("\\.\\.\\.$")))
+            .cast("double") / size(col("lines"))).as("ellipsis_frac"),
+          (size(filter(col("toks"), x => x.rlike("[a-zA-Z]")))
+            .cast("double") / size(col("toks"))).as("alpha_frac"),
+          size(array_distinct(filter(col("toks"), x => x.isInCollection(stops))))
+            .as("n_stops"))
+        val wordOk = col("n_words") >= 50 && col("n_words") <= 100000
+        val wlOk = col("mean_wl") >= 3.0 && col("mean_wl") <= 10.0
+        val symOk = col("sym_ratio") <= 0.1
+        val bulOk = col("bullet_frac") <= 0.9
+        val ellOk = col("ellipsis_frac") <= 0.3
+        val alpOk = col("alpha_frac") >= 0.8
+        val stpOk = col("n_stops") >= 2
+        m.select(
+          col("doc_id"),
+          col("n_words").cast(LongType).as("n_words"),
+          wordOk.as("word_count_ok"),
+          wlOk.as("mean_word_len_ok"),
+          symOk.as("symbol_ratio_ok"),
+          bulOk.as("bullet_ok"),
+          ellOk.as("ellipsis_ok"),
+          alpOk.as("alpha_ok"),
+          stpOk.as("stopword_ok"),
+          (wordOk && wlOk && symOk && bulOk && ellOk && alpOk && stpOk).as("pass"))
+      })
+  }
+
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
-    textBpePairs, textNormalize,
+    textBpePairs, textNormalize, textGopherRules,
     textBm25, textHybridRrf, corpusReport, pipelineMix, textChunk, textLmScore,
     pipelinePerplexityMix, streamQualityMonitor,
     jsonlRoundtrip, sampleUpsample, splitShards, splitShuffle,

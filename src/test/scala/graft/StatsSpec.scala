@@ -135,4 +135,25 @@ class StatsSpec extends AnyFunSuite {
     // relation is bounded by distinct values (8 here), not rows
     assert(Stats.ecdfByValueCounts(df, Seq("g"), "x").count() == 3000)
   }
+
+  test("exactQuantiles: type-1 semantics, shard-count invariant, null-proof") {
+    import spark.implicits._
+    // negative values exercise the sortable-bits sign flip; duplicates
+    // exercise the distinct-count path; nulls must be dropped entirely
+    val vals = (0 until 5000).map(i => ((i * 2654435761L) % 997).toDouble - 498.0)
+    val rows: Seq[java.lang.Double] =
+      vals.map(java.lang.Double.valueOf) ++ Seq[java.lang.Double](null, null)
+    val df = rows.toDF("x")
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    // reference: sort the non-null values and index at ceil(q*n) (1-based)
+    val sorted = vals.sorted
+    val expect = qs.map(q => q -> sorted((math.ceil(q * sorted.size) - 1).toInt.max(0))).toMap
+    for (bits <- Seq(1, 4, 12)) {
+      val got = Stats.exactQuantiles(df, "x", qs, shardBits = bits)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      assert(got == expect, s"shardBits=$bits")
+    }
+    // q=1.0 is the max — the rank target ceil(n) is reachable
+    assert(expect(1.0) == sorted.last)
+  }
 }
