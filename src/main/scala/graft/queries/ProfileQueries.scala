@@ -381,9 +381,50 @@ object ProfileQueries {
         Seq(col("n_chars").desc, col("doc_id")), k = 8)
         .withColumn("rank_in_domain", col("rank_in_domain").cast("long")))
 
+  /** DSIR importance resampling toward the `en` slice
+    * ([[graft.operators.Dsir]]): unigram target/raw log-ratio weights
+    * with add-1 smoothing, round-6 ln parity, DetAgg decimal doc sums,
+    * deterministic top-100 by (weight desc, doc_id). The oracle replays
+    * the identical estimate — the model relation is vocabulary-bounded,
+    * so the whole pipeline after the token explode is broadcast-sized.
+    * (This corpus's vocabulary is iid across slices, so the weights here
+    * verify the ESTIMATE, not a separation; DsirSpec pins the actual
+    * target enrichment on a shifted-vocabulary corpus, and pins the
+    * open-vocabulary hashed-bucket tier row-identical on this one.)
+    */
+  val sampleDsir: Q = Q(
+    "sample_dsir",
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, lang = 'en' AS tgt,
+            |    unnest(string_split_regex(trim(text), '\\s+')) AS t
+            |  FROM documents),
+            |m AS (
+            |  SELECT t,
+            |    SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+            |    COUNT(*) AS cr
+            |  FROM tok GROUP BY t),
+            |tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr, COUNT(*) AS v FROM m),
+            |w AS (
+            |  SELECT t,
+            |    ROUND(LN(((ct + 1.0) * (nr + v)) / ((cr + 1.0) * (nt + v))), 6) AS llr
+            |  FROM m CROSS JOIN tot),
+            |d AS (
+            |  SELECT doc_id, ${D.dsum("llr")} AS weight
+            |  FROM tok JOIN w USING (t) GROUP BY doc_id)
+            |SELECT d.doc_id, documents.source, d.weight
+            |FROM d JOIN documents USING (doc_id)
+            |ORDER BY d.weight DESC, d.doc_id LIMIT 100""".stripMargin),
+    (s, dir) =>
+      graft.operators.Dsir.selectTop(
+        graft.operators.Dsir.importanceWeights(
+          Tables.load(s, dir, "documents").select("doc_id", "source", "lang", "text"),
+          "doc_id", "text", col("lang") === "en"),
+        "doc_id", k = 100)
+        .select("doc_id", "source", "weight"))
+
   def all: Seq[Q] = Seq(
     profileLineitem, textRedact, ksQuantity, psiQuantity, quantilesExact,
-    chi2ReturnFlag,
+    chi2ReturnFlag, sampleDsir,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,
     sampleDomainCap)
