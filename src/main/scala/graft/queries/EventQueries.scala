@@ -226,6 +226,50 @@ object EventQueries {
         .drop("value")
     })
 
+  /** Time-series resample + linear gap-fill: per user, 6-hour buckets of
+    * mean value; the bucket grid is densified to the user's own
+    * [first, last] range and missing buckets are linearly interpolated
+    * between the nearest observed neighbors — the standard
+    * `resample().interpolate()` shape, distributed. Per-user windows only
+    * (a user's activity span is bounded; no corpus-scale partition), the
+    * grid explode is `sequence()` column arithmetic, and the bucket means
+    * ride DetAgg davg so the interpolation endpoints — and therefore the
+    * interpolated doubles, a fixed IEEE formula over exact longs and
+    * those means — are bit-portable. Endpoint buckets are observed by
+    * construction, so the fill expression never divides by null.
+    */
+  val e8Resample: Q = Q(
+    "e8_resample_interp",
+    Some(s"""WITH obs AS (
+            |  SELECT user_id, CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) AS bucket,
+            |    ${D.davg("value")} AS v
+            |  FROM events GROUP BY 1, 2),
+            |g AS (
+            |  SELECT user_id, unnest(generate_series(MIN(bucket), MAX(bucket))) AS bucket
+            |  FROM obs GROUP BY user_id),
+            |f AS (
+            |  SELECT g.user_id, g.bucket, obs.v
+            |  FROM g LEFT JOIN obs ON g.user_id = obs.user_id AND g.bucket = obs.bucket),
+            |w AS (
+            |  SELECT user_id, bucket, v,
+            |    last_value(v IGNORE NULLS) OVER wp AS pv,
+            |    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wp AS pb,
+            |    first_value(v IGNORE NULLS) OVER wf AS nv,
+            |    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wf AS nb
+            |  FROM f
+            |  WINDOW
+            |    wp AS (PARTITION BY user_id ORDER BY bucket ROWS UNBOUNDED PRECEDING),
+            |    wf AS (PARTITION BY user_id ORDER BY bucket
+            |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            |SELECT user_id, bucket,
+            |  COALESCE(v, pv + (nv - pv) * (bucket - pb) / (nb - pb)) AS value,
+            |  v IS NOT NULL AS observed
+            |FROM w""".stripMargin),
+    (s, dir) =>
+      graft.operators.Resample.linearInterpolate(
+        ev(s, dir), "user_id", col("ts"), col("value"), bucketSeconds = 21600L))
+
   def all: Seq[Q] = Seq(
-    e1Buckets, e2Sessionize, e3Json, e4AsOf, e5Funnel, e6Retention, e7Rolling)
+    e1Buckets, e2Sessionize, e3Json, e4AsOf, e5Funnel, e6Retention, e7Rolling,
+    e8Resample)
 }
