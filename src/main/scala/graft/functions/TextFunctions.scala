@@ -109,4 +109,38 @@ object TextFunctions {
     * [[graft.operators.Dedup.shingles]] + minhash.
     */
   def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
+
+  /** Robust winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): hash every token `k`-gram, slide a window of
+    * `w` consecutive hashes, keep each window's minimum; the distinct
+    * mins are the document's signature. Winnowing guarantees any shared
+    * run of ≥ `w + k − 1` tokens between two documents yields at least
+    * one shared fingerprint — the positional-coverage property plain
+    * min-hash doesn't give — while storing only ~2/(w+1) of the grams.
+    *
+    * The per-window minimum is the LEXICOGRAPHIC min of md5 hex digests:
+    * binary-comparable in both engines, so the selection — not just the
+    * hashes — is portable. Pure higher-order-function arithmetic, work
+    * per doc bounded by doc length, no shuffle.
+    *
+    * Returns the array of distinct fingerprint digests (empty when the
+    * text has fewer than `k` tokens; a single min when there are fewer
+    * than `w` grams — the whole gram list is one short window).
+    */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column = {
+    require(k >= 1 && w >= 1, s"k=$k, w=$w must be positive")
+    val toks = tokens(text)
+    val hs = when(size(toks) >= k,
+      transform(
+        sequence(lit(1), size(toks) - lit(k - 1)),
+        i => md5(concat_ws(" ", slice(toks, i, lit(k))).cast("binary"))))
+      .otherwise(array().cast("array<string>"))
+    val nw = when(size(hs) >= w, size(hs) - lit(w - 1))
+      .when(size(hs) >= 1, lit(1)).otherwise(lit(0))
+    when(nw >= 1,
+      array_distinct(transform(
+        sequence(lit(1), nw),
+        j => array_min(slice(hs, j, lit(w))))))
+      .otherwise(array().cast("array<string>"))
+  }
 }

@@ -531,8 +531,43 @@ object SimilarityQueries {
         "vec_id", "embedding", threshold = 0.35)
     })
 
+  /** Global per-dimension embedding statistics (pos, n, mean, std, min,
+    * max) — the whitening/normalization profile a feature pipeline
+    * computes before standardizing vectors (and the sanity check that
+    * catches a dead or exploding dimension). One posexplode + ONE hash
+    * aggregate over 64 groups; the moments ride DetAgg decimals and the
+    * std is the exact-moment formula, so every statistic is hash-exact.
+    * Complements `emb_centroids` (per-label means): this is the global
+    * second-moment profile.
+    */
+  val embDimStats: Q = {
+    import graft.functions.DetAgg
+    import graft.functions.DetAgg.{Sql => D}
+    Q(
+      "emb_dim_stats",
+      Some(s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |x AS (SELECT g.i - 1 AS pos, v[g.i] AS x
+              |      FROM e, LATERAL unnest(generate_series(1, len(v))) AS g(i))
+              |SELECT pos, COUNT(*) AS n, ${D.davg("x")} AS mean,
+              |  ${D.dstd("x")} AS std,
+              |  MIN(x) AS min_x, MAX(x) AS max_x
+              |FROM x GROUP BY pos""".stripMargin),
+      (s, dir) =>
+        emb(s, dir)
+          .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+          .groupBy("pos")
+          .agg(
+            count(lit(1)).as("n"),
+            DetAgg.davg(col("x")).as("mean"),
+            DetAgg.dstd(col("x")).as("std"),
+            min("x").as("min_x"),
+            max("x").as("max_x"))
+          .select(col("pos").cast("long").as("pos"), col("n"), col("mean"),
+            col("std"), col("min_x"), col("max_x")))
+  }
+
   def all: Seq[Q] =
     Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simIvfFixed, simPq,
       simPqFixed, simIvfPqFixed, semanticDedup, embCentroids, simHardNegatives,
-      decontamSemantic)
+      decontamSemantic, embDimStats)
 }

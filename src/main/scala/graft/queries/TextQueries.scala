@@ -1629,9 +1629,43 @@ object TextQueries {
       })
   }
 
+  /** Robust winnowing fingerprints
+    * ([[TextFunctions.winnowFingerprints]], the MOSS algorithm): token
+    * 5-gram md5s, window-4 lexicographic minima, distinct per doc — the
+    * positional-coverage dedup signature (any shared ≥ 8-token run
+    * between two docs is guaranteed a shared fingerprint, a property
+    * minhash can't give). The oracle replays gram construction, window
+    * minima, and dedup list-for-list; selection portability rides md5
+    * hex digests' binary string order being identical in both engines.
+    */
+  val textWinnow: Q = Q(
+    "text_winnow",
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           |       FROM documents),
+           |h AS (SELECT doc_id,
+           |        CASE WHEN len(toks) >= 5
+           |          THEN list_transform(generate_series(1, len(toks) - 4),
+           |                 i -> md5(array_to_string(toks[i:i+4], ' ')))
+           |          ELSE [] END AS hs
+           |      FROM t),
+           |n AS (SELECT doc_id, hs,
+           |        CASE WHEN len(hs) >= 4 THEN len(hs) - 3
+           |             WHEN len(hs) >= 1 THEN 1 ELSE 0 END AS nw
+           |      FROM h),
+           |f AS (SELECT doc_id,
+           |        list_distinct(list_transform(generate_series(1, nw),
+           |          j -> list_min(hs[j:j+3]))) AS fps
+           |      FROM n WHERE nw >= 1)
+           |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin),
+    (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        explode(TextFunctions.winnowFingerprints(col("text"), k = 5, w = 4))
+          .as("fp")))
+
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
-    textBpePairs, textNormalize, textGopherRules,
+    textBpePairs, textNormalize, textGopherRules, textWinnow,
     textBm25, textHybridRrf, corpusReport, pipelineMix, textChunk, textLmScore,
     pipelinePerplexityMix, streamQualityMonitor,
     jsonlRoundtrip, sampleUpsample, splitShards, splitShuffle,
