@@ -426,6 +426,40 @@ object Sampling {
           "__nnbase") ++ strata.map(c => s"__og_$c")): _*)
   }
 
+  /** Curriculum interleave by stride scheduling: each stratum's docs are
+    * ranked in deterministic shuffle order, and doc ranked `r` in a
+    * stratum holding `ns` of the corpus's `n` docs gets virtual time
+    * `vt = r · n / ns` — sorting by `(vt, id)` spreads every stratum
+    * UNIFORMLY through the whole training order (no source ever clumps,
+    * the property per-batch mixing needs) with no corpus-scale window:
+    * ranks come from [[shardedPrefix]] (per-shard windows only), the
+    * stratum-counts relation is broadcast-bounded, and `vt` is plain
+    * arithmetic. The trainer materializes the order with
+    * `repartitionByRange(vt, id) + sortWithinPartitions` — the same
+    * global-sort-free discipline as [[graft.operators.ZOrder.clusterBy]];
+    * a global `row_number` is exactly the single-task funnel this tier
+    * exists to avoid.
+    *
+    * Output: input columns + `rank_in_stratum` (1-based long) + `vt`
+    * (double; one IEEE multiply-then-divide, bit-portable).
+    */
+  def curriculumStride(
+      df: DataFrame,
+      id: String,
+      stratum: String,
+      key: Column,
+      shardBits: Int = 10): DataFrame = {
+    val ranked = shardedPrefix(df, Seq(stratum), None, key, col(id), shardBits)
+    val counts = df.groupBy(stratum).agg(count(lit(1)).as("__ns"))
+    val tot = counts.agg(sum("__ns").as("__n"))
+    ranked.join(broadcast(counts), Seq(stratum))
+      .crossJoin(broadcast(tot))
+      .withColumn("rank_in_stratum", col("__grn"))
+      .withColumn("vt",
+        col("__grn").cast("double") * col("__n") / col("__ns"))
+      .drop("__grn", "__ns", "__n")
+  }
+
   /** CCNet-shaped perplexity selection (public literature): keep each
     * stratum's low-NLL median half of an LM-scored table, then fill a
     * per-stratum term-mass `budget` best-quality-first with the

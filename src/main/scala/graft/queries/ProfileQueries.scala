@@ -422,9 +422,37 @@ object ProfileQueries {
         "doc_id", k = 100)
         .select("doc_id", "source", "weight"))
 
+  /** Training-order curriculum by stride scheduling
+    * ([[graft.operators.Sampling.curriculumStride]]): per-source shuffle
+    * ranks → virtual time `rank · n / n_source`, which interleaves every
+    * source uniformly through the training order without a global
+    * window. The REGISTERED path is the sharded-rank tier (per-shard
+    * windows only — the same oracle-tier key degeneracy note as
+    * `sample_token_budget_sharded`); the oracle replays the direct
+    * per-source window form, row-identical by construction.
+    */
+  val packCurriculum: Q = Q(
+    "pack_curriculum",
+    Some("""WITH r AS (
+           |  SELECT doc_id, source,
+           |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+           |      ((doc_id + 13) % 100000) * 2654435761 % 4294967296, doc_id) AS rn
+           |  FROM documents),
+           |c AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY source),
+           |t AS (SELECT SUM(ns) AS n FROM c)
+           |SELECT doc_id, source, CAST(rn AS BIGINT) AS rank_in_stratum,
+           |  CAST(rn AS DOUBLE) * n / ns AS vt
+           |FROM r JOIN c USING (source) CROSS JOIN t""".stripMargin),
+    (s, dir) =>
+      graft.operators.Sampling.curriculumStride(
+        Tables.load(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source",
+        graft.operators.Sampling.shuffleKey(col("doc_id"), seed = 13))
+        .select("doc_id", "source", "rank_in_stratum", "vt"))
+
   def all: Seq[Q] = Seq(
     profileLineitem, textRedact, ksQuantity, psiQuantity, quantilesExact,
-    chi2ReturnFlag, sampleDsir,
+    chi2ReturnFlag, sampleDsir, packCurriculum,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,
     sampleDomainCap)

@@ -231,6 +231,38 @@ class SamplingSpec extends AnyFunSuite {
       "token cap's rank pre-filter lost the group limit:\n" + cp.take(1200))
   }
 
+  test("curriculumStride: sharded ranks match the window twin; strata interleave uniformly") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // skewed strata (720 / 240 / 40) under a FULL-RANGE xxhash64 key —
+    // the regime where the shard split is real, not degenerate
+    val df = ((0 until 720).map(i => (i.toLong, "web")) ++
+      (1000 until 1240).map(i => (i.toLong, "books")) ++
+      (2000 until 2040).map(i => (i.toLong, "code"))).toDF("doc_id", "s")
+    val key = xxhash64(col("doc_id"), lit(13))
+    val sharded = Sampling.curriculumStride(df, "doc_id", "s", key)
+      .select("doc_id", "rank_in_stratum", "vt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val w = Window.partitionBy("s").orderBy(key, col("doc_id"))
+    val cnt = df.groupBy("s").agg(count(lit(1)).as("ns"))
+    val window = df.withColumn("rn", row_number().over(w))
+      .join(broadcast(cnt), "s")
+      .select(col("doc_id"), col("rn").cast("long"),
+        (col("rn").cast("double") * lit(1000L) / col("ns")).as("vt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(sharded.sameElements(window))
+    // uniform-interleave property: in vt order, consecutive docs of the
+    // SAME stratum are never more than ~2 strides apart globally
+    val order = Sampling.curriculumStride(df, "doc_id", "s", key)
+      .orderBy("vt", "doc_id").select("s").collect().map(_.getString(0))
+    for ((stratum, ns) <- Seq(("web", 720), ("books", 240), ("code", 40))) {
+      val pos = order.zipWithIndex.filter(_._1 == stratum).map(_._2)
+      val stride = 1000.0 / ns
+      val maxGap = pos.sliding(2).map(p => p(1) - p(0)).max
+      assert(maxGap <= 2 * stride + 1, s"$stratum clumps: maxGap=$maxGap stride=$stride")
+    }
+  }
+
   test("domainCap: salted tournament equals the direct per-domain top-k") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
