@@ -33,6 +33,26 @@ object DetAgg {
   /** Order-independent sum of a double column, returned as double. */
   def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
 
+  /** Product-grade scale: a product of two scale-6 quantities is EXACT
+    * at 12 decimals, so summing such products at scale 12 never rounds —
+    * which matters because the engines' double→decimal casts round
+    * DIFFERENTLY at a boundary (Spark rounds the double's exact binary
+    * expansion, DuckDB its shortest decimal representation; a product
+    * whose shortest form terminates in "…5" at the 7th decimal, e.g.
+    * 0.2058315 ≈ 0.20583149999999997, splits them). Scale-12 sums of
+    * round-6 × round-6 products sit ON the grid, 5e-13 from any
+    * boundary, so the cast is exact in both engines. Oracle mirror must
+    * use [[Sql.dsumP]] (VARCHAR-routed: pico-unit magnitudes exceed 2^53
+    * — the [[Sql.dsumExact]] double-rounding hazard).
+    */
+  val ScaleP = 12
+  private val DecP = DecimalType(30, ScaleP)
+
+  /** Order-independent sum of PRODUCTS of two round-6 quantities —
+    * exact, boundary-free (see [[ScaleP]]).
+    */
+  def dsumP(c: Column): Column = sum(c.cast(DecP)).cast(DoubleType)
+
   /** Order-independent mean: exact decimal sum divided by count (one
     * IEEE division — identical in any engine evaluating the same text).
     */
@@ -77,6 +97,12 @@ object DetAgg {
       */
     def dsumExact(x: String): String =
       s"CAST(CAST(SUM(CAST($x AS DECIMAL(30,$Scale))) AS VARCHAR) AS DOUBLE)"
+    /** Mirror of [[DetAgg.dsumP]] — VARCHAR-routed like [[dsumExact]]
+      * because scale-12 sums exceed 2^53 pico-units almost immediately.
+      */
+    def dsumP(x: String): String =
+      s"CAST(CAST(SUM(CAST($x AS DECIMAL(30,${DetAgg.ScaleP}))) AS VARCHAR) AS DOUBLE)"
+
     def davg(x: String): String =
       s"${dsum(x)} / COUNT($x)"
     def dstd(x: String): String =

@@ -408,8 +408,53 @@ object GroupingQueries {
             col("l_extendedprice"), 900.0, 105000.0, bits).as("z")))
   }
 
+  /** Model-based quality classifier TRAINED IN-PLAN
+    * ([[graft.operators.LogReg]]): 5 full-batch GD iterations of
+    * logistic regression on document stats (intercept, tokens/100,
+    * stopword ratio, punctuation ratio) vs the `lang='en'` label. Each
+    * iteration is one hash aggregate with β as a broadcast 1-row
+    * relation; round-6 sigmoids + DetAgg decimal gradient sums make the
+    * ENTIRE TRAINING RUN bit-portable, so the oracle replays all five
+    * iterations and the coefficients hash-match exactly — distributed
+    * training as a verifiable query, not a black box. (This corpus's
+    * features barely separate `en`, which is irrelevant here: the
+    * learning behavior itself is LogRegSpec-pinned on separable data.)
+    */
+  val logregQuality: Q = {
+    val stopList = Seq("the", "and", "of", "to", "is", "a")
+      .map(s => s"'$s'").mkString(", ")
+    val featsCte =
+      s"""SELECT 1.0 AS intercept,
+         |    len(string_split_regex(trim(text), '\\s+')) / 100.0 AS tok_x,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |        x -> x IN ($stopList))) AS DOUBLE)
+         |      / len(string_split_regex(trim(text), '\\s+')) AS stop_r,
+         |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+         |        AS DOUBLE) / LENGTH(text) AS punct_r,
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents""".stripMargin
+    val featureNames = Seq("intercept", "tok_x", "stop_r", "punct_r")
+    Q(
+      "ml_logreg_quality",
+      Some(graft.operators.LogReg.oracleSql(featsCte, featureNames)),
+      (s, dir) => {
+        val stop = Seq("the", "and", "of", "to", "is", "a")
+        val toks = graft.functions.TextFunctions.tokenCount(col("text"))
+        val feats = Tables.load(s, dir, "documents").select(
+          lit(1.0).as("intercept"),
+          (toks / lit(100.0)).as("tok_x"),
+          (graft.functions.TextFunctions.wordHits(col("text"), stop)
+            .cast("double") / toks).as("stop_r"),
+          ((length(col("text"))
+            - length(regexp_replace(col("text"), "[^\\w\\s]", "")))
+            .cast("double") / length(col("text"))).as("punct_r"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        graft.operators.LogReg.train(feats, featureNames, col("y"))
+      })
+  }
+
   def all: Seq[Q] = Seq(
     rollup, cube_, groupingSets, approxDistinct, distinctExact,
     tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore,
-    freqItems, zorderExport)
+    freqItems, zorderExport, logregQuality)
 }
