@@ -540,11 +540,30 @@ object Stats {
       value: String,
       qs: Seq[Double],
       shardBits: Int = 12): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantile levels $qs out of (0, 1]")
-    require(shardBits >= 1 && shardBits <= 20, s"shardBits $shardBits out of range")
     val spark = df.sparkSession
+    val grid = spark.createDataFrame(qs.map(Tuple1(_))).toDF("q")
+    cumulativeCounts(df, value, shardBits)
+      .join(broadcast(grid),
+        col("__r") >= ceil(col("q") * col("__n")).cast("long"))
+      .groupBy("q")
+      .agg(min("__v").as("qv"))
+      .orderBy("q")
+  }
+
+  /** The sharded distinct-value cumulative shared by [[exactQuantiles]]
+    * and [[percentRank]]: (__v double, __c count, __r INCLUSIVE
+    * cumulative count, __n non-null total), computed with per-shard
+    * windows only (see [[exactQuantiles]]'s scaladoc for the full
+    * argument). Nulls are dropped.
+    */
+  private def cumulativeCounts(
+      df: DataFrame,
+      value: String,
+      shardBits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardBits >= 1 && shardBits <= 20, s"shardBits $shardBits out of range")
     val v = col(value).cast("double")
     val g = df.filter(v.isNotNull).groupBy(v.as("__v"))
       .agg(count(lit(1)).as("__c"))
@@ -564,14 +583,40 @@ object Stats {
     val total = g.agg(sum("__c").as("__n"))
     val wCum = Window.partitionBy("__shard").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val grid = spark.createDataFrame(qs.map(Tuple1(_))).toDF("q")
     keyed.join(broadcast(offsets), col("__shard") === col("__oshard"))
       .withColumn("__r", col("__base") + sum("__c").over(wCum))
       .crossJoin(broadcast(total))
-      .join(broadcast(grid),
-        col("__r") >= ceil(col("q") * col("__n")).cast("long"))
-      .groupBy("q")
-      .agg(min("__v").as("qv"))
-      .orderBy("q")
+      .select("__v", "__c", "__r", "__n")
+  }
+
+  /** Per-row GLOBAL percent_rank — `(rank − 1) / (n − 1)` with SQL rank
+    * semantics (ties share the first position) — WITHOUT the corpus-wide
+    * single-partition window `percent_rank() OVER (ORDER BY v)` compiles
+    * to: ranks come from the sharded distinct-value cumulative
+    * (`rank(v) = cum(v) − count(v) + 1`), and rows get them back through
+    * one hash join on the value — both sides data-sized, nothing
+    * funneling through one task. Exact integer ranks + one IEEE division
+    * → deterministic under any partitioning, oracle-comparable unrounded.
+    *
+    * Null contract: null-valued rows are DROPPED (SQL engines disagree
+    * on null placement in ranking order — Spark sorts them first, DuckDB
+    * last — so a portable percent rank over nulls does not exist).
+    *
+    * Output: `df`'s columns + `pct_rank` double (0.0 when n = 1).
+    */
+  def percentRank(
+      df: DataFrame,
+      value: String,
+      shardBits: Int = 12): DataFrame = {
+    val cum = cumulativeCounts(df, value, shardBits)
+      .withColumn(
+        "pct_rank",
+        when(col("__n") > 1,
+          (col("__r") - col("__c")).cast("double") / (col("__n") - lit(1L)))
+          .otherwise(lit(0.0)))
+      .select(col("__v"), col("pct_rank"))
+    df.filter(col(value).isNotNull)
+      .join(cum, col(value).cast("double") === col("__v"))
+      .drop("__v")
   }
 }

@@ -453,8 +453,27 @@ object GroupingQueries {
       })
   }
 
+  /** Global percent_rank of every lineitem by extended price —
+    * [[graft.functions.Stats.percentRank]]: the corpus-wide ranking the
+    * naive `percent_rank() OVER (ORDER BY v)` would funnel through ONE
+    * task, computed instead from the sharded distinct-value cumulative +
+    * a hash join back to rows. The oracle IS that naive window form, so
+    * the hash match proves the distributed plan reproduces it bit-exactly.
+    */
+  val percentileRank: Q = Q(
+    "w6_percentile_rank",
+    Some("""SELECT l_orderkey, l_linenumber,
+           |  percent_rank() OVER (ORDER BY l_extendedprice) AS pct_rank
+           |FROM lineitem WHERE l_extendedprice IS NOT NULL""".stripMargin),
+    (s, dir) =>
+      graft.functions.Stats.percentRank(
+        Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "l_extendedprice")
+        .select("l_orderkey", "l_linenumber", "pct_rank"))
+
   def all: Seq[Q] = Seq(
     rollup, cube_, groupingSets, approxDistinct, distinctExact,
     tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore,
-    freqItems, zorderExport, logregQuality)
+    freqItems, zorderExport, logregQuality, percentileRank)
 }

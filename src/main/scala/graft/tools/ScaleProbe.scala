@@ -435,6 +435,64 @@ object ScaleProbe {
           .agg(max("seq_id"), sum("n_tokens"))
           .collect().length.toLong
       }
+      time("quantiles_sharded", c) { df =>
+        // exact quantiles over a near-continuous value whose DISTINCT
+        // count grows linearly with copies — same regime as ks_sharded
+        // (the shared sharded-cumulative kernel must stay flat-ish)
+        graft.functions.Stats.exactQuantiles(
+          df.withColumn(
+            "__val",
+            col("l_extendedprice") + col("l_orderkey").cast("double") / lit(1e9)),
+          "__val", Seq(0.25, 0.5, 0.75, 0.9, 0.99)).collect().length.toLong
+      }
+      timed("winnow", c) {
+        // pure per-doc HOF arithmetic + one hash agg — expect linear
+        scaledDocs(docs, c).select(
+          col("doc_id"),
+          explode(graft.functions.TextFunctions
+            .winnowFingerprints(col("text"), k = 5, w = 4)).as("fp"))
+          .groupBy("fp").agg(count(lit(1)))
+          .count()
+      }
+      timed("dsir", c) {
+        // model relation stays vocabulary-bounded while the corpus grows
+        // (per-copy token suffixes multiply the vocab by `copies` here —
+        // still broadcast-sized); scoring is one broadcast join pass
+        val d = scaledDocs(docs, c)
+        graft.operators.Dsir.selectTop(
+          graft.operators.Dsir.importanceWeights(
+            d, "doc_id", "text", col("lang") === "en"),
+          "doc_id", k = 100).count()
+      }
+      timed("curriculum", c) {
+        // sharded ranks under a FULL-RANGE key + broadcast counts — the
+        // no-global-window training-order key must track corpus size
+        val d = scaledDocs(docs, c).select(col("doc_id"), col("lang"))
+        graft.operators.Sampling.curriculumStride(
+          d, "doc_id", "lang", xxhash64(col("doc_id"), lit(13))).count()
+      }
+      timed("logreg", c) {
+        // 5 GD iterations = 5 scans with broadcast beta; expect ~linear
+        val d = scaledDocs(docs, c)
+        val toks = graft.functions.TextFunctions.tokenCount(col("text"))
+        val feats = d.select(
+          lit(1.0).as("intercept"),
+          (toks / lit(100.0)).as("tok_x"),
+          (graft.functions.TextFunctions
+            .wordHits(col("text"), Seq("the", "and", "of", "to", "is", "a"))
+            .cast("double") / toks).as("stop_r"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+        graft.operators.LogReg.train(
+          feats, Seq("intercept", "tok_x", "stop_r"), col("y")).count()
+      }
+      timed("resample_interp", c) {
+        // per-user windows at constant depth; copies multiply the user
+        // count (scaledEvents shifts user ids) — expect linear
+        val ev = scaledEvents(
+          graft.streaming.EventsStream.readBatch(spark, s"$sfDir/events.parquet"), c)
+        graft.operators.Resample.linearInterpolate(
+          ev, "user_id", col("ts"), col("value"), bucketSeconds = 21600L).count()
+      }
       timed("domain_cap_skew", c) {
         // 90% of rows in ONE head domain: the salted tournament must keep
         // wall flat-ish (stage-1 windows bounded by salt fan-in) where the

@@ -156,4 +156,28 @@ class StatsSpec extends AnyFunSuite {
     // q=1.0 is the max — the rank target ceil(n) is reachable
     assert(expect(1.0) == sorted.last)
   }
+
+  test("percentRank matches the single-window percent_rank, ties included") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // heavy ties + negatives (sortable-bits sign flip); nulls dropped
+    val rows: Seq[(Long, java.lang.Double)] = (0L until 3000L).map { i =>
+      (i, if (i % 31 == 0) null
+          else java.lang.Double.valueOf(((i * 37) % 101).toDouble - 50.0))
+    }
+    val df = rows.toDF("id", "x")
+    val got = Stats.percentRank(df, "x", shardBits = 4)
+      .select("id", "pct_rank").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = df.filter(col("x").isNotNull)
+      .withColumn("pct_rank", percent_rank().over(Window.orderBy("x")))
+      .select("id", "pct_rank").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == ref)
+    // shard-count invariance of the same result
+    val got12 = Stats.percentRank(df, "x", shardBits = 12)
+      .select("id", "pct_rank").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got12 == ref)
+  }
 }
