@@ -450,9 +450,35 @@ object ProfileQueries {
         graft.operators.Sampling.shuffleKey(col("doc_id"), seed = 13))
         .select("doc_id", "source", "rank_in_stratum", "vt"))
 
+  /** Declarative data-quality expectation suite over lineitem
+    * ([[graft.operators.Quality]] — the deequ shape): seven checks
+    * (null rates, key distinctness, ranges, accepted sets, regex) as ONE
+    * aggregation pass; the report is a ≤ |checks|-row unpivot. The suite
+    * is deliberately mixed pass/fail (the uniqueness check on a
+    * multi-line key reports its true ~0.25 distinctness) and the oracle
+    * is generated from the SAME check list, so the quality gate itself
+    * is hash-verified.
+    */
+  val dqExpectations: Q = {
+    import graft.operators.Quality
+    import graft.operators.Quality._
+    val suite: Seq[Check] = Seq(
+      NotNull("l_orderkey"),
+      NotNull("l_quantity"),
+      Unique("l_orderkey", threshold = 0.2),
+      InRange("l_quantity", 1.0, 50.0),
+      InRange("l_discount", 0.0, 0.08),
+      InSet("l_returnflag", Seq("A", "N", "R")),
+      MatchesRe("l_linestatus", "^[OF]$"))
+    Q(
+      "dq_expectations",
+      Some(Quality.oracleSql("lineitem", suite)),
+      (s, dir) => Quality.run(Tables.load(s, dir, "lineitem"), suite))
+  }
+
   def all: Seq[Q] = Seq(
     profileLineitem, textRedact, ksQuantity, psiQuantity, quantilesExact,
-    chi2ReturnFlag, sampleDsir, packCurriculum,
+    chi2ReturnFlag, sampleDsir, packCurriculum, dqExpectations,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,
     sampleDomainCap)
