@@ -269,7 +269,49 @@ object EventQueries {
       graft.operators.Resample.linearInterpolate(
         ev(s, dir), "user_id", col("ts"), col("value"), bucketSeconds = 21600L))
 
+  /** Robust metric anomaly detection ([[graft.operators.Anomaly]]): per
+    * event type, hourly counts flagged when they deviate from the
+    * type-median by more than 3 · 1.4826 · MAD — the median/MAD baseline
+    * the anomalies themselves can't inflate. Both medians are type-1
+    * over exact integer ranks (no interpolation), so the oracle replays
+    * the full two-round median machinery and the flags hash-match.
+    * Windows partition by event type over the PRE-AGGREGATED hourly
+    * relation — bounded by the time span, not the corpus.
+    */
+  val e9Anomaly: Q = Q(
+    "e9_anomaly_buckets",
+    Some("""WITH c AS (
+           |  SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+           |    COUNT(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |m1 AS (
+           |  SELECT event_type, MIN(n) AS med FROM (
+           |    SELECT event_type, n,
+           |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n) AS rn,
+           |      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+           |    FROM c) WHERE rn >= CEIL(0.5 * cnt) GROUP BY event_type),
+           |d AS (SELECT c.event_type, c.bucket, c.n, med, ABS(n - med) AS dev
+           |      FROM c JOIN m1 USING (event_type)),
+           |m2 AS (
+           |  SELECT event_type, MIN(dev) AS mad FROM (
+           |    SELECT event_type, dev,
+           |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+           |      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+           |    FROM d) WHERE rn >= CEIL(0.5 * cnt) GROUP BY event_type)
+           |SELECT event_type, bucket, n, med, mad,
+           |  ABS(n - med) > 3.0 * 1.4826 * mad AS is_anomaly
+           |FROM d JOIN m2 USING (event_type)""".stripMargin),
+    (s, dir) =>
+      graft.operators.Anomaly.robustFlags(
+        ev(s, dir)
+          .groupBy(
+            col("event_type"),
+            floor(unix_timestamp(col("ts")) / 3600).cast(LongType).as("bucket"))
+          .agg(count(lit(1)).as("n")),
+        Seq("event_type"), "n", k = 3.0)
+        .select("event_type", "bucket", "n", "med", "mad", "is_anomaly"))
+
   def all: Seq[Q] = Seq(
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e5Funnel, e6Retention, e7Rolling,
-    e8Resample)
+    e8Resample, e9Anomaly)
 }
