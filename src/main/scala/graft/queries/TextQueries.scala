@@ -1634,9 +1634,14 @@ object TextQueries {
     * 5-gram md5s, window-4 lexicographic minima, distinct per doc — the
     * positional-coverage dedup signature (any shared ≥ 8-token run
     * between two docs is guaranteed a shared fingerprint, a property
-    * minhash can't give). The oracle replays gram construction, window
-    * minima, and dedup list-for-list; selection portability rides md5
-    * hex digests' binary string order being identical in both engines.
+    * minhash can't give). The REGISTERED path is the positions-relation
+    * tier ([[TextFunctions.winnowFingerprintsRel]]: lead()-assembled
+    * grams + sliding-frame minima over per-doc windows — linear and
+    * vectorized where the array-lambda form copies O(len·k) cells per
+    * doc); the oracle replays gram construction, window minima, and
+    * dedup list-for-list, so the scale tier is what gets hash-checked.
+    * Selection portability rides md5 hex digests' binary string order
+    * being identical in both engines.
     */
   val textWinnow: Q = Q(
     "text_winnow",
@@ -1658,10 +1663,8 @@ object TextQueries {
            |      FROM n WHERE nw >= 1)
            |SELECT doc_id, unnest(fps) AS fp FROM f""".stripMargin),
     (s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        explode(TextFunctions.winnowFingerprints(col("text"), k = 5, w = 4))
-          .as("fp")))
+      TextFunctions.winnowFingerprintsRel(
+        docs(s, dir), "doc_id", "text", k = 5, w = 4))
 
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,

@@ -446,11 +446,12 @@ object ScaleProbe {
           "__val", Seq(0.25, 0.5, 0.75, 0.9, 0.99)).collect().length.toLong
       }
       timed("winnow", c) {
-        // pure per-doc HOF arithmetic + one hash agg — expect linear
-        scaledDocs(docs, c).select(
-          col("doc_id"),
-          explode(graft.functions.TextFunctions
-            .winnowFingerprints(col("text"), k = 5, w = 4)).as("fp"))
+        // the REGISTERED relation tier: positions explode + per-doc
+        // windows — linear, vectorized (the array-lambda form measured
+        // ~185 s on this ladder: interpreted HOF slices copy O(len·k)
+        // cells per doc AND the tiny-file scan gave it one partition)
+        graft.functions.TextFunctions
+          .winnowFingerprintsRel(scaledDocs(docs, c), "doc_id", "text", k = 5, w = 4)
           .groupBy("fp").agg(count(lit(1)))
           .count()
       }

@@ -37,6 +37,23 @@ class WinnowSpec extends AnyFunSuite {
     assert(m(2L).size == 1)
   }
 
+  test("relation tier is fingerprint-set-identical to the array form") {
+    import spark.implicits._
+    // real corpus docs + short-text edges in one frame
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"), col("text"))
+      .unionAll(Seq(
+        (900000001L, "one two three four"),          // < k tokens
+        (900000002L, "one two three four five six")) // < w grams
+        .toDF("id", "text"))
+    val arrayForm = df.select(col("id"),
+      explode(TextFunctions.winnowFingerprints(col("text"), 5, 4)).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val relForm = TextFunctions.winnowFingerprintsRel(df, "id", "text", 5, 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(relForm == arrayForm)
+  }
+
   test("signature is shift-invariant: a prefix does not rewrite interior mins") {
     // winnowing picks local minima, so prepending tokens leaves the
     // fingerprints of a long interior run mostly intact (the density
