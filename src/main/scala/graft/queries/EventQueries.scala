@@ -278,9 +278,12 @@ object EventQueries {
     * Windows partition by event type over the PRE-AGGREGATED hourly
     * relation — bounded by the time span, not the corpus.
     */
-  val e9Anomaly: Q = Q(
-    "e9_anomaly_buckets",
-    Some("""WITH c AS (
+  /** Oracle SQL shared VERBATIM by `e9_anomaly_buckets` and its
+    * streaming serving twin `stream_anomaly_monitor` — the two are
+    * value-identical by construction (self-trained baselines), so they
+    * must stay against literally one oracle text.
+    */
+  private val anomalyOracle: String = """WITH c AS (
            |  SELECT event_type, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
            |    COUNT(*) AS n
            |  FROM events GROUP BY 1, 2),
@@ -300,7 +303,11 @@ object EventQueries {
            |    FROM d) WHERE rn >= CEIL(0.5 * cnt) GROUP BY event_type)
            |SELECT event_type, bucket, n, med, mad,
            |  ABS(n - med) > 3.0 * 1.4826 * mad AS is_anomaly
-           |FROM d JOIN m2 USING (event_type)""".stripMargin),
+           |FROM d JOIN m2 USING (event_type)""".stripMargin
+
+  val e9Anomaly: Q = Q(
+    "e9_anomaly_buckets",
+    Some(anomalyOracle),
     (s, dir) =>
       graft.operators.Anomaly.robustFlags(
         ev(s, dir)
@@ -311,7 +318,31 @@ object EventQueries {
         Seq("event_type"), "n", k = 3.0)
         .select("event_type", "bucket", "n", "med", "mad", "is_anomaly"))
 
+  /** The streaming anomaly monitor's plan run in BATCH over events (the
+    * serving-both-ways proof, same as `stream_drift_monitor`): hourly
+    * median/MAD baselines trained by [[graft.streaming.AnomalyStream
+    * .baselines]] (a ≤ #categories collect), embedded as plan literals
+    * into ONE windowed aggregate + literal CASE lookup — the exact plan
+    * a watermarked stream runs. Self-trained, so it is value-identical
+    * to `e9_anomaly_buckets` and shares its oracle VERBATIM: the hash
+    * match proves the single-stateful-operator serving plan reproduces
+    * the batch analysis bit-for-bit.
+    */
+  val streamAnomaly: Q = Q(
+    "stream_anomaly_monitor",
+    Some(anomalyOracle),
+    (s, dir) => {
+      val events = ev(s, dir)
+      val base = graft.streaming.AnomalyStream
+        .baselines(events, "event_type", "ts", bucketSeconds = 3600L)
+      graft.streaming.AnomalyStream.monitor(base, events)
+        .select(
+          floor(unix_timestamp(col("window_start")) / 3600).cast(LongType).as("bucket"),
+          col("event_type"), col("n"), col("med"), col("mad"), col("is_anomaly"))
+        .select("event_type", "bucket", "n", "med", "mad", "is_anomaly")
+    })
+
   def all: Seq[Q] = Seq(
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e5Funnel, e6Retention, e7Rolling,
-    e8Resample, e9Anomaly)
+    e8Resample, e9Anomaly, streamAnomaly)
 }

@@ -472,8 +472,42 @@ object GroupingQueries {
         "l_extendedprice")
         .select("l_orderkey", "l_linenumber", "pct_rank"))
 
+  /** Equi-depth histogram: 8 buckets of ~equal row count with exact
+    * boundaries — the feature-discretization / optimizer-statistics
+    * shape, composed from [[graft.functions.Stats.percentRank]] (bucket
+    * = ⌊pct·8⌋ clamped) + one hash aggregate, so the whole thing stays
+    * on the sharded-cumulative machinery with no global sort. Exact
+    * ranks → exact bucket membership → hash-exact counts/edges/means.
+    */
+  val equidepthHist: Q = {
+    import graft.functions.DetAgg.{Sql => D}
+    Q(
+      "a14_equidepth_hist",
+      Some(s"""WITH p AS (
+              |  SELECT l_extendedprice AS v,
+              |    percent_rank() OVER (ORDER BY l_extendedprice) AS pr
+              |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+              |b AS (SELECT LEAST(CAST(FLOOR(pr * 8) AS BIGINT), 7) AS bucket, v FROM p)
+              |SELECT bucket, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi,
+              |  ${D.davg("v")} AS mean
+              |FROM b GROUP BY bucket""".stripMargin),
+      (s, dir) => {
+        import graft.functions.DetAgg
+        graft.functions.Stats.percentRank(
+          Tables.load(s, dir, "lineitem").select("l_extendedprice"),
+          "l_extendedprice")
+          .select(
+            least(floor(col("pct_rank") * 8).cast("long"), lit(7L)).as("bucket"),
+            col("l_extendedprice").as("v"))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"),
+            DetAgg.davg(col("v")).as("mean"))
+      })
+  }
+
   def all: Seq[Q] = Seq(
     rollup, cube_, groupingSets, approxDistinct, distinctExact,
     tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore,
-    freqItems, zorderExport, logregQuality, percentileRank)
+    freqItems, zorderExport, logregQuality, percentileRank, equidepthHist)
 }
