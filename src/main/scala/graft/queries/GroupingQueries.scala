@@ -506,8 +506,64 @@ object GroupingQueries {
       })
   }
 
+  /** Winsorization at exact p01/p99: outlier clipping for feature
+    * pipelines, with the clip points from
+    * [[graft.functions.Stats.exactQuantiles]] (type-1, sharded — not
+    * `percentile_approx`'s ±ε) broadcast back as a 1-row relation. The
+    * report aggregates the clipped column per return flag so the oracle
+    * checks both the exact clip points and their downstream effect.
+    */
+  val winsorize: Q = {
+    import graft.functions.DetAgg.{Sql => D}
+    import graft.functions.DetAgg
+    Q(
+      "p14_winsorize",
+      Some(s"""WITH g AS (
+              |  SELECT CAST(l_extendedprice AS DOUBLE) AS v, COUNT(*) AS c
+              |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+              |c AS (
+              |  SELECT v,
+              |    SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r,
+              |    SUM(c) OVER () AS n
+              |  FROM g),
+              |q AS (
+              |  SELECT
+              |    MIN(CASE WHEN r >= CAST(CEIL(0.01 * n) AS BIGINT) THEN v END) AS lo,
+              |    MIN(CASE WHEN r >= CAST(CEIL(0.99 * n) AS BIGINT) THEN v END) AS hi
+              |  FROM c)
+              |SELECT l_returnflag, COUNT(*) AS n,
+              |  ${D.dsum("LEAST(GREATEST(l_extendedprice, lo), hi)")} AS sum_clipped,
+              |  CAST(SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+              |       THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+              |FROM lineitem CROSS JOIN q
+              |WHERE l_extendedprice IS NOT NULL
+              |GROUP BY l_returnflag""".stripMargin),
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_extendedprice").isNotNull)
+        val edges = graft.functions.Stats
+          .exactQuantiles(li, "l_extendedprice", Seq(0.01, 0.99))
+          .groupBy()
+          .agg(
+            min(when(col("q") === 0.01, col("qv"))).as("lo"),
+            min(when(col("q") === 0.99, col("qv"))).as("hi"))
+        li.crossJoin(broadcast(edges))
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            DetAgg.dsum(
+              least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+              .as("sum_clipped"),
+            sum(when(
+              col("l_extendedprice") < col("lo") ||
+                col("l_extendedprice") > col("hi"), 1L).otherwise(0L))
+              .as("n_clipped"))
+      })
+  }
+
   def all: Seq[Q] = Seq(
     rollup, cube_, groupingSets, approxDistinct, distinctExact,
     tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore,
-    freqItems, zorderExport, logregQuality, percentileRank, equidepthHist)
+    freqItems, zorderExport, logregQuality, percentileRank, equidepthHist,
+    winsorize)
 }
