@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank in FIXED-POINT integer arithmetic — the classic
+  * iterate-until-k link-analysis kernel (Brin & Page 1998; the standard
+  * Spark/Pregel example), built so the whole training run is
+  * bit-portable: ranks live in integer "pico-units" (10^12 = total
+  * mass), contributions are integer divisions (`rank div outdeg`), the
+  * damping fold is `85 · x div 100`, and dangling mass redistributes as
+  * `D div N` — no floating point ANYWHERE in the iteration, so the
+  * result is deterministic under any partitioning and replayable by any
+  * engine with 64-bit integer division (floor truncation leaks a few
+  * units per node per iteration; that is the documented price of exact
+  * portability and is irrelevant to ranking order).
+  *
+  * Plan shape per iteration: one shuffle join of edges to the current
+  * rank relation on `src` (contribution = rank div outdeg, computed
+  * per edge), one hash aggregate per `dst`, one 1-row dangling-mass
+  * aggregate (broadcast), one left join back to the node set — at
+  * 100 TB each iteration is the canonical edges-partitioned-by-src
+  * join, and nothing ever funnels through a single task. The rank
+  * relation is EAGERLY materialized each round (`localCheckpoint`):
+  * every iteration consumes `r` twice (contributions + dangling mass),
+  * so a lazy chain doubles the logical plan per round — 2^iters
+  * subtrees by iteration 10, which explodes Catalyst analysis long
+  * before execution. Checkpointing is the standard lineage cut for
+  * iterative graph algorithms (GraphX does the same); the values are
+  * already exact integers, so materialization cannot perturb results.
+  */
+object PageRank {
+
+  val Scale: Long = 1000000000000L // total mass, pico-units
+
+  /** `edges`: (src long, dst long), deduplicated by the caller if edge
+    * multiplicity should not weight the walk. Returns (node, rank) with
+    * rank in pico-units after `iters` damped iterations (d = 0.85).
+    */
+  def fixedPoint(edges: DataFrame, iters: Int = 10): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters $iters out of range")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true) // read twice per iteration × iters rounds
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__d"))
+      .localCheckpoint(true)
+    val n = nodes.agg(count(lit(1)).as("__cnt"))
+    var r: DataFrame = nodes.crossJoin(broadcast(n))
+      .select(col("node"), expr(s"${Scale}L div __cnt").as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(r, e("src") === r("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("rank div __d").as("__c"))
+        .groupBy("dst").agg(sum("__c").as("__s"))
+      val dangling = r
+        .join(deg, r("node") === deg("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0L)).as("__dang"))
+      r = nodes.crossJoin(broadcast(n)).crossJoin(broadcast(dangling))
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(
+          col("node"),
+          (expr(s"(15 * ${Scale}L div 100) div __cnt")
+            + expr("85 * (coalesce(__s, 0L) + __dang div __cnt) div 100"))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    r
+  }
+
+  /** The matching DuckDB oracle text over an `edges` CTE body with
+    * (src, dst) columns — kept adjacent to [[fixedPoint]] (the
+    * DetAgg.Sql discipline) so the two iteration bodies can never
+    * drift. Emits the top-`k` nodes by (rank desc, node).
+    */
+  def oracleSql(edgesCte: String, iters: Int = 10, k: Int = 20): String = {
+    // every CTE is MATERIALIZED: r_{i-1} is consumed twice per iteration
+    // (contributions + dangling mass), and inlining would re-expand the
+    // whole prefix at each reference — the same 2^iters blowup the
+    // engine side cuts with localCheckpoint
+    val its = (1 to iters).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT e.dst, SUM(r.rank // deg.d) AS s
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg ON deg.src = e.src GROUP BY e.dst),
+         |d$i AS MATERIALIZED (
+         |  SELECT COALESCE(SUM(r.rank), 0) AS dang
+         |  FROM r${i - 1} r LEFT JOIN deg ON deg.src = r.node
+         |  WHERE deg.src IS NULL),
+         |r$i AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |    (15 * $Scale // 100) // cnt
+         |      + 85 * (COALESCE(s, 0) + dang // cnt) // 100 AS rank
+         |  FROM nodes CROSS JOIN n CROSS JOIN d$i
+         |  LEFT JOIN s$i ON s$i.dst = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED ($edgesCte),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+       |          UNION SELECT DISTINCT dst FROM edges),
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+       |n AS MATERIALIZED (SELECT COUNT(*) AS cnt FROM nodes),
+       |r0 AS MATERIALIZED (SELECT node, $Scale // cnt AS rank FROM nodes CROSS JOIN n),
+       |$its
+       |SELECT node, rank FROM r$iters ORDER BY rank DESC, node LIMIT $k""".stripMargin
+  }
+}

@@ -561,9 +561,38 @@ object GroupingQueries {
       })
   }
 
+  /** Fixed-point PageRank over the customer→supplier purchase graph
+    * ([[graft.operators.PageRank]]): 10 damped iterations entirely in
+    * integer pico-units — contributions, damping, and dangling-mass
+    * redistribution are all integer division, so the oracle replays the
+    * complete iterated computation and the top-20 ranks hash-match
+    * exactly. Suppliers are sinks here (no out-edges), so the
+    * dangling-mass path is exercised by the registered query itself, not
+    * just the spec.
+    */
+  val pagerank: Q = {
+    val edgesCte =
+      """SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey""".stripMargin
+    Q(
+      "graph_pagerank",
+      Some(graft.operators.PageRank.oracleSql(edgesCte, iters = 10, k = 20)),
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders").select("o_custkey", "o_orderkey")
+        val l = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(
+            col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst"))
+          .distinct()
+        graft.operators.PageRank.fixedPoint(edges, iters = 10)
+          .orderBy(col("rank").desc, col("node")).limit(20)
+      })
+  }
+
   def all: Seq[Q] = Seq(
     rollup, cube_, groupingSets, approxDistinct, distinctExact,
     tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore,
     freqItems, zorderExport, logregQuality, percentileRank, equidepthHist,
-    winsorize)
+    winsorize, pagerank)
 }

@@ -494,6 +494,17 @@ object ScaleProbe {
         graft.operators.Resample.linearInterpolate(
           ev, "user_id", col("ts"), col("value"), bucketSeconds = 21600L).count()
       }
+      time("pagerank", c) { df =>
+        // copies shift l_orderkey, so the edge set (customer→shifted
+        // supplier-space) grows ~linearly; 6 integer iterations of
+        // edges-join-ranks — the canonical iterative-shuffle op
+        val edges = df.select(
+          (col("l_orderkey") % 1500L).as("src"),
+          (col("l_suppkey") + (col("l_orderkey") - col("l_orderkey") % 100000000L)
+            / 100000000L * 10000L + lit(1000000L)).as("dst"))
+          .distinct()
+        graft.operators.PageRank.fixedPoint(edges, iters = 6).count()
+      }
       timed("domain_cap_skew", c) {
         // 90% of rows in ONE head domain: the salted tournament must keep
         // wall flat-ish (stage-1 windows bounded by salt fan-in) where the
