@@ -1666,9 +1666,64 @@ object TextQueries {
       TextFunctions.winnowFingerprintsRel(
         docs(s, dir), "doc_id", "text", k = 5, w = 4))
 
+  /** PMI collocation mining (Church & Hanks 1990): adjacent-token
+    * bigrams scored by ln(p(ab)/(p(a)p(b))), min-count 5, tie-proof
+    * top-20 — the phrase-detection statistic tokenizer and embedding
+    * pipelines run before merging multiword units. Bigrams come from a
+    * lead() positions relation (per-doc windows, linear); unigram and
+    * bigram count relations are vocabulary-bounded; totals re-aggregate
+    * from the count relations themselves. PMI rides the round-6 ln
+    * contract with a double-promoted ratio (overflow-proof at any
+    * corpus size), so the oracle replays it exactly.
+    */
+  val textCollocations: Q = Q(
+    "text_collocations",
+    Some("""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+           |            FROM documents),
+           |uni AS (SELECT unnest(ts) AS t FROM tok),
+           |cu AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY t),
+           |nn AS (SELECT SUM(c) AS n FROM cu),
+           |big AS (SELECT ts[g.i] AS a, ts[g.i + 1] AS b
+           |        FROM tok, LATERAL unnest(generate_series(1, len(ts) - 1)) AS g(i)),
+           |cb AS (SELECT a, b, COUNT(*) AS cab FROM big GROUP BY a, b),
+           |bt AS (SELECT SUM(cab) AS btot FROM cb)
+           |SELECT cb.a AS w1, cb.b AS w2, cab AS n_ab,
+           |  ROUND(LN(CAST(cab AS DOUBLE) * n * n
+           |           / (CAST(btot AS DOUBLE) * ca.c * cb2.c)), 6) AS pmi
+           |FROM cb JOIN cu ca ON ca.t = cb.a JOIN cu cb2 ON cb2.t = cb.b
+           |CROSS JOIN nn CROSS JOIN bt
+           |WHERE cab >= 5
+           |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pos = docs(s, dir).select(
+        col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("__p", "__t")))
+      val wDoc = Window.partitionBy("doc_id").orderBy("__p")
+      val bigrams = pos
+        .withColumn("__next", lead(col("__t"), 1).over(wDoc))
+        .filter(col("__next").isNotNull)
+        .groupBy(col("__t").as("w1"), col("__next").as("w2"))
+        .agg(count(lit(1)).as("n_ab"))
+      val uni = pos.groupBy(col("__t").as("w")).agg(count(lit(1)).as("c"))
+      val n = uni.agg(sum("c").as("n"))
+      val btot = bigrams.agg(sum("n_ab").as("btot"))
+      bigrams
+        .join(broadcast(uni.select(col("w").as("w1"), col("c").as("ca"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("cb"))), "w2")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(btot))
+        .filter(col("n_ab") >= 5)
+        .select(
+          col("w1"), col("w2"), col("n_ab"),
+          round(log(
+            col("n_ab").cast("double") * col("n") * col("n")
+              / (col("btot").cast("double") * col("ca") * col("cb"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
+    })
+
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
-    textBpePairs, textNormalize, textGopherRules, textWinnow,
+    textBpePairs, textNormalize, textGopherRules, textWinnow, textCollocations,
     textBm25, textHybridRrf, corpusReport, pipelineMix, textChunk, textLmScore,
     pipelinePerplexityMix, streamQualityMonitor,
     jsonlRoundtrip, sampleUpsample, splitShards, splitShuffle,
