@@ -591,19 +591,25 @@ object GroupingQueries {
   }
 
   /** Triangle counting over the supplier co-occurrence graph (suppliers
-    * linked when they serve the same order) — [[graft.operators
-    * .Triangles]]: the REGISTERED path is the degree-ordered orientation
-    * (out-degrees bounded by O(√m), so a hub contributes O(m) wedge work
-    * instead of O(deg²)); the oracle is the brute canonical x<y<z triple
-    * join. Both count every triangle exactly once, so the hash match
-    * verifies the scale orientation against the textbook definition.
+    * linked when they serve the first two lines of the same order) —
+    * [[graft.operators.Triangles]]: the REGISTERED path is the
+    * degree-ordered orientation (out-degrees bounded by O(√m), so a hub
+    * contributes O(m) wedge work instead of O(deg²)); the oracle is the
+    * brute canonical x<y<z triple join. Both count every triangle
+    * exactly once, so the hash match verifies the scale orientation
+    * against the textbook definition. (All-lines co-occurrence makes the
+    * graph COMPLETE at every sf — K₁₀₀₀ at sf0.1 is 1.66×10⁸ triangles,
+    * inherently cubic for any algorithm; the two-line form keeps density
+    * realistic while still exercising every code path.)
     */
   val triangles: Q = Q(
     "graph_triangles",
     Some("""WITH raw AS (
            |  SELECT DISTINCT l1.l_suppkey AS u, l2.l_suppkey AS v
            |  FROM lineitem l1 JOIN lineitem l2
-           |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey),
+           |    ON l1.l_orderkey = l2.l_orderkey
+           |    AND l1.l_linenumber = 1 AND l2.l_linenumber = 2
+           |    AND l1.l_suppkey <> l2.l_suppkey),
            |e AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v
            |      FROM raw WHERE u <> v),
            |t AS (SELECT COUNT(*) AS n_triangles
@@ -614,11 +620,13 @@ object GroupingQueries {
            |ne AS (SELECT COUNT(*) AS n_edges FROM e)
            |SELECT n_nodes, n_edges, n_triangles FROM nodes, ne, t""".stripMargin),
     (s, dir) => {
-      val l = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val l = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_suppkey")
       val edges = l.as("l1")
         .join(l.as("l2"),
           col("l1.l_orderkey") === col("l2.l_orderkey") &&
-            col("l1.l_suppkey") < col("l2.l_suppkey"))
+            col("l1.l_linenumber") === 1 && col("l2.l_linenumber") === 2 &&
+            col("l1.l_suppkey") =!= col("l2.l_suppkey"))
         .select(col("l1.l_suppkey").as("u"), col("l2.l_suppkey").as("v"))
         .distinct()
       graft.operators.Triangles.triangleStats(edges)
