@@ -37,8 +37,12 @@ object PageRank {
     * multiplicity should not weight the walk. Returns (node, rank) with
     * rank in pico-units after `iters` damped iterations (d = 0.85).
     */
-  def fixedPoint(edges: DataFrame, iters: Int = 10): DataFrame = {
+  def fixedPoint(
+      edges: DataFrame,
+      iters: Int = 10,
+      checkpointInterval: Int = 2): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters $iters out of range")
+    require(checkpointInterval >= 1, "checkpointInterval must be positive")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .localCheckpoint(true) // read twice per iteration × iters rounds
     val nodes = e.select(col("src").as("node"))
@@ -50,7 +54,7 @@ object PageRank {
     var r: DataFrame = nodes.crossJoin(broadcast(n))
       .select(col("node"), expr(s"${Scale}L div __cnt").as("rank"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e
         .join(r, e("src") === r("node"))
         .join(deg, "src")
@@ -66,7 +70,12 @@ object PageRank {
           (expr(s"(15 * ${Scale}L div 100) div __cnt")
             + expr("85 * (coalesce(__s, 0L) + __dang div __cnt) div 100"))
             .as("rank"))
-        .localCheckpoint(true)
+      // cut lineage every `checkpointInterval` rounds (and at the end):
+      // each un-cut round doubles the plan (r consumed twice), so the
+      // interval trades 2^interval plan growth against fewer eager
+      // materializations — interval 2 halves the checkpoint count for a
+      // 4-subtree plan, still trivially analyzable
+      if (i % checkpointInterval == 0 || i == iters) r = r.localCheckpoint(true)
     }
     r
   }
