@@ -483,4 +483,34 @@ object Components {
     }
     labelPropagationFixed(nodes, pairs, id, a, b, math.max(needed, 1))
   }
+
+  /** INCREMENTAL component maintenance — the production shape when a new
+    * batch arrives against an already-labeled corpus: instead of
+    * recomputing all corpus-internal pairs, take the prior labeling as
+    * STAR EDGES (`node — label`, which preserve every old component's
+    * connectivity at depth 1) and union only the NEW pairs (batch↔batch
+    * and batch↔corpus). [[alternatingStar]] over that graph converges in
+    * rounds bounded by the NEW merge structure — old components are
+    * already stars, so unless the batch actually chains components
+    * together the fixed point is 1-2 rounds — and the result is
+    * EXACTLY the full-recompute labeling (min-id per merged component),
+    * which is what the registered query's shared full-closure oracle
+    * verifies. At 100 TB this is the difference between re-shingling
+    * yesterday's corpus and touching only the increment.
+    */
+  def incrementalUpdate(
+      prior: DataFrame, // (id, labelCol) — yesterday's labeling
+      id: String,
+      labelCol: String,
+      newNodes: DataFrame, // (id) — the arriving batch
+      newPairs: DataFrame, // (a, b) — pairs touching the batch
+      a: String,
+      b: String): DataFrame = {
+    val starPairs = prior.filter(col(labelCol) =!= col(id))
+      .select(col(id).as(a), col(labelCol).as(b))
+    val nodes = prior.select(col(id))
+      .unionByName(newNodes.select(col(id))).distinct()
+    alternatingStar(
+      nodes, starPairs.unionByName(newPairs.select(col(a), col(b))), id, a, b)
+  }
 }

@@ -328,6 +328,46 @@ object Dedup {
     * the rare prefix — the exact-Jaccard tier that survives when shared
     * hot shingles make [[jaccardPairs]]'s bucket bound unsafe.
     */
+  /** Asymmetric Jaccard pairs: every pair with AT LEAST ONE side in
+    * `batch`, derived by joining the batch's shingles against the whole
+    * corpus's — the incremental-maintenance shape: candidate volume is
+    * |batch shingles| × matches, never corpus × corpus (the full
+    * [[jaccardPairs]] self-join). Batch-internal pairs appear from both
+    * join directions, so commonality counts distinct (pair, shingle)
+    * rows. Output matches [[jaccardPairs]]: (id_a < id_b, common,
+    * jaccard).
+    */
+  def jaccardPairsAgainst(
+      batch: DataFrame,
+      all: DataFrame,
+      id: String,
+      text: String,
+      k: Int,
+      threshold: Double): DataFrame = {
+    val shB = shingles(batch, id, text, k)
+      .select(col(id).as("id_x"), xxhash64(col("shingle")).as("shingle"))
+    val shAll = shingles(all, id, text, k)
+      .select(col(id).as("id_y"), xxhash64(col("shingle")).as("shingle"))
+    val sizes = shAll.groupBy(col("id_y")).agg(count(lit(1)).as("n_sh"))
+    val common = shB.join(shAll, Seq("shingle"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(
+        least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        col("shingle"))
+      .distinct()
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("id_y").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("id_y").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "common", "jaccard")
+  }
+
   def prefixJaccardPairs(
       df: DataFrame,
       id: String,

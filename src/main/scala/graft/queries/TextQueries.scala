@@ -320,6 +320,34 @@ object TextQueries {
         d.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
     })
 
+  /** INCREMENTAL duplicate-cluster maintenance
+    * ([[graft.operators.Components.incrementalUpdate]]): the corpus
+    * (doc_id % 10 ≠ 0, the `dedup_incremental` split) is labeled first;
+    * the batch then arrives and ONLY pairs touching it are derived —
+    * prior labels enter as depth-1 star edges, so the merge converges in
+    * rounds bounded by the batch's chaining, never the corpus's. Shares
+    * `dedup_components`' full-closure oracle VERBATIM: the hash match
+    * proves incremental maintenance ≡ full recompute, which is the
+    * contract that makes skipping yesterday's pair derivation safe.
+    */
+  val dedupComponentsIncremental: Q = Q(
+    "dedup_components_incremental",
+    dedupComponents.oracle,
+    (s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      val batch = d.filter(col("doc_id") % 10 === 0)
+      val prior = graft.operators.Components.alternatingStar(
+        corpus.select("doc_id"),
+        Dedup.jaccardPairs(corpus, "doc_id", "text", k = 3, threshold = 0.5),
+        "doc_id", "id_a", "id_b")
+      val newPairs = Dedup.jaccardPairsAgainst(
+        batch, d, "doc_id", "text", k = 3, threshold = 0.5)
+      graft.operators.Components.incrementalUpdate(
+        prior, "doc_id", "component",
+        batch.select("doc_id"), newPairs, "id_a", "id_b")
+    })
+
   /** Duplicate-cluster resolution — the END of the dedup pipeline, the
     * step that actually decides which rows survive: near-dup components
     * (same derivation as `dedup_components`) joined to the deterministic
@@ -1729,7 +1757,7 @@ object TextQueries {
     jsonlRoundtrip, sampleUpsample, splitShards, splitShuffle,
     packSequences, packGreedy,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
-    dedupComponents, dedupComponentsChain, dedupKeepBest, decontamNgram,
+    dedupComponents, dedupComponentsChain, dedupComponentsIncremental, dedupKeepBest, decontamNgram,
     decontamSpans, dedupIncremental,
     dedupLines, dedupSubstringSpans, dedupMinHash, dedupMinHashHash,
     dedupSimHash, dedupSimHashHash,

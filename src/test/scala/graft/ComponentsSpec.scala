@@ -167,6 +167,33 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental update equals full recompute, including cross-component chaining") {
+    import spark.implicits._
+    // prior corpus: two components {0..4} (chain) and {10..14} (chain),
+    // plus singletons 20, 21
+    val corpusNodes = ((0L to 4L) ++ (10L to 14L) ++ Seq(20L, 21L)).toDF("id")
+    val corpusPairs = ((0L until 4L).map(i => (i, i + 1)) ++
+      (10L until 14L).map(i => (i, i + 1))).toDF("a", "b")
+    val prior = graft.operators.Components.alternatingStar(
+      corpusNodes, corpusPairs, "id", "a", "b")
+    // batch: 30 links component-{0} to component-{10} (a MERGE of two
+    // prior components through a new node), 31 joins singleton 20,
+    // 32 arrives unconnected
+    val batchNodes = Seq(30L, 31L, 32L).toDF("id")
+    val newPairs = Seq((4L, 30L), (30L, 12L), (20L, 31L)).toDF("a", "b")
+    val inc = graft.operators.Components.incrementalUpdate(
+      prior, "id", "component", batchNodes, newPairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graft.operators.Components.alternatingStar(
+      corpusNodes.unionByName(batchNodes),
+      corpusPairs.unionByName(newPairs), "id", "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full)
+    // the merge actually happened: 0..4, 10..14, 30 now share label 0
+    assert(((0L to 4L) ++ (10L to 14L) :+ 30L).forall(inc(_) == 0L))
+    assert(inc(20L) == 20L && inc(31L) == 20L && inc(32L) == 32L)
+  }
+
   test("empty pair set: every node is its own component") {
     import spark.implicits._
     val nodes = Seq(1L, 2L).toDF("doc_id")
