@@ -348,6 +348,124 @@ object TextQueries {
         batch.select("doc_id"), newPairs, "id_a", "id_b")
     })
 
+  /** The CAPSTONE curation pipeline — five stages as ONE lazy plan, each
+    * in its production/scale form, verified end-to-end against the
+    * window-form SQL replay:
+    *
+    *   1. Gopher gate (the seven §A1.1 rules on the raw corpus — pure
+    *      column arithmetic, one scan);
+    *   2. exact dedup (first occurrence per normalized-text fingerprint);
+    *   3. per-source domain cap (k=20, largest-first — the SALTED
+    *      tournament, no whole-domain window);
+    *   4. curriculum order (stride virtual time per lang — the SHARDED
+    *      rank tier, no global row_number);
+    *   5. per-lang report (docs, token mass, vt span).
+    *
+    * The oracle replays 3 and 4 as their direct single-window forms, so
+    * the hash match re-proves BOTH scale partitionings inside a real
+    * composed pipeline, not just in isolation — the end-to-end contract
+    * a training-data team actually ships against.
+    */
+  val pipelineCuration: Q = {
+    val stops = Seq("the", "a", "data", "row", "value", "key", "join", "table")
+    val stopList = stops.map(s => s"'$s'").mkString(", ")
+    Q(
+      "pipeline_curation_full",
+      Some(s"""WITH m AS (
+              |  SELECT doc_id, lang, source, n_chars, text,
+              |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+              |    CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+              |        x -> length(x))) AS DOUBLE)
+              |      / len(string_split_regex(trim(text), '\\s+')) AS mean_wl,
+              |    CAST(length(text) - length(replace(text, '#', ''))
+              |        + len(regexp_extract_all(text, '\\.\\.\\.')) AS DOUBLE)
+              |      / len(string_split_regex(trim(text), '\\s+')) AS sym_ratio,
+              |    CAST(len(list_filter(string_split_regex(text, '\\n'),
+              |        x -> regexp_matches(x, '^[-*] '))) AS DOUBLE)
+              |      / len(string_split_regex(text, '\\n')) AS bullet_frac,
+              |    CAST(len(list_filter(string_split_regex(text, '\\n'),
+              |        x -> regexp_matches(x, '\\.\\.\\.$$'))) AS DOUBLE)
+              |      / len(string_split_regex(text, '\\n')) AS ellipsis_frac,
+              |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+              |        x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+              |      / len(string_split_regex(trim(text), '\\s+')) AS alpha_frac,
+              |    len(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'),
+              |        x -> x IN ($stopList)))) AS n_stops
+              |  FROM documents),
+              |gated AS (
+              |  SELECT doc_id, lang, source, n_chars, text, n_words FROM m
+              |  WHERE n_words >= 50 AND n_words <= 100000
+              |    AND mean_wl >= 3.0 AND mean_wl <= 10.0
+              |    AND sym_ratio <= 0.1 AND bullet_frac <= 0.9
+              |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+              |    AND n_stops >= 2),
+              |fpd AS (
+              |  SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+              |  FROM gated),
+              |keep AS (SELECT fp, MIN(doc_id) AS keep_id FROM fpd GROUP BY fp),
+              |ded AS (SELECT f.doc_id, f.lang, f.source, f.n_chars, f.n_words
+              |        FROM fpd f JOIN keep k ON f.doc_id = k.keep_id),
+              |capped AS (
+              |  SELECT * FROM (
+              |    SELECT doc_id, lang, source, n_chars, n_words,
+              |      ROW_NUMBER() OVER (PARTITION BY source
+              |        ORDER BY n_chars DESC, doc_id) AS rn
+              |    FROM ded) WHERE rn <= 20),
+              |cnt AS (SELECT lang, COUNT(*) AS ns FROM capped GROUP BY lang),
+              |tot AS (SELECT SUM(ns) AS n FROM cnt),
+              |cur AS (
+              |  SELECT c.doc_id, c.lang, c.n_words,
+              |    CAST(ROW_NUMBER() OVER (PARTITION BY c.lang ORDER BY
+              |        ((c.doc_id + 17) % 100000) * 2654435761 % 4294967296, c.doc_id)
+              |      AS DOUBLE) * n / ns AS vt
+              |  FROM capped c JOIN cnt USING (lang) CROSS JOIN tot)
+              |SELECT lang, COUNT(*) AS n_docs,
+              |  CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+              |  MIN(vt) AS vt_first, MAX(vt) AS vt_last
+              |FROM cur GROUP BY lang""".stripMargin),
+      (s, dir) => {
+        val d0 = docs(s, dir)
+        val t = col("text")
+        val toks = TextFunctions.tokens(t)
+        val lines = split(t, "\\n")
+        val nWords = size(toks)
+        val gate =
+          nWords >= 50 && nWords <= 100000 &&
+            (aggregate(toks, lit(0L), (a, x) => a + length(x))
+              .cast("double") / nWords).between(3.0, 10.0) &&
+            ((length(t) - length(regexp_replace(t, "#", ""))
+              + size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0))))
+              .cast("double") / nWords) <= 0.1 &&
+            (size(filter(lines, x => x.rlike("^[-*] ")))
+              .cast("double") / size(lines)) <= 0.9 &&
+            (size(filter(lines, x => x.rlike("\\.\\.\\.$")))
+              .cast("double") / size(lines)) <= 0.3 &&
+            (size(filter(toks, x => x.rlike("[a-zA-Z]")))
+              .cast("double") / nWords) >= 0.8 &&
+            size(array_distinct(filter(toks, x => x.isInCollection(stops)))) >= 2
+        val gated = d0.filter(gate)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            nWords.cast(LongType).as("n_words"),
+            TextFunctions.fingerprint(col("text")).as("fp"))
+        val keep = gated.groupBy("fp").agg(min("doc_id").as("keep_id"))
+        val ded = gated
+          .join(keep, gated("doc_id") === keep("keep_id"), "left_semi")
+          .drop("fp")
+        val capped = graft.operators.Sampling.domainCap(
+          ded, "doc_id", "source",
+          Seq(col("n_chars").desc, col("doc_id")), k = 20)
+        val cur = graft.operators.Sampling.curriculumStride(
+          capped.select("doc_id", "lang", "n_words"),
+          "doc_id", "lang",
+          graft.operators.Sampling.shuffleKey(col("doc_id"), seed = 17))
+        cur.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_words").as("total_tokens"),
+          min("vt").as("vt_first"),
+          max("vt").as("vt_last"))
+      })
+  }
+
   /** Duplicate-cluster resolution — the END of the dedup pipeline, the
     * step that actually decides which rows survive: near-dup components
     * (same derivation as `dedup_components`) joined to the deterministic
@@ -1763,5 +1881,5 @@ object TextQueries {
     dedupSimHash, dedupSimHashHash,
     mmBytes, mmFeatures, mmFeaturesHash, mmFrames, mmResize, pipelineClean,
     splitStratified,
-    pipelineEmbedSplit)
+    pipelineEmbedSplit, pipelineCuration)
 }
