@@ -505,6 +505,49 @@ object ScaleProbe {
           .distinct()
         graft.operators.PageRank.fixedPoint(edges, iters = 6).count()
       }
+      timed("curation_pipeline", c) {
+        // the capstone five-stage plan over a growing corpus: gate +
+        // dedup + tournament cap + sharded curriculum + report — every
+        // stage scan/hash-bound, expect ~linear
+        val d = scaledDocs(docs, c)
+          .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(20L))))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        val toks = graft.functions.TextFunctions.tokens(col("text"))
+        val gated = d.filter(size(toks) >= 50)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            size(toks).cast("long").as("n_words"),
+            graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+        val keep = gated.groupBy("fp").agg(min("doc_id").as("keep_id"))
+        val ded = gated.join(keep, gated("doc_id") === keep("keep_id"), "left_semi").drop("fp")
+        val capped = graft.operators.Sampling.domainCap(
+          ded, "doc_id", "source", Seq(col("n_chars").desc, col("doc_id")), k = 200)
+        graft.operators.Sampling.curriculumStride(
+          capped.select("doc_id", "lang", "n_words"), "doc_id", "lang",
+          xxhash64(col("doc_id"), lit(17)))
+          .groupBy("lang")
+          .agg(count(lit(1)), sum("n_words"), min("vt"), max("vt"))
+          .count()
+      }
+      timed("incremental_cc", c) {
+        // incremental component maintenance: prior labels (star edges) +
+        // batch-vs-all pairs only — cost should track the BATCH + one
+        // corpus shingle scan, with merge rounds bounded by chaining
+        val d = scaledDocs(docs, c)
+        val corpus = d.filter(col("doc_id") % 10 =!= 0)
+        val batch = d.filter(col("doc_id") % 10 === 0)
+        val prior = graft.operators.Components.alternatingStar(
+          corpus.select("doc_id"),
+          graft.operators.Dedup.jaccardPairs(corpus, "doc_id", "text", k = 3, threshold = 0.5),
+          "doc_id", "id_a", "id_b")
+          .localCheckpoint(true) // the production state is LOADED, not recomputed — time only the update
+        val t0 = System.nanoTime()
+        val n = graft.operators.Components.incrementalUpdate(
+          prior, "doc_id", "component", batch.select("doc_id"),
+          graft.operators.Dedup.jaccardPairsAgainst(batch, d, "doc_id", "text", k = 3, threshold = 0.5),
+          "id_a", "id_b").count()
+        println(f"""{"probe":"incremental_cc_update_only","copies":$c,"rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+        n
+      }
       timed("domain_cap_skew", c) {
         // 90% of rows in ONE head domain: the salted tournament must keep
         // wall flat-ish (stage-1 windows bounded by salt fan-in) where the
