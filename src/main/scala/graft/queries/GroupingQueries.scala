@@ -632,9 +632,136 @@ object GroupingQueries {
       graft.operators.Triangles.triangleStats(edges)
     })
 
+  /** Label-propagation communities over the same supplier co-occurrence
+    * graph as [[triangles]] ([[graft.operators.LabelProp]]): 5
+    * synchronous min-tie rounds, every round replayed verbatim by the
+    * oracle (materialized CTEs, same ROW_NUMBER tie-break), so the
+    * top-20 community sizes hash-match exactly. The deliberately
+    * deterministic variant — no visit order, no RNG — is what makes an
+    * iterated community detection oracle-verifiable at all.
+    */
+  val labelProp: Q = {
+    // same-nation restriction keeps the graph from being one connected
+    // blob (communities cannot cross nations), so the top-20 output
+    // actually exercises the multi-community path — and the restriction
+    // itself is the canonical broadcast dimension join
+    val edgesCte =
+      """SELECT DISTINCT LEAST(l1.l_suppkey, l2.l_suppkey) AS u,
+        |       GREATEST(l1.l_suppkey, l2.l_suppkey) AS v
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |    AND l1.l_linenumber = 1 AND l2.l_linenumber = 2
+        |    AND l1.l_suppkey <> l2.l_suppkey
+        |  JOIN supplier s1 ON s1.s_suppkey = l1.l_suppkey
+        |  JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        |  WHERE s1.s_nationkey = s2.s_nationkey""".stripMargin
+    Q(
+      "graph_label_prop",
+      Some(graft.operators.LabelProp.oracleSql(edgesCte, iters = 5, k = 20)),
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_suppkey")
+        val sup = Tables.load(s, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")
+        val pairs = l.as("l1")
+          .join(l.as("l2"),
+            col("l1.l_orderkey") === col("l2.l_orderkey") &&
+              col("l1.l_linenumber") === 1 && col("l2.l_linenumber") === 2 &&
+              col("l1.l_suppkey") =!= col("l2.l_suppkey"))
+          .join(broadcast(sup.as("s1")), col("s1.s_suppkey") === col("l1.l_suppkey"))
+          .join(broadcast(sup.as("s2")), col("s2.s_suppkey") === col("l2.l_suppkey"))
+          .filter(col("s1.s_nationkey") === col("s2.s_nationkey"))
+          .select(
+            least(col("l1.l_suppkey"), col("l2.l_suppkey")).as("u"),
+            greatest(col("l1.l_suppkey"), col("l2.l_suppkey")).as("v"))
+          .distinct()
+        graft.operators.LabelProp.propagate(pairs, iters = 5)
+          .groupBy(col("lbl").as("label"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("n_members").desc, col("label"))
+          .limit(20)
+      })
+  }
+
+  /** Count-min sketch point estimates for the 20 most frequent part
+    * keys ([[graft.operators.CountMin]]): the d×w counter relation is
+    * built by one hash aggregate, the oracle replays the identical
+    * Knuth-hash counters in SQL, and the output pairs each exact count
+    * with its sketch estimate — the one-sided CMS guarantee
+    * (`n_cms ≥ n_exact`) is thereby oracle-verified on real data, not
+    * just spec'd.
+    */
+  val cmsTopk: Q = {
+    val d = 4; val w = 512
+    import graft.operators.CountMin
+    Q(
+      "sketch_cms_topk",
+      Some(s"""WITH vals AS (
+              |  SELECT l_partkey AS v FROM lineitem WHERE l_partkey IS NOT NULL),
+              |rs AS (SELECT r FROM (VALUES (0), (1), (2), (3)) AS t(r)),
+              |cnt AS (
+              |  SELECT r, ${CountMin.bucketSql("v", "r", w)} AS b, COUNT(*) AS c
+              |  FROM vals CROSS JOIN rs GROUP BY 1, 2),
+              |topk AS (
+              |  SELECT v, COUNT(*) AS n_exact FROM vals GROUP BY v
+              |  ORDER BY n_exact DESC, v LIMIT 20),
+              |est AS (
+              |  SELECT t.v, t.n_exact, MIN(COALESCE(c.c, 0)) AS n_cms
+              |  FROM topk t CROSS JOIN rs
+              |  LEFT JOIN cnt c ON c.r = rs.r
+              |    AND c.b = ${CountMin.bucketSql("t.v", "rs.r", w)}
+              |  GROUP BY t.v, t.n_exact)
+              |SELECT v AS l_partkey, n_exact, n_cms FROM est""".stripMargin),
+      (s, dir) => {
+        val vals = Tables.load(s, dir, "lineitem")
+          .select(col("l_partkey").as("v")).filter(col("v").isNotNull)
+        val cnt = CountMin.counters(vals, d, w)
+        val topk = vals.groupBy("v").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("v")).limit(20)
+        CountMin.estimate(topk.select("v"), cnt, d, w)
+          .join(topk, "v")
+          .select(col("v").as("l_partkey"), col("n_exact"), col("n_cms"))
+      })
+  }
+
+  /** k-core ladder (k = 2, 3, 4) over the supplier co-occurrence graph
+    * ([[graft.operators.KCore]]): six synchronous peel rounds per k,
+    * each round replayed verbatim by the oracle's materialized CTE
+    * chain, so the (n_nodes, n_edges) of every core hash-match exactly.
+    */
+  val kcore: Q = {
+    val edgesCte =
+      """SELECT DISTINCT LEAST(l1.l_suppkey, l2.l_suppkey) AS u,
+        |       GREATEST(l1.l_suppkey, l2.l_suppkey) AS v
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |    AND l1.l_linenumber = 1 AND l2.l_linenumber = 2
+        |    AND l1.l_suppkey <> l2.l_suppkey""".stripMargin
+    Q(
+      "graph_kcore",
+      Some(graft.operators.KCore.oracleSql(edgesCte, ks = Seq(2, 3, 4), rounds = 6)),
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_suppkey")
+        val pairs = l.as("l1")
+          .join(l.as("l2"),
+            col("l1.l_orderkey") === col("l2.l_orderkey") &&
+              col("l1.l_linenumber") === 1 && col("l2.l_linenumber") === 2 &&
+              col("l1.l_suppkey") =!= col("l2.l_suppkey"))
+          .select(
+            least(col("l1.l_suppkey"), col("l2.l_suppkey")).as("u"),
+            greatest(col("l1.l_suppkey"), col("l2.l_suppkey")).as("v"))
+          .distinct()
+        Seq(2, 3, 4).map { k =>
+          graft.operators.KCore.stats(graft.operators.KCore.core(pairs, k, rounds = 6))
+            .select(lit(k).as("k"), col("n_nodes"), col("n_edges"))
+        }.reduce(_ union _)
+      })
+  }
+
   def all: Seq[Q] = Seq(
     rollup, cube_, groupingSets, approxDistinct, distinctExact,
     tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore,
     freqItems, zorderExport, logregQuality, percentileRank, equidepthHist,
-    winsorize, pagerank, triangles)
+    winsorize, pagerank, triangles, labelProp, cmsTopk, kcore)
 }

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.DetAgg
+import graft.functions.DetAgg.{Sql => D}
+import graft.operators.Snapshot
+import graft.sources.Tables
+
+/** Versioned-snapshot maintenance queries ([[graft.operators.Snapshot]]):
+  * the change-data-capture surface between corpus crawls. Both queries
+  * derive version 2 of `orders` DETERMINISTICALLY inside the query (drop
+  * keys ≡0 mod 97, reprice ≡0 mod 89, insert ≡0 mod 101 clones shifted
+  * past the key range) so the oracle can derive the identical v2 and
+  * replay the diff/merge in portable SQL — the +1.0 reprice is an exact
+  * IEEE-754 operation, so sums stay bit-portable through DetAgg.
+  */
+object MaintenanceQueries {
+
+  /** Change feed between orders v1 and the derived v2, rolled up per
+    * change class: one full-outer hash join on the key, no windows.
+    */
+  val snapshotDiff: Q = Q(
+    "maint_snapshot_diff",
+    Some(s"""WITH v2 AS (
+            |  SELECT o_orderkey, o_orderstatus,
+            |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+            |         ELSE o_totalprice END AS o_totalprice
+            |  FROM orders WHERE o_orderkey % 97 <> 0
+            |  UNION ALL
+            |  SELECT o_orderkey + 900000000, 'P', o_totalprice
+            |  FROM orders WHERE o_orderkey % 101 = 0),
+            |d AS (
+            |  SELECT COALESCE(n.o_totalprice, o.o_totalprice) AS price,
+            |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            |         WHEN n.o_orderkey IS NULL THEN 'removed'
+            |         WHEN n.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+            |           OR n.o_totalprice IS DISTINCT FROM o.o_totalprice
+            |           THEN 'changed'
+            |         ELSE 'unchanged' END AS change
+            |  FROM orders o FULL OUTER JOIN v2 n
+            |    ON o.o_orderkey = n.o_orderkey)
+            |SELECT change, COUNT(*) AS n, ${D.dsum("price")} AS sum_price
+            |FROM d GROUP BY change""".stripMargin),
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val v2 = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 101 === 0)
+          .select(
+            (col("o_orderkey") + 900000000L).as("o_orderkey"),
+            lit("P").as("o_orderstatus"),
+            col("o_totalprice")))
+      Snapshot.diff(o, v2,
+          key = Seq("o_orderkey"),
+          compare = Seq("o_orderstatus", "o_totalprice"))
+        .groupBy("change")
+        .agg(
+          count(lit(1)).as("n"),
+          DetAgg.dsum(col("o_totalprice")).as("sum_price"))
+    })
+
+  /** MERGE INTO semantics: an upsert batch (repriced matches + shifted
+    * inserts) replaces/extends the base wholesale, then the merged table
+    * is summarized per status. Whole-row replacement via a presence
+    * marker — an update that nulls a column is honored, unlike
+    * per-column coalesce.
+    */
+  val mergeUpsert: Q = Q(
+    "maint_merge_upsert",
+    Some(s"""WITH upd AS (
+            |  SELECT o_orderkey, o_custkey, o_orderstatus,
+            |    o_totalprice + 1.0 AS o_totalprice, o_orderdate, o_orderpriority
+            |  FROM orders WHERE o_orderkey % 89 = 0
+            |  UNION ALL
+            |  SELECT o_orderkey + 900000000, o_custkey, 'P',
+            |    o_totalprice, o_orderdate, o_orderpriority
+            |  FROM orders WHERE o_orderkey % 101 = 0),
+            |m AS (
+            |  SELECT
+            |    CASE WHEN u.o_orderkey IS NOT NULL
+            |         THEN u.o_orderstatus ELSE b.o_orderstatus END AS st,
+            |    CASE WHEN u.o_orderkey IS NOT NULL
+            |         THEN u.o_totalprice ELSE b.o_totalprice END AS price,
+            |    CASE WHEN u.o_orderkey IS NOT NULL
+            |         THEN u.o_custkey ELSE b.o_custkey END AS ck
+            |  FROM orders b FULL OUTER JOIN upd u
+            |    ON b.o_orderkey = u.o_orderkey)
+            |SELECT st AS o_orderstatus, COUNT(*) AS n,
+            |  ${D.dsum("price")} AS sum_price,
+            |  COUNT(DISTINCT ck) AS n_cust
+            |FROM m GROUP BY st""".stripMargin),
+    (s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+      val upd = base.filter(col("o_orderkey") % 89 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .unionByName(base.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+          .withColumn("o_orderstatus", lit("P")))
+        .select(base.columns.map(col): _*)
+      Snapshot.merge(base, upd, key = Seq("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          DetAgg.dsum(col("o_totalprice")).as("sum_price"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+    })
+
+  def all: Seq[Q] = Seq(snapshotDiff, mergeUpsert)
+}

@@ -164,7 +164,62 @@ object MiscQueries {
         .select("l_orderkey", "l_linenumber")
     })
 
+  /** S10-adjacent: ORC sink + scan round-trip inside the verified path —
+    * Spark's second bundled columnar format (the Hive-ecosystem
+    * counterpart of parquet). The supplier table goes out through
+    * `.write.orc` and comes back through `.read.orc` with an int64 /
+    * string / int32 / double column mix; the oracle reads the parquet
+    * directly, so any round-trip type or value corruption breaks the
+    * hash.
+    */
+  val sOrcRoundtrip: Q = Q(
+    "s_orc_roundtrip",
+    Some("SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"),
+    (s, dir) => {
+      val sup = Tables.load(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      val tmp = "/tmp/graft_orc_roundtrip_supplier"
+      sup.write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+    })
+
+  /** Parquet schema evolution: two generations of the supplier feed land
+    * with DIFFERENT column sets (old writer: key+name, new writer:
+    * key+acctbal), and one `mergeSchema` read recovers the superset
+    * schema with nulls where a file lacks the column — the standard
+    * lakehouse pattern for additive schema drift. The oracle rebuilds the
+    * same union from the parquet source, so both the row routing and the
+    * null filling are hash-checked.
+    */
+  val sParquetSchemaMerge: Q = Q(
+    "s_parquet_schema_merge",
+    Some(s"""WITH m AS (
+            |  SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE) AS s_acctbal
+            |  FROM supplier WHERE s_suppkey % 2 = 0
+            |  UNION ALL
+            |  SELECT s_suppkey, CAST(NULL AS VARCHAR), s_acctbal
+            |  FROM supplier WHERE s_suppkey % 2 = 1)
+            |SELECT COUNT(*) AS n, COUNT(s_name) AS n_names,
+            |  COUNT(s_acctbal) AS n_bals,
+            |  ${D.dsum("s_acctbal")} AS sum_bal
+            |FROM m""".stripMargin),
+    (s, dir) => {
+      val sup = Tables.load(s, dir, "supplier")
+      val tmp = "/tmp/graft_parquet_schema_merge"
+      sup.filter(col("s_suppkey") % 2 === 0).select("s_suppkey", "s_name")
+        .write.mode("overwrite").parquet(s"$tmp/gen=old")
+      sup.filter(col("s_suppkey") % 2 === 1).select("s_suppkey", "s_acctbal")
+        .write.mode("overwrite").parquet(s"$tmp/gen=new")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/gen=old", s"$tmp/gen=new")
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("s_name")).as("n_names"),
+          count(col("s_acctbal")).as("n_bals"),
+          DetAgg.dsum(col("s_acctbal")).as("sum_bal"))
+    })
+
   def all: Seq[Q] = Seq(
     p3NullDrop, p7ErrorProp, r3PivotMean, a6ConditionalAgg, a4ScalarAgg,
-    s2CsvRoundtrip, p12ColumnSets, jSemiAnti)
+    s2CsvRoundtrip, p12ColumnSets, jSemiAnti, sOrcRoundtrip,
+    sParquetSchemaMerge)
 }

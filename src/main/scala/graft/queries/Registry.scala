@@ -21,5 +21,6 @@ object Registry {
     CoreQueries.all ++ RelationalQueries.all ++ KernelQueries.all ++
       TextQueries.all ++ SimilarityQueries.all ++ FitQueries.all ++
       AnalysisQueries.all ++ MiscQueries.all ++ EventQueries.all ++
-      FederationQueries.all ++ GroupingQueries.all ++ ProfileQueries.all
+      FederationQueries.all ++ GroupingQueries.all ++ ProfileQueries.all ++
+      MaintenanceQueries.all
 }

@@ -2,6 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType}
+import graft.functions.DetAgg
+import graft.functions.DetAgg.{Sql => D}
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Multimodal}
 import graft.sources.Tables
@@ -1882,9 +1884,98 @@ object TextQueries {
         .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
     })
 
+  /** Character-level Shannon entropy per document — the classic cheap
+    * junk detector (binary blobs and repeated-character spam sit far
+    * below natural text's ~4 bits/char; Gopher and CCNet both gate on
+    * close cousins of this). Formula kept in the portable shape
+    * `log2(n) − Σ c·log2(c) / n`; the weighted sum routes through
+    * DetAgg decimal so Spark's partition-order-dependent double addition
+    * cannot wiggle the result, and the final round(6) absorbs the
+    * engines' last-ulp `log2` differences (the `text_collocations`
+    * PMI discipline). Output: the 100 lowest-entropy docs — the rows a
+    * curation gate would drop first.
+    *
+    * At 100 TB: the char relation is a map-side explode whose hash
+    * aggregate combines to ≤ alphabet-size rows per doc BEFORE the
+    * shuffle — linear work, bounded state, no windows.
+    */
+  val textEntropy: Q = Q(
+    "text_entropy",
+    Some(s"""WITH ch AS (
+            |  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS c
+            |  FROM documents,
+            |    LATERAL unnest(generate_series(1, length(text))) AS g(i)
+            |  WHERE length(text) > 0),
+            |cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY doc_id, c),
+            |h AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_chars_calc,
+            |        ROUND(LOG2(CAST(SUM(k) AS DOUBLE))
+            |          - ${D.dsum("CAST(k AS DOUBLE) * LOG2(CAST(k AS DOUBLE))")}
+            |            / CAST(SUM(k) AS DOUBLE), 6) AS entropy
+            |      FROM cc GROUP BY doc_id)
+            |SELECT doc_id, n_chars_calc, entropy FROM h
+            |ORDER BY entropy, doc_id LIMIT 100""".stripMargin),
+    (s, dir) => {
+      val chars = docs(s, dir)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")))).as("i"),
+          col("text"))
+        .select(col("doc_id"), expr("substr(text, i, 1)").as("c"))
+      chars.groupBy("doc_id", "c").agg(count(lit(1)).as("k"))
+        .groupBy("doc_id")
+        .agg(
+          sum("k").as("n_chars_calc"),
+          round(
+            log2(sum("k").cast("double"))
+              - DetAgg.dsum(col("k").cast("double") * log2(col("k").cast("double")))
+              / sum("k").cast("double"), 6).as("entropy"))
+        .orderBy(col("entropy"), col("doc_id")).limit(100)
+    })
+
+  /** Inference/training batch geometry: documents bucketed to the next
+    * power-of-two sequence length (16…2048, longer docs clamped — they'd
+    * be chunked upstream by `text_chunk`), with per-bucket padding-waste
+    * accounting — the number a serving stack reads before picking its
+    * batching strategy. Pure integer ladder + exact integer sums; the
+    * single division is rounded at 6.
+    */
+  val packLengthBuckets: Q = {
+    val ladder = Seq(16, 32, 64, 128, 256, 512, 1024, 2048)
+    val sqlBucket = ladder.init.map(b => s"WHEN n <= $b THEN $b")
+      .mkString("CASE ", " ", " ELSE 2048 END")
+    Q(
+      "pack_length_buckets",
+      Some(s"""WITH t AS (
+              |  SELECT len(string_split_regex(trim(text), '\\s+')) AS n
+              |  FROM documents),
+              |b AS (SELECT LEAST(n, 2048) AS n, $sqlBucket AS bucket FROM t)
+              |SELECT bucket, COUNT(*) AS n_docs,
+              |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+              |  CAST(SUM(bucket - n) AS BIGINT) AS sum_padding,
+              |  ROUND(CAST(SUM(bucket - n) AS DOUBLE)
+              |        / CAST(SUM(bucket) AS DOUBLE), 6) AS waste_pct
+              |FROM b GROUP BY bucket""".stripMargin),
+      (s, dir) => {
+        val n0 = TextFunctions.tokenCount(col("text"))
+        val t = docs(s, dir).select(least(n0, lit(2048)).cast("long").as("n"))
+        val bucket = ladder.init.foldRight(lit(2048): org.apache.spark.sql.Column) {
+          (b, acc) => when(col("n") <= b, b).otherwise(acc)
+        }
+        t.select(col("n"), bucket.cast("long").as("bucket"))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n").as("sum_tokens"),
+            sum(col("bucket") - col("n")).as("sum_padding"),
+            round(sum(col("bucket") - col("n")).cast("double")
+              / sum(col("bucket")).cast("double"), 6).as("waste_pct"))
+      })
+  }
+
   def all: Seq[Q] = Seq(
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
     textBpePairs, textNormalize, textGopherRules, textWinnow, textCollocations,
+    textEntropy, packLengthBuckets,
     textBm25, textHybridRrf, corpusReport, pipelineMix, textChunk, textLmScore,
     pipelinePerplexityMix, streamQualityMonitor,
     jsonlRoundtrip, sampleUpsample, splitShards, splitShuffle,

@@ -51,10 +51,14 @@ class SchemaDriftSpec extends AnyFunSuite {
     "mm_features_hash" -> Set("documents"),
     "pipeline_perplexity_mix" -> Set("documents"),
     "s2_csv_roundtrip" -> Set("nation"),
+    "s_orc_roundtrip" -> Set("supplier"),
+    "s_parquet_schema_merge" -> Set("supplier"),
     "s_jsonl_roundtrip" -> Set("documents"),
     // localCheckpoint materializes the edge relation eagerly, so the
     // analyzed plan holds no file scans to discover
-    "graph_pagerank" -> Set("orders", "lineitem"))
+    "graph_pagerank" -> Set("orders", "lineitem"),
+    "graph_label_prop" -> Set("lineitem"),
+    "graph_kcore" -> Set("lineitem"))
 
   private def scannedTables(df: DataFrame): Set[String] = {
     val paths = df.queryExecution.analyzed.collect {
