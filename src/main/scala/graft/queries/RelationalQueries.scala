@@ -625,10 +625,43 @@ object RelationalQueries {
       })
   }
 
+  /** Bloom-pruned semi join ([[graft.operators.BloomJoin]]): lineitems of
+    * the high-value order set (top ~5 % by price), reduced by a broadcast
+    * bloom sketch BEFORE the exact semi join. The sketch admits only
+    * false positives and the exact join removes them, so the oracle is
+    * the plain semi join — the bloom changes the row count reaching the
+    * shuffle, never the result. This is the runtime-filter pattern made
+    * explicit: at 100 TB the probe side sheds ~95 % of its rows map-side
+    * for a few MB of broadcast state.
+    */
+  val bloomPrune: Q = Q(
+    "j_bloom_prune",
+    Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+            |  ${D.dsum("l_extendedprice")} AS sum_price
+            |FROM lineitem l
+            |WHERE EXISTS (SELECT 1 FROM orders o
+            |              WHERE o.o_orderkey = l.l_orderkey
+            |                AND o.o_totalprice > 475000.0)
+            |GROUP BY l_returnflag""".stripMargin),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+      val hot = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 475000.0)
+        .select("o_orderkey")
+      graft.operators.BloomJoin.semiJoin(li, hot, "l_orderkey", "o_orderkey",
+          expectedItems = 100000L, numBits = 1L << 20)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          DetAgg.dsum(col("l_extendedprice")).as("sum_price"))
+    })
+
   def all: Seq[Q] = Seq(
     p2AggPredicate, p4Completeness, p5Cuts, p9Strings, p10Datetime, p13Casts,
     r1Pivot, r2Unpivot, j1Flags, j3Composite, j4SelfGrid,
     w1FirstHalf, w2TopK, w4WindowPack, fuzzyKeys,
     a5ArgMin, a7Histogram, a8Ecdf, a11Distinct, u1Union,
-    p11Tag, a2Mad, a1MeanStd, s13ScatterMatrix, s13WaveformsHist2d)
+    p11Tag, a2Mad, a1MeanStd, s13ScatterMatrix, s13WaveformsHist2d,
+    bloomPrune)
 }

@@ -548,6 +548,72 @@ object ScaleProbe {
         println(f"""{"probe":"incremental_cc_update_only","copies":$c,"rows":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
         n
       }
+      timed("label_prop", c) {
+        // copies shift BOTH orderkey and suppkey: c disjoint replicas of
+        // the co-occurrence graph — node and edge counts grow linearly,
+        // exactly how a bigger corpus grows a dedup-family graph. Wall
+        // should track edges; per-round work is one edge-partitioned
+        // join + per-node windows bounded by degree.
+        val l = (0 until c).map(i => li.select(
+          (col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+          col("l_linenumber"),
+          (col("l_suppkey") + lit(i.toLong * 10000000L)).as("l_suppkey")))
+          .reduce(_ unionAll _)
+        val pairs = l.as("l1")
+          .join(l.as("l2"),
+            col("l1.l_orderkey") === col("l2.l_orderkey") &&
+              col("l1.l_linenumber") === 1 && col("l2.l_linenumber") === 2 &&
+              col("l1.l_suppkey") =!= col("l2.l_suppkey"))
+          .select(
+            least(col("l1.l_suppkey"), col("l2.l_suppkey")).as("u"),
+            greatest(col("l1.l_suppkey"), col("l2.l_suppkey")).as("v"))
+          .distinct()
+        graft.operators.LabelProp.propagate(pairs, iters = 5).count()
+      }
+      timed("kcore", c) {
+        val l = (0 until c).map(i => li.select(
+          (col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+          col("l_linenumber"),
+          (col("l_suppkey") + lit(i.toLong * 10000000L)).as("l_suppkey")))
+          .reduce(_ unionAll _)
+        val pairs = l.as("l1")
+          .join(l.as("l2"),
+            col("l1.l_orderkey") === col("l2.l_orderkey") &&
+              col("l1.l_linenumber") === 1 && col("l2.l_linenumber") === 2 &&
+              col("l1.l_suppkey") =!= col("l2.l_suppkey"))
+          .select(
+            least(col("l1.l_suppkey"), col("l2.l_suppkey")).as("u"),
+            greatest(col("l1.l_suppkey"), col("l2.l_suppkey")).as("v"))
+          .distinct()
+        graft.operators.KCore.core(pairs, k = 3, rounds = 6).count()
+      }
+      timed("cms_counters", c) {
+        // sketch state is d×w cells regardless of input size: wall must
+        // track the scan (map-side partial aggregation), never the value
+        // count — the definitional CMS scale property
+        val vals = scaled(li, c).select(col("l_partkey").as("v"))
+          .filter(col("v").isNotNull)
+        graft.operators.CountMin.counters(vals, d = 4, w = 512).count()
+      }
+      timed("snapshot_diff", c) {
+        // one full-outer hash join on the key; copies grow both sides
+        // linearly with disjoint key ranges — classic CDC between crawls
+        val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        val o = (0 until c).map(i => ord.select(
+          (col("o_orderkey") + lit(i.toLong * 100000000L)).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice")))
+          .reduce(_ unionAll _)
+        val v2 = o.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")))
+          .unionByName(o.filter(col("o_orderkey") % 101 === 0)
+            .select((col("o_orderkey") + 900000000L).as("o_orderkey"),
+              lit("P").as("o_orderstatus"), col("o_totalprice")))
+        graft.operators.Snapshot.diff(o, v2,
+          Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+          .groupBy("change").count().count()
+      }
       timed("domain_cap_skew", c) {
         // 90% of rows in ONE head domain: the salted tournament must keep
         // wall flat-ish (stage-1 windows bounded by salt fan-in) where the
