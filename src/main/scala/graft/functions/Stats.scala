@@ -334,6 +334,76 @@ object Stats {
           - col("__r2").cast("double") / col("__n2"))).as("ks"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between two slices of a value
+    * column — the nonparametric LOCATION test completing the two-sample
+    * family ([[ks2Samp]] shape-sensitive, [[psi]] binned, this one "did
+    * the median move"), with the normal approximation's tie-corrected z.
+    *
+    * Arithmetic is integer until the last step: average ranks with ties
+    * are carried DOUBLED (`2·rank_sum₁ = Σ c₁·(2r − c + 1)` — every
+    * quantity exact in 64 bits), the tie term is `Σ c³ − c`, and U/z are
+    * a fixed IEEE sequence over those exact integers (the
+    * [[DetAgg.dstd]] contract: no rounding needed for cross-engine
+    * bit-parity).
+    *
+    * Scale shape: identical to [[ks2Samp]] — distinct-value relation,
+    * range-sharded by the monotone sortable-bits index, per-shard
+    * cumulative windows, a ≤ 2^shardBits-row broadcast offsets relation.
+    * No corpus-wide window anywhere; ties (however heavy) collapse into
+    * the distinct-value relation before any window runs. Nulls are
+    * excluded: a rank test has no order position for a valueless row.
+    */
+  def mannWhitneyU(
+      df: DataFrame,
+      value: String,
+      inSample1: Column,
+      shardBits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardBits >= 1 && shardBits <= 20, s"shardBits $shardBits out of range")
+    val g = df.filter(col(value).isNotNull).groupBy(col(value).as("__v"))
+      .agg(
+        sum(when(inSample1, 1L).otherwise(0L)).as("__c1"),
+        sum(when(inSample1, 0L).otherwise(1L)).as("__c2"))
+    // same monotone shard index + bounded offsets relation as [[ks2Samp]]
+    val keyed = g.withColumn(
+      "__shard",
+      shiftright(
+        graft.plans.ScalarExpressions.sortableBits(col("__v").cast("double")),
+        64 - shardBits) + lit(1L << (shardBits - 1)))
+    val wOff = Window.partitionBy(
+      graft.plans.ScalarExpressions.singlePartitionKey(col("__shard")))
+      .orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("__shard")
+      .agg(sum(col("__c1") + col("__c2")).as("__s"))
+      .select(
+        col("__shard").as("__oshard"),
+        coalesce(sum("__s").over(wOff), lit(0L)).as("__b"))
+    val wCum = Window.partitionBy("__shard").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c = col("__c1") + col("__c2")
+    val ranked = keyed.join(broadcast(offsets), col("__shard") === col("__oshard"))
+      .withColumn("__r", col("__b") + sum(c).over(wCum)) // inclusive cum count
+    val t = ranked.agg(
+      sum("__c1").as("__n1"),
+      sum("__c2").as("__n2"),
+      sum(col("__c1") * (lit(2) * col("__r") - c + lit(1))).as("__r2x"),
+      sum(c * c * c - c).as("__tt"))
+    // fixed IEEE sequence over exact integers — keep this text in lock
+    // step with the SQL mirror in ProfileQueries.stat_mannwhitney
+    t.select(
+      col("__n1").as("n1"), col("__n2").as("n2"),
+      ((col("__r2x") - col("__n1") * (col("__n1") + lit(1))).cast("double") / lit(2.0)).as("u"),
+      (((col("__r2x") - col("__n1") * (col("__n1") + lit(1))).cast("double") / lit(2.0)
+        - col("__n1").cast("double") * col("__n2").cast("double") / lit(2.0))
+        / sqrt(
+          col("__n1").cast("double") * col("__n2").cast("double") / lit(12.0)
+            * ((col("__n1").cast("double") + col("__n2").cast("double") + lit(1.0))
+              - col("__tt").cast("double")
+                / ((col("__n1").cast("double") + col("__n2").cast("double"))
+                  * (col("__n1").cast("double") + col("__n2").cast("double") - lit(1.0))))))
+        .as("z"))
+  }
+
   /** Population stability index between two slices of a value column —
     * the standard production drift monitor next to [[ks2Samp]] (PSI < 0.1
     * stable, > 0.25 shifted). Fixed-range equi-width bucketing from a

@@ -115,6 +115,58 @@ object EventQueries {
         .select(col("event_id"), col("user_id"), col("asof_value").as("asof_value"))
     })
 
+  /** Nearest-direction as-of with tolerance
+    * ([[graft.operators.AsOfJoin.asOfNearest]]): each click takes the
+    * closest view value within ±1 h in EITHER direction, ties backward —
+    * pandas `merge_asof(direction='nearest', tolerance=1h)`. DuckDB has
+    * no nearest ASOF, so the oracle replays the same two-direction
+    * window composition in portable SQL (IGNORE NULLS carries), making
+    * the tie and tolerance rules themselves hash-checked.
+    */
+  val e4AsofNearest: Q = Q(
+    "e4_asof_nearest",
+    Some("""WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us
+           |           FROM events WHERE event_type = 'click'),
+           |v AS (SELECT user_id, epoch_us(ts) AS us, value
+           |      FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+           |u AS (
+           |  SELECT user_id, us, 0 AS side, event_id,
+           |         CAST(NULL AS DOUBLE) AS val FROM c
+           |  UNION ALL
+           |  SELECT user_id, us, 1, NULL, value FROM v),
+           |m AS (
+           |  SELECT user_id, us, side, event_id,
+           |    last_value(CASE WHEN side = 1 THEN us END IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY us, side DESC
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+           |    last_value(CASE WHEN side = 1 THEN val END IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY us, side DESC
+           |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           |    first_value(CASE WHEN side = 1 THEN us END IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY us, side
+           |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+           |    first_value(CASE WHEN side = 1 THEN val END IGNORE NULLS)
+           |      OVER (PARTITION BY user_id ORDER BY us, side
+           |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+           |  FROM u)
+           |SELECT event_id, user_id,
+           |  CASE WHEN pt IS NOT NULL AND (nt IS NULL OR us - pt <= nt - us)
+           |       THEN CASE WHEN us - pt <= 3600000000 THEN pv END
+           |       ELSE CASE WHEN nt - us <= 3600000000 THEN nv END END
+           |    AS asof_value
+           |FROM m WHERE side = 0""".stripMargin),
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("us", unix_micros(col("ts")))
+      val clicks = e.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "us")
+      val views = e.filter(col("event_type") === "view" && col("value").isNotNull)
+        .select("user_id", "us", "value")
+      graft.operators.AsOfJoin
+        .asOfNearest(clicks, views, Seq("user_id"), "us", "us", "value",
+          tolerance = 3600000000L)
+        .select("event_id", "user_id", "asof_value")
+    })
+
   /** Conversion funnel (view → click → purchase): per user, the first
     * view, the first click strictly after it, the first purchase
     * strictly after that — stage survivor counts. Works on RAW
@@ -343,6 +395,6 @@ object EventQueries {
     })
 
   def all: Seq[Q] = Seq(
-    e1Buckets, e2Sessionize, e3Json, e4AsOf, e5Funnel, e6Retention, e7Rolling,
-    e8Resample, e9Anomaly, streamAnomaly)
+    e1Buckets, e2Sessionize, e3Json, e4AsOf, e4AsofNearest, e5Funnel,
+    e6Retention, e7Rolling, e8Resample, e9Anomaly, streamAnomaly)
 }

@@ -79,6 +79,51 @@ object ProfileQueries {
         "l_quantity",
         col("l_returnflag") === "A"))
 
+  /** Mann–Whitney U between the same two slices as [[ksQuantity]] —
+    * the nonparametric location test beside KS (shape) and PSI (bins):
+    * [[graft.functions.Stats.mannWhitneyU]]. Integer-exact doubled rank
+    * sums + tie term, then ONE fixed IEEE sequence for U and the
+    * tie-corrected z — no rounding anywhere (the dstd contract), so the
+    * hash match proves rank handling, tie correction, AND the float
+    * tail are engine-portable. The oracle replays ranks with a plain
+    * cumulative window; the engine runs the sharded-rank kernel — the
+    * comparison doubles as a sharding-correctness proof on real ties
+    * (l_quantity has ~50 distinct values over ~2/3 of the table).
+    */
+  val mannWhitney: Q = Q(
+    "stat_mannwhitney",
+    Some("""WITH g AS (
+           |  SELECT l_quantity AS v,
+           |    SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS c1,
+           |    SUM(CASE WHEN l_returnflag = 'A' THEN 0 ELSE 1 END) AS c2
+           |  FROM lineitem
+           |  WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL
+           |  GROUP BY l_quantity),
+           |c AS (
+           |  SELECT c1, c2,
+           |    SUM(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r
+           |  FROM g),
+           |t AS (
+           |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+           |    CAST(SUM(c1 * (2 * r - (c1 + c2) + 1)) AS BIGINT) AS r2x,
+           |    CAST(SUM((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS BIGINT) AS tt
+           |  FROM c)
+           |SELECT n1, n2,
+           |  CAST(r2x - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u,
+           |  (CAST(r2x - n1 * (n1 + 1) AS DOUBLE) / 2.0
+           |    - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+           |  / SQRT(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+           |    * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+           |      - CAST(tt AS DOUBLE)
+           |        / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+           |          * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))) AS z
+           |FROM t""".stripMargin),
+    (s, dir) =>
+      graft.functions.Stats.mannWhitneyU(
+        Tables.load(s, dir, "lineitem").filter(col("l_returnflag").isin("A", "R")),
+        "l_quantity",
+        col("l_returnflag") === "A"))
+
   /** Population stability index between the same two slices as
     * [[ksQuantity]] — the bucketed companion drift metric (PSI is what
     * production monitors alarm on; KS is the exact-distribution check).
@@ -477,7 +522,8 @@ object ProfileQueries {
   }
 
   def all: Seq[Q] = Seq(
-    profileLineitem, textRedact, ksQuantity, psiQuantity, quantilesExact,
+    profileLineitem, textRedact, ksQuantity, mannWhitney, psiQuantity,
+    quantilesExact,
     chi2ReturnFlag, sampleDsir, packCurriculum, dqExpectations,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,
