@@ -455,6 +455,45 @@ object Stats {
       .agg(round(graft.functions.DetAgg.dsum((pa - pb) * log(pa / pb)), 6).as("psi"))
   }
 
+  /** Jensen–Shannon divergence between the binned distributions of two
+    * slices — the SYMMETRIC, always-finite companion to [[psi]] (PSI
+    * blows up when a bucket empties on one side and needs the eps floor;
+    * JSD's mixture denominator makes 0·ln(0) terms vanish exactly, so
+    * the statistic is bounded by ln 2 and needs no floor). Same
+    * windowless shape as PSI: broadcast 1-row range aggregate, one
+    * ≤ `bins`-row bucket hash-aggregate, decimal-routed final sum,
+    * round-6 for the ln tail. Nulls excluded (PSI's null contract).
+    */
+  def jsd(
+      df: DataFrame,
+      value: String,
+      inSliceA: Column,
+      bins: Int = 20): DataFrame = {
+    require(bins >= 2, s"bins $bins out of range")
+    val v = col(value).cast("double")
+    val nn = df.filter(v.isNotNull)
+    val r = nn.agg(
+      min(v).as("__lo"), max(v).as("__hi"),
+      sum(when(inSliceA, 1L).otherwise(0L)).as("__na"),
+      sum(when(inSliceA, 0L).otherwise(1L)).as("__nb"))
+    val w = (col("__hi") - col("__lo")) / lit(bins)
+    val wSafe = when(col("__hi") > col("__lo"), w).otherwise(lit(1.0))
+    val bucket = least(
+      greatest(floor((v - col("__lo")) / wSafe), lit(0L)),
+      lit(bins - 1L))
+    val pa = col("__ca").cast("double") / col("__na")
+    val pb = col("__cb").cast("double") / col("__nb")
+    val m2 = pa + pb // 2·mixture
+    val term = when(pa > 0, pa * log(lit(2.0) * pa / m2)).otherwise(lit(0.0)) +
+      when(pb > 0, pb * log(lit(2.0) * pb / m2)).otherwise(lit(0.0))
+    nn.crossJoin(broadcast(r))
+      .groupBy(bucket.as("__b"), col("__na"), col("__nb"))
+      .agg(
+        sum(when(inSliceA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(inSliceA, 0L).otherwise(1L)).as("__cb"))
+      .agg(round(lit(0.5) * graft.functions.DetAgg.dsum(term), 6).as("jsd"))
+  }
+
   /** Pearson chi-squared two-sample homogeneity test over a CATEGORICAL
     * column — the third leg of the drift-monitor family: [[ks2Samp]] for
     * continuous exact distribution, [[psi]] for binned shares, chi² for

@@ -759,9 +759,44 @@ object GroupingQueries {
       })
   }
 
+  /** Oracle-replayable HyperLogLog ([[graft.operators.Hll]]): the
+    * portable-arithmetic twin of `agg_approx_distinct` — registers,
+    * harmonic estimate, and the linear-counting branch all replayed by
+    * DuckDB bit-for-bit, so the hash match certifies the SKETCH, not
+    * just its output shape. Output pairs the estimate with the exact
+    * count, making the accuracy certificate part of the verified row.
+    */
+  val hllDistinct: Q = {
+    import graft.operators.Hll
+    Q(
+      "sketch_hll_distinct",
+      Some(s"""WITH src AS (
+              |  SELECT l_partkey AS v FROM lineitem WHERE l_partkey IS NOT NULL),
+              |h AS (SELECT ${Hll.hashSql("v")} AS h FROM src),
+              |r AS (SELECT h % ${Hll.M} AS bucket,
+              |             ${Hll.rhoSql(s"(h // ${Hll.M})")} AS rho FROM h),
+              |regs AS (SELECT bucket, MAX(rho) AS reg FROM r GROUP BY bucket),
+              |a AS (SELECT COUNT(*) AS nz, SUM(1.0 / (1 << reg)) AS s FROM regs),
+              |e AS (SELECT ${Hll.M} - nz AS zeros, s + (${Hll.M} - nz) AS denom FROM a),
+              |x AS (SELECT COUNT(DISTINCT v) AS n_exact FROM src)
+              |SELECT n_exact,
+              |  CASE WHEN ${Hll.AlphaM2} / denom <= ${2.5 * Hll.M}
+              |            AND zeros > 0
+              |       THEN ROUND(${Hll.M}.0 * LN(${Hll.M}.0 / zeros), 6)
+              |       ELSE ROUND(${Hll.AlphaM2} / denom, 6) END AS n_est
+              |FROM x CROSS JOIN e""".stripMargin),
+      (s, dir) => {
+        val src = Tables.load(s, dir, "lineitem")
+          .select(col("l_partkey").as("v")).filter(col("v").isNotNull)
+        val est = Hll.estimate(Hll.registers(src))
+        src.agg(countDistinct(col("v")).as("n_exact"))
+          .crossJoin(broadcast(est))
+      })
+  }
+
   def all: Seq[Q] = Seq(
     rollup, cube_, groupingSets, approxDistinct, distinctExact,
     tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore,
     freqItems, zorderExport, logregQuality, percentileRank, equidepthHist,
-    winsorize, pagerank, triangles, labelProp, cmsTopk, kcore)
+    winsorize, pagerank, triangles, labelProp, cmsTopk, kcore, hllDistinct)
 }

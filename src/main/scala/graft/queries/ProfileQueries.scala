@@ -79,6 +79,47 @@ object ProfileQueries {
         "l_quantity",
         col("l_returnflag") === "A"))
 
+  /** Jensen–Shannon divergence between the same two slices as
+    * [[ksQuantity]] ([[graft.functions.Stats.jsd]]) — the symmetric,
+    * always-finite member of the drift family (bounded by ln 2, no eps
+    * floor: 0-share buckets vanish exactly through the mixture
+    * denominator). Windowless PSI shape; round-6 ln tail.
+    */
+  val jsdQuantity: Q = {
+    import graft.functions.DetAgg.{Sql => D}
+    val pa = "(CAST(ca AS DOUBLE) / na)"
+    val pb = "(CAST(cb AS DOUBLE) / nb)"
+    val term =
+      s"""CASE WHEN ca > 0 THEN $pa * LN(2.0 * $pa / ($pa + $pb)) ELSE 0.0 END
+         | + CASE WHEN cb > 0 THEN $pb * LN(2.0 * $pb / ($pa + $pb)) ELSE 0.0 END"""
+        .stripMargin.replaceAll("\n", "")
+    Q(
+      "stat_jsd",
+      Some(s"""WITH src AS (
+              |  SELECT CAST(l_quantity AS DOUBLE) AS v,
+              |    l_returnflag = 'A' AS a
+              |  FROM lineitem
+              |  WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL),
+              |r AS (
+              |  SELECT MIN(v) AS lo, MAX(v) AS hi,
+              |    SUM(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+              |    SUM(CASE WHEN a THEN 0 ELSE 1 END) AS nb
+              |  FROM src),
+              |g AS (
+              |  SELECT LEAST(GREATEST(FLOOR((v - lo) /
+              |      (CASE WHEN hi > lo THEN (hi - lo) / 20.0 ELSE 1.0 END)), 0), 19) AS b,
+              |    na, nb,
+              |    SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+              |    SUM(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+              |  FROM src CROSS JOIN r GROUP BY 1, 2, 3)
+              |SELECT ROUND(0.5 * ${D.dsum(term)}, 6) AS jsd FROM g""".stripMargin),
+      (s, dir) =>
+        graft.functions.Stats.jsd(
+          Tables.load(s, dir, "lineitem").filter(col("l_returnflag").isin("A", "R")),
+          "l_quantity",
+          col("l_returnflag") === "A"))
+  }
+
   /** Mann–Whitney U between the same two slices as [[ksQuantity]] —
     * the nonparametric location test beside KS (shape) and PSI (bins):
     * [[graft.functions.Stats.mannWhitneyU]]. Integer-exact doubled rank
@@ -522,8 +563,8 @@ object ProfileQueries {
   }
 
   def all: Seq[Q] = Seq(
-    profileLineitem, textRedact, ksQuantity, mannWhitney, psiQuantity,
-    quantilesExact,
+    profileLineitem, textRedact, ksQuantity, mannWhitney, jsdQuantity,
+    psiQuantity, quantilesExact,
     chi2ReturnFlag, sampleDsir, packCurriculum, dqExpectations,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,

@@ -1972,7 +1972,75 @@ object TextQueries {
       })
   }
 
+  /** Per-document n-gram novelty — the inverse dedup signal: the share
+    * of a doc's distinct trigram shingles that appear in NO other
+    * document (df = 1). High novelty marks unique long-tail content a
+    * curation pass should protect; low novelty marks boilerplate that
+    * near-dup thresholds may have missed. One shingle pass (the
+    * [[graft.operators.Dedup.shingles]] set relation), one
+    * document-frequency aggregate, one join back — all hash-partitioned,
+    * windowless; the int/int division is a single IEEE op, portable
+    * unrounded.
+    */
+  val textNgramNovelty: Q = Q(
+    "text_ngram_novelty",
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           |            FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+           |       FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)),
+           |gc AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+           |n AS (SELECT sh.doc_id, COUNT(*) AS n_shingles,
+           |        SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+           |      FROM sh JOIN gc USING (s) GROUP BY sh.doc_id)
+           |SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           |  CAST(n_unique AS BIGINT) AS n_unique,
+           |  CAST(n_unique AS DOUBLE) / n_shingles AS novelty
+           |FROM n""".stripMargin),
+    (s, dir) => {
+      val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", k = 3)
+      val gc = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      sh.join(gc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(
+          col("doc_id"), col("n_shingles"), col("n_unique"),
+          (col("n_unique").cast("double") / col("n_shingles")).as("novelty"))
+    })
+
+  /** Fixed-k uniform sample per stratum — the eval-split builder: 50
+    * docs per language, membership a pure function of the id (Knuth
+    * priority hash, [[graft.operators.Splits.bucket100]] family), so the
+    * held-out set never shifts when the corpus is re-processed. Runs on
+    * the [[graft.operators.Sampling.domainCap]] salted tournament: no
+    * stratum-wide window at stage 1, exactly the partitioning that
+    * survives a 100 TB stratum.
+    */
+  val sampleFixedPerStratum: Q = Q(
+    "sample_fixed_per_stratum",
+    Some("""WITH p AS (
+           |  SELECT doc_id, lang,
+           |    (doc_id + 7) % 100000 * 2654435761 % 4294967296 AS pri
+           |  FROM documents),
+           |r AS (SELECT doc_id, lang, pri,
+           |    ROW_NUMBER() OVER (PARTITION BY lang
+           |                       ORDER BY pri, doc_id) AS rank_in_stratum
+           |  FROM p)
+           |SELECT doc_id, lang, CAST(rank_in_stratum AS BIGINT) AS rank_in_stratum
+           |FROM r WHERE rank_in_stratum <= 50""".stripMargin),
+    (s, dir) => {
+      val pri = pmod(
+        pmod(col("doc_id") + 7, lit(100000L)) * 2654435761L, lit(4294967296L))
+      graft.operators.Sampling.domainCap(
+          docs(s, dir).select("doc_id", "lang").withColumn("__pri", pri),
+          "doc_id", "lang", Seq(col("__pri"), col("doc_id")), k = 50)
+        .select(col("doc_id"), col("lang"),
+          col("rank_in_domain").cast("long").as("rank_in_stratum"))
+    })
+
   def all: Seq[Q] = Seq(
+    textNgramNovelty, sampleFixedPerStratum,
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
     textBpePairs, textNormalize, textGopherRules, textWinnow, textCollocations,
     textEntropy, packLengthBuckets,
