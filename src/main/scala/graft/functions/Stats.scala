@@ -455,6 +455,80 @@ object Stats {
       .agg(round(graft.functions.DetAgg.dsum((pa - pb) * log(pa / pb)), 6).as("psi"))
   }
 
+  /** DOUBLED tie-averaged ranks of a value column as a relation
+    * (value → 2·avgRank = 2r − c + 1, all integer): the shared kernel
+    * under [[mannWhitneyU]] and [[spearman]]. Same sharded shape as
+    * [[ks2Samp]] — distinct-value relation, monotone shard index,
+    * bounded offsets broadcast, per-shard cumulative windows.
+    */
+  private def doubledRanks(
+      df: DataFrame,
+      value: String,
+      shardBits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(value).as("__v")).agg(count(lit(1)).as("__c"))
+    val keyed = g.withColumn(
+      "__shard",
+      shiftright(
+        graft.plans.ScalarExpressions.sortableBits(col("__v").cast("double")),
+        64 - shardBits) + lit(1L << (shardBits - 1)))
+    val wOff = Window.partitionBy(
+      graft.plans.ScalarExpressions.singlePartitionKey(col("__shard")))
+      .orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("__shard")
+      .agg(sum("__c").as("__s"))
+      .select(
+        col("__shard").as("__oshard"),
+        coalesce(sum("__s").over(wOff), lit(0L)).as("__b"))
+    val wCum = Window.partitionBy("__shard").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    keyed.join(broadcast(offsets), col("__shard") === col("__oshard"))
+      .withColumn("__r", col("__b") + sum("__c").over(wCum))
+      .select(col("__v"),
+        (lit(2) * col("__r") - col("__c") + lit(1)).as("__a2"))
+  }
+
+  /** Spearman rank correlation between two numeric columns — the robust
+    * monotone-association measure a feature-quality pass runs beside
+    * Pearson ([[GroupingQueries]] a13): Pearson over tie-averaged ranks.
+    * Ranks are carried DOUBLED (integer; the ×2 cancels in the
+    * correlation), so every moment is an exact BIGINT sum — Σ(2a)² ≤
+    * 4n³ stays inside 2^63 to ~10⁹ rows per statistic — and ρ is one
+    * fixed IEEE tail over exact integers (no rounding, the
+    * [[mannWhitneyU]] contract). Two sharded-rank relations (one per
+    * column — [[doubledRanks]], no corpus-wide window even when a
+    * column is near-continuous), two hash joins back to rows, one
+    * moment aggregate.
+    */
+  def spearman(
+      df: DataFrame,
+      x: String,
+      y: String,
+      shardBits: Int = 12): DataFrame = {
+    require(shardBits >= 1 && shardBits <= 20, s"shardBits $shardBits out of range")
+    val nn = df.filter(col(x).isNotNull && col(y).isNotNull)
+      .select(col(x).as("__x"), col(y).as("__y"))
+    val rx = doubledRanks(nn, "__x", shardBits)
+      .select(col("__v").as("__x"), col("__a2").as("__ax"))
+    val ry = doubledRanks(nn, "__y", shardBits)
+      .select(col("__v").as("__y"), col("__a2").as("__ay"))
+    val t = nn.join(rx, "__x").join(ry, "__y")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("__ax").as("__sx"), sum("__ay").as("__sy"),
+        sum(col("__ax") * col("__ax")).as("__sxx"),
+        sum(col("__ay") * col("__ay")).as("__syy"),
+        sum(col("__ax") * col("__ay")).as("__sxy"))
+    // fixed IEEE tail — keep in lock step with the SQL mirror
+    t.select(
+      col("n"),
+      ((col("n").cast("double") * col("__sxy") - col("__sx").cast("double") * col("__sy"))
+        / sqrt(
+          (col("n").cast("double") * col("__sxx") - col("__sx").cast("double") * col("__sx"))
+            * (col("n").cast("double") * col("__syy") - col("__sy").cast("double") * col("__sy"))))
+        .as("rho"))
+  }
+
   /** Jensen–Shannon divergence between the binned distributions of two
     * slices — the SYMMETRIC, always-finite companion to [[psi]] (PSI
     * blows up when a bucket empties on one side and needs the eps floor;

@@ -31,7 +31,11 @@ object KCore {
     require(rounds >= 1 && rounds <= 50, s"rounds $rounds out of range")
     var e = edges.select(col("u").cast("long"), col("v").cast("long"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    var n = e.count()
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      round += 1
       val deg = e.select(col("u").as("node"))
         .union(e.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("__d"))
@@ -41,6 +45,14 @@ object KCore {
         .join(alive.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .select("u", "v")
         .localCheckpoint(true)
+      // fixpoint early exit — RESULT-IDENTICAL to running the remaining
+      // rounds, not an approximation: survivors only shrink, so an
+      // unchanged edge COUNT means an unchanged edge set, every later
+      // degree is unchanged, and every later round is a no-op. The
+      // count is a metadata-cheap job on the just-materialized relation.
+      val n2 = e.count()
+      converged = n2 == n
+      n = n2
     }
     e
   }

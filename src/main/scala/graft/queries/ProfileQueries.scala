@@ -79,6 +79,43 @@ object ProfileQueries {
         "l_quantity",
         col("l_returnflag") === "A"))
 
+  /** Spearman rank correlation between quantity and extended price
+    * ([[graft.functions.Stats.spearman]]): Pearson over tie-averaged
+    * DOUBLED ranks — all moments exact BIGINT sums, ρ one fixed IEEE
+    * tail, NO rounding. The engine ranks both columns on the sharded
+    * kernel (price is near-continuous — exactly the case the sharding
+    * exists for); the oracle uses plain cumulative windows, so the hash
+    * match re-proves the sharding on a two-column rank statistic.
+    */
+  val spearmanQP: Q = Q(
+    "stat_spearman",
+    Some("""WITH src AS (
+           |  SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+           |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+           |gx AS (SELECT x, COUNT(*) AS c FROM src GROUP BY x),
+           |cx AS (SELECT x,
+           |    2 * SUM(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - c + 1 AS ax
+           |  FROM gx),
+           |gy AS (SELECT y, COUNT(*) AS c FROM src GROUP BY y),
+           |cy AS (SELECT y,
+           |    2 * SUM(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) - c + 1 AS ay
+           |  FROM gy),
+           |j AS (SELECT ax, ay FROM src JOIN cx USING (x) JOIN cy USING (y)),
+           |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(ax) AS BIGINT) AS sx, CAST(SUM(ay) AS BIGINT) AS sy,
+           |    CAST(SUM(ax * ax) AS BIGINT) AS sxx,
+           |    CAST(SUM(ay * ay) AS BIGINT) AS syy,
+           |    CAST(SUM(ax * ay) AS BIGINT) AS sxy
+           |  FROM j)
+           |SELECT n,
+           |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           |  / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+           |       * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS rho
+           |FROM t""".stripMargin),
+    (s, dir) =>
+      graft.functions.Stats.spearman(
+        Tables.load(s, dir, "lineitem"), "l_quantity", "l_extendedprice"))
+
   /** Jensen–Shannon divergence between the same two slices as
     * [[ksQuantity]] ([[graft.functions.Stats.jsd]]) — the symmetric,
     * always-finite member of the drift family (bounded by ln 2, no eps
@@ -564,7 +601,7 @@ object ProfileQueries {
 
   def all: Seq[Q] = Seq(
     profileLineitem, textRedact, ksQuantity, mannWhitney, jsdQuantity,
-    psiQuantity, quantilesExact,
+    spearmanQP, psiQuantity, quantilesExact,
     chi2ReturnFlag, sampleDsir, packCurriculum, dqExpectations,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,

@@ -566,8 +566,56 @@ object SimilarityQueries {
             col("std"), col("min_x"), col("max_x")))
   }
 
+  /** Symmetric per-dimension int8 quantization of the embedding table —
+    * the serving-stack compression step (4× over float32) with its
+    * accuracy certificate: per dim, the max-abs scale, integer checksums
+    * of the quantized codes (`Σq`, `Σq²` — exact BIGINT sums, so the
+    * CODES are hash-verified, not a float summary of them), and the
+    * worst reconstruction error (a MAX, order-free by construction —
+    * deliberately no float SUM anywhere: an MSE would ride the
+    * decimal-cast boundary hazard documented at [[DetAgg.ScaleP]] for
+    * arbitrary doubles). Rounding is `floor(x + 0.5)` spelled out — not
+    * `round()`, whose half-way tie rule is an engine-dependent hazard.
+    *
+    * At 100 TB: one map-side explode + 64-row broadcast scale relation +
+    * one hash aggregate; embarrassingly parallel.
+    */
+  val embQuantizeInt8: Q = Q(
+    "emb_quantize_int8",
+    Some("""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |x AS (SELECT g.i - 1 AS pos, v[g.i] AS x
+           |      FROM e, LATERAL unnest(generate_series(1, len(v))) AS g(i)),
+           |s AS (SELECT pos, MAX(ABS(x)) AS scale FROM x GROUP BY pos),
+           |q AS (SELECT x.pos, scale, x,
+           |        CASE WHEN scale > 0
+           |          THEN CAST(GREATEST(LEAST(
+           |                 FLOOR(x / scale * 127 + 0.5), 127), -127) AS BIGINT)
+           |          ELSE 0 END AS q
+           |      FROM x JOIN s USING (pos))
+           |SELECT pos, scale,
+           |  CAST(SUM(q) AS BIGINT) AS sum_q,
+           |  CAST(SUM(q * q) AS BIGINT) AS sum_q2,
+           |  MAX(ABS(x - q * scale / 127.0)) AS max_abs_err
+           |FROM q GROUP BY pos, scale""".stripMargin),
+    (s, dir) => {
+      val x = emb(s, dir)
+        .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      val scales = x.groupBy("pos").agg(max(abs(col("x"))).as("scale"))
+      x.join(broadcast(scales), "pos")
+        .withColumn("q",
+          when(col("scale") > 0,
+            greatest(least(
+              floor(col("x") / col("scale") * 127 + 0.5), lit(127L)), lit(-127L)))
+            .otherwise(0L))
+        .groupBy(col("pos").cast("long").as("pos"), col("scale"))
+        .agg(
+          sum(col("q")).as("sum_q"),
+          sum(col("q") * col("q")).as("sum_q2"),
+          max(abs(col("x") - col("q") * col("scale") / lit(127.0))).as("max_abs_err"))
+    })
+
   def all: Seq[Q] =
     Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simIvfFixed, simPq,
       simPqFixed, simIvfPqFixed, semanticDedup, embCentroids, simHardNegatives,
-      decontamSemantic, embDimStats)
+      decontamSemantic, embDimStats, embQuantizeInt8)
 }

@@ -55,4 +55,33 @@ class MannWhitneySpec extends AnyFunSuite {
     val z = mw(a, b).getAs[Double]("z")
     assert(z < -8.0, s"z $z")
   }
+
+  private def rho(pairs: Seq[(Double, Double)], bits: Int = 12): Double = {
+    import spark.implicits._
+    Stats.spearman(pairs.toDF("x", "y"), "x", "y", shardBits = bits)
+      .collect().head.getAs[Double]("rho")
+  }
+
+  test("spearman: any monotone relation scores exactly ±1") {
+    // sqrt(D·D) can sit an ulp off D once D² passes 2^53, so ±1 exact
+    // is not guaranteed by IEEE — assert to 1e-12
+    val xs = (1 to 100).map(_.toDouble)
+    assert(math.abs(rho(xs.map(x => (x, x * x))) - 1.0) < 1e-12)
+    assert(math.abs(rho(xs.map(x => (x, -math.exp(x / 20)))) + 1.0) < 1e-12)
+  }
+
+  test("spearman: matches the textbook tie-averaged hand computation") {
+    // x = (1,2,3,4), y = (10,10,20,30): y-ranks (1.5, 1.5, 3, 4)
+    // d = (−0.5, 0.5, 0, 0) but ties ⇒ use Pearson-on-ranks form:
+    // r_x=(1,2,3,4), r_y=(1.5,1.5,3,4) → ρ = 0.9486832980505138
+    val got = rho(Seq((1.0, 10.0), (2.0, 10.0), (3.0, 20.0), (4.0, 30.0)))
+    assert(math.abs(got - 0.9486832980505138) < 1e-15, s"rho $got")
+  }
+
+  test("spearman: sharded ranks bit-equal across shardBits 1 / 4 / 12") {
+    val pairs = (1 to 500).map(i =>
+      ((i % 37).toDouble, ((i * 13) % 41 + (i % 3) * 0.25)))
+    val rs = Seq(1, 4, 12).map(b => rho(pairs, b))
+    assert(rs.distinct.size == 1, s"$rs")
+  }
 }
