@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.DetAgg
+
+/** Adamic–Adar link prediction (Adamic & Adar 2003) — "which non-edges
+  * look like edges": candidate pair (a, b) scores Σ_w 1/ln(deg w) over
+  * their common neighbors w, weighting rare shared neighbors above
+  * promiscuous hubs. The graph-completion signal a curation stack uses
+  * to PREDICT near-duplicate families the pairwise thresholds missed.
+  *
+  * Shape: wedge enumeration — adjacency self-joined on the center
+  * (a < b kills mirror duplicates), existing edges removed by ONE anti
+  * join, scores a hash aggregate over wedges. Wedge volume is
+  * Σ_w deg(w)², the inherent cost of the definition; at 100 TB the
+  * standard mitigations compose upstream (cap or sample hub adjacency
+  * before calling — same contract as [[Triangles]]' degree orientation).
+  * `deg(w) ≥ 2` holds for every wedge center by construction, so
+  * `ln(deg)` never hits zero. Per-term round-6 + DetAgg decimal sum:
+  * the PMI ln-portability discipline.
+  */
+object LinkPredict {
+
+  /** Top-`k` non-adjacent pairs of canonical (u, v) `edges` by
+    * Adamic–Adar score: (a, b, n_common, aa_score).
+    */
+  def adamicAdar(edges: DataFrame, k: Int = 20): DataFrame = {
+    val e = edges.select(col("u").cast("long"), col("v").cast("long"))
+    val adj = e.select(col("u").as("w"), col("v").as("n"))
+      .union(e.select(col("v").as("w"), col("u").as("n")))
+    val deg = adj.groupBy("w").agg(count(lit(1)).as("d"))
+    val wedges = adj.as("x")
+      .join(adj.as("y"), col("x.w") === col("y.w") && col("x.n") < col("y.n"))
+      .select(col("x.w").as("w"), col("x.n").as("a"), col("y.n").as("b"))
+    wedges
+      .join(e, col("a") === col("u") && col("b") === col("v"), "left_anti")
+      .join(deg, "w")
+      .groupBy("a", "b")
+      .agg(
+        count(lit(1)).as("n_common"),
+        round(DetAgg.dsum(round(lit(1.0) / log(col("d").cast("double")), 6)), 6)
+          .as("aa_score"))
+      .orderBy(col("aa_score").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** The matching DuckDB oracle over an `edges` CTE body (canonical
+    * u < v) — kept adjacent (DetAgg.Sql discipline).
+    */
+  def oracleSql(edgesCte: String, k: Int = 20): String = {
+    val term = "ROUND(1.0 / LN(CAST(d AS DOUBLE)), 6)"
+    s"""WITH edges AS MATERIALIZED ($edgesCte),
+       |adj AS (SELECT u AS w, v AS n FROM edges
+       |        UNION ALL SELECT v, u FROM edges),
+       |deg AS (SELECT w, COUNT(*) AS d FROM adj GROUP BY w),
+       |wed AS (SELECT x.w, x.n AS a, y.n AS b
+       |        FROM adj x JOIN adj y ON x.w = y.w AND x.n < y.n),
+       |cand AS (SELECT wed.w, wed.a, wed.b FROM wed
+       |         LEFT JOIN edges e ON e.u = wed.a AND e.v = wed.b
+       |         WHERE e.u IS NULL)
+       |SELECT a, b, COUNT(*) AS n_common,
+       |  ROUND(${DetAgg.Sql.dsum(term)}, 6) AS aa_score
+       |FROM cand JOIN deg USING (w)
+       |GROUP BY a, b
+       |ORDER BY aa_score DESC, a, b LIMIT $k""".stripMargin
+  }
+}

@@ -174,5 +174,81 @@ object CoreQueries {
         .groupBy("bx", "by")
         .agg(count(lit(1)).as("n")))
 
-  def all: Seq[Q] = Seq(q1Agg, q1Full, p1Filter, j2Dim, q3Shipping, hist2d)
+  /** TPC-H Q5 shape — local supplier volume: the 6-way star+snowflake
+    * join (customer × orders × lineitem × supplier × nation × region)
+    * with the co-location predicate `c_nationkey = s_nationkey`. Plan
+    * contract: region→nation is a broadcast chain onto supplier; the
+    * two fact joins shuffle on their natural keys; the date filter
+    * pushes into the orders scan. This is the canonical "does the
+    * optimizer order a snowflake correctly" probe.
+    */
+  val q5LocalSupplier: Q = Q(
+    "q5_local_supplier_volume",
+    Some(s"""SELECT n_name,
+            |  ROUND(${D.dsum("l_extendedprice * (1 - l_discount)")}, 6) AS revenue
+            |FROM customer
+            |JOIN orders ON c_custkey = o_custkey
+            |JOIN lineitem ON l_orderkey = o_orderkey
+            |JOIN supplier ON l_suppkey = s_suppkey
+            |  AND c_nationkey = s_nationkey
+            |JOIN nation ON s_nationkey = n_nationkey
+            |JOIN region ON n_regionkey = r_regionkey
+            |WHERE r_name = 'ASIA'
+            |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+            |  AND o_orderdate < TIMESTAMP '1998-01-01'
+            |GROUP BY n_name""".stripMargin),
+    (s, dir) => {
+      val nat = Tables.load(s, dir, "nation")
+      val reg = Tables.load(s, dir, "region").filter(col("r_name") === "ASIA")
+      val sup = Tables.load(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      val o = ord(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      cust(s, dir)
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(li(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(round(
+          DetAgg.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("revenue"))
+    })
+
+  /** TPC-H Q18 shape — large-volume customers: the HAVING-driven
+    * semi-join (orders whose line quantities sum past a threshold, then
+    * the customer/order detail for exactly those). The big aggregate
+    * runs FIRST and only its survivors join back — the fact table never
+    * carries customer columns through the heavy aggregation.
+    */
+  val q18LargeVolume: Q = Q(
+    "q18_large_volume_customer",
+    Some(s"""WITH big AS (
+            |  SELECT l_orderkey, ${D.dsum("l_quantity")} AS sum_qty
+            |  FROM lineitem GROUP BY l_orderkey
+            |  HAVING ${D.dsum("l_quantity")} > 250.0)
+            |SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+            |FROM big
+            |JOIN orders ON o_orderkey = l_orderkey
+            |JOIN customer ON c_custkey = o_custkey
+            |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin),
+    (s, dir) => {
+      val big = li(s, dir).groupBy("l_orderkey")
+        .agg(DetAgg.dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
+      big
+        .join(ord(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(cust(s, dir), col("c_custkey") === col("o_custkey"))
+        .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    })
+
+  def all: Seq[Q] = Seq(
+    q1Agg, q1Full, p1Filter, j2Dim, q3Shipping, hist2d,
+    q5LocalSupplier, q18LargeVolume)
 }

@@ -794,9 +794,43 @@ object GroupingQueries {
       })
   }
 
+  /** Adamic–Adar link prediction over the same co-occurrence graph as
+    * [[triangles]] ([[graft.operators.LinkPredict]]): top-20 non-edges
+    * by common-neighbor score, wedge enumeration + one anti join,
+    * per-term round-6 ln through DetAgg. Predicts the near-dup family
+    * links the pairwise thresholds missed.
+    */
+  val adamicAdar: Q = {
+    val edgesCte =
+      """SELECT DISTINCT LEAST(l1.l_suppkey, l2.l_suppkey) AS u,
+        |       GREATEST(l1.l_suppkey, l2.l_suppkey) AS v
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |    AND l1.l_linenumber = 1 AND l2.l_linenumber = 2
+        |    AND l1.l_suppkey <> l2.l_suppkey""".stripMargin
+    Q(
+      "graph_adamic_adar",
+      Some(graft.operators.LinkPredict.oracleSql(edgesCte, k = 20)),
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_suppkey")
+        val pairs = l.as("l1")
+          .join(l.as("l2"),
+            col("l1.l_orderkey") === col("l2.l_orderkey") &&
+              col("l1.l_linenumber") === 1 && col("l2.l_linenumber") === 2 &&
+              col("l1.l_suppkey") =!= col("l2.l_suppkey"))
+          .select(
+            least(col("l1.l_suppkey"), col("l2.l_suppkey")).as("u"),
+            greatest(col("l1.l_suppkey"), col("l2.l_suppkey")).as("v"))
+          .distinct()
+        graft.operators.LinkPredict.adamicAdar(pairs, k = 20)
+      })
+  }
+
   def all: Seq[Q] = Seq(
     rollup, cube_, groupingSets, approxDistinct, distinctExact,
     tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore,
     freqItems, zorderExport, logregQuality, percentileRank, equidepthHist,
-    winsorize, pagerank, triangles, labelProp, cmsTopk, kcore, hllDistinct)
+    winsorize, pagerank, triangles, labelProp, cmsTopk, kcore, hllDistinct,
+    adamicAdar)
 }

@@ -218,8 +218,41 @@ object MiscQueries {
           DetAgg.dsum(col("s_acctbal")).as("sum_bal"))
     })
 
+  /** A15-adjacent: per-group MODE (most frequent value, smallest-value
+    * tie-break) — the categorical summary missing from the A-family.
+    * Deterministic argmax WITHOUT a window: `min(struct(-cnt, v))` over
+    * the (group, value) count relation — struct ordering is
+    * lexicographic in both engines, so the pick is the (max count, min
+    * value) pair by construction, and the plan is two hash aggregates
+    * with map-side partials (no per-group sort, no window; at 100 TB the
+    * count relation is bounded by distinct values per group).
+    */
+  val a15Mode: Q = Q(
+    "a15_mode",
+    Some("""WITH c AS (
+           |  SELECT l_returnflag, l_quantity AS v, COUNT(*) AS cnt
+           |  FROM lineitem WHERE l_quantity IS NOT NULL
+           |  GROUP BY l_returnflag, l_quantity),
+           |m AS (
+           |  SELECT l_returnflag,
+           |    MIN(struct_pack(nc := -cnt, v := v)) AS p FROM c
+           |  GROUP BY l_returnflag)
+           |SELECT l_returnflag, p.v AS mode_value, -p.nc AS n_mode
+           |FROM m""".stripMargin),
+    (s, dir) => {
+      val c = li(s, dir).filter(col("l_quantity").isNotNull)
+        .groupBy(col("l_returnflag"), col("l_quantity").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      c.groupBy("l_returnflag")
+        .agg(min(struct((-col("cnt")).as("nc"), col("v"))).as("p"))
+        .select(
+          col("l_returnflag"),
+          col("p.v").as("mode_value"),
+          (-col("p.nc")).as("n_mode"))
+    })
+
   def all: Seq[Q] = Seq(
     p3NullDrop, p7ErrorProp, r3PivotMean, a6ConditionalAgg, a4ScalarAgg,
     s2CsvRoundtrip, p12ColumnSets, jSemiAnti, sOrcRoundtrip,
-    sParquetSchemaMerge)
+    sParquetSchemaMerge, a15Mode)
 }

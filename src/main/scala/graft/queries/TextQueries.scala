@@ -2039,7 +2039,62 @@ object TextQueries {
           col("rank_in_domain").cast("long").as("rank_in_stratum"))
     })
 
+  /** Zipf-law fit over the token frequency spectrum — the corpus-health
+    * statistic (natural language sits near slope −1; a slope far off
+    * flags boilerplate floods or tokenizer damage). Log-log OLS over the
+    * top-1000 tokens: ranks from a TakeOrdered top-k (the window that
+    * assigns ranks runs over the ALREADY-CUT 1000-row relation — bounded
+    * by construction, the [[graft.plans.ScalarExpressions.singlePartitionKey]]
+    * contract), round-6 lns, scale-12 exact product moments
+    * ([[DetAgg.dsumP]]), slope/intercept one fixed IEEE tail.
+    */
+  val textZipfFit: Q = Q(
+    "text_zipf_fit",
+    Some(s"""WITH tok AS (
+            |  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS t
+            |  FROM documents),
+            |c AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+            |topk AS (SELECT t, cnt FROM c ORDER BY cnt DESC, t LIMIT 1000),
+            |r AS (SELECT cnt,
+            |    ROW_NUMBER() OVER (ORDER BY cnt DESC, t) AS rk FROM topk),
+            |p AS (SELECT ROUND(LN(CAST(rk AS DOUBLE)), 6) AS x,
+            |        ROUND(LN(CAST(cnt AS DOUBLE)), 6) AS y FROM r),
+            |t2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            |    ${D.dsum("x")} AS sx, ${D.dsum("y")} AS sy,
+            |    ${D.dsumP("x * y")} AS sxy, ${D.dsumP("x * x")} AS sxx
+            |  FROM p)
+            |SELECT n,
+            |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+            |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+            |    AS intercept
+            |FROM t2""".stripMargin),
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      val topk = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t")).limit(1000)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.plans.ScalarExpressions.singlePartitionKey(col("cnt")))
+        .orderBy(col("cnt").desc, col("t"))
+      val p = topk.withColumn("rk", row_number().over(w))
+        .select(
+          round(log(col("rk").cast("double")), 6).as("x"),
+          round(log(col("cnt").cast("double")), 6).as("y"))
+      val t2 = p.agg(
+        count(lit(1)).as("n"),
+        DetAgg.dsum(col("x")).as("sx"), DetAgg.dsum(col("y")).as("sy"),
+        DetAgg.dsumP(col("x") * col("y")).as("sxy"),
+        DetAgg.dsumP(col("x") * col("x")).as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      t2.select(
+        col("n"),
+        slope.as("zipf_slope"),
+        ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+    })
+
   def all: Seq[Q] = Seq(
+    textZipfFit,
     textNgramNovelty, sampleFixedPerStratum,
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
     textBpePairs, textNormalize, textGopherRules, textWinnow, textCollocations,

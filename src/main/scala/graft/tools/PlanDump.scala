@@ -37,7 +37,16 @@ object PlanDump {
     "dedup_semantic_pairs" -> "SemDeDup: nearest-centroid assignment, pair join INSIDE each cell - cluster column doubles as storage partition key",
     "text_lm_score" -> "char-trigram LM scoring: min-count-capped model broadcasts (bounded on junk corpora, not just real text); scoring is ONE map-only pass — a code-point window over each doc against packed-key model maps, no per-trigram rows, no shuffle",
     "pipeline_perplexity_mix" -> "CCNet-shaped mix: map-only LM scoring -> broadcast per-source median gate -> budget fill with rank-guard + ROWS cumsum (WindowGroupLimit prunes map-side) -> per-source report",
-    "text_hybrid_rrf" -> "RRF fusion: both retrievers keep their own scale-safe plans; ranks + full-outer fuse run over the already-cut top-k lists (bounded windows)")
+    "text_hybrid_rrf" -> "RRF fusion: both retrievers keep their own scale-safe plans; ranks + full-outer fuse run over the already-cut top-k lists (bounded windows)",
+    "j_bloom_prune" -> "bloom literal (built by a distributed mergeable sketch aggregate, collected as ONE row) filters the probe scan MAP-SIDE before the exact semi join — the runtime-filter pattern made explicit",
+    "maint_snapshot_diff" -> "CDC diff: ONE full-outer hash join on the key; change classification is row-local CASE arithmetic, nothing windows",
+    "e4_asof_nearest" -> "nearest as-of: ONE exchange on the key, TWO sorts (backward carry-forward + forward carry-backward windows), row-local nearer-pick — no range-join row explosion",
+    "stat_mannwhitney" -> "rank statistic on the sharded kernel: distinct-value relation, hash-partitioned per-shard cumulative windows, bounded offsets broadcast; integer rank sums, one-row IEEE tail",
+    "stat_spearman" -> "two sharded-rank relations (quantity discrete, price near-continuous — no corpus-wide window either way) hash-joined back to rows; exact BIGINT moments, one-row IEEE tail",
+    "sketch_cms_topk" -> "count-min counters: d map passes over the scan union into ONE bounded (d x w)-cell aggregate; estimates via a bounded counter join, min over d cells",
+    "sketch_hll_distinct" -> "HLL registers: map-side partial MAX aggregate collapsing to 256 cells before the exchange; estimate is a 1-row fold, exact-count side by side",
+    "text_entropy" -> "char explode combines map-side to <= alphabet rows per doc before the shuffle; DetAgg decimal weighted sum; bounded top-100 TakeOrdered",
+    "emb_quantize_int8" -> "per-dim scale as a 64-row BROADCAST; quantize + checksum in one hash aggregate over the exploded relation — embarrassingly parallel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
