@@ -34,14 +34,19 @@ object LinkPredict {
     val wedges = adj.as("x")
       .join(adj.as("y"), col("x.w") === col("y.w") && col("x.n") < col("y.n"))
       .select(col("x.w").as("w"), col("x.n").as("a"), col("y.n").as("b"))
+    // aggregate per pair BEFORE the anti join: the anti join then probes
+    // |distinct pairs| rows, not |wedges| (the aggregation is per-pair
+    // independent, so removing edge-pairs before or after it is the same
+    // result — only the probe volume changes). deg is a node-count-sized
+    // relation: broadcast.
     wedges
-      .join(e, col("a") === col("u") && col("b") === col("v"), "left_anti")
-      .join(deg, "w")
+      .join(broadcast(deg), "w")
       .groupBy("a", "b")
       .agg(
         count(lit(1)).as("n_common"),
         round(DetAgg.dsum(round(lit(1.0) / log(col("d").cast("double")), 6)), 6)
           .as("aa_score"))
+      .join(e, col("a") === col("u") && col("b") === col("v"), "left_anti")
       .orderBy(col("aa_score").desc, col("a"), col("b"))
       .limit(k)
   }

@@ -614,6 +614,42 @@ object ScaleProbe {
           Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
           .groupBy("change").count().count()
       }
+      timed("spearman", c) {
+        // two sharded-rank relations; copies multiply ROWS and (via the
+        // orderkey shift) the price column's distinct-value count — the
+        // near-continuous case the sharding exists for
+        val l = scaled(li, c).withColumn(
+          "px", col("l_extendedprice") + col("l_orderkey") % 97)
+        graft.functions.Stats.spearman(l, "l_quantity", "px").count()
+      }
+      timed("hll_registers", c) {
+        // register state is 2^p cells at ANY input size: wall must track
+        // the scan, output rows stay 256
+        val vals = scaled(li, c)
+          .select((col("l_partkey") + col("l_orderkey") % 1000003).as("v"))
+          .filter(col("v").isNotNull)
+        graft.operators.Hll.registers(vals).count()
+      }
+      timed("adamic_adar", c) {
+        // disjoint graph replicas (same fixture as label_prop/kcore):
+        // wedge volume grows linearly when hubs don't — the documented
+        // Σdeg² contract
+        val l = (0 until c).map(i => li.select(
+          (col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+          col("l_linenumber"),
+          (col("l_suppkey") + lit(i.toLong * 10000000L)).as("l_suppkey")))
+          .reduce(_ unionAll _)
+        val pairs = l.as("l1")
+          .join(l.as("l2"),
+            col("l1.l_orderkey") === col("l2.l_orderkey") &&
+              col("l1.l_linenumber") === 1 && col("l2.l_linenumber") === 2 &&
+              col("l1.l_suppkey") =!= col("l2.l_suppkey"))
+          .select(
+            least(col("l1.l_suppkey"), col("l2.l_suppkey")).as("u"),
+            greatest(col("l1.l_suppkey"), col("l2.l_suppkey")).as("v"))
+          .distinct()
+        graft.operators.LinkPredict.adamicAdar(pairs, k = 20).count()
+      }
       timed("domain_cap_skew", c) {
         // 90% of rows in ONE head domain: the salted tournament must keep
         // wall flat-ish (stage-1 windows bounded by salt fan-in) where the
