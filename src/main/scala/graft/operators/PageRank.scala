@@ -80,6 +80,105 @@ object PageRank {
     r
   }
 
+  /** Personalized PageRank (random walk with restart to a SEED set —
+    * the graph-proximity score behind "related items" and near-dup
+    * family expansion): identical integer fixed point to [[fixedPoint]]
+    * except the restart mass and the dangling redistribution flow to
+    * the seeds alone (uniformly), so ranks measure proximity TO the
+    * seeds rather than global centrality. Same plan shape and lineage
+    * discipline per round; the seed relation is broadcast-joined into
+    * the rank fold (a flag column, not a filter, so non-seeds keep
+    * their contribution-only rank).
+    */
+  def personalized(
+      edges: DataFrame,
+      seeds: DataFrame, // one column `node`
+      iters: Int = 10,
+      checkpointInterval: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters $iters out of range")
+    require(checkpointInterval >= 1, "checkpointInterval must be positive")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
+    val sd = seeds.select(col("node").cast("long")).distinct()
+      .withColumn("__seed", lit(true))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(broadcast(sd), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__seed"), lit(false)).as("__s"))
+      .localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__d"))
+      .localCheckpoint(true)
+    val ns = nodes.agg(sum(when(col("__s"), 1L).otherwise(0L)).as("__ns"))
+    var r: DataFrame = nodes.crossJoin(broadcast(ns))
+      .select(col("node"), col("__s"),
+        when(col("__s"), expr(s"${Scale}L div __ns")).otherwise(0L).as("rank"))
+      .localCheckpoint(true)
+    for (i <- 1 to iters) {
+      val contrib = e
+        .join(r, e("src") === r("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("rank div __d").as("__c"))
+        .groupBy("dst").agg(sum("__c").as("__s2"))
+      val dangling = r
+        .join(deg, r("node") === deg("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0L)).as("__dang"))
+      r = nodes.crossJoin(broadcast(ns)).crossJoin(broadcast(dangling))
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(
+          col("node"), col("__s"),
+          (when(col("__s"),
+            expr(s"(15 * ${Scale}L div 100) div __ns")
+              + expr("85 * (__dang div __ns) div 100")).otherwise(0L)
+            + expr("85 * coalesce(__s2, 0L) div 100"))
+            .as("rank"))
+      if (i % checkpointInterval == 0 || i == iters) r = r.localCheckpoint(true)
+    }
+    r.select("node", "rank")
+  }
+
+  /** Oracle for [[personalized]] over `edges` and `seeds` CTE bodies —
+    * kept adjacent (DetAgg.Sql discipline).
+    */
+  def personalizedOracleSql(
+      edgesCte: String,
+      seedsCte: String,
+      iters: Int = 10,
+      k: Int = 20): String = {
+    val its = (1 to iters).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT e.dst, SUM(r.rank // deg.d) AS cs
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg ON deg.src = e.src GROUP BY e.dst),
+         |d$i AS MATERIALIZED (
+         |  SELECT COALESCE(SUM(r.rank), 0) AS dang
+         |  FROM r${i - 1} r LEFT JOIN deg ON deg.src = r.node
+         |  WHERE deg.src IS NULL),
+         |r$i AS MATERIALIZED (
+         |  SELECT nodes.node, nodes.s,
+         |    CASE WHEN nodes.s THEN
+         |        (15 * $Scale // 100) // ns + 85 * (dang // ns) // 100
+         |      ELSE 0 END
+         |      + 85 * COALESCE(cs, 0) // 100 AS rank
+         |  FROM nodes CROSS JOIN n CROSS JOIN d$i
+         |  LEFT JOIN s$i ON s$i.dst = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED ($edgesCte),
+       |seeds AS MATERIALIZED (SELECT DISTINCT node FROM ($seedsCte)),
+       |nodes AS MATERIALIZED (
+       |  SELECT x.node, seeds.node IS NOT NULL AS s FROM
+       |    (SELECT DISTINCT src AS node FROM edges
+       |     UNION SELECT DISTINCT dst FROM edges) x
+       |  LEFT JOIN seeds ON seeds.node = x.node),
+       |deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+       |n AS MATERIALIZED (SELECT SUM(CASE WHEN s THEN 1 ELSE 0 END) AS ns FROM nodes),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, CASE WHEN s THEN $Scale // ns ELSE 0 END AS rank
+       |  FROM nodes CROSS JOIN n),
+       |$its
+       |SELECT node, rank FROM r$iters ORDER BY rank DESC, node LIMIT $k""".stripMargin
+  }
+
   /** The matching DuckDB oracle text over an `edges` CTE body with
     * (src, dst) columns — kept adjacent to [[fixedPoint]] (the
     * DetAgg.Sql discipline) so the two iteration bodies can never

@@ -167,6 +167,51 @@ object EventQueries {
         .select("event_id", "user_id", "asof_value")
     })
 
+  /** Batch point-in-interval join on the BUCKETED scale path
+    * ([[graft.operators.IntervalJoin]]): purchases falling inside "hot"
+    * promo windows (hours with ≥ 4 views, widened to [hour−30 min,
+    * hour+90 min) so intervals OVERLAP and cross bucket edges — the
+    * non-aligned case the bucket+refine pattern exists for). A bare
+    * range join with no equi key plans as BroadcastNestedLoop — the
+    * 100 TB cliff; here intervals explode into their 2-3 covered
+    * buckets, points map to ONE bucket, the join is a plain equi
+    * shuffle, and the exact range refine is row-local. The oracle runs
+    * the naive range join, so the hash match proves the bucketing
+    * emits exactly the contained pairs (no duplicates: a pair can meet
+    * only in the point's bucket).
+    */
+  val e10IntervalJoin: Q = Q(
+    "e10_interval_join",
+    Some(s"""WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+            |hot AS (SELECT (us // 3600000000) AS hb
+            |        FROM e WHERE event_type = 'view'
+            |        GROUP BY 1 HAVING COUNT(*) >= 4),
+            |iv AS (SELECT hb, hb * 3600000000 - 1800000000 AS lo,
+            |               hb * 3600000000 + 5400000000 AS hi FROM hot),
+            |p AS (SELECT us, value FROM e WHERE event_type = 'purchase')
+            |SELECT hb, COUNT(*) AS n_purchase,
+            |  ${D.dsum("value")} AS sum_value
+            |FROM iv JOIN p ON p.us >= iv.lo AND p.us < iv.hi
+            |GROUP BY hb""".stripMargin),
+    (s, dir) => {
+      val e = ev(s, dir).withColumn("us", unix_micros(col("ts")))
+      val hot = e.filter(col("event_type") === "view")
+        .groupBy(expr("us div 3600000000").as("hb"))
+        .agg(count(lit(1)).as("nv")).filter(col("nv") >= 4)
+        .select(
+          col("hb"),
+          (col("hb") * 3600000000L - 1800000000L).as("lo"),
+          (col("hb") * 3600000000L + 5400000000L).as("hi"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("us", "value")
+      graft.operators.IntervalJoin
+        .pointInInterval(purchases, hot, "us", "lo", "hi", 3600000000L)
+        .groupBy("hb")
+        .agg(
+          count(lit(1)).as("n_purchase"),
+          DetAgg.dsum(col("value")).as("sum_value"))
+    })
+
   /** Conversion funnel (view → click → purchase): per user, the first
     * view, the first click strictly after it, the first purchase
     * strictly after that — stage survivor counts. Works on RAW
@@ -396,5 +441,6 @@ object EventQueries {
 
   def all: Seq[Q] = Seq(
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e4AsofNearest, e5Funnel,
-    e6Retention, e7Rolling, e8Resample, e9Anomaly, streamAnomaly)
+    e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,
+    streamAnomaly)
 }

@@ -827,10 +827,44 @@ object GroupingQueries {
       })
   }
 
+  /** Personalized PageRank from the five heaviest customers
+    * ([[graft.operators.PageRank.personalized]]): random walk with
+    * restart — the graph-proximity score behind "related items" /
+    * near-dup family expansion. Same replayable integer fixed point as
+    * `graph_pagerank`, restart + dangling mass flowing to the seeds;
+    * the oracle replays all 10 rounds AND the seed selection.
+    */
+  val ppr: Q = {
+    val edgesCte =
+      """SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey""".stripMargin
+    val seedsCte =
+      """SELECT o_custkey AS node FROM orders
+        |  GROUP BY o_custkey ORDER BY COUNT(*) DESC, o_custkey LIMIT 5""".stripMargin
+    Q(
+      "graph_ppr",
+      Some(graft.operators.PageRank
+        .personalizedOracleSql(edgesCte, seedsCte, iters = 10, k = 20)),
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders").select("o_custkey", "o_orderkey")
+        val l = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(
+            col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst"))
+          .distinct()
+        val seeds = o.groupBy("o_custkey").agg(count(lit(1)).as("__n"))
+          .orderBy(col("__n").desc, col("o_custkey")).limit(5)
+          .select(col("o_custkey").as("node"))
+        graft.operators.PageRank.personalized(edges, seeds, iters = 10)
+          .orderBy(col("rank").desc, col("node")).limit(20)
+      })
+  }
+
   def all: Seq[Q] = Seq(
     rollup, cube_, groupingSets, approxDistinct, distinctExact,
     tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore,
     freqItems, zorderExport, logregQuality, percentileRank, equidepthHist,
     winsorize, pagerank, triangles, labelProp, cmsTopk, kcore, hllDistinct,
-    adamicAdar)
+    adamicAdar, ppr)
 }

@@ -2093,8 +2093,46 @@ object TextQueries {
         ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
     })
 
+  /** Vocabulary coverage per source — tokenizer-fit health: the share of
+    * token OCCURRENCES each source draws from the corpus-wide top-1000
+    * vocabulary (a proxy for "will a fixed tokenizer fragment this
+    * slice"). One token aggregate, a TakeOrdered vocab cut, a broadcast
+    * membership join, one per-source rollup; the coverage division is a
+    * single IEEE op, portable unrounded.
+    */
+  val textVocabCoverage: Q = Q(
+    "text_vocab_coverage",
+    Some("""WITH tok AS (
+           |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS t
+           |  FROM documents),
+           |c AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+           |vocab AS (SELECT t FROM c ORDER BY cnt DESC, t LIMIT 1000),
+           |st AS (SELECT source, tok.t,
+           |         (vocab.t IS NOT NULL) AS in_v
+           |       FROM tok LEFT JOIN vocab ON vocab.t = tok.t)
+           |SELECT source, COUNT(*) AS n_tok,
+           |  CAST(SUM(CASE WHEN in_v THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
+           |  CAST(SUM(CASE WHEN in_v THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+           |    AS coverage
+           |FROM st GROUP BY source""".stripMargin),
+    (s, dir) => {
+      val tok = docs(s, dir).select(
+        col("source"), explode(TextFunctions.tokens(col("text"))).as("t"))
+      val vocab = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("t")).limit(1000)
+        .select(col("t"), lit(true).as("__inv"))
+      tok.join(broadcast(vocab), Seq("t"), "left")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_tok"),
+          sum(when(col("__inv"), 1L).otherwise(0L)).as("n_in_vocab"))
+        .select(
+          col("source"), col("n_tok"), col("n_in_vocab"),
+          (col("n_in_vocab").cast("double") / col("n_tok")).as("coverage"))
+    })
+
   def all: Seq[Q] = Seq(
-    textZipfFit,
+    textZipfFit, textVocabCoverage,
     textNgramNovelty, sampleFixedPerStratum,
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
     textBpePairs, textNormalize, textGopherRules, textWinnow, textCollocations,

@@ -53,6 +53,42 @@ class PageRankSpec extends AnyFunSuite {
     assert(got == Map(1L -> r1, 2L -> r2), s"got $got expected ($r1, $r2)")
   }
 
+  test("personalized: mass cannot reach a disconnected component") {
+    import spark.implicits._
+    // component A: 1→2→1; component B: 10→11→10. Seed = {1}.
+    val edges = Seq((1L, 2L), (2L, 1L), (10L, 11L), (11L, 10L)).toDF("src", "dst")
+    val seeds = Seq(1L).map(Tuple1(_)).toDF("node")
+    val r = PageRank.personalized(edges, seeds, iters = 8)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(10L) == 0L && r(11L) == 0L, s"leak into B: $r")
+    assert(r(1L) > 0L && r(2L) > 0L)
+    assert(r(1L) > r(2L), "the restart keeps the seed ahead of its neighbor")
+  }
+
+  test("personalized: uniform over seeds, zero elsewhere at iteration start") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L).map(Tuple1(_)).toDF("node")
+    // after any number of rounds total mass stays ≤ Scale (floor leak only)
+    val total = PageRank.personalized(edges, seeds, iters = 5)
+      .agg(sum("rank")).collect().head.getLong(0)
+    assert(total <= PageRank.Scale && PageRank.Scale - total < 3L * 100L * 5L)
+  }
+
+  test("personalized ranks are partitioning-invariant") {
+    import spark.implicits._
+    val edges = (0 until 200)
+      .map(i => ((i % 40).toLong, ((i * 7) % 40).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("src", "dst").distinct()
+    val seeds = Seq(3L, 17L).map(Tuple1(_)).toDF("node")
+    val a = PageRank.personalized(edges, seeds, iters = 6)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val b = PageRank.personalized(edges.repartition(13, col("src")), seeds, iters = 6)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("ranks are partitioning-invariant (pure integer arithmetic)") {
     import spark.implicits._
     val edges = (0 until 200)
