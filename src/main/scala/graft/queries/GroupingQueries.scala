@@ -861,10 +861,37 @@ object GroupingQueries {
       })
   }
 
+  /** 2-D skyline (Pareto frontier) of lineitem on (price, quantity),
+    * minimizing both ([[graft.operators.Skyline]]): the classic
+    * multi-criteria operator, reduced to a distinct-pair aggregate plus
+    * a sharded strict-prefix-min — never the quadratic dominance join.
+    * Oracle = the single-window sort-scan form (the w6 discipline: the
+    * naive window IS the oracle, proving the sharded plan bit-equal);
+    * SkylineSpec separately pins the sort-scan form against the brute
+    * NOT-EXISTS dominance definition.
+    */
+  val skyline: Q = Q(
+    "agg_skyline",
+    Some("""WITH d AS (
+           |  SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+           |         MIN(CAST(l_quantity AS DOUBLE)) AS y
+           |  FROM lineitem
+           |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+           |  GROUP BY 1),
+           |s AS (SELECT x, y,
+           |    MIN(y) OVER (ORDER BY x
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+           |  FROM d)
+           |SELECT x AS l_extendedprice, y AS l_quantity FROM s
+           |WHERE prior IS NULL OR y < prior""".stripMargin),
+    (s, dir) =>
+      graft.operators.Skyline.skyline2d(
+        Tables.load(s, dir, "lineitem"), "l_extendedprice", "l_quantity"))
+
   def all: Seq[Q] = Seq(
     rollup, cube_, groupingSets, approxDistinct, distinctExact,
     tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore,
     freqItems, zorderExport, logregQuality, percentileRank, equidepthHist,
     winsorize, pagerank, triangles, labelProp, cmsTopk, kcore, hllDistinct,
-    adamicAdar, ppr)
+    adamicAdar, ppr, skyline)
 }

@@ -650,6 +650,51 @@ object ScaleProbe {
           .distinct()
         graft.operators.LinkPredict.adamicAdar(pairs, k = 20).count()
       }
+      timed("interval_join", c) {
+        // copies grow points AND intervals linearly (disjoint hour
+        // ranges via the orderkey shift trick on events-like longs);
+        // join volume = points + interval spans/width — an equi shuffle
+        val ev = graft.streaming.EventsStream.readBatch(spark, s"$sfDir/events.parquet")
+          .withColumn("us", unix_micros(col("ts")))
+        val pts = (0 until c).map(i => ev
+          .filter(col("event_type") === "purchase")
+          .select((col("us") + lit(i.toLong * 4000000000000L)).as("us"), col("value")))
+          .reduce(_ unionAll _)
+        val hot = (0 until c).map(i => ev
+          .filter(col("event_type") === "view")
+          .select((col("us") + lit(i.toLong * 4000000000000L)).as("us")))
+          .reduce(_ unionAll _)
+          .groupBy(expr("us div 3600000000").as("hb"))
+          .agg(count(lit(1)).as("nv")).filter(col("nv") >= 4)
+          .select(col("hb"),
+            (col("hb") * 3600000000L - 1800000000L).as("lo"),
+            (col("hb") * 3600000000L + 5400000000L).as("hi"))
+        graft.operators.IntervalJoin
+          .pointInInterval(pts, hot, "us", "lo", "hi", 3600000000L)
+          .groupBy("hb").count().count()
+      }
+      timed("ppr", c) {
+        // same disjoint-replica growth as the pagerank probe; seeds
+        // replicate per copy so walk mass stays local to each replica
+        val o = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select("o_custkey", "o_orderkey")
+        val edges = (0 until c).map { i =>
+          val oo = o.select(
+            (col("o_custkey") + lit(i.toLong * 10000000L)).as("src0"),
+            (col("o_orderkey") + lit(i.toLong * 100000000L)).as("ok"))
+          val ll = li.select(
+            (col("l_orderkey") + lit(i.toLong * 100000000L)).as("ok2"),
+            (col("l_suppkey") + lit(i.toLong * 10000000L) + 1000000L).as("dst"))
+          oo.join(ll, col("ok") === col("ok2"))
+            .select(col("src0").as("src"), col("dst"))
+        }.reduce(_ unionAll _).distinct()
+        val seeds = (0 until c).map(i =>
+          o.groupBy((col("o_custkey") + lit(i.toLong * 10000000L)).as("node"))
+            .agg(count(lit(1)).as("n"))
+            .orderBy(col("n").desc, col("node")).limit(5).select("node"))
+          .reduce(_ unionAll _)
+        graft.operators.PageRank.personalized(edges, seeds, iters = 10).count()
+      }
       timed("domain_cap_skew", c) {
         // 90% of rows in ONE head domain: the salted tournament must keep
         // wall flat-ish (stage-1 windows bounded by salt fan-in) where the
