@@ -54,4 +54,29 @@ object Anomaly {
         col("__dev") > lit(k) * lit(1.4826) * col("mad"))
       .drop("__dev")
   }
+
+  /** One-sided CUSUM control chart (Page 1954) over an INTEGER-valued
+    * pre-aggregated bucket series, without the recursive clamp:
+    * `S_t = max(0, S_{t−1} + d_t)` over the demeaned increments equals
+    * `P_t − min(0, min_{j≤t} P_j)` on their prefix sums, so two running
+    * windows replace the recursion. The target is `⌊Σx / n⌋` (integer
+    * division, not a float mean), so the whole statistic is exact
+    * integer and engine-portable with no rounding. Windows run over the
+    * pre-aggregated series — bounded by the time span, the e9
+    * discipline ([[graft.plans.ScalarExpressions.singlePartitionKey]]).
+    * Output: input columns + `cusum`.
+    */
+  def cusum(buckets: DataFrame, t: String, x: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = buckets.agg(
+      sum(col(x)).as("__tot"), count(lit(1)).as("__n"))
+    val w = Window.partitionBy(
+      graft.plans.ScalarExpressions.singlePartitionKey(col(t)))
+      .orderBy(t).rowsBetween(Window.unboundedPreceding, 0)
+    buckets.crossJoin(broadcast(tot))
+      .withColumn("__pf", sum(col(x) - expr("__tot div __n")).over(w))
+      .withColumn("__lo", least(min(col("__pf")).over(w), lit(0L)))
+      .withColumn("cusum", col("__pf") - col("__lo"))
+      .drop("__tot", "__n", "__pf", "__lo")
+  }
 }

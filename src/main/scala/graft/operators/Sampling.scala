@@ -529,4 +529,41 @@ object Sampling {
       .withColumn("rank_in_domain", row_number().over(stage2))
       .filter(col("rank_in_domain") <= k)
   }
+
+  /** Systematic probability-proportional-to-size sampling (the survey
+    * statistician's exact-k weighted draw, Madow 1949): lay every row's
+    * integer weight end-to-end in id order and take the rows containing
+    * positions `j·W/k, j = 1…k` — heavy rows can be hit multiple times
+    * (their multiplicity is the repeat factor a mixing pipeline feeds to
+    * [[upsample]]). ENTIRELY integer: a row's hit count is
+    * `⌊E·k/W⌋ − ⌊(E−w)·k/W⌋` on the inclusive weight prefix E, so the
+    * draw is deterministic on any engine and Σ hits = k exactly, with
+    * inclusion probability ∝ weight — no floating point, no RNG, no
+    * rejection pass.
+    *
+    * The prefix rides [[shardedPrefix]] under a constant stratum (the
+    * bounded-offsets kernel; no corpus-wide window), so this is the
+    * scale tier AND the only tier — the oracle replays the single-window
+    * cumsum form, proving the sharded prefix bit-equal on the full pipe.
+    */
+  def ppsSystematic(
+      df: DataFrame,
+      id: String,
+      weight: Column,
+      k: Int,
+      shardBits: Int = 12): DataFrame = {
+    require(k >= 1, s"k $k out of range")
+    val base = df.select(col(id), weight.cast("long").as("__w"))
+      .withColumn("__all", lit(0))
+    val pre = shardedPrefix(base, Seq("__all"), Some(col("__w")),
+      col(id), col(id), shardBits)
+    // NOT "__W": Spark resolves case-insensitively, so __W would be
+    // ambiguous against the per-row __w
+    val tot = base.agg(sum(col("__w")).as("__wtot"))
+    pre.crossJoin(broadcast(tot))
+      .withColumn("__hits",
+        expr(s"(__gcum * $k) div __wtot - ((__gcum - __w) * $k) div __wtot"))
+      .filter(col("__hits") >= 1)
+      .select(col(id), col("__w").as("weight"), col("__hits").as("n_hits"))
+  }
 }

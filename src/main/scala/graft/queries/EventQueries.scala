@@ -212,6 +212,43 @@ object EventQueries {
           DetAgg.dsum(col("value")).as("sum_value"))
     })
 
+  /** CUSUM change detection over the hourly error-rate series — the
+    * classic control chart (Page 1954), computed WITHOUT its recursive
+    * clamp: `S_t = max(0, S_{t−1} + d_t)` equals
+    * `P_t − min(0, min_{j≤t} P_j)` on the prefix sums `P` of the
+    * demeaned series, so two running windows replace the recursion and
+    * everything stays exact integer (target = ⌊total/n⌋ — integer
+    * division, not a float mean, so no rounding anywhere). Windows run
+    * over the PRE-AGGREGATED bucket series (bounded by the time span,
+    * the e9 discipline — [[graft.plans.ScalarExpressions.singlePartitionKey]]).
+    * Buckets with zero errors are absent by construction: this is the
+    * observed-bucket CUSUM, identical on both engines.
+    */
+  val statCusum: Q = Q(
+    "stat_cusum",
+    Some("""WITH e AS (SELECT epoch_us(ts) AS us FROM events
+           |          WHERE event_type = 'error'),
+           |b AS (SELECT us // 3600000000 AS hb, COUNT(*) AS x
+           |      FROM e GROUP BY 1),
+           |t AS (SELECT CAST(SUM(x) AS BIGINT) AS tot, COUNT(*) AS n FROM b),
+           |p AS (SELECT hb, x,
+           |    SUM(x - tot // n) OVER (ORDER BY hb
+           |      ROWS UNBOUNDED PRECEDING) AS pf
+           |  FROM b CROSS JOIN t),
+           |m AS (SELECT hb, x, pf,
+           |    LEAST(MIN(pf) OVER (ORDER BY hb ROWS UNBOUNDED PRECEDING),
+           |          0) AS lo
+           |  FROM p)
+           |SELECT hb, x, CAST(pf - lo AS BIGINT) AS cusum FROM m""".stripMargin),
+    (s, dir) => {
+      val b = ev(s, dir).filter(col("event_type") === "error")
+        .withColumn("us", unix_micros(col("ts")))
+        .groupBy(expr("us div 3600000000").as("hb"))
+        .agg(count(lit(1)).as("x"))
+      graft.operators.Anomaly.cusum(b, "hb", "x")
+        .select("hb", "x", "cusum")
+    })
+
   /** Conversion funnel (view → click → purchase): per user, the first
     * view, the first click strictly after it, the first purchase
     * strictly after that — stage survivor counts. Works on RAW
@@ -442,5 +479,5 @@ object EventQueries {
   def all: Seq[Q] = Seq(
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e4AsofNearest, e5Funnel,
     e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,
-    streamAnomaly)
+    statCusum, streamAnomaly)
 }

@@ -116,6 +116,32 @@ object ProfileQueries {
       graft.functions.Stats.spearman(
         Tables.load(s, dir, "lineitem"), "l_quantity", "l_extendedprice"))
 
+  /** Systematic PPS sampling of documents by token weight
+    * ([[graft.operators.Sampling.ppsSystematic]]): the exact-k weighted
+    * draw with NO floating point and NO RNG — hit counts are integer
+    * floor arithmetic on the sharded weight prefix, Σ hits = k exactly.
+    * The oracle replays the single-window cumsum form, so the hash
+    * match proves the sharded prefix bit-equal through the whole draw.
+    */
+  val ppsSample: Q = Q(
+    "sample_pps_systematic",
+    Some("""WITH w AS (
+           |  SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS wt
+           |  FROM documents),
+           |c AS (SELECT doc_id, wt,
+           |    SUM(wt) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+           |    SUM(wt) OVER () AS W FROM w)
+           |SELECT doc_id, CAST(wt AS BIGINT) AS weight,
+           |  CAST((cum * 100) // W - ((cum - wt) * 100) // W AS BIGINT) AS n_hits
+           |FROM c
+           |WHERE (cum * 100) // W - ((cum - wt) * 100) // W >= 1""".stripMargin),
+    (s, dir) =>
+      graft.operators.Sampling.ppsSystematic(
+        Tables.load(s, dir, "documents"),
+        "doc_id",
+        TextFunctions.tokenCount(col("text")),
+        k = 100))
+
   /** Jensen–Shannon divergence between the same two slices as
     * [[ksQuantity]] ([[graft.functions.Stats.jsd]]) — the symmetric,
     * always-finite member of the drift family (bounded by ln 2, no eps
@@ -601,7 +627,7 @@ object ProfileQueries {
 
   def all: Seq[Q] = Seq(
     profileLineitem, textRedact, ksQuantity, mannWhitney, jsdQuantity,
-    spearmanQP, psiQuantity, quantilesExact,
+    spearmanQP, psiQuantity, quantilesExact, ppsSample,
     chi2ReturnFlag, sampleDsir, packCurriculum, dqExpectations,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,
