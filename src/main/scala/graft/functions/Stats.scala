@@ -529,6 +529,56 @@ object Stats {
         .as("rho"))
   }
 
+  /** Exact PER-GROUP weighted median (type-1: the smallest value whose
+    * cumulative weight reaches half the group's total) — the robust
+    * center for weighted corpora ("median doc quality weighted by token
+    * count"). The first STRATIFIED instance of the sharded cumulative
+    * kernel: the distinct-(group, value) relation is range-sharded by
+    * the value's sortable bits, offsets are per (group, shard) — still a
+    * bounded broadcast — and the half-total test `2·cum ≥ W` is pure
+    * integer, so no group ever becomes one window task no matter how
+    * many distinct values it holds (the per-group `percentile_approx`
+    * alternative is approximate; the naive per-group sort-window is the
+    * oracle form).
+    */
+  def weightedMedian(
+      df: DataFrame,
+      group: String,
+      value: String,
+      weight: Column,
+      shardBits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardBits >= 1 && shardBits <= 20, s"shardBits $shardBits out of range")
+    val g = df
+      .filter(col(value).isNotNull)
+      .groupBy(col(group).as("__g"), col(value).cast("double").as("__v"))
+      .agg(sum(weight.cast("long")).as("__w"))
+    val keyed = g.withColumn(
+      "__shard",
+      shiftright(
+        graft.plans.ScalarExpressions.sortableBits(col("__v")),
+        64 - shardBits) + lit(1L << (shardBits - 1)))
+    val wOff = Window.partitionBy("__g")
+      .orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("__g", "__shard")
+      .agg(sum("__w").as("__s"))
+      .select(
+        col("__g").as("__og"), col("__shard").as("__oshard"),
+        coalesce(sum("__s").over(wOff), lit(0L)).as("__b"))
+    val tot = keyed.groupBy("__g").agg(sum("__w").as("__wt"))
+      .withColumnRenamed("__g", "__tg")
+    val wCum = Window.partitionBy("__g", "__shard").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    keyed
+      .join(broadcast(offsets),
+        col("__g") <=> col("__og") && col("__shard") === col("__oshard"))
+      .withColumn("__cum", col("__b") + sum("__w").over(wCum))
+      .join(broadcast(tot), col("__g") <=> col("__tg"))
+      .filter(lit(2) * col("__cum") >= col("__wt"))
+      .groupBy(col("__g").as(group))
+      .agg(min("__v").as(s"wmed_$value"))
+  }
+
   /** Jensen–Shannon divergence between the binned distributions of two
     * slices — the SYMMETRIC, always-finite companion to [[psi]] (PSI
     * blows up when a bucket empties on one side and needs the eps floor;

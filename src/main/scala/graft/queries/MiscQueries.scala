@@ -251,8 +251,31 @@ object MiscQueries {
           (-col("p.nc")).as("n_mode"))
     })
 
+  /** A16: exact per-group WEIGHTED median (price weighted by quantity)
+    * — [[graft.functions.Stats.weightedMedian]], the first stratified
+    * drive of the sharded cumulative kernel: offsets per (group, shard),
+    * integer half-total test, no group-wide window ever. Oracle = the
+    * naive per-group sort-window form (the w6 discipline).
+    */
+  val a16WeightedMedian: Q = Q(
+    "a16_weighted_median",
+    Some("""WITH g AS (
+           |  SELECT l_returnflag AS gf, CAST(l_extendedprice AS DOUBLE) AS v,
+           |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+           |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+           |  GROUP BY 1, 2),
+           |c AS (SELECT gf, v,
+           |    SUM(w) OVER (PARTITION BY gf ORDER BY v
+           |      ROWS UNBOUNDED PRECEDING) AS cum,
+           |    SUM(w) OVER (PARTITION BY gf) AS tw FROM g)
+           |SELECT gf AS l_returnflag, MIN(v) AS wmed_l_extendedprice
+           |FROM c WHERE 2 * cum >= tw GROUP BY gf""".stripMargin),
+    (s, dir) =>
+      graft.functions.Stats.weightedMedian(
+        li(s, dir), "l_returnflag", "l_extendedprice", col("l_quantity")))
+
   def all: Seq[Q] = Seq(
     p3NullDrop, p7ErrorProp, r3PivotMean, a6ConditionalAgg, a4ScalarAgg,
     s2CsvRoundtrip, p12ColumnSets, jSemiAnti, sOrcRoundtrip,
-    sParquetSchemaMerge, a15Mode)
+    sParquetSchemaMerge, a15Mode, a16WeightedMedian)
 }
