@@ -135,6 +135,44 @@ object Similarity {
       threshold: Double): DataFrame =
     pairsWithinCell(Ivf.assign(df, vec, model), id, vec, threshold)
 
+  /** Cluster-scoped kNN GRAPH — each vector's top-`k` nearest neighbors
+    * within its quantizer cell (directed edges, cosine): the input
+    * relation of graph clustering, near-dup family expansion
+    * ([[LabelProp]], [[graft.operators.Components]]), and diversity
+    * analysis. Same cell-scoping approximation as
+    * [[clusterNearDupPairs]] (SemDeDup semantics: candidates never
+    * cross cells), same plan shape — one equi-join per cell — plus a
+    * per-SOURCE-vector ranking window whose partitions are bounded by
+    * the cell size, never the corpus. Ranking orders by the UNROUNDED
+    * cosine (both engines compute identical doubles from identical
+    * dots), ties broken by neighbor id; the reported cosine is
+    * round-6.
+    */
+  def clusterKnnGraph(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      model: Ivf.Model,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k $k out of range")
+    val keyed = Ivf.assign(df, vec, model)
+      .select(col(id), col("cluster"), asDouble(col(vec)).as("__v"))
+      .withColumn("__n", sqrt(dotF(col("__v"), col("__v"))))
+    val a = keyed.select(
+      col("cluster"), col(id).as("src"), col("__v").as("va"), col("__n").as("na"))
+    val b = keyed.select(
+      col("cluster"), col(id).as("dst"), col("__v").as("vb"), col("__n").as("nb"))
+    val w = Window.partitionBy("src").orderBy(col("__cos").desc, col("dst"))
+    a.join(b, Seq("cluster"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("__cos", dotF(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("cluster"),
+        round(col("__cos"), 6).as("cos"), col("rank").cast("long").as("rank"))
+  }
+
   /** The within-cell pair join + exact cosine verify shared by both
     * quantizer tiers: `assigned` carries (id, vec, cluster). Null-cluster
     * rows (null embeddings) drop out of the equi-join — no pair can be

@@ -614,8 +614,63 @@ object SimilarityQueries {
           max(abs(col("x") - col("q") * col("scale") / lit(127.0))).as("max_abs_err"))
     })
 
+  /** Cluster-scoped kNN graph with the FIXED quantizer and a HASH-EXACT
+    * oracle ([[Similarity.clusterKnnGraph]]): every vector's top-3
+    * same-cell neighbors — the input relation for graph clustering and
+    * near-dup family expansion. The oracle replays assignment, the
+    * directed pair join, and the per-source ranking window; ranking is
+    * by the UNROUNDED cosine (identical doubles on both engines), so
+    * the hash match pins the neighbor ORDER, not just the set.
+    */
+  val simKnnGraph: Q = {
+    val k = 8; val topK = 3
+    val cents = Similarity.hyperplanes(k, dim = 64, seed = 7L).map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    }
+    val centLits = cents.zipWithIndex
+      .map { case (c, j) => s"($j, ${c.map(_.toString).mkString("[", ", ", "]")})" }
+      .mkString(",\n      ")
+    Q(
+      "sim_knn_graph",
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |n AS (SELECT vec_id,
+              |        list_transform(v, x -> x / SQRT(list_dot_product(v, v))) AS vn
+              |      FROM e),
+              |cs AS (SELECT * FROM (VALUES
+              |      $centLits) AS t(j, c)),
+              |scored AS (SELECT n.vec_id, cs.j,
+              |        ROUND(list_dot_product(n.vn, cs.c), 9) AS s
+              |      FROM n CROSS JOIN cs),
+              |assign AS (SELECT vec_id, j AS cluster FROM (
+              |        SELECT vec_id, j,
+              |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn
+              |        FROM scored)
+              |      WHERE rn = 1),
+              |pairs AS (
+              |  SELECT la.cluster AS cluster, a.vec_id AS src, b.vec_id AS dst,
+              |    list_dot_product(a.v, b.v)
+              |      / (SQRT(list_dot_product(a.v, a.v))
+              |         * SQRT(list_dot_product(b.v, b.v))) AS c
+              |  FROM e a JOIN assign la ON a.vec_id = la.vec_id
+              |  JOIN assign lb ON la.cluster = lb.cluster
+              |  JOIN e b ON b.vec_id = lb.vec_id AND a.vec_id <> b.vec_id),
+              |r AS (SELECT cluster, src, dst, c,
+              |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rank
+              |  FROM pairs)
+              |SELECT src, dst, CAST(cluster AS BIGINT) AS cluster,
+              |  ROUND(c, 6) AS cos, CAST(rank AS BIGINT) AS rank
+              |FROM r WHERE rank <= $topK""".stripMargin),
+      (s, dir) =>
+        Similarity.clusterKnnGraph(
+          emb(s, dir), "vec_id", "embedding",
+          graft.operators.Ivf.Model(cents), k = topK)
+          .select(col("src"), col("dst"),
+            col("cluster").cast("long").as("cluster"), col("cos"), col("rank")))
+  }
+
   def all: Seq[Q] =
     Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simIvfFixed, simPq,
       simPqFixed, simIvfPqFixed, semanticDedup, embCentroids, simHardNegatives,
-      decontamSemantic, embDimStats, embQuantizeInt8)
+      decontamSemantic, embDimStats, embQuantizeInt8, simKnnGraph)
 }
