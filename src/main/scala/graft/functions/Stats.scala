@@ -579,6 +579,54 @@ object Stats {
       .agg(min("__v").as(s"wmed_$value"))
   }
 
+  /** Exact per-group weighted QUARTILES — [[weightedMedian]] generalized
+    * to the j/4 grid in the SAME single cumulative pass: the quartile
+    * test `4·cum ≥ j·W` stays pure integer for j = 1, 2, 3, so the whole
+    * grid costs one 3-row literal cross join over the already-cumulated
+    * relation. Output: (group, q ∈ {0.25, 0.5, 0.75}, wq_<value>).
+    */
+  def weightedQuartiles(
+      df: DataFrame,
+      group: String,
+      value: String,
+      weight: Column,
+      shardBits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardBits >= 1 && shardBits <= 20, s"shardBits $shardBits out of range")
+    val g = df
+      .filter(col(value).isNotNull)
+      .groupBy(col(group).as("__g"), col(value).cast("double").as("__v"))
+      .agg(sum(weight.cast("long")).as("__w"))
+    val keyed = g.withColumn(
+      "__shard",
+      shiftright(
+        graft.plans.ScalarExpressions.sortableBits(col("__v")),
+        64 - shardBits) + lit(1L << (shardBits - 1)))
+    val wOff = Window.partitionBy("__g")
+      .orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("__g", "__shard")
+      .agg(sum("__w").as("__s"))
+      .select(
+        col("__g").as("__og"), col("__shard").as("__oshard"),
+        coalesce(sum("__s").over(wOff), lit(0L)).as("__b"))
+    val tot = keyed.groupBy("__g").agg(sum("__w").as("__wt"))
+      .withColumnRenamed("__g", "__tg")
+    val wCum = Window.partitionBy("__g", "__shard").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grid = Seq(1, 2, 3).toDF("__j")
+    keyed
+      .join(broadcast(offsets),
+        col("__g") <=> col("__og") && col("__shard") === col("__oshard"))
+      .withColumn("__cum", col("__b") + sum("__w").over(wCum))
+      .join(broadcast(tot), col("__g") <=> col("__tg"))
+      .crossJoin(broadcast(grid))
+      .filter(lit(4) * col("__cum") >= col("__j") * col("__wt"))
+      .groupBy(col("__g").as(group), (col("__j") / lit(4.0)).as("q"))
+      .agg(min("__v").as(s"wq_$value"))
+  }
+
   /** Jensen–Shannon divergence between the binned distributions of two
     * slices — the SYMMETRIC, always-finite companion to [[psi]] (PSI
     * blows up when a bucket empties on one side and needs the eps floor;

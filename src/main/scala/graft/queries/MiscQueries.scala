@@ -274,8 +274,35 @@ object MiscQueries {
       graft.functions.Stats.weightedMedian(
         li(s, dir), "l_returnflag", "l_extendedprice", col("l_quantity")))
 
+  /** A17: the full weighted-quartile grid from ONE cumulative pass
+    * ([[graft.functions.Stats.weightedQuartiles]]) — integer `4·cum ≥
+    * j·W` tests over a 3-row broadcast grid on the stratified sharded
+    * kernel. Oracle = the per-group window form with identical integer
+    * comparisons.
+    */
+  val a17WeightedQuartiles: Q = Q(
+    "a17_weighted_quartiles",
+    Some("""WITH g AS (
+           |  SELECT l_returnflag AS gf, CAST(l_extendedprice AS DOUBLE) AS v,
+           |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+           |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+           |  GROUP BY 1, 2),
+           |c AS (SELECT gf, v,
+           |    SUM(w) OVER (PARTITION BY gf ORDER BY v
+           |      ROWS UNBOUNDED PRECEDING) AS cum,
+           |    SUM(w) OVER (PARTITION BY gf) AS tw FROM g),
+           |j AS (SELECT * FROM (VALUES (1), (2), (3)) AS t(jq))
+           |SELECT gf AS l_returnflag, jq / 4.0 AS q,
+           |  MIN(v) AS wq_l_extendedprice
+           |FROM c CROSS JOIN j
+           |WHERE 4 * cum >= jq * tw
+           |GROUP BY gf, jq / 4.0""".stripMargin),
+    (s, dir) =>
+      graft.functions.Stats.weightedQuartiles(
+        li(s, dir), "l_returnflag", "l_extendedprice", col("l_quantity")))
+
   def all: Seq[Q] = Seq(
     p3NullDrop, p7ErrorProp, r3PivotMean, a6ConditionalAgg, a4ScalarAgg,
     s2CsvRoundtrip, p12ColumnSets, jSemiAnti, sOrcRoundtrip,
-    sParquetSchemaMerge, a15Mode, a16WeightedMedian)
+    sParquetSchemaMerge, a15Mode, a16WeightedMedian, a17WeightedQuartiles)
 }

@@ -35,6 +35,19 @@ class WeightedMedianSpec extends AnyFunSuite {
     assert(wmed(rows) == Map("g" -> 1.0))
   }
 
+  test("quartile grid: q=0.5 equals the weighted median; grid is monotone") {
+    import spark.implicits._
+    val rows = (0 until 600).map(i =>
+      (s"g${i % 3}", ((i * 37) % 101).toDouble, 1L + (i * 11) % 7))
+    val med = wmed(rows)
+    val q = Stats.weightedQuartiles(rows.toDF("g", "v", "w"), "g", "v", col("w"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    med.foreach { case (g, m) => assert(q((g, 0.5)) == m, s"group $g") }
+    Seq("g0", "g1", "g2").foreach { g =>
+      assert(q((g, 0.25)) <= q((g, 0.5)) && q((g, 0.5)) <= q((g, 0.75)), s"$g")
+    }
+  }
+
   test("sharded cumulative bit-equal across shardBits 1 / 4 / 12 and partitionings") {
     import spark.implicits._
     val rows = (0 until 1000).map(i =>
