@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-source breadth-first search: shortest hop distance from a source
+  * node to every node within `maxDepth`, by synchronous frontier expansion
+  * (the Pregel iteration pattern, same loop discipline as
+  * [[Components.alternatingStar]] / [[PageRank.fixedPoint]]).
+  *
+  * Scale shape: each round is ONE equi-join of the current frontier against
+  * the (cached) symmetric edge relation plus an anti-join against the
+  * visited set — both shuffles keyed on node id, so at cluster scale every
+  * round is two co-partitioned hash joins; no window anywhere, nothing on
+  * the driver, and the state (visited set) is one row per REACHED node, not
+  * per edge. Rounds are bounded by `maxDepth`, which is the caller's
+  * explicit radius contract — at 100 TB the cost is `maxDepth` joins of
+  * frontier×edges, exactly the BFS lower bound. Each round's frontier is
+  * persisted and the previous round's released, so lineage stays constant
+  * across iterations.
+  *
+  * Distances are exact (BFS invariant: a node first reached in round d has
+  * shortest distance d — the anti-join against `visited` enforces "first
+  * reached"), so a recursive-CTE oracle replaying min-distance agrees
+  * bit-for-bit.
+  */
+object Bfs {
+
+  /** Nodes within `maxDepth` hops of `source` over the UNDIRECTED graph
+    * `edges(u, v)`, with their exact hop distance.
+    */
+  def shortestHops(
+      edges: DataFrame,
+      u: String,
+      v: String,
+      source: Long,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth $maxDepth out of range")
+    val spark = edges.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val sym = edges.select(col(u).cast("long").as("a"), col(v).cast("long").as("b"))
+      .unionByName(edges.select(col(v).cast("long").as("a"), col(u).cast("long").as("b")))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visited = spark.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = visited
+    var d = 0L
+    var frontierEmpty = visited.isEmpty
+    while (d < maxDepth && !frontierEmpty) {
+      d += 1
+      val next = frontier.join(sym, frontier("node") === sym("a"))
+        .select(col("b").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(d).as("dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frontierEmpty = next.isEmpty // forces the persist; 1-row action
+      val nv = visited.unionByName(next).persist(StorageLevel.MEMORY_AND_DISK)
+      nv.count() // materialize before releasing the lineage parents
+      visited.unpersist(blocking = false)
+      frontier = next
+      visited = nv
+    }
+    sym.unpersist(blocking = false)
+    visited
+  }
+
+  /** Recursive-CTE oracle for [[shortestHops]] run as a reachability
+    * histogram: DuckDB expands (node, dist) pairs breadth-first with the
+    * depth cap, then takes MIN(dist) per node.
+    */
+  def histogramOracleSql(edgesCte: String, sourceCte: String, maxDepth: Int): String =
+    s"""WITH RECURSIVE e AS ($edgesCte),
+       |sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v, u FROM e),
+       |src AS ($sourceCte),
+       |bfs AS (
+       |  SELECT s AS node, 0 AS dist FROM src
+       |  UNION
+       |  SELECT sym.b, bfs.dist + 1 FROM bfs JOIN sym ON sym.a = bfs.node
+       |  WHERE bfs.dist < $maxDepth),
+       |m AS (SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node)
+       |SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_nodes
+       |FROM m GROUP BY dist""".stripMargin
+}

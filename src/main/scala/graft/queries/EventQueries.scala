@@ -476,8 +476,74 @@ object EventQueries {
         .select("event_type", "bucket", "n", "med", "mad", "is_anomaly")
     })
 
+  /** Lag-k autocorrelation (k = 1,2,3) of the 5-minute bucket-mean value
+    * series — the periodicity detector for ingest monitoring (a strong
+    * r₁ on a quality metric means the crawl is drifting in runs, not
+    * noise). Two-stage and windowless: (1) one hash aggregate to the
+    * per-bucket means — the series length is bounded by wall-clock span
+    * ÷ bucket width, NOT by data volume, so at 100 TB the series is
+    * still tiny; (2) an equi-join of the series to itself on
+    * `bucket + lag` (the lag grid is a 3-row literal explode) and a
+    * per-lag moment aggregate. ENTIRELY integer until the final Pearson
+    * tail: the per-bucket series is the exact micro-unit value sum
+    * (decimal-routed, so it is order-independent at any cluster size),
+    * cross-bucket products are exact DECIMAL(18,0)² products, and the
+    * moment sums reach doubles through the correctly-rounded cast
+    * ([[graft.functions.DetAgg.Sql.dsumExact]] VARCHAR route — the sums
+    * exceed 2⁵³ micro-units immediately). Pearson r is scale-invariant,
+    * so µ-units leave the statistic unchanged; the final tree is one
+    * fixed IEEE expression shared with the oracle — bit-exact, unrounded.
+    */
+  val statAutocorr: Q = Q(
+    "stat_autocorr",
+    Some(s"""WITH b AS (
+            |  SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS bucket,
+            |    CAST(SUM(CAST(value AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS x
+            |  FROM events GROUP BY 1),
+            |p AS (SELECT l.lag, a.x AS x, c.x AS y
+            |  FROM b a CROSS JOIN (VALUES (1), (2), (3)) AS l(lag)
+            |  JOIN b c ON c.bucket = a.bucket + l.lag),
+            |g AS (SELECT lag, CAST(COUNT(*) AS DOUBLE) AS n,
+            |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+            |    CAST(CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sxy,
+            |    CAST(CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sxx,
+            |    CAST(CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS syy
+            |  FROM p GROUP BY lag)
+            |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+            |  (n * sxy - sx * sy)
+            |    / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS autocorr
+            |FROM g""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val d18 = DecimalType(18, 0)
+      val b = ev(s, dir)
+        .withColumn("bucket", floor(unix_timestamp(col("ts")) / 300).cast(LongType))
+        .groupBy("bucket")
+        .agg((sum(DetAgg.dec(col("value"))) * 1000000).cast(LongType).as("x"))
+      val lagged = b
+        .withColumn("lag", explode(array(lit(1L), lit(2L), lit(3L))))
+        .select(col("bucket"), col("lag"), col("x"))
+      val other = b.select(col("bucket").as("bucket2"), col("x").as("y"))
+      val g = lagged
+        .join(other, lagged("bucket") + lagged("lag") === other("bucket2"))
+        .groupBy("lag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x").cast(d18) * col("y").cast(d18)).cast("double").as("sxy"),
+          sum(col("x").cast(d18) * col("x").cast(d18)).cast("double").as("sxx"),
+          sum(col("y").cast(d18) * col("y").cast(d18)).cast("double").as("syy"))
+      g.select(
+        col("lag"),
+        col("n").cast(LongType).as("n_pairs"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("autocorr"))
+    })
+
   def all: Seq[Q] = Seq(
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e4AsofNearest, e5Funnel,
     e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,
-    statCusum, streamAnomaly)
+    statCusum, statAutocorr, streamAnomaly)
 }

@@ -683,6 +683,55 @@ object GroupingQueries {
       })
   }
 
+  /** Single-source BFS over the supplier co-occurrence graph
+    * ([[graft.operators.Bfs.shortestHops]], the [[triangles]] edge
+    * relation): exact hop distances from the smallest supplier node,
+    * radius 6, reported as a reachability histogram (dist → node count).
+    * The frontier-expansion rounds are co-partitioned hash joins (no
+    * windows, nothing driver-side but the 1-row source agg — the allowed
+    * convergence-aggregate pattern); the oracle replays min-distance
+    * reachability with a recursive CTE, so the hash match pins every
+    * level of the traversal. An edgeless graph yields an empty histogram
+    * on both sides.
+    */
+  val shortestHops: Q = {
+    val edgesCte =
+      """SELECT DISTINCT LEAST(l1.l_suppkey, l2.l_suppkey) AS u,
+        |       GREATEST(l1.l_suppkey, l2.l_suppkey) AS v
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |    AND l1.l_linenumber = 1 AND l2.l_linenumber = 2
+        |    AND l1.l_suppkey <> l2.l_suppkey""".stripMargin
+    Q(
+      "graph_shortest_hops",
+      Some(graft.operators.Bfs.histogramOracleSql(
+        edgesCte,
+        "SELECT CAST(MIN(u) AS BIGINT) AS s FROM e WHERE u IS NOT NULL",
+        maxDepth = 6)),
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_suppkey")
+        val pairs = l.as("l1")
+          .join(l.as("l2"),
+            col("l1.l_orderkey") === col("l2.l_orderkey") &&
+              col("l1.l_linenumber") === 1 && col("l2.l_linenumber") === 2 &&
+              col("l1.l_suppkey") =!= col("l2.l_suppkey"))
+          .select(
+            least(col("l1.l_suppkey"), col("l2.l_suppkey")).as("u"),
+            greatest(col("l1.l_suppkey"), col("l2.l_suppkey")).as("v"))
+          .distinct()
+        val src = pairs.agg(min(col("u"))).head
+        val hist =
+          if (src.isNullAt(0))
+            pairs.sparkSession.emptyDataFrame
+              .select(lit(0L).as("node"), lit(0L).as("dist"))
+          else
+            graft.operators.Bfs.shortestHops(
+              pairs, "u", "v", src.getLong(0), maxDepth = 6)
+        hist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+      })
+  }
+
   /** Count-min sketch point estimates for the 20 most frequent part
     * keys ([[graft.operators.CountMin]]): the d×w counter relation is
     * built by one hash aggregate, the oracle replays the identical
@@ -893,5 +942,5 @@ object GroupingQueries {
     tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore,
     freqItems, zorderExport, logregQuality, percentileRank, equidepthHist,
     winsorize, pagerank, triangles, labelProp, cmsTopk, kcore, hllDistinct,
-    adamicAdar, ppr, skyline)
+    adamicAdar, ppr, skyline, shortestHops)
 }

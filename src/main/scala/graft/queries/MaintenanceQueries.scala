@@ -109,5 +109,66 @@ object MaintenanceQueries {
           countDistinct(col("o_custkey")).as("n_cust"))
     })
 
-  def all: Seq[Q] = Seq(snapshotDiff, mergeUpsert)
+  /** SCD type-2 history of each customer's order stream
+    * ([[Snapshot.scd2]]): every order becomes a validity interval
+    * `[valid_from, valid_to)` in the customer's timeline, the latest one
+    * flagged current — the dimension-history build every warehouse
+    * maintains next to its CDC feed. The oracle replays the identical
+    * `lead` window; second-truncated timestamps keep ns/µs engines
+    * bit-identical (the events-table parity discipline).
+    */
+  val scd2History: Q = Q(
+    "maint_scd2",
+    Some("""WITH v AS (SELECT o_custkey, o_orderkey, o_orderstatus,
+           |    date_trunc('second', o_orderdate) AS t FROM orders)
+           |SELECT o_custkey, o_orderkey, o_orderstatus,
+           |  t AS valid_from,
+           |  lead(t) OVER (PARTITION BY o_custkey ORDER BY t, o_orderkey)
+           |    AS valid_to,
+           |  lead(t) OVER (PARTITION BY o_custkey ORDER BY t, o_orderkey)
+           |    IS NULL AS is_current
+           |FROM v""".stripMargin),
+    (s, dir) =>
+      Snapshot.scd2(
+          Tables.load(s, dir, "orders")
+            .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+              date_trunc("second", col("o_orderdate")).as("t")),
+          key = Seq("o_custkey"),
+          time = col("t"),
+          tiebreak = col("o_orderkey"))
+        .select("o_custkey", "o_orderkey", "o_orderstatus",
+          "valid_from", "valid_to", "is_current"))
+
+  /** Order-independent table fingerprint — the cheap "did anything
+    * change?" gate a snapshot pipeline runs before the full
+    * [[snapshotDiff]]: each row hashes to a 32-bit value through the
+    * engine-portable Knuth multiplicative family
+    * ([[graft.operators.Splits.bucket100]]), folding in the key AND the
+    * payload (status + micro-unit price), and the fingerprint is the SUM
+    * of row hashes per slice — commutative, so it is identical under any
+    * partitioning, any row order, any cluster size. Pure hash aggregate:
+    * linear, windowless, one shuffle of ≤ #slices rows.
+    */
+  val tableFingerprint: Q = {
+    // row integer: key ⊕ payload, kept < 2^31 before the Knuth multiply
+    // so the product stays inside BIGINT on both engines
+    val rowInt =
+      """((o_orderkey * 31 + CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+        |   + CASE WHEN o_orderstatus = 'F' THEN 1
+        |          WHEN o_orderstatus = 'P' THEN 2 ELSE 3 END) % 100000)""".stripMargin
+    val rowHash = s"($rowInt * 2654435761) % 4294967296"
+    Q(
+      "maint_table_fingerprint",
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n_rows,
+              |  CAST(SUM($rowHash) AS BIGINT) AS fingerprint
+              |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(expr(rowHash)).cast("long").as("fingerprint")))
+  }
+
+  def all: Seq[Q] = Seq(snapshotDiff, mergeUpsert, scd2History, tableFingerprint)
 }

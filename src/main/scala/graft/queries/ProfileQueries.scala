@@ -327,6 +327,55 @@ object ProfileQueries {
           col("l_linestatus") === "O"))
   }
 
+  /** One-way ANOVA F-statistic: does mean l_quantity differ across the
+    * return-flag groups? The variance-decomposition leg of the drift
+    * family (`stat_chi2` categorical mixes, `stat_ks_2samp` full
+    * distributions, this one for MEANS across k slices). l_quantity is
+    * integer-valued, so every moment (n, Σx, Σx²) is an exact BIGINT sum
+    * in ONE conditional hash aggregate — no shuffle beyond the single
+    * partial+final agg, constant output, linear in data at any scale.
+    * The F tree (SSB/SSW over the fixed flag domain A,N,R) is one
+    * literal left-associated IEEE expression evaluated from exact
+    * integers, shared TEXT-identical with the oracle, so the statistic
+    * is bit-exact unrounded.
+    */
+  val anovaQuantity: Q = {
+    val flags = Seq("A", "N", "R")
+    val moments = flags.flatMap { f =>
+      Seq(
+        s"CAST(SUM(CASE WHEN l_returnflag = '$f' THEN 1 ELSE 0 END) AS DOUBLE) AS n_$f",
+        s"CAST(SUM(CASE WHEN l_returnflag = '$f' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS DOUBLE) AS s_$f",
+        s"CAST(SUM(CASE WHEN l_returnflag = '$f' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) ELSE 0 END) AS DOUBLE) AS q_$f")
+    }
+    val t = flags.map(f => s"s_$f * s_$f / n_$f").mkString(" + ")
+    val sTot = flags.map(f => s"s_$f").mkString(" + ")
+    val nTot = flags.map(f => s"n_$f").mkString(" + ")
+    val qTot = flags.map(f => s"q_$f").mkString(" + ")
+    val ssb = s"($t) - ($sTot) * ($sTot) / ($nTot)"
+    val ssw = s"($qTot) - ($t)"
+    val df1 = (flags.size - 1).toDouble
+    val fStat = s"(($ssb) / $df1) / (($ssw) / (($nTot) - ${flags.size}.0))"
+    Q(
+      "stat_anova",
+      Some(s"""WITH m AS (SELECT
+              |  ${moments.mkString(",\n  ")}
+              |FROM lineitem)
+              |SELECT $ssb AS ss_between, $ssw AS ss_within,
+              |  CAST($df1 AS BIGINT) AS df_between,
+              |  CAST(($nTot) - ${flags.size}.0 AS BIGINT) AS df_within,
+              |  $fStat AS f_stat
+              |FROM m""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .agg(expr(moments.head), moments.tail.map(expr): _*)
+          .select(
+            expr(ssb).as("ss_between"),
+            expr(ssw).as("ss_within"),
+            expr(s"CAST($df1 AS BIGINT)").as("df_between"),
+            expr(s"CAST(($nTot) - ${flags.size}.0 AS BIGINT)").as("df_within"),
+            expr(fStat).as("f_stat")))
+  }
+
   /** The streaming drift monitor's plan run in BATCH over the events
     * table (the same serving-both-ways proof as `stream_quality_monitor`):
     * per 5-minute event-time window, χ² goodness-of-fit and PSI of the
@@ -628,7 +677,7 @@ object ProfileQueries {
   def all: Seq[Q] = Seq(
     profileLineitem, textRedact, ksQuantity, mannWhitney, jsdQuantity,
     spearmanQP, psiQuantity, quantilesExact, ppsSample,
-    chi2ReturnFlag, sampleDsir, packCurriculum, dqExpectations,
+    chi2ReturnFlag, anovaQuantity, sampleDsir, packCurriculum, dqExpectations,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,
     sampleDomainCap)

@@ -669,8 +669,87 @@ object SimilarityQueries {
             col("cluster").cast("long").as("cluster"), col("cos"), col("rank")))
   }
 
+  /** Embedding covariance matrix (upper triangle, dims 0–7) from the
+    * exact integer Gram sketch: vectors are µ-quantized with the
+    * spelled-out `floor(x·1e6 + 0.5)` (the [[embQuantizeInt8]] rounding
+    * discipline — no engine-dependent `round()` ties, no float sums
+    * anywhere), so n, Σqᵢ and Σqᵢqⱼ are exact integers on both engines
+    * and the covariance tail is one fixed IEEE tree in µ²-units. ONE
+    * decimal-routed hash aggregate over the corpus (45 columns wide),
+    * then a 36-row `stack` — map-side partial aggregation does all the
+    * work; nothing shuffles but the sketch. The 8-dim slice keeps the
+    * oracle tractable; [[graft.operators.Pca.GramAgg]] is the identical
+    * kernel at full width (64 dims, 32 KiB sketch), oracle-twinned here.
+    */
+  val embCovariance: Q = {
+    val dims = 0 until 8
+    val pairs = for { i <- dims; j <- dims if i <= j } yield (i, j)
+    def covText(i: Int, j: Int) =
+      s"(CAST(p_${i}_$j AS DOUBLE) - CAST(s_$i AS DOUBLE) * CAST(s_$j AS DOUBLE) / n) / n / 1.0e12"
+    Q(
+      "emb_covariance",
+      Some(s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |q AS (SELECT
+              |  ${dims.map(i => s"CAST(FLOOR(v[${i + 1}] * 1000000 + 0.5) AS BIGINT) AS q_$i").mkString(",\n  ")}
+              |FROM e),
+              |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              |  ${dims.map(i => s"CAST(SUM(q_$i) AS BIGINT) AS s_$i").mkString(",\n  ")},
+              |  ${pairs.map { case (i, j) => s"CAST(SUM(q_$i * q_$j) AS BIGINT) AS p_${i}_$j" }.mkString(",\n  ")}
+              |FROM q)
+              |${pairs.map { case (i, j) =>
+                  s"SELECT CAST($i AS BIGINT) AS dim_i, CAST($j AS BIGINT) AS dim_j, " +
+                    s"CAST(n AS BIGINT) AS n, s_$i AS sum_i, s_$j AS sum_j, " +
+                    s"p_${i}_$j AS sum_ij, ${covText(i, j)} AS cov FROM m"
+                }.mkString("\nUNION ALL\n")}""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d38 = DecimalType(38, 0)
+        val q = emb(s, dir)
+          .select(col("embedding").cast("array<double>").as("v"))
+          .select(dims.map(i =>
+            floor(element_at(col("v"), i + 1) * 1000000 + 0.5)
+              .cast("long").as(s"q_$i")): _*)
+        val m = q.agg(
+          count(lit(1)).cast("double").as("n"),
+          (dims.map(i => sum(col(s"q_$i").cast(d38)).cast("long").as(s"s_$i")) ++
+            pairs.map { case (i, j) =>
+              sum((col(s"q_$i") * col(s"q_$j")).cast(d38)).cast("long").as(s"p_${i}_$j")
+            }): _*)
+        val stackArgs = pairs.map { case (i, j) =>
+          s"CAST($i AS BIGINT), CAST($j AS BIGINT), CAST(n AS BIGINT), " +
+            s"s_$i, s_$j, p_${i}_$j, ${covText(i, j)}"
+        }.mkString(", ")
+        m.select(expr(
+          s"stack(${pairs.size}, $stackArgs) AS (dim_i, dim_j, n, sum_i, sum_j, sum_ij, cov)"))
+      })
+  }
+
+  /** Dominant principal component at FULL width (64 dims) —
+    * [[graft.operators.Pca.topComponent]]'s power iteration on the exact
+    * integer Gram sketch, then a map-only projection of the corpus onto
+    * the component ([[graft.plans.VectorExpressions.dotFast]] codegen).
+    * Output: the 20 most extreme documents along the top direction plus
+    * the component's eigenvalue — rows-only by design (a 30-step power
+    * iteration is not portable SQL); [[embCovariance]] is the hash-exact
+    * oracle twin of the sketch kernel, and PcaSpec pins direction
+    * recovery on a known-covariance fixture.
+    */
+  val embPcaPower: Q = Q(
+    "emb_pca_power",
+    None,
+    (s, dir) => {
+      import graft.operators.Pca
+      val e = emb(s, dir)
+      val comp = Pca.topComponent(e, "embedding", dim = 64)
+      Pca.scores(e, "vec_id", "embedding", comp.w)
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(20)
+        .withColumn("eigenvalue", lit(comp.eigenvalue))
+    })
+
   def all: Seq[Q] =
     Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simIvfFixed, simPq,
       simPqFixed, simIvfPqFixed, semanticDedup, embCentroids, simHardNegatives,
-      decontamSemantic, embDimStats, embQuantizeInt8, simKnnGraph)
+      decontamSemantic, embDimStats, embQuantizeInt8, simKnnGraph,
+      embCovariance, embPcaPower)
 }

@@ -2039,6 +2039,67 @@ object TextQueries {
           col("rank_in_domain").cast("long").as("rank_in_stratum"))
     })
 
+  /** Neyman-allocation stratified sample — the OPTIMAL eval-split
+    * builder: where [[sampleFixedPerStratum]] takes a flat 50 per
+    * stratum, this allocates a 200-doc budget ∝ N_h·σ_h (stratum size ×
+    * n_chars spread, the allocation minimizing estimator variance,
+    * Neyman 1934), with a floor of 1 so no language disappears. The
+    * per-stratum σ comes from exact integer moments (ONE hash
+    * aggregate); round-6 weights make the cross-stratum total a
+    * boundary-free decimal sum (order-independent at any cluster
+    * shape); allocations are a fixed IEEE floor tree. Membership is the
+    * same Knuth priority hash as every split in the engine —
+    * re-processing the corpus never shifts the sample — ranked on the
+    * [[graft.operators.Sampling.domainCap]] salted tournament (no
+    * stratum-wide window at stage 1; alloc_h ≤ 200 bounds stage 2).
+    */
+  val sampleNeyman: Q = {
+    val sigma = "SQRT((q - s * s / n) / (n - 1))"
+    val wr = s"ROUND(n * $sigma, 6)"
+    val alloc = "GREATEST(CAST(1 AS BIGINT), CAST(FLOOR(200.0 * wr / wtot) AS BIGINT))"
+    Q(
+      "sample_neyman",
+      Some(s"""WITH m AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+              |    CAST(SUM(n_chars) AS DOUBLE) AS s,
+              |    CAST(SUM(n_chars * n_chars) AS DOUBLE) AS q
+              |  FROM documents GROUP BY lang),
+              |w AS (SELECT lang, $wr AS wr FROM m),
+              |tot AS (SELECT CAST(SUM(CAST(wr AS DECIMAL(30,6))) AS DOUBLE) AS wtot
+              |  FROM w),
+              |a AS (SELECT lang, $alloc AS alloc FROM w CROSS JOIN tot),
+              |p AS (SELECT doc_id, lang,
+              |    (doc_id + 7) % 100000 * 2654435761 % 4294967296 AS pri
+              |  FROM documents),
+              |r AS (SELECT doc_id, lang,
+              |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rk
+              |  FROM p)
+              |SELECT r.doc_id, r.lang, CAST(rk AS BIGINT) AS rank_in_stratum,
+              |  a.alloc AS alloc
+              |FROM r JOIN a ON r.lang = a.lang WHERE rk <= a.alloc""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d = docs(s, dir).select("doc_id", "lang", "n_chars")
+        val m = d.groupBy("lang").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("n_chars")).cast("double").as("s"),
+          sum(col("n_chars") * col("n_chars")).cast("double").as("q"))
+        val w = m.select(col("lang"), expr(wr).as("wr"))
+        val tot = w.agg(
+          sum(col("wr").cast(DecimalType(30, 6))).cast("double").as("wtot"))
+        val allocs = w.crossJoin(broadcast(tot))
+          .select(col("lang"), expr(alloc).as("alloc"))
+        val pri = pmod(
+          pmod(col("doc_id") + 7, lit(100000L)) * 2654435761L, lit(4294967296L))
+        graft.operators.Sampling.domainCap(
+            d.select("doc_id", "lang").withColumn("__pri", pri),
+            "doc_id", "lang", Seq(col("__pri"), col("doc_id")), k = 200)
+          .join(broadcast(allocs), "lang")
+          .filter(col("rank_in_domain") <= col("alloc"))
+          .select(col("doc_id"), col("lang"),
+            col("rank_in_domain").cast("long").as("rank_in_stratum"), col("alloc"))
+      })
+  }
+
   /** Zipf-law fit over the token frequency spectrum — the corpus-health
     * statistic (natural language sits near slope −1; a slope far off
     * flags boilerplate floods or tokenizer damage). Log-log OLS over the
@@ -2133,7 +2194,7 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
     textZipfFit, textVocabCoverage,
-    textNgramNovelty, sampleFixedPerStratum,
+    textNgramNovelty, sampleFixedPerStratum, sampleNeyman,
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
     textBpePairs, textNormalize, textGopherRules, textWinnow, textCollocations,
     textEntropy, packLengthBuckets,
