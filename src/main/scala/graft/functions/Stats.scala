@@ -627,6 +627,80 @@ object Stats {
       .agg(min("__v").as(s"wq_$value"))
   }
 
+  /** Per-group Gini coefficient — the concentration statistic of a
+    * training-mix audit (how unequal is token mass across sources, or
+    * price mass across flags?). Exact, via the classic rank formula
+    * `G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n` evaluated on the value-count
+    * relation: a tie block of `w` observations at value `c` starting
+    * after cumulative count `cprev` contributes
+    * `c·(2·cprev·w + w·(w+1))` to the (doubled) rank sum — NO division
+    * anywhere in the integer stage (DuckDB `/` on HUGEINT is float
+    * division; the doubled form sidesteps it).
+    *
+    * Values are taken in exact integer cent units (`floor(x·100 + 0.5)`,
+    * the spelled-out rounding discipline), so every moment is an exact
+    * integer and the final G is one fixed IEEE tree. The cumulative
+    * count rides the STRATIFIED SHARDED kernel ([[weightedMedian]]'s:
+    * per-(group, shard) windows keyed by the IEEE-754 sortable bits,
+    * broadcast shard offsets) — no group-wide window, the partitioning
+    * that survives a 100 TB stratum. Rank-sum products are
+    * decimal(19,0)² → decimal(38,0) sums: exact to ~10³⁸, i.e. past any
+    * physical corpus.
+    */
+  def gini(
+      df: DataFrame,
+      group: String,
+      value: String,
+      shardBits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(shardBits >= 1 && shardBits <= 20, s"shardBits $shardBits out of range")
+    val d19 = DecimalType(19, 0)
+    val g = df
+      .filter(col(value).isNotNull)
+      .groupBy(
+        col(group).as("__g"),
+        floor(col(value).cast("double") * 100 + 0.5).cast("long").as("__c"))
+      .agg(count(lit(1)).as("__w"))
+      // sharding key: the double VIEW of the cents (same total order for
+      // |c| < 2^53); integer top bits would put every realistic value in
+      // one shard, the sortable-bits exponent spread is what balances
+      .withColumn("__v", col("__c").cast("double"))
+    val keyed = g.withColumn(
+      "__shard",
+      shiftright(
+        graft.plans.ScalarExpressions.sortableBits(col("__v")),
+        64 - shardBits) + lit(1L << (shardBits - 1)))
+    val wOff = Window.partitionBy("__g")
+      .orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("__g", "__shard")
+      .agg(sum("__w").as("__s"))
+      .select(
+        col("__g").as("__og"), col("__shard").as("__oshard"),
+        coalesce(sum("__s").over(wOff), lit(0L)).as("__b"))
+    val wCum = Window.partitionBy("__g", "__shard").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val m = keyed
+      .join(broadcast(offsets),
+        col("__g") <=> col("__og") && col("__shard") === col("__oshard"))
+      .withColumn("__cum", col("__b") + sum("__w").over(wCum))
+      .withColumn("__cprev", col("__cum") - col("__w"))
+      // doubled rank sum of the tie block, all decimal-exact
+      .withColumn("__r2",
+        lit(2) * col("__cprev").cast(d19) * col("__w").cast(d19) +
+          col("__w").cast(d19) * (col("__w").cast(d19) + lit(1)))
+      .groupBy(col("__g").as(group))
+      .agg(
+        sum("__w").cast("double").as("n"),
+        sum(col("__c").cast(d19) * col("__w").cast(d19)).cast("double").as("s"),
+        sum(col("__c").cast(d19) * col("__r2")).cast("double").as("a2"))
+    m.select(
+      col(group),
+      col("n").cast("long").as("n"),
+      (col("a2") / (col("n") * col("s")) - (col("n") + lit(1.0)) / col("n"))
+        .as("gini"))
+  }
+
   /** Jensen–Shannon divergence between the binned distributions of two
     * slices — the SYMMETRIC, always-finite companion to [[psi]] (PSI
     * blows up when a bucket empties on one side and needs the eps floor;

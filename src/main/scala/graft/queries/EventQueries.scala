@@ -542,8 +542,104 @@ object EventQueries {
             sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("autocorr"))
     })
 
+  /** First-order Markov transition matrix of per-user event-type
+    * sequences — the behavioral fingerprint (what follows a `view`? how
+    * often does `error` self-loop?). One `lead` window per user (state
+    * bounded by events-per-user, the sessionize discipline), then a hash
+    * aggregate to the ≤ |types|² transition relation and a conditional
+    * probability against broadcast from-state totals — the division is
+    * one IEEE op on exact integer counts.
+    */
+  val e11Markov: Q = Q(
+    "e11_markov_transitions",
+    Some("""WITH t AS (SELECT user_id, event_type,
+           |    lead(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY date_trunc('second', ts), event_id) AS next_type
+           |  FROM events),
+           |c AS (SELECT event_type, next_type, COUNT(*) AS n
+           |  FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2),
+           |f AS (SELECT event_type, SUM(n) AS tot FROM c GROUP BY 1)
+           |SELECT c.event_type, c.next_type, c.n,
+           |  CAST(c.n AS DOUBLE) / f.tot AS p
+           |FROM c JOIN f ON c.event_type = f.event_type""".stripMargin),
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(date_trunc("second", col("ts")), col("event_id"))
+      val t = ev(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+      val c = t.groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+      val f = c.groupBy(col("event_type").as("__from"))
+        .agg(sum("n").as("tot"))
+      c.join(broadcast(f), col("event_type") === col("__from"))
+        .select(col("event_type"), col("next_type"), col("n"),
+          (col("n").cast("double") / col("tot")).as("p"))
+    })
+
+  /** Wald–Wolfowitz runs test on the 5-minute bucket count series —
+    * "is ingest volume serially random, or does it run hot and cold?"
+    * The above/below-mean sign is the EXACT integer comparison
+    * `n·B > total` (no float mean), adjacency is a rank self-join on the
+    * bucketed series (bounded by wall-clock span, the [[statAutocorr]]
+    * regime — the one row_number window rides the bounded-relation
+    * [[graft.plans.ScalarExpressions.singlePartitionKey]] contract), and
+    * the z-statistic is one fixed IEEE tree from integer run counts.
+    */
+  val statRunsTest: Q = {
+    val zText =
+      "(CAST(nrun + 1 AS DOUBLE) - (2.0 * n1 * n2 / n + 1.0)) / " +
+        "SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n) / (n * n * (n - 1.0)))"
+    Q(
+      "stat_runs_test",
+      Some(s"""WITH b AS (SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS bucket,
+              |    COUNT(*) AS nb FROM events GROUP BY 1),
+              |t AS (SELECT COUNT(*) AS nbk, SUM(nb) AS tot FROM b),
+              |s AS (SELECT bucket,
+              |    CASE WHEN nb * nbk > tot THEN 1 ELSE 0 END AS above,
+              |    ROW_NUMBER() OVER (ORDER BY bucket) AS rk
+              |  FROM b CROSS JOIN t),
+              |r AS (SELECT COUNT(*) AS nrun FROM s a JOIN s c ON c.rk = a.rk + 1
+              |  WHERE a.above <> c.above),
+              |k AS (SELECT CAST(SUM(above) AS DOUBLE) AS n1,
+              |    CAST(SUM(1 - above) AS DOUBLE) AS n2,
+              |    CAST(COUNT(*) AS DOUBLE) AS n FROM s)
+              |SELECT CAST(n AS BIGINT) AS n_buckets, CAST(n1 AS BIGINT) AS n_above,
+              |  CAST(n2 AS BIGINT) AS n_below, CAST(nrun + 1 AS BIGINT) AS n_runs,
+              |  $zText AS z
+              |FROM r CROSS JOIN k""".stripMargin),
+      (s, dir) => {
+        val b = ev(s, dir)
+          .withColumn("bucket", floor(unix_timestamp(col("ts")) / 300).cast(LongType))
+          .groupBy("bucket").agg(count(lit(1)).as("nb"))
+        val t = b.agg(count(lit(1)).as("nbk"), sum("nb").as("tot"))
+        val wRk = Window
+          .partitionBy(graft.plans.ScalarExpressions.singlePartitionKey(col("bucket")))
+          .orderBy("bucket")
+        val sgn = b.crossJoin(broadcast(t))
+          .withColumn("above",
+            when(col("nb") * col("nbk") > col("tot"), 1).otherwise(0))
+          .withColumn("rk", row_number().over(wRk))
+          .select("rk", "above")
+        val nxt = sgn.select(col("rk").as("rk2"), col("above").as("above2"))
+        val r = sgn.join(nxt, col("rk2") === col("rk") + 1)
+          .filter(col("above") =!= col("above2"))
+          .agg(count(lit(1)).as("nrun"))
+        val k = sgn.agg(
+          sum("above").cast("double").as("n1"),
+          sum(lit(1) - col("above")).cast("double").as("n2"),
+          count(lit(1)).cast("double").as("n"))
+        r.crossJoin(k).select(
+          col("n").cast(LongType).as("n_buckets"),
+          col("n1").cast(LongType).as("n_above"),
+          col("n2").cast(LongType).as("n_below"),
+          (col("nrun") + 1).cast(LongType).as("n_runs"),
+          expr(zText).as("z"))
+      })
+  }
+
   def all: Seq[Q] = Seq(
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e4AsofNearest, e5Funnel,
     e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,
-    statCusum, statAutocorr, streamAnomaly)
+    statCusum, statAutocorr, e11Markov, statRunsTest, streamAnomaly)
 }

@@ -376,6 +376,133 @@ object ProfileQueries {
             expr(fStat).as("f_stat")))
   }
 
+  /** Per-group Gini coefficient of price mass
+    * ([[graft.functions.Stats.gini]]) — the concentration audit (a mix
+    * pipeline's "is 1% of sources carrying 90% of tokens?" check, here
+    * over l_extendedprice per return flag). Exact rank-formula Gini in
+    * integer cent units on the STRATIFIED SHARDED cumulative kernel (no
+    * group-wide window; broadcast shard offsets; decimal(38,0) rank-sum
+    * moments). The oracle replays the single-window cumulative form with
+    * HUGEINT moments — the hash match proves the sharded kernel
+    * bit-equal on yet another statistic family.
+    */
+  val giniPrice: Q = Q(
+    "stat_gini",
+    Some("""WITH g AS (SELECT l_returnflag AS gf,
+           |    CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT) AS c,
+           |    COUNT(*) AS w
+           |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+           |c2 AS (SELECT gf, c, w,
+           |    SUM(w) OVER (PARTITION BY gf ORDER BY c
+           |      ROWS UNBOUNDED PRECEDING) AS cum FROM g),
+           |m AS (SELECT gf, CAST(SUM(w) AS DOUBLE) AS n,
+           |    CAST(CAST(SUM(CAST(c AS HUGEINT) * CAST(w AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS s,
+           |    CAST(CAST(SUM(CAST(c AS HUGEINT) *
+           |      (2 * CAST(cum - w AS HUGEINT) * CAST(w AS HUGEINT)
+           |       + CAST(w AS HUGEINT) * (CAST(w AS HUGEINT) + 1))) AS VARCHAR) AS DOUBLE) AS a2
+           |  FROM c2 GROUP BY gf)
+           |SELECT gf AS l_returnflag, CAST(n AS BIGINT) AS n,
+           |  a2 / (n * s) - (n + 1.0) / n AS gini
+           |FROM m""".stripMargin),
+    (s, dir) =>
+      graft.functions.Stats.gini(
+        Tables.load(s, dir, "lineitem"), "l_returnflag", "l_extendedprice"))
+
+  /** Grubbs' outlier statistic per return flag — "how extreme is the
+    * most extreme price?" (the single-point-anomaly screen next to the
+    * distribution-level KS/PSI family). Two passes, both windowless: the
+    * exact-moment aggregate (mean/std from VARCHAR-routed decimal sums,
+    * one fixed IEEE tree) and a broadcast-join MAX of |x − mean| — a max
+    * is order-free by construction, so no decimal routing is needed
+    * anywhere in pass 2.
+    */
+  val grubbsPrice: Q = {
+    val mean = "sx / n"
+    val std = s"SQRT((sxx - sx * sx / n) / (n - 1))"
+    Q(
+      "stat_grubbs",
+      Some(s"""WITH m AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+              |    ${D.dsumExact("l_extendedprice")} AS sx,
+              |    ${D.dsumExact("l_extendedprice * l_extendedprice")} AS sxx
+              |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+              |s AS (SELECT l_returnflag, n, $mean AS mean, $std AS std FROM m),
+              |d AS (SELECT l.l_returnflag,
+              |    MAX(ABS(l.l_extendedprice - s.mean)) AS max_dev
+              |  FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+              |  WHERE l.l_extendedprice IS NOT NULL
+              |  GROUP BY 1)
+              |SELECT s.l_returnflag, CAST(s.n AS BIGINT) AS n, s.mean AS mean,
+              |  s.std AS std, d.max_dev AS max_dev, d.max_dev / s.std AS grubbs_g
+              |FROM s JOIN d ON s.l_returnflag = d.l_returnflag""".stripMargin),
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_extendedprice").isNotNull)
+        val m = li.groupBy("l_returnflag").agg(
+          count(lit(1)).cast("double").as("n"),
+          graft.functions.DetAgg.dsum(col("l_extendedprice")).as("sx"),
+          graft.functions.DetAgg.dsum(col("l_extendedprice") * col("l_extendedprice")).as("sxx"))
+        val stats = m.select(
+          col("l_returnflag"), col("n"),
+          expr(mean).as("mean"), expr(std).as("std"))
+        val dev = li
+          .join(broadcast(stats.select(col("l_returnflag").as("__f"), col("mean"))),
+            col("l_returnflag") === col("__f"))
+          .groupBy("l_returnflag")
+          .agg(max(abs(col("l_extendedprice") - col("mean"))).as("max_dev"))
+        stats.join(dev, "l_returnflag")
+          .select(
+            col("l_returnflag"), col("n").cast("long").as("n"),
+            col("mean"), col("std"), col("max_dev"),
+            (col("max_dev") / col("std")).as("grubbs_g"))
+      })
+  }
+
+  /** Benford first-digit profile of the price column — the forensic
+    * data-quality screen (synthetic or truncated numeric feeds bend the
+    * leading-digit curve long before summary stats move). The digit is
+    * taken from the DECIMAL STRING of the exact integer cents — no
+    * log10/pow round-trip, so there is no libm hazard anywhere — and the
+    * Benford expectations are shared literal constants. One hash
+    * aggregate to ≤ 9 rows.
+    */
+  val benfordPrice: Q = {
+    val ps = (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+    Q(
+      "stat_benford",
+      Some(s"""WITH c AS (SELECT
+              |    CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT) AS c
+              |  FROM lineitem
+              |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+              |d AS (SELECT CAST(SUBSTRING(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+              |    COUNT(*) AS n_obs
+              |  FROM c GROUP BY 1),
+              |t AS (SELECT SUM(n_obs) AS total FROM d),
+              |p AS (SELECT * FROM (VALUES
+              |    ${ps.map { case (d, p) => s"(CAST($d AS BIGINT), CAST('$p' AS DOUBLE))" }
+                     .mkString(",\n    ")}) AS p(digit, benford_p))
+              |SELECT d.digit, d.n_obs,
+              |  CAST(d.n_obs AS DOUBLE) / t.total AS share, p.benford_p
+              |FROM d CROSS JOIN t JOIN p ON p.digit = d.digit""".stripMargin),
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.load(s, dir, "lineitem")
+          .filter(col("l_extendedprice").isNotNull && col("l_extendedprice") > 0)
+          .select(floor(col("l_extendedprice").cast("double") * 100 + 0.5)
+            .cast("long").as("c"))
+        val d = c
+          .select(substring(col("c").cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val t = d.agg(sum("n_obs").as("total"))
+        val p = ps.toDF("digit", "benford_p")
+          .select(col("digit").cast("long").as("digit"), col("benford_p"))
+        d.crossJoin(broadcast(t))
+          .join(broadcast(p), "digit")
+          .select(col("digit"), col("n_obs"),
+            (col("n_obs").cast("double") / col("total")).as("share"),
+            col("benford_p"))
+      })
+  }
+
   /** The streaming drift monitor's plan run in BATCH over the events
     * table (the same serving-both-ways proof as `stream_quality_monitor`):
     * per 5-minute event-time window, χ² goodness-of-fit and PSI of the
@@ -677,7 +804,8 @@ object ProfileQueries {
   def all: Seq[Q] = Seq(
     profileLineitem, textRedact, ksQuantity, mannWhitney, jsdQuantity,
     spearmanQP, psiQuantity, quantilesExact, ppsSample,
-    chi2ReturnFlag, anovaQuantity, sampleDsir, packCurriculum, dqExpectations,
+    chi2ReturnFlag, anovaQuantity, giniPrice, grubbsPrice, benfordPrice,
+    sampleDsir, packCurriculum, dqExpectations,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,
     sampleDomainCap)

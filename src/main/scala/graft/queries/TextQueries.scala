@@ -2039,6 +2039,48 @@ object TextQueries {
           col("rank_in_domain").cast("long").as("rank_in_stratum"))
     })
 
+  /** Per-document top-3 TF-IDF terms — keyword extraction, the quick
+    * "what is this document about?" signal a curation UI shows next to
+    * every sample. TF and DF are exact integer hash aggregates; the only
+    * float is the idf log, rounded to 6 decimals (the [[textZipfFit]]
+    * libm discipline) BEFORE ranking so both engines rank identical
+    * scores, token tiebreak. The ranking window partitions per document
+    * — bounded by tokens-per-doc, never corpus size.
+    */
+  val textTfidfTopk: Q = Q(
+    "text_tfidf_topk",
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+            |  FROM documents),
+            |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+            |dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+            |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+            |sc AS (SELECT tf.doc_id, tf.t, tf.tf, dfq.df,
+            |    ROUND(tf.tf * LN(CAST(n_docs AS DOUBLE) / dfq.df), 6) AS score
+            |  FROM tf JOIN dfq ON dfq.t = tf.t CROSS JOIN nd),
+            |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            |    ORDER BY score DESC, t) AS rank FROM sc)
+            |SELECT doc_id, t AS token, tf, df, score, CAST(rank AS BIGINT) AS rank
+            |FROM r WHERE rank <= 3""".stripMargin),
+    (s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+      val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("t").as("__t")).agg(count(lit(1)).as("df"))
+      val nd = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val sc = tf.join(dfq, col("t") === col("__t"))
+        .crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("t"), col("tf"), col("df"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+            .as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("t"))
+      sc.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("t").as("token"), col("tf"), col("df"),
+          col("score"), col("rank"))
+    })
+
   /** Neyman-allocation stratified sample — the OPTIMAL eval-split
     * builder: where [[sampleFixedPerStratum]] takes a flat 50 per
     * stratum, this allocates a 200-doc budget ∝ N_h·σ_h (stratum size ×
@@ -2194,7 +2236,7 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
     textZipfFit, textVocabCoverage,
-    textNgramNovelty, sampleFixedPerStratum, sampleNeyman,
+    textNgramNovelty, sampleFixedPerStratum, sampleNeyman, textTfidfTopk,
     textTokens, textQuality, textLangId, textFingerprint, textRepetition,
     textBpePairs, textNormalize, textGopherRules, textWinnow, textCollocations,
     textEntropy, packLengthBuckets,
