@@ -358,6 +358,103 @@ object Stats {
       value: String,
       inSample1: Column,
       shardBits: Int = 12): DataFrame = {
+    val t = rankSumMoments(df, value, inSample1, shardBits)
+    // fixed IEEE sequence over exact integers — keep this text in lock
+    // step with the SQL mirror in ProfileQueries.stat_mannwhitney
+    t.select(
+      col("__n1").as("n1"), col("__n2").as("n2"),
+      ((col("__r2x") - col("__n1") * (col("__n1") + lit(1))).cast("double") / lit(2.0)).as("u"),
+      (((col("__r2x") - col("__n1") * (col("__n1") + lit(1))).cast("double") / lit(2.0)
+        - col("__n1").cast("double") * col("__n2").cast("double") / lit(2.0))
+        / sqrt(
+          col("__n1").cast("double") * col("__n2").cast("double") / lit(12.0)
+            * ((col("__n1").cast("double") + col("__n2").cast("double") + lit(1.0))
+              - col("__tt").cast("double")
+                / ((col("__n1").cast("double") + col("__n2").cast("double"))
+                  * (col("__n1").cast("double") + col("__n2").cast("double") - lit(1.0))))))
+        .as("z"))
+  }
+
+  /** Kendall τ-b between two BOUNDED-CARDINALITY columns (categorical /
+    * discretized; continuous inputs get bucketed first): concordant and
+    * discordant pair mass from the JOINT distinct relation
+    * (≤ |X|·|Y| rows), never from row pairs — one strict `x_a < x_b`
+    * broadcast pair join over that bounded relation. Tie terms ride
+    * DOUBLED (`Σ c·(c−1)`, always even — exact BIGINT), so everything
+    * is integer until the single fixed IEEE tail
+    * `(C−D) / (√((n(n−1)−n1·2)/2) · √((n(n−1)−n2·2)/2))`.
+    */
+  def kendallTau(df: DataFrame, x: String, y: String): DataFrame = {
+    val j = df
+      .filter(col(x).isNotNull && col(y).isNotNull)
+      .groupBy(col(x).cast("double").as("__x"), col(y).cast("double").as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val a = j.select(col("__x").as("__xa"), col("__y").as("__ya"), col("__c").as("__ca"))
+    val b = j.select(col("__x").as("__xb"), col("__y").as("__yb"), col("__c").as("__cb"))
+    val p = a.join(broadcast(b), col("__xa") < col("__xb"))
+      .agg(
+        sum(when(col("__ya") < col("__yb"), col("__ca") * col("__cb")).otherwise(0L))
+          .as("conc"),
+        sum(when(col("__ya") > col("__yb"), col("__ca") * col("__cb")).otherwise(0L))
+          .as("disc"))
+    val tx = j.groupBy("__x").agg(sum("__c").as("__cx"))
+      .agg(sum(col("__cx") * (col("__cx") - 1)).as("__n1x2"))
+    val ty = j.groupBy("__y").agg(sum("__c").as("__cy"))
+      .agg(sum(col("__cy") * (col("__cy") - 1)).as("__n2x2"))
+    val t = j.agg(sum("__c").as("n"))
+    // fixed IEEE tail — keep in lock step with the SQL mirror in
+    // ProfileQueries.stat_kendall
+    t.crossJoin(broadcast(p)).crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .select(
+        col("n"), col("conc"), col("disc"),
+        ((col("conc") - col("disc")).cast("double")
+          / (sqrt((col("n") * (col("n") - 1) - col("__n1x2")).cast("double") / lit(2.0))
+            * sqrt((col("n") * (col("n") - 1) - col("__n2x2")).cast("double") / lit(2.0))))
+          .as("tau_b"))
+  }
+
+  /** Truncated, adjust-normalized EWMA (α = ½) of an integer bucket
+    * series: `ewma_t = Σ_j x_{t−j}·2^(lags−1−j) / Σ_j 2^(lags−1−j)` over
+    * the lags PRESENT in the series (weights beyond 2^−lags are the
+    * documented truncation contract), so leading buckets and gaps
+    * normalize by what was actually observed. WINDOWLESS: a broadcast
+    * `lags`-row literal weight grid, an equi-join on `bucket − j`, one
+    * hash aggregate — numerator and denominator are exact BIGINT sums,
+    * the only float op is the final division. Input `x` must be an
+    * integer column; headroom is `x·2^(lags−1)·lags < 2⁶³`.
+    */
+  def ewmaTrunc(
+      series: DataFrame,
+      bucket: String,
+      x: String,
+      lags: Int = 20): DataFrame = {
+    require(lags >= 1 && lags <= 62, s"lags $lags out of range")
+    import series.sparkSession.implicits._
+    val g = (0 until lags).map(j => (j.toLong, 1L << (lags - 1 - j))).toDF("__j", "__w")
+    val t = series.select(col(bucket).as("__tb"), col(x).as("__x0"))
+    val c = series.select(col(bucket).as("__cb"), col(x).as("__cx"))
+    t.crossJoin(broadcast(g))
+      .join(c, col("__cb") === col("__tb") - col("__j"))
+      .groupBy(col("__tb").as(bucket), col("__x0").as(x))
+      .agg(
+        sum(col("__cx") * col("__w")).as("__num"),
+        sum(col("__w")).as("__den"))
+      .select(col(bucket), col(x),
+        (col("__num").cast("double") / col("__den").cast("double")).as("ewma"))
+  }
+
+  /** Shared rank-sum moment relation behind [[mannWhitneyU]] and [[auc]]:
+    * one row of exact 64-bit integers — `__n1`, `__n2`, the DOUBLED
+    * midrank sum of sample 1 (`__r2x = Σ c₁·(2r − c + 1)`), and the tie
+    * term (`__tt = Σ c³ − c`) — computed on the [[ks2Samp]] sharded
+    * cumulative kernel (distinct-value relation, monotone sortable-bits
+    * shards, per-shard windows, ≤ 2^shardBits-row broadcast offsets).
+    */
+  private def rankSumMoments(
+      df: DataFrame,
+      value: String,
+      inSample1: Column,
+      shardBits: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shardBits >= 1 && shardBits <= 20, s"shardBits $shardBits out of range")
     val g = df.filter(col(value).isNotNull).groupBy(col(value).as("__v"))
@@ -383,26 +480,33 @@ object Stats {
     val c = col("__c1") + col("__c2")
     val ranked = keyed.join(broadcast(offsets), col("__shard") === col("__oshard"))
       .withColumn("__r", col("__b") + sum(c).over(wCum)) // inclusive cum count
-    val t = ranked.agg(
+    ranked.agg(
       sum("__c1").as("__n1"),
       sum("__c2").as("__n2"),
       sum(col("__c1") * (lit(2) * col("__r") - c + lit(1))).as("__r2x"),
       sum(c * c * c - c).as("__tt"))
-    // fixed IEEE sequence over exact integers — keep this text in lock
-    // step with the SQL mirror in ProfileQueries.stat_mannwhitney
-    t.select(
-      col("__n1").as("n1"), col("__n2").as("n2"),
-      ((col("__r2x") - col("__n1") * (col("__n1") + lit(1))).cast("double") / lit(2.0)).as("u"),
-      (((col("__r2x") - col("__n1") * (col("__n1") + lit(1))).cast("double") / lit(2.0)
-        - col("__n1").cast("double") * col("__n2").cast("double") / lit(2.0))
-        / sqrt(
-          col("__n1").cast("double") * col("__n2").cast("double") / lit(12.0)
-            * ((col("__n1").cast("double") + col("__n2").cast("double") + lit(1.0))
-              - col("__tt").cast("double")
-                / ((col("__n1").cast("double") + col("__n2").cast("double"))
-                  * (col("__n1").cast("double") + col("__n2").cast("double") - lit(1.0))))))
-        .as("z"))
   }
+
+  /** ROC AUC of a score column against a binary label — the classifier
+    * acceptance gate a filtering pipeline runs before trusting a quality
+    * model's threshold (AUC = P(score⁺ > score⁻) + ½·P(tie), which is
+    * exactly the midrank Mann–Whitney statistic: `AUC = U₁ / (n₁·n₂)`).
+    * Rides [[rankSumMoments]] unchanged, so ties get the standard ½
+    * credit and the whole computation is integer-exact until the final
+    * two-op IEEE sequence (÷2, ÷n₁n₂) — hash-portable with no rounding.
+    * Scale shape identical to [[mannWhitneyU]]: no corpus-wide window.
+    */
+  def auc(
+      df: DataFrame,
+      score: String,
+      isPositive: Column,
+      shardBits: Int = 12): DataFrame =
+    // keep the select in lock step with the SQL mirror in
+    // ProfileQueries.stat_auc
+    rankSumMoments(df, score, isPositive, shardBits).select(
+      col("__n1").as("n_pos"), col("__n2").as("n_neg"),
+      (((col("__r2x") - col("__n1") * (col("__n1") + lit(1))).cast("double") / lit(2.0))
+        / (col("__n1").cast("double") * col("__n2").cast("double"))).as("auc"))
 
   /** Population stability index between two slices of a value column —
     * the standard production drift monitor next to [[ks2Samp]] (PSI < 0.1

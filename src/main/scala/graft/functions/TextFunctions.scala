@@ -27,6 +27,30 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
 
+  /** Sentence count: runs of ASCII terminators `[.!?]+` (a trailing
+    * "..." or "?!" is one boundary), floored at 1 so scripts with no
+    * ASCII terminators (e.g. CJK `。`) still divide safely.
+    */
+  def sentenceCount(text: Column): Column =
+    greatest(
+      size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long"),
+      lit(1L))
+
+  /** Syllable proxy: vowel-group runs `[aeiouy]+` of the lowercased
+    * text — the standard Flesch approximation (exact syllabification
+    * needs a dictionary; vowel groups are within ~10 % on English prose
+    * and deterministic everywhere).
+    */
+  def syllableCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0))).cast("long")
+
+  /** Flesch reading ease `206.835 − 1.015·(w/s) − 84.6·(syl/w)` as ONE
+    * fixed IEEE tree over exact integer counts — bit-portable unrounded.
+    */
+  def flesch(words: Column, sentences: Column, syllables: Column): Column =
+    lit(206.835) - lit(1.015) * (words.cast("double") / sentences) -
+      lit(84.6) * (syllables.cast("double") / words)
+
   /** Canonical text cleanup (ftfy-lite): Unicode NFC composition
     * ([[graft.plans.ScalarExpressions.nfc]], a native codegen'd
     * expression), control characters stripped (C0 except newline, plus

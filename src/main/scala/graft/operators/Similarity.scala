@@ -116,6 +116,64 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** ±1 signed-random-projection hyperplane matrix (`dims` rows ×
+    * `bits` columns) from the murmur3 fmix32 finalizer of
+    * `dim·bits + bit + 1` — a deterministic PARAMETER both engines can
+    * embed as a literal (fixed-quantizer discipline, no RNG state).
+    */
+  def srpSigns(dims: Int, bits: Int): Seq[Seq[Int]] = {
+    def fmix32(h0: Int): Int = {
+      var h = h0
+      h ^= h >>> 16; h *= 0x85ebca6b
+      h ^= h >>> 13; h *= 0xc2b2ae35
+      h ^= h >>> 16; h
+    }
+    (0 until dims).map { d =>
+      (0 until bits).map(k => if (fmix32(d * bits + k + 1) >= 0) 1 else -1)
+    }
+  }
+
+  /** Signed-random-projection bit signatures (SimHash for dense vectors):
+    * each vector's `bits`-bit code from the signs of its dot products
+    * with the [[srpSigns]] hyperplanes — Hamming distance on the codes
+    * estimates angular distance (the candidate-bucketing key for
+    * billion-scale near-dup). Components are fixed-point
+    * `floor(x·2²⁰ + ½)` BIGINTs, so every projection is an exact integer
+    * sum — bit-portable with no float arithmetic anywhere; ties
+    * (projection exactly 0) take bit 1.
+    *
+    * Scale shape: one posexplode, one `dims`-row broadcast relation, ONE
+    * hash aggregate carrying the `bits` projections as columns (no
+    * `bits`× row expansion), a pure packing projection.
+    */
+  def srpBits(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      dims: Int = 64,
+      bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits $bits out of range")
+    val spark = df.sparkSession
+    val signs = srpSigns(dims, bits)
+    val x = df
+      .select(col(id),
+        posexplode(asDouble(col(vec))).as(Seq("__pos", "__xv")))
+      .withColumn("__q", floor(col("__xv") * lit(1048576.0) + lit(0.5)).cast("long"))
+    val mat = typedLit(signs.map(_.toSeq))
+    val dim = spark.range(dims).select(
+      col("id").cast("int").as("__pos2"),
+      element_at(mat, col("id").cast("int") + 1).as("__sv"))
+    val sums = (0 until bits).map(k =>
+      sum(col("__q") * col("__sv").getItem(k)).as(s"__d$k"))
+    val agg = x.join(broadcast(dim), col("__pos") === col("__pos2"))
+      .groupBy(col(id))
+      .agg(sums.head, sums.tail: _*)
+    val code = (0 until bits)
+      .map(k => when(col(s"__d$k") >= 0, lit(1L << k)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col(id), code.cast("long").as("srp_code"))
+  }
+
   /** Cluster-scoped near-duplicate pairs — the SemDeDup shape (public
     * literature: cluster the embeddings, compare only within a cluster):
     * assign every vector to its nearest centroid, emit (a < b) pairs with

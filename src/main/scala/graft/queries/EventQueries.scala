@@ -542,6 +542,119 @@ object EventQueries {
             sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("autocorr"))
     })
 
+  /** Exponentially weighted moving average of the hourly event-value
+    * series — the smoothed health metric a monitoring dashboard tracks
+    * next to [[statAutocorr]] (same bucketed-series family) and the
+    * CUSUM change detector. α = ½ with the `adjust=True` normalization,
+    * TRUNCATED at 20 lags (weights beyond 2⁻²⁰ are below one part in a
+    * million — the documented contract, not an approximation of some
+    * other definition): `ewma_t = Σ_j x_{t−j}·2^(19−j) / Σ_j 2^(19−j)`
+    * over the lags present in the series, so leading buckets and gaps
+    * normalize by the weights actually observed.
+    *
+    * WINDOWLESS by construction: the bounded 20-row lag grid is a
+    * broadcast literal (the [[statAutocorr]] shape), contributions come
+    * from an equi-join on `bucket − j` (no range join, no BNL), and both
+    * the numerator and denominator are exact BIGINT sums of micro-unit
+    * integers — the only float op is the final division. Headroom: with
+    * 2^19 max weight × 20 terms the hourly micro-sum may reach ~8.8e11
+    * (≈ 880 k value-units/hour) before the BIGINT bound; past that,
+    * route the products through DECIMAL(38,0) exactly like DetAgg.
+    */
+  val tsEwma: Q = {
+    val grid = (0 until 20).map(j => (j.toLong, 1L << (19 - j)))
+    Q(
+      "ts_ewma",
+      Some(s"""WITH b AS (
+              |  SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+              |    CAST(SUM(CAST(value AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS x
+              |  FROM events GROUP BY 1),
+              |g AS (SELECT * FROM (VALUES
+              |    ${grid.map { case (j, w) => s"($j, $w)" }.mkString(", ")})
+              |  AS g(j, w)),
+              |p AS (SELECT t.bucket, t.x, c.x AS cx, g.w
+              |  FROM b t CROSS JOIN g JOIN b c ON c.bucket = t.bucket - g.j)
+              |SELECT bucket, x,
+              |  CAST(SUM(cx * w) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS ewma
+              |FROM p GROUP BY bucket, x""".stripMargin),
+      (s, dir) =>
+        graft.functions.Stats.ewmaTrunc(
+          ev(s, dir)
+            .withColumn("bucket", floor(unix_timestamp(col("ts")) / 3600).cast(LongType))
+            .groupBy("bucket")
+            .agg((sum(DetAgg.dec(col("value"))) * 1000000).cast(LongType).as("x")),
+          "bucket", "x", lags = 20))
+  }
+
+  /** Additive seasonal decomposition of the hourly event-value series —
+    * the classic `x = trend + seasonal + resid` split (daily period 24)
+    * a capacity dashboard runs before alarming on raw deviations.
+    * Simplified one-pass contract (full STL iterates; this is its
+    * standard first pass): `trend` = centered 25-term moving average,
+    * emitted ONLY where the full ±12 window is present (else null);
+    * `seasonal` = hour-of-day mean minus grand mean; `resid` = the
+    * leftover where trend is defined.
+    *
+    * WINDOWLESS: the ±12 grid is a broadcast literal equi-joined on
+    * `bucket + j` (the [[tsEwma]] shape), the 24-row seasonal and 1-row
+    * grand-mean relations broadcast, and every mean is an exact-BIGINT
+    * micro-unit sum with ONE division (no decimal needed below 2⁵³
+    * micro-units; past that the [[DetAgg]] route applies) — so the
+    * whole decomposition is a fixed IEEE tree over exact integers,
+    * hash-exact unrounded.
+    */
+  val tsSeasonalDecompose: Q = Q(
+    "ts_seasonal_decompose",
+    Some(s"""WITH b AS (
+            |  SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+            |    CAST(SUM(CAST(value AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS x
+            |  FROM events GROUP BY 1),
+            |gm AS (SELECT CAST(SUM(x) AS DOUBLE) / COUNT(*) AS g FROM b),
+            |se AS (SELECT bucket % 24 AS hod,
+            |    CAST(SUM(x) AS DOUBLE) / COUNT(*) AS hm
+            |  FROM b GROUP BY 1),
+            |gr AS (SELECT * FROM (VALUES
+            |    ${(-12 to 12).map(j => s"($j)").mkString(", ")}) AS gr(j)),
+            |tr AS (SELECT t.bucket AS tb,
+            |    CASE WHEN COUNT(*) = 25
+            |      THEN CAST(SUM(c.x) AS DOUBLE) / 25.0 END AS trend
+            |  FROM b t CROSS JOIN gr JOIN b c ON c.bucket = t.bucket + gr.j
+            |  GROUP BY t.bucket)
+            |SELECT b.bucket, b.bucket % 24 AS hod, b.x,
+            |  se.hm - gm.g AS seasonal, tr.trend,
+            |  CAST(b.x AS DOUBLE) - tr.trend - (se.hm - gm.g) AS resid
+            |FROM b JOIN se ON se.hod = b.bucket % 24
+            |  JOIN tr ON tr.tb = b.bucket
+            |  CROSS JOIN gm""".stripMargin),
+    (s, dir) => {
+      import s.implicits._
+      val b = ev(s, dir)
+        .withColumn("bucket", floor(unix_timestamp(col("ts")) / 3600).cast(LongType))
+        .groupBy("bucket")
+        .agg((sum(DetAgg.dec(col("value"))) * 1000000).cast(LongType).as("x"))
+      val gm = b.agg((sum("x").cast("double") / count(lit(1))).as("g"))
+      val se = b.groupBy((col("bucket") % 24).as("hod"))
+        .agg((sum("x").cast("double") / count(lit(1))).as("hm"))
+      val gr = (-12L to 12L).toDF("j")
+      val tr = b.select(col("bucket").as("tb"))
+        .crossJoin(broadcast(gr))
+        .join(b.select(col("bucket").as("cb"), col("x").as("cx")),
+          col("cb") === col("tb") + col("j"))
+        .groupBy("tb")
+        .agg(when(count(lit(1)) === 25, sum("cx").cast("double") / lit(25.0))
+          .as("trend"))
+      b.withColumn("hod", col("bucket") % 24)
+        .join(broadcast(se), "hod")
+        .join(tr, col("bucket") === col("tb"))
+        .crossJoin(broadcast(gm))
+        .select(
+          col("bucket"), col("hod"), col("x"),
+          (col("hm") - col("g")).as("seasonal"),
+          col("trend"),
+          (col("x").cast("double") - col("trend") - (col("hm") - col("g")))
+            .as("resid"))
+    })
+
   /** First-order Markov transition matrix of per-user event-type
     * sequences — the behavioral fingerprint (what follows a `view`? how
     * often does `error` self-loop?). One `lead` window per user (state
@@ -641,5 +754,6 @@ object EventQueries {
   def all: Seq[Q] = Seq(
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e4AsofNearest, e5Funnel,
     e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,
-    statCusum, statAutocorr, e11Markov, statRunsTest, streamAnomaly)
+    statCusum, statAutocorr, tsEwma, tsSeasonalDecompose, e11Markov,
+    statRunsTest, streamAnomaly)
 }

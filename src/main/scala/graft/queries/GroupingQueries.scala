@@ -590,6 +590,72 @@ object GroupingQueries {
       })
   }
 
+  /** Degree assortativity of the customer↔supplier purchase graph — the
+    * one-number structural profile next to [[pagerank]]/[[kcore]] (do
+    * high-degree nodes attach to high-degree nodes? Bipartite commerce
+    * graphs are typically disassortative). Standard Pearson r of
+    * (deg(u), deg(v)) over DIRECTED half-edges (both orientations, the
+    * undirected convention): degrees are exact integer counts, the five
+    * moments ride decimal(18,0) products (HUGEINT on the oracle side —
+    * the [[graft.queries.EventQueries.statAutocorr]] discipline), and
+    * the Pearson tail is one fixed IEEE tree — hash-exact unrounded.
+    * Scale shape: two equi-joins against the degree relation (shuffle on
+    * node id, no broadcast assumption — the degree relation is
+    * node-cardinality) and one scalar aggregate.
+    */
+  val assortativity: Q = Q(
+    "graph_assortativity",
+    Some("""WITH e AS (SELECT DISTINCT o.o_custkey AS src,
+           |    l.l_suppkey + 1000000 AS dst
+           |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+           |h AS (SELECT src, dst FROM e
+           |  UNION ALL SELECT dst AS src, src AS dst FROM e),
+           |d AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+           |  FROM h GROUP BY src),
+           |p AS (SELECT du.deg AS j, dv.deg AS k
+           |  FROM h JOIN d du ON h.src = du.node JOIN d dv ON h.dst = dv.node),
+           |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           |    CAST(SUM(j) AS DOUBLE) AS sj, CAST(SUM(k) AS DOUBLE) AS sk,
+           |    CAST(CAST(SUM(CAST(j AS HUGEINT) * CAST(k AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sjk,
+           |    CAST(CAST(SUM(CAST(j AS HUGEINT) * CAST(j AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sjj,
+           |    CAST(CAST(SUM(CAST(k AS HUGEINT) * CAST(k AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS skk
+           |  FROM p)
+           |SELECT CAST(n AS BIGINT) AS m2,
+           |  (n * sjk - sj * sk)
+           |    / (SQRT(n * sjj - sj * sj) * SQRT(n * skk - sk * sk)) AS assortativity
+           |FROM g""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val d18 = DecimalType(18, 0)
+      val o = Tables.load(s, dir, "orders").select("o_custkey", "o_orderkey")
+      val l = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val e = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(
+          col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      val h = e.select("src", "dst")
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val d = h.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val p = h
+        .join(d.select(col("node").as("nu"), col("deg").as("j")), col("src") === col("nu"))
+        .join(d.select(col("node").as("nv"), col("deg").as("k")), col("dst") === col("nv"))
+        .select("j", "k")
+      val g = p.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("j").cast("double").as("sj"),
+        sum("k").cast("double").as("sk"),
+        sum(col("j").cast(d18) * col("k").cast(d18)).cast("double").as("sjk"),
+        sum(col("j").cast(d18) * col("j").cast(d18)).cast("double").as("sjj"),
+        sum(col("k").cast(d18) * col("k").cast(d18)).cast("double").as("skk"))
+      g.select(
+        col("n").cast("long").as("m2"),
+        ((col("n") * col("sjk") - col("sj") * col("sk"))
+          / (sqrt(col("n") * col("sjj") - col("sj") * col("sj"))
+            * sqrt(col("n") * col("skk") - col("sk") * col("sk"))))
+          .as("assortativity"))
+    })
+
   /** Triangle counting over the supplier co-occurrence graph (suppliers
     * linked when they serve the first two lines of the same order) —
     * [[graft.operators.Triangles]]: the REGISTERED path is the
@@ -942,5 +1008,5 @@ object GroupingQueries {
     tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore,
     freqItems, zorderExport, logregQuality, percentileRank, equidepthHist,
     winsorize, pagerank, triangles, labelProp, cmsTopk, kcore, hllDistinct,
-    adamicAdar, ppr, skyline, shortestHops)
+    adamicAdar, ppr, skyline, shortestHops, assortativity)
 }

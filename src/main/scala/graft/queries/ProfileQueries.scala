@@ -503,6 +503,201 @@ object ProfileQueries {
       })
   }
 
+  /** ROC AUC of document length as a predictor of `lang = 'en'`
+    * ([[graft.functions.Stats.auc]]) — the classifier acceptance gate a
+    * curation pipeline runs before trusting a quality model's threshold
+    * (does the score actually rank positives above negatives?). AUC is
+    * computed as the midrank Mann–Whitney statistic `U₁/(n₁·n₂)` on the
+    * SHARDED rank kernel — integer-exact doubled rank sums, ties at ½
+    * credit, then a two-op IEEE tail — so the oracle's single-window
+    * cumulative replay hash-matches with NO rounding, extending the
+    * sharding-correctness proof to a third statistic family (U, ρ, AUC).
+    */
+  val aucLangLen: Q = Q(
+    "stat_auc",
+    Some("""WITH g AS (
+           |  SELECT n_chars AS v,
+           |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c1,
+           |    SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS c2
+           |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+           |c AS (
+           |  SELECT c1, c2,
+           |    SUM(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r
+           |  FROM g),
+           |t AS (
+           |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+           |    CAST(SUM(c1 * (2 * r - (c1 + c2) + 1)) AS BIGINT) AS r2x
+           |  FROM c)
+           |SELECT n1 AS n_pos, n2 AS n_neg,
+           |  (CAST(r2x - n1 * (n1 + 1) AS DOUBLE) / 2.0)
+           |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS auc
+           |FROM t""".stripMargin),
+    (s, dir) =>
+      graft.functions.Stats.auc(
+        Tables.load(s, dir, "documents"), "n_chars", col("lang") === "en"))
+
+  /** Brown–Forsythe homogeneity-of-variance test: one-way ANOVA on
+    * |x − group median| — the robust Levene variant (median-centered, so
+    * heavy tails can't masquerade as variance differences), the
+    * precondition check for [[anovaQuantity]] itself. Composes two
+    * existing exact kernels: per-group medians from the STRATIFIED
+    * sharded cumulative ([[graft.functions.Stats.weightedMedian]] at
+    * weight 1 — a type-1 median, an actual data value, so the
+    * deviations `|q − med|` are exact BIGINTs for integer-valued
+    * columns), then the [[anovaQuantity]] conditional-moment aggregate
+    * and its literal F tree, TEXT-shared with the oracle — bit-exact
+    * unrounded. Scale: a 3-row broadcast median relation + one
+    * conditional hash aggregate; no window beyond the median kernel's
+    * per-(group, shard) ones.
+    */
+  val brownForsythe: Q = {
+    val flags = Seq("A", "N", "R")
+    val moments = flags.flatMap { f =>
+      Seq(
+        s"CAST(SUM(CASE WHEN gf = '$f' THEN 1 ELSE 0 END) AS DOUBLE) AS n_$f",
+        s"CAST(SUM(CASE WHEN gf = '$f' THEN z ELSE 0 END) AS DOUBLE) AS s_$f",
+        s"CAST(SUM(CASE WHEN gf = '$f' THEN z * z ELSE 0 END) AS DOUBLE) AS q_$f")
+    }
+    val t = flags.map(f => s"s_$f * s_$f / n_$f").mkString(" + ")
+    val sTot = flags.map(f => s"s_$f").mkString(" + ")
+    val nTot = flags.map(f => s"n_$f").mkString(" + ")
+    val qTot = flags.map(f => s"q_$f").mkString(" + ")
+    val ssb = s"($t) - ($sTot) * ($sTot) / ($nTot)"
+    val ssw = s"($qTot) - ($t)"
+    val df1 = (flags.size - 1).toDouble
+    val fStat = s"(($ssb) / $df1) / (($ssw) / (($nTot) - ${flags.size}.0))"
+    Q(
+      "stat_brown_forsythe",
+      Some(s"""WITH g AS (
+              |  SELECT l_returnflag AS gf, CAST(l_quantity AS DOUBLE) AS v,
+              |    COUNT(*) AS w
+              |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+              |c AS (SELECT gf, v,
+              |    SUM(w) OVER (PARTITION BY gf ORDER BY v
+              |      ROWS UNBOUNDED PRECEDING) AS cum,
+              |    SUM(w) OVER (PARTITION BY gf) AS tw FROM g),
+              |med AS (SELECT gf, MIN(v) AS med FROM c WHERE 2 * cum >= tw
+              |  GROUP BY gf),
+              |zz AS (SELECT l.l_returnflag AS gf,
+              |    ABS(CAST(l.l_quantity AS BIGINT) - CAST(m.med AS BIGINT)) AS z
+              |  FROM lineitem l JOIN med m ON l.l_returnflag = m.gf
+              |  WHERE l.l_quantity IS NOT NULL),
+              |m AS (SELECT
+              |  ${moments.mkString(",\n  ")}
+              |FROM zz)
+              |SELECT $ssb AS ss_between, $ssw AS ss_within,
+              |  CAST($df1 AS BIGINT) AS df_between,
+              |  CAST(($nTot) - ${flags.size}.0 AS BIGINT) AS df_within,
+              |  $fStat AS f_stat
+              |FROM m""".stripMargin),
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_quantity").isNotNull)
+        val med = graft.functions.Stats
+          .weightedMedian(li, "l_returnflag", "l_quantity", lit(1L))
+          .select(col("l_returnflag").as("gf"), col("wmed_l_quantity").as("med"))
+        val z = li.join(broadcast(med), col("l_returnflag") === col("gf"))
+          .select(col("gf"),
+            abs(col("l_quantity").cast("long") - col("med").cast("long")).as("z"))
+        z.agg(expr(moments.head), moments.tail.map(expr): _*)
+          .select(
+            expr(ssb).as("ss_between"),
+            expr(ssw).as("ss_within"),
+            expr(s"CAST($df1 AS BIGINT)").as("df_between"),
+            expr(s"CAST(($nTot) - ${flags.size}.0 AS BIGINT)").as("df_within"),
+            expr(fStat).as("f_stat"))
+      })
+  }
+
+  /** Kendall τ-b between l_quantity and l_discount — the third rank
+    * correlation beside Spearman ρ (τ counts pairwise order agreements;
+    * it is the statistic of record when ties are heavy, as here: both
+    * columns are bounded-cardinality). Kernel: the JOINT distinct
+    * relation (x, y, count) — ≤ |X|·|Y| rows, bounded for categorical /
+    * discretized columns (the documented contract; continuous inputs
+    * get bucketed first, like [[psiQuantity]]) — then concordant /
+    * discordant mass from a strict `x_a < x_b` broadcast pair join over
+    * that bounded relation, never over rows. Tie terms ride DOUBLED
+    * (`Σ c·(c−1)` — always even, exact BIGINT; the [[mannWhitney]]
+    * trick), so everything is integer until the single fixed IEEE tail.
+    */
+  val kendallTau: Q = Q(
+    "stat_kendall",
+    Some("""WITH j AS (
+           |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+           |    CAST(l_discount AS DOUBLE) AS y, COUNT(*) AS c
+           |  FROM lineitem
+           |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+           |  GROUP BY 1, 2),
+           |p AS (
+           |  SELECT
+           |    CAST(SUM(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END) AS BIGINT) AS conc,
+           |    CAST(SUM(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END) AS BIGINT) AS disc
+           |  FROM j a JOIN j b ON a.x < b.x),
+           |tx AS (SELECT CAST(SUM(cx * (cx - 1)) AS BIGINT) AS n1x2
+           |  FROM (SELECT CAST(SUM(c) AS BIGINT) AS cx FROM j GROUP BY x)),
+           |ty AS (SELECT CAST(SUM(cy * (cy - 1)) AS BIGINT) AS n2x2
+           |  FROM (SELECT CAST(SUM(c) AS BIGINT) AS cy FROM j GROUP BY y)),
+           |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM j)
+           |SELECT n, conc, disc,
+           |  CAST(conc - disc AS DOUBLE)
+           |    / (SQRT(CAST(n * (n - 1) - n1x2 AS DOUBLE) / 2.0)
+           |       * SQRT(CAST(n * (n - 1) - n2x2 AS DOUBLE) / 2.0)) AS tau_b
+           |FROM t CROSS JOIN p CROSS JOIN tx CROSS JOIN ty""".stripMargin),
+    (s, dir) =>
+      graft.functions.Stats.kendallTau(
+        Tables.load(s, dir, "lineitem"), "l_quantity", "l_discount"))
+
+  /** Cramér's V of the l_returnflag × l_linestatus contingency — the
+    * normalized effect size the χ² family needs at scale (χ² grows with
+    * n; V ∈ [0, 1] is comparable across corpora). Contingency counts,
+    * margins, and n are one hash aggregate to a ≤ |R|·|C| relation plus
+    * two ≤ |R| / ≤ |C| margin aggregates (all broadcast); χ² rides the
+    * DetAgg decimal route, is rounded at 6 (the [[chi2ReturnFlag]]
+    * convention), and V is computed FROM the rounded χ² so both engines
+    * share the literal input to the final sqrt.
+    */
+  val cramersV: Q = {
+    val eS = "CAST(rm AS DOUBLE) * cm / n"
+    Q(
+      "stat_cramers_v",
+      Some(s"""WITH g AS (SELECT l_returnflag AS r, l_linestatus AS c,
+              |    COUNT(*) AS cnt
+              |  FROM lineitem GROUP BY 1, 2),
+              |rm AS (SELECT r, CAST(SUM(cnt) AS BIGINT) AS rm FROM g GROUP BY r),
+              |cm AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS cm FROM g GROUP BY c),
+              |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+              |    COUNT(DISTINCT r) AS nr, COUNT(DISTINCT c) AS nc FROM g),
+              |x AS (SELECT ROUND(${D.dsum(
+                s"(cnt - $eS) * (cnt - $eS) / ($eS)")}, 6) AS chi2
+              |  FROM g JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN t)
+              |SELECT t.n, t.nr AS n_rows, t.nc AS n_cols, x.chi2,
+              |  SQRT(x.chi2 / (t.n * LEAST(t.nr - 1, t.nc - 1))) AS cramers_v
+              |FROM x CROSS JOIN t""".stripMargin),
+      (s, dir) => {
+        import graft.functions.DetAgg
+        val g = Tables.load(s, dir, "lineitem")
+          .groupBy(col("l_returnflag").as("r"), col("l_linestatus").as("c"))
+          .agg(count(lit(1)).as("cnt"))
+        val rm = g.groupBy("r").agg(sum("cnt").as("rm"))
+        val cm = g.groupBy("c").agg(sum("cnt").as("cm"))
+        val t = g.agg(
+          sum("cnt").as("n"),
+          countDistinct("r").as("nr"),
+          countDistinct("c").as("nc"))
+        val e = col("rm").cast("double") * col("cm") / col("n")
+        val x = g.join(broadcast(rm), "r").join(broadcast(cm), "c")
+          .crossJoin(broadcast(t))
+          .agg(round(DetAgg.dsum(
+            (col("cnt") - e) * (col("cnt") - e) / e), 6).as("chi2"))
+        x.crossJoin(broadcast(t))
+          .select(
+            col("n"), col("nr").as("n_rows"), col("nc").as("n_cols"), col("chi2"),
+            sqrt(col("chi2") / (col("n") * least(col("nr") - 1, col("nc") - 1)))
+              .as("cramers_v"))
+      })
+  }
+
   /** The streaming drift monitor's plan run in BATCH over the events
     * table (the same serving-both-ways proof as `stream_quality_monitor`):
     * per 5-minute event-time window, χ² goodness-of-fit and PSI of the
@@ -805,6 +1000,7 @@ object ProfileQueries {
     profileLineitem, textRedact, ksQuantity, mannWhitney, jsdQuantity,
     spearmanQP, psiQuantity, quantilesExact, ppsSample,
     chi2ReturnFlag, anovaQuantity, giniPrice, grubbsPrice, benfordPrice,
+    aucLangLen, kendallTau, cramersV, brownForsythe,
     sampleDsir, packCurriculum, dqExpectations,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,

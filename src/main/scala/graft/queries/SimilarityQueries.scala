@@ -747,9 +747,120 @@ object SimilarityQueries {
         .withColumn("eigenvalue", lit(comp.eigenvalue))
     })
 
+  /** Signed-random-projection bit signatures (SimHash for dense vectors):
+    * each embedding's 16-bit code from the signs of its dot products with
+    * 16 FIXED pseudo-random hyperplanes — the LSH family whose Hamming
+    * distance estimates angular distance (the bucketing key for
+    * billion-scale near-dup candidate generation, the dense-vector twin
+    * of `dedup_simhash`). The hyperplane matrix is ±1 entries from the
+    * murmur3 fmix32 finalizer of `(dim·16 + bit + 1)` — a deterministic
+    * PARAMETER embedded as a literal on both sides (like the IVF fixed
+    * quantizer), not data to verify.
+    *
+    * Exactness: components are fixed-point `floor(x·2²⁰ + ½)` BIGINTs
+    * (|x| ≤ 1 ⇒ |Σ₆₄ q·s| < 2²⁷ — no overflow anywhere near), so every
+    * projection is an exact INTEGER sum and the sign/packing is
+    * integer-only: the oracle match is bit-for-bit with no float sum in
+    * sight. Ties (projection exactly 0) take bit 1 on both sides.
+    *
+    * Scale shape: one posexplode, one 64-row broadcast dim relation, ONE
+    * hash aggregate with the 16 projections as columns (no 16× row
+    * expansion), a pure projection to pack — embarrassingly parallel.
+    */
+  val embSrpBits: Q = {
+    val dims = 64
+    val bits = 16
+    val signs = Similarity.srpSigns(dims, bits)
+    val valuesSql = signs.zipWithIndex
+      .map { case (row, d) => s"($d, ${row.mkString(", ")})" }
+      .mkString(",\n    ")
+    val sCols = (0 until bits).map(k => s"s$k").mkString(", ")
+    val dSums = (0 until bits).map(k => s"SUM(q * s$k) AS d$k").mkString(", ")
+    val packSql = (0 until bits)
+      .map(k => s"(CASE WHEN d$k >= 0 THEN ${1L << k} ELSE 0 END)")
+      .mkString(" + ")
+    Q(
+      "emb_srp_bits",
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |          FROM embeddings),
+              |x AS (SELECT vec_id, g.i - 1 AS pos,
+              |        CAST(FLOOR(v[g.i] * 1048576 + 0.5) AS BIGINT) AS q
+              |      FROM e, LATERAL unnest(generate_series(1, len(v))) AS g(i)),
+              |s AS (SELECT * FROM (VALUES
+              |    $valuesSql) AS s(pos, $sCols)),
+              |d AS (SELECT vec_id, $dSums
+              |      FROM x JOIN s USING (pos) GROUP BY vec_id)
+              |SELECT vec_id, CAST($packSql AS BIGINT) AS srp_code FROM d""".stripMargin),
+      (s, dir) => Similarity.srpBits(emb(s, dir), "vec_id", "embedding", dims, bits))
+  }
+
+  /** ANN quality certificate: recall@20 of the fixed-quantizer IVF tier
+    * against the brute-force exact top-20 — the acceptance metric a
+    * serving stack pins BEFORE trusting an index (a recall regression
+    * from a bad codebook or an over-aggressive nprobe is invisible to
+    * per-query latency). Both sides are the ALREADY-verified
+    * deterministic kernels ([[simTopK]], [[simIvfFixed]] — round-then-
+    * order, id tiebreaks), so the overlap count is exact and the oracle
+    * replays BOTH chains and the join: the whole evaluation harness is
+    * hash-checked, not just the operands.
+    */
+  val simIvfRecall: Q = {
+    val k = 8; val nprobe = 3; val topK = 20
+    val cents = Similarity.hyperplanes(k, dim = 64, seed = 7L).map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    }
+    val centLits = cents.zipWithIndex
+      .map { case (c, j) => s"($j, ${c.map(_.toString).mkString("[", ", ", "]")})" }
+      .mkString(",\n      ")
+    Q(
+      "sim_ivf_recall",
+      Some(s"""WITH $cosTopkSqlCtes,
+              |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |nn AS (SELECT vec_id,
+              |        list_transform(v, x -> x / SQRT(list_dot_product(v, v))) AS vn
+              |      FROM e2),
+              |iq AS (SELECT vn AS qv FROM nn WHERE vec_id = 0),
+              |cs0 AS (SELECT * FROM (VALUES
+              |      $centLits) AS t(j, c)),
+              |scored AS (SELECT nn.vec_id, cs0.j,
+              |        ROUND(list_dot_product(nn.vn, cs0.c), 9) AS sc
+              |      FROM nn CROSS JOIN cs0),
+              |assign AS (SELECT vec_id, j AS cluster FROM (
+              |        SELECT vec_id, j,
+              |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, j) AS rn
+              |        FROM scored)
+              |      WHERE rn = 1),
+              |probes AS (SELECT cs0.j FROM cs0 CROSS JOIN iq
+              |      ORDER BY list_dot_product(iq.qv, cs0.c) DESC, cs0.j LIMIT $nprobe),
+              |ivf20 AS (SELECT nn.vec_id
+              |      FROM nn JOIN assign a USING (vec_id) CROSS JOIN iq
+              |      WHERE a.cluster IN (SELECT j FROM probes)
+              |      ORDER BY ROUND(list_dot_product(nn.vn, iq.qv), 6) DESC, vec_id
+              |      LIMIT $topK)
+              |SELECT CAST($topK AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_hits,
+              |  CAST(COUNT(*) AS DOUBLE) / $topK.0 AS recall
+              |FROM cs JOIN ivf20 USING (vec_id)""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val brute = Similarity.topK(e, "vec_id", "embedding", queryId = 0L, k = topK)
+          .select(col("vec_id"))
+        val ivf = graft.operators.Ivf.searchTopK(
+          e, "vec_id", "embedding", graft.operators.Ivf.Model(cents),
+          queryId = 0L, nprobe = nprobe, topK = topK)
+          .select(col("vec_id").as("iv"))
+        brute.join(ivf, col("vec_id") === col("iv"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(
+            lit(topK.toLong).as("k"),
+            col("n_hits"),
+            (col("n_hits").cast("double") / lit(topK.toDouble)).as("recall"))
+      })
+  }
+
   def all: Seq[Q] =
     Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simIvfFixed, simPq,
       simPqFixed, simIvfPqFixed, semanticDedup, embCentroids, simHardNegatives,
       decontamSemantic, embDimStats, embQuantizeInt8, simKnnGraph,
-      embCovariance, embPcaPower)
+      embCovariance, embPcaPower, embSrpBits, simIvfRecall)
 }

@@ -74,6 +74,43 @@ object TextQueries {
             + lit(0.3) * least(col("n_tokens") / lit(100.0), lit(1.0))).as("quality"))
     })
 
+  /** Flesch reading-ease readability over documents — the
+    * audience-difficulty score a curation pipeline buckets corpora by
+    * (next to `text_quality`'s composite: that one scores cleanliness,
+    * this one scores linguistic difficulty). All three counts are exact
+    * BIGINTs from portable regexes (whitespace tokens — the
+    * `TextFunctions.tokens` contract; `[.!?]+` sentence terminator runs,
+    * floored at 1 for scripts that use none; `[aeiouy]+` vowel groups as
+    * the standard syllable proxy), and the Flesch formula
+    * `206.835 − 1.015·(w/s) − 84.6·(syl/w)` is ONE fixed IEEE tree over
+    * those integers — hash-exact with no rounding. Pure per-row column
+    * expressions: embarrassingly parallel, nothing to shuffle.
+    */
+  val textReadability: Q = Q(
+    "text_readability",
+    Some("""WITH t AS (SELECT doc_id,
+           |  len(string_split_regex(trim(text), '\s+')) AS n_words,
+           |  GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+           |  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+           |FROM documents)
+           |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           |  CAST(n_sentences AS BIGINT) AS n_sentences,
+           |  CAST(n_syllables AS BIGINT) AS n_syllables,
+           |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+           |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch
+           |FROM t""".stripMargin),
+    (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast(LongType).as("n_words"),
+          TextFunctions.sentenceCount(col("text")).as("n_sentences"),
+          TextFunctions.syllableCount(col("text")).as("n_syllables"))
+        .select(
+          col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+          TextFunctions.flesch(
+            col("n_words"), col("n_sentences"), col("n_syllables")).as("flesch")))
+
   /** Heuristic language ID: per-language stopword hits (CJK codepoints for
     * zh), argmax with alphabetical tiebreak. The oracle CASE chain mirrors
     * the fold in [[TextFunctions.langId]] exactly.
@@ -2237,7 +2274,8 @@ object TextQueries {
   def all: Seq[Q] = Seq(
     textZipfFit, textVocabCoverage,
     textNgramNovelty, sampleFixedPerStratum, sampleNeyman, textTfidfTopk,
-    textTokens, textQuality, textLangId, textFingerprint, textRepetition,
+    textTokens, textQuality, textReadability, textLangId, textFingerprint,
+    textRepetition,
     textBpePairs, textNormalize, textGopherRules, textWinnow, textCollocations,
     textEntropy, packLengthBuckets,
     textBm25, textHybridRrf, corpusReport, pipelineMix, textChunk, textLmScore,
