@@ -710,6 +710,41 @@ object ScaleProbe {
             Seq(col("n_tok").desc, col("doc_id")), k = 100)
           .count()
       }
+      time("assortativity", c) { df =>
+        // shifted l_orderkey grows the customer side of the purchase
+        // graph linearly; degrees and half-edge count scale with copies,
+        // the Pearson aggregate stays constant-output
+        val edges = df
+          .select(
+            (pmod(col("l_orderkey"), lit(15000L)) + col("l_orderkey") / lit(100000000L)
+              * lit(15000L)).cast("long").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst"))
+          .distinct()
+        val h = edges.select("src", "dst")
+          .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        val deg = h.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        h.join(deg.select(col("node").as("nu"), col("deg").as("j")), col("src") === col("nu"))
+          .join(deg.select(col("node").as("nv"), col("deg").as("k")), col("dst") === col("nv"))
+          .agg(count(lit(1)), sum(col("j") * col("k"))).collect().length.toLong
+      }
+      time("kendall_joint", c) { df =>
+        // copies deepen joint-relation cell counts, never its width:
+        // the pair join stays |X|·|Y|-bounded by the documented contract
+        graft.functions.Stats
+          .kendallTau(df, "l_quantity", "l_discount").collect().length.toLong
+      }
+      timed("ewma_lags", c) {
+        // copies multiply rows per hourly bucket; the bucket series —
+        // and so the 20-lag grid join — is calendar-bounded and constant
+        val ev = scaledEvents(
+          graft.streaming.EventsStream.readBatch(spark, s"$sfDir/events.parquet"), c)
+        val b = ev
+          .withColumn("bucket", floor(unix_timestamp(col("ts")) / 3600).cast("long"))
+          .groupBy("bucket")
+          .agg((sum(graft.functions.DetAgg.dec(col("value"))) * 1000000)
+            .cast("long").as("x"))
+        graft.functions.Stats.ewmaTrunc(b, "bucket", "x").count()
+      }
     }
     spark.stop()
   }
