@@ -413,6 +413,34 @@ object Stats {
           .as("tau_b"))
   }
 
+  /** Theil–Sen robust slope of `y` against `x` over the [[kendallTau]]
+    * bounded-cardinality joint relation: pairwise slopes between
+    * distinct (x, y) cells with `x_a < x_b`, each weighted by its pair
+    * mass `n_a·n_b`, and the weighted MEDIAN of slopes on the
+    * [[weightedMedian]] stratified sharded kernel. Never row pairs; the
+    * `when` guard on the division matters under ANSI (the median
+    * kernel's isNotNull filter pushes the slope expression into the
+    * join condition, where it would otherwise hit `x_a = x_b` pairs).
+    * Returns one row: (n_pairs, theil_slope).
+    */
+  def theilSen(df: DataFrame, x: String, y: String): DataFrame = {
+    val j = df
+      .filter(col(x).isNotNull && col(y).isNotNull)
+      .groupBy(col(x).cast("double").as("__x"), col(y).cast("double").as("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val a = j.select(col("__x").as("__xa"), col("__y").as("__ya"), col("__c").as("__ca"))
+    val b = j.select(col("__x").as("__xb"), col("__y").as("__yb"), col("__c").as("__cb"))
+    val p = a.join(broadcast(b), col("__xa") < col("__xb"))
+      .select(
+        when(col("__xb") > col("__xa"),
+          (col("__yb") - col("__ya")) / (col("__xb") - col("__xa"))).as("__slope"),
+        (col("__ca") * col("__cb")).as("__w"),
+        lit("all").as("__g"))
+    val med = weightedMedian(p, "__g", "__slope", col("__w"))
+      .select(col("wmed___slope").as("theil_slope"))
+    p.agg(sum("__w").as("n_pairs")).crossJoin(broadcast(med))
+  }
+
   /** Truncated, adjust-normalized EWMA (α = ½) of an integer bucket
     * series: `ewma_t = Σ_j x_{t−j}·2^(lags−1−j) / Σ_j 2^(lags−1−j)` over
     * the lags PRESENT in the series (weights beyond 2^−lags are the

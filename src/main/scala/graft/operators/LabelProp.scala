@@ -63,7 +63,48 @@ object LabelProp {
     * discipline) so the two iteration bodies can never drift. Emits the
     * top-`k` communities by (size desc, label).
     */
-  def oracleSql(edgesCte: String, iters: Int = 5, k: Int = 20): String = {
+  def oracleSql(edgesCte: String, iters: Int = 5, k: Int = 20): String =
+    s"""WITH ${iterationCtes(edgesCte, iters)}
+       |SELECT lbl AS label, COUNT(*) AS n_members FROM l$iters
+       |GROUP BY lbl ORDER BY n_members DESC, label LIMIT $k""".stripMargin
+
+  /** Newman modularity `Q = Σ_c [e_c/m − (d_c/2m)²]` of a node
+    * partition over an undirected edge list `(u, v)` (canonical, no
+    * self-loops). e_c, d_c, m are exact integer aggregates; the
+    * per-community terms ride the [[graft.functions.DetAgg]] decimal
+    * route with a round-6 tail (the divergence-family convention).
+    * Returns one row: (m_edges, n_comms, modularity).
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    import graft.functions.DetAgg
+    val adj = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
+    val mm = edges.agg(count(lit(1)).as("m"))
+    val comm = labels.join(deg, "node").groupBy("lbl").agg(sum("d").as("dc"))
+    val intra = edges
+      .join(labels.select(col("node").as("nu"), col("lbl").as("lu")),
+        col("u") === col("nu"))
+      .join(labels.select(col("node").as("nv"), col("lbl").as("lv")),
+        col("v") === col("nv"))
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("ec"))
+    val term = coalesce(col("ec"), lit(0L)).cast("double") / col("m") -
+      (col("dc").cast("double") / (lit(2) * col("m"))) *
+        (col("dc").cast("double") / (lit(2) * col("m")))
+    comm.join(intra, Seq("lbl"), "left")
+      .crossJoin(broadcast(mm))
+      .agg(
+        min("m").as("m_edges"),
+        count(lit(1)).as("n_comms"),
+        round(DetAgg.dsum(term), 6).as("modularity"))
+  }
+
+  /** The WITH-body shared by [[oracleSql]] and the modularity oracle:
+    * `edges(u, v)`, the doubled `adj`, and the full iteration ladder
+    * ending in the final label relation `l<iters>(node, lbl)`.
+    */
+  def iterationCtes(edgesCte: String, iters: Int): String = {
     val its = (1 to iters).map { i =>
       s"""c$i AS MATERIALIZED (
          |  SELECT a.node, l.lbl, COUNT(*) AS cnt
@@ -76,12 +117,10 @@ object LabelProp {
          |                         ORDER BY cnt DESC, lbl) AS rn
          |    FROM c$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH edges AS MATERIALIZED ($edgesCte),
+    s"""edges AS MATERIALIZED ($edgesCte),
        |adj AS MATERIALIZED (SELECT u AS node, v AS nbr FROM edges
        |       UNION ALL SELECT v, u FROM edges),
        |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM adj),
-       |$its
-       |SELECT lbl AS label, COUNT(*) AS n_members FROM l$iters
-       |GROUP BY lbl ORDER BY n_members DESC, label LIMIT $k""".stripMargin
+       |$its""".stripMargin
   }
 }

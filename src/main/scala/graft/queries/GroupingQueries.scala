@@ -706,41 +706,50 @@ object GroupingQueries {
     * deterministic variant — no visit order, no RNG — is what makes an
     * iterated community detection oracle-verifiable at all.
     */
+  // same-nation restriction keeps the graph from being one connected
+  // blob (communities cannot cross nations), so community queries
+  // actually exercise the multi-community path — and the restriction
+  // itself is the canonical broadcast dimension join
+  private val nationCoocEdgesCte: String =
+    """SELECT DISTINCT LEAST(l1.l_suppkey, l2.l_suppkey) AS u,
+      |       GREATEST(l1.l_suppkey, l2.l_suppkey) AS v
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey
+      |    AND l1.l_linenumber = 1 AND l2.l_linenumber = 2
+      |    AND l1.l_suppkey <> l2.l_suppkey
+      |  JOIN supplier s1 ON s1.s_suppkey = l1.l_suppkey
+      |  JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      |  WHERE s1.s_nationkey = s2.s_nationkey""".stripMargin
+
+  /** The Spark twin of [[nationCoocEdgesCte]]. */
+  private def nationCoocEdges(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val l = Tables.load(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_suppkey")
+    val sup = Tables.load(s, dir, "supplier")
+      .select("s_suppkey", "s_nationkey")
+    l.as("l1")
+      .join(l.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_linenumber") === 1 && col("l2.l_linenumber") === 2 &&
+          col("l1.l_suppkey") =!= col("l2.l_suppkey"))
+      .join(broadcast(sup.as("s1")), col("s1.s_suppkey") === col("l1.l_suppkey"))
+      .join(broadcast(sup.as("s2")), col("s2.s_suppkey") === col("l2.l_suppkey"))
+      .filter(col("s1.s_nationkey") === col("s2.s_nationkey"))
+      .select(
+        least(col("l1.l_suppkey"), col("l2.l_suppkey")).as("u"),
+        greatest(col("l1.l_suppkey"), col("l2.l_suppkey")).as("v"))
+      .distinct()
+  }
+
   val labelProp: Q = {
-    // same-nation restriction keeps the graph from being one connected
-    // blob (communities cannot cross nations), so the top-20 output
-    // actually exercises the multi-community path — and the restriction
-    // itself is the canonical broadcast dimension join
-    val edgesCte =
-      """SELECT DISTINCT LEAST(l1.l_suppkey, l2.l_suppkey) AS u,
-        |       GREATEST(l1.l_suppkey, l2.l_suppkey) AS v
-        |  FROM lineitem l1 JOIN lineitem l2
-        |    ON l1.l_orderkey = l2.l_orderkey
-        |    AND l1.l_linenumber = 1 AND l2.l_linenumber = 2
-        |    AND l1.l_suppkey <> l2.l_suppkey
-        |  JOIN supplier s1 ON s1.s_suppkey = l1.l_suppkey
-        |  JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
-        |  WHERE s1.s_nationkey = s2.s_nationkey""".stripMargin
+    val edgesCte = nationCoocEdgesCte
     Q(
       "graph_label_prop",
       Some(graft.operators.LabelProp.oracleSql(edgesCte, iters = 5, k = 20)),
       (s, dir) => {
-        val l = Tables.load(s, dir, "lineitem")
-          .select("l_orderkey", "l_linenumber", "l_suppkey")
-        val sup = Tables.load(s, dir, "supplier")
-          .select("s_suppkey", "s_nationkey")
-        val pairs = l.as("l1")
-          .join(l.as("l2"),
-            col("l1.l_orderkey") === col("l2.l_orderkey") &&
-              col("l1.l_linenumber") === 1 && col("l2.l_linenumber") === 2 &&
-              col("l1.l_suppkey") =!= col("l2.l_suppkey"))
-          .join(broadcast(sup.as("s1")), col("s1.s_suppkey") === col("l1.l_suppkey"))
-          .join(broadcast(sup.as("s2")), col("s2.s_suppkey") === col("l2.l_suppkey"))
-          .filter(col("s1.s_nationkey") === col("s2.s_nationkey"))
-          .select(
-            least(col("l1.l_suppkey"), col("l2.l_suppkey")).as("u"),
-            greatest(col("l1.l_suppkey"), col("l2.l_suppkey")).as("v"))
-          .distinct()
+        val pairs = nationCoocEdges(s, dir)
         graft.operators.LabelProp.propagate(pairs, iters = 5)
           .groupBy(col("lbl").as("label"))
           .agg(count(lit(1)).as("n_members"))
@@ -748,6 +757,43 @@ object GroupingQueries {
           .limit(20)
       })
   }
+
+  /** Newman modularity of the [[labelProp]] communities — the quality
+    * score community detection is judged by (Q = Σ_c [e_c/m −
+    * (d_c/2m)²]; near 0 means the partition is no better than random
+    * wiring). The PARTITION comes from the already-verified
+    * deterministic label propagation, and the oracle replays the whole
+    * chain: all 5 iteration rounds (shared CTE ladder —
+    * [[graft.operators.LabelProp.iterationCtes]]) AND the modularity
+    * algebra, so the score is pinned end to end. e_c, d_c, m are exact
+    * integers; the per-community terms ride the DetAgg decimal route
+    * with the round-6 convention of [[graft.queries.ProfileQueries]]'s
+    * divergence family. Scale: two label joins on the edge relation +
+    * bounded-output aggregates; no window outside the verified kernels.
+    */
+  val modularity: Q = Q(
+    "graph_modularity",
+    Some(s"""WITH ${graft.operators.LabelProp.iterationCtes(nationCoocEdgesCte, 5)},
+            |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            |  FROM adj GROUP BY node),
+            |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+            |comm AS (SELECT l.lbl, CAST(SUM(d.d) AS BIGINT) AS dc
+            |  FROM l5 l JOIN deg d USING (node) GROUP BY l.lbl),
+            |intra AS (SELECT lu.lbl, CAST(COUNT(*) AS BIGINT) AS ec
+            |  FROM edges e JOIN l5 lu ON lu.node = e.u
+            |    JOIN l5 lv ON lv.node = e.v
+            |  WHERE lu.lbl = lv.lbl GROUP BY lu.lbl)
+            |SELECT MIN(mm.m) AS m_edges, CAST(COUNT(*) AS BIGINT) AS n_comms,
+            |  ROUND(${graft.functions.DetAgg.Sql.dsum(
+              "CAST(COALESCE(i.ec, 0) AS DOUBLE) / mm.m"
+                + " - (CAST(c.dc AS DOUBLE) / (2 * mm.m))"
+                + " * (CAST(c.dc AS DOUBLE) / (2 * mm.m))")}, 6) AS modularity
+            |FROM comm c LEFT JOIN intra i USING (lbl) CROSS JOIN mm""".stripMargin),
+    (s, dir) => {
+      val edges = nationCoocEdges(s, dir)
+      graft.operators.LabelProp.modularity(
+        edges, graft.operators.LabelProp.propagate(edges, iters = 5))
+    })
 
   /** Single-source BFS over the supplier co-occurrence graph
     * ([[graft.operators.Bfs.shortestHops]], the [[triangles]] edge
@@ -1008,5 +1054,5 @@ object GroupingQueries {
     tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore,
     freqItems, zorderExport, logregQuality, percentileRank, equidepthHist,
     winsorize, pagerank, triangles, labelProp, cmsTopk, kcore, hllDistinct,
-    adamicAdar, ppr, skyline, shortestHops, assortativity)
+    adamicAdar, ppr, skyline, shortestHops, assortativity, modularity)
 }

@@ -536,6 +536,79 @@ object ProfileQueries {
       graft.functions.Stats.auc(
         Tables.load(s, dir, "documents"), "n_chars", col("lang") === "en"))
 
+  /** Theil–Sen robust slope of l_discount against l_quantity — the
+    * outlier-proof regression the a12 OLS family needs beside it (one
+    * corrupted feed can't move a median of slopes). Pairwise slopes are
+    * taken over the JOINT distinct relation (the [[kendallTau]]
+    * bounded-cardinality contract — never row pairs), each slope
+    * weighted by its pair mass `n_a·n_b`, and the weighted MEDIAN of
+    * slopes rides the already-verified STRATIFIED sharded cumulative
+    * ([[graft.functions.Stats.weightedMedian]]) — two proven kernels
+    * composed, integer weights throughout, the slope itself one IEEE
+    * division per bounded cell pair. Oracle = pair algebra + the
+    * single-window weighted-median replay.
+    */
+  val theilSen: Q = Q(
+    "stat_theil_sen",
+    Some("""WITH j AS (
+           |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+           |    CAST(l_discount AS DOUBLE) AS y, COUNT(*) AS c
+           |  FROM lineitem
+           |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+           |  GROUP BY 1, 2),
+           |p AS (
+           |  SELECT (b.y - a.y) / (b.x - a.x) AS slope,
+           |    CAST(a.c * b.c AS BIGINT) AS w
+           |  FROM j a JOIN j b ON a.x < b.x),
+           |g AS (SELECT slope AS v, CAST(SUM(w) AS BIGINT) AS w
+           |  FROM p GROUP BY 1),
+           |c AS (SELECT v,
+           |    SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+           |    SUM(w) OVER () AS tw FROM g),
+           |t AS (SELECT CAST(SUM(w) AS BIGINT) AS n_pairs FROM p)
+           |SELECT t.n_pairs, m.v AS theil_slope
+           |FROM t CROSS JOIN
+           |  (SELECT MIN(v) AS v FROM c WHERE 2 * cum >= tw) m""".stripMargin),
+    (s, dir) =>
+      graft.functions.Stats.theilSen(
+        Tables.load(s, dir, "lineitem"), "l_quantity", "l_discount"))
+
+  /** Wilson 95 % score interval of the `l_linestatus = 'O'` share per
+    * return flag — the binomial confidence bound a mix monitor reports
+    * next to the raw share (the normal-approximation interval collapses
+    * at extreme p̂; Wilson does not). k and n are exact integers from
+    * one conditional hash aggregate; the interval is one literal IEEE
+    * tree (z = 1.96) TEXT-shared with the oracle — hash-exact unrounded.
+    */
+  val wilsonCi: Q = {
+    val z = "1.96"
+    val ph = "(CAST(k AS DOUBLE) / n)"
+    val den = s"(1.0 + $z * $z / n)"
+    val ctr = s"($ph + $z * $z / (2.0 * n))"
+    val hw = s"($z * SQRT($ph * (1.0 - $ph) / n + $z * $z / (4.0 * n * n)))"
+    Q(
+      "stat_wilson_ci",
+      Some(s"""WITH g AS (SELECT l_returnflag,
+              |    CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS k,
+              |    CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM lineitem GROUP BY 1)
+              |SELECT l_returnflag, n, k, $ph AS p_hat,
+              |  ($ctr - $hw) / $den AS wilson_lo,
+              |  ($ctr + $hw) / $den AS wilson_hi
+              |FROM g""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            sum(when(col("l_linestatus") === "O", 1L).otherwise(0L)).as("k"),
+            count(lit(1)).as("n"))
+          .select(
+            col("l_returnflag"), col("n"), col("k"),
+            expr(ph).as("p_hat"),
+            expr(s"($ctr - $hw) / $den").as("wilson_lo"),
+            expr(s"($ctr + $hw) / $den").as("wilson_hi")))
+  }
+
   /** Brown–Forsythe homogeneity-of-variance test: one-way ANOVA on
     * |x − group median| — the robust Levene variant (median-centered, so
     * heavy tails can't masquerade as variance differences), the
@@ -1000,7 +1073,7 @@ object ProfileQueries {
     profileLineitem, textRedact, ksQuantity, mannWhitney, jsdQuantity,
     spearmanQP, psiQuantity, quantilesExact, ppsSample,
     chi2ReturnFlag, anovaQuantity, giniPrice, grubbsPrice, benfordPrice,
-    aucLangLen, kendallTau, cramersV, brownForsythe,
+    aucLangLen, kendallTau, cramersV, brownForsythe, theilSen, wilsonCi,
     sampleDsir, packCurriculum, dqExpectations,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,

@@ -794,6 +794,46 @@ object SimilarityQueries {
       (s, dir) => Similarity.srpBits(emb(s, dir), "vec_id", "embedding", dims, bits))
   }
 
+  /** Diagonal-covariance Mahalanobis distance of every embedding from
+    * the corpus centroid — the vector-outlier screen (a corrupted
+    * encoder batch or wrong-modality vectors land far outside the
+    * per-dimension envelope long before cosine structure shows it).
+    * Per-dimension μ/σ come from the [[embDimStats]] exact-moment
+    * kernel (64-row broadcast); the standardized deviations are rounded
+    * at 6 so their squares sit exactly on the scale-12 decimal grid,
+    * and the 64-term sum rides [[DetAgg.dsumP]] — order-independent, so
+    * the full 2 000-row distance relation is hash-exact with no top-k
+    * cut. One posexplode + one broadcast join + one hash aggregate.
+    */
+  val embMahalanobisDiag: Q = {
+    import graft.functions.DetAgg
+    import graft.functions.DetAgg.{Sql => D}
+    Q(
+      "emb_mahalanobis_diag",
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |          FROM embeddings),
+              |x AS (SELECT vec_id, g.i - 1 AS pos, v[g.i] AS x
+              |      FROM e, LATERAL unnest(generate_series(1, len(v))) AS g(i)),
+              |st AS (SELECT pos, ${D.davg("x")} AS mu, ${D.dstd("x")} AS sd
+              |      FROM x GROUP BY pos),
+              |z AS (SELECT vec_id, ROUND((x.x - st.mu) / st.sd, 6) AS z
+              |      FROM x JOIN st USING (pos))
+              |SELECT vec_id, ${D.dsumP("z * z")} AS d2
+              |FROM z GROUP BY vec_id""".stripMargin),
+      (s, dir) => {
+        val x = emb(s, dir)
+          .select(col("vec_id"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+        val st = x.groupBy("pos").agg(
+          DetAgg.davg(col("x")).as("mu"),
+          DetAgg.dstd(col("x")).as("sd"))
+        val z = x.join(broadcast(st), "pos")
+          .select(col("vec_id"),
+            round((col("x") - col("mu")) / col("sd"), 6).as("z"))
+        z.groupBy("vec_id").agg(DetAgg.dsumP(col("z") * col("z")).as("d2"))
+      })
+  }
+
   /** ANN quality certificate: recall@20 of the fixed-quantizer IVF tier
     * against the brute-force exact top-20 — the acceptance metric a
     * serving stack pins BEFORE trusting an index (a recall regression
@@ -862,5 +902,6 @@ object SimilarityQueries {
     Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simIvfFixed, simPq,
       simPqFixed, simIvfPqFixed, semanticDedup, embCentroids, simHardNegatives,
       decontamSemantic, embDimStats, embQuantizeInt8, simKnnGraph,
-      embCovariance, embPcaPower, embSrpBits, simIvfRecall)
+      embCovariance, embPcaPower, embSrpBits, simIvfRecall,
+      embMahalanobisDiag)
 }

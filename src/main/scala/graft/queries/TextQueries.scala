@@ -111,6 +111,43 @@ object TextQueries {
           TextFunctions.flesch(
             col("n_words"), col("n_sentences"), col("n_syllables")).as("flesch")))
 
+  /** Lexical diversity per document — type-token ratio and hapax share,
+    * the vocabulary-richness screen beside [[textReadability]] (template
+    * spam and boilerplate collapse TTR long before quality scores move;
+    * high hapax share flags OCR noise and mojibake). One explode + two
+    * hash aggregates, all counts exact BIGINTs, two IEEE divisions —
+    * hash-exact unrounded and embarrassingly parallel (the per-doc
+    * token-count relation combines map-side).
+    */
+  val textLexicalDiversity: Q = Q(
+    "text_lexical_diversity",
+    Some("""WITH t AS (
+           |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+           |  FROM documents),
+           |c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+           |d AS (SELECT doc_id,
+           |    CAST(COUNT(*) AS BIGINT) AS n_types,
+           |    CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+           |  FROM c GROUP BY doc_id)
+           |SELECT doc_id, n_tokens, n_types, n_hapax,
+           |  CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+           |  CAST(n_hapax AS DOUBLE) / n_types AS hapax_share
+           |FROM d""".stripMargin),
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_types"),
+          sum("cnt").as("n_tokens"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+          (col("n_hapax").cast("double") / col("n_types")).as("hapax_share")))
+
   /** Heuristic language ID: per-language stopword hits (CJK codepoints for
     * zh), argmax with alphabetical tiebreak. The oracle CASE chain mirrors
     * the fold in [[TextFunctions.langId]] exactly.
@@ -2274,8 +2311,8 @@ object TextQueries {
   def all: Seq[Q] = Seq(
     textZipfFit, textVocabCoverage,
     textNgramNovelty, sampleFixedPerStratum, sampleNeyman, textTfidfTopk,
-    textTokens, textQuality, textReadability, textLangId, textFingerprint,
-    textRepetition,
+    textTokens, textQuality, textReadability, textLexicalDiversity,
+    textLangId, textFingerprint, textRepetition,
     textBpePairs, textNormalize, textGopherRules, textWinnow, textCollocations,
     textEntropy, packLengthBuckets,
     textBm25, textHybridRrf, corpusReport, pipelineMix, textChunk, textLmScore,
