@@ -81,6 +81,29 @@ object ClosedForm {
       s" WHEN $p > 9.7575e-1 THEN $highTail ELSE $central END)"
   }
 
+  /** Abramowitz–Stegun 7.1.26 erf approximation (public, ≤ 1.5e-7 abs
+    * error) as shared SQL text over a column expression `x` — the
+    * [[probitText]] discipline: the approximation's constants live in
+    * ONE text evaluated by both engines, so the approximation error
+    * cancels in the comparison (a round-6 tail absorbs the EXP last-ulp
+    * like probit's LN branches).
+    */
+  def erfText(x: String): String = {
+    val t = s"(1.0e0 / (1.0e0 + 3.275911e-1 * ABS($x)))"
+    val poly = Seq(
+      "1.061405429e0", "-1.453152027e0", "1.421413741e0",
+      "-2.84496736e-1", "2.54829592e-1")
+      .reduceLeft((acc, k) => s"(($acc) * $t + $k)")
+    s"((CASE WHEN ($x) < 0.0e0 THEN -1.0e0 ELSE 1.0e0 END)" +
+      s" * (1.0e0 - ($poly) * $t * EXP(-(($x) * ($x)))))"
+  }
+
+  /** Standard-normal CDF `Φ(z) = ½(1 + erf(z/√2))` as shared SQL text —
+    * the theoretical-CDF leg of the one-sample KS test.
+    */
+  def normalCdfText(z: String): String =
+    s"(5.0e-1 * (1.0e0 + ${erfText(s"(($z) / 1.4142135623730951e0)")}))"
+
   /** Gaussian-parameter texts over solved columns (a, b, c), mapping the
     * u-space parabola back to x-space for bins of `width` centered (u=0)
     * at `center`. Non-concave parabolas (c ≥ 0 — no Gaussian peak) yield

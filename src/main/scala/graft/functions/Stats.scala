@@ -334,6 +334,63 @@ object Stats {
           - col("__r2").cast("double") / col("__n2"))).as("ks"))
   }
 
+  /** One-sample Kolmogorov–Smirnov statistic against the FITTED normal
+    * N(μ̂, σ̂) — the normality gate ([[ks2Samp]] compares two empirical
+    * samples; this compares one against a theoretical CDF — the
+    * pre-flight check before any z-score/Grubbs-style analysis trusts
+    * its Gaussian assumption). D = max over the ECDF steps of
+    * max(F̂(v) − Φ(z), Φ(z) − F̂(v⁻)) — BOTH sides of each step, the
+    * textbook definition. Φ rides the shared Abramowitz–Stegun erf text
+    * ([[graft.fit.ClosedForm.normalCdfText]] — the Acklam-probit
+    * discipline), μ̂/σ̂ the exact-moment formula (the Grubbs contract),
+    * the ECDF the [[ks2Samp]] sharded cumulative kernel, and D carries
+    * the round-6 tail that absorbs EXP's last-ulp.
+    */
+  def ks1Samp(df: DataFrame, value: String, shardBits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardBits >= 1 && shardBits <= 20, s"shardBits $shardBits out of range")
+    val src = df.filter(col(value).isNotNull)
+      .select(col(value).cast("double").as("__v"))
+    val m = src.agg(
+      count(lit(1)).as("__n"),
+      DetAgg.dsum(col("__v")).as("__sx"),
+      DetAgg.dsum(col("__v") * col("__v")).as("__sxx"))
+    val stats = m.select(
+      col("__n"),
+      (col("__sx") / col("__n")).as("__mean"),
+      sqrt((col("__sxx") - col("__sx") * col("__sx") / col("__n"))
+        / (col("__n") - lit(1))).as("__std"))
+    val g = src.groupBy("__v").agg(count(lit(1)).as("__c"))
+    val keyed = g.withColumn(
+      "__shard",
+      shiftright(
+        graft.plans.ScalarExpressions.sortableBits(col("__v")),
+        64 - shardBits) + lit(1L << (shardBits - 1)))
+    val wOff = Window.partitionBy(
+      graft.plans.ScalarExpressions.singlePartitionKey(col("__shard")))
+      .orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("__shard")
+      .agg(sum("__c").as("__s"))
+      .select(
+        col("__shard").as("__oshard"),
+        coalesce(sum("__s").over(wOff), lit(0L)).as("__b"))
+    val wCum = Window.partitionBy("__shard").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val phi = expr(
+      graft.fit.ClosedForm.normalCdfText("((__v - __mean) / __std)"))
+    keyed.join(broadcast(offsets), col("__shard") === col("__oshard"))
+      .withColumn("__cum", col("__b") + sum("__c").over(wCum))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("__n"), col("__mean"), col("__std"))
+      .agg(round(max(greatest(
+        col("__cum").cast("double") / col("__n") - phi,
+        phi - (col("__cum") - col("__c")).cast("double") / col("__n"))), 6)
+        .as("ks_d"))
+      .select(
+        col("__n").as("n"), col("__mean").as("mean"),
+        col("__std").as("std"), col("ks_d"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) between two slices of a value
     * column — the nonparametric LOCATION test completing the two-sample
     * family ([[ks2Samp]] shape-sensitive, [[psi]] binned, this one "did

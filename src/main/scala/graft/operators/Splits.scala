@@ -60,6 +60,19 @@ object Splits {
       "shard",
       pmod(pmod(col(id) + lit(seed), lit(100000L)) * lit(2654435761L), lit(4294967296L)) % n)
 
+  /** Leak-free grouped k-fold assignment — the cross-validation split
+    * whose unit is a GROUP (all rows of an order / document / user land
+    * in the same fold, so feature leakage across folds through shared
+    * groups is structurally impossible): `fold` is the [[bucket100]]
+    * portable hash of the GROUP key mod k, a pure function of the key —
+    * stable under reprocessing, appends, and repartitioning.
+    */
+  def groupKFold(df: DataFrame, group: String, k: Int, seed: Int): DataFrame =
+    df.withColumn(
+      "fold",
+      pmod(pmod(col(group) + lit(seed), lit(100000L)) * lit(2654435761L),
+        lit(4294967296L)) % k)
+
   /** Land the corpus as `n` deterministic shards: parquet partitioned by
     * `shard`, so a dataloader reading shard k is partition-pruned to its
     * files before a row is read — the same storage discipline as

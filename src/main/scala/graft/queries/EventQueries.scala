@@ -542,6 +542,53 @@ object EventQueries {
             sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("autocorr"))
     })
 
+  /** Symmetric band join: every (click, purchase) pair of the SAME user
+    * within ±120 s — the attribution-window join (its asymmetric cousin
+    * [[e4AsOf]] keeps only the nearest; this keeps ALL candidates, the
+    * input a position-bidding or multi-touch model needs). The
+    * no-equi-key `|t_a − t_b| ≤ δ` predicate would plan as a
+    * BroadcastNestedLoop; instead each probe row explodes to its three
+    * covering δ-buckets and the join is EQUI on (user, bucket) + a
+    * row-local refine — the [[e10IntervalJoin]] discipline. A build row
+    * owns exactly ONE bucket, so no pair can match twice: no dedup
+    * needed. Integer second arithmetic end to end — hash-exact with no
+    * tolerance.
+    */
+  val e12BandJoin: Q = Q(
+    "e12_band_join",
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+           |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+           |  FROM events),
+           |l AS (SELECT user_id, event_id AS click_id, es AS tl
+           |  FROM e WHERE event_type = 'click'),
+           |r AS (SELECT user_id, event_id AS purchase_id, es AS tr
+           |  FROM e WHERE event_type = 'purchase')
+           |SELECT l.user_id, click_id, purchase_id, tr - tl AS dt_s
+           |FROM l JOIN r ON l.user_id = r.user_id
+           |  AND ABS(tl - tr) <= 120""".stripMargin),
+    (s, dir) => {
+      val e = ev(s, dir).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("es"))
+      val l = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("es").as("tl"))
+      val r = e.filter(col("event_type") === "purchase")
+        .select(
+          col("user_id").as("ur"), col("event_id").as("purchase_id"),
+          col("es").as("tr"), floor(col("es") / 120).cast(LongType).as("br"))
+      val probe = l.withColumn("pb",
+        explode(array(
+          floor(col("tl") / 120).cast(LongType) - 1,
+          floor(col("tl") / 120).cast(LongType),
+          floor(col("tl") / 120).cast(LongType) + 1)))
+      probe
+        .join(r, col("user_id") === col("ur") && col("pb") === col("br"))
+        .filter(abs(col("tl") - col("tr")) <= 120)
+        .select(
+          col("user_id"), col("click_id"), col("purchase_id"),
+          (col("tr") - col("tl")).as("dt_s"))
+    })
+
   /** Exponentially weighted moving average of the hourly event-value
     * series — the smoothed health metric a monitoring dashboard tracks
     * next to [[statAutocorr]] (same bucketed-series family) and the
@@ -755,5 +802,5 @@ object EventQueries {
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e4AsofNearest, e5Funnel,
     e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,
     statCusum, statAutocorr, tsEwma, tsSeasonalDecompose, e11Markov,
-    statRunsTest, streamAnomaly)
+    e12BandJoin, statRunsTest, streamAnomaly)
 }

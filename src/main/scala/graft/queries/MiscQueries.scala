@@ -301,8 +301,42 @@ object MiscQueries {
       graft.functions.Stats.weightedQuartiles(
         li(s, dir), "l_returnflag", "l_extendedprice", col("l_quantity")))
 
+  /** Leak-free grouped 5-fold split over lineitem keyed by order
+    * ([[graft.operators.Splits.groupKFold]]): every line item of an
+    * order lands in the same fold (fold = portable hash of l_orderkey),
+    * so cross-validation can never leak order-level features across
+    * folds. The fold profile — rows, distinct groups, and an exact
+    * quantity checksum per fold — is the oracle surface; the leak-free
+    * property itself is structural (fold is a function of the group
+    * key) and spec-pinned. Pure map + one hash aggregate; the
+    * assignment column is stable under reprocessing, appends, and any
+    * partitioning — the property that makes folds reproducible at
+    * 100 TB.
+    */
+  val splitGroupKfold: Q = Q(
+    "split_group_kfold",
+    Some("""WITH f AS (SELECT l_orderkey,
+           |    ((l_orderkey + 13) % 100000) * 2654435761 % 4294967296 % 5 AS fold,
+           |    CAST(l_quantity AS BIGINT) AS q
+           |  FROM lineitem)
+           |SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  COUNT(DISTINCT l_orderkey) AS n_groups,
+           |  CAST(SUM(q) AS BIGINT) AS sum_qty
+           |FROM f GROUP BY fold""".stripMargin),
+    (s, dir) =>
+      graft.operators.Splits
+        .groupKFold(
+          li(s, dir).select(col("l_orderkey"), col("l_quantity")),
+          "l_orderkey", k = 5, seed = 13)
+        .groupBy("fold")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct("l_orderkey").as("n_groups"),
+          sum(col("l_quantity").cast(LongType)).as("sum_qty")))
+
   def all: Seq[Q] = Seq(
     p3NullDrop, p7ErrorProp, r3PivotMean, a6ConditionalAgg, a4ScalarAgg,
     s2CsvRoundtrip, p12ColumnSets, jSemiAnti, sOrcRoundtrip,
-    sParquetSchemaMerge, a15Mode, a16WeightedMedian, a17WeightedQuartiles)
+    sParquetSchemaMerge, a15Mode, a16WeightedMedian, a17WeightedQuartiles,
+    splitGroupKfold)
 }

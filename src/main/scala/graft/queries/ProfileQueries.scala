@@ -573,6 +573,42 @@ object ProfileQueries {
       graft.functions.Stats.theilSen(
         Tables.load(s, dir, "lineitem"), "l_quantity", "l_discount"))
 
+  /** One-sample KS against the fitted normal on l_extendedprice
+    * ([[graft.functions.Stats.ks1Samp]]) — the normality pre-flight for
+    * every analysis that assumes a Gaussian (z-scores, Grubbs, the σ
+    * envelopes). Exercises three shared machines at once: the Grubbs
+    * exact-moment μ̂/σ̂ text, the ks2Samp sharded ECDF kernel, and the
+    * Abramowitz–Stegun Φ as ONE text in both engines (the Acklam-probit
+    * discipline — approximation constants are literals, so the
+    * approximation cancels in the comparison; round-6 absorbs EXP's
+    * last-ulp). Both sides of every ECDF step enter the max — the
+    * textbook D, not the one-sided shortcut.
+    */
+  val ks1Price: Q = {
+    val phi = graft.fit.ClosedForm.normalCdfText("((v - st.mean) / st.std)")
+    Q(
+      "stat_ks_1samp",
+      Some(s"""WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+              |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+              |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |    ${D.dsumExact("v")} AS sx, ${D.dsumExact("v * v")} AS sxx
+              |  FROM s),
+              |st AS (SELECT n, sx / n AS mean,
+              |    SQRT((sxx - sx * sx / n) / (n - 1)) AS std FROM m),
+              |g AS (SELECT v, COUNT(*) AS c FROM s GROUP BY v),
+              |c AS (SELECT v, c,
+              |    SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM g)
+              |SELECT st.n, st.mean, st.std,
+              |  ROUND(MAX(GREATEST(
+              |    CAST(cum AS DOUBLE) / st.n - $phi,
+              |    $phi - CAST(cum - c AS DOUBLE) / st.n)), 6) AS ks_d
+              |FROM c CROSS JOIN st GROUP BY st.n, st.mean, st.std""".stripMargin),
+      (s, dir) =>
+        graft.functions.Stats.ks1Samp(
+          Tables.load(s, dir, "lineitem"), "l_extendedprice"))
+  }
+
   /** Wilson 95 % score interval of the `l_linestatus = 'O'` share per
     * return flag — the binomial confidence bound a mix monitor reports
     * next to the raw share (the normal-approximation interval collapses
@@ -1074,6 +1110,7 @@ object ProfileQueries {
     spearmanQP, psiQuantity, quantilesExact, ppsSample,
     chi2ReturnFlag, anovaQuantity, giniPrice, grubbsPrice, benfordPrice,
     aucLangLen, kendallTau, cramersV, brownForsythe, theilSen, wilsonCi,
+    ks1Price,
     sampleDsir, packCurriculum, dqExpectations,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,
