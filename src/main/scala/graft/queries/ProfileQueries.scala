@@ -573,6 +573,190 @@ object ProfileQueries {
       graft.functions.Stats.theilSen(
         Tables.load(s, dir, "lineitem"), "l_quantity", "l_discount"))
 
+  /** Mutual information (nats) between l_quantity and l_discount over
+    * the bounded joint distinct relation — the feature-dependence score
+    * a curation pipeline ranks columns by before training a filter
+    * model (Pearson sees only linear structure; MI sees any). Same
+    * kernel family as [[kendallTau]]: joint cells + broadcast margins,
+    * every count exact, `Σ (c/n)·ln(c·n/(c_x·c_y))` on the DetAgg
+    * decimal route with the round-6 divergence-family tail.
+    */
+  val mutualInfo: Q = {
+    val term = "(CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) * n" +
+      " / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))"
+    Q(
+      "stat_mutual_info",
+      Some(s"""WITH j AS (
+              |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+              |    CAST(l_discount AS DOUBLE) AS y, COUNT(*) AS c
+              |  FROM lineitem
+              |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+              |  GROUP BY 1, 2),
+              |mx AS (SELECT x, CAST(SUM(c) AS BIGINT) AS cx FROM j GROUP BY x),
+              |my AS (SELECT y, CAST(SUM(c) AS BIGINT) AS cy FROM j GROUP BY y),
+              |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM j)
+              |SELECT MIN(t.n) AS n, ROUND(${D.dsum(term)}, 6) AS mi_nats
+              |FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t""".stripMargin),
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_quantity").isNotNull && col("l_discount").isNotNull)
+        val j = li
+          .groupBy(
+            col("l_quantity").cast("double").as("x"),
+            col("l_discount").cast("double").as("y"))
+          .agg(count(lit(1)).as("c"))
+        val mx = j.groupBy("x").agg(sum("c").as("cx"))
+        val my = j.groupBy("y").agg(sum("c").as("cy"))
+        val t = j.agg(sum("c").as("n"))
+        j.join(broadcast(mx), "x").join(broadcast(my), "y")
+          .crossJoin(broadcast(t))
+          .agg(
+            min("n").as("n"),
+            round(graft.functions.DetAgg.dsum(
+              (col("c").cast("double") / col("n")) *
+                log(col("c").cast("double") * col("n")
+                  / (col("cx").cast("double") * col("cy").cast("double")))), 6)
+              .as("mi_nats"))
+      })
+  }
+
+  /** Cohen's d (and small-sample Hedges' g) between the A and R return
+    * flags on l_quantity — the EFFECT SIZE companion to
+    * [[mannWhitney]]/[[anovaQuantity]] (a p-value says "different", d
+    * says "by how much, in σ units" — what a drift runbook actually
+    * thresholds on). Integer-valued column ⇒ all five moments are exact
+    * BIGINTs from one conditional aggregate; d and g are a single
+    * literal IEEE tree TEXT-shared with the oracle — hash-exact
+    * unrounded.
+    */
+  val cohensD: Q = {
+    val m1 = "(s1 / n1)"; val m2 = "(s2 / n2)"
+    val sp = s"SQRT(((n1 - 1.0) * ((q1 - s1 * s1 / n1) / (n1 - 1.0))" +
+      s" + (n2 - 1.0) * ((q2 - s2 * s2 / n2) / (n2 - 1.0))) / (n1 + n2 - 2.0))"
+    val d = s"(($m1 - $m2) / $sp)"
+    val g = s"($d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)))"
+    val moments =
+      Seq("A" -> "1", "R" -> "2").flatMap { case (f, i) =>
+        Seq(
+          s"CAST(SUM(CASE WHEN l_returnflag = '$f' THEN 1 ELSE 0 END) AS DOUBLE) AS n$i",
+          s"CAST(SUM(CASE WHEN l_returnflag = '$f' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS DOUBLE) AS s$i",
+          s"CAST(SUM(CASE WHEN l_returnflag = '$f' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) ELSE 0 END) AS DOUBLE) AS q$i")
+      }
+    Q(
+      "stat_cohens_d",
+      Some(s"""WITH m AS (SELECT
+              |  ${moments.mkString(",\n  ")}
+              |FROM lineitem WHERE l_returnflag IN ('A', 'R'))
+              |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+              |  $m1 AS mean1, $m2 AS mean2,
+              |  $d AS cohens_d, $g AS hedges_g
+              |FROM m""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_returnflag").isin("A", "R"))
+          .agg(expr(moments.head), moments.tail.map(expr): _*)
+          .select(
+            expr("CAST(n1 AS BIGINT)").as("n1"),
+            expr("CAST(n2 AS BIGINT)").as("n2"),
+            expr(m1).as("mean1"), expr(m2).as("mean2"),
+            expr(d).as("cohens_d"), expr(g).as("hedges_g")))
+  }
+
+  /** Hill tail-index estimator over the top-1000 order statistics of
+    * l_extendedprice — the heavy-tail profile (is the price/token/size
+    * distribution power-law, and how fat?) that decides whether
+    * mean-based budgets are even meaningful. The top-k cut is
+    * TakeOrdered (distributed, no global sort — the w2 discipline; a
+    * tie class at the boundary contributes the same VALUE multiset in
+    * both engines, so the cut is hash-safe), x_min is the k-th order
+    * statistic, and `α̂ = k / Σ ln(x_i/x_min)` rides the DetAgg route
+    * with the round-6 ln tail.
+    */
+  val hillTail: Q = {
+    val k = 1000
+    Q(
+      "stat_hill_tail",
+      Some(s"""WITH t AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+              |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+              |  ORDER BY v DESC LIMIT $k),
+              |x AS (SELECT MIN(v) AS xmin FROM t),
+              |s AS (SELECT ROUND(${D.dsum("LN(v / xmin)")}, 6) AS sl
+              |  FROM t CROSS JOIN x)
+              |SELECT CAST($k AS BIGINT) AS k, x.xmin,
+              |  $k.0 / s.sl AS hill_alpha
+              |FROM s CROSS JOIN x""".stripMargin),
+      (s, dir) => {
+        val t = Tables.load(s, dir, "lineitem")
+          .filter(col("l_extendedprice").isNotNull)
+          .select(col("l_extendedprice").cast("double").as("v"))
+          .orderBy(col("v").desc).limit(k)
+        val x = t.agg(min("v").as("xmin"))
+        val sl = t.crossJoin(broadcast(x))
+          .agg(round(graft.functions.DetAgg.dsum(log(col("v") / col("xmin"))), 6)
+            .as("sl"))
+        sl.crossJoin(broadcast(x))
+          .select(
+            lit(k.toLong).as("k"), col("xmin"),
+            (lit(k.toDouble) / col("sl")).as("hill_alpha"))
+      })
+  }
+
+  /** Normal QQ table of l_extendedprice at the j/20 grid — the PLOT
+    * TABLE behind every QQ panel (the reference ships plot tables as
+    * first-class sinks; this is the distribution-diagnostic one that
+    * shows WHERE [[ks1Price]]'s D comes from). Observed quantiles ride
+    * the exact sharded-quantile kernel, theoretical ones are
+    * `μ̂ + σ̂·probit(q)` with the Acklam text and the Grubbs moment
+    * formula — every machine already verified, composed into one
+    * 19-row relation.
+    */
+  val qqNormal: Q = {
+    val probs = (1 to 19).map(j => j / 20.0)
+    Q(
+      "stat_qq_normal",
+      Some(s"""WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+              |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+              |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |    ${D.dsumExact("v")} AS sx, ${D.dsumExact("v * v")} AS sxx
+              |  FROM s),
+              |st AS (SELECT sx / n AS mean,
+              |    SQRT((sxx - sx * sx / n) / (n - 1)) AS std FROM m),
+              |g AS (SELECT v, COUNT(*) AS c FROM s GROUP BY v),
+              |c AS (SELECT v,
+              |    SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r,
+              |    SUM(c) OVER () AS n
+              |  FROM g),
+              |qs AS (SELECT unnest([${probs.mkString(", ")}]) AS q)
+              |SELECT q, MIN(v) AS observed,
+              |  MIN(st.mean + st.std * ${graft.fit.ClosedForm.probitText("q")})
+              |    AS theoretical
+              |FROM c CROSS JOIN qs CROSS JOIN st
+              |WHERE r >= CAST(CEIL(q * c.n) AS BIGINT)
+              |GROUP BY q ORDER BY q""".stripMargin),
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_extendedprice").isNotNull)
+        val obs = graft.functions.Stats
+          .exactQuantiles(li, "l_extendedprice", probs)
+          .select(col("q"), col("qv").as("observed"))
+        val src = li.select(col("l_extendedprice").cast("double").as("v"))
+        val m = src.agg(
+          count(lit(1)).as("n"),
+          graft.functions.DetAgg.dsum(col("v")).as("sx"),
+          graft.functions.DetAgg.dsum(col("v") * col("v")).as("sxx"))
+        val st = m.select(
+          (col("sx") / col("n")).as("mean"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n"))
+            / (col("n") - lit(1))).as("std"))
+        obs.crossJoin(broadcast(st))
+          .select(
+            col("q"), col("observed"),
+            (col("mean") + col("std")
+              * expr(graft.fit.ClosedForm.probitText("q"))).as("theoretical"))
+          .orderBy("q")
+      })
+  }
+
   /** One-sample KS against the fitted normal on l_extendedprice
     * ([[graft.functions.Stats.ks1Samp]]) — the normality pre-flight for
     * every analysis that assumes a Gaussian (z-scores, Grubbs, the σ
@@ -1110,7 +1294,7 @@ object ProfileQueries {
     spearmanQP, psiQuantity, quantilesExact, ppsSample,
     chi2ReturnFlag, anovaQuantity, giniPrice, grubbsPrice, benfordPrice,
     aucLangLen, kendallTau, cramersV, brownForsythe, theilSen, wilsonCi,
-    ks1Price,
+    ks1Price, mutualInfo, cohensD, hillTail, qqNormal,
     sampleDsir, packCurriculum, dqExpectations,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,

@@ -834,6 +834,57 @@ object SimilarityQueries {
       })
   }
 
+  /** Elbow-curve inertia ladder for cluster-count selection: cosine
+    * inertia `Σ (1 − best_cos)` of the corpus against FIXED quantizers
+    * at k = 2 / 4 / 8 (seeded unit anchors — the [[simIvfFixed]]
+    * discipline: training stays engine-specific, but the SELECTION
+    * CURVE the operator exists to produce is pure arithmetic and fully
+    * oracle-replayed). Per vector the best cosine is a GREATEST over k
+    * round-6 dot products — one map-side pass per rung, NO explode, no
+    * join; the inertia sum rides scale-12 decimals over the round-6
+    * grid (the [[DetAgg.ScaleP]] boundary-safety argument) with a
+    * round-6 tail.
+    */
+  val embElbowInertia: Q = {
+    val ks = Seq(2, 4, 8)
+    def cents(kk: Int): Array[Array[Double]] =
+      Similarity.hyperplanes(kk, dim = 64, seed = 23L + kk).map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        c.map(_ / n)
+      }
+    Q(
+      "emb_elbow_inertia",
+      Some {
+        val rungs = ks.map { kk =>
+          val best = cents(kk).map { c =>
+            val lit = c.map(_.toString).mkString("[", ", ", "]")
+            s"ROUND(list_dot_product(v, $lit) / SQRT(list_dot_product(v, v)), 6)"
+          }.mkString("GREATEST(", ",\n      ", ")")
+          s"""SELECT CAST($kk AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             |  ROUND(${graft.functions.DetAgg.Sql.dsumP("1.0 - best")}, 6) AS inertia
+             |FROM (SELECT $best AS best
+             |      FROM (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings))""".stripMargin
+        }
+        rungs.mkString("\nUNION ALL\n")
+      },
+      (s, dir) => {
+        val e = emb(s, dir).select(col("embedding").cast("array<double>").as("v"))
+        val rungs = ks.map { kk =>
+          val best = greatest(cents(kk).map { c =>
+            round(Similarity.dot(col("v"), typedLit(c.toSeq))
+              / sqrt(Similarity.dot(col("v"), col("v"))), 6)
+          }: _*)
+          e.select(best.as("best"))
+            .agg(
+              count(lit(1)).as("n_vecs"),
+              round(graft.functions.DetAgg.dsumP(lit(1.0) - col("best")), 6)
+                .as("inertia"))
+            .select(lit(kk.toLong).as("k"), col("n_vecs"), col("inertia"))
+        }
+        rungs.reduce(_ unionAll _)
+      })
+  }
+
   /** ANN quality certificate: recall@20 of the fixed-quantizer IVF tier
     * against the brute-force exact top-20 — the acceptance metric a
     * serving stack pins BEFORE trusting an index (a recall regression
@@ -903,5 +954,5 @@ object SimilarityQueries {
       simPqFixed, simIvfPqFixed, semanticDedup, embCentroids, simHardNegatives,
       decontamSemantic, embDimStats, embQuantizeInt8, simKnnGraph,
       embCovariance, embPcaPower, embSrpBits, simIvfRecall,
-      embMahalanobisDiag)
+      embMahalanobisDiag, embElbowInertia)
 }
