@@ -572,6 +572,52 @@ object Stats {
       sum(c * c * c - c).as("__tt"))
   }
 
+  /** K-sample rank cells behind Kruskal–Wallis: one row per
+    * (group, distinct value) with the cell count `__c`, the value's
+    * total count `__ct`, and the value's inclusive cumulative count
+    * `__r` — so the cell's DOUBLED midrank sum is `__c·(2·__r − __ct
+    * + 1)`, every quantity an exact 64-bit integer. Ranks come off the
+    * same sharded-cumulative shape as [[rankSumMoments]] (distinct-value
+    * relation, monotone sortable-bits shards, per-shard windows,
+    * ≤ 2^shardBits-row broadcast offsets), then the bounded ranked
+    * relation equi-joins back to the (group, value) cells. No
+    * group-wide or corpus-wide window; nulls in either column are
+    * excluded (a rank test has no position for a valueless row).
+    */
+  def rankedCells(
+      df: DataFrame,
+      grpCol: String,
+      value: String,
+      shardBits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardBits >= 1 && shardBits <= 20, s"shardBits $shardBits out of range")
+    val cells = df
+      .filter(col(value).isNotNull && col(grpCol).isNotNull)
+      .groupBy(col(value).cast("double").as("__v"), col(grpCol).as("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val byV = cells.groupBy("__v").agg(sum("__c").as("__ct"))
+    val keyed = byV.withColumn(
+      "__shard",
+      shiftright(
+        graft.plans.ScalarExpressions.sortableBits(col("__v")),
+        64 - shardBits) + lit(1L << (shardBits - 1)))
+    val wOff = Window.partitionBy(
+      graft.plans.ScalarExpressions.singlePartitionKey(col("__shard")))
+      .orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("__shard")
+      .agg(sum("__ct").as("__s"))
+      .select(
+        col("__shard").as("__oshard"),
+        coalesce(sum("__s").over(wOff), lit(0L)).as("__b"))
+    val wCum = Window.partitionBy("__shard").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = keyed
+      .join(broadcast(offsets), col("__shard") === col("__oshard"))
+      .withColumn("__r", col("__b") + sum("__ct").over(wCum))
+      .select("__v", "__ct", "__r")
+    cells.join(ranked, "__v").select("__g", "__v", "__c", "__ct", "__r")
+  }
+
   /** ROC AUC of a score column against a binary label — the classifier
     * acceptance gate a filtering pipeline runs before trusting a quality
     * model's threshold (AUC = P(score⁺ > score⁻) + ½·P(tie), which is

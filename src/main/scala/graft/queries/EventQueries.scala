@@ -798,9 +798,131 @@ object EventQueries {
       })
   }
 
+  /** Cross-correlation between the hourly click-count and
+    * purchase-count series at lags −3…+3 — the lead/lag detector a
+    * funnel dashboard runs before claiming causality direction (does
+    * purchase volume FOLLOW click volume, and by how many hours?).
+    * Same windowless shape as [[statAutocorr]]: two hash aggregates to
+    * calendar-bounded series, a 7-row literal lag explode, an equi-join
+    * on `bucket + lag`, and per-lag Pearson from exact integer moments
+    * (DECIMAL(18,0)² cross products on the HUGEINT-VARCHAR oracle
+    * route) — one fixed IEEE tree, bit-exact unrounded.
+    */
+  val tsCrossCorrelation: Q = Q(
+    "ts_cross_correlation",
+    Some(s"""WITH b1 AS (
+            |  SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+            |    CAST(COUNT(*) AS BIGINT) AS x
+            |  FROM events WHERE event_type = 'click' GROUP BY 1),
+            |b2 AS (
+            |  SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+            |    CAST(COUNT(*) AS BIGINT) AS y
+            |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            |p AS (SELECT l.lag, a.x, c.y
+            |  FROM b1 a CROSS JOIN (VALUES (-3), (-2), (-1), (0), (1), (2), (3)) AS l(lag)
+            |  JOIN b2 c ON c.bucket = a.bucket + l.lag),
+            |g AS (SELECT lag, CAST(COUNT(*) AS DOUBLE) AS n,
+            |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+            |    CAST(CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sxy,
+            |    CAST(CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sxx,
+            |    CAST(CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS syy
+            |  FROM p GROUP BY lag)
+            |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+            |  (n * sxy - sx * sy)
+            |    / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS xcorr
+            |FROM g""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val d18 = DecimalType(18, 0)
+      val e = ev(s, dir)
+        .withColumn("bucket", floor(unix_timestamp(col("ts")) / 3600).cast(LongType))
+      val b1 = e.filter(col("event_type") === "click")
+        .groupBy("bucket").agg(count(lit(1)).as("x"))
+      val b2 = e.filter(col("event_type") === "purchase")
+        .groupBy("bucket").agg(count(lit(1)).as("y"))
+        .select(col("bucket").as("bucket2"), col("y"))
+      val lagged = b1.withColumn(
+        "lag",
+        explode(array((-3L to 3L).map(lit): _*)))
+      val g = lagged
+        .join(b2, lagged("bucket") + lagged("lag") === b2("bucket2"))
+        .groupBy("lag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum(col("x").cast(d18) * col("y").cast(d18)).cast("double").as("sxy"),
+          sum(col("x").cast(d18) * col("x").cast(d18)).cast("double").as("sxx"),
+          sum(col("y").cast(d18) * col("y").cast(d18)).cast("double").as("syy"))
+      g.select(
+        col("lag"),
+        col("n").cast(LongType).as("n_pairs"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("xcorr"))
+    })
+
+  /** Linear multi-touch attribution over the [[e12BandJoin]] candidate
+    * pairs: each purchase splits one unit of credit equally across its
+    * k in-window clicks, and the result is the per-click credit ledger
+    * (user, click, purchases touched, credit) a bidding model trains
+    * on. Composition of verified pieces: the e12 bucketed band join,
+    * one purchase-cardinality hash aggregate for k, a projection-only
+    * join back, and a per-click aggregate whose fractional credit sum
+    * rides the DetAgg scale-12 decimal route (order-free) with the
+    * round-6 tail. Credit conservation (Σ credit = #attributed
+    * purchases) is spec-pinned.
+    */
+  val e13AttributionLinear: Q = Q(
+    "e13_attribution_linear",
+    Some(s"""WITH e AS (SELECT user_id, event_id, event_type,
+            |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+            |  FROM events),
+            |l AS (SELECT user_id, event_id AS click_id, es AS tl
+            |  FROM e WHERE event_type = 'click'),
+            |r AS (SELECT user_id, event_id AS purchase_id, es AS tr
+            |  FROM e WHERE event_type = 'purchase'),
+            |pairs AS (SELECT l.user_id, click_id, purchase_id
+            |  FROM l JOIN r ON l.user_id = r.user_id
+            |    AND ABS(tl - tr) <= 120),
+            |k AS (SELECT purchase_id, COUNT(*) AS k
+            |  FROM pairs GROUP BY 1)
+            |SELECT user_id, click_id,
+            |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+            |  ROUND(${graft.functions.DetAgg.Sql.dsumP("1.0 / k")}, 6) AS credit
+            |FROM pairs JOIN k USING (purchase_id)
+            |GROUP BY 1, 2""".stripMargin),
+    (s, dir) => {
+      val e = ev(s, dir).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("es"))
+      val l = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("es").as("tl"))
+      val r = e.filter(col("event_type") === "purchase")
+        .select(
+          col("user_id").as("ur"), col("event_id").as("purchase_id"),
+          col("es").as("tr"), floor(col("es") / 120).cast(LongType).as("br"))
+      val probe = l.withColumn("pb",
+        explode(array(
+          floor(col("tl") / 120).cast(LongType) - 1,
+          floor(col("tl") / 120).cast(LongType),
+          floor(col("tl") / 120).cast(LongType) + 1)))
+      val pairs = probe
+        .join(r, col("user_id") === col("ur") && col("pb") === col("br"))
+        .filter(abs(col("tl") - col("tr")) <= 120)
+        .select("user_id", "click_id", "purchase_id")
+      val k = pairs.groupBy("purchase_id").agg(count(lit(1)).as("k"))
+      pairs.join(k, "purchase_id")
+        .groupBy("user_id", "click_id")
+        .agg(
+          count(lit(1)).as("n_purchases"),
+          round(DetAgg.dsumP(lit(1.0) / col("k")), 6).as("credit"))
+    })
+
   def all: Seq[Q] = Seq(
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e4AsofNearest, e5Funnel,
     e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,
     statCusum, statAutocorr, tsEwma, tsSeasonalDecompose, e11Markov,
-    e12BandJoin, statRunsTest, streamAnomaly)
+    e12BandJoin, statRunsTest, streamAnomaly, tsCrossCorrelation,
+    e13AttributionLinear)
 }

@@ -1049,10 +1049,73 @@ object GroupingQueries {
       graft.operators.Skyline.skyline2d(
         Tables.load(s, dir, "lineitem"), "l_extendedprice", "l_quantity"))
 
+  /** Global clustering coefficient (transitivity) of the supplier
+    * co-occurrence graph — `C = 3·triangles / wedges`, the
+    * cohesion-vs-star diagnostic beside [[triangles]] and
+    * [[assortativity]] (a high-triangle graph can still be a hub-and-
+    * spoke; C says whether neighbors actually interconnect). Composes
+    * two verified kernels: triangle counts from the degree-ordered
+    * orientation ([[graft.operators.Triangles.triangleStats]], oracle =
+    * the brute x<y<z triple join) and the wedge count `Σ deg·(deg−1)/2`
+    * from one hash aggregate over the node-cardinality degree relation
+    * — exact BIGINTs throughout (the /2 is integer: deg·(deg−1) is
+    * even), one final IEEE division.
+    */
+  val clusteringCoeff: Q = Q(
+    "graph_clustering_coeff",
+    Some("""WITH raw AS (
+           |  SELECT DISTINCT l1.l_suppkey AS u, l2.l_suppkey AS v
+           |  FROM lineitem l1 JOIN lineitem l2
+           |    ON l1.l_orderkey = l2.l_orderkey
+           |    AND l1.l_linenumber = 1 AND l2.l_linenumber = 2
+           |    AND l1.l_suppkey <> l2.l_suppkey),
+           |e AS (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v
+           |      FROM raw WHERE u <> v),
+           |t AS (SELECT COUNT(*) AS n_triangles
+           |      FROM e ab JOIN e bc ON bc.u = ab.v
+           |      JOIN e ac ON ac.u = ab.u AND ac.v = bc.v),
+           |d AS (SELECT n, COUNT(*) AS deg FROM
+           |      (SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+           |      GROUP BY 1),
+           |w AS (SELECT CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges
+           |      FROM d),
+           |nodes AS (SELECT COUNT(*) AS n_nodes FROM d),
+           |ne AS (SELECT COUNT(*) AS n_edges FROM e)
+           |SELECT n_nodes, n_edges, n_triangles, n_wedges,
+           |  3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+           |    AS global_cc
+           |FROM nodes, ne, t, w""".stripMargin),
+    (s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_suppkey")
+      val edges = l.as("l1")
+        .join(l.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_linenumber") === 1 && col("l2.l_linenumber") === 2 &&
+            col("l1.l_suppkey") =!= col("l2.l_suppkey"))
+        .select(col("l1.l_suppkey").as("u"), col("l2.l_suppkey").as("v"))
+        .distinct()
+      val canon = edges
+        .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+        .distinct()
+      val tri = graft.operators.Triangles.triangleStats(edges)
+      val deg = canon.select(col("u").as("n"))
+        .unionAll(canon.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val w = deg.agg(
+        expr("CAST(SUM(deg * (deg - 1)) DIV 2 AS BIGINT)").as("n_wedges"))
+      tri.crossJoin(broadcast(w))
+        .select(
+          col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_wedges"),
+          (lit(3.0) * col("n_triangles").cast("double")
+            / col("n_wedges").cast("double")).as("global_cc"))
+    })
+
   def all: Seq[Q] = Seq(
     rollup, cube_, groupingSets, approxDistinct, distinctExact,
     tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore,
     freqItems, zorderExport, logregQuality, percentileRank, equidepthHist,
     winsorize, pagerank, triangles, labelProp, cmsTopk, kcore, hllDistinct,
-    adamicAdar, ppr, skyline, shortestHops, assortativity, modularity)
+    adamicAdar, ppr, skyline, shortestHops, assortativity, modularity,
+    clusteringCoeff)
 }

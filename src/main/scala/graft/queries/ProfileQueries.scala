@@ -757,6 +757,153 @@ object ProfileQueries {
       })
   }
 
+  /** Kruskal–Wallis H across the three return flags on l_quantity — the
+    * rank-based (distribution-free) ANOVA beside [[anovaQuantity]] (the
+    * moment form assumes normal-ish groups; a mix monitor needs the
+    * version one corrupted heavy tail can't fool). Per-(group, value)
+    * rank cells come off the SHARDED cumulative kernel
+    * ([[graft.functions.Stats.rankedCells]] — the [[aucLangLen]] /
+    * [[mannWhitney]] machinery generalized to k samples), doubled
+    * midrank sums and the tie term are exact BIGINTs, and H plus its
+    * tie-corrected form are ONE literal IEEE tree with the group terms
+    * in fixed textual order (A, N, R) — hash-exact unrounded. The
+    * oracle replays the single-window cumulative, extending the
+    * sharding-correctness proof to a fourth statistic family.
+    */
+  val kruskalWallis: Q = {
+    val flags = Seq("A" -> "a", "N" -> "n", "R" -> "r")
+    val ns = flags.map { case (f, s) =>
+      s"CAST(SUM(CASE WHEN f = '$f' THEN c ELSE 0 END) AS BIGINT) AS n_$s"
+    }
+    val r2s = flags.map { case (f, s) =>
+      s"CAST(SUM(CASE WHEN f = '$f' THEN c * (2 * r - ct + 1) ELSE 0 END) AS BIGINT) AS r2_$s"
+    }
+    val sumTerm = flags.map(_._2).map(s =>
+      s"(CAST(r2_$s AS DOUBLE) * CAST(r2_$s AS DOUBLE) / 4.0) / CAST(n_$s AS DOUBLE)")
+      .mkString("(", " + ", ")")
+    val nd = "CAST(n AS DOUBLE)"
+    val h = s"(12.0 / ($nd * ($nd + 1.0)) * $sumTerm - 3.0 * ($nd + 1.0))"
+    val hAdj = s"($h / (1.0 - CAST(tt AS DOUBLE) / ($nd * $nd * $nd - $nd)))"
+    Q(
+      "stat_kruskal_wallis",
+      Some(s"""WITH g AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+              |    l_returnflag AS f, COUNT(*) AS c
+              |  FROM lineitem
+              |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+              |  GROUP BY 1, 2),
+              |bv AS (SELECT v, SUM(c) AS ct FROM g GROUP BY v),
+              |cum AS (SELECT v, ct,
+              |    SUM(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r
+              |  FROM bv),
+              |cells AS (SELECT f, c, ct, r FROM g JOIN cum USING (v)),
+              |m AS (SELECT ${(ns ++ r2s).mkString(",\n  ")} FROM cells),
+              |tv AS (SELECT CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tt,
+              |    CAST(SUM(ct) AS BIGINT) AS n FROM bv)
+              |SELECT n, CAST(2 AS BIGINT) AS df, $h AS h_stat,
+              |  $hAdj AS h_tie_adj
+              |FROM m CROSS JOIN tv""".stripMargin),
+      (s, dir) => {
+        val cells = graft.functions.Stats.rankedCells(
+          Tables.load(s, dir, "lineitem"), "l_returnflag", "l_quantity")
+          .select(
+            col("__g").as("f"), col("__v").as("v"), col("__c").as("c"),
+            col("__ct").as("ct"), col("__r").as("r"))
+        val mRow = cells.agg(
+          expr((ns ++ r2s).head), (ns ++ r2s).tail.map(expr): _*)
+        val tv = cells.select("v", "ct").distinct().agg(
+          expr("CAST(SUM(ct * ct * ct - ct) AS BIGINT)").as("tt"),
+          expr("CAST(SUM(ct) AS BIGINT)").as("n"))
+        mRow.crossJoin(broadcast(tv))
+          .select(
+            col("n"), lit(2L).as("df"),
+            expr(h).as("h_stat"), expr(hAdj).as("h_tie_adj"))
+      })
+  }
+
+  /** Jarque–Bera normality statistic on l_quantity — the cheap
+    * moment-based normality screen beside the exact-distribution
+    * [[ks1Price]] (JB needs ONE aggregate pass; KS needs the full ECDF):
+    * `JB = n/6·(g₁² + g₂²/4)` from sample skewness and excess kurtosis.
+    * The column is integer-valued, so all four raw power sums are exact
+    * BIGINTs from a single aggregate, and the central-moment /
+    * skew/kurtosis algebra is one literal IEEE tree TEXT-shared with the
+    * oracle — hash-exact unrounded.
+    */
+  val jarqueBera: Q = {
+    val moments = Seq(
+      "CAST(COUNT(*) AS DOUBLE) AS n",
+      "CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1",
+      "CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2",
+      "CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s3",
+      "CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s4")
+    val m1 = "(s1 / n)"
+    val m2 = s"(s2 / n - $m1 * $m1)"
+    val m3 = s"(s3 / n - 3.0 * $m1 * (s2 / n) + 2.0 * $m1 * $m1 * $m1)"
+    val m4 = s"(s4 / n - 4.0 * $m1 * (s3 / n)" +
+      s" + 6.0 * $m1 * $m1 * (s2 / n) - 3.0 * $m1 * $m1 * $m1 * $m1)"
+    val g1 = s"($m3 / ($m2 * SQRT($m2)))"
+    val g2 = s"($m4 / ($m2 * $m2) - 3.0)"
+    val jb = s"(n / 6.0 * ($g1 * $g1 + $g2 * $g2 / 4.0))"
+    Q(
+      "stat_jarque_bera",
+      Some(s"""WITH m AS (SELECT ${moments.mkString(",\n  ")}
+              |  FROM lineitem WHERE l_quantity IS NOT NULL)
+              |SELECT CAST(n AS BIGINT) AS n, $g1 AS skewness,
+              |  $g2 AS excess_kurtosis, $jb AS jb_stat
+              |FROM m""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_quantity").isNotNull)
+          .agg(expr(moments.head), moments.tail.map(expr): _*)
+          .select(
+            expr("CAST(n AS BIGINT)").as("n"),
+            expr(g1).as("skewness"),
+            expr(g2).as("excess_kurtosis"),
+            expr(jb).as("jb_stat")))
+  }
+
+  /** Cohen's κ between two binary raters — chance-corrected agreement,
+    * the standard acceptance check before trusting redundant quality
+    * gates (two filters that agree 90% of the time are WORSE than
+    * useless if chance alone predicts 89%). Raters here: the discount
+    * gate `l_discount ≥ 0.05` and the tax gate `l_tax ≥ 0.04` — two
+    * independent per-row predicates whose 2×2 contingency comes from ONE
+    * conditional aggregate of exact BIGINTs; κ = (p_o − p_e)/(1 − p_e)
+    * is a literal IEEE tree TEXT-shared with the oracle — hash-exact
+    * unrounded.
+    */
+  val cohenKappa: Q = {
+    val r1 = "(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)"
+    val r2 = "(CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END)"
+    val cs = Seq(
+      s"CAST(SUM($r1 * $r2) AS DOUBLE) AS c11",
+      s"CAST(SUM($r1 * (1 - $r2)) AS DOUBLE) AS c10",
+      s"CAST(SUM((1 - $r1) * $r2) AS DOUBLE) AS c01",
+      s"CAST(SUM((1 - $r1) * (1 - $r2)) AS DOUBLE) AS c00")
+    val n = "(c11 + c10 + c01 + c00)"
+    val po = s"((c11 + c00) / $n)"
+    val pe = s"(((c11 + c10) / $n) * ((c11 + c01) / $n)" +
+      s" + ((c01 + c00) / $n) * ((c10 + c00) / $n))"
+    val kappa = s"(($po - $pe) / (1.0 - $pe))"
+    Q(
+      "stat_cohen_kappa",
+      Some(s"""WITH m AS (SELECT ${cs.mkString(",\n  ")}
+              |  FROM lineitem
+              |  WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL)
+              |SELECT CAST($n AS BIGINT) AS n, $po AS p_observed,
+              |  $pe AS p_chance, $kappa AS kappa
+              |FROM m""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_discount").isNotNull && col("l_tax").isNotNull)
+          .agg(expr(cs.head), cs.tail.map(expr): _*)
+          .select(
+            expr(s"CAST($n AS BIGINT)").as("n"),
+            expr(po).as("p_observed"),
+            expr(pe).as("p_chance"),
+            expr(kappa).as("kappa")))
+  }
+
   /** One-sample KS against the fitted normal on l_extendedprice
     * ([[graft.functions.Stats.ks1Samp]]) — the normality pre-flight for
     * every analysis that assumes a Gaussian (z-scores, Grubbs, the σ
@@ -1295,6 +1442,7 @@ object ProfileQueries {
     chi2ReturnFlag, anovaQuantity, giniPrice, grubbsPrice, benfordPrice,
     aucLangLen, kendallTau, cramersV, brownForsythe, theilSen, wilsonCi,
     ks1Price, mutualInfo, cohensD, hillTail, qqNormal,
+    kruskalWallis, jarqueBera, cohenKappa,
     sampleDsir, packCurriculum, dqExpectations,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,
