@@ -733,6 +733,73 @@ object ScaleProbe {
         graft.functions.Stats
           .kendallTau(df, "l_quantity", "l_discount").collect().length.toLong
       }
+      time("kruskal_cells", c) { df =>
+        // per-copy value offset grows the DISTINCT-value relation
+        // linearly (the sharded-cumulative stress, like ks_sharded);
+        // plain replication would only deepen cells
+        val shifted = df.withColumn(
+          "v", col("l_quantity") + (col("l_orderkey") / lit(100000000L))
+            .cast("long").cast("double") * lit(50.0))
+        graft.functions.Stats
+          .rankedCells(shifted, "l_returnflag", "v")
+          .agg(sum(col("__c") * (lit(2) * col("__r") - col("__ct") + lit(1))))
+          .collect().length.toLong
+      }
+      time("clustering_coeff", c) { df =>
+        // shifted l_orderkey mints new orders → edge count and the
+        // degree relation grow linearly; triangle work is bounded by
+        // the degree-ordered orientation
+        val l = df.select("l_orderkey", "l_linenumber", "l_suppkey")
+        val edges = l.as("l1")
+          .join(l.as("l2"),
+            col("l1.l_orderkey") === col("l2.l_orderkey") &&
+              col("l1.l_linenumber") === 1 && col("l2.l_linenumber") === 2 &&
+              col("l1.l_suppkey") =!= col("l2.l_suppkey"))
+          .select(
+            (col("l1.l_suppkey") + (col("l1.l_orderkey") / lit(100000000L))
+              .cast("long") * lit(1000000L)).as("u"),
+            (col("l2.l_suppkey") + (col("l2.l_orderkey") / lit(100000000L))
+              .cast("long") * lit(1000000L)).as("v"))
+          .distinct()
+        val canon = edges
+          .select(least(col("u"), col("v")).as("u"),
+            greatest(col("u"), col("v")).as("v")).distinct()
+        val tri = graft.operators.Triangles.triangleStats(edges)
+        val w = canon.select(col("u").as("n"))
+          .unionAll(canon.select(col("v").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+          .agg(expr("CAST(SUM(deg * (deg - 1)) DIV 2 AS BIGINT)").as("nw"))
+        tri.crossJoin(broadcast(w)).collect().length.toLong
+      }
+      timed("attribution_band", c) {
+        // per-copy user shift: band-join candidates grow linearly (the
+        // per-user series is constant per copy), k-agg is
+        // purchase-cardinality
+        val ev = scaledEvents(
+          graft.streaming.EventsStream.readBatch(spark, s"$sfDir/events.parquet"), c)
+        val e = ev.select(
+          col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("es"))
+        val lc = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("es").as("tl"))
+        val r = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("ur"), col("event_id").as("purchase_id"),
+            col("es").as("tr"), floor(col("es") / 120).cast("long").as("br"))
+        val probe = lc.withColumn("pb",
+          explode(array(
+            floor(col("tl") / 120).cast("long") - 1,
+            floor(col("tl") / 120).cast("long"),
+            floor(col("tl") / 120).cast("long") + 1)))
+        val pairs = probe
+          .join(r, col("user_id") === col("ur") && col("pb") === col("br"))
+          .filter(abs(col("tl") - col("tr")) <= 120)
+          .select("user_id", "click_id", "purchase_id")
+        val k = pairs.groupBy("purchase_id").agg(count(lit(1)).as("k"))
+        pairs.join(k, "purchase_id")
+          .groupBy("user_id", "click_id")
+          .agg(round(graft.functions.DetAgg.dsumP(lit(1.0) / col("k")), 6))
+          .count()
+      }
       timed("ewma_lags", c) {
         // copies multiply rows per hourly bucket; the bucket series —
         // and so the 20-lag grid join — is calendar-bounded and constant
