@@ -391,6 +391,74 @@ object Stats {
         col("__std").as("std"), col("ks_d"))
   }
 
+  /** Kuiper statistic against the FITTED normal N(μ̂, σ̂) — the
+    * tail/shift-sensitive sibling of [[ks1Samp]] (Kuiper 1960): where KS
+    * takes the single supremum of |F̂ − Φ|, Kuiper reports
+    * `V = D⁺ + D⁻` with `D⁺ = sup(F̂ − Φ)` and `D⁻ = sup(Φ − F̂(v⁻))`
+    * taken SEPARATELY, so a distribution shifted symmetrically (one
+    * tail up, one tail down) that KS half-misses shows at full
+    * strength — the drift screen of choice for cyclic or
+    * location-shifted quantities. Both sups are order-free maxes, so
+    * the statistic inherits [[ks2Samp]]'s partitioning-independence for
+    * free: no transcendental SUM anywhere (the reason the
+    * integral-type GOF statistics — Anderson–Darling, Cramér–von
+    * Mises — are NOT offered hash-exact: their Σ w·ln Φ term is an
+    * order-dependent double sum no decimal grid can carry without
+    * changing the value; a sup-type statistic has no such term).
+    *
+    * Same machinery as [[ks1Samp]]: exact-moment μ̂/σ̂ (the Grubbs
+    * contract), the sharded distinct-value cumulative (no corpus-wide
+    * window), Φ as the shared Abramowitz–Stegun text. D⁺/D⁻ carry the
+    * round-6 tail that absorbs EXP's last-ulp; V = round(D⁺) + round(D⁻)
+    * is a grid-exact sum of two scale-6 values.
+    */
+  def kuiper1Samp(df: DataFrame, value: String, shardBits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardBits >= 1 && shardBits <= 20, s"shardBits $shardBits out of range")
+    val src = df.filter(col(value).isNotNull)
+      .select(col(value).cast("double").as("__v"))
+    val m = src.agg(
+      count(lit(1)).as("__n"),
+      DetAgg.dsum(col("__v")).as("__sx"),
+      DetAgg.dsum(col("__v") * col("__v")).as("__sxx"))
+    val stats = m.select(
+      col("__n"),
+      (col("__sx") / col("__n")).as("__mean"),
+      sqrt((col("__sxx") - col("__sx") * col("__sx") / col("__n"))
+        / (col("__n") - lit(1))).as("__std"))
+    val g = src.groupBy("__v").agg(count(lit(1)).as("__c"))
+    val keyed = g.withColumn(
+      "__shard",
+      shiftright(
+        graft.plans.ScalarExpressions.sortableBits(col("__v")),
+        64 - shardBits) + lit(1L << (shardBits - 1)))
+    val wOff = Window.partitionBy(
+      graft.plans.ScalarExpressions.singlePartitionKey(col("__shard")))
+      .orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("__shard")
+      .agg(sum("__c").as("__s"))
+      .select(
+        col("__shard").as("__oshard"),
+        coalesce(sum("__s").over(wOff), lit(0L)).as("__b"))
+    val wCum = Window.partitionBy("__shard").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val phi = expr(
+      graft.fit.ClosedForm.normalCdfText("((__v - __mean) / __std)"))
+    keyed.join(broadcast(offsets), col("__shard") === col("__oshard"))
+      .withColumn("__cum", col("__b") + sum("__c").over(wCum))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("__n"), col("__mean"), col("__std"))
+      .agg(
+        round(max(col("__cum").cast("double") / col("__n") - phi), 6)
+          .as("d_plus"),
+        round(max(phi - (col("__cum") - col("__c")).cast("double") / col("__n")), 6)
+          .as("d_minus"))
+      .select(
+        col("__n").as("n"), col("__mean").as("mean"),
+        col("__std").as("std"), col("d_plus"), col("d_minus"),
+        (col("d_plus") + col("d_minus")).as("kuiper_v"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) between two slices of a value
     * column — the nonparametric LOCATION test completing the two-sample
     * family ([[ks2Samp]] shape-sensitive, [[psi]] binned, this one "did

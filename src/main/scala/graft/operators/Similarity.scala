@@ -391,6 +391,78 @@ object Similarity {
     *
     * Output: (query_id, vec_id, cos round-6) — k rows per query.
     */
+  /** Matryoshka-style truncation-recall evaluation: recall@k of
+    * brute-force cosine top-k computed on the FIRST `truncDims`
+    * dimensions against the full-dimension top-k, per query — the
+    * acceptance metric for dimension-truncated serving (store/search the
+    * prefix, keep the full vector for re-ranking; Kusupati et al. 2022).
+    * A recall regression here means the embedding space does NOT
+    * front-load information and prefix-truncation is unsafe.
+    *
+    * Both sides are the deterministic brute kernel (round-6 cosine, id
+    * tiebreak — the [[topK]] contract), each cut by the salted
+    * tournament ([[hardNegatives]]'s two-stage top-k: per-(query, salt)
+    * then per-query, exact because the ordering is total), so the
+    * overlap count is exact and oracle-replayable. Cost is
+    * corpus × |queries| × 2 — the query set must stay a broadcast
+    * relation (guarded at [[MaxHardNegQueries]]); evaluating recall for
+    * a whole query corpus belongs on sampled query sets, which is what
+    * the metric means anyway.
+    *
+    * Output: (query_id, n_hits, recall) — one row per query.
+    */
+  def truncationRecall(
+      df: DataFrame,
+      id: String,
+      vec: String,
+      queryIds: Seq[Long],
+      truncDims: Int,
+      k: Int,
+      saltBuckets: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryIds.nonEmpty && queryIds.size <= MaxHardNegQueries,
+      s"truncationRecall scores corpus × queries exhaustively twice: " +
+        s"${queryIds.size} queries is over the broadcast-safe bound " +
+        s"$MaxHardNegQueries — evaluate on a sampled query set.")
+    require(truncDims >= 1, s"truncDims $truncDims out of range")
+    def topKAt(project: Column => Column): DataFrame = {
+      val q = df.filter(col(id).isInCollection(queryIds))
+        .select(col(id).as("query_id"), project(asDouble(col(vec))).as("__qv"))
+        .withColumn("__qn", sqrt(dotF(col("__qv"), col("__qv"))))
+      val c = df.select(col(id).as("__cid"), project(asDouble(col(vec))).as("__v"))
+        .withColumn("__vn", sqrt(dotF(col("__v"), col("__v"))))
+      val cand = c.crossJoin(broadcast(q))
+        .select(
+          col("query_id"), col("__cid"),
+          round(dotF(col("__v"), col("__qv")) / (col("__vn") * col("__qn")), 6)
+            .as("cos"))
+      val stage1 = Window
+        .partitionBy(col("query_id"), pmod(xxhash64(col("__cid")), lit(saltBuckets.toLong)))
+        .orderBy(col("cos").desc, col("__cid"))
+      val stage2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("__cid"))
+      cand
+        .withColumn("__r1", row_number().over(stage1))
+        .filter(col("__r1") <= k)
+        .drop("__r1")
+        .withColumn("__r2", row_number().over(stage2))
+        .filter(col("__r2") <= k)
+        .select(col("query_id"), col("__cid"))
+    }
+    val full = topKAt(identity)
+    val trunc = topKAt(v => slice(v, 1, truncDims))
+      .select(col("query_id").as("__tq"), col("__cid").as("__tid"))
+    full
+      .join(trunc,
+        full("query_id") === col("__tq") && full("__cid") === col("__tid"),
+        "left")
+      .groupBy("query_id")
+      .agg(sum(when(col("__tid").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .select(
+        col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(k.toDouble)).as("recall"))
+  }
+
   def hardNegatives(
       corpus: DataFrame,
       queries: DataFrame,

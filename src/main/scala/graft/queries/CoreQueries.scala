@@ -248,7 +248,50 @@ object CoreQueries {
         .limit(20)
     })
 
+  /** TPC-H Q10 shape — returned-item reporting: the "who returned the
+    * most revenue this quarter" customer ranking, completing the TPC-H
+    * join-shape family (Q1 scan-agg, Q3 selective 3-way, Q5 snowflake,
+    * Q18 having-semi-join; Q10 is the QUARTER-WINDOWED fact×fact join
+    * with a selective FACT-side predicate on each fact: the date window
+    * prunes the orders scan, `l_returnflag = 'R'` prunes lineitem — both
+    * must reach their parquet scans as pushed filters). Nation is a
+    * broadcast dim; the top-20 is round-then-order with the custkey
+    * tiebreak.
+    */
+  val q10ReturnedItems: Q = Q(
+    "q10_returned_items",
+    Some(s"""SELECT c_custkey, c_name,
+            |  ROUND(${D.dsum("l_extendedprice * (1 - l_discount)")}, 6) AS revenue,
+            |  c_acctbal, n_name
+            |FROM customer
+            |JOIN orders ON c_custkey = o_custkey
+            |JOIN lineitem ON l_orderkey = o_orderkey
+            |JOIN nation ON c_nationkey = n_nationkey
+            |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            |  AND o_orderdate < TIMESTAMP '1996-04-01'
+            |  AND l_returnflag = 'R'
+            |GROUP BY c_custkey, c_name, c_acctbal, n_name
+            |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+    (s, dir) => {
+      val nat = Tables.load(s, dir, "nation").select("n_nationkey", "n_name")
+      val o = ord(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val l = li(s, dir).filter(col("l_returnflag") === "R")
+      cust(s, dir)
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(round(
+          DetAgg.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    })
+
   def all: Seq[Q] = Seq(
     q1Agg, q1Full, p1Filter, j2Dim, q3Shipping, hist2d,
-    q5LocalSupplier, q18LargeVolume)
+    q5LocalSupplier, q18LargeVolume, q10ReturnedItems)
 }

@@ -542,6 +542,77 @@ object EventQueries {
             sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("autocorr"))
     })
 
+  /** Single change-point detection on the hourly event-count series —
+    * the offline form of [[statCusum]] (CUSUM asks "is a shift in
+    * progress NOW"; this asks "WHERE did the level shift", the question
+    * an ingest post-mortem starts with). Standard binary-segmentation
+    * step: the split τ maximizing the between-segment sum of squares
+    * `P²/k + (S−P)²/(n−k) − S²/n` over the prefix sums — equivalently
+    * minimizing the pooled SSE. The series is CALENDAR-BOUNDED (one row
+    * per wall-clock hour — the [[statAutocorr]] discipline: length grows
+    * with time span, not data volume), so the prefix window is a
+    * deliberately-single-partition window over a bounded relation
+    * ([[graft.plans.ScalarExpressions.singlePartitionKey]] contract).
+    * Counts are exact BIGINTs; the gain is one literal IEEE tree over
+    * their exact double casts, TEXT-shared with the oracle, and the
+    * argmax is round-free (max over deterministic doubles, bucket
+    * tiebreak) — hash-exact unrounded.
+    */
+  val tsChangepoint: Q = {
+    val gain = "(pd * pd / kd + (sd - pd) * (sd - pd) / (nbd - kd)" +
+      " - sd * sd / nbd)"
+    Q(
+      "ts_changepoint",
+      Some(s"""WITH b AS (SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+              |    CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM events GROUP BY 1),
+              |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+              |    CAST(SUM(n) AS BIGINT) AS s FROM b),
+              |c AS (SELECT bucket,
+              |    ROW_NUMBER() OVER (ORDER BY bucket) AS k,
+              |    SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS p
+              |  FROM b),
+              |g AS (SELECT bucket, k, p,
+              |    CAST(k AS DOUBLE) AS kd, CAST(p AS DOUBLE) AS pd,
+              |    CAST(nb AS DOUBLE) AS nbd, CAST(s AS DOUBLE) AS sd, nb, s
+              |  FROM c CROSS JOIN t WHERE k < nb)
+              |SELECT bucket AS split_bucket, CAST(k AS BIGINT) AS k_left,
+              |  nb AS n_buckets, pd / kd AS mean_left,
+              |  (sd - pd) / (nbd - kd) AS mean_right, $gain AS gain
+              |FROM g ORDER BY $gain DESC, bucket LIMIT 1""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.{Window => W}
+        val spk = graft.plans.ScalarExpressions.singlePartitionKey(col("bucket"))
+        val wOrd = W.partitionBy(spk).orderBy("bucket")
+        val wCum = wOrd.rowsBetween(W.unboundedPreceding, 0)
+        val b = ev(s, dir)
+          .groupBy(floor(unix_timestamp(col("ts")) / 3600).cast(LongType)
+            .as("bucket"))
+          .agg(count(lit(1)).as("n"))
+        val t = b.agg(
+          count(lit(1)).as("nb"), sum("n").cast(LongType).as("s"))
+        val g = b
+          .select(
+            col("bucket"),
+            row_number().over(wOrd).cast(LongType).as("k"),
+            sum("n").over(wCum).as("p"))
+          .crossJoin(broadcast(t))
+          .filter(col("k") < col("nb"))
+          .select(
+            col("bucket"), col("k"), col("nb"), col("s"),
+            col("k").cast("double").as("kd"), col("p").cast("double").as("pd"),
+            col("nb").cast("double").as("nbd"), col("s").cast("double").as("sd"))
+        g.select(
+          col("bucket").as("split_bucket"), col("k").as("k_left"),
+          col("nb").as("n_buckets"),
+          (col("pd") / col("kd")).as("mean_left"),
+          ((col("sd") - col("pd")) / (col("nbd") - col("kd"))).as("mean_right"),
+          expr(gain).as("gain"))
+          .orderBy(col("gain").desc, col("split_bucket"))
+          .limit(1)
+      })
+  }
+
   /** Symmetric band join: every (click, purchase) pair of the SAME user
     * within ±120 s — the attribution-window join (its asymmetric cousin
     * [[e4AsOf]] keeps only the nearest; this keeps ALL candidates, the
@@ -924,5 +995,5 @@ object EventQueries {
     e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,
     statCusum, statAutocorr, tsEwma, tsSeasonalDecompose, e11Markov,
     e12BandJoin, statRunsTest, streamAnomaly, tsCrossCorrelation,
-    e13AttributionLinear)
+    e13AttributionLinear, tsChangepoint)
 }

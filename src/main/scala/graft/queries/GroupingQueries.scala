@@ -590,6 +590,34 @@ object GroupingQueries {
       })
   }
 
+  /** HITS hubs & authorities over the same customer→supplier purchase
+    * graph as [[pagerank]] ([[graft.operators.Hits]]): customers are
+    * pure hubs, suppliers pure authorities, so the query exercises both
+    * zero-in-edge and zero-out-edge paths of the kernel. 8 quotient-
+    * renormalized iterations entirely in integer pico-units — the oracle
+    * replays the complete iterated computation and the top-20 by
+    * authority hash-matches exactly.
+    */
+  val hits: Q = {
+    val edgesCte =
+      """SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey""".stripMargin
+    Q(
+      "graph_hits",
+      Some(graft.operators.Hits.oracleSql(edgesCte, iters = 8, k = 20)),
+      (s, dir) => {
+        val o = Tables.load(s, dir, "orders").select("o_custkey", "o_orderkey")
+        val l = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(
+            col("o_custkey").as("src"),
+            (col("l_suppkey") + lit(1000000L)).as("dst"))
+          .distinct()
+        graft.operators.Hits.fixedPoint(edges, iters = 8)
+          .orderBy(col("auth").desc, col("node")).limit(20)
+      })
+  }
+
   /** Degree assortativity of the customer↔supplier purchase graph — the
     * one-number structural profile next to [[pagerank]]/[[kcore]] (do
     * high-degree nodes attach to high-degree nodes? Bipartite commerce
@@ -1117,5 +1145,5 @@ object GroupingQueries {
     freqItems, zorderExport, logregQuality, percentileRank, equidepthHist,
     winsorize, pagerank, triangles, labelProp, cmsTopk, kcore, hllDistinct,
     adamicAdar, ppr, skyline, shortestHops, assortativity, modularity,
-    clusteringCoeff)
+    clusteringCoeff, hits)
 }

@@ -940,6 +940,107 @@ object ProfileQueries {
           Tables.load(s, dir, "lineitem"), "l_extendedprice"))
   }
 
+  /** Kuiper one-sample statistic against the fitted normal on
+    * l_extendedprice ([[graft.functions.Stats.kuiper1Samp]]) — the
+    * tail/shift-sensitive companion to [[ks1Price]]: V = D⁺ + D⁻ with
+    * the two one-sided sups reported separately, so symmetric drift
+    * (one tail up, one tail down) that the single-sup KS halves shows
+    * at full strength. Same three shared machines as `stat_ks_1samp`
+    * (exact-moment μ̂/σ̂, the sharded ECDF cumulative, the
+    * Abramowitz–Stegun Φ as one text in both engines); D⁺/D⁻ carry the
+    * round-6 transcendental tail and V is their grid-exact sum.
+    */
+  val kuiperPrice: Q = {
+    val phi = graft.fit.ClosedForm.normalCdfText("((v - st.mean) / st.std)")
+    Q(
+      "stat_kuiper",
+      Some(s"""WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+              |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+              |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |    ${D.dsumExact("v")} AS sx, ${D.dsumExact("v * v")} AS sxx
+              |  FROM s),
+              |st AS (SELECT n, sx / n AS mean,
+              |    SQRT((sxx - sx * sx / n) / (n - 1)) AS std FROM m),
+              |g AS (SELECT v, COUNT(*) AS c FROM s GROUP BY v),
+              |c AS (SELECT v, c,
+              |    SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM g)
+              |SELECT st.n, st.mean, st.std,
+              |  ROUND(MAX(CAST(cum AS DOUBLE) / st.n - $phi), 6) AS d_plus,
+              |  ROUND(MAX($phi - CAST(cum - c AS DOUBLE) / st.n), 6) AS d_minus,
+              |  ROUND(MAX(CAST(cum AS DOUBLE) / st.n - $phi), 6)
+              |    + ROUND(MAX($phi - CAST(cum - c AS DOUBLE) / st.n), 6) AS kuiper_v
+              |FROM c CROSS JOIN st GROUP BY st.n, st.mean, st.std""".stripMargin),
+      (s, dir) =>
+        graft.functions.Stats.kuiper1Samp(
+          Tables.load(s, dir, "lineitem"), "l_extendedprice"))
+  }
+
+  /** Welch's unequal-variance t-test between the l_extendedprice
+    * distributions of return flags A and R — the parametric location
+    * test beside the rank-based [[mannWhitney]] (U asks "did the median
+    * move"; Welch asks "did the MEAN move, without assuming the two
+    * slices share a variance" — the robust default over Student's
+    * pooled form). Per-group moments ride the exact decimal route
+    * ([[graft.functions.DetAgg.Sql.dsumExact]] — price sums pass 2⁵³
+    * micro-units at sf0.01); t and the Welch–Satterthwaite df are one
+    * literal IEEE tree TEXT-shared with the oracle — hash-exact
+    * unrounded.
+    */
+  val welchTtest: Q = {
+    val se1 = "(v1 / n1)"
+    val se2 = "(v2 / n2)"
+    val se = s"($se1 + $se2)"
+    val t = s"((m1 - m2) / SQRT($se))"
+    val dfW = s"(($se * $se) / ($se1 * $se1 / (n1 - 1.0) + $se2 * $se2 / (n2 - 1.0)))"
+    def momentsSql(flag: String, i: Int): String =
+      s"""g$i AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n$i,
+         |    ${D.dsumExact("v")} AS sx$i, ${D.dsumExact("v * v")} AS sxx$i
+         |  FROM (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+         |        WHERE l_returnflag = '$flag'
+         |          AND l_extendedprice IS NOT NULL))""".stripMargin
+    val derived =
+      """d AS (SELECT n1, n2, sx1 / n1 AS m1, sx2 / n2 AS m2,
+        |    (sxx1 - sx1 * sx1 / n1) / (n1 - 1.0) AS v1,
+        |    (sxx2 - sx2 * sx2 / n2) / (n2 - 1.0) AS v2
+        |  FROM g1 CROSS JOIN g2)""".stripMargin
+    Q(
+      "stat_welch_ttest",
+      Some(s"""WITH ${momentsSql("A", 1)},
+              |${momentsSql("R", 2)},
+              |$derived
+              |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+              |  m1 - m2 AS mean_diff, $t AS t_stat, $dfW AS df
+              |FROM d""".stripMargin),
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_extendedprice").isNotNull)
+          .select(
+            col("l_returnflag"),
+            col("l_extendedprice").cast("double").as("v"))
+        def g(flag: String, i: Int) =
+          li.filter(col("l_returnflag") === flag).agg(
+            count(lit(1)).cast("double").as(s"n$i"),
+            graft.functions.DetAgg.dsum(col("v")).as(s"sx$i"),
+            graft.functions.DetAgg.dsum(col("v") * col("v")).as(s"sxx$i"))
+        g("A", 1).crossJoin(g("R", 2))
+          .select(
+            col("n1"), col("n2"),
+            (col("sx1") / col("n1")).as("m1"),
+            (col("sx2") / col("n2")).as("m2"),
+            ((col("sxx1") - col("sx1") * col("sx1") / col("n1"))
+              / (col("n1") - lit(1.0))).as("v1"),
+            ((col("sxx2") - col("sx2") * col("sx2") / col("n2"))
+              / (col("n2") - lit(1.0))).as("v2"))
+          .select(
+            col("n1").cast("long").as("n1"),
+            col("n2").cast("long").as("n2"),
+            (col("m1") - col("m2")).as("mean_diff"),
+            expr(t).as("t_stat"),
+            expr(dfW).as("df"))
+      })
+  }
+
   /** Wilson 95 % score interval of the `l_linestatus = 'O'` share per
     * return flag — the binomial confidence bound a mix monitor reports
     * next to the raw share (the normal-approximation interval collapses
@@ -1442,7 +1543,7 @@ object ProfileQueries {
     chi2ReturnFlag, anovaQuantity, giniPrice, grubbsPrice, benfordPrice,
     aucLangLen, kendallTau, cramersV, brownForsythe, theilSen, wilsonCi,
     ks1Price, mutualInfo, cohensD, hillTail, qqNormal,
-    kruskalWallis, jarqueBera, cohenKappa,
+    kruskalWallis, jarqueBera, cohenKappa, kuiperPrice, welchTtest,
     sampleDsir, packCurriculum, dqExpectations,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,

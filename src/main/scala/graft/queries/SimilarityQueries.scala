@@ -949,10 +949,57 @@ object SimilarityQueries {
       })
   }
 
+  /** Matryoshka truncation-recall certificate
+    * ([[graft.operators.Similarity.truncationRecall]]): recall@10 of the
+    * 32-dim-prefix brute cosine top-10 against the full 64-dim top-10
+    * over an 8-query sample — the acceptance metric before serving
+    * prefix-truncated vectors. Both chains are the already-verified
+    * deterministic brute kernel (round-6, id tiebreak) cut by the salted
+    * tournament, and the oracle replays BOTH chains and the overlap
+    * join, so the whole evaluation harness is hash-checked — the
+    * [[simIvfRecall]] discipline applied to the truncation axis.
+    */
+  val embTruncationRecall: Q = {
+    val qIds = 0L to 7L
+    val (dims, k) = (32, 10)
+    val inList = qIds.mkString("(", ", ", ")")
+    def chain(src: String, pfx: String): String =
+      s"""${pfx}q AS (SELECT vec_id AS query_id, v AS qv
+         |  FROM $src WHERE vec_id IN $inList),
+         |${pfx}s AS (SELECT query_id, c.vec_id,
+         |    ROUND(list_dot_product(c.v, qv)
+         |      / (SQRT(list_dot_product(c.v, c.v))
+         |         * SQRT(list_dot_product(qv, qv))), 6) AS cos
+         |  FROM $src c CROSS JOIN ${pfx}q),
+         |${pfx}top AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |                         ORDER BY cos DESC, vec_id) AS rn
+         |    FROM ${pfx}s) WHERE rn <= $k)""".stripMargin
+    Q(
+      "emb_truncation_recall",
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |  FROM embeddings),
+              |t AS (SELECT vec_id, v[1:$dims] AS v FROM e),
+              |${chain("e", "f")},
+              |${chain("t", "t")}
+              |SELECT f.query_id,
+              |  CAST(SUM(CASE WHEN t2.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_hits,
+              |  CAST(SUM(CASE WHEN t2.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS DOUBLE) / $k.0 AS recall
+              |FROM ftop f LEFT JOIN ttop t2
+              |  ON f.query_id = t2.query_id AND f.vec_id = t2.vec_id
+              |GROUP BY f.query_id""".stripMargin),
+      (s, dir) =>
+        Similarity.truncationRecall(
+          emb(s, dir), "vec_id", "embedding", qIds, truncDims = dims, k = k))
+  }
+
   def all: Seq[Q] =
     Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simIvfFixed, simPq,
       simPqFixed, simIvfPqFixed, semanticDedup, embCentroids, simHardNegatives,
       decontamSemantic, embDimStats, embQuantizeInt8, simKnnGraph,
       embCovariance, embPcaPower, embSrpBits, simIvfRecall,
-      embMahalanobisDiag, embElbowInertia)
+      embMahalanobisDiag, embElbowInertia, embTruncationRecall)
 }

@@ -800,6 +800,58 @@ object ScaleProbe {
           .agg(round(graft.functions.DetAgg.dsumP(lit(1.0) / col("k")), 6))
           .count()
       }
+      time("hits", c) { df =>
+        // shifted l_orderkey mints per-copy orders and the suppkey shift
+        // mints per-copy suppliers → nodes AND edges grow ×c; per-round
+        // cost is two edge joins + two hash aggs, linear in edges
+        val copyOf = (col("l_orderkey") / lit(100000000L)).cast("long")
+        val edges = df.select(
+          col("l_orderkey").as("src"),
+          (col("l_suppkey") + copyOf * lit(1000000L) + lit(1000000L)).as("dst"))
+          .distinct()
+        graft.operators.Hits.fixedPoint(edges, iters = 8).count()
+      }
+      timed("truncation_recall", c) {
+        // corpus grows ×c, the 8-query side is fixed → brute scoring is
+        // linear in corpus; the salted tournament keeps every top-k cut
+        // partition bounded regardless of corpus size
+        val e = scaledEmbSign(emb, c)
+        graft.operators.Similarity.truncationRecall(
+          e, "vec_id", "embedding", 0L to 7L, truncDims = 32, k = 10).count()
+      }
+      time("kuiper_cells", c) { df =>
+        // per-copy value offset grows the distinct-value relation ×c —
+        // same sharded-cumulative kernel as ks_sharded/kruskal_cells
+        val shifted = df.withColumn(
+          "v", col("l_extendedprice") + (col("l_orderkey") / lit(100000000L))
+            .cast("long").cast("double") * lit(1.0e6))
+        graft.functions.Stats.kuiper1Samp(shifted, "v").collect().length.toLong
+      }
+      timed("changepoint_series", c) {
+        // copies multiply rows per hourly bucket; the prefix-scan series
+        // is calendar-bounded and constant — expect FLAT
+        val evs = scaledEvents(
+          graft.streaming.EventsStream.readBatch(spark, s"$sfDir/events.parquet"), c)
+        val b = evs
+          .groupBy(floor(unix_timestamp(col("ts")) / 3600).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"))
+        val spk = graft.plans.ScalarExpressions.singlePartitionKey(col("bucket"))
+        val wOrd = org.apache.spark.sql.expressions.Window.partitionBy(spk).orderBy("bucket")
+        val wCum = wOrd.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val t = b.agg(count(lit(1)).as("nb"), sum("n").cast("long").as("s"))
+        b.select(col("bucket"), row_number().over(wOrd).cast("long").as("k"),
+          sum("n").over(wCum).as("p"))
+          .crossJoin(broadcast(t))
+          .filter(col("k") < col("nb"))
+          .select(col("bucket"),
+            (col("p").cast("double") * col("p").cast("double") / col("k").cast("double")
+              + (col("s") - col("p")).cast("double") * (col("s") - col("p")).cast("double")
+                / (col("nb") - col("k")).cast("double")
+              - col("s").cast("double") * col("s").cast("double") / col("nb").cast("double"))
+              .as("gain"))
+          .orderBy(col("gain").desc, col("bucket")).limit(1).count()
+      }
       timed("ewma_lags", c) {
         // copies multiply rows per hourly bucket; the bucket series —
         // and so the 20-lag grid join — is calendar-bounded and constant

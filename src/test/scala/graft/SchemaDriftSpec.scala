@@ -59,7 +59,8 @@ class SchemaDriftSpec extends AnyFunSuite {
     "graph_pagerank" -> Set("orders", "lineitem"),
     "graph_label_prop" -> Set("lineitem"),
     "graph_kcore" -> Set("lineitem"),
-    "graph_ppr" -> Set("orders", "lineitem"))
+    "graph_ppr" -> Set("orders", "lineitem"),
+    "graph_hits" -> Set("orders", "lineitem"))
 
   private def scannedTables(df: DataFrame): Set[String] = {
     val paths = df.queryExecution.analyzed.collect {
