@@ -230,6 +230,50 @@ object Pq {
         x => x.getField("__c")).as("codes"))
   }
 
+  /** Reconstruction-distortion certificate: per-vector squared error of
+    * the PQ reconstruction against the unit-normalized vector, summarized
+    * as (n, avg, max) — the quality bound a serving stack pins beside
+    * recall ([[graft.queries.SimilarityQueries]] `sim_ivf_recall`): a
+    * codebook regression shows up here before it shows up in latency.
+    *
+    * On the unit sphere the error needs NO reconstruction join:
+    * ‖v − ĉ‖² = 1 + Σₛ‖cₛ‖² − 2Σₛ⟨vₛ,cₛ⟩ = 1 − 2·Σₛ scoreₛ where
+    * scoreₛ = ⟨vₛ,cₛ⟩ − ‖cₛ‖²/2 is exactly the (round-9) argmax score the
+    * encoder already computes — so the chosen score per subspace IS
+    * max(score), and the per-vector error is one fixed left-associative
+    * 8-term chain (the ADC-chain discipline: same IEEE order in any
+    * engine). The corpus average rides round-6 per-vector errors through
+    * the exact decimal sum (the LM-score discipline); the max is
+    * order-free and stays unrounded.
+    */
+  def distortion(df: DataFrame, id: String, vec: String, model: Model): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = (0 until model.m).flatMap { s =>
+      model.codebooks(s).zipWithIndex.map { case (c, j) =>
+        (s, j, c.toSeq, c.map(x => x * x).sum / 2.0)
+      }
+    }.toDF("s", "j", "cv", "half")
+    val best = df.select(
+      col(id),
+      posexplode(array((0 until model.m).map(s =>
+        subVec(col(vec), s, model.subDim)): _*)).as(Seq("s", "sv")))
+      .join(broadcast(cents), "s")
+      .withColumn("__score", round(dotFast(col("sv"), col("cv")) - col("half"), 9))
+      .groupBy(col(id), col("s"))
+      .agg(max(col("__score")).as("b"))
+    val chain = (0 until model.m)
+      .map(s => s"MAX(CASE WHEN s = $s THEN b END)")
+      .mkString("0.0e0 + ", " + ", "")
+    best.groupBy(col(id))
+      .agg(expr(s"1.0e0 - 2.0e0 * ($chain)").as("sq_err"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (graft.functions.DetAgg.dsum(round(col("sq_err"), 6)) / count(lit(1)))
+          .as("avg_sq_err"),
+        max(col("sq_err")).as("max_sq_err"))
+  }
+
   /** ADC top-k with exact re-rank: score every encoded row against the
     * query's per-subspace dot-product table (m×k driver-side doubles),
     * keep the best `rerank` by ADC, re-score those exactly against the

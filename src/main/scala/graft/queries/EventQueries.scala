@@ -613,6 +613,213 @@ object EventQueries {
       })
   }
 
+  /** Two-sample Poisson rate test per event type: did the arrival rate
+    * change between the first and second half of the window? Equal
+    * exposure halves make the conditional test a binomial around ½, so
+    * the classic z = (k₁ − k₂)/√(k₁ + k₂) — counts are exact integers
+    * from ONE conditional aggregate against a broadcast midpoint, z one
+    * fixed IEEE tree — hash-exact unrounded. The per-type row is what a
+    * rate monitor alerts on ([[statCusum]] localizes WHERE; this says
+    * WHETHER, with a calibrated null).
+    */
+  val statPoissonRate: Q = Q(
+    "stat_poisson_rate",
+    Some("""WITH e AS (SELECT event_type,
+           |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+           |  FROM events),
+           |t AS (SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM e),
+           |g AS (SELECT event_type,
+           |    CAST(SUM(CASE WHEN es <= mid THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+           |    CAST(SUM(CASE WHEN es > mid THEN 1 ELSE 0 END) AS BIGINT) AS k2
+           |  FROM e CROSS JOIN t GROUP BY 1)
+           |SELECT event_type, k1, k2,
+           |  (CAST(k1 AS DOUBLE) - k2) / SQRT(CAST(k1 + k2 AS DOUBLE)) AS z
+           |FROM g""".stripMargin),
+    (s, dir) => {
+      val e = ev(s, dir).select(
+        col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("es"))
+      val t = e.agg(expr("(min(es) + max(es)) div 2").as("mid"))
+      e.crossJoin(broadcast(t))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("es") <= col("mid"), 1L).otherwise(0L)).as("k1"),
+          sum(when(col("es") > col("mid"), 1L).otherwise(0L)).as("k2"))
+        .select(
+          col("event_type"), col("k1"), col("k2"),
+          ((col("k1").cast("double") - col("k2"))
+            / sqrt((col("k1") + col("k2")).cast("double"))).as("z"))
+    })
+
+  /** RFM segmentation (recency / frequency / monetary) — the classic
+    * user-value grid, composed from three drives of the SHARDED
+    * percent-rank kernel ([[graft.functions.Stats.percentRank]]) over the
+    * user-cardinality relation: score_d = min(⌊5·pct⌋+1, 5) per
+    * dimension, so no corpus-wide NTILE window exists anywhere. The
+    * monetary sum rides the exact decimal route (identical bits become
+    * the rank-join key); the oracle replays with plain PERCENT_RANK
+    * windows — the hash match re-proves the sharded kernel on three
+    * metrics at once. Output is the bounded ≤125-row segment census.
+    */
+  val e14Rfm: Q = Q(
+    "e14_rfm_segmentation",
+    Some(s"""WITH e AS (SELECT user_id,
+            |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es, value
+            |  FROM events),
+            |u AS (SELECT user_id, MAX(es) AS last_es,
+            |    CAST(COUNT(*) AS BIGINT) AS freq, ${D.dsum("value")} AS mon
+            |  FROM e GROUP BY 1),
+            |p AS (SELECT user_id,
+            |    PERCENT_RANK() OVER (ORDER BY last_es) AS pr,
+            |    PERCENT_RANK() OVER (ORDER BY freq) AS pf,
+            |    PERCENT_RANK() OVER (ORDER BY mon) AS pm
+            |  FROM u),
+            |s AS (SELECT
+            |    LEAST(CAST(FLOOR(pr * 5) AS BIGINT) + 1, 5) AS r_score,
+            |    LEAST(CAST(FLOOR(pf * 5) AS BIGINT) + 1, 5) AS f_score,
+            |    LEAST(CAST(FLOOR(pm * 5) AS BIGINT) + 1, 5) AS m_score
+            |  FROM p)
+            |SELECT r_score, f_score, m_score, COUNT(*) AS n_users
+            |FROM s GROUP BY 1, 2, 3""".stripMargin),
+    (s, dir) => {
+      val e = ev(s, dir).select(
+        col("user_id"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("es"),
+        col("value"))
+      val u = e.groupBy("user_id").agg(
+        max("es").as("last_es"),
+        count(lit(1)).as("freq"),
+        DetAgg.dsum(col("value")).as("mon"))
+      def scored(df: org.apache.spark.sql.DataFrame, c: String, a: String) =
+        graft.functions.Stats.percentRank(df, c)
+          .withColumn(a,
+            least(floor(col("pct_rank") * 5).cast(LongType) + 1, lit(5L)))
+          .drop("pct_rank")
+      val withScores =
+        scored(scored(scored(u, "last_es", "r_score"), "freq", "f_score"),
+          "mon", "m_score")
+      withScores.groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_users"))
+    })
+
+  /** Daily new-user and cumulative-unique-user curve — the growth-
+    * accounting primitive (a running COUNT(DISTINCT) without ever
+    * running one): first-seen day per user from one hash aggregate, then
+    * a cumulative sum over the CALENDAR-BOUNDED day series (the
+    * [[statAutocorr]] discipline — the prefix window's relation is one
+    * row per day, not per event). Exact integers end to end.
+    */
+  val e15CumulativeUsers: Q = Q(
+    "e15_cumulative_users",
+    Some("""WITH e AS (SELECT user_id,
+           |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+           |  FROM events),
+           |f AS (SELECT user_id, MIN(es) AS fes FROM e GROUP BY 1),
+           |d AS (SELECT fes // 86400 AS day,
+           |    CAST(COUNT(*) AS BIGINT) AS new_users
+           |  FROM f GROUP BY 1)
+           |SELECT day, new_users,
+           |  CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+           |    AS BIGINT) AS cum_users
+           |FROM d""".stripMargin),
+    (s, dir) => {
+      val spk = graft.plans.ScalarExpressions.singlePartitionKey(col("day"))
+      val wCum = Window.partitionBy(spk).orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev(s, dir)
+        .select(
+          col("user_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("es"))
+        .groupBy("user_id").agg(min("es").as("fes"))
+        .groupBy(expr("fes div 86400").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+        .select(
+          col("day"), col("new_users"),
+          sum("new_users").over(wCum).cast(LongType).as("cum_users"))
+    })
+
+  /** Holt linear-trend smoothing (double exponential, α = β = ½) of the
+    * hourly event-count series, as a TRUNCATED 20-lag linear filter —
+    * the [[tsEwma]] discipline extended to a two-state recursion: the
+    * level/trend impulse responses are computed once driver-side (pure
+    * halving arithmetic), QUANTIZED to the 2⁻²⁴ dyadic grid, and
+    * embedded as a 20-row literal weight grid, so every x·w product and
+    * the 20-term sum are EXACT dyadic doubles for counts below 2²⁹ —
+    * order-independent in any engine, hash-exact unrounded. Only
+    * full-history buckets emit (the seasonal-decompose full-window
+    * contract); truncation and init-free startup are the documented
+    * trade for exact portability.
+    */
+  val tsHoltLinear: Q = {
+    val L = 20
+    val (wl, wb) = {
+      val wlA = new Array[Double](L); val wbA = new Array[Double](L)
+      var l = 0.5; var b = 0.25 // impulse response at lag 0
+      wlA(0) = l; wbA(0) = b
+      for (t <- 1 until L) {
+        val lPrev = l
+        l = 0.5 * (l + b)
+        b = 0.5 * (l - lPrev) + 0.5 * b
+        wlA(t) = l; wbA(t) = b
+      }
+      val q = (1 << 24).toDouble
+      (wlA.map(w => math.rint(w * q) / q), wbA.map(w => math.rint(w * q) / q))
+    }
+    def dl(x: Double): String = {
+      val s = x.toString
+      if (s.contains("E") || s.contains("e")) s else s + "e0"
+    }
+    val gridSql = (0 until L)
+      .map(j => s"($j, ${dl(wl(j))}, ${dl(wb(j))})").mkString(",\n      ")
+    Q(
+      "ts_holt_linear",
+      Some(s"""WITH b0 AS (SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+              |    CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM events GROUP BY 1),
+              |r AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b0),
+              |b AS (SELECT g.bucket, COALESCE(b0.n, 0) AS n
+              |  FROM (SELECT UNNEST(generate_series(lo, hi)) AS bucket FROM r) g
+              |  LEFT JOIN b0 USING (bucket)),
+              |grid AS (SELECT * FROM (VALUES
+              |      $gridSql) AS t(j, wl, wb)),
+              |p AS (SELECT a.bucket, grid.wl, grid.wb, c.n
+              |  FROM b a CROSS JOIN grid JOIN b c ON c.bucket = a.bucket - grid.j),
+              |o AS (SELECT bucket, COUNT(*) AS nl,
+              |    SUM(wl * n) AS level, SUM(wb * n) AS trend
+              |  FROM p GROUP BY 1)
+              |SELECT bucket, level, trend, level + trend AS forecast
+              |FROM o WHERE nl = $L""".stripMargin),
+      (s, dir) => {
+        // densified series: a missing hour is a ZERO-count hour, not
+        // missing data — the calendar-bounded sequence explode is the
+        // e8_resample discipline
+        val b0 = ev(s, dir)
+          .groupBy(floor(unix_timestamp(col("ts")) / 3600).cast(LongType)
+            .as("bucket"))
+          .agg(count(lit(1)).as("n0"))
+        val b = b0.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("bucket"))
+          .join(b0, Seq("bucket"), "left")
+          .select(col("bucket"), coalesce(col("n0"), lit(0L)).as("n"))
+        val grid = {
+          import s.implicits._
+          (0 until L).map(j => (j.toLong, wl(j), wb(j))).toDF("j", "wl", "wb")
+        }
+        val other = b.select(col("bucket").as("bucket2"), col("n"))
+        b.select("bucket").crossJoin(broadcast(grid))
+          .join(other, col("bucket2") === col("bucket") - col("j"))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("nl"),
+            sum(col("wl") * col("n")).as("level"),
+            sum(col("wb") * col("n")).as("trend"))
+          .filter(col("nl") === L)
+          .select(
+            col("bucket"), col("level"), col("trend"),
+            (col("level") + col("trend")).as("forecast"))
+      })
+  }
+
   /** Symmetric band join: every (click, purchase) pair of the SAME user
     * within ±120 s — the attribution-window join (its asymmetric cousin
     * [[e4AsOf]] keeps only the nearest; this keeps ALL candidates, the
@@ -995,5 +1202,6 @@ object EventQueries {
     e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,
     statCusum, statAutocorr, tsEwma, tsSeasonalDecompose, e11Markov,
     e12BandJoin, statRunsTest, streamAnomaly, tsCrossCorrelation,
-    e13AttributionLinear, tsChangepoint)
+    e13AttributionLinear, tsChangepoint, statPoissonRate, e14Rfm,
+    e15CumulativeUsers, tsHoltLinear)
 }

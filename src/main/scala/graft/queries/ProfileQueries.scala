@@ -1041,6 +1041,80 @@ object ProfileQueries {
       })
   }
 
+  /** Friedman test (repeated-measures rank ANOVA) across the return-flag
+    * treatments with line numbers as blocks: does the flag effect on
+    * mean quantity persist ACROSS blocks, the question one-way
+    * Kruskal–Wallis cannot ask (it pools; Friedman ranks WITHIN each
+    * block, so a block-level effect can't masquerade as a treatment
+    * effect). Block values are exact-decimal means (davg); within-block
+    * DOUBLED midranks come from a bounded k×k self-join per block
+    * (2r = 2·#less + #eq + 1 — every quantity an exact integer, no
+    * window anywhere); the tie-corrected statistic
+    * χ² = (k−1)·Σⱼ(R2ⱼ − n(k+1))² / (Σ(2r)² − n·k(k+1)²) has the
+    * doubled-rank quarters cancel algebraically, so both engines divide
+    * the same exact BIGINTs once — hash-exact unrounded. Incomplete
+    * blocks (a flag missing from a line number) are excluded, the
+    * textbook complete-block requirement.
+    */
+  val friedman: Q = {
+    val k = 3
+    Q(
+      "stat_friedman",
+      Some(s"""WITH cells AS (SELECT l_linenumber AS b, l_returnflag AS f,
+              |    ${D.davg("l_quantity")} AS v
+              |  FROM lineitem
+              |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+              |    AND l_linenumber IS NOT NULL
+              |  GROUP BY 1, 2),
+              |cb AS (SELECT b FROM cells GROUP BY b HAVING COUNT(*) = $k),
+              |cc AS (SELECT cells.b, cells.f, cells.v
+              |  FROM cells JOIN cb USING (b)),
+              |r AS (SELECT c1.b, c1.f,
+              |    CAST(2 * SUM(CASE WHEN c2.v < c1.v THEN 1 ELSE 0 END)
+              |       + SUM(CASE WHEN c2.v = c1.v THEN 1 ELSE 0 END) + 1
+              |       AS BIGINT) AS r2
+              |  FROM cc c1 JOIN cc c2 ON c1.b = c2.b GROUP BY c1.b, c1.f),
+              |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM cb),
+              |s AS (SELECT CAST(SUM(r2 * r2) AS BIGINT) AS ss FROM r),
+              |g AS (SELECT CAST(SUM(r2) AS BIGINT) AS rj FROM r GROUP BY f),
+              |m AS (SELECT CAST(SUM((rj - ${k + 1} * nb) * (rj - ${k + 1} * nb))
+              |       AS BIGINT) AS num
+              |  FROM g CROSS JOIN t)
+              |SELECT nb AS n_blocks, CAST(${k - 1} AS BIGINT) AS df,
+              |  ${k - 1}.0e0 * num / (ss - ${k * (k + 1) * (k + 1)} * nb) AS chi2_f
+              |FROM m CROSS JOIN t CROSS JOIN s""".stripMargin),
+      (s, dir) => {
+        val cells = Tables.load(s, dir, "lineitem")
+          .filter(col("l_quantity").isNotNull && col("l_returnflag").isNotNull
+            && col("l_linenumber").isNotNull)
+          .groupBy(col("l_linenumber").as("b"), col("l_returnflag").as("f"))
+          .agg(graft.functions.DetAgg.davg(col("l_quantity")).as("v"))
+        val cb = cells.groupBy("b").agg(count(lit(1)).as("__kc"))
+          .filter(col("__kc") === k).select("b")
+        val cc = cells.join(cb, "b")
+        val r = cc.as("c1")
+          .join(cc.select(col("b").as("b2"), col("v").as("v2")),
+            col("b") === col("b2"))
+          .groupBy(col("b"), col("f"))
+          .agg((lit(2) * sum(when(col("v2") < col("v"), 1L).otherwise(0L))
+            + sum(when(col("v2") === col("v"), 1L).otherwise(0L)) + lit(1))
+            .cast("long").as("r2"))
+        val t = cb.agg(count(lit(1)).as("nb"))
+        val ss = r.agg(sum(col("r2") * col("r2")).cast("long").as("ss"))
+        val m = r.groupBy("f").agg(sum("r2").cast("long").as("rj"))
+          .crossJoin(broadcast(t))
+          .agg(sum((col("rj") - lit(k + 1) * col("nb"))
+            * (col("rj") - lit(k + 1) * col("nb"))).cast("long").as("num"))
+        m.crossJoin(broadcast(t)).crossJoin(broadcast(ss))
+          .select(
+            col("nb").as("n_blocks"),
+            lit((k - 1).toLong).as("df"),
+            (lit((k - 1).toDouble) * col("num")
+              / (col("ss") - lit(k * (k + 1) * (k + 1)) * col("nb")))
+              .as("chi2_f"))
+      })
+  }
+
   /** Wilson 95 % score interval of the `l_linestatus = 'O'` share per
     * return flag — the binomial confidence bound a mix monitor reports
     * next to the raw share (the normal-approximation interval collapses
@@ -1543,7 +1617,7 @@ object ProfileQueries {
     chi2ReturnFlag, anovaQuantity, giniPrice, grubbsPrice, benfordPrice,
     aucLangLen, kendallTau, cramersV, brownForsythe, theilSen, wilsonCi,
     ks1Price, mutualInfo, cohensD, hillTail, qqNormal,
-    kruskalWallis, jarqueBera, cohenKappa, kuiperPrice, welchTtest,
+    kruskalWallis, jarqueBera, cohenKappa, kuiperPrice, welchTtest, friedman,
     sampleDsir, packCurriculum, dqExpectations,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,

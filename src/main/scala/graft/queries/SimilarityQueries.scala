@@ -996,10 +996,63 @@ object SimilarityQueries {
           emb(s, dir), "vec_id", "embedding", qIds, truncDims = dims, k = k))
   }
 
+  /** PQ reconstruction-distortion certificate
+    * ([[graft.operators.Pq.distortion]]) over the [[simPqFixed]]
+    * codebooks — the quality bound beside [[simIvfRecall]]'s recall: on
+    * the unit sphere ‖v − ĉ‖² = 1 − 2·Σₛ(best scoreₛ), so the oracle
+    * replays the encoder's scoring verbatim and the per-vector error is
+    * the same fixed 8-term IEEE chain (ADC-chain discipline); the corpus
+    * average rides round-6 errors through the exact decimal sum.
+    */
+  val embPqDistortion: Q = {
+    import graft.functions.DetAgg.{Sql => D}
+    val m = 8; val k = 16; val subDim = 8
+    val books: Array[Array[Array[Double]]] = {
+      val flat = Similarity.hyperplanes(m * k, dim = subDim, seed = 23L)
+      (0 until m).toArray.map(s => (0 until k).toArray.map(j => flat(s * k + j)))
+    }
+    def dl(x: Double): String = {
+      val s = x.toString
+      if (s.contains("E") || s.contains("e")) s else s + "e0"
+    }
+    val centLits = (0 until m).flatMap { s =>
+      books(s).zipWithIndex.map { case (c, j) =>
+        val half = c.map(x => x * x).sum / 2.0
+        s"($s, $j, ${c.map(_.toString).mkString("[", ", ", "]")}, ${dl(half)})"
+      }
+    }.mkString(",\n      ")
+    val chain = (0 until m)
+      .map(s => s"MAX(CASE WHEN s = $s THEN b END)")
+      .mkString("0.0e0 + ", " + ", "")
+    Q(
+      "emb_pq_distortion",
+      Some(s"""WITH cents AS (SELECT * FROM (VALUES
+              |      $centLits) AS t(s, j, c, half)),
+              |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |n AS (SELECT vec_id,
+              |        list_transform(v, x -> x / SQRT(list_dot_product(v, v))) AS vn
+              |      FROM e),
+              |sc AS (SELECT n.vec_id, cents.s,
+              |        ROUND(list_dot_product(vn[cents.s*$subDim+1 : cents.s*$subDim+$subDim],
+              |                               cents.c) - cents.half, 9) AS score
+              |      FROM n CROSS JOIN cents),
+              |best AS (SELECT vec_id, s, MAX(score) AS b FROM sc GROUP BY vec_id, s),
+              |per AS (SELECT vec_id, 1.0e0 - 2.0e0 * ($chain) AS sq_err
+              |      FROM best GROUP BY vec_id)
+              |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+              |  ${D.dsum("ROUND(sq_err, 6)")} / COUNT(*) AS avg_sq_err,
+              |  MAX(sq_err) AS max_sq_err
+              |FROM per""".stripMargin),
+      (s, dir) =>
+        graft.operators.Pq.distortion(
+          emb(s, dir), "vec_id", "embedding", graft.operators.Pq.Model(books)))
+  }
+
   def all: Seq[Q] =
     Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simIvfFixed, simPq,
       simPqFixed, simIvfPqFixed, semanticDedup, embCentroids, simHardNegatives,
       decontamSemantic, embDimStats, embQuantizeInt8, simKnnGraph,
       embCovariance, embPcaPower, embSrpBits, simIvfRecall,
-      embMahalanobisDiag, embElbowInertia, embTruncationRecall)
+      embMahalanobisDiag, embElbowInertia, embTruncationRecall,
+      embPqDistortion)
 }

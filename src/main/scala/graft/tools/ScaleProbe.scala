@@ -852,6 +852,57 @@ object ScaleProbe {
               .as("gain"))
           .orderBy(col("gain").desc, col("bucket")).limit(1).count()
       }
+      timed("rfm_scores", c) {
+        // per-copy user shift: the user relation grows ×c → three
+        // sharded percent-rank drives over a growing relation
+        val evs = scaledEvents(
+          graft.streaming.EventsStream.readBatch(spark, s"$sfDir/events.parquet"), c)
+        val e = evs.select(
+          col("user_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("es"),
+          col("value"))
+        val u = e.groupBy("user_id").agg(
+          max("es").as("last_es"),
+          count(lit(1)).as("freq"),
+          graft.functions.DetAgg.dsum(col("value")).as("mon"))
+        def sc(df: DataFrame, cn: String, a: String) =
+          graft.functions.Stats.percentRank(df, cn)
+            .withColumn(a,
+              least(floor(col("pct_rank") * 5).cast("long") + 1, lit(5L)))
+            .drop("pct_rank")
+        sc(sc(sc(u, "last_es", "r"), "freq", "f"), "mon", "m")
+          .groupBy("r", "f", "m").agg(count(lit(1))).count()
+      }
+      timed("cumulative_users", c) {
+        // users grow ×c but the cumulative window's relation stays one
+        // row per calendar day — expect FLAT
+        val evs = scaledEvents(
+          graft.streaming.EventsStream.readBatch(spark, s"$sfDir/events.parquet"), c)
+        val spk = graft.plans.ScalarExpressions.singlePartitionKey(col("day"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(spk)
+          .orderBy("day")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        evs.select(col("user_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("es"))
+          .groupBy("user_id").agg(min("es").as("fes"))
+          .groupBy(expr("fes div 86400").as("day"))
+          .agg(count(lit(1)).as("nu"))
+          .select(col("day"), sum("nu").over(w).as("cum"))
+          .count()
+      }
+      timed("pq_distortion", c) {
+        // corpus-linear: one posexplode (m rows/vec) + broadcast m·k
+        // codebook join + two hash aggregates
+        val e = scaledEmb(emb, c)
+        val m = 8; val k = 16; val subDim = 8
+        val books = {
+          val flat = graft.operators.Similarity.hyperplanes(m * k, dim = subDim, seed = 23L)
+          (0 until m).toArray.map(s => (0 until k).toArray.map(j => flat(s * k + j)))
+        }
+        graft.operators.Pq.distortion(
+          e, "vec_id", "embedding", graft.operators.Pq.Model(books))
+          .collect().length.toLong
+      }
       timed("ewma_lags", c) {
         // copies multiply rows per hourly bucket; the bucket series —
         // and so the 20-lag grid join — is calendar-bounded and constant
