@@ -820,6 +820,130 @@ object EventQueries {
       })
   }
 
+  /** Time-to-convert distribution: for every click with a same-user
+    * purchase within the next 300 s, the delay to the NEAREST such
+    * purchase, summarized at exact p50/p90/p99 — the latency curve a
+    * conversion funnel is tuned against. Composes two verified kernels:
+    * the one-sided bucketed band join (the [[e12BandJoin]] discipline —
+    * probe rows explode to their two covering 300 s buckets, build rows
+    * own one, so the equi-join + refine can't duplicate a pair) and the
+    * sharded exact-quantile kernel
+    * ([[graft.functions.Stats.exactQuantiles]] — no global sort). The
+    * per-click nearest is a plain MIN aggregate, not a window. Exact
+    * integer seconds end to end — hash-exact.
+    */
+  val e16TimeToConvert: Q = Q(
+    "e16_time_to_convert",
+    Some("""WITH e AS (SELECT user_id, event_id, event_type,
+           |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+           |  FROM events),
+           |l AS (SELECT user_id, event_id AS click_id, es AS tl
+           |  FROM e WHERE event_type = 'click'),
+           |r AS (SELECT user_id, es AS tr
+           |  FROM e WHERE event_type = 'purchase'),
+           |d AS (SELECT click_id, MIN(tr - tl) AS dt
+           |  FROM l JOIN r ON l.user_id = r.user_id
+           |    AND tr >= tl AND tr - tl <= 300
+           |  GROUP BY click_id),
+           |g AS (SELECT CAST(dt AS DOUBLE) AS v, COUNT(*) AS c FROM d GROUP BY 1),
+           |c AS (SELECT v,
+           |    SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r,
+           |    SUM(c) OVER () AS n
+           |  FROM g),
+           |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+           |SELECT q, MIN(v) AS qv
+           |FROM c CROSS JOIN qs
+           |WHERE r >= CAST(CEIL(q * n) AS BIGINT)
+           |GROUP BY q""".stripMargin),
+    (s, dir) => {
+      val e = ev(s, dir).select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("es"))
+      val l = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("es").as("tl"))
+        .withColumn("pb",
+          explode(array(
+            floor(col("tl") / 300).cast(LongType),
+            floor(col("tl") / 300).cast(LongType) + 1)))
+      val r = e.filter(col("event_type") === "purchase")
+        .select(
+          col("user_id").as("ur"), col("es").as("tr"),
+          floor(col("es") / 300).cast(LongType).as("br"))
+      val d = l
+        .join(r, col("user_id") === col("ur") && col("pb") === col("br"))
+        .filter(col("tr") >= col("tl") && col("tr") - col("tl") <= 300)
+        .groupBy("click_id")
+        .agg(min(col("tr") - col("tl")).as("dt"))
+      graft.functions.Stats.exactQuantiles(d, "dt", Seq(0.5, 0.9, 0.99))
+    })
+
+  /** Benjamini–Hochberg FDR correction over the [[statPoissonRate]]
+    * family — the multiple-comparisons layer every per-category test
+    * battery needs before alerting (five rate tests at α = 0.05 fire a
+    * false alarm 23 % of the time uncorrected). p-values come from the
+    * shared Abramowitz–Stegun Φ text (p = 2·(1 − Φ(|z|)), round-6 — the
+    * transcendental tail discipline); the rank and the step-up cut run
+    * on the BOUNDED per-category relation (one deliberately-single
+    * window over ≤ #event-types rows + a broadcast max). Rejection at
+    * FDR 0.05 — hash-exact.
+    */
+  val statFdrBh: Q = {
+    val phi = graft.fit.ClosedForm.normalCdfText("ABS(z)")
+    Q(
+      "stat_fdr_bh",
+      Some(s"""WITH e AS (SELECT event_type,
+              |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+              |  FROM events),
+              |t AS (SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM e),
+              |g AS (SELECT event_type,
+              |    CAST(SUM(CASE WHEN es <= mid THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+              |    CAST(SUM(CASE WHEN es > mid THEN 1 ELSE 0 END) AS BIGINT) AS k2
+              |  FROM e CROSS JOIN t GROUP BY 1),
+              |z0 AS (SELECT event_type,
+              |    (CAST(k1 AS DOUBLE) - k2) / SQRT(CAST(k1 + k2 AS DOUBLE)) AS z
+              |  FROM g),
+              |p AS (SELECT event_type, z,
+              |    ROUND(2.0 * (1.0 - $phi), 6) AS p_value FROM z0),
+              |rk AS (SELECT event_type, z, p_value,
+              |    ROW_NUMBER() OVER (ORDER BY p_value, event_type) AS rnk,
+              |    COUNT(*) OVER () AS m FROM p),
+              |mx AS (SELECT COALESCE(MAX(CASE WHEN p_value <= 0.05 * rnk / m
+              |    THEN rnk END), 0) AS kmax FROM rk)
+              |SELECT event_type, z, p_value, CAST(rnk AS BIGINT) AS rnk,
+              |  rnk <= kmax AS rejected
+              |FROM rk CROSS JOIN mx""".stripMargin),
+      (s, dir) => {
+        val e = ev(s, dir).select(
+          col("event_type"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("es"))
+        val t = e.agg(expr("(min(es) + max(es)) div 2").as("mid"))
+        val z0 = e.crossJoin(broadcast(t))
+          .groupBy("event_type")
+          .agg(
+            sum(when(col("es") <= col("mid"), 1L).otherwise(0L)).as("k1"),
+            sum(when(col("es") > col("mid"), 1L).otherwise(0L)).as("k2"))
+          .select(
+            col("event_type"),
+            ((col("k1").cast("double") - col("k2"))
+              / sqrt((col("k1") + col("k2")).cast("double"))).as("z"))
+        val p = z0.select(
+          col("event_type"), col("z"),
+          round(lit(2.0) * (lit(1.0) - expr(phi)), 6).as("p_value"))
+        val spk = graft.plans.ScalarExpressions.singlePartitionKey(col("p_value"))
+        val wRank = Window.partitionBy(spk).orderBy(col("p_value"), col("event_type"))
+        val ranked = p
+          .withColumn("rnk", row_number().over(wRank).cast(LongType))
+          .crossJoin(broadcast(p.agg(count(lit(1)).as("m"))))
+        val mx = ranked.agg(coalesce(
+          max(when(col("p_value") <= lit(0.05) * col("rnk") / col("m"),
+            col("rnk"))), lit(0L)).as("kmax"))
+        ranked.crossJoin(broadcast(mx))
+          .select(
+            col("event_type"), col("z"), col("p_value"), col("rnk"),
+            (col("rnk") <= col("kmax")).as("rejected"))
+      })
+  }
+
   /** Symmetric band join: every (click, purchase) pair of the SAME user
     * within ±120 s — the attribution-window join (its asymmetric cousin
     * [[e4AsOf]] keeps only the nearest; this keeps ALL candidates, the
@@ -1203,5 +1327,5 @@ object EventQueries {
     statCusum, statAutocorr, tsEwma, tsSeasonalDecompose, e11Markov,
     e12BandJoin, statRunsTest, streamAnomaly, tsCrossCorrelation,
     e13AttributionLinear, tsChangepoint, statPoissonRate, e14Rfm,
-    e15CumulativeUsers, tsHoltLinear)
+    e15CumulativeUsers, tsHoltLinear, e16TimeToConvert, statFdrBh)
 }

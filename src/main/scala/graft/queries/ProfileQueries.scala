@@ -904,6 +904,100 @@ object ProfileQueries {
             expr(kappa).as("kappa")))
   }
 
+  /** McNemar's test on the paired binary gates (discount ≥ 0.05 vs tax
+    * ≥ 0.04 — the [[cohenKappa]] raters asked a DIFFERENT question: κ
+    * measures agreement, McNemar marginal homogeneity — "does one gate
+    * fire systematically more than the other on the same rows?", which
+    * agreement alone cannot see). Only the discordant cells enter:
+    * χ² = (b − c)²/(b + c), plus the Edwards continuity-corrected form.
+    * Exact integer cells from ONE conditional aggregate, two literal
+    * IEEE trees — hash-exact unrounded.
+    */
+  val mcnemar: Q = {
+    val r1 = "(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)"
+    val r2 = "(CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END)"
+    val chi2 = "((CAST(b AS DOUBLE) - c) * (CAST(b AS DOUBLE) - c)" +
+      " / (CAST(b AS DOUBLE) + c))"
+    val chi2cc = "((ABS(CAST(b AS DOUBLE) - c) - 1.0) * (ABS(CAST(b AS DOUBLE) - c) - 1.0)" +
+      " / (CAST(b AS DOUBLE) + c))"
+    Q(
+      "stat_mcnemar",
+      Some(s"""WITH m AS (SELECT
+              |    CAST(COUNT(*) AS BIGINT) AS n,
+              |    CAST(SUM($r1 * (1 - $r2)) AS BIGINT) AS b,
+              |    CAST(SUM((1 - $r1) * $r2) AS BIGINT) AS c
+              |  FROM lineitem
+              |  WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL)
+              |SELECT n, b, c, $chi2 AS chi2, $chi2cc AS chi2_cc
+              |FROM m""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_discount").isNotNull && col("l_tax").isNotNull)
+          .agg(
+            count(lit(1)).as("n"),
+            expr(s"CAST(SUM($r1 * (1 - $r2)) AS BIGINT)").as("b"),
+            expr(s"CAST(SUM((1 - $r1) * $r2) AS BIGINT)").as("c"))
+          .select(
+            col("n"), col("b"), col("c"),
+            expr(chi2).as("chi2"), expr(chi2cc).as("chi2_cc")))
+  }
+
+  /** Odds ratio with the Woolf 95 % CI for the same 2×2 (the effect-SIZE
+    * companion to [[mcnemar]]/[[cohenKappa]]'s tests — "how much more
+    * likely is the tax gate to fire when the discount gate does").
+    * Cell products ride decimal(38,0) (HUGEINT-VARCHAR on the oracle —
+    * the assortativity route: at corpus scale c11·c00 passes 2⁶³), the
+    * ratio is one IEEE division of correctly-rounded exact products;
+    * ln/exp tails carry round-6 (the Acklam discipline).
+    */
+  val oddsRatio: Q = {
+    val r1 = "(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)"
+    val r2 = "(CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END)"
+    val se = "SQRT(1.0 / c11 + 1.0 / c10 + 1.0 / c01 + 1.0 / c00)"
+    Q(
+      "stat_odds_ratio",
+      Some(s"""WITH m AS (SELECT
+              |    CAST(SUM($r1 * $r2) AS BIGINT) AS c11,
+              |    CAST(SUM($r1 * (1 - $r2)) AS BIGINT) AS c10,
+              |    CAST(SUM((1 - $r1) * $r2) AS BIGINT) AS c01,
+              |    CAST(SUM((1 - $r1) * (1 - $r2)) AS BIGINT) AS c00
+              |  FROM lineitem
+              |  WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL),
+              |d AS (SELECT c11, c10, c01, c00,
+              |    CAST(CAST(CAST(c11 AS HUGEINT) * CAST(c00 AS HUGEINT) AS VARCHAR) AS DOUBLE)
+              |      / CAST(CAST(CAST(c10 AS HUGEINT) * CAST(c01 AS HUGEINT) AS VARCHAR) AS DOUBLE)
+              |      AS odds_ratio
+              |  FROM m),
+              |l AS (SELECT c11, c10, c01, c00, odds_ratio,
+              |    ROUND(LN(odds_ratio), 6) AS log_or FROM d)
+              |SELECT c11, c10, c01, c00, odds_ratio, log_or,
+              |  ROUND(EXP(log_or - 1.96 * $se), 6) AS ci_lo,
+              |  ROUND(EXP(log_or + 1.96 * $se), 6) AS ci_hi
+              |FROM l""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d38 = DecimalType(38, 0)
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_discount").isNotNull && col("l_tax").isNotNull)
+          .agg(
+            expr(s"CAST(SUM($r1 * $r2) AS BIGINT)").as("c11"),
+            expr(s"CAST(SUM($r1 * (1 - $r2)) AS BIGINT)").as("c10"),
+            expr(s"CAST(SUM((1 - $r1) * $r2) AS BIGINT)").as("c01"),
+            expr(s"CAST(SUM((1 - $r1) * (1 - $r2)) AS BIGINT)").as("c00"))
+          .select(
+            col("c11"), col("c10"), col("c01"), col("c00"),
+            ((col("c11").cast(d38) * col("c00").cast(d38)).cast("double")
+              / (col("c10").cast(d38) * col("c01").cast(d38)).cast("double"))
+              .as("odds_ratio"))
+          .withColumn("log_or", round(log(col("odds_ratio")), 6))
+          .select(
+            col("c11"), col("c10"), col("c01"), col("c00"),
+            col("odds_ratio"), col("log_or"),
+            round(exp(col("log_or") - lit(1.96) * expr(se)), 6).as("ci_lo"),
+            round(exp(col("log_or") + lit(1.96) * expr(se)), 6).as("ci_hi"))
+      })
+  }
+
   /** One-sample KS against the fitted normal on l_extendedprice
     * ([[graft.functions.Stats.ks1Samp]]) — the normality pre-flight for
     * every analysis that assumes a Gaussian (z-scores, Grubbs, the σ
@@ -1618,6 +1712,7 @@ object ProfileQueries {
     aucLangLen, kendallTau, cramersV, brownForsythe, theilSen, wilsonCi,
     ks1Price, mutualInfo, cohensD, hillTail, qqNormal,
     kruskalWallis, jarqueBera, cohenKappa, kuiperPrice, welchTtest, friedman,
+    mcnemar, oddsRatio,
     sampleDsir, packCurriculum, dqExpectations,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,

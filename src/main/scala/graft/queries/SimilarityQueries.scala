@@ -1048,11 +1048,77 @@ object SimilarityQueries {
           emb(s, dir), "vec_id", "embedding", graft.operators.Pq.Model(books)))
   }
 
+  /** Per-label embedding centroid drift between the two vec_id-parity
+    * halves — the embedding-space analogue of `stream_drift_monitor`'s
+    * categorical χ²: a label whose half-centroids decorrelate signals a
+    * shifted sub-population (re-embed or re-train trigger) long before
+    * any scalar metric moves. Per-dim means ride the exact decimal route
+    * (one posexplode + one hash aggregate per half, NO per-pair work);
+    * the 64-dim centroid cosine sums round-6 products through the exact
+    * decimal sum (LM discipline) — hash-exact, deterministic at every
+    * partitioning.
+    */
+  val embCentroidDrift: Q = {
+    import graft.functions.DetAgg
+    import graft.functions.DetAgg.{Sql => D}
+    Q(
+      "emb_centroid_drift",
+      Some(s"""WITH e AS (SELECT vec_id, label,
+              |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |x AS (SELECT label, vec_id % 2 AS h, g.d, v[g.d] AS x
+              |  FROM e, LATERAL unnest(generate_series(1, 64)) AS g(d)),
+              |m AS (SELECT label, h, d, ${D.davg("x")} AS mu
+              |  FROM x GROUP BY 1, 2, 3),
+              |p AS (SELECT a.label, a.mu AS m0, b.mu AS m1
+              |  FROM m a JOIN m b ON a.label = b.label AND a.d = b.d
+              |  WHERE a.h = 0 AND b.h = 1),
+              |g2 AS (SELECT label,
+              |    ${D.dsum("ROUND(m0 * m1, 6)")} AS s01,
+              |    ${D.dsum("ROUND(m0 * m0, 6)")} AS s00,
+              |    ${D.dsum("ROUND(m1 * m1, 6)")} AS s11
+              |  FROM p GROUP BY 1),
+              |n AS (SELECT label,
+              |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+              |    CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+              |  FROM e GROUP BY 1)
+              |SELECT g2.label, n0, n1,
+              |  s01 / (SQRT(s00) * SQRT(s11)) AS cos_drift
+              |FROM g2 JOIN n ON g2.label = n.label""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir).select(
+          col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        val m = e
+          .select(col("label"), pmod(col("vec_id"), lit(2)).as("h"),
+            posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy("label", "h", "d")
+          .agg(DetAgg.davg(col("x")).as("mu"))
+        val p = m.filter(col("h") === 0)
+          .select(col("label"), col("d"), col("mu").as("m0"))
+          .join(
+            m.filter(col("h") === 1)
+              .select(col("label").as("l2"), col("d").as("d2"), col("mu").as("m1")),
+            col("label") === col("l2") && col("d") === col("d2"))
+        val g2 = p.groupBy("label").agg(
+          DetAgg.dsum(round(col("m0") * col("m1"), 6)).as("s01"),
+          DetAgg.dsum(round(col("m0") * col("m0"), 6)).as("s00"),
+          DetAgg.dsum(round(col("m1") * col("m1"), 6)).as("s11"))
+        val n = e.groupBy(col("label").as("ln")).agg(
+          sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n1"))
+        g2.join(n, col("label") === col("ln"))
+          .select(
+            col("label"), col("n0"), col("n1"),
+            (col("s01") / (sqrt(col("s00")) * sqrt(col("s11"))))
+              .as("cos_drift"))
+      })
+  }
+
   def all: Seq[Q] =
     Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simIvfFixed, simPq,
       simPqFixed, simIvfPqFixed, semanticDedup, embCentroids, simHardNegatives,
       decontamSemantic, embDimStats, embQuantizeInt8, simKnnGraph,
       embCovariance, embPcaPower, embSrpBits, simIvfRecall,
       embMahalanobisDiag, embElbowInertia, embTruncationRecall,
-      embPqDistortion)
+      embPqDistortion, embCentroidDrift)
 }

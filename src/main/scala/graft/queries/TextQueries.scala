@@ -2308,7 +2308,52 @@ object TextQueries {
           (col("n_in_vocab").cast("double") / col("n_tok")).as("coverage"))
     })
 
+  /** Term burstiness (Church & Gale 1995): variance-to-mean ratio of
+    * per-document counts for the 50 highest-df tokens — VMR ≈ 1 is
+    * Poisson scatter (function words), VMR ≫ 1 is bursty content
+    * vocabulary; the signal separating boilerplate from topical terms
+    * when stop lists don't transfer across domains. ZERO-count documents
+    * enter the moments through the algebra (Σc/N and Σc² are complete
+    * once N is known — no dense explode of absent (doc, term) pairs
+    * ever exists). All sums exact BIGINTs off the shared whitespace
+    * tokenizer; VMR one literal IEEE tree — hash-exact unrounded.
+    */
+  val textBurstiness: Q = Q(
+    "text_burstiness",
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+            |  FROM documents),
+            |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+            |  FROM tok GROUP BY 1, 2),
+            |dfq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df,
+            |    CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+            |  FROM tf GROUP BY 1),
+            |top AS (SELECT * FROM dfq ORDER BY df DESC, t LIMIT 50),
+            |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+            |SELECT t AS token, df,
+            |  ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n_docs)
+            |    / (n_docs - 1)) / (CAST(s1 AS DOUBLE) / n_docs) AS vmr
+            |FROM top CROSS JOIN nd""".stripMargin),
+    (s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      val dfq = tf.groupBy("t").agg(
+        count(lit(1)).as("df"),
+        sum("c").cast("long").as("s1"),
+        sum(col("c") * col("c")).cast("long").as("s2"))
+      val top = dfq.orderBy(col("df").desc, col("t")).limit(50)
+      val nd = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      top.crossJoin(broadcast(nd))
+        .select(
+          col("t").as("token"), col("df"),
+          (((col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n_docs"))
+            / (col("n_docs") - lit(1)))
+            / (col("s1").cast("double") / col("n_docs"))).as("vmr"))
+    })
+
   def all: Seq[Q] = Seq(
+    textBurstiness,
     textZipfFit, textVocabCoverage,
     textNgramNovelty, sampleFixedPerStratum, sampleNeyman, textTfidfTopk,
     textTokens, textQuality, textReadability, textLexicalDiversity,

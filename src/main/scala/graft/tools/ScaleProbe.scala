@@ -903,6 +903,53 @@ object ScaleProbe {
           e, "vec_id", "embedding", graft.operators.Pq.Model(books))
           .collect().length.toLong
       }
+      timed("burstiness", c) {
+        // scaledDocs suffixes every token per copy → vocabulary AND the
+        // (doc, token) relation grow ×c; the top-50 cut is TakeOrdered
+        val d = scaledDocs(docs, c)
+        val tf = d.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("cc"))
+        val dfq = tf.groupBy("t").agg(
+          count(lit(1)).as("df"), sum("cc").cast("long").as("s1"),
+          sum(col("cc") * col("cc")).cast("long").as("s2"))
+        val top = dfq.orderBy(col("df").desc, col("t")).limit(50)
+        val nd = d.agg(count(lit(1)).as("n_docs"))
+        top.crossJoin(broadcast(nd)).collect().length.toLong
+      }
+      timed("centroid_drift", c) {
+        // vectors ×c → posexplode relation ×c; the centroid relation
+        // stays (labels × halves × dims)-bounded
+        val e = scaledEmb(emb, c).select(
+          col("vec_id"), (col("vec_id") % 10).cast("int").as("label"),
+          col("embedding").cast("array<double>").as("v"))
+        val m = e.select(col("label"), pmod(col("vec_id"), lit(2)).as("h"),
+          posexplode(col("v")).as(Seq("d", "x")))
+          .groupBy("label", "h", "d")
+          .agg(graft.functions.DetAgg.davg(col("x")).as("mu"))
+        m.groupBy("label").agg(count(lit(1))).collect().length.toLong
+      }
+      timed("time_to_convert", c) {
+        // per-copy user shift: pairs grow linearly, the quantile kernel
+        // is distinct-dt-bounded
+        val evs = scaledEvents(
+          graft.streaming.EventsStream.readBatch(spark, s"$sfDir/events.parquet"), c)
+        val e = evs.select(col("user_id"), col("event_id"), col("event_type"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("es"))
+        val lc = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("es").as("tl"))
+          .withColumn("pb", explode(array(
+            floor(col("tl") / 300).cast("long"),
+            floor(col("tl") / 300).cast("long") + 1)))
+        val r = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("ur"), col("es").as("tr"),
+            floor(col("es") / 300).cast("long").as("br"))
+        val d = lc.join(r, col("user_id") === col("ur") && col("pb") === col("br"))
+          .filter(col("tr") >= col("tl") && col("tr") - col("tl") <= 300)
+          .groupBy("click_id").agg(min(col("tr") - col("tl")).as("dt"))
+        graft.functions.Stats.exactQuantiles(d, "dt", Seq(0.5, 0.9, 0.99))
+          .collect().length.toLong
+      }
       timed("ewma_lags", c) {
         // copies multiply rows per hourly bucket; the bucket series —
         // and so the 20-lag grid join — is calendar-bounded and constant
