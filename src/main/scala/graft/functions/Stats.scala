@@ -459,6 +459,38 @@ object Stats {
         (col("d_plus") + col("d_minus")).as("kuiper_v"))
   }
 
+  /** α-trimmed mean on the sharded cumulative kernel — the robust
+    * location estimate between the mean (α = 0) and the median
+    * (α → 0.5), standard for metric aggregation under heavy tails.
+    * Type-1 trimming: exactly k = ⌊α·n⌋ observations drop from EACH end
+    * by rank; a distinct value straddling the cut contributes its exact
+    * surviving multiplicity `min(r, n−k) − max(r−c, k)` (clamped ≥ 0) —
+    * pure integer arithmetic on the cumulative counts, no global sort.
+    * The trimmed sum is an exact decimal product sum (value decimal ×
+    * integer multiplicity), so the mean is ONE division — hash-exact
+    * unrounded.
+    */
+  def trimmedMean(
+      df: DataFrame,
+      value: String,
+      alpha: Double,
+      shardBits: Int = 12): DataFrame = {
+    require(alpha >= 0.0 && alpha < 0.5, s"alpha $alpha out of [0, 0.5)")
+    val cum = cumulativeCounts(df, value, shardBits)
+    val k = floor(lit(alpha) * col("__n")).cast("long")
+    val kept = greatest(
+      least(col("__r"), col("__n") - k) - greatest(col("__r") - col("__c"), k),
+      lit(0L))
+    cum
+      .select(col("__v"), col("__n"), kept.as("__kept"))
+      .groupBy(col("__n").as("n"))
+      .agg(
+        (sum(DetAgg.dec(col("__v")) * col("__kept")).cast("double")
+          / sum(col("__kept"))).as("trimmed_mean"),
+        max(floor(lit(alpha) * col("__n")).cast("long")).as("k_trimmed"))
+      .select(col("n"), col("k_trimmed"), col("trimmed_mean"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) between two slices of a value
     * column — the nonparametric LOCATION test completing the two-sample
     * family ([[ks2Samp]] shape-sensitive, [[psi]] binned, this one "did

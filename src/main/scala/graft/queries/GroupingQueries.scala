@@ -618,6 +618,102 @@ object GroupingQueries {
       })
   }
 
+  /** Share-of-parent rollup: each nation's revenue as a fraction of its
+    * region — the percent-of-total report every BI layer renders, built
+    * WINDOWLESS (the naive form is `SUM() OVER (PARTITION BY region)`,
+    * a shuffle-heavy window over the fact table; here the region total
+    * re-aggregates from the ≤#nations relation — one extra hash
+    * aggregate over 25 rows). Nation revenues are round-6 exact-decimal
+    * sums, so the region re-sum is grid-exact and the share one IEEE
+    * division — hash-exact.
+    */
+  val olapShareOfParent: Q = Q(
+    "olap_share_of_parent",
+    Some(s"""WITH nr AS (SELECT n_name, r_name,
+            |    ROUND(${D.dsum("l_extendedprice * (1 - l_discount)")}, 6) AS revenue
+            |  FROM lineitem
+            |  JOIN supplier ON l_suppkey = s_suppkey
+            |  JOIN nation ON s_nationkey = n_nationkey
+            |  JOIN region ON n_regionkey = r_regionkey
+            |  GROUP BY 1, 2),
+            |rg AS (SELECT r_name AS r2, ${D.dsumExact("revenue")} AS rev_region
+            |  FROM nr GROUP BY 1)
+            |SELECT n_name, r_name, revenue, rev_region,
+            |  revenue / rev_region AS share
+            |FROM nr JOIN rg ON r_name = r2""".stripMargin),
+    (s, dir) => {
+      val nat = Tables.load(s, dir, "nation")
+      val reg = Tables.load(s, dir, "region")
+      val sup = Tables.load(s, dir, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "n_name", "r_name")
+      val nr = Tables.load(s, dir, "lineitem")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("n_name", "r_name")
+        .agg(round(
+          DetAgg.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("revenue"))
+      val rg = nr.groupBy(col("r_name").as("r2"))
+        .agg(DetAgg.dsum(col("revenue")).as("rev_region"))
+      nr.join(broadcast(rg), col("r_name") === col("r2"))
+        .select(
+          col("n_name"), col("r_name"), col("revenue"), col("rev_region"),
+          (col("revenue") / col("rev_region")).as("share"))
+    })
+
+  /** Top-N-with-OTHERS per group: each nation's two highest-revenue
+    * suppliers by name plus an OTHERS bucket absorbing the tail — the
+    * standard BI "top movers" table. The per-nation top-2 cut is the
+    * [[graft.operators.Sampling.domainCap]] SALTED TOURNAMENT (stage 1
+    * ranks within (nation, salt): a nation with millions of suppliers
+    * never funnels into one window partition); tail revenues are round-6
+    * grid values, so the OTHERS re-sum is exact decimal — hash-exact.
+    */
+  val olapTopnOthers: Q = Q(
+    "olap_topn_others",
+    Some(s"""WITH sr AS (SELECT n_name, s_name,
+            |    ROUND(${D.dsum("l_extendedprice * (1 - l_discount)")}, 6) AS revenue
+            |  FROM lineitem
+            |  JOIN supplier ON l_suppkey = s_suppkey
+            |  JOIN nation ON s_nationkey = n_nationkey
+            |  GROUP BY 1, 2),
+            |rk AS (SELECT n_name, s_name, revenue,
+            |    ROW_NUMBER() OVER (PARTITION BY n_name
+            |                       ORDER BY revenue DESC, s_name) AS rnk
+            |  FROM sr)
+            |SELECT n_name,
+            |  CASE WHEN rnk <= 2 THEN s_name ELSE 'OTHERS' END AS supplier_label,
+            |  ${D.dsumExact("revenue")} AS revenue,
+            |  CAST(COUNT(*) AS BIGINT) AS n_suppliers
+            |FROM rk GROUP BY 1, 2""".stripMargin),
+    (s, dir) => {
+      val sup = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+      val sr = Tables.load(s, dir, "lineitem")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("n_name", "s_name")
+        .agg(round(
+          DetAgg.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("revenue"))
+      val top = graft.operators.Sampling.domainCap(
+        sr.select(col("s_name").as("sn"), col("n_name").as("nn"), col("revenue").as("rv")),
+        "sn", "nn", Seq(col("rv").desc, col("sn")), k = 2)
+        .select(col("sn").as("ts"), col("nn").as("tn"))
+      sr.join(top, col("s_name") === col("ts") && col("n_name") === col("tn"), "left")
+        .select(
+          col("n_name"),
+          when(col("ts").isNotNull, col("s_name")).otherwise(lit("OTHERS"))
+            .as("supplier_label"),
+          col("revenue"))
+        .groupBy("n_name", "supplier_label")
+        .agg(
+          DetAgg.dsum(col("revenue")).as("revenue"),
+          count(lit(1)).as("n_suppliers"))
+    })
+
   /** Degree assortativity of the customer↔supplier purchase graph — the
     * one-number structural profile next to [[pagerank]]/[[kcore]] (do
     * high-degree nodes attach to high-degree nodes? Bipartite commerce
@@ -1145,5 +1241,5 @@ object GroupingQueries {
     freqItems, zorderExport, logregQuality, percentileRank, equidepthHist,
     winsorize, pagerank, triangles, labelProp, cmsTopk, kcore, hllDistinct,
     adamicAdar, ppr, skyline, shortestHops, assortativity, modularity,
-    clusteringCoeff, hits)
+    clusteringCoeff, hits, olapShareOfParent, olapTopnOthers)
 }

@@ -904,6 +904,81 @@ object ProfileQueries {
             expr(kappa).as("kappa")))
   }
 
+  /** 10 %-trimmed mean of l_extendedprice
+    * ([[graft.functions.Stats.trimmedMean]]) — the robust location
+    * estimate between mean and median, on the sharded cumulative kernel:
+    * exactly ⌊0.1·n⌋ observations drop from each end BY RANK, a
+    * straddling distinct value keeps its exact surviving multiplicity
+    * (pure integer algebra on cumulative counts — no global sort), and
+    * the trimmed sum is an exact decimal product sum. One IEEE division
+    * — hash-exact unrounded.
+    */
+  val trimmedMean: Q = Q(
+    "stat_trimmed_mean",
+    Some("""WITH g AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v, COUNT(*) AS c
+           |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+           |cum AS (SELECT v, c,
+           |    SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r,
+           |    SUM(c) OVER () AS n
+           |  FROM g),
+           |kk AS (SELECT v, c, r, n, CAST(FLOOR(0.1 * n) AS BIGINT) AS k FROM cum),
+           |kept AS (SELECT v, n, k,
+           |    GREATEST(LEAST(r, n - k) - GREATEST(r - c, k), 0) AS kc
+           |  FROM kk)
+           |SELECT CAST(n AS BIGINT) AS n, k AS k_trimmed,
+           |  CAST(CAST(SUM(CAST(v AS DECIMAL(30,6)) * kc) AS VARCHAR) AS DOUBLE)
+           |    / SUM(kc) AS trimmed_mean
+           |FROM kept GROUP BY n, k""".stripMargin),
+    (s, dir) =>
+      graft.functions.Stats.trimmedMean(
+        Tables.load(s, dir, "lineitem"), "l_extendedprice", alpha = 0.1))
+
+  /** Bartlett's test of equal variances across the return flags — the
+    * parametric leg beside the robust [[brownForsythe]] (B-F survives
+    * non-normality; Bartlett is the more powerful classic when the
+    * normality gate — [[ks1Price]]/[[jarqueBera]] — passes). Group
+    * variances come from exact BIGINT power sums of the integer-valued
+    * quantity; the k = 3 group terms fold through FIXED conditional
+    * chains (the stat_anova discipline — no order-dependent sum), lns
+    * carry round-6 (the Acklam transcendental rule), and the correction
+    * factor C is one literal IEEE tree — hash-exact.
+    */
+  val bartlett: Q = {
+    val flags = Seq("A", "N", "R")
+    def moms(f: String) = Seq(
+      s"CAST(SUM(CASE WHEN l_returnflag = '$f' THEN 1 ELSE 0 END) AS DOUBLE) AS n_$f",
+      s"CAST(SUM(CASE WHEN l_returnflag = '$f' THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS DOUBLE) AS s1_$f",
+      s"CAST(SUM(CASE WHEN l_returnflag = '$f' THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) ELSE 0 END) AS DOUBLE) AS s2_$f")
+    val ms = flags.flatMap(moms)
+    def varOf(f: String) = s"((s2_$f - s1_$f * s1_$f / n_$f) / (n_$f - 1.0))"
+    val nTot = flags.map(f => s"n_$f").mkString("(", " + ", ")")
+    val k = flags.size
+    val pooledNum = flags.map(f => s"(n_$f - 1.0) * ${varOf(f)}")
+      .mkString("(", " + ", ")")
+    val sp2 = s"($pooledNum / ($nTot - $k.0))"
+    val sumLn = flags.map(f => s"(n_$f - 1.0) * ROUND(LN(${varOf(f)}), 6)")
+      .mkString("(", " + ", ")")
+    val tNum = s"(($nTot - $k.0) * ROUND(LN($sp2), 6) - $sumLn)"
+    val invSum = flags.map(f => s"1.0 / (n_$f - 1.0)").mkString("(", " + ", ")")
+    val cFac = s"(1.0 + ($invSum - 1.0 / ($nTot - $k.0)) / ${3 * (k - 1)}.0)"
+    Q(
+      "stat_bartlett",
+      Some(s"""WITH m AS (SELECT ${ms.mkString(",\n  ")}
+              |  FROM lineitem
+              |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL)
+              |SELECT CAST($nTot AS BIGINT) AS n, CAST(${k - 1} AS BIGINT) AS df,
+              |  $tNum / $cFac AS bartlett_t
+              |FROM m""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_quantity").isNotNull && col("l_returnflag").isNotNull)
+          .agg(expr(ms.head), ms.tail.map(expr): _*)
+          .select(
+            expr(s"CAST($nTot AS BIGINT)").as("n"),
+            lit((k - 1).toLong).as("df"),
+            expr(s"$tNum / $cFac").as("bartlett_t")))
+  }
+
   /** McNemar's test on the paired binary gates (discount ≥ 0.05 vs tax
     * ≥ 0.04 — the [[cohenKappa]] raters asked a DIFFERENT question: κ
     * measures agreement, McNemar marginal homogeneity — "does one gate
@@ -1712,7 +1787,7 @@ object ProfileQueries {
     aucLangLen, kendallTau, cramersV, brownForsythe, theilSen, wilsonCi,
     ks1Price, mutualInfo, cohensD, hillTail, qqNormal,
     kruskalWallis, jarqueBera, cohenKappa, kuiperPrice, welchTtest, friedman,
-    mcnemar, oddsRatio,
+    mcnemar, oddsRatio, trimmedMean, bartlett,
     sampleDsir, packCurriculum, dqExpectations,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,

@@ -1114,11 +1114,98 @@ object SimilarityQueries {
       })
   }
 
+  /** Leave-one-out kNN label accuracy over the cluster-scoped kNN graph
+    * — the embedding-quality eval that needs no held-out model: if a
+    * vector's 5 nearest same-cell neighbors can't vote its own label, the
+    * space doesn't separate the classes (the go/no-go before trusting
+    * [[semanticDedup]]'s cells or a downstream classifier). Composes the
+    * verified [[simKnnGraph]] kernel (fixed quantizer, round-6/id-
+    * tiebreak ranks) with a majority vote (max count, tie to the smaller
+    * label — the Pq argmax discipline); accuracy is an exact integer
+    * ratio per label. The whole chain — assignment, ranking, vote, and
+    * scoring — is oracle-replayed.
+    */
+  val embKnnAccuracy: Q = {
+    val kCents = 8; val topK = 5
+    val cents = Similarity.hyperplanes(kCents, dim = 64, seed = 7L).map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    }
+    val centLits = cents.zipWithIndex
+      .map { case (c, j) => s"($j, ${c.map(_.toString).mkString("[", ", ", "]")})" }
+      .mkString(",\n      ")
+    Q(
+      "emb_knn_accuracy",
+      Some(s"""WITH e AS (SELECT vec_id, label,
+              |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |n AS (SELECT vec_id,
+              |        list_transform(v, x -> x / SQRT(list_dot_product(v, v))) AS vn
+              |      FROM e),
+              |cs AS (SELECT * FROM (VALUES
+              |      $centLits) AS t(j, c)),
+              |scored AS (SELECT n.vec_id, cs.j,
+              |        ROUND(list_dot_product(n.vn, cs.c), 9) AS s
+              |      FROM n CROSS JOIN cs),
+              |assign AS (SELECT vec_id, j AS cluster FROM (
+              |        SELECT vec_id, j,
+              |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn
+              |        FROM scored)
+              |      WHERE rn = 1),
+              |pairs AS (
+              |  SELECT a.vec_id AS src, b.vec_id AS dst,
+              |    list_dot_product(a.v, b.v)
+              |      / (SQRT(list_dot_product(a.v, a.v))
+              |         * SQRT(list_dot_product(b.v, b.v))) AS c
+              |  FROM e a JOIN assign la ON a.vec_id = la.vec_id
+              |  JOIN assign lb ON la.cluster = lb.cluster
+              |  JOIN e b ON b.vec_id = lb.vec_id AND a.vec_id <> b.vec_id),
+              |knn AS (SELECT src, dst FROM (
+              |    SELECT src, dst,
+              |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rank
+              |    FROM pairs) WHERE rank <= $topK),
+              |votes AS (SELECT knn.src, lb.label AS nl, COUNT(*) AS cnt
+              |  FROM knn JOIN e lb ON lb.vec_id = knn.dst GROUP BY 1, 2),
+              |win AS (SELECT src, nl FROM (
+              |    SELECT src, nl,
+              |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY cnt DESC, nl) AS rn
+              |    FROM votes) WHERE rn = 1)
+              |SELECT CAST(ls.label AS BIGINT) AS label,
+              |  CAST(COUNT(*) AS BIGINT) AS n,
+              |  CAST(SUM(CASE WHEN win.nl = ls.label THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_correct,
+              |  CAST(SUM(CASE WHEN win.nl = ls.label THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / COUNT(*) AS accuracy
+              |FROM win JOIN e ls ON ls.vec_id = win.src
+              |GROUP BY 1""".stripMargin),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val knn = Similarity.clusterKnnGraph(
+          e, "vec_id", "embedding", graft.operators.Ivf.Model(cents), k = topK)
+          .select("src", "dst")
+        val lab = e.select(col("vec_id").as("lv"), col("label"))
+        val votes = knn
+          .join(lab, col("dst") === col("lv"))
+          .groupBy(col("src"), col("label").as("nl"))
+          .agg(count(lit(1)).as("cnt"))
+        val win = votes.groupBy("src")
+          .agg(max_by(col("nl"), struct(col("cnt"), -col("nl"))).as("vote"))
+        win.join(lab, col("src") === col("lv"))
+          .groupBy(col("label"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("vote") === col("label"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .select(
+            col("label").cast("long").as("label"), col("n"), col("n_correct"),
+            (col("n_correct").cast("double") / col("n")).as("accuracy"))
+      })
+  }
+
   def all: Seq[Q] =
     Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simIvfFixed, simPq,
       simPqFixed, simIvfPqFixed, semanticDedup, embCentroids, simHardNegatives,
       decontamSemantic, embDimStats, embQuantizeInt8, simKnnGraph,
       embCovariance, embPcaPower, embSrpBits, simIvfRecall,
       embMahalanobisDiag, embElbowInertia, embTruncationRecall,
-      embPqDistortion, embCentroidDrift)
+      embPqDistortion, embCentroidDrift, embKnnAccuracy)
 }

@@ -2113,6 +2113,41 @@ object TextQueries {
           col("rank_in_domain").cast("long").as("rank_in_stratum"))
     })
 
+  /** Class-balanced downsample: every language keeps exactly
+    * min-class-count docs (the standard de-biasing draw before training
+    * a classifier on skewed strata). k is DATA-DRIVEN — the min over
+    * per-language counts, a 1-row aggregate collected to the driver (the
+    * trained-model/convergence collect class) — and membership is the
+    * same Knuth priority hash + [[graft.operators.Sampling.domainCap]]
+    * salted tournament as [[sampleFixedPerStratum]], so the draw is a
+    * pure function of the id set: append-stable, no stratum-wide window.
+    */
+  val sampleBalancedClasses: Q = Q(
+    "sample_balanced_classes",
+    Some("""WITH kmin AS (SELECT MIN(cnt) AS k FROM (
+           |    SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1)),
+           |p AS (SELECT doc_id, lang,
+           |    (doc_id + 7) % 100000 * 2654435761 % 4294967296 AS pri
+           |  FROM documents),
+           |r AS (SELECT doc_id, lang, pri,
+           |    ROW_NUMBER() OVER (PARTITION BY lang
+           |                       ORDER BY pri, doc_id) AS rank_in_stratum
+           |  FROM p)
+           |SELECT doc_id, lang, CAST(rank_in_stratum AS BIGINT) AS rank_in_stratum
+           |FROM r CROSS JOIN kmin WHERE rank_in_stratum <= k""".stripMargin),
+    (s, dir) => {
+      val d = docs(s, dir).select("doc_id", "lang")
+      val kmin = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        .agg(min("cnt")).collect().head.getLong(0).toInt
+      val pri = pmod(
+        pmod(col("doc_id") + 7, lit(100000L)) * 2654435761L, lit(4294967296L))
+      graft.operators.Sampling.domainCap(
+          d.withColumn("__pri", pri),
+          "doc_id", "lang", Seq(col("__pri"), col("doc_id")), k = kmin)
+        .select(col("doc_id"), col("lang"),
+          col("rank_in_domain").cast("long").as("rank_in_stratum"))
+    })
+
   /** Per-document top-3 TF-IDF terms — keyword extraction, the quick
     * "what is this document about?" signal a curation UI shows next to
     * every sample. TF and DF are exact integer hash aggregates; the only
@@ -2356,6 +2391,7 @@ object TextQueries {
     textBurstiness,
     textZipfFit, textVocabCoverage,
     textNgramNovelty, sampleFixedPerStratum, sampleNeyman, textTfidfTopk,
+    sampleBalancedClasses,
     textTokens, textQuality, textReadability, textLexicalDiversity,
     textLangId, textFingerprint, textRepetition,
     textBpePairs, textNormalize, textGopherRules, textWinnow, textCollocations,

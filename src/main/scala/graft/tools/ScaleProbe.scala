@@ -950,6 +950,33 @@ object ScaleProbe {
         graft.functions.Stats.exactQuantiles(d, "dt", Seq(0.5, 0.9, 0.99))
           .collect().length.toLong
       }
+      time("trimmed_cells", c) { df =>
+        // per-copy value offset grows the distinct-value relation ×c —
+        // the sharded cumulative kernel under the trimming algebra
+        val shifted = df.withColumn(
+          "v", col("l_extendedprice") + (col("l_orderkey") / lit(100000000L))
+            .cast("long").cast("double") * lit(1.0e6))
+        graft.functions.Stats.trimmedMean(shifted, "v", 0.1)
+          .collect().length.toLong
+      }
+      timed("knn_accuracy", c) {
+        // sign-flip replicas keep within-copy structure; cells grow with
+        // the corpus, per-cell pair work stays bounded by cell size
+        val e = scaledEmbSign(emb, c).withColumn(
+          "label", (col("vec_id") % 10).cast("int"))
+        val cents = graft.operators.Similarity.hyperplanes(8, dim = 64, seed = 7L)
+          .map { v => val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+        val knn = graft.operators.Similarity.clusterKnnGraph(
+          e, "vec_id", "embedding", graft.operators.Ivf.Model(cents), k = 5)
+          .select("src", "dst")
+        val lab = e.select(col("vec_id").as("lv"), col("label"))
+        knn.join(lab, col("dst") === col("lv"))
+          .groupBy(col("src"), col("label").as("nl"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("src")
+          .agg(max_by(col("nl"), struct(col("cnt"), -col("nl"))).as("vote"))
+          .count()
+      }
       timed("ewma_lags", c) {
         // copies multiply rows per hourly bucket; the bucket series —
         // and so the 20-lag grid join — is calendar-bounded and constant
