@@ -1139,6 +1139,136 @@ object EventQueries {
           (col("n").cast("double") / col("tot")).as("p"))
     })
 
+  /** Gaps-and-islands: longest consecutive-day activity streak per user,
+    * reported as the bounded streak-length census — the engagement
+    * metric behind every "7-day streak" badge, and the canonical SQL
+    * island idiom (`day − row_number` is constant exactly within a
+    * consecutive run). The per-user window is bounded by active days ≤
+    * calendar span (the [[statAutocorr]] regime, keyed per user — never
+    * corpus-wide). Exact integers end to end — hash-exact.
+    */
+  val e17UserStreaks: Q = Q(
+    "e17_user_streaks",
+    Some("""WITH d AS (SELECT DISTINCT user_id,
+           |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+           |  FROM events),
+           |r AS (SELECT user_id, day,
+           |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+           |      AS island
+           |  FROM d),
+           |s AS (SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+           |  FROM r GROUP BY 1, 2),
+           |m AS (SELECT user_id, MAX(len) AS max_streak FROM s GROUP BY 1)
+           |SELECT max_streak, COUNT(*) AS n_users FROM m GROUP BY 1""".stripMargin),
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("day")
+      ev(s, dir)
+        .select(
+          col("user_id"),
+          (unix_timestamp(date_trunc("second", col("ts")))
+            .cast(LongType) / 86400).cast(LongType).as("day"))
+        .distinct()
+        .withColumn("island", col("day") - row_number().over(w))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").as("max_streak"))
+        .groupBy("max_streak")
+        .agg(count(lit(1)).as("n_users"))
+    })
+
+  /** Stationary distribution of the [[e11Markov]] transition chain — the
+    * long-run event mix the empirical transition matrix implies (a
+    * forecast the raw frequency mix cannot give when the chain is far
+    * from equilibrium). Integer pico-unit power iteration, the
+    * [[graft.operators.PageRank]] portability discipline applied to a
+    * BOUNDED chain: every relation is ≤ #event-types² rows, transitions
+    * are `π(i)·c_ij div tot_i` (64-bit integer division only), states
+    * with no outgoing transitions redistribute uniformly (the dangling
+    * path), and the oracle replays all 12 rounds through MATERIALIZED
+    * CTEs — hash-exact.
+    */
+  val e18MarkovStationary: Q = {
+    val iters = 12
+    val scale = 1000000000000L
+    val its = (1 to iters).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT c.next_type AS state, SUM(p.pi * c.q // 1048576) AS contrib
+         |  FROM c JOIN p${i - 1} p ON c.event_type = p.state GROUP BY 1),
+         |d$i AS MATERIALIZED (
+         |  SELECT COALESCE(SUM(p.pi), 0) AS dang
+         |  FROM p${i - 1} p LEFT JOIN f ON f.event_type = p.state
+         |  WHERE f.event_type IS NULL),
+         |p$i AS MATERIALIZED (
+         |  SELECT states.state,
+         |    CAST(COALESCE(contrib, 0) + dang // ns AS BIGINT) AS pi
+         |  FROM states CROSS JOIN n CROSS JOIN d$i
+         |  LEFT JOIN s$i ON s$i.state = states.state)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "e18_markov_stationary",
+      Some(s"""WITH t AS (SELECT user_id, event_type,
+              |    lead(event_type) OVER (PARTITION BY user_id
+              |      ORDER BY date_trunc('second', ts), event_id) AS next_type
+              |  FROM events),
+              |c0 AS (SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2),
+              |f AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot
+              |  FROM c0 GROUP BY 1),
+              |c AS (SELECT c0.event_type, c0.next_type,
+              |    c0.n * 1048576 // f.tot AS q
+              |  FROM c0 JOIN f ON c0.event_type = f.event_type),
+              |states AS (SELECT DISTINCT event_type AS state FROM c0
+              |  UNION SELECT DISTINCT next_type FROM c0),
+              |n AS (SELECT COUNT(*) AS ns FROM states),
+              |p0 AS MATERIALIZED (SELECT state, $scale // ns AS pi
+              |  FROM states CROSS JOIN n),
+              |$its
+              |SELECT state AS event_type, pi FROM p$iters""".stripMargin),
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(date_trunc("second", col("ts")), col("event_id"))
+        val t = ev(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+        val c0 = t.groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val f = c0.groupBy(col("event_type").as("__from")).agg(sum("n").as("tot"))
+        // transition probabilities quantized to 2^20 fixed-point so the
+        // per-edge product pi·q stays under 2^63 at ANY corpus count
+        // (pi ≤ Scale = 1e12, q ≤ 2^20 → ≤ 1.1e18; the naive pi·n/tot
+        // overflows once row counts pass ~9e6 against pico-unit mass)
+        val c = c0.join(f, col("event_type") === col("__from"))
+          .select(col("event_type"), col("next_type"),
+            expr("n * 1048576L div tot").as("q"))
+          .localCheckpoint(true)
+        val states = c0.select(col("event_type").as("state"))
+          .union(c0.select(col("next_type").as("state"))).distinct()
+          .localCheckpoint(true)
+        val n = states.agg(count(lit(1)).as("ns"))
+        val fOut = c.select(col("event_type").as("__out")).distinct()
+        var p: org.apache.spark.sql.DataFrame = states.crossJoin(broadcast(n))
+          .select(col("state"), expr(s"${scale}L div ns").as("pi"))
+          .localCheckpoint(true)
+        for (_ <- 1 to iters) {
+          val contrib = c.join(p, c("event_type") === p("state"))
+            .select(col("next_type"), expr("pi * q div 1048576L").as("__c"))
+            .groupBy("next_type").agg(sum("__c").as("contrib"))
+          val dang = p.join(fOut, p("state") === fOut("__out"), "left_anti")
+            .agg(coalesce(sum("pi"), lit(0L)).as("dang"))
+          p = states.crossJoin(broadcast(n)).crossJoin(broadcast(dang))
+            .join(contrib, states("state") === contrib("next_type"), "left")
+            .select(
+              col("state"),
+              (coalesce(col("contrib"), lit(0L))
+                + expr("dang div ns")).cast(LongType).as("pi"))
+            .localCheckpoint(true)
+        }
+        p.select(col("state").as("event_type"), col("pi"))
+      })
+  }
+
   /** Wald–Wolfowitz runs test on the 5-minute bucket count series —
     * "is ingest volume serially random, or does it run hot and cold?"
     * The above/below-mean sign is the EXACT integer comparison
@@ -1327,5 +1457,6 @@ object EventQueries {
     statCusum, statAutocorr, tsEwma, tsSeasonalDecompose, e11Markov,
     e12BandJoin, statRunsTest, streamAnomaly, tsCrossCorrelation,
     e13AttributionLinear, tsChangepoint, statPoissonRate, e14Rfm,
-    e15CumulativeUsers, tsHoltLinear, e16TimeToConvert, statFdrBh)
+    e15CumulativeUsers, tsHoltLinear, e16TimeToConvert, statFdrBh,
+    e17UserStreaks, e18MarkovStationary)
 }

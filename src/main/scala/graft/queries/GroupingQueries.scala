@@ -714,6 +714,76 @@ object GroupingQueries {
           count(lit(1)).as("n_suppliers"))
     })
 
+  /** Degree distribution of the customer↔supplier purchase graph — the
+    * one-glance structural profile (is this graph power-law-ish or
+    * degenerate?) and the sanity gate before any per-node graph
+    * algorithm budget is set. Two hash aggregates (node degrees → degree
+    * histogram), exact integers — hash-exact. The companion log-log
+    * slope lives in the Zipf kernel (`text_zipf_fit` — same OLS
+    * discipline); this query pins the raw histogram.
+    */
+  val graphDegreeDist: Q = Q(
+    "graph_degree_dist",
+    Some("""WITH e AS (SELECT DISTINCT o.o_custkey AS src,
+           |    l.l_suppkey + 1000000 AS dst
+           |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+           |h AS (SELECT src, dst FROM e
+           |  UNION ALL SELECT dst AS src, src AS dst FROM e),
+           |d AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+           |  FROM h GROUP BY src)
+           |SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+           |FROM d GROUP BY deg""".stripMargin),
+    (s, dir) => {
+      val o = Tables.load(s, dir, "orders").select("o_custkey", "o_orderkey")
+      val l = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val e = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(
+          col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+        .distinct()
+      e.select("src", "dst")
+        .union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+    })
+
+  /** Referential-integrity audit: orphan-row counts across every foreign
+    * key edge of the star schema in one report — the DQ check
+    * [[graft.operators.Quality]]'s per-column expectations cannot
+    * express (it sees one table at a time; an orphan is a JOIN
+    * property). Each edge is one left join with a conditional count —
+    * the probe side is the child fact, the parent key relation is
+    * projection-only — and the report is a bounded |edges|-row union.
+    * Exact integers — hash-exact.
+    */
+  val dqReferential: Q = {
+    val edges = Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+    Q(
+      "dq_referential",
+      Some(edges.map { case (tag, child, fk, parent, pk) =>
+        s"""SELECT '$tag' AS fk_edge, CAST(COUNT(*) AS BIGINT) AS n_child,
+           |  CAST(SUM(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_orphans
+           |FROM $child c LEFT JOIN $parent p ON c.$fk = p.$pk""".stripMargin
+      }.mkString("\nUNION ALL\n")),
+      (s, dir) =>
+        edges.map { case (tag, child, fk, parent, pk) =>
+          Tables.load(s, dir, child).select(col(fk))
+            .join(
+              Tables.load(s, dir, parent).select(col(pk).as("__pk")),
+              col(fk) === col("__pk"), "left")
+            .agg(
+              count(lit(1)).as("n_child"),
+              sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("n_orphans"))
+            .select(lit(tag).as("fk_edge"), col("n_child"), col("n_orphans"))
+        }.reduce(_ unionAll _))
+  }
+
   /** Degree assortativity of the customer↔supplier purchase graph — the
     * one-number structural profile next to [[pagerank]]/[[kcore]] (do
     * high-degree nodes attach to high-degree nodes? Bipartite commerce
@@ -1241,5 +1311,6 @@ object GroupingQueries {
     freqItems, zorderExport, logregQuality, percentileRank, equidepthHist,
     winsorize, pagerank, triangles, labelProp, cmsTopk, kcore, hllDistinct,
     adamicAdar, ppr, skyline, shortestHops, assortativity, modularity,
-    clusteringCoeff, hits, olapShareOfParent, olapTopnOthers)
+    clusteringCoeff, hits, olapShareOfParent, olapTopnOthers,
+    graphDegreeDist, dqReferential)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import graft.functions.DetAgg
 import graft.functions.DetAgg.{Sql => D}
 import graft.functions.TextFunctions
 import graft.operators.Profile
@@ -904,6 +905,41 @@ object ProfileQueries {
             expr(kappa).as("kappa")))
   }
 
+  /** Theil T inequality index of l_extendedprice — the
+    * information-theoretic companion to [[giniPrice]] (Gini weights the
+    * middle of the distribution; Theil the top, and Theil DECOMPOSES
+    * additively across subgroups, which Gini cannot). T = (1/n)·Σ
+    * (x/μ)·ln(x/μ): the mean rides the exact-decimal route and
+    * broadcasts; each row's transcendental term carries round-6 (the
+    * LM-score discipline — per-row magnitude is O(x/μ·ln), bounded well
+    * inside the decimal grid's exact-cast range) and sums through the
+    * exact decimal — hash-exact.
+    */
+  val theilIndex: Q = Q(
+    "stat_theil_index",
+    Some(s"""WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+            |  FROM lineitem
+            |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+            |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            |    ${D.dsumExact("x")} / COUNT(*) AS mu FROM s),
+            |t AS (SELECT n, mu,
+            |    ${D.dsum("ROUND(x / mu * LN(x / mu), 6)")} AS ts
+            |  FROM s CROSS JOIN m GROUP BY n, mu)
+            |SELECT n, mu AS mean, ts / n AS theil_t FROM t""".stripMargin),
+    (s, dir) => {
+      val src = Tables.load(s, dir, "lineitem")
+        .filter(col("l_extendedprice").isNotNull && col("l_extendedprice") > 0)
+        .select(col("l_extendedprice").cast("double").as("x"))
+      val m = src.agg(
+        count(lit(1)).as("n"),
+        (DetAgg.dsum(col("x")) / count(lit(1))).as("mu"))
+      src.crossJoin(broadcast(m))
+        .groupBy(col("n"), col("mu"))
+        .agg(DetAgg.dsum(
+          round(col("x") / col("mu") * log(col("x") / col("mu")), 6)).as("ts"))
+        .select(col("n"), col("mu").as("mean"), (col("ts") / col("n")).as("theil_t"))
+    })
+
   /** 10 %-trimmed mean of l_extendedprice
     * ([[graft.functions.Stats.trimmedMean]]) — the robust location
     * estimate between mean and median, on the sharded cumulative kernel:
@@ -1787,7 +1823,7 @@ object ProfileQueries {
     aucLangLen, kendallTau, cramersV, brownForsythe, theilSen, wilsonCi,
     ks1Price, mutualInfo, cohensD, hillTail, qqNormal,
     kruskalWallis, jarqueBera, cohenKappa, kuiperPrice, welchTtest, friedman,
-    mcnemar, oddsRatio, trimmedMean, bartlett,
+    mcnemar, oddsRatio, trimmedMean, bartlett, theilIndex,
     sampleDsir, packCurriculum, dqExpectations,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,

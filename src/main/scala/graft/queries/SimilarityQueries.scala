@@ -1201,11 +1201,93 @@ object SimilarityQueries {
       })
   }
 
+  /** Intrinsic dimension via the TwoNN estimator (Facco et al. 2017):
+    * d̂ = n / Σ ln(r₂/r₁) over each vector's two nearest neighbors — the
+    * curse-of-dimensionality gauge that tells you whether 64 ambient
+    * dims hide a 10-dim manifold (and so how hard ANN recall will be).
+    * Neighbors come CELL-SCOPED from the verified [[simKnnGraph]] kernel
+    * (k = 2, round-6 cosine, id tiebreaks — the documented
+    * within-cell approximation, same contract as SemDeDup);
+    * unit-sphere distances make r₂/r₁ = √((1−c₂)/(1−c₁)), each log term
+    * carries round-6 (LM discipline) and sums through the exact decimal.
+    * Exact duplicates (c₁ = 1, r₁ = 0) are excluded — the estimator is
+    * undefined there, and the exclusion is spelled out in both engines.
+    */
+  val embIntrinsicDim: Q = {
+    val kCents = 8
+    val cents = Similarity.hyperplanes(kCents, dim = 64, seed = 7L).map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      c.map(_ / n)
+    }
+    val centLits = cents.zipWithIndex
+      .map { case (c, j) => s"($j, ${c.map(_.toString).mkString("[", ", ", "]")})" }
+      .mkString(",\n      ")
+    Q(
+      "emb_intrinsic_dim",
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              |  FROM embeddings),
+              |n AS (SELECT vec_id,
+              |        list_transform(v, x -> x / SQRT(list_dot_product(v, v))) AS vn
+              |      FROM e),
+              |cs AS (SELECT * FROM (VALUES
+              |      $centLits) AS t(j, c)),
+              |scored AS (SELECT n.vec_id, cs.j,
+              |        ROUND(list_dot_product(n.vn, cs.c), 9) AS s
+              |      FROM n CROSS JOIN cs),
+              |assign AS (SELECT vec_id, j AS cluster FROM (
+              |        SELECT vec_id, j,
+              |          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, j) AS rn
+              |        FROM scored)
+              |      WHERE rn = 1),
+              |pairs AS (
+              |  SELECT a.vec_id AS src, b.vec_id AS dst,
+              |    list_dot_product(a.v, b.v)
+              |      / (SQRT(list_dot_product(a.v, a.v))
+              |         * SQRT(list_dot_product(b.v, b.v))) AS c
+              |  FROM e a JOIN assign la ON a.vec_id = la.vec_id
+              |  JOIN assign lb ON la.cluster = lb.cluster
+              |  JOIN e b ON b.vec_id = lb.vec_id AND a.vec_id <> b.vec_id),
+              |rk AS (SELECT src, ROUND(c, 6) AS cos, rank FROM (
+              |    SELECT src, c,
+              |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rank
+              |    FROM pairs) WHERE rank <= 2),
+              |two AS (SELECT src,
+              |    MAX(CASE WHEN rank = 1 THEN cos END) AS c1,
+              |    MAX(CASE WHEN rank = 2 THEN cos END) AS c2
+              |  FROM rk GROUP BY src),
+              |terms AS (SELECT src,
+              |    ROUND(0.5 * LN((1.0 - c2) / (1.0 - c1)), 6) AS lg
+              |  FROM two WHERE c2 IS NOT NULL AND c1 < 1.0)
+              |SELECT CAST(COUNT(*) AS BIGINT) AS n_used,
+              |  ${graft.functions.DetAgg.Sql.dsum("lg")} AS sum_log_mu,
+              |  COUNT(*) / ${graft.functions.DetAgg.Sql.dsum("lg")} AS intrinsic_dim
+              |FROM terms""".stripMargin),
+      (s, dir) => {
+        val knn = Similarity.clusterKnnGraph(
+          emb(s, dir), "vec_id", "embedding",
+          graft.operators.Ivf.Model(cents), k = 2)
+        val two = knn.groupBy("src").agg(
+          max(when(col("rank") === 1, col("cos"))).as("c1"),
+          max(when(col("rank") === 2, col("cos"))).as("c2"))
+        val terms = two
+          .filter(col("c2").isNotNull && col("c1") < 1.0)
+          .select(round(
+            lit(0.5) * log((lit(1.0) - col("c2")) / (lit(1.0) - col("c1"))), 6)
+            .as("lg"))
+        terms.agg(
+          count(lit(1)).as("n_used"),
+          graft.functions.DetAgg.dsum(col("lg")).as("sum_log_mu"))
+          .select(
+            col("n_used"), col("sum_log_mu"),
+            (col("n_used") / col("sum_log_mu")).as("intrinsic_dim"))
+      })
+  }
+
   def all: Seq[Q] =
     Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simIvfFixed, simPq,
       simPqFixed, simIvfPqFixed, semanticDedup, embCentroids, simHardNegatives,
       decontamSemantic, embDimStats, embQuantizeInt8, simKnnGraph,
       embCovariance, embPcaPower, embSrpBits, simIvfRecall,
       embMahalanobisDiag, embElbowInertia, embTruncationRecall,
-      embPqDistortion, embCentroidDrift, embKnnAccuracy)
+      embPqDistortion, embCentroidDrift, embKnnAccuracy, embIntrinsicDim)
 }

@@ -977,6 +977,23 @@ object ScaleProbe {
           .agg(max_by(col("nl"), struct(col("cnt"), -col("nl"))).as("vote"))
           .count()
       }
+      timed("user_streaks", c) {
+        // per-copy user shift: users ×c, per-user island windows stay
+        // bounded by each user's active-day count
+        val evs = scaledEvents(
+          graft.streaming.EventsStream.readBatch(spark, s"$sfDir/events.parquet"), c)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("day")
+        evs.select(col("user_id"),
+          (unix_timestamp(date_trunc("second", col("ts")))
+            .cast("long") / 86400).cast("long").as("day"))
+          .distinct()
+          .withColumn("island", col("day") - row_number().over(w))
+          .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+          .groupBy("user_id").agg(max("len").as("ms"))
+          .groupBy("ms").agg(count(lit(1)))
+          .count()
+      }
       timed("ewma_lags", c) {
         // copies multiply rows per hourly bucket; the bucket series —
         // and so the 20-lag grid join — is calendar-bounded and constant
