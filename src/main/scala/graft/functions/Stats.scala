@@ -459,6 +459,87 @@ object Stats {
         (col("d_plus") + col("d_minus")).as("kuiper_v"))
   }
 
+  /** Decile concentration report on the sharded cumulative kernel — the
+    * Lorenz-curve table behind [[trimmedMean]]'s algebra generalized to
+    * all ten rank slices: slice d covers ranks ((d−1)·n div 10,
+    * d·n div 10], a straddling distinct value contributes its exact
+    * multiplicity to each side, per-slice sums are exact decimal
+    * products, and the share is one IEEE division against the exact
+    * total. The concentration table pairs with the scalar inequality
+    * indices (Gini, Theil) — "the top decile carries X % of value" is
+    * the actionable form. Hash-exact unrounded.
+    */
+  def decileReport(df: DataFrame, value: String, shardBits: Int = 12): DataFrame = {
+    val spark = df.sparkSession
+    val grid = spark.createDataFrame((1 to 10).map(Tuple1(_))).toDF("decile")
+    val cum = cumulativeCounts(df, value, shardBits)
+    val lo = expr("(decile - 1) * __n div 10")
+    val hi = expr("decile * __n div 10")
+    val kept = greatest(
+      least(col("__r"), hi) - greatest(col("__r") - col("__c"), lo), lit(0L))
+    val total = cum.agg(sum(DetAgg.dec(col("__v")) * col("__c"))
+      .cast("double").as("__tot"))
+    cum.crossJoin(broadcast(grid))
+      .select(col("decile").cast("long").as("decile"), col("__v"),
+        kept.as("__kept"))
+      .groupBy("decile")
+      .agg(
+        sum("__kept").as("n_rows"),
+        sum(DetAgg.dec(col("__v")) * col("__kept")).cast("double")
+          .as("sum_value"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("decile"), col("n_rows"), col("sum_value"),
+        (col("sum_value") / col("__tot")).as("share"))
+  }
+
+  /** One-sample KS against the fitted EXPONENTIAL(μ̂) — the
+    * Poisson-process gate for arrival data ([[ks1Samp]] asks "is it
+    * normal"; this asks "are the inter-arrival times memoryless", the
+    * null every queueing/traffic model starts from). Same sharded ECDF
+    * kernel and both-sides-of-the-step max; the CDF is
+    * `1 − exp(−v/μ̂)` — one EXP, so D carries the round-6 transcendental
+    * tail. The value column must be integer-valued (inter-arrival
+    * seconds): μ̂ is then an exact BIGINT-sum ratio, not a decimal
+    * route.
+    */
+  def ks1Exp(df: DataFrame, value: String, shardBits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shardBits >= 1 && shardBits <= 20, s"shardBits $shardBits out of range")
+    val src = df.filter(col(value).isNotNull && col(value) >= 0)
+      .select(col(value).cast("long").as("__l"))
+      .select(col("__l").cast("double").as("__v"), col("__l"))
+    val stats = src.agg(
+      count(lit(1)).as("__n"),
+      (sum(col("__l")).cast("double") / count(lit(1))).as("__mean"))
+    val g = src.groupBy("__v").agg(count(lit(1)).as("__c"))
+    val keyed = g.withColumn(
+      "__shard",
+      shiftright(
+        graft.plans.ScalarExpressions.sortableBits(col("__v")),
+        64 - shardBits) + lit(1L << (shardBits - 1)))
+    val wOff = Window.partitionBy(
+      graft.plans.ScalarExpressions.singlePartitionKey(col("__shard")))
+      .orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("__shard")
+      .agg(sum("__c").as("__s"))
+      .select(
+        col("__shard").as("__oshard"),
+        coalesce(sum("__s").over(wOff), lit(0L)).as("__b"))
+    val wCum = Window.partitionBy("__shard").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cdf = lit(1.0) - exp(-(col("__v") / col("__mean")))
+    keyed.join(broadcast(offsets), col("__shard") === col("__oshard"))
+      .withColumn("__cum", col("__b") + sum("__c").over(wCum))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("__n"), col("__mean"))
+      .agg(round(max(greatest(
+        col("__cum").cast("double") / col("__n") - cdf,
+        cdf - (col("__cum") - col("__c")).cast("double") / col("__n"))), 6)
+        .as("ks_d"))
+      .select(col("__n").as("n"), col("__mean").as("mean"), col("ks_d"))
+  }
+
   /** α-trimmed mean on the sharded cumulative kernel — the robust
     * location estimate between the mean (α = 0) and the median
     * (α → 0.5), standard for metric aggregation under heavy tails.

@@ -1269,6 +1269,143 @@ object EventQueries {
       })
   }
 
+  /** Rolling 24-hour OLS slope of the hourly event-count series — the
+    * trend detector behind "traffic is ramping" alerts ([[tsEwma]]
+    * smooths; this reports the RATE, in events/hour², with the window's
+    * time axis as the regressor). The window is the EWMA lag-grid
+    * discipline: a 24-row literal lag explode + equi-join on
+    * `bucket − j`, full windows only; Σx and Σ(j·x) are exact BIGINTs
+    * and the j-moments are compile-time literals, so the slope is ONE
+    * IEEE division of exact integers — hash-exact unrounded.
+    */
+  val tsRollingSlope: Q = {
+    val w = 24
+    val sj = (0 until w).sum // Σj
+    val sjj = (0 until w).map(j => j * j).sum // Σj²
+    val den = w * sjj - sj * sj
+    Q(
+      "ts_rolling_slope",
+      Some(s"""WITH b0 AS (SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+              |    CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM events GROUP BY 1),
+              |r AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b0),
+              |b AS (SELECT g.bucket, COALESCE(b0.n, 0) AS n
+              |  FROM (SELECT UNNEST(generate_series(lo, hi)) AS bucket FROM r) g
+              |  LEFT JOIN b0 USING (bucket)),
+              |grid AS (SELECT unnest(generate_series(0, ${w - 1})) AS j),
+              |p AS (SELECT a.bucket, grid.j, c.n
+              |  FROM b a CROSS JOIN grid JOIN b c ON c.bucket = a.bucket - grid.j),
+              |o AS (SELECT bucket, COUNT(*) AS nl,
+              |    CAST(SUM(n) AS BIGINT) AS sx, CAST(SUM(j * n) AS BIGINT) AS sjx
+              |  FROM p GROUP BY 1)
+              |SELECT bucket, sx AS window_events,
+              |  -(CAST($w AS DOUBLE) * sjx - $sj.0 * sx) / $den.0 AS slope
+              |FROM o WHERE nl = $w""".stripMargin),
+      (s, dir) => {
+        // densified series — a missing hour is a zero-count hour (the
+        // ts_holt_linear / e8_resample discipline)
+        val b0 = ev(s, dir)
+          .groupBy(floor(unix_timestamp(col("ts")) / 3600).cast(LongType)
+            .as("bucket"))
+          .agg(count(lit(1)).as("n0"))
+        val b = b0.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("bucket"))
+          .join(b0, Seq("bucket"), "left")
+          .select(col("bucket"), coalesce(col("n0"), lit(0L)).as("n"))
+        val grid = b.sparkSession.range(0, w).select(col("id").as("j"))
+        val other = b.select(col("bucket").as("bucket2"), col("n"))
+        b.select("bucket").crossJoin(broadcast(grid))
+          .join(other, col("bucket2") === col("bucket") - col("j"))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("nl"),
+            sum("n").cast(LongType).as("sx"),
+            sum(col("j") * col("n")).cast(LongType).as("sjx"))
+          .filter(col("nl") === w)
+          .select(
+            col("bucket"), col("sx").as("window_events"),
+            (-(lit(w.toDouble) * col("sjx") - lit(sj.toDouble) * col("sx"))
+              / lit(den.toDouble)).as("slope"))
+      })
+  }
+
+  /** One-sample KS of the inter-arrival times against the fitted
+    * exponential ([[graft.functions.Stats.ks1Exp]]) — the
+    * Poisson-process gate: if per-user gaps are memoryless, the rate
+    * monitors' null models hold; a heavy D means bursts or schedules.
+    * Deltas come from the per-user lead window (bounded by user
+    * activity), are exact integer seconds, and feed the sharded ECDF
+    * kernel; the CDF's one EXP carries the round-6 tail — hash-exact.
+    */
+  val statKsExp: Q = Q(
+    "stat_ks_exp",
+    Some("""WITH e AS (SELECT user_id,
+           |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es,
+           |    event_id
+           |  FROM events),
+           |d0 AS (SELECT user_id, es, lead(es) OVER (PARTITION BY user_id
+           |    ORDER BY es, event_id) AS nxt FROM e),
+           |s AS (SELECT CAST(nxt - es AS DOUBLE) AS v, nxt - es AS l
+           |  FROM d0 WHERE nxt IS NOT NULL),
+           |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(l) AS DOUBLE) / COUNT(*) AS mean FROM s),
+           |g AS (SELECT v, COUNT(*) AS c FROM s GROUP BY v),
+           |c AS (SELECT v, c,
+           |    SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM g)
+           |SELECT m.n, m.mean,
+           |  ROUND(MAX(GREATEST(
+           |    CAST(cum AS DOUBLE) / m.n - (1.0 - EXP(-(v / m.mean))),
+           |    (1.0 - EXP(-(v / m.mean))) - CAST(cum - c AS DOUBLE) / m.n)), 6)
+           |    AS ks_d
+           |FROM c CROSS JOIN m GROUP BY m.n, m.mean""".stripMargin),
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("es"), col("event_id"))
+      val deltas = ev(s, dir)
+        .select(
+          col("user_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("es"),
+          col("event_id"))
+        .withColumn("nxt", lead(col("es"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select((col("nxt") - col("es")).as("delta"))
+      graft.functions.Stats.ks1Exp(deltas, "delta")
+    })
+
+  /** Time-based holdout split: the last ~20 % of events (by the exact
+    * type-1 p80 of event time) become the eval slice — the leakage-free
+    * split for anything time-causal, where hash splits
+    * ([[graft.operators.Splits]]) would let the future leak into
+    * training. The cutoff rides the sharded exact-quantile kernel; the
+    * report is exact integers per slice — hash-exact.
+    */
+  val splitTimeHoldout: Q = Q(
+    "split_time_holdout",
+    Some("""WITH e AS (SELECT CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+           |  FROM events),
+           |g AS (SELECT es, COUNT(*) AS c FROM e GROUP BY es),
+           |cm AS (SELECT es, SUM(c) OVER (ORDER BY es ROWS UNBOUNDED PRECEDING) AS r,
+           |    SUM(c) OVER () AS n FROM g),
+           |cut AS (SELECT MIN(es) AS cutoff FROM cm
+           |  WHERE r >= CAST(CEIL(0.8 * n) AS BIGINT))
+           |SELECT CASE WHEN es <= cutoff THEN 'train' ELSE 'eval' END AS split,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  MIN(es) AS min_es, MAX(es) AS max_es, MIN(cutoff) AS cutoff
+           |FROM e CROSS JOIN cut GROUP BY 1""".stripMargin),
+    (s, dir) => {
+      val e = ev(s, dir)
+        .select(unix_timestamp(date_trunc("second", col("ts"))).as("es"))
+      val cut = graft.functions.Stats.exactQuantiles(e, "es", Seq(0.8))
+        .select(col("qv").cast(LongType).as("cutoff"))
+      e.crossJoin(broadcast(cut))
+        .groupBy(when(col("es") <= col("cutoff"), "train").otherwise("eval")
+          .as("split"))
+        .agg(
+          count(lit(1)).as("n"),
+          min("es").as("min_es"), max("es").as("max_es"),
+          min("cutoff").as("cutoff"))
+    })
+
   /** Wald–Wolfowitz runs test on the 5-minute bucket count series —
     * "is ingest volume serially random, or does it run hot and cold?"
     * The above/below-mean sign is the EXACT integer comparison
@@ -1458,5 +1595,6 @@ object EventQueries {
     e12BandJoin, statRunsTest, streamAnomaly, tsCrossCorrelation,
     e13AttributionLinear, tsChangepoint, statPoissonRate, e14Rfm,
     e15CumulativeUsers, tsHoltLinear, e16TimeToConvert, statFdrBh,
-    e17UserStreaks, e18MarkovStationary)
+    e17UserStreaks, e18MarkovStationary, tsRollingSlope, statKsExp,
+    splitTimeHoldout)
 }

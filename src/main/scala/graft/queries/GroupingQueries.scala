@@ -714,6 +714,56 @@ object GroupingQueries {
           count(lit(1)).as("n_suppliers"))
     })
 
+  /** Month-over-month revenue change per nation — the trend column of
+    * every BI revenue report, WINDOWLESS: the monthly relation is
+    * calendar × nations bounded, so "previous month" is an equi-join on
+    * `month − 1 month`, not a LAG window over the fact table. Monthly
+    * revenues are round-6 exact-decimal sums (grid values), so the
+    * change ratio is one IEEE division — hash-exact.
+    */
+  val olapMomChange: Q = Q(
+    "olap_mom_change",
+    Some(s"""WITH nr AS (SELECT n_name,
+            |    date_trunc('month', o_orderdate) AS month,
+            |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS ym,
+            |    ROUND(${D.dsum("l_extendedprice * (1 - l_discount)")}, 6) AS revenue
+            |  FROM lineitem
+            |  JOIN orders ON l_orderkey = o_orderkey
+            |  JOIN supplier ON l_suppkey = s_suppkey
+            |  JOIN nation ON s_nationkey = n_nationkey
+            |  GROUP BY 1, 2, 3)
+            |SELECT a.n_name, a.month, a.revenue, b.revenue AS prev_revenue,
+            |  (a.revenue - b.revenue) / b.revenue AS mom_pct
+            |FROM nr a JOIN nr b
+            |  ON a.n_name = b.n_name AND b.ym = a.ym - 1""".stripMargin),
+    (s, dir) => {
+      val sup = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+      val nr = Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(
+          col("n_name"),
+          date_trunc("month", col("o_orderdate")).as("month"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+            .cast("long").as("ym"))
+        .agg(round(
+          DetAgg.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("revenue"))
+      val prev = nr.select(
+        col("n_name").as("pn"), col("ym").as("pym"),
+        col("revenue").as("prev_revenue"))
+      nr.join(prev,
+        col("n_name") === col("pn") && col("pym") === col("ym") - 1)
+        .select(
+          col("n_name"), col("month"), col("revenue"), col("prev_revenue"),
+          ((col("revenue") - col("prev_revenue")) / col("prev_revenue"))
+            .as("mom_pct"))
+    })
+
   /** Degree distribution of the customer↔supplier purchase graph — the
     * one-glance structural profile (is this graph power-law-ish or
     * degenerate?) and the sanity gate before any per-node graph
@@ -1312,5 +1362,5 @@ object GroupingQueries {
     winsorize, pagerank, triangles, labelProp, cmsTopk, kcore, hllDistinct,
     adamicAdar, ppr, skyline, shortestHops, assortativity, modularity,
     clusteringCoeff, hits, olapShareOfParent, olapTopnOthers,
-    graphDegreeDist, dqReferential)
+    graphDegreeDist, dqReferential, olapMomChange)
 }

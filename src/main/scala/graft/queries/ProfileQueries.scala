@@ -905,6 +905,94 @@ object ProfileQueries {
             expr(kappa).as("kappa")))
   }
 
+  /** First-order partial correlation r(quantity, price | discount) — is
+    * the quantity↔price association real, or routed through the
+    * discount both respond to? The control-variable question
+    * [[graft.queries.GroupingQueries]]'s raw correlation matrix
+    * (`a13_corr_matrix`) cannot answer. All ten moments ride the exact
+    * decimal route in ONE aggregate; the three pairwise r's and the
+    * partial are one literal IEEE tree — hash-exact unrounded.
+    */
+  val partialCorr: Q = {
+    val cols = Seq("x" -> "l_quantity", "y" -> "l_extendedprice", "z" -> "l_discount")
+    val moments =
+      Seq("CAST(COUNT(*) AS DOUBLE) AS n") ++
+        cols.map { case (a, c) => s"${D.dsumExact(c)} AS s$a" } ++
+        cols.map { case (a, c) => s"${D.dsumExact(s"$c * $c")} AS s$a$a" } ++
+        Seq(
+          s"${D.dsumExact("l_quantity * l_extendedprice")} AS sxy",
+          s"${D.dsumExact("l_quantity * l_discount")} AS sxz",
+          s"${D.dsumExact("l_extendedprice * l_discount")} AS syz")
+    def r(p: String) = {
+      val (a, b) = (p(0).toString, p(1).toString)
+      s"((n * s$p - s$a * s$b) / (SQRT(n * s$a$a - s$a * s$a) * SQRT(n * s$b$b - s$b * s$b)))"
+    }
+    val partial = s"((${r("xy")} - ${r("xz")} * ${r("yz")})" +
+      s" / SQRT((1.0 - ${r("xz")} * ${r("xz")}) * (1.0 - ${r("yz")} * ${r("yz")})))"
+    Q(
+      "stat_partial_corr",
+      Some(s"""WITH m AS (SELECT ${moments.mkString(",\n  ")}
+              |  FROM lineitem
+              |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+              |    AND l_discount IS NOT NULL)
+              |SELECT CAST(n AS BIGINT) AS n, ${r("xy")} AS r_xy,
+              |  ${r("xz")} AS r_xz, ${r("yz")} AS r_yz,
+              |  $partial AS partial_r
+              |FROM m""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull
+            && col("l_discount").isNotNull)
+          .agg(expr(sqlToSpark(moments.head)),
+            moments.tail.map(m => expr(sqlToSpark(m))): _*)
+          .select(
+            expr("CAST(n AS BIGINT)").as("n"),
+            expr(r("xy")).as("r_xy"),
+            expr(r("xz")).as("r_xz"),
+            expr(r("yz")).as("r_yz"),
+            expr(partial).as("partial_r")))
+  }
+
+  /** DuckDB's VARCHAR-routed decimal cast is an oracle-side-only crutch —
+    * the Spark side uses the plain decimal cast (Decimal.toDouble is
+    * already correctly rounded). This rewrites the oracle moment text to
+    * the Spark form so both sides stay ONE generated list.
+    */
+  private def sqlToSpark(m: String): String =
+    m.replace("CAST(CAST(SUM(", "CAST(SUM(")
+      .replace(") AS VARCHAR) AS DOUBLE)", ") AS DOUBLE)")
+
+  /** Decile concentration report of l_extendedprice
+    * ([[graft.functions.Stats.decileReport]]) — the Lorenz table beside
+    * the scalar [[giniPrice]]/[[theilIndex]]: per rank-decile row counts
+    * and value shares, straddling distinct values split exactly (the
+    * trimmed-mean algebra at all ten slices). Hash-exact unrounded.
+    */
+  val decileReport: Q = Q(
+    "stat_decile_report",
+    Some("""WITH g AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v, COUNT(*) AS c
+           |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+           |cum AS (SELECT v, c,
+           |    SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r,
+           |    SUM(c) OVER () AS n
+           |  FROM g),
+           |t AS (SELECT CAST(CAST(SUM(CAST(v AS DECIMAL(30,6)) * c) AS VARCHAR)
+           |    AS DOUBLE) AS tot FROM g),
+           |d AS (SELECT decile, v,
+           |    GREATEST(LEAST(r, decile * n // 10)
+           |      - GREATEST(r - c, (decile - 1) * n // 10), 0) AS kept
+           |  FROM cum CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS decile)),
+           |s AS (SELECT CAST(decile AS BIGINT) AS decile,
+           |    CAST(SUM(kept) AS BIGINT) AS n_rows,
+           |    CAST(CAST(SUM(CAST(v AS DECIMAL(30,6)) * kept) AS VARCHAR)
+           |      AS DOUBLE) AS sum_value
+           |  FROM d GROUP BY 1)
+           |SELECT decile, n_rows, sum_value, sum_value / tot AS share
+           |FROM s CROSS JOIN t""".stripMargin),
+    (s, dir) =>
+      graft.functions.Stats.decileReport(
+        Tables.load(s, dir, "lineitem"), "l_extendedprice"))
+
   /** Theil T inequality index of l_extendedprice — the
     * information-theoretic companion to [[giniPrice]] (Gini weights the
     * middle of the distribution; Theil the top, and Theil DECOMPOSES
@@ -1823,7 +1911,8 @@ object ProfileQueries {
     aucLangLen, kendallTau, cramersV, brownForsythe, theilSen, wilsonCi,
     ks1Price, mutualInfo, cohensD, hillTail, qqNormal,
     kruskalWallis, jarqueBera, cohenKappa, kuiperPrice, welchTtest, friedman,
-    mcnemar, oddsRatio, trimmedMean, bartlett, theilIndex,
+    mcnemar, oddsRatio, trimmedMean, bartlett, theilIndex, partialCorr,
+    decileReport,
     sampleDsir, packCurriculum, dqExpectations,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,

@@ -994,6 +994,21 @@ object ScaleProbe {
           .groupBy("ms").agg(count(lit(1)))
           .count()
       }
+      timed("ks_exp_cells", c) {
+        // per-copy user shift: deltas ×c rows; the sharded ECDF kernel's
+        // relation is bounded by DISTINCT delta values
+        val evs = scaledEvents(
+          graft.streaming.EventsStream.readBatch(spark, s"$sfDir/events.parquet"), c)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("es"), col("event_id"))
+        val deltas = evs.select(col("user_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("es"),
+          col("event_id"))
+          .withColumn("nxt", lead(col("es"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select((col("nxt") - col("es")).as("delta"))
+        graft.functions.Stats.ks1Exp(deltas, "delta").collect().length.toLong
+      }
       timed("ewma_lags", c) {
         // copies multiply rows per hourly bucket; the bucket series —
         // and so the 20-lag grid join — is calendar-bounded and constant

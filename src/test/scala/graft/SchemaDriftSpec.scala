@@ -60,7 +60,8 @@ class SchemaDriftSpec extends AnyFunSuite {
     "graph_label_prop" -> Set("lineitem"),
     "graph_kcore" -> Set("lineitem"),
     "graph_ppr" -> Set("orders", "lineitem"),
-    "graph_hits" -> Set("orders", "lineitem"))
+    "graph_hits" -> Set("orders", "lineitem"),
+    "e18_markov_stationary" -> Set("events"))
 
   private def scannedTables(df: DataFrame): Set[String] = {
     val paths = df.queryExecution.analyzed.collect {
