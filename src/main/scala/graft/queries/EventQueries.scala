@@ -494,21 +494,28 @@ object EventQueries {
     * so µ-units leave the statistic unchanged; the final tree is one
     * fixed IEEE expression shared with the oracle — bit-exact, unrounded.
     */
+  /** Oracle CTEs `b(bucket, x)`, `p(lag, x, y)`, `g(lag, n, sx, sy, sxy,
+    * sxx, syy)` for the lag-1..3 autocorrelation moments — shared between
+    * `stat_autocorr` and `stat_ljung_box` so the texts cannot drift.
+    */
+  private val autocorrSqlCtes: String =
+    """WITH b AS (
+      |  SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS bucket,
+      |    CAST(SUM(CAST(value AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |p AS (SELECT l.lag, a.x AS x, c.x AS y
+      |  FROM b a CROSS JOIN (VALUES (1), (2), (3)) AS l(lag)
+      |  JOIN b c ON c.bucket = a.bucket + l.lag),
+      |g AS (SELECT lag, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sxy,
+      |    CAST(CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sxx,
+      |    CAST(CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS syy
+      |  FROM p GROUP BY lag)""".stripMargin
+
   val statAutocorr: Q = Q(
     "stat_autocorr",
-    Some(s"""WITH b AS (
-            |  SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS bucket,
-            |    CAST(SUM(CAST(value AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS x
-            |  FROM events GROUP BY 1),
-            |p AS (SELECT l.lag, a.x AS x, c.x AS y
-            |  FROM b a CROSS JOIN (VALUES (1), (2), (3)) AS l(lag)
-            |  JOIN b c ON c.bucket = a.bucket + l.lag),
-            |g AS (SELECT lag, CAST(COUNT(*) AS DOUBLE) AS n,
-            |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-            |    CAST(CAST(SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sxy,
-            |    CAST(CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sxx,
-            |    CAST(CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS syy
-            |  FROM p GROUP BY lag)
+    Some(s"""$autocorrSqlCtes
             |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
             |  (n * sxy - sx * sy)
             |    / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS autocorr
@@ -941,6 +948,60 @@ object EventQueries {
           .select(
             col("event_type"), col("z"), col("p_value"), col("rnk"),
             (col("rnk") <= col("kmax")).as("rejected"))
+      })
+  }
+
+  /** Ljung–Box portmanteau test over the first three autocorrelations —
+    * the ONE-NUMBER "is this series white noise" gate on top of
+    * [[statAutocorr]]'s per-lag values (three r's invite three ad-hoc
+    * judgments; Q = n(n+2)·Σ rₖ²/(n−k) is the calibrated joint test).
+    * Shares the autocorr CTE text verbatim; the 3-term fold is a FIXED
+    * conditional chain (the anova discipline — no order-dependent sum),
+    * series length is an exact count — hash-exact unrounded.
+    */
+  val statLjungBox: Q = {
+    val acTree = "(n * sxy - sx * sy)" +
+      " / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))"
+    val fold = (1 to 3)
+      .map(k => s"MAX(CASE WHEN lag = $k THEN ac * ac / (nb - $k.0) END)")
+      .mkString("(", " + ", ")")
+    Q(
+      "stat_ljung_box",
+      Some(s"""$autocorrSqlCtes,
+              |nb0 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nb FROM b),
+              |r AS (SELECT lag, $acTree AS ac FROM g)
+              |SELECT CAST(nb AS BIGINT) AS n_buckets, CAST(3 AS BIGINT) AS df,
+              |  nb * (nb + 2.0) * $fold AS ljung_box_q
+              |FROM r CROSS JOIN nb0 GROUP BY nb""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d18 = DecimalType(18, 0)
+        val b = ev(s, dir)
+          .withColumn("bucket", floor(unix_timestamp(col("ts")) / 300).cast(LongType))
+          .groupBy("bucket")
+          .agg((sum(DetAgg.dec(col("value"))) * 1000000).cast(LongType).as("x"))
+        val nb0 = b.agg(count(lit(1)).cast("double").as("nb"))
+        val lagged = b
+          .withColumn("lag", explode(array(lit(1L), lit(2L), lit(3L))))
+          .select(col("bucket"), col("lag"), col("x"))
+        val other = b.select(col("bucket").as("bucket2"), col("x").as("y"))
+        val g = lagged
+          .join(other, lagged("bucket") + lagged("lag") === other("bucket2"))
+          .groupBy("lag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(col("x")).cast("double").as("sx"),
+            sum(col("y")).cast("double").as("sy"),
+            sum(col("x").cast(d18) * col("y").cast(d18)).cast("double").as("sxy"),
+            sum(col("x").cast(d18) * col("x").cast(d18)).cast("double").as("sxx"),
+            sum(col("y").cast(d18) * col("y").cast(d18)).cast("double").as("syy"))
+        g.select(col("lag"), expr(acTree).as("ac"))
+          .crossJoin(broadcast(nb0))
+          .groupBy(col("nb"))
+          .agg(expr(s"nb * (nb + 2.0) * $fold").as("ljung_box_q"))
+          .select(
+            col("nb").cast(LongType).as("n_buckets"),
+            lit(3L).as("df"), col("ljung_box_q"))
       })
   }
 
@@ -1596,5 +1657,5 @@ object EventQueries {
     e13AttributionLinear, tsChangepoint, statPoissonRate, e14Rfm,
     e15CumulativeUsers, tsHoltLinear, e16TimeToConvert, statFdrBh,
     e17UserStreaks, e18MarkovStationary, tsRollingSlope, statKsExp,
-    splitTimeHoldout)
+    splitTimeHoldout, statLjungBox)
 }

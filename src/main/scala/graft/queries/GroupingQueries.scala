@@ -764,6 +764,120 @@ object GroupingQueries {
             .as("mom_pct"))
     })
 
+  /** ABC classification of parts by revenue (A ≈ top 80 % of value, B
+    * the next 15 %, C the tail) — the inventory-prioritization standard.
+    * ENTIRELY INTEGER once revenues hit the round-6 grid: per-part
+    * revenue × 10⁶ is an exact BIGINT mass, the distinct-revenue
+    * cumulative rides the sharded kernel (no global sort), and the class
+    * thresholds are the integer tests `5·(tot−cum) < 4·tot` /
+    * `20·(tot−cum) < 19·tot` — no float compare anywhere; the block
+    * crossing a boundary goes to the higher class, deterministically.
+    * Hash-exact.
+    */
+  val olapAbc: Q = Q(
+    "olap_abc_classification",
+    Some(s"""WITH pr AS (SELECT l_partkey,
+            |    ROUND(${D.dsum("l_extendedprice * (1 - l_discount)")}, 6) AS rev
+            |  FROM lineitem GROUP BY 1),
+            |g AS (SELECT rev, COUNT(*) AS c,
+            |    CAST(FLOOR(rev * 1000000 + 0.5) AS BIGINT) AS mu
+            |  FROM pr GROUP BY 1),
+            |cmt AS (SELECT rev, c, mu * c AS m,
+            |    SUM(mu * c) OVER (ORDER BY rev ROWS UNBOUNDED PRECEDING) AS cum,
+            |    SUM(mu * c) OVER () AS tot FROM g),
+            |cl AS (SELECT c, m, tot,
+            |    CASE WHEN 5 * (tot - cum) < 4 * tot THEN 'A'
+            |         WHEN 20 * (tot - cum) < 19 * tot THEN 'B'
+            |         ELSE 'C' END AS abc_class
+            |  FROM cmt)
+            |SELECT abc_class, CAST(SUM(c) AS BIGINT) AS n_parts,
+            |  CAST(CAST(SUM(m) AS VARCHAR) AS DOUBLE) / 1000000.0 AS revenue,
+            |  CAST(CAST(SUM(m) AS VARCHAR) AS DOUBLE)
+            |    / CAST(CAST(MIN(tot) AS VARCHAR) AS DOUBLE) AS share
+            |FROM cl GROUP BY 1""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val shardBits = 12
+      val pr = Tables.load(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(round(
+          DetAgg.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("rev"))
+      val g = pr.groupBy("rev").agg(count(lit(1)).as("c"))
+        .withColumn("mu", floor(col("rev") * 1000000 + 0.5).cast("long"))
+        .withColumn("m", col("mu") * col("c"))
+      val keyed = g.withColumn(
+        "__shard",
+        shiftright(
+          graft.plans.ScalarExpressions.sortableBits(col("rev")),
+          64 - shardBits) + lit(1L << (shardBits - 1)))
+      val wOff = Window.partitionBy(
+        graft.plans.ScalarExpressions.singlePartitionKey(col("__shard")))
+        .orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = keyed.groupBy("__shard")
+        .agg(sum("m").as("__s"))
+        .select(
+          col("__shard").as("__oshard"),
+          coalesce(sum("__s").over(wOff), lit(0L)).as("__b"))
+      val tot = g.agg(sum("m").as("tot"))
+      val wCum = Window.partitionBy("__shard").orderBy("rev")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      keyed.join(broadcast(offsets), col("__shard") === col("__oshard"))
+        .withColumn("cum", col("__b") + sum("m").over(wCum))
+        .crossJoin(broadcast(tot))
+        .select(col("c"), col("m"), col("tot"),
+          when(lit(5) * (col("tot") - col("cum")) < lit(4) * col("tot"), "A")
+            .when(lit(20) * (col("tot") - col("cum")) < lit(19) * col("tot"), "B")
+            .otherwise("C").as("abc_class"))
+        .groupBy("abc_class")
+        .agg(
+          sum("c").cast("long").as("n_parts"),
+          (sum("m").cast("double") / lit(1000000.0)).as("revenue"),
+          (sum("m").cast("double") / min("tot").cast("double")).as("share"))
+    })
+
+  /** Herfindahl–Hirschman concentration index of supplier revenue per
+    * nation — the antitrust-standard market-concentration scalar
+    * completing [[olapTopnOthers]]'s table view. Supplier revenues are
+    * round-6 grid values, nation totals re-aggregate exactly from the
+    * supplier relation (windowless), and Σ share² sums round-6 squares
+    * through the exact decimal (LM discipline) — hash-exact.
+    */
+  val aggHhi: Q = Q(
+    "agg_hhi_concentration",
+    Some(s"""WITH sr AS (SELECT n_name, s_suppkey,
+            |    ROUND(${D.dsum("l_extendedprice * (1 - l_discount)")}, 6) AS rev
+            |  FROM lineitem
+            |  JOIN supplier ON l_suppkey = s_suppkey
+            |  JOIN nation ON s_nationkey = n_nationkey
+            |  GROUP BY 1, 2),
+            |t AS (SELECT n_name AS tn, ${D.dsumExact("rev")} AS tot
+            |  FROM sr GROUP BY 1)
+            |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+            |  ${D.dsum("ROUND((rev / tot) * (rev / tot), 6)")} AS hhi
+            |FROM sr JOIN t ON n_name = tn
+            |GROUP BY n_name""".stripMargin),
+    (s, dir) => {
+      val sup = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+      val sr = Tables.load(s, dir, "lineitem")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("n_name", "s_suppkey")
+        .agg(round(
+          DetAgg.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("rev"))
+      val t = sr.groupBy(col("n_name").as("tn"))
+        .agg(DetAgg.dsum(col("rev")).as("tot"))
+      sr.join(broadcast(t), col("n_name") === col("tn"))
+        .groupBy("n_name")
+        .agg(
+          count(lit(1)).as("n_suppliers"),
+          DetAgg.dsum(round((col("rev") / col("tot")) * (col("rev") / col("tot")), 6))
+            .as("hhi"))
+    })
+
   /** Degree distribution of the customer↔supplier purchase graph — the
     * one-glance structural profile (is this graph power-law-ish or
     * degenerate?) and the sanity gate before any per-node graph
@@ -1362,5 +1476,5 @@ object GroupingQueries {
     winsorize, pagerank, triangles, labelProp, cmsTopk, kcore, hllDistinct,
     adamicAdar, ppr, skyline, shortestHops, assortativity, modularity,
     clusteringCoeff, hits, olapShareOfParent, olapTopnOthers,
-    graphDegreeDist, dqReferential, olapMomChange)
+    graphDegreeDist, dqReferential, olapMomChange, olapAbc, aggHhi)
 }

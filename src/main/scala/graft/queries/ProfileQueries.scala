@@ -962,6 +962,105 @@ object ProfileQueries {
     m.replace("CAST(CAST(SUM(", "CAST(SUM(")
       .replace(") AS VARCHAR) AS DOUBLE)", ") AS DOUBLE)")
 
+  /** Tukey-fence outlier census per return flag: exact per-group type-1
+    * quartiles from the STRATIFIED sharded kernel
+    * ([[graft.functions.Stats.weightedQuartiles]], weight 1), fences
+    * q1 ∓ 1.5·IQR as one fixed IEEE tree, and the census one conditional
+    * aggregate against the broadcast ≤groups-row fence relation — the
+    * box-plot outlier rule as a scalable report. Hash-exact unrounded.
+    */
+  val tukeyFences: Q = Q(
+    "stat_tukey_fences",
+    Some("""WITH g AS (SELECT l_returnflag AS gf, CAST(l_extendedprice AS DOUBLE) AS v,
+           |    COUNT(*) AS w
+           |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+           |c AS (SELECT gf, v,
+           |    SUM(w) OVER (PARTITION BY gf ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+           |    SUM(w) OVER (PARTITION BY gf) AS tw FROM g),
+           |qs AS (SELECT gf,
+           |    MIN(CASE WHEN 4 * cum >= tw THEN v END) AS q1,
+           |    MIN(CASE WHEN 4 * cum >= 3 * tw THEN v END) AS q3
+           |  FROM c GROUP BY gf),
+           |f AS (SELECT gf, q1, q3,
+           |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM qs)
+           |SELECT f.gf AS l_returnflag, q1, q3,
+           |  CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_low,
+           |  CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_high
+           |FROM lineitem JOIN f ON l_returnflag = f.gf
+           |WHERE l_extendedprice IS NOT NULL
+           |GROUP BY 1, 2, 3""".stripMargin),
+    (s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_extendedprice").isNotNull)
+      val qs = graft.functions.Stats.weightedQuartiles(
+        li, "l_returnflag", "l_extendedprice", lit(1L))
+        .groupBy(col("l_returnflag").as("gf"))
+        .agg(
+          min(when(col("q") === 0.25, col("wq_l_extendedprice"))).as("q1"),
+          min(when(col("q") === 0.75, col("wq_l_extendedprice"))).as("q3"))
+      val f = qs.select(
+        col("gf"), col("q1"), col("q3"),
+        (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+        (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+      li.join(broadcast(f), col("l_returnflag") === col("gf"))
+        .groupBy(col("l_returnflag"), col("q1"), col("q3"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L))
+            .as("n_low"),
+          sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L))
+            .as("n_high"))
+    })
+
+  /** Cochran's Q across THREE binary gates (discount ≥ 0.05, tax ≥ 0.04,
+    * quantity > 25) — the k-treatment generalization of [[mcnemar]]:
+    * do the gates fire at the same marginal rate on the same rows?
+    * Q = k(k−1)·Σⱼ(Cⱼ − T/k)² / (k·T − Σᵢ Rᵢ²) where Cⱼ are gate totals,
+    * Rᵢ the per-row gate counts, T = ΣRᵢ. Per-row R ∈ {0..3} makes ΣRᵢ²
+    * a conditional sum of squares — everything is ONE aggregate of exact
+    * BIGINTs and one literal IEEE tree. Hash-exact unrounded.
+    */
+  val cochranQ: Q = {
+    val gs = Seq(
+      "(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)",
+      "(CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END)",
+      "(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)")
+    val k = gs.size
+    val r = gs.mkString("(", " + ", ")")
+    val cSums = gs.zipWithIndex.map { case (g, j) =>
+      s"CAST(SUM($g) AS BIGINT) AS c$j"
+    }
+    val moments = cSums ++ Seq(
+      s"CAST(SUM($r) AS BIGINT) AS t",
+      s"CAST(SUM($r * $r) AS BIGINT) AS r2",
+      "CAST(COUNT(*) AS BIGINT) AS n")
+    val num = (0 until k)
+      .map(j => s"(c$j - CAST(t AS DOUBLE) / $k) * (c$j - CAST(t AS DOUBLE) / $k)")
+      .mkString("(", " + ", ")")
+    // the denominator k·T − ΣR² is zero exactly when every row fires all
+    // gates or none (no discordance) — Q is undefined there; both
+    // engines emit NULL rather than ANSI-throwing / NaN-diverging
+    val q = s"(CASE WHEN $k.0 * t - r2 = 0.0 THEN NULL" +
+      s" ELSE $k.0 * ${k - 1}.0 * $num / ($k.0 * t - r2) END)"
+    Q(
+      "stat_cochran_q",
+      Some(s"""WITH m AS (SELECT ${moments.mkString(",\n  ")}
+              |  FROM lineitem
+              |  WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+              |    AND l_quantity IS NOT NULL)
+              |SELECT n, CAST(${k - 1} AS BIGINT) AS df, $q AS cochran_q
+              |FROM m""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_discount").isNotNull && col("l_tax").isNotNull
+            && col("l_quantity").isNotNull)
+          .agg(expr(moments.head), moments.tail.map(expr): _*)
+          .select(col("n"), lit((k - 1).toLong).as("df"), expr(q).as("cochran_q")))
+  }
+
   /** Decile concentration report of l_extendedprice
     * ([[graft.functions.Stats.decileReport]]) — the Lorenz table beside
     * the scalar [[giniPrice]]/[[theilIndex]]: per rank-decile row counts
@@ -1912,7 +2011,7 @@ object ProfileQueries {
     ks1Price, mutualInfo, cohensD, hillTail, qqNormal,
     kruskalWallis, jarqueBera, cohenKappa, kuiperPrice, welchTtest, friedman,
     mcnemar, oddsRatio, trimmedMean, bartlett, theilIndex, partialCorr,
-    decileReport,
+    decileReport, tukeyFences, cochranQ,
     sampleDsir, packCurriculum, dqExpectations,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,

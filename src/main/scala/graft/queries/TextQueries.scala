@@ -2305,6 +2305,95 @@ object TextQueries {
         ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
     })
 
+  /** Heaps'-law fit of vocabulary growth, V(N) = K·N^β — the tokenizer
+    * sizing curve ([[textZipfFit]] fits the frequency spectrum; Heaps
+    * fits GROWTH: how fast does the vocabulary a BPE trainer must cover
+    * expand as the corpus grows?). The growth curve is built WITHOUT a
+    * corpus-wide window: per-doc token counts and per-doc NEW-vocabulary
+    * counts (a token's first document = one MIN aggregate) are
+    * cumulated along the doc_id axis on the ks2Samp SHARDED kernel —
+    * the first dual-weight drive of that kernel (both running sums in
+    * one pass). Points (ln N_d, ln V_d) carry round-6 (zipf discipline),
+    * moments ride scale-12 decimals, β/K one fixed IEEE tail —
+    * hash-exact.
+    */
+  val textHeapsLaw: Q = Q(
+    "text_heaps_law",
+    Some(s"""WITH tok AS (
+            |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+            |  FROM documents),
+            |dt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok
+            |  FROM tok GROUP BY 1),
+            |fd AS (SELECT t, MIN(doc_id) AS first_doc FROM tok GROUP BY 1),
+            |nv AS (SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS nnew
+            |  FROM fd GROUP BY 1),
+            |j AS (SELECT dt.doc_id, dt.ntok, COALESCE(nv.nnew, 0) AS nnew
+            |  FROM dt LEFT JOIN nv ON dt.doc_id = nv.doc_id),
+            |cm AS (SELECT doc_id,
+            |    SUM(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cn,
+            |    SUM(nnew) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cv
+            |  FROM j),
+            |p AS (SELECT ROUND(LN(CAST(cn AS DOUBLE)), 6) AS x,
+            |    ROUND(LN(CAST(cv AS DOUBLE)), 6) AS y
+            |  FROM cm WHERE cn > 0 AND cv > 0),
+            |t2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+            |    ${D.dsum("x")} AS sx, ${D.dsum("y")} AS sy,
+            |    ${D.dsumP("x * y")} AS sxy, ${D.dsumP("x * x")} AS sxx
+            |  FROM p)
+            |SELECT n,
+            |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS heaps_beta,
+            |  ROUND(EXP((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n), 6)
+            |    AS heaps_k
+            |FROM t2""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val shardBits = 12
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+      val dt = tok.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+      val nv = tok.groupBy("t").agg(min("doc_id").as("fd"))
+        .groupBy(col("fd").as("nvdoc")).agg(count(lit(1)).as("nnew"))
+      val j = dt.join(nv, col("doc_id") === col("nvdoc"), "left")
+        .select(
+          col("doc_id"), col("ntok"),
+          coalesce(col("nnew"), lit(0L)).as("nnew"))
+      val keyed = j.withColumn(
+        "__shard",
+        shiftright(
+          graft.plans.ScalarExpressions.sortableBits(col("doc_id").cast("double")),
+          64 - shardBits) + lit(1L << (shardBits - 1)))
+      val wOff = Window.partitionBy(
+        graft.plans.ScalarExpressions.singlePartitionKey(col("__shard")))
+        .orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = keyed.groupBy("__shard")
+        .agg(sum("ntok").as("__s1"), sum("nnew").as("__s2"))
+        .select(
+          col("__shard").as("__oshard"),
+          coalesce(sum("__s1").over(wOff), lit(0L)).as("__b1"),
+          coalesce(sum("__s2").over(wOff), lit(0L)).as("__b2"))
+      val wCum = Window.partitionBy("__shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val p = keyed.join(broadcast(offsets), col("__shard") === col("__oshard"))
+        .select(
+          (col("__b1") + sum("ntok").over(wCum)).as("cn"),
+          (col("__b2") + sum("nnew").over(wCum)).as("cv"))
+        .filter(col("cn") > 0 && col("cv") > 0)
+        .select(
+          round(log(col("cn").cast("double")), 6).as("x"),
+          round(log(col("cv").cast("double")), 6).as("y"))
+      val t2 = p.agg(
+        count(lit(1)).as("n"),
+        DetAgg.dsum(col("x")).as("sx"), DetAgg.dsum(col("y")).as("sy"),
+        DetAgg.dsumP(col("x") * col("y")).as("sxy"),
+        DetAgg.dsumP(col("x") * col("x")).as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      t2.select(
+        col("n"),
+        slope.as("heaps_beta"),
+        round(exp((col("sy") - slope * col("sx")) / col("n")), 6).as("heaps_k"))
+    })
+
   /** Vocabulary coverage per source — tokenizer-fit health: the share of
     * token OCCURRENCES each source draws from the corpus-wide top-1000
     * vocabulary (a proxy for "will a fixed tokenizer fragment this
@@ -2388,7 +2477,7 @@ object TextQueries {
     })
 
   def all: Seq[Q] = Seq(
-    textBurstiness,
+    textBurstiness, textHeapsLaw,
     textZipfFit, textVocabCoverage,
     textNgramNovelty, sampleFixedPerStratum, sampleNeyman, textTfidfTopk,
     sampleBalancedClasses,

@@ -1009,6 +1009,28 @@ object ScaleProbe {
           .select((col("nxt") - col("es")).as("delta"))
         graft.functions.Stats.ks1Exp(deltas, "delta").collect().length.toLong
       }
+      timed("heaps_cells", c) {
+        // scaledDocs: docs ×c, per-copy token suffixes grow the vocab ×c
+        // — both the first-doc aggregate and the dual-weight sharded
+        // cumulative scale with the corpus
+        val d = scaledDocs(docs, c)
+        val tok = d.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+        val dt = tok.groupBy("doc_id").agg(count(lit(1)).as("ntok"))
+        val nv = tok.groupBy("t").agg(min("doc_id").as("fd"))
+          .groupBy(col("fd").as("nvdoc")).agg(count(lit(1)).as("nnew"))
+        val j = dt.join(nv, col("doc_id") === col("nvdoc"), "left")
+          .select(col("doc_id"), col("ntok"),
+            coalesce(col("nnew"), lit(0L)).as("nnew"))
+        val keyed = j.withColumn(
+          "__shard",
+          shiftright(
+            graft.plans.ScalarExpressions.sortableBits(col("doc_id").cast("double")),
+            52) + lit(1L << 11))
+        keyed.groupBy("__shard")
+          .agg(sum("ntok").as("s1"), sum("nnew").as("s2"))
+          .count()
+      }
       timed("ewma_lags", c) {
         // copies multiply rows per hourly bucket; the bucket series —
         // and so the 20-lag grid join — is calendar-bounded and constant
