@@ -291,7 +291,76 @@ object CoreQueries {
         .limit(20)
     })
 
+  /** TPC-H Q14 shape — promotion effect: the conditional-share aggregate
+    * over a month-windowed fact×dim join (promo revenue as a percent of
+    * all revenue). The date filter pushes into the lineitem scan; part
+    * is the broadcast dim; both sums ride ONE conditional exact-decimal
+    * aggregate — hash-exact after the final round-6 (the division of
+    * two exact-decimal casts is one IEEE op, rounded like the TPC-H
+    * siblings' revenue columns).
+    */
+  val q14PromoEffect: Q = Q(
+    "q14_promo_effect",
+    Some(s"""SELECT
+            |  ROUND(100.0 * ${D.dsumExact("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+            |    / ${D.dsumExact("l_extendedprice * (1 - l_discount)")}, 6)
+            |    AS promo_revenue_pct,
+            |  CAST(COUNT(*) AS BIGINT) AS n
+            |FROM lineitem JOIN part ON l_partkey = p_partkey
+            |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+            |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin),
+    (s, dir) => {
+      val p = Tables.load(s, dir, "part").select("p_partkey", "p_type")
+      li(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          DetAgg.dsum(when(col("p_type").startsWith("PROMO"),
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(lit(0.0))).as("__promo"),
+          DetAgg.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("__all"),
+          count(lit(1)).as("n"))
+        .select(
+          round(lit(100.0) * col("__promo") / col("__all"), 6)
+            .as("promo_revenue_pct"),
+          col("n"))
+    })
+
+  /** TPC-H Q19 shape — discounted revenue under a brand × quantity-range
+    * DISJUNCTION: the classic "OR-of-ANDs" predicate that tests whether
+    * the optimizer can still push a common conjunct (the join key) while
+    * the disjunction stays row-local. Broadcast part dim; one
+    * exact-decimal sum — hash-exact round-6.
+    */
+  val q19DiscountRevenue: Q = {
+    val pred =
+      """((p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+        | OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+        | OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+    Q(
+      "q19_discount_revenue",
+      Some(s"""SELECT ROUND(${D.dsum("l_extendedprice * (1 - l_discount)")}, 6)
+              |    AS revenue,
+              |  CAST(COUNT(*) AS BIGINT) AS n
+              |FROM lineitem JOIN part ON l_partkey = p_partkey
+              |WHERE $pred""".stripMargin),
+      (s, dir) => {
+        val p = Tables.load(s, dir, "part").select("p_partkey", "p_brand")
+        li(s, dir)
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(expr(pred))
+          .agg(
+            round(DetAgg.dsum(
+              col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+              .as("revenue"),
+            count(lit(1)).as("n"))
+      })
+  }
+
   def all: Seq[Q] = Seq(
     q1Agg, q1Full, p1Filter, j2Dim, q3Shipping, hist2d,
-    q5LocalSupplier, q18LargeVolume, q10ReturnedItems)
+    q5LocalSupplier, q18LargeVolume, q10ReturnedItems, q14PromoEffect,
+    q19DiscountRevenue)
 }

@@ -170,5 +170,39 @@ object MaintenanceQueries {
             sum(expr(rowHash)).cast("long").as("fingerprint")))
   }
 
-  def all: Seq[Q] = Seq(snapshotDiff, mergeUpsert, scd2History, tableFingerprint)
+  /** Partition-skew diagnostic: simulate a 32-way hash partitioning of
+    * lineitem on l_suppkey with the PORTABLE Knuth hash (the
+    * [[graft.operators.Splits]] family — engine-replayable, unlike
+    * xxhash64) and report the max/avg task-size ratio — the number that
+    * predicts whether a shuffle on this key needs salting BEFORE the
+    * straggler shows up in production. One hash aggregate over 32
+    * buckets; exact integers + one IEEE ratio — hash-exact.
+    */
+  val partitionSkew: Q = {
+    val bucket = "((l_suppkey + 7) % 100000 * 2654435761 % 4294967296 % 32)"
+    Q(
+      "maint_partition_skew",
+      Some(s"""WITH b AS (SELECT $bucket AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1)
+              |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+              |  CAST(MAX(n) AS BIGINT) AS max_rows,
+              |  CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_rows,
+              |  MAX(n) / (CAST(SUM(n) AS DOUBLE) / COUNT(*)) AS skew
+              |FROM b""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_suppkey").isNotNull)
+          .groupBy(expr(bucket).as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .agg(
+            count(lit(1)).as("n_buckets"),
+            max("n").as("max_rows"),
+            (sum("n").cast("double") / count(lit(1))).as("avg_rows"))
+          .select(
+            col("n_buckets"), col("max_rows"), col("avg_rows"),
+            (col("max_rows") / col("avg_rows")).as("skew")))
+  }
+
+  def all: Seq[Q] = Seq(snapshotDiff, mergeUpsert, scd2History, tableFingerprint,
+    partitionSkew)
 }

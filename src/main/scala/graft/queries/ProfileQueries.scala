@@ -962,6 +962,85 @@ object ProfileQueries {
     m.replace("CAST(CAST(SUM(", "CAST(SUM(")
       .replace(") AS VARCHAR) AS DOUBLE)", ") AS DOUBLE)")
 
+  /** Gumbel fit of the daily block maxima of l_extendedprice (method of
+    * moments) — extreme-value analysis: "how big a price spike should a
+    * capacity plan expect?" pairs with [[hillTail]]'s tail index (Hill
+    * asks how heavy the tail is; Gumbel calibrates the block-maximum
+    * law). Blocks = ship-days (calendar-bounded); maxima are one hash
+    * aggregate; β = s·√6/π and μ = m − γβ use the Euler–Mascheroni and
+    * √6/π constants as LITERALS (the Acklam discipline — nothing
+    * transcendental is ever EVALUATED), so the whole estimate is a fixed
+    * IEEE tree over exact-decimal moments — hash-exact unrounded.
+    */
+  val gumbelMaxima: Q = {
+    val sqrt6OverPi = "0.7796968012336609"
+    val gamma = "0.5772156649015329"
+    val beta = s"(SQRT((sxx - sx * sx / n) / (n - 1.0)) * $sqrt6OverPi)"
+    val mu = s"(sx / n - $gamma * $beta)"
+    Q(
+      "stat_gumbel_maxima",
+      Some(s"""WITH b AS (SELECT CAST(epoch(l_shipdate) AS BIGINT) // 86400 AS day,
+              |    MAX(CAST(l_extendedprice AS DOUBLE)) AS mx
+              |  FROM lineitem
+              |  WHERE l_extendedprice IS NOT NULL AND l_shipdate IS NOT NULL
+              |  GROUP BY 1),
+              |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              |    ${D.dsumExact("mx")} AS sx, ${D.dsumExact("mx * mx")} AS sxx
+              |  FROM b)
+              |SELECT CAST(n AS BIGINT) AS n_blocks, $beta AS gumbel_beta,
+              |  $mu AS gumbel_mu
+              |FROM m""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_extendedprice").isNotNull && col("l_shipdate").isNotNull)
+          .groupBy(expr("CAST(unix_timestamp(l_shipdate) AS BIGINT) div 86400")
+            .as("day"))
+          .agg(max(col("l_extendedprice").cast("double")).as("mx"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            DetAgg.dsum(col("mx")).as("sx"),
+            DetAgg.dsum(col("mx") * col("mx")).as("sxx"))
+          .select(
+            expr("CAST(n AS BIGINT)").as("n_blocks"),
+            expr(beta).as("gumbel_beta"),
+            expr(mu).as("gumbel_mu")))
+  }
+
+  /** Sample-ratio-mismatch check of the deterministic 50/50 A/B
+    * assignment — the pre-flight every experimentation platform runs
+    * before trusting a metric delta (an SRM means the BUCKETING is
+    * broken, and every downstream inference with it). Assignment is the
+    * Knuth-priority portable hash (the [[graft.operators.Splits]]
+    * family) mod 2 on l_orderkey, so the whole check is one conditional
+    * aggregate; χ² against the 50/50 null is (n₀−n₁)²/(n₀+n₁), flagged
+    * at the 1-df 95 % critical value — hash-exact.
+    */
+  val srmCheck: Q = {
+    val bucket = "((l_orderkey + 7) % 100000 * 2654435761 % 4294967296 % 2)"
+    val chi2 = "((CAST(n0 AS DOUBLE) - n1) * (CAST(n0 AS DOUBLE) - n1)" +
+      " / (CAST(n0 AS DOUBLE) + n1))"
+    Q(
+      "stat_srm_check",
+      Some(s"""WITH m AS (SELECT
+              |    CAST(SUM(CASE WHEN $bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+              |    CAST(SUM(CASE WHEN $bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+              |  FROM lineitem WHERE l_orderkey IS NOT NULL)
+              |SELECT n0, n1, $chi2 AS chi2,
+              |  $chi2 > 3.841458820694124 AS srm_detected
+              |FROM m""".stripMargin),
+      (s, dir) =>
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_orderkey").isNotNull)
+          .agg(
+            expr(s"CAST(SUM(CASE WHEN $bucket = 0 THEN 1 ELSE 0 END) AS BIGINT)")
+              .as("n0"),
+            expr(s"CAST(SUM(CASE WHEN $bucket = 1 THEN 1 ELSE 0 END) AS BIGINT)")
+              .as("n1"))
+          .select(
+            col("n0"), col("n1"), expr(chi2).as("chi2"),
+            (expr(chi2) > lit(3.841458820694124)).as("srm_detected")))
+  }
+
   /** Tukey-fence outlier census per return flag: exact per-group type-1
     * quartiles from the STRATIFIED sharded kernel
     * ([[graft.functions.Stats.weightedQuartiles]], weight 1), fences
@@ -2011,7 +2090,7 @@ object ProfileQueries {
     ks1Price, mutualInfo, cohensD, hillTail, qqNormal,
     kruskalWallis, jarqueBera, cohenKappa, kuiperPrice, welchTtest, friedman,
     mcnemar, oddsRatio, trimmedMean, bartlett, theilIndex, partialCorr,
-    decileReport, tukeyFences, cochranQ,
+    decileReport, tukeyFences, cochranQ, gumbelMaxima, srmCheck,
     sampleDsir, packCurriculum, dqExpectations,
     streamDriftMonitor, sampleMix, sampleBudget,
     sampleTemperature, sampleBudgetSharded, sampleTemperatureSharded,

@@ -2305,6 +2305,52 @@ object TextQueries {
         ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
     })
 
+  /** Code-vs-prose detection — the pretraining router's "does this text
+    * belong in the code bucket?" heuristic: the share of lines carrying
+    * code syntax (braces/semicolons/assignment or a 4-space indent).
+    * The corpus has no code, so a deterministic code block is appended
+    * to every third document in BOTH engines (the [[graft.queries
+    * .ProfileQueries]] text_redact proof-by-synthesis discipline — the
+    * detector is exercised against known positives, not vacuously).
+    * Pure column arithmetic: one split + explode, exact line counts, a
+    * Java/RE2-portable character-class regex — hash-exact.
+    */
+  val textCodeDetect: Q = {
+    val codeBlock = "\\nif (x > 0) { y = x; }\\n    return f(x);\\nlet z = 1;"
+    Q(
+      "text_code_detect",
+      Some(s"""WITH d AS (SELECT doc_id,
+              |    CASE WHEN doc_id % 3 = 0
+              |      THEN text || e'$codeBlock' ELSE text END AS t
+              |  FROM documents),
+              |l AS (SELECT doc_id, unnest(string_split(t, e'\\n')) AS line FROM d),
+              |c AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+              |    CAST(SUM(CASE WHEN regexp_matches(line, '[{};=]|^    ')
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS n_code
+              |  FROM l GROUP BY 1)
+              |SELECT doc_id, n_lines, n_code,
+              |  CAST(n_code AS DOUBLE) / n_lines AS code_ratio,
+              |  CAST(n_code AS DOUBLE) / n_lines >= 0.3 AS is_code
+              |FROM c""".stripMargin),
+      (s, dir) =>
+        docs(s, dir)
+          .select(
+            col("doc_id"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(col("text"), lit("\nif (x > 0) { y = x; }\n    return f(x);\nlet z = 1;")))
+              .otherwise(col("text")).as("t"))
+          .select(col("doc_id"), explode(split(col("t"), "\n")).as("line"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(when(col("line").rlike("[{};=]|^    "), 1L).otherwise(0L))
+              .as("n_code"))
+          .select(
+            col("doc_id"), col("n_lines"), col("n_code"),
+            (col("n_code").cast("double") / col("n_lines")).as("code_ratio"),
+            (col("n_code").cast("double") / col("n_lines") >= 0.3).as("is_code")))
+  }
+
   /** Heaps'-law fit of vocabulary growth, V(N) = K·N^β — the tokenizer
     * sizing curve ([[textZipfFit]] fits the frequency spectrum; Heaps
     * fits GROWTH: how fast does the vocabulary a BPE trainer must cover
@@ -2477,7 +2523,7 @@ object TextQueries {
     })
 
   def all: Seq[Q] = Seq(
-    textBurstiness, textHeapsLaw,
+    textBurstiness, textHeapsLaw, textCodeDetect,
     textZipfFit, textVocabCoverage,
     textNgramNovelty, sampleFixedPerStratum, sampleNeyman, textTfidfTopk,
     sampleBalancedClasses,
