@@ -49,7 +49,17 @@ object Bench {
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
+        // clearCache() + RDD-level sweep: the fixed-point kernels pin
+        // their FINAL localCheckpoint per call by design (intermediates
+        // are released in-kernel); without the sweep each rep × each
+        // graph query leaks result-sized blocks for the JVM lifetime,
+        // and the accumulated storage+GC pressure inflates every
+        // shuffle-heavy query that runs later (the r9 driver-artifact
+        // regression). Safe: cross-query memos are parquet- or
+        // driver-heap-backed, never persisted RDDs.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         dt
       }
       name -> times.min

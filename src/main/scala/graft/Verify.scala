@@ -28,12 +28,44 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operators may persist intermediates (Δt table, shingle sets) —
-      // don't let them accumulate across 60+ queries
+      // don't let them accumulate across ~290 queries. clearCache()
+      // only drops SQL-cached relations; the fixed-point kernels' FINAL
+      // localCheckpoint blocks (PageRank/HITS/LabelProp/KCore/Markov —
+      // pinned by design, released nowhere else once the result is
+      // consumed) need the RDD-level sweep. Safe between queries: every
+      // cross-query memo is parquet-backed (PipelineStage) or
+      // driver-heap (TrainCache), never a persisted RDD.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
+    System.err.println(ledgerLine)
+    spark.stop()
+  }
+
+  /** Close-out ledger EMITTED BY CODE from the registry itself (the r9
+    * lesson: the hand-counted PLANS.md ledger said 279 while the
+    * registry said 288 and nobody noticed — counts in prose must come
+    * from `Registry.all`, never from a human).
+    */
+  def ledgerLine: String = {
+    val qs = SparkEntry.queries
+    val os = SparkEntry.oracleSql
+    val noOracle = (qs.keySet -- os.keySet).toSeq.sorted
+    s"[ledger] queries=${qs.size} oracles=${os.size} " +
+      s"no_oracle(${noOracle.size})=${noOracle.mkString(",")}"
+  }
+
+  /** The full oracle registry as the JSON object the driver consumes —
+    * shared with OracleTypeParitySpec (the type-parity gate) so the gate
+    * checks EXACTLY the bytes the driver will replay.
+    *
+    * JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness.
+    */
+  def oracleJson: String = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -43,9 +75,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

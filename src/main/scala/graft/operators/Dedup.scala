@@ -227,13 +227,15 @@ object Dedup {
   /** Exact n-gram Jaccard near-dup pairs: shingle self-join → common
     * counts → |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold. Quadratic in docs
     * sharing a shingle — use [[minHashPairs]] when that bound is unsafe,
-    * and the self-join is GUARDED on exactly that axis: an in-plan
-    * max-multiplicity aggregate over the shingle relation (one extra
-    * linear pass — the same honest-price pattern as
-    * `Sampling.shardedPrefix`'s offsets guard) fails the job with a
-    * descriptive error before the join can emit `maxDocsPerShingle`²
-    * rows from one hot shingle. [[prefixJaccardPairs]] (PPJoin) and
-    * [[minHashPairs]] are the scale paths.
+    * and the self-join is GUARDED on exactly that axis: a per-shingle
+    * multiplicity window COMPUTED FROM THE JOIN'S OWN SHUFFLE (the
+    * window partitions by the equi-join key, so its exchange satisfies
+    * the join's distribution requirement — no extra pass over the
+    * exploded shingle relation, unlike the r9 aggregate+broadcast form)
+    * fails the job with a descriptive error before the join can emit
+    * `maxDocsPerShingle`² rows from a hot shingle.
+    * [[prefixJaccardPairs]] (PPJoin) and [[minHashPairs]] are the scale
+    * paths.
     */
   def jaccardPairs(
       df: DataFrame,
@@ -251,19 +253,27 @@ object Dedup {
     val sh = shingles(df, id, text, k)
       .select(col(id), xxhash64(col("shingle")).as("shingle"))
     val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
-    val hottest = sh.groupBy("shingle").agg(count(lit(1)).as("__m"))
-      .agg(coalesce(max("__m"), lit(0L)).as("__hot"))
+    // HOT-SHINGLE GUARD riding the join's own shuffle (r10: the r9 form
+    // was a separate groupBy-shingle aggregate + broadcast barrier — one
+    // full extra pass over the exploded shingle relation per call). A
+    // count(*) window partitioned by the JOIN KEY produces exactly the
+    // hash partitioning the equi-join requires, so EnsureRequirements
+    // inserts no second exchange and the multiplicity check is computed
+    // from the same shuffle the join consumes. Each partition asserts
+    // before its own shingle groups are expanded — a hot shingle fails
+    // its task loudly before bound² rows can be emitted from it.
+    val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
     val a = sh.select(col(id).as("id_a"), col("shingle"))
-      .crossJoin(broadcast(hottest))
+      .withColumn("__m", count(lit(1)).over(wSh))
       .filter(assert_true(
-        col("__hot") <= lit(maxDocsPerShingle),
+        col("__m") <= lit(maxDocsPerShingle),
         format_string(
-          "jaccardPairs is the exact-quadratic brute/oracle tier: the hottest " +
+          "jaccardPairs is the exact-quadratic brute/oracle tier: a " +
             "shingle is shared by %d docs, over the brute-safe bound %d (one such " +
             "shingle alone emits bound² join rows). Use prefixJaccardPairs (PPJoin) " +
             "or minHashPairs for corpora with hot shingles.",
-          col("__hot"), lit(maxDocsPerShingle))).isNull)
-      .drop("__hot")
+          col("__m"), lit(maxDocsPerShingle))).isNull)
+      .drop("__m")
     val b = sh.select(col(id).as("id_b"), col("shingle"))
     val common = a.join(b, Seq("shingle"))
       .filter(col("id_a") < col("id_b"))

@@ -38,22 +38,55 @@ object Hits {
 
   val Scale: Long = 1000000000000L // pico-units
 
+  /** Degree bound above which a round's raw BIGINT total could pass
+    * 2^63 (it is bounded by 2·Scale total mass × max degree, and
+    * 2^63 / (2·10^12) ≈ 4.6e6): enforced in-plan so the overflow is a
+    * loud pre-join failure, never a silent wrap.
+    */
+  val MaxDegree: Long = 4000000L
+
   /** `edges`: (src long, dst long), deduplicated by the caller. Returns
     * (node, auth, hub) in pico-units after `iters` rounds. Nodes with no
     * in-edges get auth 0; nodes with no out-edges get hub 0 after the
     * first round (they still receive authority).
     */
-  def fixedPoint(edges: DataFrame, iters: Int = 8): DataFrame = {
+  def fixedPoint(
+      edges: DataFrame,
+      iters: Int = 8,
+      maxDegree: Long = MaxDegree): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters $iters out of range")
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(true) // read twice per iteration × iters rounds
-    val nodes = e.select(col("src").as("node"))
+    val scope = new CheckpointScope
+    try {
+    val e = scope.mat(edges
+      .select(col("src").cast("long"), col("dst").cast("long")))
+      // read twice per iteration × iters rounds
+    // OVERFLOW GUARD, in-plan (the jaccardPairs assert_true discipline):
+    // a round's raw total is bounded by (≤ 2·Scale mass) × max(degree),
+    // so any degree beyond 2^63 / (2·Scale) ≈ 4.6e6 could silently wrap
+    // the BIGINT sum on the Spark side where the DuckDB oracle raises —
+    // a silent-vs-loud divergence (PageRank divides by outdeg BEFORE
+    // summing and has no such cliff). Fold the check into the node-set
+    // pass: it fails the materializing job before any round can emit.
+    val maxDeg = e.select(col("src").as("__n"))
+      .unionByName(e.select(col("dst").as("__n")))
+      .groupBy("__n").agg(count(lit(1)).as("__d"))
+      .agg(coalesce(max("__d"), lit(0L)).as("__m"))
+    val nodes = scope.mat(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .crossJoin(broadcast(maxDeg))
+      .filter(assert_true(
+        col("__m") <= lit(maxDegree),
+        format_string(
+          "HITS overflow guard: max node degree %d exceeds the brute-safe " +
+            s"bound $maxDegree — a round's raw total is bounded by " +
+            "2*Scale*maxDegree and would pass 2^63, where Spark wraps " +
+            "silently but the integer oracle raises. Contract the hub " +
+            "(cap or sample its adjacency) before ranking.",
+          col("__m"))).isNull)
+      .drop("__m"))
     val n = nodes.agg(count(lit(1)).as("__cnt"))
-    var h: DataFrame = nodes.crossJoin(broadcast(n))
-      .select(col("node"), expr(s"${Scale}L div __cnt").as("hub"))
-      .localCheckpoint(true)
+    var h: DataFrame = scope.roll("rawH", nodes.crossJoin(broadcast(n))
+      .select(col("node"), expr(s"${Scale}L div __cnt").as("hub")))
     var a: DataFrame = null
     for (_ <- 1 to iters) {
       // ONLY the raw relations are checkpointed: each is consumed twice
@@ -65,24 +98,30 @@ object Hits {
       // raw, so their plans stay two levels deep with no cut of their
       // own — 2 materialization jobs per round, not 4 (the 4-job
       // variant benched 7.6 s).
-      val rawA = e.join(h, e("src") === h("node"))
-        .groupBy("dst").agg(sum("hub").as("__raw"))
-        .localCheckpoint(true)
+      val rawA = scope.roll("rawA", e.join(h, e("src") === h("node"))
+        .groupBy("dst").agg(sum("hub").as("__raw")))
       val qA = rawA.agg(
         greatest(expr(s"sum(__raw) div ${Scale}L"), lit(1L)).as("__q"))
       a = nodes.crossJoin(broadcast(qA))
         .join(rawA, nodes("node") === rawA("dst"), "left")
         .select(col("node"), expr("coalesce(__raw, 0L) div __q").as("auth"))
-      val rawH = e.join(a, e("dst") === a("node"))
-        .groupBy("src").agg(sum("auth").as("__raw"))
-        .localCheckpoint(true)
+      val rawH = scope.roll("rawH", e.join(a, e("dst") === a("node"))
+        .groupBy("src").agg(sum("auth").as("__raw")))
       val qH = rawH.agg(
         greatest(expr(s"sum(__raw) div ${Scale}L"), lit(1L)).as("__q"))
       h = nodes.crossJoin(broadcast(qH))
         .join(rawH, nodes("node") === rawH("src"), "left")
         .select(col("node"), expr("coalesce(__raw, 0L) div __q").as("hub"))
     }
-    a.join(h, "node").select("node", "auth", "hub")
+    // the final a/h are LAZY over nodes + the last rawA/rawH — cut the
+    // OUTPUT itself (one node-cardinality materialization), so every
+    // other checkpoint (base relations included) can be released here
+    // and the returned plan is rooted in a single pinned RDD that the
+    // caller (or the Bench/Verify per-query sweep) owns
+    val out = scope.roll("out", a.join(h, "node").select("node", "auth", "hub"))
+    scope.close("out")
+    out
+    } catch { case t: Throwable => scope.closeAll(); throw t }
   }
 
   /** The matching DuckDB oracle over an `edges` CTE body with (src, dst)

@@ -29,8 +29,10 @@ object KCore {
   def core(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k $k out of range")
     require(rounds >= 1 && rounds <= 50, s"rounds $rounds out of range")
-    var e = edges.select(col("u").cast("long"), col("v").cast("long"))
-      .localCheckpoint(true)
+    val scope = new CheckpointScope
+    try {
+    var e = scope.roll("e", edges
+      .select(col("u").cast("long"), col("v").cast("long")))
     var n = e.count()
     var round = 0
     var converged = false
@@ -44,7 +46,7 @@ object KCore {
         .join(alive.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(alive.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .select("u", "v")
-        .localCheckpoint(true)
+      e = scope.roll("e", e)
       // fixpoint early exit — RESULT-IDENTICAL to running the remaining
       // rounds, not an approximation: survivors only shrink, so an
       // unchanged edge COUNT means an unchanged edge set, every later
@@ -54,7 +56,9 @@ object KCore {
       converged = n2 == n
       n = n2
     }
+    scope.close("e")
     e
+    } catch { case t: Throwable => scope.closeAll(); throw t }
   }
 
   /** (n_nodes, n_edges) of the surviving graph — nodes counted as

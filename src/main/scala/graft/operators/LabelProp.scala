@@ -38,13 +38,14 @@ object LabelProp {
       checkpointInterval: Int = 2): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters $iters out of range")
     require(checkpointInterval >= 1, "checkpointInterval must be positive")
+    val scope = new CheckpointScope
+    try {
     val e = edges.select(col("u").cast("long"), col("v").cast("long"))
-    val adj = e.select(col("u").as("node"), col("v").as("nbr"))
-      .union(e.select(col("v").as("node"), col("u").as("nbr")))
-      .localCheckpoint(true) // read once per round × iters rounds
-    var l: DataFrame = adj.select(col("node")).distinct()
-      .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(true)
+    val adj = scope.mat(e.select(col("u").as("node"), col("v").as("nbr"))
+      .union(e.select(col("v").as("node"), col("u").as("nbr"))))
+      // read once per round × iters rounds
+    var l: DataFrame = scope.roll("l", adj.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lbl")))
     val pick = Window.partitionBy("node").orderBy(col("cnt").desc, col("lbl"))
     for (i <- 1 to iters) {
       l = adj
@@ -53,9 +54,11 @@ object LabelProp {
         .withColumn("__rn", row_number().over(pick))
         .filter(col("__rn") === 1)
         .select("node", "lbl")
-      if (i % checkpointInterval == 0 || i == iters) l = l.localCheckpoint(true)
+      if (i % checkpointInterval == 0 || i == iters) l = scope.roll("l", l)
     }
+    scope.close("l")
     l
+    } catch { case t: Throwable => scope.closeAll(); throw t }
   }
 
   /** The matching DuckDB oracle over an `edges` CTE body with canonical

@@ -43,17 +43,17 @@ object PageRank {
       checkpointInterval: Int = 2): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters $iters out of range")
     require(checkpointInterval >= 1, "checkpointInterval must be positive")
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(true) // read twice per iteration × iters rounds
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__d"))
-      .localCheckpoint(true)
+    val scope = new CheckpointScope
+    try {
+    val e = scope.mat(edges
+      .select(col("src").cast("long"), col("dst").cast("long")))
+      // read twice per iteration × iters rounds
+    val nodes = scope.mat(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val deg = scope.mat(e.groupBy("src").agg(count(lit(1)).as("__d")))
     val n = nodes.agg(count(lit(1)).as("__cnt"))
-    var r: DataFrame = nodes.crossJoin(broadcast(n))
-      .select(col("node"), expr(s"${Scale}L div __cnt").as("rank"))
-      .localCheckpoint(true)
+    var r: DataFrame = scope.roll("r", nodes.crossJoin(broadcast(n))
+      .select(col("node"), expr(s"${Scale}L div __cnt").as("rank")))
     for (i <- 1 to iters) {
       val contrib = e
         .join(r, e("src") === r("node"))
@@ -74,10 +74,16 @@ object PageRank {
       // each un-cut round doubles the plan (r consumed twice), so the
       // interval trades 2^interval plan growth against fewer eager
       // materializations — interval 2 halves the checkpoint count for a
-      // 4-subtree plan, still trivially analyzable
-      if (i % checkpointInterval == 0 || i == iters) r = r.localCheckpoint(true)
+      // 4-subtree plan, still trivially analyzable. roll() releases the
+      // previous cut's blocks once the new one is materialized.
+      if (i % checkpointInterval == 0 || i == iters) r = scope.roll("r", r)
     }
+    // the returned plan is rooted ONLY in the final "r" checkpoint —
+    // base relations (edges/nodes/deg) are released here, the final
+    // checkpoint by the caller / the Bench-Verify per-query sweep
+    scope.close("r")
     r
+    } catch { case t: Throwable => scope.closeAll(); throw t }
   }
 
   /** Personalized PageRank (random walk with restart to a SEED set —
@@ -97,23 +103,21 @@ object PageRank {
       checkpointInterval: Int = 2): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters $iters out of range")
     require(checkpointInterval >= 1, "checkpointInterval must be positive")
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .localCheckpoint(true)
-    val sd = seeds.select(col("node").cast("long")).distinct()
-      .withColumn("__seed", lit(true))
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
+    val scope = new CheckpointScope
+    try {
+    val e = scope.mat(edges
+      .select(col("src").cast("long"), col("dst").cast("long")))
+    val sd = scope.mat(seeds.select(col("node").cast("long")).distinct()
+      .withColumn("__seed", lit(true)))
+    val nodes = scope.mat(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .join(broadcast(sd), Seq("node"), "left")
-      .select(col("node"), coalesce(col("__seed"), lit(false)).as("__s"))
-      .localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__d"))
-      .localCheckpoint(true)
+      .select(col("node"), coalesce(col("__seed"), lit(false)).as("__s")))
+    val deg = scope.mat(e.groupBy("src").agg(count(lit(1)).as("__d")))
     val ns = nodes.agg(sum(when(col("__s"), 1L).otherwise(0L)).as("__ns"))
-    var r: DataFrame = nodes.crossJoin(broadcast(ns))
+    var r: DataFrame = scope.roll("r", nodes.crossJoin(broadcast(ns))
       .select(col("node"), col("__s"),
-        when(col("__s"), expr(s"${Scale}L div __ns")).otherwise(0L).as("rank"))
-      .localCheckpoint(true)
+        when(col("__s"), expr(s"${Scale}L div __ns")).otherwise(0L).as("rank")))
     for (i <- 1 to iters) {
       val contrib = e
         .join(r, e("src") === r("node"))
@@ -132,9 +136,11 @@ object PageRank {
               + expr("85 * (__dang div __ns) div 100")).otherwise(0L)
             + expr("85 * coalesce(__s2, 0L) div 100"))
             .as("rank"))
-      if (i % checkpointInterval == 0 || i == iters) r = r.localCheckpoint(true)
+      if (i % checkpointInterval == 0 || i == iters) r = scope.roll("r", r)
     }
+    scope.close("r")
     r.select("node", "rank")
+    } catch { case t: Throwable => scope.closeAll(); throw t }
   }
 
   /** Oracle for [[personalized]] over `edges` and `seeds` CTE bodies —
@@ -176,7 +182,8 @@ object PageRank {
        |  SELECT node, CASE WHEN s THEN $Scale // ns ELSE 0 END AS rank
        |  FROM nodes CROSS JOIN n),
        |$its
-       |SELECT node, rank FROM r$iters ORDER BY rank DESC, node LIMIT $k""".stripMargin
+       |SELECT node, CAST(rank AS BIGINT) AS rank
+       |FROM r$iters ORDER BY rank DESC, node LIMIT $k""".stripMargin
   }
 
   /** The matching DuckDB oracle text over an `edges` CTE body with
@@ -212,6 +219,7 @@ object PageRank {
        |n AS MATERIALIZED (SELECT COUNT(*) AS cnt FROM nodes),
        |r0 AS MATERIALIZED (SELECT node, $Scale // cnt AS rank FROM nodes CROSS JOIN n),
        |$its
-       |SELECT node, rank FROM r$iters ORDER BY rank DESC, node LIMIT $k""".stripMargin
+       |SELECT node, CAST(rank AS BIGINT) AS rank
+       |FROM r$iters ORDER BY rank DESC, node LIMIT $k""".stripMargin
   }
 }

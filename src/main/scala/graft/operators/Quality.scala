@@ -90,7 +90,8 @@ object Quality {
       .map { case (c, i) => s"${metricSql(c)} AS m$i" }.mkString(",\n  ")
     val rows = checks.zipWithIndex.map { case (c, i) =>
       s"""SELECT '${c.name}' AS "check", '${c.column}' AS "column", m$i AS metric,
-         |  ${c.threshold} AS threshold, m$i >= ${c.threshold} AS pass FROM m""".stripMargin
+         |  CAST(${c.threshold} AS DOUBLE) AS threshold,
+         |  m$i >= CAST(${c.threshold} AS DOUBLE) AS pass FROM m""".stripMargin
     }.mkString("\nUNION ALL ")
     s"WITH m AS (SELECT\n  $ms\nFROM $table)\n$rows"
   }

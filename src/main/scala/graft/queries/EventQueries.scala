@@ -629,34 +629,51 @@ object EventQueries {
     * rate monitor alerts on ([[statCusum]] localizes WHERE; this says
     * WHETHER, with a calibrated null).
     */
+  /** Oracle CTEs `e(event_type, es)`, `t(mid)`, `g(event_type, k1, k2)`,
+    * `z0(event_type, k1, k2, z)` for the per-type half-split Poisson-rate
+    * z — ONE text shared between `stat_poisson_rate` and `stat_fdr_bh`
+    * (the autocorrSqlCtes discipline) so the two z formulas can never
+    * silently drift.
+    */
+  private val poissonRateSqlCtes: String =
+    """WITH e AS (SELECT event_type,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+      |  FROM events),
+      |t AS (SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM e),
+      |g AS (SELECT event_type,
+      |    CAST(SUM(CASE WHEN es <= mid THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+      |    CAST(SUM(CASE WHEN es > mid THEN 1 ELSE 0 END) AS BIGINT) AS k2
+      |  FROM e CROSS JOIN t GROUP BY 1),
+      |z0 AS (SELECT event_type, k1, k2,
+      |    (CAST(k1 AS DOUBLE) - k2) / SQRT(CAST(k1 + k2 AS DOUBLE)) AS z
+      |  FROM g)""".stripMargin
+
+  /** The matching Spark plan: (event_type, k1, k2, z) — shared by the
+    * same two queries as [[poissonRateSqlCtes]].
+    */
+  private def poissonRateZ(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = ev(s, dir).select(
+      col("event_type"),
+      unix_timestamp(date_trunc("second", col("ts"))).as("es"))
+    val t = e.agg(expr("(min(es) + max(es)) div 2").as("mid"))
+    e.crossJoin(broadcast(t))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("es") <= col("mid"), 1L).otherwise(0L)).as("k1"),
+        sum(when(col("es") > col("mid"), 1L).otherwise(0L)).as("k2"))
+      .select(
+        col("event_type"), col("k1"), col("k2"),
+        ((col("k1").cast("double") - col("k2"))
+          / sqrt((col("k1") + col("k2")).cast("double"))).as("z"))
+  }
+
   val statPoissonRate: Q = Q(
     "stat_poisson_rate",
-    Some("""WITH e AS (SELECT event_type,
-           |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
-           |  FROM events),
-           |t AS (SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM e),
-           |g AS (SELECT event_type,
-           |    CAST(SUM(CASE WHEN es <= mid THEN 1 ELSE 0 END) AS BIGINT) AS k1,
-           |    CAST(SUM(CASE WHEN es > mid THEN 1 ELSE 0 END) AS BIGINT) AS k2
-           |  FROM e CROSS JOIN t GROUP BY 1)
-           |SELECT event_type, k1, k2,
-           |  (CAST(k1 AS DOUBLE) - k2) / SQRT(CAST(k1 + k2 AS DOUBLE)) AS z
-           |FROM g""".stripMargin),
-    (s, dir) => {
-      val e = ev(s, dir).select(
-        col("event_type"),
-        unix_timestamp(date_trunc("second", col("ts"))).as("es"))
-      val t = e.agg(expr("(min(es) + max(es)) div 2").as("mid"))
-      e.crossJoin(broadcast(t))
-        .groupBy("event_type")
-        .agg(
-          sum(when(col("es") <= col("mid"), 1L).otherwise(0L)).as("k1"),
-          sum(when(col("es") > col("mid"), 1L).otherwise(0L)).as("k2"))
-        .select(
-          col("event_type"), col("k1"), col("k2"),
-          ((col("k1").cast("double") - col("k2"))
-            / sqrt((col("k1") + col("k2")).cast("double"))).as("z"))
-    })
+    Some(s"""$poissonRateSqlCtes
+           |SELECT event_type, k1, k2, z FROM z0""".stripMargin),
+    (s, dir) => poissonRateZ(s, dir))
 
   /** RFM segmentation (recency / frequency / monetary) — the classic
     * user-value grid, composed from three drives of the SHARDED
@@ -857,7 +874,7 @@ object EventQueries {
            |    SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r,
            |    SUM(c) OVER () AS n
            |  FROM g),
-           |qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+           |qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
            |SELECT q, MIN(v) AS qv
            |FROM c CROSS JOIN qs
            |WHERE r >= CAST(CEIL(q * n) AS BIGINT)
@@ -898,17 +915,7 @@ object EventQueries {
     val phi = graft.fit.ClosedForm.normalCdfText("ABS(z)")
     Q(
       "stat_fdr_bh",
-      Some(s"""WITH e AS (SELECT event_type,
-              |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
-              |  FROM events),
-              |t AS (SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM e),
-              |g AS (SELECT event_type,
-              |    CAST(SUM(CASE WHEN es <= mid THEN 1 ELSE 0 END) AS BIGINT) AS k1,
-              |    CAST(SUM(CASE WHEN es > mid THEN 1 ELSE 0 END) AS BIGINT) AS k2
-              |  FROM e CROSS JOIN t GROUP BY 1),
-              |z0 AS (SELECT event_type,
-              |    (CAST(k1 AS DOUBLE) - k2) / SQRT(CAST(k1 + k2 AS DOUBLE)) AS z
-              |  FROM g),
+      Some(s"""$poissonRateSqlCtes,
               |p AS (SELECT event_type, z,
               |    ROUND(2.0 * (1.0 - $phi), 6) AS p_value FROM z0),
               |rk AS (SELECT event_type, z, p_value,
@@ -920,19 +927,7 @@ object EventQueries {
               |  rnk <= kmax AS rejected
               |FROM rk CROSS JOIN mx""".stripMargin),
       (s, dir) => {
-        val e = ev(s, dir).select(
-          col("event_type"),
-          unix_timestamp(date_trunc("second", col("ts"))).as("es"))
-        val t = e.agg(expr("(min(es) + max(es)) div 2").as("mid"))
-        val z0 = e.crossJoin(broadcast(t))
-          .groupBy("event_type")
-          .agg(
-            sum(when(col("es") <= col("mid"), 1L).otherwise(0L)).as("k1"),
-            sum(when(col("es") > col("mid"), 1L).otherwise(0L)).as("k2"))
-          .select(
-            col("event_type"),
-            ((col("k1").cast("double") - col("k2"))
-              / sqrt((col("k1") + col("k2")).cast("double"))).as("z"))
+        val z0 = poissonRateZ(s, dir).select("event_type", "z")
         val p = z0.select(
           col("event_type"), col("z"),
           round(lit(2.0) * (lit(1.0) - expr(phi)), 6).as("p_value"))
@@ -1226,8 +1221,13 @@ object EventQueries {
       ev(s, dir)
         .select(
           col("user_id"),
-          (unix_timestamp(date_trunc("second", col("ts")))
-            .cast(LongType) / 86400).cast(LongType).as("day"))
+          // `div` (floor toward −∞ on the integer route via Spark's
+          // integral division), matching the oracle's `// 86400` — a
+          // double-divide-then-truncate would round toward zero and
+          // diverge on pre-1970 (negative-epoch) timestamps (e15/e16
+          // already use div; this keeps the sibling family consistent)
+          expr("unix_timestamp(date_trunc('second', ts)) div 86400")
+            .cast(LongType).as("day"))
         .distinct()
         .withColumn("island", col("day") - row_number().over(w))
         .groupBy("user_id", "island")
@@ -1293,39 +1293,40 @@ object EventQueries {
           .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
           .withColumn("next_type", lead(col("event_type"), 1).over(w))
           .filter(col("next_type").isNotNull)
-        val c0 = t.groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
-          .localCheckpoint(true)
+        val scope = new graft.operators.CheckpointScope
+        val c0 = scope.mat(
+          t.groupBy("event_type", "next_type").agg(count(lit(1)).as("n")))
         val f = c0.groupBy(col("event_type").as("__from")).agg(sum("n").as("tot"))
         // transition probabilities quantized to 2^20 fixed-point so the
         // per-edge product pi·q stays under 2^63 at ANY corpus count
         // (pi ≤ Scale = 1e12, q ≤ 2^20 → ≤ 1.1e18; the naive pi·n/tot
         // overflows once row counts pass ~9e6 against pico-unit mass)
-        val c = c0.join(f, col("event_type") === col("__from"))
+        val c = scope.mat(c0.join(f, col("event_type") === col("__from"))
           .select(col("event_type"), col("next_type"),
-            expr("n * 1048576L div tot").as("q"))
-          .localCheckpoint(true)
-        val states = c0.select(col("event_type").as("state"))
-          .union(c0.select(col("next_type").as("state"))).distinct()
-          .localCheckpoint(true)
+            expr("n * 1048576L div tot").as("q")))
+        val states = scope.mat(c0.select(col("event_type").as("state"))
+          .union(c0.select(col("next_type").as("state"))).distinct())
         val n = states.agg(count(lit(1)).as("ns"))
         val fOut = c.select(col("event_type").as("__out")).distinct()
-        var p: org.apache.spark.sql.DataFrame = states.crossJoin(broadcast(n))
-          .select(col("state"), expr(s"${scale}L div ns").as("pi"))
-          .localCheckpoint(true)
+        var p: org.apache.spark.sql.DataFrame = scope.roll("p",
+          states.crossJoin(broadcast(n))
+            .select(col("state"), expr(s"${scale}L div ns").as("pi")))
         for (_ <- 1 to iters) {
           val contrib = c.join(p, c("event_type") === p("state"))
             .select(col("next_type"), expr("pi * q div 1048576L").as("__c"))
             .groupBy("next_type").agg(sum("__c").as("contrib"))
           val dang = p.join(fOut, p("state") === fOut("__out"), "left_anti")
             .agg(coalesce(sum("pi"), lit(0L)).as("dang"))
-          p = states.crossJoin(broadcast(n)).crossJoin(broadcast(dang))
-            .join(contrib, states("state") === contrib("next_type"), "left")
-            .select(
-              col("state"),
-              (coalesce(col("contrib"), lit(0L))
-                + expr("dang div ns")).cast(LongType).as("pi"))
-            .localCheckpoint(true)
+          p = scope.roll("p",
+            states.crossJoin(broadcast(n)).crossJoin(broadcast(dang))
+              .join(contrib, states("state") === contrib("next_type"), "left")
+              .select(
+                col("state"),
+                (coalesce(col("contrib"), lit(0L))
+                  + expr("dang div ns")).cast(LongType).as("pi")))
         }
+        // returned plan is rooted only in the final "p" checkpoint
+        scope.close("p")
         p.select(col("state").as("event_type"), col("pi"))
       })
   }

@@ -1346,6 +1346,43 @@ object GroupingQueries {
       })
   }
 
+  /** The PRODUCTION Adamic–Adar tier ([[graft.operators.LinkPredict
+    * .adamicAdarCapped]]): same co-occurrence graph, every node capped
+    * to its 8 smallest-id neighbors before wedge enumeration — wedge
+    * volume bounded by n·8² at ANY hub degree (the exact tier's in-plan
+    * guard refuses skewed graphs; this tier is what runs at corpus
+    * scale). maxDeg = 8 is deliberately BELOW the graph's hub degrees
+    * at every SF so the truncation semantics are exercised, not
+    * vacuously equal to the exact tier; the oracle replays cap, capped
+    * degrees, and scoring verbatim — hash-exact.
+    */
+  val adamicAdarCapped: Q = {
+    val edgesCte =
+      """SELECT DISTINCT LEAST(l1.l_suppkey, l2.l_suppkey) AS u,
+        |       GREATEST(l1.l_suppkey, l2.l_suppkey) AS v
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |    AND l1.l_linenumber = 1 AND l2.l_linenumber = 2
+        |    AND l1.l_suppkey <> l2.l_suppkey""".stripMargin
+    Q(
+      "graph_adamic_adar_capped",
+      Some(graft.operators.LinkPredict.cappedOracleSql(edgesCte, k = 20, maxDeg = 8)),
+      (s, dir) => {
+        val l = Tables.load(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_suppkey")
+        val pairs = l.as("l1")
+          .join(l.as("l2"),
+            col("l1.l_orderkey") === col("l2.l_orderkey") &&
+              col("l1.l_linenumber") === 1 && col("l2.l_linenumber") === 2 &&
+              col("l1.l_suppkey") =!= col("l2.l_suppkey"))
+          .select(
+            least(col("l1.l_suppkey"), col("l2.l_suppkey")).as("u"),
+            greatest(col("l1.l_suppkey"), col("l2.l_suppkey")).as("v"))
+          .distinct()
+        graft.operators.LinkPredict.adamicAdarCapped(pairs, k = 20, maxDeg = 8)
+      })
+  }
+
   /** Personalized PageRank from the five heaviest customers
     * ([[graft.operators.PageRank.personalized]]): random walk with
     * restart — the graph-proximity score behind "related items" /
@@ -1474,7 +1511,7 @@ object GroupingQueries {
     tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore,
     freqItems, zorderExport, logregQuality, percentileRank, equidepthHist,
     winsorize, pagerank, triangles, labelProp, cmsTopk, kcore, hllDistinct,
-    adamicAdar, ppr, skyline, shortestHops, assortativity, modularity,
+    adamicAdar, adamicAdarCapped, ppr, skyline, shortestHops, assortativity, modularity,
     clusteringCoeff, hits, olapShareOfParent, olapTopnOthers,
     graphDegreeDist, dqReferential, olapMomChange, olapAbc, aggHhi)
 }

@@ -287,7 +287,7 @@ object ProfileQueries {
            |    SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r,
            |    SUM(c) OVER () AS n
            |  FROM g),
-           |qs AS (SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+           |qs AS (SELECT CAST(unnest([0.01, 0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q)
            |SELECT q, MIN(v) AS qv
            |FROM c CROSS JOIN qs
            |WHERE r >= CAST(CEIL(q * n) AS BIGINT)
@@ -727,7 +727,7 @@ object ProfileQueries {
               |    SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r,
               |    SUM(c) OVER () AS n
               |  FROM g),
-              |qs AS (SELECT unnest([${probs.mkString(", ")}]) AS q)
+              |qs AS (SELECT CAST(unnest([${probs.mkString(", ")}]) AS DOUBLE) AS q)
               |SELECT q, MIN(v) AS observed,
               |  MIN(st.mean + st.std * ${graft.fit.ClosedForm.probitText("q")})
               |    AS theoretical
@@ -1813,7 +1813,7 @@ object ProfileQueries {
               |  COUNT(*) AS n,
               |  SUM(CASE WHEN event_type IN ($inList) THEN 0 ELSE 1 END) AS n_unseen
               |FROM events GROUP BY 1)
-              |SELECT bucket, n AS n_events, n_unseen,
+              |SELECT bucket, n AS n_events, CAST(n_unseen AS BIGINT) AS n_unseen,
               |  ROUND($chi2, 6) AS chi2,
               |  ROUND($psi, 6) AS psi
               |FROM g""".stripMargin),

@@ -1718,9 +1718,9 @@ object TextQueries {
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
            |  FROM t)
            |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
-           |  pre // 512 AS seq_first,
-           |  (pre + n_tokens - 1) // 512 AS seq_last,
-           |  pre % 512 AS seq_offset
+           |  CAST(pre // 512 AS BIGINT) AS seq_first,
+           |  CAST((pre + n_tokens - 1) // 512 AS BIGINT) AS seq_last,
+           |  CAST(pre % 512 AS BIGINT) AS seq_offset
            |FROM p""".stripMargin),
     (s, dir) =>
       graft.operators.Packing.concatCut(

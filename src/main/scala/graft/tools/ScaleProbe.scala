@@ -269,6 +269,25 @@ object ScaleProbe {
         graft.operators.Dedup.duplicateSpans(
           scaledDocs(docs, c), "doc_id", "text", w = 40).count()
       }
+      timed("keep_best_chain", c) {
+        // the FULL dedup_keep_best composition end-to-end (pairs →
+        // alternating-star components → quality → per-cluster winner):
+        // each stage is probed alone elsewhere; this row pins the
+        // COMPOSITION — the cluster-bounded ranking window must stay
+        // cluster-sized as copies grow (per-copy suffixes keep clusters
+        // within-copy, so cluster count grows linearly, sizes constant)
+        val d = scaledDocs(docs, c)
+        val pairs = graft.operators.Dedup.jaccardPairs(
+          d, "doc_id", "text", k = 3, threshold = 0.5)
+        val comp = graft.operators.Components.alternatingStar(
+          d.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
+        val qual = d.select(
+          col("doc_id"),
+          (length(col("text")).cast("double") / lit(1000.0)).as("quality"))
+        graft.operators.Dedup.resolveKeep(
+          comp.join(qual, "doc_id"), "doc_id", "component", col("quality"))
+          .filter(col("keep")).count()
+      }
       timed("components", c) {
         // mirrors the REGISTERED dedup_components tier: plain shingle-join
         // pairs (PPJoin's window sorts replicate badly inside unrolled

@@ -127,6 +127,21 @@ class WaveTwentySpec extends AnyFunSuite {
     assert(totAuth < 2L * Hits.Scale && totAuth > Hits.Scale / 2)
   }
 
+  test("hits: degree overflow guard fails loudly; passing graphs unaffected") {
+    import spark.implicits._
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L))
+      .toDF("src", "dst")
+    // node 10 has (in+out) degree 3 — a bound of 2 must fail IN-PLAN
+    val e = intercept[Exception] {
+      Hits.fixedPoint(edges, iters = 2, maxDegree = 2L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("HITS overflow guard")), e.getMessage)
+    // the same graph under the default bound computes normally
+    assert(Hits.fixedPoint(edges, iters = 2).count() == 5L)
+  }
+
   test("hits: complete bipartite graph ties all masses exactly") {
     import spark.implicits._
     val edges = (for (c <- 1L to 2L; s <- 10L to 11L) yield (c, s))

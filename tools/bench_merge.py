@@ -21,8 +21,12 @@ for p in ins:
     meta = meta or d
     for q, t in d.get("queries", {}).items():
         merged[q] = min(merged.get(q, t), t)
+if meta is None:
+    sys.exit(f"bench_merge: none of the inputs could be read: {ins}")
 payload = {
-    "metric": meta.get("metric", "bench_total_sec"),
+    # 'total' is the metric name Bench.scala records — inherit it, and
+    # only fall back to the same literal if an input predates the field
+    "metric": meta.get("metric", "total"),
     "value": round(sum(merged.values()), 3),
     "unit": "sec",
     "sf": meta.get("sf"),
