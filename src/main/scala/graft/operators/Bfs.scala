@@ -60,10 +60,16 @@ object Bfs {
       val nv = visited.unionByName(next).persist(StorageLevel.MEMORY_AND_DISK)
       nv.count() // materialize before releasing the lineage parents
       visited.unpersist(blocking = false)
+      // the outgoing frontier's last consumer was `next`'s
+      // materialization above — release it (r10: it used to leak one
+      // persisted RDD per BFS level; round 1 aliases visited, already
+      // released). Plain persists, lineage intact — release is safe.
+      if (frontier ne visited) frontier.unpersist(blocking = false)
       frontier = next
       visited = nv
     }
     sym.unpersist(blocking = false)
+    if (frontier ne visited) frontier.unpersist(blocking = false)
     visited
   }
 

@@ -669,6 +669,31 @@ object ScaleProbe {
           .distinct()
         graft.operators.LinkPredict.adamicAdar(pairs, k = 20).count()
       }
+      timed("adamic_adar_capped", c) {
+        // the ADVERSARIAL axis for the capped tier: suppkeys are NOT
+        // shifted across copies, so the same supplier nodes gain ~c×
+        // the co-occurrence edges — node DEGREES grow with copies and
+        // the exact tier's Σdeg² wedge volume grows ~quadratically.
+        // The capped tier truncates every adjacency at 64, so its
+        // wedge volume (≤ n·64²) — and its wall time — must stay flat
+        // while degrees climb: the production-tier scale argument
+        // measured, not asserted.
+        val l = (0 until c).map(i => li.select(
+          (col("l_orderkey") + lit(i.toLong * 100000000L)).as("l_orderkey"),
+          col("l_linenumber"), col("l_suppkey")))
+          .reduce(_ unionAll _)
+        val pairs = l.as("l1")
+          .join(l.as("l2"),
+            col("l1.l_orderkey") === col("l2.l_orderkey") &&
+              col("l1.l_linenumber") === 1 && col("l2.l_linenumber") === 2 &&
+              col("l1.l_suppkey") =!= col("l2.l_suppkey"))
+          .select(
+            least(col("l1.l_suppkey"), col("l2.l_suppkey")).as("u"),
+            greatest(col("l1.l_suppkey"), col("l2.l_suppkey")).as("v"))
+          .distinct()
+        graft.operators.LinkPredict.adamicAdarCapped(pairs, k = 20, maxDeg = 64)
+          .count()
+      }
       timed("interval_join", c) {
         // copies grow points AND intervals linearly (disjoint hour
         // ranges via the orderkey shift trick on events-like longs);
