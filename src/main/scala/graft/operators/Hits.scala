@@ -65,14 +65,17 @@ object Hits {
     // so any degree beyond 2^63 / (2·Scale) ≈ 4.6e6 could silently wrap
     // the BIGINT sum on the Spark side where the DuckDB oracle raises —
     // a silent-vs-loud divergence (PageRank divides by outdeg BEFORE
-    // summing and has no such cliff). Fold the check into the node-set
-    // pass: it fails the materializing job before any round can emit.
-    val maxDeg = e.select(col("src").as("__n"))
-      .unionByName(e.select(col("dst").as("__n")))
-      .groupBy("__n").agg(count(lit(1)).as("__d"))
-      .agg(coalesce(max("__d"), lit(0L)).as("__m"))
-    val nodes = scope.mat(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // summing and has no such cliff). The node set was already one
+    // hash-distinct over the endpoint union — computing it as a count
+    // aggregate instead makes the degree a free byproduct of the SAME
+    // shuffle (no extra edge-relation pass; the max() fold runs over
+    // the node-cardinality relation only), and the assert fails the
+    // node-set materialization before any round can run.
+    val degs = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__d"))
+    val maxDeg = degs.agg(coalesce(max("__d"), lit(0L)).as("__m"))
+    val nodes = scope.mat(degs.select("node")
       .crossJoin(broadcast(maxDeg))
       .filter(assert_true(
         col("__m") <= lit(maxDegree),

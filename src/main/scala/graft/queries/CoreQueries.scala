@@ -359,8 +359,214 @@ object CoreQueries {
       })
   }
 
+  /** TPC-H Q4 shape — order-priority checking: count a quarter's orders
+    * by priority where at least one lineitem satisfies a per-line
+    * predicate (the schema's stand-in for commit<receipt is a returned
+    * line, `l_returnflag = 'R'` — same EXISTS/semi-join shape). The
+    * date filter pushes into the orders scan, the flag filter into the
+    * lineitem scan; the existence test is ONE left-semi shuffle join on
+    * the order key (never an aggregate-then-join), so at 100 TB it is
+    * the canonical key-partitioned semi join with both inputs pruned.
+    */
+  val q4OrderPriority: Q = Q(
+    "q4_order_priority",
+    Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+           |FROM orders
+           |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+           |  AND o_orderdate < TIMESTAMP '1996-10-01'
+           |  AND EXISTS (SELECT 1 FROM lineitem
+           |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    (s, dir) =>
+      ord(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .join(
+          li(s, dir).filter(col("l_returnflag") === "R").select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority"))
+
+  /** TPC-H Q6 shape — forecast-revenue change: the pure pushdown
+    * benchmark (year × discount-band × quantity filter, no join, one
+    * exact-decimal sum). All three predicates reach the parquet scan as
+    * PushedFilters; the aggregate is a 1-row map-side combine.
+    */
+  val q6ForecastRevenue: Q = Q(
+    "q6_forecast_revenue",
+    Some(s"""SELECT ROUND(${D.dsum("l_extendedprice * l_discount")}, 6)
+            |    AS revenue,
+            |  CAST(COUNT(*) AS BIGINT) AS n
+            |FROM lineitem
+            |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            |  AND l_shipdate < TIMESTAMP '1997-01-01'
+            |  AND l_discount BETWEEN 0.05 AND 0.07
+            |  AND l_quantity < 24""".stripMargin),
+    (s, dir) =>
+      li(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(
+          round(DetAgg.dsum(col("l_extendedprice") * col("l_discount")), 6)
+            .as("revenue"),
+          count(lit(1)).as("n")))
+
+  /** TPC-H Q12 shape — shipping-mode / priority matrix: per line
+    * category (the schema's mode stand-in is `l_returnflag`), how many
+    * of a year's lines belong to critical-priority orders vs not — the
+    * classic fact→dim join with a two-way conditional count. Orders is
+    * the join's smaller side only at toy SF, so the join stays a
+    * key-partitioned shuffle; the year filter pushes into the lineitem
+    * scan. Both CASE counts ride one aggregate (cast BIGINT on both
+    * sides — the type-gate discipline).
+    */
+  val q12ShipPriority: Q = Q(
+    "q12_ship_priority",
+    Some("""SELECT l_returnflag AS mode,
+           |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE l_returnflag IN ('A', 'R')
+           |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+           |  AND l_shipdate < TIMESTAMP '1997-01-01'
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, dir) => {
+      val crit = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li(s, dir)
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(ord(s, dir).select("o_orderkey", "o_orderpriority"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_returnflag").as("mode"))
+        .agg(
+          sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!crit, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("mode")
+    })
+
+  /** TPC-H Q13 shape — customer order-count distribution: LEFT join so
+    * zero-order customers keep a 0 bucket (the whole point of Q13), a
+    * join-predicate filter (only non-LOW orders count), then the
+    * two-level aggregate. COUNT(o_orderkey) counts matches only —
+    * portable null semantics on both engines.
+    */
+  val q13CustDist: Q = Q(
+    "q13_custdist",
+    Some("""WITH c_orders AS (
+           |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+           |  FROM customer LEFT JOIN orders
+           |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+           |  GROUP BY c_custkey)
+           |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+           |FROM c_orders GROUP BY c_count
+           |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+    (s, dir) =>
+      cust(s, dir).select("c_custkey")
+        .join(
+          ord(s, dir).filter(col("o_orderpriority") =!= "5-LOW")
+            .select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc))
+
+  /** TPC-H Q17 shape — small-quantity-order revenue: per-part average
+    * quantity (exact-decimal davg — one IEEE division, bit-portable),
+    * lines under 20 % of their part's average, brand-filtered, total
+    * extendedprice / 7. The correlated scalar subquery is DECORRELATED
+    * on both sides into a per-part aggregate + equi join (the oracle
+    * replays the decorrelated text, so the threshold double is the
+    * same IEEE value in both engines); the brand filter semi-prunes
+    * the per-part aggregate input, and part is broadcast.
+    */
+  val q17SmallQtyRevenue: Q = Q(
+    "q17_small_qty_revenue",
+    Some(s"""WITH pq AS (
+            |  SELECT l_partkey, 0.2 * ${D.davg("l_quantity")} AS thresh
+            |  FROM lineitem JOIN part ON p_partkey = l_partkey
+            |  WHERE p_brand = 'Brand#1' GROUP BY l_partkey)
+            |SELECT ROUND(${D.dsumExact("l_extendedprice")} / 7.0, 6)
+            |    AS avg_yearly,
+            |  CAST(COUNT(*) AS BIGINT) AS n
+            |FROM lineitem JOIN pq ON lineitem.l_partkey = pq.l_partkey
+            |WHERE l_quantity < thresh""".stripMargin),
+    (s, dir) => {
+      val brandParts = Tables.load(s, dir, "part")
+        .filter(col("p_brand") === "Brand#1").select("p_partkey")
+      val pq = li(s, dir)
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg((lit(0.2) * DetAgg.davg(col("l_quantity"))).as("thresh"))
+      li(s, dir)
+        .join(pq.withColumnRenamed("l_partkey", "__pk"),
+          col("l_partkey") === col("__pk"))
+        .filter(col("l_quantity") < col("thresh"))
+        .agg(
+          round(DetAgg.dsum(col("l_extendedprice")) / lit(7.0), 6)
+            .as("avg_yearly"),
+          count(lit(1)).as("n"))
+    })
+
+  /** TPC-H Q22 shape — global sales opportunity: customers from a
+    * country set with above-average positive balance and no RECENT
+    * orders (the schema's phone-prefix stand-in is `c_nationkey`; the
+    * no-orders test is date-bounded because this dataset gives every
+    * customer at least one lifetime order — lapsed-since-2000 keeps the
+    * anti join non-vacuous at every SF). The average is a 1-row
+    * broadcast (exact-decimal davg), the lapsed test ONE anti join on
+    * the customer key with the date filter pushed into the orders scan,
+    * the census a ≤|countries|-row aggregate — at 100 TB: scan +
+    * broadcast + anti join, nothing else.
+    */
+  val q22GlobalSales: Q = Q(
+    "q22_global_sales",
+    Some(s"""WITH pos AS (
+            |  SELECT ${D.davg("c_acctbal")} AS avg_bal FROM customer
+            |  WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 2, 3, 4, 5)),
+            |cand AS (
+            |  SELECT c_custkey, c_nationkey, c_acctbal
+            |  FROM customer CROSS JOIN pos
+            |  WHERE c_nationkey IN (1, 2, 3, 4, 5) AND c_acctbal > avg_bal)
+            |SELECT c_nationkey AS cntrycode,
+            |  CAST(COUNT(*) AS BIGINT) AS numcust,
+            |  ${D.dsum("c_acctbal")} AS totacctbal
+            |FROM cand LEFT JOIN (
+            |    SELECT DISTINCT o_custkey FROM orders
+            |    WHERE o_orderdate >= TIMESTAMP '2000-01-01') o
+            |  ON o.o_custkey = c_custkey
+            |WHERE o_custkey IS NULL
+            |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, dir) => {
+      val inSet = col("c_nationkey").isin(1, 2, 3, 4, 5)
+      val c = cust(s, dir)
+      val avgBal = c.filter(col("c_acctbal") > 0.0 && inSet)
+        .agg(DetAgg.davg(col("c_acctbal")).as("avg_bal"))
+      c.filter(inSet)
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(
+          ord(s, dir)
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(
+          count(lit(1)).as("numcust"),
+          DetAgg.dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("cntrycode")
+    })
+
   def all: Seq[Q] = Seq(
     q1Agg, q1Full, p1Filter, j2Dim, q3Shipping, hist2d,
     q5LocalSupplier, q18LargeVolume, q10ReturnedItems, q14PromoEffect,
-    q19DiscountRevenue)
+    q19DiscountRevenue, q4OrderPriority, q6ForecastRevenue,
+    q12ShipPriority, q13CustDist, q17SmallQtyRevenue, q22GlobalSales)
 }

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wave-28: TPC-H Q4/Q6/Q12/Q13/Q17/Q22 shapes — each test is a
+  * hand-sized fixture where the admitted/excluded rows are enumerable
+  * by eye (the proof-by-synthesis discipline).
+  */
+class WaveTwentyEightSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def fixtureDir(tables: (String, org.apache.spark.sql.DataFrame)*): String = {
+    val dir = Files.createTempDirectory("graft_w28")
+    tables.foreach { case (t, rows) =>
+      rows.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir.toString
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s + " 00:00:00")
+
+  test("q4: only in-window orders with a matching line are counted") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, ts("1996-08-01"), "1-URGENT"), // in window, has R line ✓
+      (2L, ts("1996-08-01"), "1-URGENT"), // in window, no R line ✗
+      (3L, ts("1997-08-01"), "1-URGENT")) // out of window ✗
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Seq((1L, "R"), (2L, "N"), (3L, "R"))
+      .toDF("l_orderkey", "l_returnflag")
+    val got = SparkEntry.queries("q4_order_priority")(
+      spark, fixtureDir("orders" -> orders, "lineitem" -> li)).collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("1-URGENT", 1L)))
+  }
+
+  test("q6: every predicate excludes its violator") {
+    import spark.implicits._
+    val li = Seq(
+      (ts("1996-06-01"), 0.06, 10.0, 100.0), // all pass → 6.0
+      (ts("1997-06-01"), 0.06, 10.0, 100.0), // date ✗
+      (ts("1996-06-01"), 0.04, 10.0, 100.0), // discount ✗
+      (ts("1996-06-01"), 0.06, 30.0, 100.0)) // quantity ✗
+      .toDF("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+    val got = SparkEntry.queries("q6_forecast_revenue")(
+      spark, fixtureDir("lineitem" -> li)).collect().head
+    assert(got.getAs[Long]("n") == 1L)
+    assert(got.getAs[Double]("revenue") == 6.0)
+  }
+
+  test("q12: per-mode high/low priority split") {
+    import spark.implicits._
+    val orders = Seq((1L, "1-URGENT"), (2L, "5-LOW"))
+      .toDF("o_orderkey", "o_orderpriority")
+    val li = Seq(
+      (1L, "A", ts("1996-02-01")), // A × high
+      (2L, "A", ts("1996-02-01")), // A × low
+      (1L, "R", ts("1996-02-01")), // R × high
+      (1L, "N", ts("1996-02-01")), // mode excluded
+      (2L, "A", ts("1997-02-01"))) // year excluded
+      .toDF("l_orderkey", "l_returnflag", "l_shipdate")
+    val got = SparkEntry.queries("q12_ship_priority")(
+      spark, fixtureDir("orders" -> orders, "lineitem" -> li)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("A", 1L, 1L), ("R", 1L, 0L)))
+  }
+
+  test("q13: zero-order customers keep their 0 bucket") {
+    import spark.implicits._
+    val cust = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val orders = Seq(
+      (10L, 1L, "1-URGENT"), (11L, 1L, "2-HIGH"), // cust 1: 2 counted
+      (12L, 1L, "5-LOW"),                         // filtered by join pred
+      (13L, 2L, "5-LOW"))                         // cust 2 → 0 bucket
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val got = SparkEntry.queries("q13_custdist")(
+      spark, fixtureDir("customer" -> cust, "orders" -> orders)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 2L, 2L -> 1L))
+  }
+
+  test("q17: only lines under 20% of their part's average quantity") {
+    import spark.implicits._
+    val part = Seq((1L, "Brand#1"), (2L, "Brand#9")).toDF("p_partkey", "p_brand")
+    val li = Seq(
+      (1L, 1.0, 70.0),    // avg qty part1 = 7 → thresh 1.4 → admitted
+      (1L, 10.0, 999.0),  // over thresh ✗
+      (1L, 10.0, 999.0),  // over thresh ✗
+      (2L, 0.1, 999.0))   // wrong brand ✗
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val got = SparkEntry.queries("q17_small_qty_revenue")(
+      spark, fixtureDir("part" -> part, "lineitem" -> li)).collect().head
+    assert(got.getAs[Long]("n") == 1L)
+    assert(got.getAs[Double]("avg_yearly") == 10.0)
+  }
+
+  test("q22: above-average lapsed customers only, avg over positive balances") {
+    import spark.implicits._
+    val cust = Seq(
+      (1L, 1, 10.0),  // below avg ✗
+      (2L, 1, 30.0),  // above avg, old order only ✓
+      (3L, 1, 40.0),  // above avg but recent order ✗
+      (4L, 1, -5.0),  // negative: excluded from avg and below it ✗
+      (5L, 9, 99.0))  // nation outside the set ✗
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val orders = Seq(
+      (20L, 2L, ts("1999-05-01")),  // old — cust 2 stays lapsed
+      (21L, 3L, ts("2000-05-01")))  // recent — cust 3 excluded
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    // avg over positive balances in nations 1-5: (10+30+40)/3 = 26.67
+    val got = SparkEntry.queries("q22_global_sales")(
+      spark, fixtureDir("customer" -> cust, "orders" -> orders)).collect()
+    assert(got.length == 1)
+    assert(got.head.getInt(0) == 1)
+    assert(got.head.getLong(1) == 1L)
+    assert(got.head.getDouble(2) == 30.0)
+  }
+}
