@@ -564,9 +564,111 @@ object CoreQueries {
         .orderBy("cntrycode")
     })
 
+  /** TPC-H Q7 shape — volume shipping between a nation PAIR: the
+    * five-way star (lineitem → supplier/nation, → orders → customer/
+    * nation) with the pair disjunction and a per-year revenue rollup.
+    * Supplier and customer sides are pre-FILTERED to the two nations
+    * before joining (the pair predicate only references the names, so
+    * pushing it below the joins is semantics-preserving and prunes both
+    * dims to 1/25th), then broadcast; the only shuffle is lineitem ⋈
+    * orders on the order key. Exact-decimal revenue, round-6.
+    */
+  val q7NationVolume: Q = {
+    val pair =
+      """((supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+        | OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1'))""".stripMargin
+    Q(
+      "q7_nation_volume",
+      Some(s"""WITH j AS (
+              |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+              |    l_extendedprice * (1 - l_discount) AS volume
+              |  FROM lineitem
+              |  JOIN supplier ON s_suppkey = l_suppkey
+              |  JOIN orders ON o_orderkey = l_orderkey
+              |  JOIN customer ON c_custkey = o_custkey
+              |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+              |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+              |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              |    AND l_shipdate < TIMESTAMP '1998-01-01')
+              |SELECT supp_nation, cust_nation, l_year,
+              |  ROUND(${D.dsumExact("volume")}, 6) AS revenue,
+              |  CAST(COUNT(*) AS BIGINT) AS n
+              |FROM j WHERE $pair
+              |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+      (s, dir) => {
+        val names = Seq("NATION_1", "NATION_2")
+        val n = nat(s, dir).select("n_nationkey", "n_name")
+        val supp = Tables.load(s, dir, "supplier")
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .filter(col("n_name").isin(names: _*))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+        val c = cust(s, dir)
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .filter(col("n_name").isin(names: _*))
+          .select(col("c_custkey"), col("n_name").as("cust_nation"))
+        li(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .join(ord(s, dir).select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .filter(expr(pair))
+          .groupBy(
+            col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(
+            round(DetAgg.dsum(
+              col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+              .as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      })
+  }
+
+  /** TPC-H Q15 shape — top supplier by quarterly revenue: the
+    * view-plus-max pattern (revenue per supplier, keep the argmax
+    * row(s)). The max is a 1-row broadcast and the equality compare is
+    * between two doubles DERIVED FROM THE SAME exact-decimal sum — the
+    * only way a double equality join is portable. Supplier is the
+    * broadcast dim.
+    */
+  val q15TopSupplier: Q = Q(
+    "q15_top_supplier",
+    Some(s"""WITH rev AS (
+            |  SELECT l_suppkey,
+            |    ${D.dsumExact("l_extendedprice * (1 - l_discount)")}
+            |      AS total_revenue
+            |  FROM lineitem
+            |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            |    AND l_shipdate < TIMESTAMP '1996-04-01'
+            |  GROUP BY l_suppkey),
+            |m AS (SELECT MAX(total_revenue) AS mr FROM rev)
+            |SELECT s_suppkey, s_name, total_revenue
+            |FROM supplier JOIN rev ON s_suppkey = l_suppkey CROSS JOIN m
+            |WHERE total_revenue = mr ORDER BY s_suppkey""".stripMargin),
+    (s, dir) => {
+      val rev = li(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(DetAgg.dsum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+      val m = rev.agg(max("total_revenue").as("mr"))
+      Tables.load(s, dir, "supplier").select("s_suppkey", "s_name")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(m))
+        .filter(col("total_revenue") === col("mr"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    })
+
   def all: Seq[Q] = Seq(
     q1Agg, q1Full, p1Filter, j2Dim, q3Shipping, hist2d,
     q5LocalSupplier, q18LargeVolume, q10ReturnedItems, q14PromoEffect,
     q19DiscountRevenue, q4OrderPriority, q6ForecastRevenue,
-    q12ShipPriority, q13CustDist, q17SmallQtyRevenue, q22GlobalSales)
+    q12ShipPriority, q13CustDist, q17SmallQtyRevenue, q22GlobalSales,
+    q7NationVolume, q15TopSupplier)
 }

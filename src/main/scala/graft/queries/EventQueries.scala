@@ -1650,7 +1650,161 @@ object EventQueries {
           round(DetAgg.dsumP(lit(1.0) / col("k")), 6).as("credit"))
     })
 
+  /** Kaplan–Meier survival curve of time-to-first-purchase — THE
+    * censoring-correct conversion analysis (a plain average of observed
+    * conversion times is biased the moment any user hasn't converted
+    * yet): duration = hours from a user's first event to their first
+    * `purchase`, administratively censored at a 72-hour horizon (users
+    * whose first purchase falls at or beyond 72 h count as at-risk up
+    * to the horizon, then leave the risk set unconverted — this
+    * dataset's users all convert eventually, so the horizon is what
+    * makes the censoring machinery non-vacuous at every SF). Per
+    * distinct time: risk-set size by prefix subtraction (one window
+    * over the ≤73-row time relation, [[graft.plans.ScalarExpressions
+    * .singlePartitionKey]] contract), S(t) = Π(1 − dᵢ/nᵢ) computed as
+    * EXP of the cumulative sum of per-time round-6 LN terms — the PMI
+    * ln-portability discipline: rounded terms summed in the window's
+    * deterministic time order are bit-identical in both engines, one
+    * EXP + round-6 closes it. 1 − d/n > 0 structurally at any event
+    * time because horizon-censored users stay at risk past every event
+    * time < 72. Hash-exact.
+    */
+  val e19KaplanMeier: Q = {
+    val horizon = 72
+    Q(
+      "e19_kaplan_meier",
+      Some(s"""WITH u AS (SELECT user_id,
+              |    CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS t0
+              |  FROM events GROUP BY 1),
+              |p AS (SELECT user_id,
+              |    CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS tp
+              |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+              |s AS (SELECT u.user_id,
+              |    CASE WHEN tp IS NOT NULL AND (tp - t0) // 3600 < $horizon
+              |         THEN 1 ELSE 0 END AS ev,
+              |    CASE WHEN tp IS NOT NULL AND (tp - t0) // 3600 < $horizon
+              |         THEN (tp - t0) // 3600 ELSE $horizon END AS t
+              |  FROM u LEFT JOIN p ON p.user_id = u.user_id),
+              |g AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+              |    CAST(SUM(1 - ev) AS BIGINT) AS c
+              |  FROM s GROUP BY t),
+              |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM s),
+              |r AS (SELECT t, d, c,
+              |    CAST(total - COALESCE(SUM(d + c) OVER (ORDER BY t
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS BIGINT) AS n_risk
+              |  FROM g CROSS JOIN tot),
+              |h AS (SELECT t, d, c, n_risk,
+              |    CASE WHEN d > 0
+              |         THEN ROUND(LN(1.0 - CAST(d AS DOUBLE) / n_risk), 6)
+              |         ELSE 0.0 END AS lnterm
+              |  FROM r)
+              |SELECT t AS t_hours, n_risk, d AS d_events, c AS c_censored,
+              |  ROUND(EXP(SUM(lnterm) OVER (ORDER BY t
+              |    ROWS UNBOUNDED PRECEDING)), 6) AS survival
+              |FROM h ORDER BY t_hours""".stripMargin),
+      (s, dir) => {
+        val base = ev(s, dir).select(
+          col("user_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("es"),
+          col("event_type"))
+        val u = base.groupBy("user_id").agg(min("es").as("t0"))
+        val p = base.filter(col("event_type") === "purchase")
+          .groupBy("user_id").agg(min("es").as("tp"))
+        val dur = expr("(tp - t0) div 3600")
+        val converted = col("tp").isNotNull && dur < horizon
+        val subj = u.join(p, Seq("user_id"), "left")
+          .select(
+            col("user_id"),
+            when(converted, 1L).otherwise(0L).as("ev"),
+            when(converted, dur).otherwise(horizon.toLong).as("t"))
+        val g = subj.groupBy("t").agg(
+          sum("ev").as("d"), sum(lit(1L) - col("ev")).as("c"))
+        val tot = subj.agg(count(lit(1)).as("total"))
+        val spk = graft.plans.ScalarExpressions.singlePartitionKey(col("t"))
+        val wPrev = Window.partitionBy(spk).orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.partitionBy(spk).orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        g.crossJoin(broadcast(tot))
+          .withColumn("n_risk",
+            col("total") - coalesce(
+              sum(col("d") + col("c")).over(wPrev), lit(0L)))
+          .withColumn("lnterm",
+            when(col("d") > 0,
+              round(log(lit(1.0) - col("d").cast("double") / col("n_risk")), 6))
+              .otherwise(lit(0.0)))
+          .select(
+            col("t").as("t_hours"), col("n_risk"),
+            col("d").as("d_events"), col("c").as("c_censored"),
+            round(exp(sum("lnterm").over(wCum)), 6).as("survival"))
+          .orderBy("t_hours")
+      })
+  }
+
+  /** Mann–Kendall trend test on the hourly event-count series — the
+    * NONPARAMETRIC "is traffic trending" gate ([[tsRollingSlope]]
+    * reports a windowed rate; this tests monotone trend over the whole
+    * window with a calibrated null and no normality assumption):
+    * S = Σ_{i<j} sign(xⱼ − xᵢ) over all bucket pairs, tie-corrected
+    * variance, the ±1-continuity z. The pair join is quadratic in
+    * BUCKETS — bounded by the time span (≈720 for a 30-day window),
+    * never by data volume (the [[tsChangepoint]] axis argument), so the
+    * non-equi join is a deliberate bounded nested loop. S and the tie
+    * fold are exact BIGINTs; z is one fixed IEEE tree TEXT-shared with
+    * the oracle — hash-exact unrounded.
+    */
+  val statMannKendall: Q = {
+    // CAST the divisor: a bare `18.0` is a DECIMAL literal to DuckDB
+    // (BIGINT / DECIMAL stays DECIMAL — the exact class the type gate
+    // kills) but a DOUBLE to Spark; the explicit cast makes the shared
+    // text one IEEE division in both engines
+    val varTree = "(m * (m - 1) * (2 * m + 5) - tie) / CAST(18.0 AS DOUBLE)"
+    val zTree =
+      s"""CASE WHEN s_stat > 0 THEN (s_stat - 1) / SQRT($varTree)
+         |     WHEN s_stat < 0 THEN (s_stat + 1) / SQRT($varTree)
+         |     ELSE 0.0 END""".stripMargin
+    Q(
+      "stat_mann_kendall",
+      Some(s"""WITH b AS (SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+              |    CAST(COUNT(*) AS BIGINT) AS n
+              |  FROM events GROUP BY 1),
+              |s AS (SELECT CAST(COALESCE(SUM(CASE WHEN c.n > a.n THEN 1
+              |    WHEN c.n < a.n THEN -1 ELSE 0 END), 0) AS BIGINT) AS s_stat
+              |  FROM b a JOIN b c ON c.bucket > a.bucket),
+              |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM b),
+              |ties AS (SELECT CAST(COALESCE(SUM(tg * (tg - 1) * (2 * tg + 5)), 0)
+              |    AS BIGINT) AS tie
+              |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tg FROM b GROUP BY n)
+              |  WHERE tg > 1)
+              |SELECT m AS n_buckets, s_stat, $varTree AS var_s, $zTree AS z
+              |FROM s CROSS JOIN nb CROSS JOIN ties""".stripMargin),
+      (s, dir) => {
+        val b = ev(s, dir)
+          .groupBy(floor(unix_timestamp(col("ts")) / 3600).cast(LongType)
+            .as("bucket"))
+          .agg(count(lit(1)).as("n"))
+        val b2 = b.select(col("bucket").as("bucket2"), col("n").as("n2"))
+        val sStat = b.join(b2, col("bucket2") > col("bucket"))
+          .agg(coalesce(
+            sum(when(col("n2") > col("n"), 1L)
+              .when(col("n2") < col("n"), -1L).otherwise(0L)),
+            lit(0L)).as("s_stat"))
+        val nb = b.agg(count(lit(1)).as("m"))
+        val ties = b.groupBy("n").agg(count(lit(1)).as("tg"))
+          .filter(col("tg") > 1)
+          .agg(coalesce(
+            sum(col("tg") * (col("tg") - 1) * (lit(2) * col("tg") + 5)),
+            lit(0L)).as("tie"))
+        sStat.crossJoin(broadcast(nb)).crossJoin(broadcast(ties))
+          .select(
+            col("m").as("n_buckets"), col("s_stat"),
+            expr(varTree).as("var_s"), expr(zTree).as("z"))
+      })
+  }
+
   def all: Seq[Q] = Seq(
+    e19KaplanMeier, statMannKendall,
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e4AsofNearest, e5Funnel,
     e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,
     statCusum, statAutocorr, tsEwma, tsSeasonalDecompose, e11Markov,

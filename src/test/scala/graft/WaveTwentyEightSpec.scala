@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Wave-28: TPC-H Q4/Q6/Q12/Q13/Q17/Q22 shapes — each test is a
@@ -95,6 +96,92 @@ class WaveTwentyEightSpec extends AnyFunSuite {
       spark, fixtureDir("part" -> part, "lineitem" -> li)).collect().head
     assert(got.getAs[Long]("n") == 1L)
     assert(got.getAs[Double]("avg_yearly") == 10.0)
+  }
+
+  test("q7: only the nation pair's rows, split by direction and year") {
+    import spark.implicits._
+    val nation = Seq((1, "NATION_1"), (2, "NATION_2"), (3, "NATION_3"))
+      .toDF("n_nationkey", "n_name")
+    val supplier = Seq((10L, 1), (11L, 2), (12L, 3))
+      .toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((20L, 2), (21L, 1), (22L, 3))
+      .toDF("c_custkey", "c_nationkey")
+    val orders = Seq((100L, 20L), (101L, 21L), (102L, 22L))
+      .toDF("o_orderkey", "o_custkey")
+    val li = Seq(
+      (100L, 10L, ts("1996-05-01"), 10.0, 0.0), // N1 → N2, 1996 ✓
+      (101L, 11L, ts("1997-05-01"), 20.0, 0.0), // N2 → N1, 1997 ✓
+      (102L, 10L, ts("1996-05-01"), 999.0, 0.0), // N1 → N3 ✗
+      (100L, 10L, ts("1995-05-01"), 999.0, 0.0)) // date ✗
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val got = SparkEntry.queries("q7_nation_volume")(
+      spark, fixtureDir("nation" -> nation, "supplier" -> supplier,
+        "customer" -> customer, "orders" -> orders, "lineitem" -> li))
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      ("NATION_1", "NATION_2", 1996L, 10.0),
+      ("NATION_2", "NATION_1", 1997L, 20.0)))
+  }
+
+  test("q15: argmax keeps ties, drops the rest") {
+    import spark.implicits._
+    val supplier = Seq((1L, "s1"), (2L, "s2"), (3L, "s3"))
+      .toDF("s_suppkey", "s_name")
+    val li = Seq(
+      (1L, ts("1996-02-01"), 50.0, 0.0),
+      (2L, ts("1996-02-01"), 30.0, 0.0),
+      (2L, ts("1996-02-01"), 20.0, 0.0),  // supplier 2 also totals 50
+      (3L, ts("1996-02-01"), 10.0, 0.0),  // below max
+      (1L, ts("1997-02-01"), 999.0, 0.0)) // out of quarter
+      .toDF("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val got = SparkEntry.queries("q15_top_supplier")(
+      spark, fixtureDir("supplier" -> supplier, "lineitem" -> li))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 50.0), (2L, 50.0)))
+  }
+
+  test("kaplan-meier: hand-computed curve with censoring at the horizon") {
+    import spark.implicits._
+    // 4 users, first event at epoch-hour 0. A purchases at hour 1,
+    // B at hour 2, C at hour 100 (≥72 → censored at 72), D never
+    // (censored at 72). Curve: t=1: n=4,d=1,S=3/4; t=2: n=3,d=1,S=1/2;
+    // t=72: n=2,c=2,S unchanged.
+    def e(u: Long, h: Long, t: String) =
+      (u, Timestamp.from(java.time.Instant.ofEpochSecond(h * 3600)), t)
+    val ev = Seq(
+      e(1, 0, "view"), e(1, 1, "purchase"),
+      e(2, 0, "view"), e(2, 2, "purchase"),
+      e(3, 0, "view"), e(3, 100, "purchase"),
+      e(4, 0, "view"), e(4, 110, "click"))
+      .toDF("user_id", "ts", "event_type")
+      .withColumn("event_id", col("user_id"))
+    val got = SparkEntry.queries("e19_kaplan_meier")(
+      spark, fixtureDir("events" -> ev)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (1L, 4L, 1L, 0L, 0.75),
+      (2L, 3L, 1L, 0L, 0.5),
+      (72L, 2L, 0L, 2L, 0.5)), s"$got")
+  }
+
+  test("mann-kendall: strictly increasing series has S = all pairs, z > 0") {
+    import spark.implicits._
+    // 4 hourly buckets with counts 1,2,3,4 → S = 6 pairs, no ties:
+    // var = 4*3*13/18 = 8.667, z = 5/sqrt(var)
+    val rows = for (h <- 0 until 4; i <- 0 to h) yield
+      (h.toLong * 10 + i,
+        Timestamp.from(java.time.Instant.ofEpochSecond(h * 3600L + i)), "view")
+    val ev = rows.toDF("event_id", "ts", "event_type")
+      .withColumn("user_id", col("event_id"))
+    val got = SparkEntry.queries("stat_mann_kendall")(
+      spark, fixtureDir("events" -> ev)).collect().head
+    assert(got.getAs[Long]("n_buckets") == 4L)
+    assert(got.getAs[Long]("s_stat") == 6L)
+    val varS = 4.0 * 3 * 13 / 18.0
+    assert(got.getAs[Double]("var_s") == varS)
+    assert(got.getAs[Double]("z") == 5.0 / math.sqrt(varS))
   }
 
   test("q22: above-average lapsed customers only, avg over positive balances") {
