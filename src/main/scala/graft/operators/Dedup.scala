@@ -243,7 +243,49 @@ object Dedup {
       text: String,
       k: Int,
       threshold: Double,
-      maxDocsPerShingle: Long = MaxDocsPerShingle): DataFrame = {
+      maxDocsPerShingle: Long = MaxDocsPerShingle): DataFrame =
+    commonShingleCounts(df, id, text, k, maxDocsPerShingle)
+      .withColumn(
+        "jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "common", "jaccard")
+
+  /** Shingle CONTAINMENT near-dup pairs — the asymmetric complement of
+    * [[jaccardPairs]]: C(A,B) = |A∩B| / |A| (and the mirror for B), the
+    * sub-document-duplication detector (a short doc embedded verbatim
+    * in a long one has near-zero Jaccard but containment ≈ 1 — the
+    * union denominator drowns the overlap; Broder's resemblance-vs-
+    * containment distinction). Same guarded shingle join and
+    * common-count kernel as the Jaccard tier (one code path, one
+    * guard); pairs survive when EITHER direction's containment clears
+    * the threshold. Same brute/oracle-tier contract: quadratic in docs
+    * sharing a shingle, guarded in-plan; the banded tiers are the scale
+    * paths.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      id: String,
+      text: String,
+      k: Int,
+      threshold: Double,
+      maxDocsPerShingle: Long = MaxDocsPerShingle): DataFrame =
+    commonShingleCounts(df, id, text, k, maxDocsPerShingle)
+      .withColumn("cont_a", col("common").cast("double") / col("na"))
+      .withColumn("cont_b", col("common").cast("double") / col("nb"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("id_a", "id_b", "common", "cont_a", "cont_b")
+
+  /** The shared kernel of [[jaccardPairs]] and [[containmentPairs]]:
+    * guarded shingle self-join → per-pair common counts joined to both
+    * sides' set sizes — (id_a, id_b, common, na, nb).
+    */
+  private def commonShingleCounts(
+      df: DataFrame,
+      id: String,
+      text: String,
+      k: Int,
+      maxDocsPerShingle: Long): DataFrame = {
     // join on the 64-bit shingle hash: smaller shuffle + long compares
     // (collision probability ~n²/2⁶⁵ — immaterial). Deliberately NOT
     // cached: the exploded shingle relation is LARGER than the corpus, so
@@ -282,11 +324,6 @@ object Dedup {
     common
       .join(sizes.select(col(id).as("id_a"), col("n_sh").as("na")), "id_a")
       .join(sizes.select(col(id).as("id_b"), col("n_sh").as("nb")), "id_b")
-      .withColumn(
-        "jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "common", "jaccard")
   }
 
   /** Cross-corpus line dedup (C4-style cleanup): every line of length ≥

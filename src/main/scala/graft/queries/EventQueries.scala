@@ -946,6 +946,124 @@ object EventQueries {
       })
   }
 
+  /** Benjamini–Yekutieli FDR correction — [[statFdrBh]]'s
+    * dependence-robust sibling (BH assumes independent or positively
+    * correlated tests; per-type rate tests share the corpus midpoint,
+    * so the conservative c(m) = Σ 1/i harmonic inflation is the honest
+    * default). Shares the Poisson-rate CTE and Φ text with BH; the
+    * harmonic constant is computed from the ranked relation itself
+    * (rnk spans 1..m exactly once) as an exact-decimal sum of round-6
+    * reciprocals — order-free, so no float fold ordering can diverge.
+    */
+  val statFdrBy: Q = {
+    val phi = graft.fit.ClosedForm.normalCdfText("ABS(z)")
+    Q(
+      "stat_fdr_by",
+      Some(s"""$poissonRateSqlCtes,
+              |p AS (SELECT event_type, z,
+              |    ROUND(2.0 * (1.0 - $phi), 6) AS p_value FROM z0),
+              |rk AS (SELECT event_type, z, p_value,
+              |    ROW_NUMBER() OVER (ORDER BY p_value, event_type) AS rnk,
+              |    COUNT(*) OVER () AS m FROM p),
+              |h AS (SELECT ${D.dsum("ROUND(1.0 / CAST(rnk AS DOUBLE), 6)")}
+              |    AS c_m FROM rk),
+              |mx AS (SELECT COALESCE(MAX(CASE
+              |    WHEN p_value <= CAST(0.05 AS DOUBLE) * rnk / m / c_m
+              |    THEN rnk END), 0) AS kmax FROM rk CROSS JOIN h)
+              |SELECT event_type, z, p_value, CAST(rnk AS BIGINT) AS rnk,
+              |  ROUND(c_m, 6) AS c_m, rnk <= kmax AS rejected
+              |FROM rk CROSS JOIN h CROSS JOIN mx""".stripMargin),
+      (s, dir) => {
+        val z0 = poissonRateZ(s, dir).select("event_type", "z")
+        val p = z0.select(
+          col("event_type"), col("z"),
+          round(lit(2.0) * (lit(1.0) - expr(phi)), 6).as("p_value"))
+        val spk = graft.plans.ScalarExpressions.singlePartitionKey(col("p_value"))
+        val wRank = Window.partitionBy(spk).orderBy(col("p_value"), col("event_type"))
+        val ranked = p
+          .withColumn("rnk", row_number().over(wRank).cast(LongType))
+          .crossJoin(broadcast(p.agg(count(lit(1)).as("m"))))
+        val h = ranked.agg(DetAgg.dsum(
+          round(lit(1.0) / col("rnk").cast("double"), 6)).as("c_m"))
+        val withH = ranked.crossJoin(broadcast(h))
+        val mx = withH.agg(coalesce(
+          max(when(
+            col("p_value") <=
+              lit(0.05) * col("rnk") / col("m") / col("c_m"),
+            col("rnk"))), lit(0L)).as("kmax"))
+        withH.crossJoin(broadcast(mx))
+          .select(
+            col("event_type"), col("z"), col("p_value"), col("rnk"),
+            round(col("c_m"), 6).as("c_m"),
+            (col("rnk") <= col("kmax")).as("rejected"))
+      })
+  }
+
+  /** Page–Hinkley sequential drift detector over the hourly
+    * event-count series — the CUSUM-family "did the mean shift"
+    * monitor with a per-step alarm trail ([[statCusum]] localizes the
+    * argmax; PH is the standard streaming formulation with a running
+    * mean and a drift allowance δ): mₜ = Σᵢ≤ₜ (xᵢ − x̄ᵢ − δ) with x̄ᵢ
+    * the running mean of the first i values, PHₜ = mₜ − min_{s≤t} mₛ,
+    * alarm when PHₜ > λ. The running mean is exact-integer cumsum / i
+    * (one IEEE division per row); per-step terms are round-6 and the
+    * cumulative/min windows run in bucket order over the
+    * time-span-bounded relation ([[graft.plans.ScalarExpressions
+    * .singlePartitionKey]] contract) — both engines fold identical
+    * doubles in the same order. Hash-exact.
+    */
+  val statPageHinkley: Q = {
+    val delta = "CAST(1.0 AS DOUBLE)"
+    val lambda = "CAST(50.0 AS DOUBLE)"
+    Q(
+      "stat_page_hinkley",
+      Some(s"""WITH b AS (SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+              |    CAST(COUNT(*) AS BIGINT) AS x
+              |  FROM events GROUP BY 1),
+              |c AS (SELECT bucket, x,
+              |    CAST(SUM(x) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+              |      AS BIGINT) AS cs,
+              |    ROW_NUMBER() OVER (ORDER BY bucket) AS i
+              |  FROM b),
+              |t AS (SELECT bucket, x,
+              |    ROUND(CAST(x AS DOUBLE) - CAST(cs AS DOUBLE) / i - $delta, 6)
+              |      AS term
+              |  FROM c),
+              |m AS (SELECT bucket, x,
+              |    SUM(term) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS mt
+              |  FROM t)
+              |SELECT bucket, x AS n_events, ROUND(mt, 6) AS m_t,
+              |  ROUND(mt - MIN(mt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING),
+              |    6) AS ph,
+              |  mt - MIN(mt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+              |    > $lambda AS alarm
+              |FROM m ORDER BY bucket""".stripMargin),
+      (s, dir) => {
+        val b = ev(s, dir)
+          .groupBy(floor(unix_timestamp(col("ts")) / 3600).cast(LongType)
+            .as("bucket"))
+          .agg(count(lit(1)).as("x"))
+        val spk = graft.plans.ScalarExpressions.singlePartitionKey(col("bucket"))
+        val wCum = Window.partitionBy(spk).orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val t = b
+          .withColumn("cs", sum("x").over(wCum))
+          .withColumn("i", row_number().over(
+            Window.partitionBy(spk).orderBy("bucket")).cast(LongType))
+          .withColumn("term",
+            round(col("x").cast("double")
+              - col("cs").cast("double") / col("i") - expr(delta), 6))
+        t.withColumn("mt", sum("term").over(wCum))
+          .withColumn("mn", min("mt").over(wCum))
+          .select(
+            col("bucket"), col("x").as("n_events"),
+            round(col("mt"), 6).as("m_t"),
+            round(col("mt") - col("mn"), 6).as("ph"),
+            (col("mt") - col("mn") > expr(lambda)).as("alarm"))
+          .orderBy("bucket")
+      })
+  }
+
   /** Ljung–Box portmanteau test over the first three autocorrelations —
     * the ONE-NUMBER "is this series white noise" gate on top of
     * [[statAutocorr]]'s per-lag values (three r's invite three ad-hoc
@@ -1804,7 +1922,7 @@ object EventQueries {
   }
 
   def all: Seq[Q] = Seq(
-    e19KaplanMeier, statMannKendall,
+    e19KaplanMeier, statMannKendall, statFdrBy, statPageHinkley,
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e4AsofNearest, e5Funnel,
     e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,
     statCusum, statAutocorr, tsEwma, tsSeasonalDecompose, e11Markov,

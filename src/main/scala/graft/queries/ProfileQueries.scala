@@ -821,6 +821,76 @@ object ProfileQueries {
       })
   }
 
+  /** Dunn's post-hoc test — the pairwise layer OVER
+    * [[kruskalWallis]] (an omnibus H only says SOME group differs;
+    * Dunn's rank-sum z per pair, on the SAME global mid-ranks and tie
+    * correction, says which): z_ij = (R̄_i − R̄_j) / √(V·(1/n_i + 1/n_j))
+    * with V = N(N+1)/12 − Σ(t³−t)/(12(N−1)). Reuses the sharded
+    * ranked-cells kernel verbatim; 2·ranksum per group is an exact
+    * BIGINT (the 2r−ct+1 doubled mid-rank identity), so each pair's z
+    * is one literal IEEE tree TEXT-shared with the oracle — hash-exact
+    * unrounded, ≤ C(groups,2) output rows.
+    */
+  val dunnPosthoc: Q = {
+    val flags = Seq("A" -> "a", "N" -> "n", "R" -> "r")
+    val ns = flags.map { case (f, s) =>
+      s"CAST(SUM(CASE WHEN f = '$f' THEN c ELSE 0 END) AS BIGINT) AS n_$s"
+    }
+    val r2s = flags.map { case (f, s) =>
+      s"CAST(SUM(CASE WHEN f = '$f' THEN c * (2 * r - ct + 1) ELSE 0 END) AS BIGINT) AS r2_$s"
+    }
+    val nd = "CAST(n AS DOUBLE)"
+    val varV =
+      s"($nd * ($nd + 1.0) / 12.0 - CAST(tt AS DOUBLE) / (12.0 * ($nd - 1.0)))"
+    def rbar(s: String) = s"CAST(r2_$s AS DOUBLE) / (2 * n_$s)"
+    def zPair(i: String, j: String) =
+      s"(${rbar(i)} - ${rbar(j)}) / SQRT($varV * " +
+        s"(1.0 / CAST(n_$i AS DOUBLE) + 1.0 / CAST(n_$j AS DOUBLE)))"
+    val pairRows = Seq(("A", "a", "N", "n"), ("A", "a", "R", "r"), ("N", "n", "R", "r"))
+      .map { case (f1, s1, f2, s2) =>
+        s"""SELECT '$f1' AS g1, '$f2' AS g2, n_$s1 AS n1, n_$s2 AS n2,
+           |  ${zPair(s1, s2)} AS z FROM m CROSS JOIN tv""".stripMargin
+      }.mkString("\nUNION ALL ")
+    Q(
+      "stat_dunn_posthoc",
+      Some(s"""WITH g AS (SELECT CAST(l_quantity AS DOUBLE) AS v,
+              |    l_returnflag AS f, COUNT(*) AS c
+              |  FROM lineitem
+              |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+              |  GROUP BY 1, 2),
+              |bv AS (SELECT v, SUM(c) AS ct FROM g GROUP BY v),
+              |cum AS (SELECT v, ct,
+              |    SUM(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r
+              |  FROM bv),
+              |cells AS (SELECT f, c, ct, r FROM g JOIN cum USING (v)),
+              |m AS (SELECT ${(ns ++ r2s).mkString(",\n  ")} FROM cells),
+              |tv AS (SELECT CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tt,
+              |    CAST(SUM(ct) AS BIGINT) AS n FROM bv)
+              |$pairRows
+              |ORDER BY g1, g2""".stripMargin),
+      (s, dir) => {
+        val cells = graft.functions.Stats.rankedCells(
+          Tables.load(s, dir, "lineitem"), "l_returnflag", "l_quantity")
+          .select(
+            col("__g").as("f"), col("__v").as("v"), col("__c").as("c"),
+            col("__ct").as("ct"), col("__r").as("r"))
+        val mRow = cells.agg(
+          expr((ns ++ r2s).head), (ns ++ r2s).tail.map(expr): _*)
+        val tv = cells.select("v", "ct").distinct().agg(
+          expr("CAST(SUM(ct * ct * ct - ct) AS BIGINT)").as("tt"),
+          expr("CAST(SUM(ct) AS BIGINT)").as("n"))
+        val base = mRow.crossJoin(broadcast(tv))
+        val rows = Seq(("A", "a", "N", "n"), ("A", "a", "R", "r"), ("N", "n", "R", "r"))
+          .map { case (f1, s1, f2, s2) =>
+            base.select(
+              lit(f1).as("g1"), lit(f2).as("g2"),
+              col(s"n_$s1").as("n1"), col(s"n_$s2").as("n2"),
+              expr(zPair(s1, s2)).as("z"))
+          }
+        rows.reduce(_ unionByName _).orderBy("g1", "g2")
+      })
+  }
+
   /** Jarque–Bera normality statistic on l_quantity — the cheap
     * moment-based normality screen beside the exact-distribution
     * [[ks1Price]] (JB needs ONE aggregate pass; KS needs the full ECDF):
@@ -2088,7 +2158,7 @@ object ProfileQueries {
     chi2ReturnFlag, anovaQuantity, giniPrice, grubbsPrice, benfordPrice,
     aucLangLen, kendallTau, cramersV, brownForsythe, theilSen, wilsonCi,
     ks1Price, mutualInfo, cohensD, hillTail, qqNormal,
-    kruskalWallis, jarqueBera, cohenKappa, kuiperPrice, welchTtest, friedman,
+    kruskalWallis, dunnPosthoc, jarqueBera, cohenKappa, kuiperPrice, welchTtest, friedman,
     mcnemar, oddsRatio, trimmedMean, bartlett, theilIndex, partialCorr,
     decileReport, tukeyFences, cochranQ, gumbelMaxima, srmCheck,
     sampleDsir, packCurriculum, dqExpectations,

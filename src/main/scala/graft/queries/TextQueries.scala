@@ -290,6 +290,35 @@ object TextQueries {
     (s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5))
 
+  /** Shingle-containment near-dup pairs ([[graft.operators.Dedup
+    * .containmentPairs]]): C(A,B) = |A∩B|/|A| per direction, pair kept
+    * when either clears 0.8 — the sub-document-duplication detector
+    * Jaccard's union denominator misses (Broder's resemblance vs
+    * containment). Shares the guarded shingle kernel with
+    * `dedup_ngram_jaccard`; the oracle replays sizes, common counts,
+    * and both divisions verbatim — hash-exact unrounded.
+    */
+  val dedupContainment: Q = Q(
+    "dedup_containment",
+    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+           |              FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+           |       FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)),
+           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+           |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           |          GROUP BY 1, 2)
+           |SELECT id_a, id_b, common,
+           |  CAST(common AS DOUBLE) / sa.n AS cont_a,
+           |  CAST(common AS DOUBLE) / sb.n AS cont_b
+           |FROM pairs p
+           |JOIN sizes sa ON p.id_a = sa.doc_id
+           |JOIN sizes sb ON p.id_b = sb.doc_id
+           |WHERE GREATEST(CAST(common AS DOUBLE) / sa.n,
+           |               CAST(common AS DOUBLE) / sb.n) >= 0.8""".stripMargin),
+    (s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.8))
+
   /** Cross-corpus line dedup (C4-style): long lines keep only their first
     * occurrence; docs reassembled in order — fully oracle-checked.
     */
@@ -2535,7 +2564,7 @@ object TextQueries {
     pipelinePerplexityMix, streamQualityMonitor,
     jsonlRoundtrip, sampleUpsample, splitShards, splitShuffle,
     packSequences, packGreedy,
-    dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix,
+    dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix, dedupContainment,
     dedupComponents, dedupComponentsChain, dedupComponentsIncremental, dedupKeepBest, decontamNgram,
     decontamSpans, dedupIncremental,
     dedupLines, dedupSubstringSpans, dedupMinHash, dedupMinHashHash,

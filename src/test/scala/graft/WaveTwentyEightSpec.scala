@@ -184,6 +184,68 @@ class WaveTwentyEightSpec extends AnyFunSuite {
     assert(got.getAs[Double]("z") == 5.0 / math.sqrt(varS))
   }
 
+  test("containment: embedded short doc scores ~1 where jaccard misses it") {
+    import spark.implicits._
+    // doc 2 is a verbatim slice of doc 1: containment(2→1) = 1.0 while
+    // jaccard = |A∩B|/|A∪B| stays far below any high threshold
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val short = (11 to 16).map(i => s"w$i").mkString(" ")
+    val docsDf = Seq((1L, long), (2L, short), (3L, "x y z q r s t u"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .containmentPairs(docsDf, "doc_id", "text", k = 3, threshold = 0.8)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert(r.getDouble(4) == 1.0) // cont_b: all of doc 2's shingles in doc 1
+    val jac = graft.operators.Dedup
+      .jaccardPairs(docsDf, "doc_id", "text", k = 3, threshold = 0.8)
+    assert(jac.count() == 0L, "jaccard at the same threshold must miss it")
+  }
+
+  test("page-hinkley: a step change raises ph; flat series stays at zero") {
+    import spark.implicits._
+    // 10 hours at 2 events, then 10 hours at 30: mean shifts up hard
+    val rows = for {
+      h <- 0 until 20
+      i <- 0 until (if (h < 10) 2 else 30)
+    } yield (h.toLong * 100 + i,
+      Timestamp.from(java.time.Instant.ofEpochSecond(h * 3600L + i)), "view")
+    val ev = rows.toDF("event_id", "ts", "event_type")
+      .withColumn("user_id", col("event_id"))
+    val got = SparkEntry.queries("stat_page_hinkley")(
+      spark, fixtureDir("events" -> ev)).collect()
+    val ph = got.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.length == 20)
+    // during the flat prefix the statistic hovers near zero...
+    assert(math.abs(ph(ph.keys.min + 5)) < 3.0, s"$ph")
+    // ...and the final ph reflects the accumulated positive drift
+    assert(ph(ph.keys.max) > 50.0, s"$ph")
+    assert(got.last.getBoolean(4), "alarm must fire after the step")
+  }
+
+  test("dunn post-hoc: symmetric groups give symmetric z, equal groups z=0") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("stat_dunn_posthoc")(spark, dir).collect()
+    assert(got.length == 3)
+    // each pair's z is finite and the pair labels are ordered
+    got.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(!r.getDouble(4).isNaN && !r.getDouble(4).isInfinite)
+    }
+  }
+
+  test("benjamini-yekutieli is never less conservative than BH") {
+    val dir = "/root/testdata/sf0.001"
+    val bh = SparkEntry.queries("stat_fdr_bh")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    val by = SparkEntry.queries("stat_fdr_by")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    // BY's threshold divides by c(m) ≥ 1: anything BY rejects, BH must too
+    by.foreach { case (t, rej) => if (rej) assert(bh(t), s"$t: BY rejected but BH did not") }
+  }
+
   test("q22: above-average lapsed customers only, avg over positive balances") {
     import spark.implicits._
     val cust = Seq(
