@@ -1921,8 +1921,147 @@ object EventQueries {
       })
   }
 
+  /** Two-proportion conversion z between deterministically hash-split
+    * arms — the primitive A/B readout on top of [[graft.queries
+    * .ProfileQueries.srmCheck]]'s assignment (same Knuth-hash bucket
+    * text, so the arms whose balance SRM validates are the arms this
+    * tests): per-user conversion = first `purchase` within 24 h of the
+    * user's first event (the [[e19KaplanMeier]] horizon semantics —
+    * lifetime "ever purchased" is 100 % in this dataset, which would
+    * make the pooled variance exactly zero), pooled-variance z. One
+    * user-keyed aggregate + one 1-row fold, exact integers into a
+    * fixed IEEE tree — hash-exact unrounded.
+    */
+  val abConversionZ: Q = {
+    val arm = "(user_id + 7) % 100000 * 2654435761 % 4294967296 % 2"
+    val p = "(CAST(x0 + x1 AS DOUBLE) / (n0 + n1))"
+    val z = s"(CAST(x0 AS DOUBLE) / n0 - CAST(x1 AS DOUBLE) / n1)" +
+      s" / SQRT($p * (1.0 - $p)" +
+      s" * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))"
+    val ms = Seq(
+      s"CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0",
+      s"CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x0",
+      s"CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1",
+      s"CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1")
+    Q(
+      "ab_conversion_z",
+      Some(s"""WITH b AS (SELECT user_id,
+              |    CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS t0,
+              |    CAST(epoch(date_trunc('second', MIN(CASE
+              |      WHEN event_type = 'purchase' THEN ts END))) AS BIGINT) AS tp
+              |  FROM events GROUP BY user_id),
+              |u AS (SELECT user_id,
+              |    CASE WHEN tp IS NOT NULL AND (tp - t0) // 3600 < 24
+              |         THEN 1 ELSE 0 END AS conv,
+              |    $arm AS arm
+              |  FROM b),
+              |m AS (SELECT ${ms.mkString(",\n  ")} FROM u)
+              |SELECT n0, x0, n1, x1,
+              |  CAST(x0 AS DOUBLE) / n0 AS rate0,
+              |  CAST(x1 AS DOUBLE) / n1 AS rate1,
+              |  $z AS z
+              |FROM m""".stripMargin),
+      (s, dir) => {
+        val b = ev(s, dir)
+          .select(
+            col("user_id"),
+            unix_timestamp(date_trunc("second", col("ts"))).as("es"),
+            col("event_type"))
+          .groupBy("user_id")
+          .agg(
+            min("es").as("t0"),
+            min(when(col("event_type") === "purchase", col("es"))).as("tp"))
+        val u = b
+          .select(
+            col("user_id"),
+            when(col("tp").isNotNull && expr("(tp - t0) div 3600") < 24, 1L)
+              .otherwise(0L).as("conv"))
+          .withColumn("arm", expr(arm))
+        u.agg(expr(ms.head), ms.tail.map(expr): _*)
+          .select(
+            col("n0"), col("x0"), col("n1"), col("x1"),
+            expr("CAST(x0 AS DOUBLE) / n0").as("rate0"),
+            expr("CAST(x1 AS DOUBLE) / n1").as("rate1"),
+            expr(z).as("z"))
+      })
+  }
+
+  /** CUPED-adjusted per-arm means — the variance-reduction step every
+    * serious experimentation stack runs before the readout (Deng et al.
+    * 2013): pre-period covariate = a user's value mass before the
+    * corpus midpoint, metric = mass after it, θ = cov(pre, post) /
+    * var(pre) POOLED, and the per-arm adjusted mean in closed form
+    * from exact moments — mean_adj = mean_post − θ·(mean_pre_arm −
+    * mean_pre_all), so no per-user adjusted column ever materializes.
+    * Every sum rides the exact-decimal route; θ and the means are a
+    * fixed IEEE tree TEXT-shared with the oracle — hash-exact
+    * unrounded.
+    */
+  val abCuped: Q = {
+    val arm = "(user_id + 7) % 100000 * 2654435761 % 4294967296 % 2"
+    val theta = "((spo - sp * so / n) / (spp - sp * sp / n))"
+    Q(
+      "ab_cuped",
+      Some(s"""WITH e AS (SELECT user_id,
+              |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es, value
+              |  FROM events),
+              |t AS (SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM e),
+              |u AS (SELECT user_id, $arm AS arm,
+              |    ${D.dsum("CASE WHEN es <= mid THEN value ELSE 0 END")} AS pre,
+              |    ${D.dsum("CASE WHEN es > mid THEN value ELSE 0 END")} AS post
+              |  FROM e CROSS JOIN t GROUP BY 1, 2),
+              |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |    ${D.dsumExact("pre")} AS sp, ${D.dsumExact("post")} AS so,
+              |    ${D.dsumExact("pre * pre")} AS spp,
+              |    ${D.dsumExact("pre * post")} AS spo
+              |  FROM u),
+              |a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_arm,
+              |    ${D.dsumExact("pre")} AS sp_a, ${D.dsumExact("post")} AS so_a
+              |  FROM u GROUP BY arm)
+              |SELECT arm, n_arm,
+              |  so_a / n_arm AS mean_post,
+              |  sp_a / n_arm AS mean_pre,
+              |  so_a / n_arm - $theta * (sp_a / n_arm - sp / n) AS mean_adj
+              |FROM a CROSS JOIN m ORDER BY arm""".stripMargin),
+      (s, dir) => {
+        val e = ev(s, dir).select(
+          col("user_id"),
+          unix_timestamp(date_trunc("second", col("ts"))).as("es"),
+          col("value"))
+        val t = e.agg(expr("(min(es) + max(es)) div 2").as("mid"))
+        val u = e.crossJoin(broadcast(t))
+          .groupBy("user_id")
+          .agg(
+            DetAgg.dsum(when(col("es") <= col("mid"), col("value"))
+              .otherwise(lit(0.0))).as("pre"),
+            DetAgg.dsum(when(col("es") > col("mid"), col("value"))
+              .otherwise(lit(0.0))).as("post"))
+          .withColumn("arm", expr(arm))
+        val m = u.agg(
+          count(lit(1)).as("n"),
+          DetAgg.dsum(col("pre")).as("sp"),
+          DetAgg.dsum(col("post")).as("so"),
+          DetAgg.dsum(col("pre") * col("pre")).as("spp"),
+          DetAgg.dsum(col("pre") * col("post")).as("spo"))
+        u.groupBy("arm")
+          .agg(
+            count(lit(1)).as("n_arm"),
+            DetAgg.dsum(col("pre")).as("sp_a"),
+            DetAgg.dsum(col("post")).as("so_a"))
+          .crossJoin(broadcast(m))
+          .select(
+            col("arm"), col("n_arm"),
+            expr("so_a / n_arm").as("mean_post"),
+            expr("sp_a / n_arm").as("mean_pre"),
+            expr(s"so_a / n_arm - $theta * (sp_a / n_arm - sp / n)")
+              .as("mean_adj"))
+          .orderBy("arm")
+      })
+  }
+
   def all: Seq[Q] = Seq(
     e19KaplanMeier, statMannKendall, statFdrBy, statPageHinkley,
+    abConversionZ, abCuped,
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e4AsofNearest, e5Funnel,
     e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,
     statCusum, statAutocorr, tsEwma, tsSeasonalDecompose, e11Markov,

@@ -246,6 +246,54 @@ class WaveTwentyEightSpec extends AnyFunSuite {
     by.foreach { case (t, rej) => if (rej) assert(bh(t), s"$t: BY rejected but BH did not") }
   }
 
+  private def knuthArm(id: Long): Long =
+    (id + 7) % 100000 * 2654435761L % 4294967296L % 2
+
+  test("ab conversion z: hand split with full-vs-zero conversion") {
+    import spark.implicits._
+    // pick 2 ids per arm deterministically from the production hash
+    val arm0 = (1L to 100L).filter(knuthArm(_) == 0).take(2)
+    val arm1 = (1L to 100L).filter(knuthArm(_) == 1).take(2)
+    def e(u: Long, h: Long, t: String, id: Long) =
+      (id, u, Timestamp.from(java.time.Instant.ofEpochSecond(h * 3600)), t)
+    // arm0 users purchase at hour 1 (< 24h); arm1 users never purchase
+    val rows = arm0.zipWithIndex.flatMap { case (u, i) =>
+      Seq(e(u, 0, "view", i * 10 + 1), e(u, 1, "purchase", i * 10 + 2))
+    } ++ arm1.zipWithIndex.flatMap { case (u, i) =>
+      Seq(e(u, 0, "view", 100 + i * 10 + 1), e(u, 5, "click", 100 + i * 10 + 2))
+    }
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type")
+    val got = SparkEntry.queries("ab_conversion_z")(
+      spark, fixtureDir("events" -> ev)).collect().head
+    assert(got.getAs[Long]("n0") == 2L && got.getAs[Long]("x0") == 2L)
+    assert(got.getAs[Long]("n1") == 2L && got.getAs[Long]("x1") == 0L)
+    // p = 1/2 → z = (1 − 0)/√(0.25·(1/2+1/2)·... ) = 1/√0.25 = 2
+    assert(got.getAs[Double]("z") == 2.0, s"z=${got.getAs[Double]("z")}")
+  }
+
+  test("ab cuped: a perfect covariate equalizes the adjusted means") {
+    import spark.implicits._
+    // every user's pre mass equals their post mass exactly → θ = 1 and
+    // mean_adj collapses to the global pre mean in BOTH arms
+    val users = (1L to 200L).filter(knuthArm(_) == 0).take(3) ++
+      (1L to 200L).filter(knuthArm(_) == 1).take(3)
+    def e(u: Long, h: Long, v: Double, id: Long) =
+      (id, u, Timestamp.from(java.time.Instant.ofEpochSecond(h * 3600)), "view", v)
+    val rows = users.zipWithIndex.flatMap { case (u, i) =>
+      val v = 10.0 + u % 7 // distinct masses so var(pre) > 0
+      Seq(e(u, 0, v, i * 10 + 1), e(u, 10, v, i * 10 + 2))
+    }
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = SparkEntry.queries("ab_cuped")(
+      spark, fixtureDir("events" -> ev)).collect()
+    assert(got.length == 2)
+    val adj = got.map(r => r.getAs[Double]("mean_adj"))
+    assert(math.abs(adj(0) - adj(1)) < 1e-9, s"adjusted means ${adj.toSeq}")
+    // and the unadjusted post means differ (the adjustment did the work)
+    val post = got.map(r => r.getAs[Double]("mean_post"))
+    assert(math.abs(post(0) - post(1)) > 1e-9, s"post means ${post.toSeq}")
+  }
+
   test("q22: above-average lapsed customers only, avg over positive balances") {
     import spark.implicits._
     val cust = Seq(
