@@ -66,6 +66,57 @@ class PlanSpec extends AnyFunSuite {
       "per-shard cumulative window is not hash-partitioned:\n" + p.take(1200))
   }
 
+  test("q6: all three predicates reach the parquet scan") {
+    // the default 100-char metadata elision truncates PushedFilters
+    // mid-list — widen it for the assertion, restore after
+    val key = "spark.sql.maxMetadataStringLength"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "10000")
+    try {
+      val p = plan(CoreQueries.q6ForecastRevenue)
+      assert(p.contains("PushedFilters"), p.take(500))
+      assert(p.contains("GreaterThanOrEqual(l_shipdate"), "date filter not pushed")
+      assert(p.contains("LessThan(l_quantity"), "quantity filter not pushed")
+      assert(p.contains("GreaterThanOrEqual(l_discount"), "discount filter not pushed")
+    } finally spark.conf.set(key, old)
+  }
+
+  test("q7: both nation-pair dims broadcast; exactly one shuffle join") {
+    val p = plan(CoreQueries.q7NationVolume)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "supplier/customer sides must broadcast:\n" + p.take(800))
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).size <= 1,
+      "only lineitem-orders may shuffle:\n" + p.take(800))
+  }
+
+  test("q4: the existence test plans as a semi join, not an aggregate-join") {
+    val p = plan(CoreQueries.q4OrderPriority)
+    assert(p.contains("LeftSemi"), p.take(800))
+  }
+
+  test("q22: anti join on the customer key, no nested loop") {
+    val p = plan(CoreQueries.q22GlobalSales)
+    assert(p.contains("LeftAnti"), p.take(800))
+    // the 1-row average may nest-loop; the orders-side anti join must not
+    assert(!"LeftAnti BuildRight, false".r.findFirstIn(p).exists(_ => false))
+  }
+
+  test("jaccard guard rides the join's shuffle: no extra exchange for the window") {
+    // the hot-shingle multiplicity window partitions by the equi-join
+    // key, so the probe side must show ONE hashpartitioning(shingle)
+    // exchange feeding both the window and the join
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d x y")).toDF("doc_id", "text")
+    val p = graft.operators.Dedup
+      .jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.1)
+      .queryExecution.executedPlan.toString
+    val probeExchanges = "hashpartitioning\\(shingle".r.findAllIn(p).size
+    // one exchange per join side — the window adds none
+    assert(probeExchanges <= 2, s"window added an exchange:\n" + p.take(1500))
+    assert(p.contains("count(1) windowspecdefinition(shingle"),
+      "guard window missing from the plan:\n" + p.take(1500))
+  }
+
   test("p2: scalar-aggregate predicate broadcasts the 1-row threshold") {
     val p = plan(RelationalQueries.p2AggPredicate)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
