@@ -665,10 +665,77 @@ object CoreQueries {
         .orderBy("s_suppkey")
     })
 
+  /** TPC-H Q8 shape — national market share: of a REGION's customers'
+    * spending on one part TYPE, what fraction went to suppliers from
+    * one NATION, per year. The densest star in the registry (lineitem
+    * → part, supplier/nation, orders → customer/nation/region): part,
+    * supplier-side, and customer-side relations are all pre-filtered
+    * and broadcast (the region filter prunes the customer dim to 1/5th
+    * BEFORE the join — predicate-into-dim, the Q7 discipline), so the
+    * only shuffle is lineitem ⋈ orders. The share is a conditional
+    * exact-decimal sum over the total sum — round-6.
+    */
+  val q8MarketShare: Q = Q(
+    "q8_market_share",
+    Some(s"""WITH j AS (
+            |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+            |    l_extendedprice * (1 - l_discount) AS volume,
+            |    sn.n_name AS supp_nation
+            |  FROM lineitem
+            |  JOIN part ON p_partkey = l_partkey
+            |  JOIN supplier ON s_suppkey = l_suppkey
+            |  JOIN nation sn ON sn.n_nationkey = s_nationkey
+            |  JOIN orders ON o_orderkey = l_orderkey
+            |  JOIN customer ON c_custkey = o_custkey
+            |  JOIN nation cn ON cn.n_nationkey = c_nationkey
+            |  JOIN region ON r_regionkey = cn.n_regionkey
+            |  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+            |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+            |    AND o_orderdate < TIMESTAMP '1998-01-01')
+            |SELECT o_year,
+            |  ROUND(${D.dsumExact("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+            |    / ${D.dsumExact("volume")}, 6) AS mkt_share,
+            |  CAST(COUNT(*) AS BIGINT) AS n
+            |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin),
+    (s, dir) => {
+      val n = nat(s, dir)
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val supp = Tables.load(s, dir, "supplier")
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custAsia = cust(s, dir)
+        .join(n.withColumnRenamed("n_name", "cn_name"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(reg(s, dir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey")
+      li(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(
+          ord(s, dir)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+            .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custAsia), col("o_custkey") === col("c_custkey"))
+        .withColumn("volume",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          round(
+            DetAgg.dsum(when(col("supp_nation") === "NATION_3", col("volume"))
+              .otherwise(lit(0.0)))
+              / DetAgg.dsum(col("volume")), 6).as("mkt_share"),
+          count(lit(1)).as("n"))
+        .orderBy("o_year")
+    })
+
   def all: Seq[Q] = Seq(
     q1Agg, q1Full, p1Filter, j2Dim, q3Shipping, hist2d,
     q5LocalSupplier, q18LargeVolume, q10ReturnedItems, q14PromoEffect,
     q19DiscountRevenue, q4OrderPriority, q6ForecastRevenue,
     q12ShipPriority, q13CustDist, q17SmallQtyRevenue, q22GlobalSales,
-    q7NationVolume, q15TopSupplier)
+    q7NationVolume, q15TopSupplier, q8MarketShare)
 }

@@ -1997,19 +1997,50 @@ object EventQueries {
     * fixed IEEE tree TEXT-shared with the oracle — hash-exact
     * unrounded.
     */
-  val abCuped: Q = {
+  /** Oracle CTEs `e(user_id, es, value)`, `t(mid)`, `u(user_id, arm,
+    * pre, post)` — each user's pre-/post-midpoint value mass plus the
+    * Knuth-hash arm — ONE text shared between `ab_cuped` and
+    * `stat_wilcoxon_signed_rank` (the poissonRateSqlCtes discipline).
+    */
+  private val prePostSqlCtes: String = {
     val arm = "(user_id + 7) % 100000 * 2654435761 % 4294967296 % 2"
+    s"""WITH e AS (SELECT user_id,
+       |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es, value
+       |  FROM events),
+       |t AS (SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM e),
+       |u AS (SELECT user_id, $arm AS arm,
+       |    ${D.dsum("CASE WHEN es <= mid THEN value ELSE 0 END")} AS pre,
+       |    ${D.dsum("CASE WHEN es > mid THEN value ELSE 0 END")} AS post
+       |  FROM e CROSS JOIN t GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** The matching Spark plan: (user_id, arm, pre, post) — shared by the
+    * same two queries as [[prePostSqlCtes]].
+    */
+  private def prePostByUser(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = ev(s, dir).select(
+      col("user_id"),
+      unix_timestamp(date_trunc("second", col("ts"))).as("es"),
+      col("value"))
+    val t = e.agg(expr("(min(es) + max(es)) div 2").as("mid"))
+    e.crossJoin(broadcast(t))
+      .groupBy("user_id")
+      .agg(
+        DetAgg.dsum(when(col("es") <= col("mid"), col("value"))
+          .otherwise(lit(0.0))).as("pre"),
+        DetAgg.dsum(when(col("es") > col("mid"), col("value"))
+          .otherwise(lit(0.0))).as("post"))
+      .withColumn("arm",
+        expr("(user_id + 7) % 100000 * 2654435761 % 4294967296 % 2"))
+  }
+
+  val abCuped: Q = {
     val theta = "((spo - sp * so / n) / (spp - sp * sp / n))"
     Q(
       "ab_cuped",
-      Some(s"""WITH e AS (SELECT user_id,
-              |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es, value
-              |  FROM events),
-              |t AS (SELECT (MIN(es) + MAX(es)) // 2 AS mid FROM e),
-              |u AS (SELECT user_id, $arm AS arm,
-              |    ${D.dsum("CASE WHEN es <= mid THEN value ELSE 0 END")} AS pre,
-              |    ${D.dsum("CASE WHEN es > mid THEN value ELSE 0 END")} AS post
-              |  FROM e CROSS JOIN t GROUP BY 1, 2),
+      Some(s"""$prePostSqlCtes,
               |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
               |    ${D.dsumExact("pre")} AS sp, ${D.dsumExact("post")} AS so,
               |    ${D.dsumExact("pre * pre")} AS spp,
@@ -2024,19 +2055,7 @@ object EventQueries {
               |  so_a / n_arm - $theta * (sp_a / n_arm - sp / n) AS mean_adj
               |FROM a CROSS JOIN m ORDER BY arm""".stripMargin),
       (s, dir) => {
-        val e = ev(s, dir).select(
-          col("user_id"),
-          unix_timestamp(date_trunc("second", col("ts"))).as("es"),
-          col("value"))
-        val t = e.agg(expr("(min(es) + max(es)) div 2").as("mid"))
-        val u = e.crossJoin(broadcast(t))
-          .groupBy("user_id")
-          .agg(
-            DetAgg.dsum(when(col("es") <= col("mid"), col("value"))
-              .otherwise(lit(0.0))).as("pre"),
-            DetAgg.dsum(when(col("es") > col("mid"), col("value"))
-              .otherwise(lit(0.0))).as("post"))
-          .withColumn("arm", expr(arm))
+        val u = prePostByUser(s, dir)
         val m = u.agg(
           count(lit(1)).as("n"),
           DetAgg.dsum(col("pre")).as("sp"),
@@ -2059,9 +2078,66 @@ object EventQueries {
       })
   }
 
+  /** Wilcoxon signed-rank test on the paired pre/post value masses —
+    * the nonparametric paired complement of the A/B family (did
+    * per-user activity SHIFT across the midpoint, using only ranks of
+    * the paired differences): zero differences drop (standard
+    * practice), |d| gets mid-ranks from the SAME sharded ranked-cells
+    * kernel as Kruskal/Dunn (group = sign of d, so ties across signs
+    * share one rank), W⁺ = Σ positive-sign ranks via the exact
+    * doubled-mid-rank BIGINT identity, normal approximation with the
+    * tie-corrected variance − Σ(t³−t)/48. The difference doubles are
+    * bit-identical in both engines (exact-decimal pre/post), so
+    * grouping on them is portable; z is one literal IEEE tree
+    * TEXT-shared with the oracle — hash-exact unrounded.
+    */
+  val statWilcoxon: Q = {
+    val z = "(CAST(w2 AS DOUBLE) / 2 - CAST(n AS DOUBLE) * (n + 1) / 4.0)" +
+      " / SQRT(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0" +
+      " - CAST(tt AS DOUBLE) / 48.0)"
+    Q(
+      "stat_wilcoxon_signed_rank",
+      Some(s"""$prePostSqlCtes,
+              |d AS (SELECT post - pre AS d FROM u WHERE post <> pre),
+              |g AS (SELECT ABS(d) AS v,
+              |    CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos, COUNT(*) AS c
+              |  FROM d GROUP BY 1, 2),
+              |bv AS (SELECT v, SUM(c) AS ct FROM g GROUP BY v),
+              |cum AS (SELECT v, ct,
+              |    SUM(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r
+              |  FROM bv),
+              |cells AS (SELECT pos, c, ct, r FROM g JOIN cum USING (v)),
+              |m AS (SELECT
+              |    CAST(SUM(CASE WHEN pos = 1 THEN c * (2 * r - ct + 1)
+              |      ELSE 0 END) AS BIGINT) AS w2,
+              |    CAST(SUM(c) AS BIGINT) AS n FROM cells),
+              |tv AS (SELECT CAST(SUM(ct * ct * ct - ct) AS BIGINT) AS tt FROM bv)
+              |SELECT n, CAST(w2 AS DOUBLE) / 2 AS w_plus, $z AS z
+              |FROM m CROSS JOIN tv""".stripMargin),
+      (s, dir) => {
+        val d = prePostByUser(s, dir)
+          .filter(col("post") =!= col("pre"))
+          .select(
+            abs(col("post") - col("pre")).as("absd"),
+            when(col("post") - col("pre") > 0, 1L).otherwise(0L).as("pos"))
+        val cells = graft.functions.Stats.rankedCells(d, "pos", "absd")
+        val m = cells.agg(
+          expr("CAST(SUM(CASE WHEN __g = 1 THEN __c * (2 * __r - __ct + 1)" +
+            " ELSE 0 END) AS BIGINT)").as("w2"),
+          expr("CAST(SUM(__c) AS BIGINT)").as("n"))
+        val tv = cells.select("__v", "__ct").distinct().agg(
+          expr("CAST(SUM(__ct * __ct * __ct - __ct) AS BIGINT)").as("tt"))
+        m.crossJoin(broadcast(tv))
+          .select(
+            col("n"),
+            expr("CAST(w2 AS DOUBLE) / 2").as("w_plus"),
+            expr(z).as("z"))
+      })
+  }
+
   def all: Seq[Q] = Seq(
     e19KaplanMeier, statMannKendall, statFdrBy, statPageHinkley,
-    abConversionZ, abCuped,
+    abConversionZ, abCuped, statWilcoxon,
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e4AsofNearest, e5Funnel,
     e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,
     statCusum, statAutocorr, tsEwma, tsSeasonalDecompose, e11Markov,

@@ -387,26 +387,34 @@ object TextQueries {
     * fixed-point of the distributed propagation is hash-checked against
     * an independent exact closure.
     */
+  /** Oracle CTEs `toks … reach` — the exhaustive jaccard-0.5 pair graph
+    * and its recursive transitive closure — ONE text shared between
+    * `dedup_components` (and its chain/incremental twins, which reuse
+    * its oracle whole) and `dedup_cluster_sizes`.
+    */
+  private val componentsClosureCtes: String =
+    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |         FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+      |       FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2),
+      |jp AS (SELECT id_a, id_b FROM cand p
+      |       JOIN sizes sa ON p.id_a = sa.doc_id
+      |       JOIN sizes sb ON p.id_b = sb.doc_id
+      |       WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
+      |          UNION SELECT id_b, id_a FROM jp),
+      |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
+      |          UNION
+      |          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)""".stripMargin
+
   val dedupComponents: Q = Q(
     "dedup_components",
-    Some("""WITH RECURSIVE
-           |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-           |         FROM documents),
-           |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
-           |       FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)),
-           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-           |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-           |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-           |         GROUP BY 1, 2),
-           |jp AS (SELECT id_a, id_b FROM cand p
-           |       JOIN sizes sa ON p.id_a = sa.doc_id
-           |       JOIN sizes sb ON p.id_b = sb.doc_id
-           |       WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5),
-           |edges AS (SELECT id_a AS src, id_b AS dst FROM jp
-           |          UNION SELECT id_b, id_a FROM jp),
-           |reach AS (SELECT doc_id AS id, doc_id AS r FROM documents
-           |          UNION
-           |          SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+    Some(s"""WITH RECURSIVE
+           |$componentsClosureCtes
            |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin),
     (s, dir) => {
       val d = docs(s, dir)
@@ -423,6 +431,36 @@ object TextQueries {
       // (≈8 s at 1×/2×/4×) and faster in the worst case.
       graft.operators.Components.alternatingStar(
         d.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
+    })
+
+  /** Duplicate-cluster SIZE census — the curation report every dedup
+    * run ships (how much of the corpus sits in pairs vs long chains vs
+    * mega-clusters decides whether keep-best or drop-all is safe):
+    * component sizes from the same alternating-star labeling as
+    * `dedup_components`, rolled into a (size → #clusters) histogram.
+    * Both rollups are component-keyed hash aggregates; the oracle
+    * replays the full recursive closure then the same two GROUP BYs —
+    * hash-exact.
+    */
+  val dedupClusterSizes: Q = Q(
+    "dedup_cluster_sizes",
+    Some(s"""WITH RECURSIVE
+            |$componentsClosureCtes,
+            |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+            |cs AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS sz
+            |       FROM comp GROUP BY 1)
+            |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+            |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text", k = 3, threshold = 0.5)
+      graft.operators.Components.alternatingStar(
+        d.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
+        .groupBy("component")
+        .agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")
     })
 
   /** INCREMENTAL duplicate-cluster maintenance
@@ -2565,7 +2603,8 @@ object TextQueries {
     jsonlRoundtrip, sampleUpsample, splitShards, splitShuffle,
     packSequences, packGreedy,
     dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix, dedupContainment,
-    dedupComponents, dedupComponentsChain, dedupComponentsIncremental, dedupKeepBest, decontamNgram,
+    dedupComponents, dedupComponentsChain, dedupComponentsIncremental,
+    dedupClusterSizes, dedupKeepBest, decontamNgram,
     decontamSpans, dedupIncremental,
     dedupLines, dedupSubstringSpans, dedupMinHash, dedupMinHashHash,
     dedupSimHash, dedupSimHashHash,

@@ -294,6 +294,70 @@ class WaveTwentyEightSpec extends AnyFunSuite {
     assert(math.abs(post(0) - post(1)) > 1e-9, s"post means ${post.toSeq}")
   }
 
+  test("q8: market share is the target nation's fraction of in-scope volume") {
+    import spark.implicits._
+    val nation = Seq((1, "NATION_3", 2), (2, "NATION_5", 2), (3, "NATION_9", 0))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((2, "ASIA"), (0, "AFRICA")).toDF("r_regionkey", "r_name")
+    val part = Seq((1L, "ECONOMY"), (2L, "PROMO")).toDF("p_partkey", "p_type")
+    val supplier = Seq((10L, 1), (11L, 2)).toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((20L, 1), (21L, 3)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq(
+      (100L, 20L, ts("1996-05-01")),  // ASIA customer
+      (101L, 21L, ts("1996-05-01")))  // AFRICA customer — out of scope
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Seq(
+      (100L, 1L, 10L, 30.0, 0.0), // NATION_3 supplier → numerator + denom
+      (100L, 1L, 11L, 70.0, 0.0), // NATION_5 supplier → denom only
+      (100L, 2L, 10L, 999.0, 0.0), // wrong part type ✗
+      (101L, 1L, 10L, 999.0, 0.0)) // AFRICA customer ✗
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val got = SparkEntry.queries("q8_market_share")(
+      spark, fixtureDir("nation" -> nation, "region" -> region, "part" -> part,
+        "supplier" -> supplier, "customer" -> customer, "orders" -> orders,
+        "lineitem" -> li)).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 1996L)
+    assert(got.head.getDouble(1) == 0.3)
+    assert(got.head.getLong(2) == 2L)
+  }
+
+  test("wilcoxon signed-rank: hand-ranked paired differences") {
+    import spark.implicits._
+    // users with (pre, post) masses via events at hour 0 (pre) and a
+    // post-midpoint hour. Diffs: +1, +2, -3, +4 → |d| ranks 1,2,3,4 →
+    // W+ = 1 + 2 + 4 = 7, n = 4
+    def e(u: Long, h: Long, v: Double, id: Long) =
+      (id, u, Timestamp.from(java.time.Instant.ofEpochSecond(h * 3600)), "view", v)
+    val spec = Seq((1L, 10.0, 11.0), (2L, 10.0, 12.0), (3L, 10.0, 7.0), (4L, 10.0, 14.0))
+    val rows = spec.zipWithIndex.flatMap { case ((u, pre, post), i) =>
+      Seq(e(u, 0, pre, i * 10 + 1), e(u, 10, post, i * 10 + 2))
+    }
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = SparkEntry.queries("stat_wilcoxon_signed_rank")(
+      spark, fixtureDir("events" -> ev)).collect().head
+    assert(got.getAs[Long]("n") == 4L)
+    assert(got.getAs[Double]("w_plus") == 7.0)
+    val mu = 4.0 * 5 / 4.0
+    val sd = math.sqrt(4.0 * 5 * 9 / 24.0)
+    assert(got.getAs[Double]("z") == (7.0 - mu) / sd)
+  }
+
+  test("cluster sizes: two planted dup pairs and a singleton tail") {
+    import spark.implicits._
+    val a = (1 to 20).map(i => s"a$i").mkString(" ")
+    val b = (1 to 20).map(i => s"b$i").mkString(" ")
+    val docsDf = Seq(
+      (1L, a), (2L, a),          // pair cluster
+      (3L, b), (4L, b),          // pair cluster
+      (5L, "solo text one x y z q w"), (6L, "another lonely doc p r s t u"))
+      .toDF("doc_id", "text")
+    val got = SparkEntry.queries("dedup_cluster_sizes")(
+      spark, fixtureDir("documents" -> docsDf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L), s"$got")
+  }
+
   test("q22: above-average lapsed customers only, avg over positive balances") {
     import spark.implicits._
     val cust = Seq(
