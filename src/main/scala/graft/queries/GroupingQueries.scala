@@ -1506,7 +1506,63 @@ object GroupingQueries {
             / col("n_wedges").cast("double")).as("global_cc"))
     })
 
+  /** Market-basket brand affinity — association rules over order
+    * baskets (support / confidence / lift, the Agrawal-Srikant
+    * frequent-pair readout): which part brands co-occur in one order
+    * beyond what their solo frequencies predict. The basket relation is
+    * the DISTINCT (order, brand) projection (brand via broadcast part
+    * dim); the pair join is keyed on the ORDER — per-key width is the
+    * order's distinct-brand count (≤ its line count), so join volume is
+    * Σ_o brands(o)², bounded by basket size, never corpus-wide — and
+    * the outputs are ≤ brands² rows. Exact integer supports into fixed
+    * IEEE ratios — hash-exact unrounded; top-20 by lift.
+    */
+  val olapBasketLift: Q = Q(
+    "olap_basket_lift",
+    Some("""WITH ob AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+           |           FROM lineitem JOIN part ON p_partkey = l_partkey),
+           |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM ob),
+           |sa AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS s FROM ob GROUP BY b),
+           |ab AS (SELECT x.b AS brand_a, y.b AS brand_b,
+           |         CAST(COUNT(*) AS BIGINT) AS s_ab
+           |       FROM ob x JOIN ob y ON x.o = y.o AND x.b < y.b GROUP BY 1, 2)
+           |SELECT brand_a, brand_b, s_ab,
+           |  CAST(s_ab AS DOUBLE) / sa1.s AS conf_a_b,
+           |  CAST(s_ab AS DOUBLE) * n_orders / (sa1.s * sa2.s) AS lift
+           |FROM ab JOIN sa sa1 ON sa1.b = ab.brand_a
+           |JOIN sa sa2 ON sa2.b = ab.brand_b CROSS JOIN n
+           |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin),
+    (s, dir) => {
+      val p = Tables.load(s, dir, "part").select("p_partkey", "p_brand")
+      val ob = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+        .distinct()
+      val n = ob.agg(countDistinct(col("o")).as("n_orders"))
+      val sa = ob.groupBy("b").agg(count(lit(1)).as("s"))
+      val ab = ob.select(col("o"), col("b").as("ba"))
+        .join(ob.select(col("o").as("o2"), col("b").as("bb")),
+          col("o") === col("o2") && col("ba") < col("bb"))
+        .groupBy(col("ba").as("brand_a"), col("bb").as("brand_b"))
+        .agg(count(lit(1)).as("s_ab"))
+      ab
+        .join(broadcast(sa.select(col("b").as("__b1"), col("s").as("s1"))),
+          col("brand_a") === col("__b1"))
+        .join(broadcast(sa.select(col("b").as("__b2"), col("s").as("s2"))),
+          col("brand_b") === col("__b2"))
+        .crossJoin(broadcast(n))
+        .select(
+          col("brand_a"), col("brand_b"), col("s_ab"),
+          (col("s_ab").cast("double") / col("s1")).as("conf_a_b"),
+          (col("s_ab").cast("double") * col("n_orders")
+            / (col("s1") * col("s2"))).as("lift"))
+        .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+        .limit(20)
+    })
+
   def all: Seq[Q] = Seq(
+    olapBasketLift,
     rollup, cube_, groupingSets, approxDistinct, distinctExact,
     tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore,
     freqItems, zorderExport, logregQuality, percentileRank, equidepthHist,

@@ -358,6 +358,28 @@ class WaveTwentyEightSpec extends AnyFunSuite {
     assert(got == Map(1L -> 2L, 2L -> 2L), s"$got")
   }
 
+  test("basket lift: co-occurrence beyond solo frequency, dup lines collapse") {
+    import spark.implicits._
+    val part = Seq((1L, "BA"), (2L, "BB"), (3L, "BC"))
+      .toDF("p_partkey", "p_brand")
+    // orders: {BA,BB}, {BA,BB}, {BA,BC}, {BC} — BA+BB co-occur 2 of 4;
+    // the duplicate BA line in order 100 must not double-count
+    val li = Seq(
+      (100L, 1L), (100L, 1L), (100L, 2L),
+      (101L, 1L), (101L, 2L),
+      (102L, 1L), (102L, 3L),
+      (103L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = SparkEntry.queries("olap_basket_lift")(
+      spark, fixtureDir("part" -> part, "lineitem" -> li)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // BA: 3 orders, BB: 2, BC: 2, n = 4
+    assert(got(("BA", "BB")) == ((2L, 2.0 / 3.0, 2.0 * 4 / (3 * 2))))
+    assert(got(("BA", "BC")) == ((1L, 1.0 / 3.0, 1.0 * 4 / (3 * 2))))
+    assert(!got.contains(("BB", "BC")))
+  }
+
   test("q22: above-average lapsed customers only, avg over positive balances") {
     import spark.implicits._
     val cust = Seq(
