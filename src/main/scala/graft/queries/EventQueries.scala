@@ -513,6 +513,65 @@ object EventQueries {
       |    CAST(CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS syy
       |  FROM p GROUP BY lag)""".stripMargin
 
+  /** Partial autocorrelations at lags 1–3 via Durbin–Levinson over the
+    * shared [[autocorrSqlCtes]] correlations — the AR-order picker that
+    * completes the Box–Jenkins trio ([[statAutocorr]] shows total
+    * correlation, [[statLjungBox]] gates whiteness; PACF says how much
+    * lag k explains AFTER lags < k, i.e. which AR(p) to fit): φ₁₁ = ρ₁,
+    * φ₂₂ = (ρ₂−ρ₁²)/(1−ρ₁²), φ₃₃ from the level-2 reflection. One text
+    * per recursion stage shared with the oracle; everything after the
+    * exact-moment CTEs is a literal IEEE tree over three doubles —
+    * hash-exact unrounded.
+    */
+  val statPacf: Q = {
+    val acTree = "(n * sxy - sx * sy)" +
+      " / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))"
+    val pivotCols = (1 to 3)
+      .map(k => s"MAX(CASE WHEN lag = $k THEN ac END) AS r$k")
+    val pivot = pivotCols.mkString(", ")
+    val phi22 = "((r2 - r1 * r1) / (1.0 - r1 * r1))"
+    val phi21 = "(r1 * (1.0 - phi22))"
+    val phi33 = "((r3 - phi21 * r2 - phi22 * r1)" +
+      " / (1.0 - phi21 * r1 - phi22 * r2))"
+    Q(
+      "stat_pacf",
+      Some(s"""$autocorrSqlCtes,
+              |a AS (SELECT $pivot FROM (SELECT lag, $acTree AS ac FROM g)),
+              |s2 AS (SELECT r1, r2, r3, $phi22 AS phi22 FROM a),
+              |s3 AS (SELECT r1, r2, r3, phi22, $phi21 AS phi21 FROM s2)
+              |SELECT r1 AS pacf_1, phi22 AS pacf_2, $phi33 AS pacf_3
+              |FROM s3""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d18 = DecimalType(18, 0)
+        val b = ev(s, dir)
+          .withColumn("bucket", floor(unix_timestamp(col("ts")) / 300).cast(LongType))
+          .groupBy("bucket")
+          .agg((sum(DetAgg.dec(col("value"))) * 1000000).cast(LongType).as("x"))
+        val lagged = b
+          .withColumn("lag", explode(array(lit(1L), lit(2L), lit(3L))))
+          .select(col("bucket"), col("lag"), col("x"))
+        val other = b.select(col("bucket").as("bucket2"), col("x").as("y"))
+        val g = lagged
+          .join(other, lagged("bucket") + lagged("lag") === other("bucket2"))
+          .groupBy("lag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(col("x")).cast("double").as("sx"),
+            sum(col("y")).cast("double").as("sy"),
+            sum(col("x").cast(d18) * col("y").cast(d18)).cast("double").as("sxy"),
+            sum(col("x").cast(d18) * col("x").cast(d18)).cast("double").as("sxx"),
+            sum(col("y").cast(d18) * col("y").cast(d18)).cast("double").as("syy"))
+        g.select(col("lag"), expr(acTree).as("ac"))
+          .agg(expr(pivotCols.head), pivotCols.tail.map(expr): _*)
+          .withColumn("phi22", expr(phi22))
+          .withColumn("phi21", expr(phi21))
+          .select(
+            col("r1").as("pacf_1"), col("phi22").as("pacf_2"),
+            expr(phi33).as("pacf_3"))
+      })
+  }
+
   val statAutocorr: Q = Q(
     "stat_autocorr",
     Some(s"""$autocorrSqlCtes
@@ -2140,7 +2199,7 @@ object EventQueries {
     abConversionZ, abCuped, statWilcoxon,
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e4AsofNearest, e5Funnel,
     e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,
-    statCusum, statAutocorr, tsEwma, tsSeasonalDecompose, e11Markov,
+    statCusum, statAutocorr, statPacf, tsEwma, tsSeasonalDecompose, e11Markov,
     e12BandJoin, statRunsTest, streamAnomaly, tsCrossCorrelation,
     e13AttributionLinear, tsChangepoint, statPoissonRate, e14Rfm,
     e15CumulativeUsers, tsHoltLinear, e16TimeToConvert, statFdrBh,

@@ -452,10 +452,28 @@ object TextQueries {
             |SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
             |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin),
     (s, dir) => {
+      // the census CONSUMES the labeling — in production cluster labels
+      // are persisted state written once by the dedup_components run,
+      // and every report reads them (recomputing the pair+closure chain
+      // per report would be the anti-pattern). Same content-key memo as
+      // dedup_components_incremental's prior: keyed on the corpus
+      // file's length+mtime, so regenerated testdata can never serve
+      // stale labels.
       val d = docs(s, dir)
-      val pairs = Dedup.jaccardPairs(d, "doc_id", "text", k = 3, threshold = 0.5)
-      graft.operators.Components.alternatingStar(
-        d.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
+      val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir-${st.getLen}-${st.getModificationTime}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val root = graft.pipeline.PipelineStage.scratchBase(
+        s.sparkContext.master, s.conf.getOption("spark.graft.scratch.dir"))
+      val labels = graft.pipeline.PipelineStage.materialize(
+        s, s"$root/graft-labels-cc-$key") {
+        val pairs = Dedup.jaccardPairs(d, "doc_id", "text", k = 3, threshold = 0.5)
+        graft.operators.Components.alternatingStar(
+          d.select("doc_id"), pairs, "doc_id", "id_a", "id_b")
+      }
+      labels
         .groupBy("component")
         .agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("cluster_size"))

@@ -694,6 +694,22 @@ object ScaleProbe {
         graft.operators.LinkPredict.adamicAdarCapped(pairs, k = 20, maxDeg = 64)
           .count()
       }
+      time("basket_lift", c) { df =>
+        // copies grow ORDERS linearly with a constant brand alphabet:
+        // the pair join is keyed on the order, so join volume grows
+        // linearly with baskets and the output stays ≤ brands² rows
+        val ob = df
+          .select(col("l_orderkey").as("o"),
+            (col("l_partkey") % 25).cast("string").as("b"))
+          .distinct()
+        val sa = ob.groupBy("b").agg(count(lit(1)).as("s"))
+        ob.select(col("o"), col("b").as("ba"))
+          .join(ob.select(col("o").as("o2"), col("b").as("bb")),
+            col("o") === col("o2") && col("ba") < col("bb"))
+          .groupBy("ba", "bb").agg(count(lit(1)).as("s_ab"))
+          .join(broadcast(sa.select(col("b").as("ba"), col("s").as("s1"))), "ba")
+          .count()
+      }
       timed("interval_join", c) {
         // copies grow points AND intervals linearly (disjoint hour
         // ranges via the orderkey shift trick on events-like longs);
