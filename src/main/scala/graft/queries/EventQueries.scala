@@ -2194,9 +2194,109 @@ object EventQueries {
       })
   }
 
+  /** The native `session_window` STREAMING sessionization plan run in
+    * batch (the serving-both-ways proof of `stream_drift_monitor` /
+    * `stream_quality_monitor`, extended to Spark's session-merge state
+    * operator): per user, events within 1800 s merge into one session,
+    * end = last event + gap. The oracle replays the merge semantics as
+    * gaps-and-islands (break at gap ≥ 1800 — session_window merges on
+    * strict `<` overlap); timestamps go through `date_trunc('second')`
+    * BEFORE sessionizing on both sides (the events-ts house rule), so
+    * the merge decisions are bit-identical. `e2_sessionize` verifies
+    * the lag/island BATCH formulation; this row verifies the streaming
+    * operator's own aggregation path against the same ground truth.
+    */
+  val streamSessionize: Q = Q(
+    "stream_sessionize_monitor",
+    Some("""WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts
+           |  FROM events),
+           |o AS (SELECT user_id, ts,
+           |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM e),
+           |m AS (SELECT user_id, ts,
+           |    CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) >= 1800
+           |         THEN 1 ELSE 0 END AS brk FROM o),
+           |s AS (SELECT user_id, ts,
+           |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+           |      ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+           |SELECT user_id, MIN(ts) AS session_start,
+           |  MAX(ts) + INTERVAL 1800 SECOND AS session_end,
+           |  CAST(COUNT(*) AS BIGINT) AS n_events
+           |FROM s GROUP BY user_id, sid""".stripMargin),
+    (s, dir) =>
+      graft.streaming.SessionizeStream.sessionizeNative(
+        ev(s, dir).select(
+          col("user_id"), date_trunc("second", col("ts")).as("ts")),
+        gapSeconds = 1800))
+
+  /** Granger-causality F (lag 1): do view counts PREDICT next-hour
+    * purchase counts beyond purchases' own history — the leading-
+    * indicator test behind "is traffic a forecast of conversions"
+    * ([[tsCrossCorrelation]] measures association at lags; Granger
+    * adds the own-history control that separates lead from shared
+    * trend). Restricted model y_t ~ y_{t−1} vs unrestricted
+    * y_t ~ y_{t−1} + x_{t−1}, both solved IN CLOSED FORM from the nine
+    * raw BIGINT moment sums of one aggregate over the lag-joined
+    * hourly relation (hourly counts are exact integers, so every raw
+    * moment is exact; the centered moments, both RSS values and F are
+    * one literal IEEE tree TEXT-shared with the oracle). Bounded by
+    * the time span, never data volume. Hash-exact unrounded.
+    */
+  val tsGranger: Q = {
+    val rawSums = Seq(
+      "CAST(COUNT(*) AS BIGINT) AS n",
+      "CAST(SUM(y) AS BIGINT) AS sy", "CAST(SUM(w) AS BIGINT) AS sw",
+      "CAST(SUM(x) AS BIGINT) AS sx",
+      "CAST(SUM(y * y) AS BIGINT) AS syy", "CAST(SUM(w * w) AS BIGINT) AS sww",
+      "CAST(SUM(x * x) AS BIGINT) AS sxx",
+      "CAST(SUM(w * y) AS BIGINT) AS swy", "CAST(SUM(x * y) AS BIGINT) AS sxy",
+      "CAST(SUM(w * x) AS BIGINT) AS swx")
+    def cen(raw: String, a: String, b: String) =
+      s"(CAST($raw AS DOUBLE) - CAST($a AS DOUBLE) * $b / n)"
+    val stage2 = Seq(
+      cen("syy", "sy", "sy") -> "cyy", cen("sww", "sw", "sw") -> "cww",
+      cen("sxx", "sx", "sx") -> "cxx", cen("swy", "sw", "sy") -> "cwy",
+      cen("sxy", "sx", "sy") -> "cxy", cen("swx", "sw", "sx") -> "cwx")
+    val rssR = "(cyy - cwy * cwy / cww)"
+    val rssU = "(cyy - (cwy * (cxx * cwy - cwx * cxy)" +
+      " + cxy * (cww * cxy - cwx * cwy)) / (cww * cxx - cwx * cwx))"
+    val f = "((rss_r - rss_u) * (n - 3) / rss_u)"
+    Q(
+      "ts_granger",
+      Some(s"""WITH b AS (SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS t,
+              |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS xv,
+              |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              |      AS BIGINT) AS yp
+              |  FROM events GROUP BY 1),
+              |p AS (SELECT cur.yp AS y, prev.yp AS w, prev.xv AS x
+              |      FROM b cur JOIN b prev ON prev.t = cur.t - 1),
+              |m AS (SELECT ${rawSums.mkString(",\n  ")} FROM p),
+              |c AS (SELECT n, ${stage2.map { case (e, a) => s"$e AS $a" }
+                .mkString(",\n  ")} FROM m),
+              |r AS (SELECT n, $rssR AS rss_r, $rssU AS rss_u FROM c)
+              |SELECT n, rss_r, rss_u, $f AS f_stat FROM r""".stripMargin),
+      (s, dir) => {
+        val b = ev(s, dir)
+          .groupBy(floor(unix_timestamp(col("ts")) / 3600).cast(LongType)
+            .as("t"))
+          .agg(
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("xv"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("yp"))
+        val prev = b.select(
+          col("t").as("pt"), col("yp").as("w"), col("xv").as("x"))
+        val p = b.join(prev, col("pt") === col("t") - 1)
+          .select(col("yp").as("y"), col("w"), col("x"))
+        p.agg(expr(rawSums.head), rawSums.tail.map(expr): _*)
+          .select(col("n") +: stage2.map { case (e, a) => expr(e).as(a) }: _*)
+          .select(col("n"), expr(rssR).as("rss_r"), expr(rssU).as("rss_u"))
+          .select(col("n"), col("rss_r"), col("rss_u"), expr(f).as("f_stat"))
+      })
+  }
+
   def all: Seq[Q] = Seq(
     e19KaplanMeier, statMannKendall, statFdrBy, statPageHinkley,
-    abConversionZ, abCuped, statWilcoxon,
+    abConversionZ, abCuped, statWilcoxon, streamSessionize, tsGranger,
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e4AsofNearest, e5Funnel,
     e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,
     statCusum, statAutocorr, statPacf, tsEwma, tsSeasonalDecompose, e11Markov,

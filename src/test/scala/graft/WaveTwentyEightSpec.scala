@@ -380,6 +380,50 @@ class WaveTwentyEightSpec extends AnyFunSuite {
     assert(!got.contains(("BB", "BC")))
   }
 
+  test("stream sessionize twin: session_window merges exactly at the gap rule") {
+    import spark.implicits._
+    // user 1: events at 0s and 100s merge (gap < 1800); 2000s starts a
+    // new session (2000 − 100 ≥ 1800 fails the strict-overlap merge)
+    val ev = Seq(
+      (1L, 1L, Timestamp.from(java.time.Instant.ofEpochSecond(0))),
+      (2L, 1L, Timestamp.from(java.time.Instant.ofEpochSecond(100))),
+      (3L, 1L, Timestamp.from(java.time.Instant.ofEpochSecond(2000))),
+      (4L, 2L, Timestamp.from(java.time.Instant.ofEpochSecond(50))))
+      .toDF("event_id", "user_id", "ts")
+      .withColumn("event_type", org.apache.spark.sql.functions.lit("view"))
+    val got = SparkEntry.queries("stream_sessionize_monitor")(
+      spark, fixtureDir("events" -> ev)).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant.getEpochSecond,
+        r.getTimestamp(2).toInstant.getEpochSecond, r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 1900L, 2L),     // [0,100] + 1800
+      (1L, 2000L, 3800L, 1L),
+      (2L, 50L, 1850L, 1L)), s"$got")
+  }
+
+  test("granger: a perfect one-hour lead dominates own history") {
+    import spark.implicits._
+    // views v_h lead purchases: p_h = v_{h-1}, with one +1 deviation so
+    // the unrestricted RSS is positive but tiny → large F
+    val v = Seq(1, 3, 2, 4, 1, 5, 2, 3, 4, 2)
+    val rows = scala.collection.mutable.ListBuffer.empty[(Long, Long, Timestamp, String)]
+    var id = 0L
+    for (h <- v.indices; i <- 0 until v(h)) {
+      id += 1
+      rows += ((id, id, Timestamp.from(java.time.Instant.ofEpochSecond(h * 3600L + i)), "view"))
+    }
+    for (h <- 1 to v.length; i <- 0 until (v(h - 1) + (if (h == 4) 1 else 0))) {
+      id += 1
+      rows += ((id, id, Timestamp.from(java.time.Instant.ofEpochSecond(h * 3600L + 60 + i)), "purchase"))
+    }
+    val ev = rows.toSeq.toDF("event_id", "user_id", "ts", "event_type")
+    val got = SparkEntry.queries("ts_granger")(
+      spark, fixtureDir("events" -> ev)).collect().head
+    assert(got.getAs[Double]("rss_u") < got.getAs[Double]("rss_r"))
+    assert(got.getAs[Double]("f_stat") > 10.0,
+      s"f=${got.getAs[Double]("f_stat")}")
+  }
+
   test("q22: above-average lapsed customers only, avg over positive balances") {
     import spark.implicits._
     val cust = Seq(
