@@ -2294,9 +2294,42 @@ object EventQueries {
       })
   }
 
+  /** The streaming windowed t-digest quantile monitor's plan run in
+    * batch ([[graft.streaming.QuantileStream.windowedQuantilesOf]] —
+    * one function serves both, the sessionize-twin discipline): per
+    * (5-minute window, event_type), sketch estimates at q50/q90/q99
+    * plus the exact count/min/max envelope. The EXACT columns
+    * hash-check against the DuckDB replay; the sketch estimates carry a
+    * CERTIFICATE column (the agg_tdigest pattern): monotone across the
+    * grid and inside [vmin, vmax] — the oracle's literal TRUE matches
+    * iff every window's sketch satisfies its envelope.
+    */
+  val streamQuantile: Q = {
+    val qs = Seq(0.5, 0.9, 0.99)
+    Q(
+      "stream_quantile_monitor",
+      Some("""SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS bucket,
+             |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             |  MIN(value) AS vmin, MAX(value) AS vmax, TRUE AS sketch_ok
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (s, dir) =>
+        graft.streaming.QuantileStream
+          .windowedQuantilesOf(ev(s, dir), qs)
+          .select(
+            floor(unix_timestamp(col("window_start")) / 300).cast(LongType)
+              .as("bucket"),
+            col("event_type"), col("n"), col("vmin"), col("vmax"),
+            (element_at(col("q"), 1) >= col("vmin") &&
+              element_at(col("q"), 1) <= element_at(col("q"), 2) &&
+              element_at(col("q"), 2) <= element_at(col("q"), 3) &&
+              element_at(col("q"), 3) <= col("vmax")).as("sketch_ok"))
+          .orderBy("bucket", "event_type"))
+  }
+
   def all: Seq[Q] = Seq(
     e19KaplanMeier, statMannKendall, statFdrBy, statPageHinkley,
     abConversionZ, abCuped, statWilcoxon, streamSessionize, tsGranger,
+    streamQuantile,
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e4AsofNearest, e5Funnel,
     e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,
     statCusum, statAutocorr, statPacf, tsEwma, tsSeasonalDecompose, e11Markov,

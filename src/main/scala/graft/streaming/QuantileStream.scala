@@ -24,7 +24,15 @@ object QuantileStream {
       spark: SparkSession,
       path: String,
       qs: Seq[Double]): DataFrame =
-    EventsStream.readStreamed(spark, path)
+    windowedQuantilesOf(EventsStream.readStreamed(spark, path), qs)
+
+  /** The windowed-sketch PLAN over any events relation — one function
+    * serves the stream above and the batch-replay registry twin
+    * (`stream_quantile_monitor`), so the two can never drift. The
+    * watermark is a no-op on a batch input.
+    */
+  def windowedQuantilesOf(events: DataFrame, qs: Seq[Double]): DataFrame =
+    events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
       .agg(

@@ -424,6 +424,21 @@ class WaveTwentyEightSpec extends AnyFunSuite {
       s"f=${got.getAs[Double]("f_stat")}")
   }
 
+  test("stream quantile twin: exact envelope + in-range monotone sketch") {
+    import spark.implicits._
+    val ev = (1 to 10).map(i =>
+      (i.toLong, 1L, Timestamp.from(java.time.Instant.ofEpochSecond(30L + i)),
+        "view", i.toDouble))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = SparkEntry.queries("stream_quantile_monitor")(
+      spark, fixtureDir("events" -> ev)).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Double]("vmin") == 1.0 && r.getAs[Double]("vmax") == 10.0)
+    assert(r.getAs[Boolean]("sketch_ok"))
+  }
+
   test("q22: above-average lapsed customers only, avg over positive balances") {
     import spark.implicits._
     val cust = Seq(
