@@ -61,7 +61,12 @@ class SchemaDriftSpec extends AnyFunSuite {
     "graph_kcore" -> Set("lineitem"),
     "graph_ppr" -> Set("orders", "lineitem"),
     "graph_hits" -> Set("orders", "lineitem"),
-    "e18_markov_stationary" -> Set("events"))
+    "e18_markov_stationary" -> Set("events"),
+    // the cluster census reads content-key-MEMOIZED component labels
+    // (PipelineStage.materialize) — the documents scan happens inside
+    // the memo compute, so the returned plan is a parquet read of the
+    // labels, not of the corpus
+    "dedup_cluster_sizes" -> Set("documents"))
 
   private def scannedTables(df: DataFrame): Set[String] = {
     val paths = df.queryExecution.analyzed.collect {
