@@ -2326,10 +2326,101 @@ object EventQueries {
           .orderBy("bucket", "event_type"))
   }
 
+  /** DAU / trailing-7-day WAU / trailing-30-day MAU and the DAU/MAU
+    * stickiness ratio — the product-analytics actives board
+    * ([[e15CumulativeUsers]] counts growth; this counts ENGAGEMENT,
+    * where trailing distinct counts cannot decompose into per-day
+    * partials): the user-day relation joins to the ≤|days| broadcast
+    * day grid on a trailing range, so the blowup is bounded by the
+    * window length (≤30×), never corpus-wide, and each (day, window)
+    * cell is one COUNT(DISTINCT). Exact integers; stickiness is one
+    * IEEE division — hash-exact unrounded.
+    */
+  val e20ActiveUsers: Q = Q(
+    "e20_active_users",
+    Some("""WITH ud AS (SELECT DISTINCT user_id,
+           |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS day
+           |  FROM events),
+           |days AS (SELECT DISTINCT day AS d FROM ud),
+           |dau AS (SELECT day AS d,
+           |    CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+           |wau AS (SELECT days.d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+           |        FROM days JOIN ud ON ud.day BETWEEN days.d - 6 AND days.d
+           |        GROUP BY 1),
+           |mau AS (SELECT days.d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+           |        FROM days JOIN ud ON ud.day BETWEEN days.d - 29 AND days.d
+           |        GROUP BY 1)
+           |SELECT d AS day, dau, wau, mau,
+           |  CAST(dau AS DOUBLE) / mau AS stickiness
+           |FROM dau JOIN wau USING (d) JOIN mau USING (d) ORDER BY day""".stripMargin),
+    (s, dir) => {
+      val ud = ev(s, dir)
+        .select(col("user_id"),
+          expr("unix_timestamp(date_trunc('second', ts)) div 86400").as("day"))
+        .distinct()
+      val days = ud.select(col("day").as("d")).distinct()
+      val dau = ud.groupBy(col("day").as("d")).agg(count(lit(1)).as("dau"))
+      def trailing(w: Int, name: String) = ud
+        .join(broadcast(days),
+          col("day").between(col("d") - (w - 1), col("d")))
+        .groupBy("d").agg(countDistinct(col("user_id")).as(name))
+      dau
+        .join(trailing(7, "wau"), "d")
+        .join(trailing(30, "mau"), "d")
+        .select(col("d").as("day"), col("dau"), col("wau"), col("mau"),
+          (col("dau").cast("double") / col("mau")).as("stickiness"))
+        .orderBy("day")
+    })
+
+  /** Holm step-down correction — the FWER member completing the
+    * multiple-comparisons family (BH/BY control FDR; Holm controls
+    * family-wise error uniformly more powerfully than Bonferroni):
+    * ranked p's reject while p_(i) ≤ α/(m−i+1) CONSECUTIVELY — the
+    * first failure stops everything after it. Shares the Poisson-rate
+    * CTE and Φ text; the stop rank is one conditional MIN over the
+    * bounded ranked relation. Explicit double-cast α (the bare-decimal
+    * DuckDB pitfall). Hash-exact.
+    */
+  val statHolm: Q = {
+    val phi = graft.fit.ClosedForm.normalCdfText("ABS(z)")
+    val thresh = "CAST(0.05 AS DOUBLE) / (m - rnk + 1)"
+    Q(
+      "stat_holm",
+      Some(s"""$poissonRateSqlCtes,
+              |p AS (SELECT event_type, z,
+              |    ROUND(2.0 * (1.0 - $phi), 6) AS p_value FROM z0),
+              |rk AS (SELECT event_type, z, p_value,
+              |    ROW_NUMBER() OVER (ORDER BY p_value, event_type) AS rnk,
+              |    COUNT(*) OVER () AS m FROM p),
+              |st AS (SELECT COALESCE(MIN(CASE WHEN p_value > $thresh
+              |    THEN rnk END), MAX(m) + 1) AS stop FROM rk)
+              |SELECT event_type, z, p_value, CAST(rnk AS BIGINT) AS rnk,
+              |  rnk < stop AS rejected
+              |FROM rk CROSS JOIN st""".stripMargin),
+      (s, dir) => {
+        val z0 = poissonRateZ(s, dir).select("event_type", "z")
+        val p = z0.select(
+          col("event_type"), col("z"),
+          round(lit(2.0) * (lit(1.0) - expr(phi)), 6).as("p_value"))
+        val spk = graft.plans.ScalarExpressions.singlePartitionKey(col("p_value"))
+        val wRank = Window.partitionBy(spk).orderBy(col("p_value"), col("event_type"))
+        val ranked = p
+          .withColumn("rnk", row_number().over(wRank).cast(LongType))
+          .crossJoin(broadcast(p.agg(count(lit(1)).as("m"))))
+        val st = ranked.agg(coalesce(
+          min(when(col("p_value") > expr(thresh), col("rnk"))),
+          max(col("m")) + 1).as("stop"))
+        ranked.crossJoin(broadcast(st))
+          .select(
+            col("event_type"), col("z"), col("p_value"), col("rnk"),
+            (col("rnk") < col("stop")).as("rejected"))
+      })
+  }
+
   def all: Seq[Q] = Seq(
     e19KaplanMeier, statMannKendall, statFdrBy, statPageHinkley,
     abConversionZ, abCuped, statWilcoxon, streamSessionize, tsGranger,
-    streamQuantile,
+    streamQuantile, e20ActiveUsers, statHolm,
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e4AsofNearest, e5Funnel,
     e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,
     statCusum, statAutocorr, statPacf, tsEwma, tsSeasonalDecompose, e11Markov,

@@ -439,6 +439,34 @@ class WaveTwentyEightSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("sketch_ok"))
   }
 
+  test("active users: trailing windows count distinct, stickiness = dau/mau") {
+    import spark.implicits._
+    // user 1 active days 0 and 8; user 2 active day 8 only
+    def e(u: Long, day: Long, id: Long) =
+      (id, u, Timestamp.from(java.time.Instant.ofEpochSecond(day * 86400 + 10)), "view")
+    val ev = Seq(e(1, 0, 1), e(1, 8, 2), e(2, 8, 3))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = SparkEntry.queries("e20_active_users")(
+      spark, fixtureDir("events" -> ev)).collect()
+      .map(r => r.getLong(0) % 100000 -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val d0 = got.keys.min
+    // day 0: dau 1, wau 1, mau 1; day 8: dau 2, wau 2 (day 0 out of the
+    // 7-day window), mau 2 (day 0 user counted once)
+    assert(got(d0) == ((1L, 1L, 1L)), s"$got")
+    assert(got(d0 + 8) == ((2L, 2L, 2L)), s"$got")
+  }
+
+  test("holm: step-down stops at the first failure") {
+    val dir = "/root/testdata/sf0.001"
+    val holm = SparkEntry.queries("stat_holm")(spark, dir).collect()
+      .map(r => r.getLong(3) -> r.getBoolean(4)).toMap
+    // rejections must be a PREFIX of the rank order (the step-down law)
+    val ranks = holm.keys.toSeq.sorted
+    val firstAccept = ranks.find(r => !holm(r)).getOrElse(ranks.max + 1)
+    ranks.foreach { r => assert(holm(r) == (r < firstAccept), s"$holm") }
+  }
+
   test("q22: above-average lapsed customers only, avg over positive balances") {
     import spark.implicits._
     val cust = Seq(
