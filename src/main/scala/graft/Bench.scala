@@ -56,7 +56,11 @@ object Bench {
         // and the accumulated storage+GC pressure inflates every
         // shuffle-heavy query that runs later (the r9 driver-artifact
         // regression). Safe: cross-query memos are parquet- or
-        // driver-heap-backed, never persisted RDDs.
+        // driver-heap-backed, never persisted RDDs. SINGLE-THREADED
+        // INVARIANT (same as Verify's sweep): unpersisting EVERY RDD is
+        // only sound because this loop owns the context and runs
+        // queries strictly sequentially — a concurrent query's pinned
+        // localCheckpoint blocks would be unrecomputable after a sweep.
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))

@@ -35,6 +35,13 @@ object Verify {
       // consumed) need the RDD-level sweep. Safe between queries: every
       // cross-query memo is parquet-backed (PipelineStage) or
       // driver-heap (TrainCache), never a persisted RDD.
+      // SINGLE-THREADED INVARIANT: this sweep unpersists EVERY RDD in
+      // the context, which would release unrecomputable localCheckpoint
+      // blocks out from under a CONCURRENT query sharing the session
+      // (the per-scope release CheckpointScope exists precisely to
+      // avoid). It is correct here only because this loop is the sole
+      // user of the context and runs queries strictly sequentially —
+      // do not lift it into library code or a parallel runner.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

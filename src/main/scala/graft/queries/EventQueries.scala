@@ -302,7 +302,7 @@ object EventQueries {
   val e6Retention: Q = Q(
     "e6_retention_cohort",
     Some("""WITH e AS (SELECT user_id,
-           |             CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d
+           |             CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 AS d
            |           FROM events),
            |f AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id),
            |a AS (SELECT DISTINCT user_id, d FROM e)
@@ -313,7 +313,12 @@ object EventQueries {
     (s, dir) => {
       val e = ev(s, dir).select(
         col("user_id"),
-        floor(unix_timestamp(col("ts")) / 86400).cast(LongType).as("d"))
+        // integer `div` on the truncated-second epoch, matching the
+        // oracle's `// 86400` (the e17 family discipline) — the day key
+        // stays on the exact 64-bit integer route end to end instead of
+        // detouring through a double divide + floor (r10 VERDICT nit)
+        expr("unix_timestamp(date_trunc('second', ts)) div 86400")
+          .cast(LongType).as("d"))
       val first = e.groupBy("user_id").agg(min("d").as("cohort_day"))
       e.distinct()
         .join(first, "user_id")
@@ -1471,6 +1476,7 @@ object EventQueries {
           .withColumn("next_type", lead(col("event_type"), 1).over(w))
           .filter(col("next_type").isNotNull)
         val scope = new graft.operators.CheckpointScope
+        try {
         val c0 = scope.mat(
           t.groupBy("event_type", "next_type").agg(count(lit(1)).as("n")))
         val f = c0.groupBy(col("event_type").as("__from")).agg(sum("n").as("tot"))
@@ -1505,6 +1511,7 @@ object EventQueries {
         // returned plan is rooted only in the final "p" checkpoint
         scope.close("p")
         p.select(col("state").as("event_type"), col("pi"))
+        } catch { case t: Throwable => scope.closeAll(); throw t }
       })
   }
 
@@ -1842,9 +1849,12 @@ object EventQueries {
     * EXP of the cumulative sum of per-time round-6 LN terms — the PMI
     * ln-portability discipline: rounded terms summed in the window's
     * deterministic time order are bit-identical in both engines, one
-    * EXP + round-6 closes it. 1 − d/n > 0 structurally at any event
-    * time because horizon-censored users stay at risk past every event
-    * time < 72. Hash-exact.
+    * EXP + round-6 closes it. 1 − d/n > 0 holds whenever any user is
+    * horizon-censored (they stay at risk past every event time < 72);
+    * should a dataset ever convert EVERYONE, the last event time has
+    * d = n_risk and the curve is absorbed at exactly 0 — carried by a
+    * cumulative flag shared with the oracle, never LN(0) (Spark NULLs
+    * it where DuckDB raises — the silent-vs-loud class). Hash-exact.
     */
   val e19KaplanMeier: Q = {
     val horizon = 72
@@ -1872,13 +1882,16 @@ object EventQueries {
               |      AS BIGINT) AS n_risk
               |  FROM g CROSS JOIN tot),
               |h AS (SELECT t, d, c, n_risk,
-              |    CASE WHEN d > 0
+              |    CASE WHEN d > 0 AND d < n_risk
               |         THEN ROUND(LN(1.0 - CAST(d AS DOUBLE) / n_risk), 6)
-              |         ELSE 0.0 END AS lnterm
+              |         ELSE 0.0 END AS lnterm,
+              |    CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS absorbed
               |  FROM r)
               |SELECT t AS t_hours, n_risk, d AS d_events, c AS c_censored,
-              |  ROUND(EXP(SUM(lnterm) OVER (ORDER BY t
-              |    ROWS UNBOUNDED PRECEDING)), 6) AS survival
+              |  CASE WHEN SUM(absorbed) OVER (ORDER BY t
+              |      ROWS UNBOUNDED PRECEDING) > 0 THEN 0.0
+              |    ELSE ROUND(EXP(SUM(lnterm) OVER (ORDER BY t
+              |      ROWS UNBOUNDED PRECEDING)), 6) END AS survival
               |FROM h ORDER BY t_hours""".stripMargin),
       (s, dir) => {
         val base = ev(s, dir).select(
@@ -1907,14 +1920,24 @@ object EventQueries {
           .withColumn("n_risk",
             col("total") - coalesce(
               sum(col("d") + col("c")).over(wPrev), lit(0L)))
+          // absorbed risk set (d = n_risk — everyone still at risk
+          // converts at this time, possible only when no user is
+          // horizon-censored at this SF): S drops to EXACTLY 0 from
+          // this time on, carried by a cumulative flag rather than
+          // LN(0), which Spark NULLs where DuckDB raises — the
+          // silent-vs-loud class (r10 ADVICE)
           .withColumn("lnterm",
-            when(col("d") > 0,
+            when(col("d") > 0 && col("d") < col("n_risk"),
               round(log(lit(1.0) - col("d").cast("double") / col("n_risk")), 6))
               .otherwise(lit(0.0)))
+          .withColumn("absorbed",
+            when(col("d") >= col("n_risk"), 1L).otherwise(0L))
           .select(
             col("t").as("t_hours"), col("n_risk"),
             col("d").as("d_events"), col("c").as("c_censored"),
-            round(exp(sum("lnterm").over(wCum)), 6).as("survival"))
+            when(sum("absorbed").over(wCum) > 0, lit(0.0))
+              .otherwise(round(exp(sum("lnterm").over(wCum)), 6))
+              .as("survival"))
           .orderBy("t_hours")
       })
   }
@@ -2276,13 +2299,37 @@ object EventQueries {
               |r AS (SELECT n, $rssR AS rss_r, $rssU AS rss_u FROM c)
               |SELECT n, rss_r, rss_u, $f AS f_stat FROM r""".stripMargin),
       (s, dir) => {
-        val b = ev(s, dir)
+        val b0 = ev(s, dir)
           .groupBy(floor(unix_timestamp(col("ts")) / 3600).cast(LongType)
             .as("t"))
           .agg(
             sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("xv"),
             sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
               .as("yp"))
+        // OVERFLOW GUARD, in-plan (the HITS/jaccardPairs assert_true
+        // discipline): the raw second moments SUM(y*y) etc. are bounded
+        // by H·M² for H hourly buckets with max hourly count M; past
+        // 2^63 Spark's BIGINT sum wraps SILENTLY while the DuckDB
+        // oracle's HUGEINT stays exact — the silent-vs-loud divergence
+        // class. The bound rides a 1-row broadcast over the (≤ #hours)
+        // bucket relation, checked in double (exact below 2^53·2 here,
+        // and only a guard), and fails the bucket materialization
+        // before any moment can wrap.
+        val bound = b0.agg(
+          coalesce(max(greatest(col("xv"), col("yp"))), lit(0L)).as("__m"),
+          count(lit(1)).as("__h"))
+        val b = b0.crossJoin(broadcast(bound))
+          .filter(assert_true(
+            col("__h").cast("double") * col("__m").cast("double")
+              * col("__m").cast("double") <= lit(4.0e18),
+            format_string(
+              "ts_granger overflow guard: %d hourly buckets with max " +
+                "hourly count %d put the raw BIGINT second moments past " +
+                "2^63 (H*M^2 > 4e18), where Spark wraps silently but the " +
+                "integer oracle raises. Widen the bucket or pre-scale " +
+                "the series before the Granger fit.",
+              col("__h"), col("__m"))).isNull)
+          .drop("__m", "__h")
         val prev = b.select(
           col("t").as("pt"), col("yp").as("w"), col("xv").as("x"))
         val p = b.join(prev, col("pt") === col("t") - 1)

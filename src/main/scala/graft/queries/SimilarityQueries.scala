@@ -729,9 +729,10 @@ object SimilarityQueries {
     * integer Gram sketch, then a map-only projection of the corpus onto
     * the component ([[graft.plans.VectorExpressions.dotFast]] codegen).
     * Output: the 20 most extreme documents along the top direction plus
-    * the component's eigenvalue — rows-only by design (a 30-step power
-    * iteration is not portable SQL); [[embCovariance]] is the hash-exact
-    * oracle twin of the sketch kernel, and PcaSpec pins direction
+    * the component's eigenvalue — rows-only by design (a double-precision
+    * power iteration is not portable SQL); [[embCovariance]] hash-anchors
+    * the sketch kernel, [[embPcaPowerFixed]] hash-anchors the power
+    * ITERATION in integer fixed-point, and WaveTwelveSpec pins direction
     * recovery on a known-covariance fixture.
     */
   val embPcaPower: Q = Q(
@@ -746,6 +747,115 @@ object SimilarityQueries {
         .limit(20)
         .withColumn("eigenvalue", lit(comp.eigenvalue))
     })
+
+  /** HASH-ANCHORED twin of [[embPcaPower]]'s power-iteration kernel —
+    * the [[graft.operators.PageRank]] portability discipline applied to
+    * the eigensolve (the r10 verdict's last oracle-blind registry row):
+    * the exact integer Gram sketch of dims 0–7 (the [[embCovariance]]
+    * text — µ-quantized `floor(x·1e6 + 0.5)`, order-independent integer
+    * sums), covariance quantized to 2²⁰ fixed-point through ONE shared
+    * IEEE tree + `FLOOR(x·2²⁰ + 0.5)` (no engine round-ties), then 30
+    * power-iteration rounds ENTIRELY in 64-bit integers from the
+    * literal all-ones start vector: u = Cq·w (exact products ≤ 2⁴⁰ per
+    * term), max-|u| normalization (MAX is order-free where an L2 norm
+    * would float-sum), `w' = u·2¹⁸ div max|u|` — integer division
+    * truncating toward zero in BOTH engines (Spark `div` ≡ DuckDB `//`,
+    * verified on negative operands). The oracle replays all 30 rounds
+    * through MATERIALIZED CTEs; the eigenvalue is max|u|'s single final
+    * IEEE division by 2³⁸. Bounds: |cq| ≤ 2²² (guarded), |w| ≤ 2¹⁸ ⇒
+    * |u| ≤ 8·2⁴⁰ and |u·2¹⁸| ≤ 2⁶¹ — no wrap anywhere. The 64-dim
+    * trained tier stays rows-only ([[embPcaPower]]); PcaSpec pins that
+    * this fixed tier recovers the same direction.
+    */
+  val embPcaPowerFixed: Q = {
+    val d = 8
+    val iters = 30
+    val W = 262144L // 2^18: fixed-point scale of the eigenvector
+    val CW = 1048576L // 2^20: fixed-point scale of the quantized covariance
+    val dims = 0 until d
+    val pairs = for { i <- dims; j <- dims if i <= j } yield (i, j)
+    def covText(i: Int, j: Int) = {
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      s"(CAST(p_${a}_$b AS DOUBLE) - CAST(s_$i AS DOUBLE) * CAST(s_$j AS DOUBLE) / n) / n / 1.0e12"
+    }
+    val cBranches = (for { i <- dims; j <- dims } yield
+      s"SELECT CAST($i AS BIGINT) AS i, CAST($j AS BIGINT) AS j, " +
+        s"CAST(FLOOR(${covText(i, j)} * $CW + 0.5) AS BIGINT) AS cq FROM m")
+      .mkString("\nUNION ALL\n")
+    val rounds = (1 to iters).map { k =>
+      s"""u$k AS MATERIALIZED (
+         |  SELECT c.i AS d, CAST(SUM(c.cq * w.w) AS BIGINT) AS u
+         |  FROM c JOIN w${k - 1} w ON c.j = w.d GROUP BY 1),
+         |m$k AS (SELECT MAX(ABS(u)) AS mx FROM u$k),
+         |w$k AS MATERIALIZED (
+         |  SELECT d, CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(u * $W // mx AS BIGINT) END AS w
+         |  FROM u$k CROSS JOIN m$k)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "emb_pca_power_fixed",
+      Some(s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |q AS (SELECT
+              |  ${dims.map(i => s"CAST(FLOOR(v[${i + 1}] * 1000000 + 0.5) AS BIGINT) AS q_$i").mkString(",\n  ")}
+              |FROM e),
+              |m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+              |  ${dims.map(i => s"CAST(SUM(q_$i) AS BIGINT) AS s_$i").mkString(",\n  ")},
+              |  ${pairs.map { case (i, j) => s"CAST(SUM(q_$i * q_$j) AS BIGINT) AS p_${i}_$j" }.mkString(",\n  ")}
+              |FROM q),
+              |c AS MATERIALIZED (
+              |$cBranches),
+              |w0 AS MATERIALIZED (SELECT DISTINCT i AS d, CAST($W AS BIGINT) AS w FROM c),
+              |$rounds
+              |SELECT d AS dim, w AS w_fp,
+              |  CAST(mx AS DOUBLE) / 274877906944.0 AS eigenvalue
+              |FROM w$iters CROSS JOIN m$iters""".stripMargin),
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d38 = DecimalType(38, 0)
+        val q = emb(s, dir)
+          .select(col("embedding").cast("array<double>").as("v"))
+          .select(dims.map(i =>
+            floor(element_at(col("v"), i + 1) * 1000000 + 0.5)
+              .cast("long").as(s"q_$i")): _*)
+        // ONE distributed pass — the Gram sketch; everything after is
+        // the d²-bounded trained-model collect (the Pca.topComponent /
+        // Ivf-centroid pattern the r10 verdict blesses)
+        val row = q.agg(
+          count(lit(1)).cast("double").as("n"),
+          (dims.map(i => sum(col(s"q_$i").cast(d38)).cast("long").as(s"s_$i")) ++
+            pairs.map { case (i, j) =>
+              sum((col(s"q_$i") * col(s"q_$j")).cast(d38)).cast("long").as(s"p_${i}_$j")
+            }): _*).head()
+        val n = row.getAs[Double]("n")
+        require(n > 0, "emb_pca_power_fixed over an empty relation")
+        val sv = dims.map(i => row.getAs[Long](s"s_$i").toDouble).toArray
+        val cq = Array.tabulate(d, d) { (i, j) =>
+          val (a, b) = (math.min(i, j), math.max(i, j))
+          val p = row.getAs[Long](s"p_${a}_$b").toDouble
+          // the SQL covText tree verbatim: (p - s_i*s_j/n)/n/1e12
+          val cov = (p - sv(i) * sv(j) / n) / n / 1.0e12
+          math.floor(cov * CW + 0.5).toLong
+        }
+        val cqMax = cq.map(_.map(math.abs).max).max
+        require(cqMax <= (1L << 22),
+          s"emb_pca_power_fixed overflow guard: max |quantized cov| $cqMax " +
+            "exceeds 2^22 — u = Cq*w could pass 2^63 where Spark's driver " +
+            "long wraps silently but the DuckDB HUGEINT oracle stays exact. " +
+            "Rescale the embedding column before the fixed eigensolve.")
+        var w = Array.fill(d)(W)
+        var mx = 0L
+        for (_ <- 1 to iters) {
+          val u = Array.tabulate(d)(i =>
+            dims.foldLeft(0L)((acc, j) => acc + cq(i)(j) * w(j)))
+          mx = u.map(math.abs).max
+          // Long `/` truncates toward zero — DuckDB `//` semantics
+          w = if (mx == 0L) Array.fill(d)(0L) else u.map(x => x * W / mx)
+        }
+        val ev = mx.toDouble / 274877906944.0 // mx ≈ λ·CW·W = λ·2^38
+        import s.implicits._
+        dims.map(i => (i.toLong, w(i), ev)).toDF("dim", "w_fp", "eigenvalue")
+      })
+  }
 
   /** Signed-random-projection bit signatures (SimHash for dense vectors):
     * each embedding's 16-bit code from the signs of its dot products with
@@ -1287,7 +1397,7 @@ object SimilarityQueries {
     Seq(simCosineAll, simTopK, simNearDup, simLsh, simIvf, simIvfFixed, simPq,
       simPqFixed, simIvfPqFixed, semanticDedup, embCentroids, simHardNegatives,
       decontamSemantic, embDimStats, embQuantizeInt8, simKnnGraph,
-      embCovariance, embPcaPower, embSrpBits, simIvfRecall,
+      embCovariance, embPcaPower, embPcaPowerFixed, embSrpBits, simIvfRecall,
       embMahalanobisDiag, embElbowInertia, embTruncationRecall,
       embPqDistortion, embCentroidDrift, embKnnAccuracy, embIntrinsicDim)
 }

@@ -47,4 +47,29 @@ class OracleTypeParitySpec extends AnyFunSuite {
       assert(out.toString.contains("0 type-unportable"), out.toString)
     } finally Files.deleteIfExists(f)
   }
+
+  test("gate goes red on a planted float-floor day key (the e6 class)") {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR_SMALL",
+      "/root/testdata/sf0.001")
+    val tool = Paths.get("tools/oracle_typecheck.py")
+    assume(Files.exists(Paths.get(sfDir)), s"testdata $sfDir absent")
+    assume(Files.exists(tool), "typecheck tool absent")
+    val pythonOk =
+      try Process(Seq("python3", "-c", "import duckdb")).!(ProcessLogger(_ => ())) == 0
+      catch { case _: Throwable => false }
+    assume(pythonOk, "python3+duckdb unavailable — gate runs driver-side")
+
+    // type-portable output (BIGINT), so ONLY the day-key scan can flag it
+    val planted = """{"planted_daykey": "SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d FROM events GROUP BY 1"}"""
+    val f = Files.createTempFile("oracle_planted", ".json")
+    try {
+      Files.writeString(f, planted)
+      val out = new StringBuilder
+      val code = Process(Seq("python3", tool.toString, f.toString, sfDir))
+        .!(ProcessLogger(l => out.append(l).append('\n')))
+      assert(code != 0, "gate stayed green on a planted FLOOR(epoch/86400) day key:\n" + out)
+      assert(out.toString.contains("planted_daykey"), out.toString)
+      assert(out.toString.toLowerCase.contains("day key"), out.toString)
+    } finally Files.deleteIfExists(f)
+  }
 }

@@ -97,8 +97,10 @@ class PlanSpec extends AnyFunSuite {
   test("q22: anti join on the customer key, no nested loop") {
     val p = plan(CoreQueries.q22GlobalSales)
     assert(p.contains("LeftAnti"), p.take(800))
-    // the 1-row average may nest-loop; the orders-side anti join must not
-    assert(!"LeftAnti BuildRight, false".r.findFirstIn(p).exists(_ => false))
+    // the 1-row average may nest-loop; the orders-side anti join must
+    // hash on the customer key, never nested-loop over orders
+    assert(!"BroadcastNestedLoopJoin[^\\n]*LeftAnti".r.findFirstIn(p).isDefined,
+      "orders anti join nested-loops:\n" + p.take(800))
   }
 
   test("jaccard guard rides the join's shuffle: no extra exchange for the window") {

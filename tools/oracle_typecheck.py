@@ -16,7 +16,7 @@ commit time, not in a red round-artifact.
 Usage: python3 tools/oracle_typecheck.py [oracle_sql.json] [sf_dir]
 (defaults: /tmp/verify_out/oracle_sql.json, /root/testdata/sf0.01)
 """
-import sys, os, json
+import sys, os, json, re
 import duckdb
 
 ORACLES = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out/oracle_sql.json"
@@ -38,8 +38,19 @@ for t in TABLES:
     if os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+# Day-bucket keys must ride integer division (`// 86400`, the e17
+# family discipline), never a double FLOOR — mixed routes for the SAME
+# key across sibling queries is the drift class the r10 verdict flagged
+# on e1/e6. Hour/minute buckets (3600/300) are a separately-proven
+# shared text; only the day key had both forms in the registry.
+DAYKEY = re.compile(r"FLOOR\s*\(\s*epoch\s*\([^)]*\)\s*/\s*86400", re.I)
+
 oracle = json.load(open(ORACLES))
 bad = []
+for name in sorted(oracle):
+    if DAYKEY.search(oracle[name]):
+        bad.append((name, "day key via double FLOOR(epoch(..)/86400) — "
+                          "use integer `// 86400` (e17 discipline)"))
 for name in sorted(oracle):
     try:
         schema = con.execute(f"DESCRIBE {oracle[name]}").fetchall()
