@@ -564,6 +564,132 @@ object CoreQueries {
         .orderBy("cntrycode")
     })
 
+  /** TPC-H Q9 shape — product-type profit by supplier nation and year:
+    * the every-year rollup whose measure spans TWO fact-adjacent tables
+    * (classic Q9's `extendedprice·(1−discount) − supplycost·quantity`;
+    * this schema has no partsupp, so the unit cost adapts to
+    * `0.5·p_retailprice` — the arithmetic still reaches across the
+    * part join, which is the shape that matters). Parts are filtered
+    * by name substring BEFORE joining (the filter prunes the dim to a
+    * broadcast), supplier→nation chains as a broadcast, and the only
+    * shuffle is lineitem ⋈ orders on the order key for the year. The
+    * profit terms are products of round-≤2 quantities, so the scale-12
+    * decimal route ([[DetAgg.dsumP]]) sums them exactly on both
+    * engines — boundary-free, round-6 output.
+    */
+  val q9ProductTypeProfit: Q = Q(
+    "q9_product_type_profit",
+    Some(s"""WITH profit AS (
+            |  SELECT n_name AS nation,
+            |    CAST(year(o_orderdate) AS BIGINT) AS o_year,
+            |    l_extendedprice * (1 - l_discount)
+            |      - 0.5 * p_retailprice * l_quantity AS amount
+            |  FROM lineitem
+            |  JOIN part ON p_partkey = l_partkey
+            |  JOIN supplier ON s_suppkey = l_suppkey
+            |  JOIN nation ON n_nationkey = s_nationkey
+            |  JOIN orders ON o_orderkey = l_orderkey
+            |  WHERE p_name LIKE '%red%')
+            |SELECT nation, o_year,
+            |  ROUND(${D.dsumP("amount")}, 6) AS sum_profit,
+            |  CAST(COUNT(*) AS BIGINT) AS n
+            |FROM profit GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    (s, dir) => {
+      val p = Tables.load(s, dir, "part")
+        .filter(col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+      val supp = Tables.load(s, dir, "supplier")
+        .join(broadcast(nat(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      li(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(ord(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(
+          col("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          round(DetAgg.dsumP(
+            col("l_extendedprice") * (lit(1) - col("l_discount"))
+              - lit(0.5) * col("p_retailprice") * col("l_quantity")), 6)
+            .as("sum_profit"),
+          count(lit(1)).as("n"))
+        .orderBy("nation", "o_year")
+    })
+
+  /** TPC-H Q21 shape — suppliers who kept orders waiting: the
+    * multi-existence fact query (a semi join AND an anti join against
+    * the SAME fact on the same key) that the rest of the suite never
+    * exercises. The schema has no commit/receipt dates, so "late"
+    * adapts to `l_shipdate > o_orderdate + 60 days` — line-local once
+    * the order is joined, the same planner shape as Q21's
+    * receipt > commit. A supplier's late line in a finished (status
+    * 'F') AFRICA-region order counts iff the order involves ANOTHER
+    * supplier (semi join on the order key, supplier-inequality riding
+    * the join condition) and no OTHER supplier was late on that order
+    * (anti join on the order key, lateness + inequality riding the
+    * condition — referencing the already-joined o_orderdate, so the
+    * probe never rejoins orders). At 100 TB: the geo dims
+    * (supplier⋈nation⋈region) broadcast; lineitem⋈orders, the semi
+    * probe and the anti probe are each ONE hash-partitioned shuffle on
+    * the order key — three fact shuffles, no nested loop anywhere
+    * (PlanSpec pins it); the top-100 is a TakeOrdered with the unique
+    * supplier name as tiebreak, never a global sort.
+    */
+  val q21SuppliersKeptWaiting: Q = Q(
+    "q21_suppliers_kept_waiting",
+    Some("""SELECT n_name, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+           |FROM supplier s
+           |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+           |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+           |JOIN nation n ON s.s_nationkey = n.n_nationkey
+           |JOIN region r ON n.n_regionkey = r.r_regionkey
+           |WHERE o.o_orderstatus = 'F'
+           |  AND r.r_name = 'AFRICA'
+           |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+           |  AND EXISTS (SELECT 1 FROM lineitem l2
+           |    WHERE l2.l_orderkey = l1.l_orderkey
+           |      AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+           |    WHERE l3.l_orderkey = l1.l_orderkey
+           |      AND l3.l_suppkey <> l1.l_suppkey
+           |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+           |GROUP BY 1, 2 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin),
+    (s, dir) => {
+      val supGeo = Tables.load(s, dir, "supplier")
+        .join(broadcast(nat(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg(s, dir).filter(col("r_name") === "AFRICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      val l1 = li(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+          ord(s, dir).filter(col("o_orderstatus") === "F")
+            .select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(late)
+        .join(broadcast(supGeo), col("l_suppkey") === col("s_suppkey"))
+      val l2 = li(s, dir).select(
+        col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
+      val l3 = li(s, dir).select(
+        col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"),
+        col("l_shipdate").as("l3_shipdate"))
+      l1
+        .join(l2,
+          col("l_orderkey") === col("l2_orderkey") &&
+            col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+        .join(l3,
+          col("l_orderkey") === col("l3_orderkey") &&
+            col("l3_suppkey") =!= col("l_suppkey") &&
+            col("l3_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_anti")
+        .groupBy("n_name", "s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    })
+
   /** TPC-H Q7 shape — volume shipping between a nation PAIR: the
     * five-way star (lineitem → supplier/nation, → orders → customer/
     * nation) with the pair disjunction and a per-year revenue rollup.
@@ -737,5 +863,6 @@ object CoreQueries {
     q5LocalSupplier, q18LargeVolume, q10ReturnedItems, q14PromoEffect,
     q19DiscountRevenue, q4OrderPriority, q6ForecastRevenue,
     q12ShipPriority, q13CustDist, q17SmallQtyRevenue, q22GlobalSales,
-    q7NationVolume, q15TopSupplier, q8MarketShare)
+    q7NationVolume, q15TopSupplier, q8MarketShare, q21SuppliersKeptWaiting,
+    q9ProductTypeProfit)
 }

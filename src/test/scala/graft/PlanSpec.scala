@@ -103,6 +103,22 @@ class PlanSpec extends AnyFunSuite {
       "orders anti join nested-loops:\n" + p.take(800))
   }
 
+  test("q21: semi and anti probes are hash joins on the order key, no nested loop") {
+    val p = plan(CoreQueries.q21SuppliersKeptWaiting)
+    // the multi-existence pair must both plan as equi hash/merge joins
+    // keyed on l_orderkey — a nested loop over the fact is the failure
+    // mode when the inequality swallows the equi key
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[l_orderkey[^\\]]*\\], \\[l2_orderkey[^\\]]*\\], LeftSemi".r
+      .findFirstIn(p).isDefined, "semi probe not an equi join on the order key:\n" + p.take(1500))
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[l_orderkey[^\\]]*\\], \\[l3_orderkey[^\\]]*\\], LeftAnti".r
+      .findFirstIn(p).isDefined, "anti probe not an equi join on the order key:\n" + p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // 3×lineitem + 1×orders + 3 geo dims — the lateness predicate rides
+    // the orders join, so the anti probe never rejoins orders (8th scan)
+    assert("Scan parquet".r.findAllIn(p).size <= 7, "extra fact scan:\n" + p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
   test("jaccard guard rides the join's shuffle: no extra exchange for the window") {
     // the hot-shingle multiplicity window partitions by the equi-join
     // key, so the probe side must show ONE hashpartitioning(shingle)
