@@ -83,6 +83,57 @@ object LogReg {
       features: Seq[String],
       iters: Int = 5,
       lr: Double = 0.5): String = {
+    val out = features.zipWithIndex.map { case (f, j) =>
+      s"SELECT '$f' AS feature, b$j AS coef FROM b$iters"
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${trainingCtes(featsCte, features, iters, lr)}
+       |$out""".stripMargin
+  }
+
+  /** Reliability-diagram bins + ECE + Brier over a scored relation
+    * `(g double round-6 ∈ [0,1], y double 0/1)` — the calibration tail
+    * shared by `ml_calibration_bins` (which hash-checks it against the
+    * DuckDB replay) and LogRegSpec's separable fixture (which pins the
+    * arithmetic by hand). Per equal-width bin: count, mean confidence
+    * (exact decimal sum ÷ count), observed rate (exact integers); ECE
+    * folds round-6 per-bin terms on the exact-decimal route (order-
+    * free); Brier rides dsumP. Everything heavy is one hash aggregate.
+    */
+  def calibrationBins(scored: DataFrame, nBins: Int = 10): DataFrame = {
+    val bins = scored.select(
+      least(floor(col("g") * nBins).cast("long"), lit(nBins - 1L)).as("bin"),
+      col("g"), col("y"))
+    val agg = bins.groupBy("bin").agg(
+      count(lit(1)).as("n_bin"),
+      DetAgg.dsum(col("g")).as("sg"),
+      sum(col("y").cast("long")).cast("long").as("n_pos"))
+    val tot = bins.agg(
+      count(lit(1)).as("n"),
+      DetAgg.dsumP((col("g") - col("y")) * (col("g") - col("y"))).as("sq"))
+    val ece = agg.crossJoin(broadcast(tot)).agg(
+      DetAgg.dsum(round(
+        abs(col("n_pos").cast("double") / col("n_bin") - col("sg") / col("n_bin"))
+          * col("n_bin") / col("n"), 6)).as("ece"))
+    agg.crossJoin(broadcast(tot)).crossJoin(broadcast(ece))
+      .select(
+        col("bin"), col("n_bin"),
+        round(col("sg") / col("n_bin"), 6).as("conf"),
+        round(col("n_pos").cast("double") / col("n_bin"), 6).as("acc"),
+        round(col("ece"), 6).as("ece"),
+        round(col("sq") / col("n"), 6).as("brier"))
+  }
+
+  /** The training-replay CTE chain alone — `feats(…features…, y)` round-6
+    * quantized and `b0..b$iters` coefficient relations — so downstream
+    * oracles (calibration, scoring) can CROSS JOIN the trained `b$iters`
+    * without duplicating the loop text. [[oracleSql]] is this plus the
+    * exploded coefficient select.
+    */
+  def trainingCtes(
+      featsCte: String,
+      features: Seq[String],
+      iters: Int = 5,
+      lr: Double = 0.5): String = {
     val D = DetAgg.Sql
     val p = features.size
     val b0 = (0 until p).map(j => s"0.0 AS b$j").mkString(", ")
@@ -102,15 +153,11 @@ object LogReg {
          |  FROM feats CROSS JOIN b${k - 1} GROUP BY $bprev),
          |b$k AS (SELECT $bsel FROM g$k)""".stripMargin
     }.mkString(",\n")
-    val out = features.zipWithIndex.map { case (f, j) =>
-      s"SELECT '$f' AS feature, b$j AS coef FROM b$iters"
-    }.mkString("\nUNION ALL ")
     // same round-6 feature quantization as [[train]]
     val fq = features.map(f => s"ROUND($f, 6) AS $f").mkString(", ")
-    s"""WITH feats_raw AS ($featsCte),
+    s"""feats_raw AS ($featsCte),
        |feats AS (SELECT $fq, y FROM feats_raw),
        |b0 AS (SELECT $b0),
-       |$its
-       |$out""".stripMargin
+       |$its""".stripMargin
   }
 }

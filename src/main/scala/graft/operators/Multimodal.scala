@@ -30,6 +30,39 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** The codec PLUG-POINT for payload formats the offline JDK cannot
+    * read (H.264-family video, MP3/OGG audio): implement this, call
+    * [[registerCodec]], and [[extractFeatures]] offers every payload of
+    * a claimed media type to the codec BEFORE the JDK built-ins — an
+    * explicit registration is an override (a JavaCV/ffmpeg binding
+    * would claim "video" and "audio" and decode what ImageIO/javax.sound
+    * return None for). `decode` returning None passes the payload to
+    * the next codec, then the built-ins, then the deterministic
+    * [[stubDecode]] tier — the operator degrades, it never fails.
+    * Serializable because the registered snapshot is captured into the
+    * mapPartitions closure at plan time. MultimodalSpec proves the
+    * contract with a fake codec: registered → routed; absent → stub.
+    */
+  trait Codec extends Serializable {
+    /** media_type values this codec claims (e.g. Set("video")). */
+    def mediaTypes: Set[String]
+    /** Feature vector, or None when this payload is unreadable here. */
+    def decode(payload: Array[Byte]): Option[Array[Float]]
+  }
+
+  @volatile private var codecs: Seq[Codec] = Nil
+
+  /** Register a codec for [[extractFeatures]] routing (driver-side,
+    * before the plan is built — the snapshot ships in the closure).
+    */
+  def registerCodec(c: Codec): Unit = synchronized { codecs = codecs :+ c }
+
+  /** Drop all registered codecs (tests; built-ins are unaffected). */
+  def clearCodecs(): Unit = synchronized { codecs = Nil }
+
+  /** The current registered-codec snapshot, custom-first routing order. */
+  def registeredCodecs: Seq[Codec] = codecs
+
   /** Canonical media-table schema: id + opaque payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -51,12 +84,13 @@ object Multimodal {
     * (and the bit-portable oracle tier): 8 features derived from byte
     * statistics, so the plumbing is testable end-to-end. Video and
     * compressed-audio codecs are absent in this environment; a real
-    * build swaps this for the codec call (JavaCV / ffmpeg binding) the
-    * same way [[decodeImage]] plugs in ImageIO and [[decodeAudio]] plugs
-    * in javax.sound.
+    * build supplies them through the [[Codec]] plug-point
+    * ([[registerCodec]] a JavaCV/ffmpeg binding — MultimodalSpec proves
+    * the routing contract with a fake) the same way [[decodeImage]]
+    * plugs in ImageIO and [[decodeAudio]] plugs in javax.sound.
     */
   def stubDecode(payload: Array[Byte]): Array[Float] = {
-    // ??? <- real video/compressed-audio codec goes here; deterministic fake below
+    // ??? <- real codecs register via the Codec plug-point; deterministic fake below
     val n = payload.length.max(1)
     val sums = new Array[Long](8)
     var i = 0
@@ -336,6 +370,9 @@ object Multimodal {
         media.select(col("media_id"), col("payload"), col("media_type"))
       else // opaque-payload callers: stub tier (also the oracle tier)
         media.select(col("media_id"), col("payload"), lit("binary").as("media_type"))
+    // snapshot the registered codecs at PLAN time — the Seq serializes
+    // into the closure, so executors route identically to the driver
+    val plugged = registeredCodecs
     val rdd = typed.rdd
       .mapPartitions { iter =>
         // ImageIO plugin scan happens once per JVM; per-partition decoder
@@ -344,11 +381,18 @@ object Multimodal {
           val id = r.getLong(0)
           val payload = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
           val mediaType = r.getString(2)
-          val feats =
+          // routing contract: registered codecs (claimed types, in
+          // registration order) → JDK built-ins → deterministic stub
+          val custom = plugged.iterator
+            .filter(_.mediaTypes.contains(mediaType))
+            .map(_.decode(payload))
+            .collectFirst { case Some(f) => f }
+          val feats = custom.getOrElse {
             if (mediaType == "image") decodeImage(payload).getOrElse(stubDecode(payload))
             else if (mediaType == "audio") decodeAudio(payload).getOrElse(stubDecode(payload))
             else if (mediaType == "video") decodeVideo(payload).getOrElse(stubDecode(payload))
             else stubDecode(payload)
+          }
           var h = 1469598103934665603L // FNV-1a over payload: cheap content id
           payload.foreach { b => h ^= (b & 0xffL); h *= 1099511628211L }
           Row(id, payload.length, h, feats.toSeq)

@@ -2217,6 +2217,68 @@ object EventQueries {
       })
   }
 
+  /** Paired sign-flip permutation test on the per-user pre/post value
+    * masses (the [[prePostSqlCtes]] relation — one text with ab_cuped
+    * and the Wilcoxon): the EXACT nonparametric alternative to the
+    * paired t-test, and the resampling family's significance twin to
+    * [[graft.operators.Bootstrap]]'s error bands. Under H₀ each user's
+    * difference is symmetric around 0, so every ±1 sign pattern is
+    * equally likely: 200 replicas flip each round-6 difference by a
+    * DETERMINISTIC portable sign — the high bit of the Knuth
+    * multiplicative mix of (131·user + 7·rep + 13) mod 1e5, the
+    * a10_bootstrap_hash discipline: injective per user below 1e5 ids
+    * (this testdata's regime) and weaker than xxhash64 above it, where
+    * the production form swaps the hash and goes rows-only. T = Σ s·d
+    * rides the exact scale-6 decimal route (±round-6 values), so every
+    * replica statistic is order-free and the two-sided
+    * p = (1 + #{|T_r| ≥ |T_obs|}) / (R+1) is exact integer arithmetic
+    * over bit-identical doubles. Plan: the user relation explodes ×200
+    * on a literal sequence and ONE hash aggregate on rep folds it —
+    * linear in users × replicas, no window anywhere. Hash-exact
+    * unrounded.
+    */
+  val statPermutationSignflip: Q = {
+    val reps = 200
+    val sign = "(user_id * 131 + rep * 7 + 13) % 100000 * 2654435761 % 4294967296"
+    Q(
+      "stat_permutation_signflip",
+      Some(s"""$prePostSqlCtes,
+              |d AS (SELECT user_id, ROUND(post - pre, 6) AS d FROM u),
+              |obs AS (SELECT ${D.dsum("d")} AS t_obs,
+              |    CAST(COUNT(*) AS BIGINT) AS n FROM d),
+              |reps AS (SELECT UNNEST(generate_series(1, $reps)) AS rep),
+              |fl AS (SELECT rep,
+              |    CASE WHEN $sign >= 2147483648 THEN d ELSE -d END AS sd
+              |  FROM d CROSS JOIN reps),
+              |tr AS (SELECT rep, ${D.dsum("sd")} AS t FROM fl GROUP BY 1),
+              |ex AS (SELECT CAST(SUM(CASE WHEN ABS(t) >= ABS(t_obs)
+              |      THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+              |  FROM tr CROSS JOIN obs)
+              |SELECT n AS n_users, t_obs, n_extreme,
+              |  (CAST(n_extreme AS DOUBLE) + 1) / ${reps + 1}.0 AS p_value
+              |FROM obs CROSS JOIN ex""".stripMargin),
+      (s, dir) => {
+        val d = prePostByUser(s, dir)
+          .select(col("user_id"), round(col("post") - col("pre"), 6).as("d"))
+        val obs = d.agg(
+          DetAgg.dsum(col("d")).as("t_obs"), count(lit(1)).as("n"))
+        val fl = d
+          .select(col("user_id"), col("d"),
+            explode(sequence(lit(1), lit(reps))).as("rep"))
+          .select(col("rep"),
+            when(expr(sign) >= 2147483648L, col("d"))
+              .otherwise(-col("d")).as("sd"))
+        val tr = fl.groupBy("rep").agg(DetAgg.dsum(col("sd")).as("t"))
+        val ex = tr.crossJoin(broadcast(obs)).agg(
+          sum(when(abs(col("t")) >= abs(col("t_obs")), 1L).otherwise(0L))
+            .cast(LongType).as("n_extreme"))
+        obs.crossJoin(broadcast(ex)).select(
+          col("n").as("n_users"), col("t_obs"), col("n_extreme"),
+          ((col("n_extreme").cast("double") + 1) / lit((reps + 1).toDouble))
+            .as("p_value"))
+      })
+  }
+
   /** The native `session_window` STREAMING sessionization plan run in
     * batch (the serving-both-ways proof of `stream_drift_monitor` /
     * `stream_quality_monitor`, extended to Spark's session-merge state
@@ -2466,7 +2528,8 @@ object EventQueries {
 
   def all: Seq[Q] = Seq(
     e19KaplanMeier, statMannKendall, statFdrBy, statPageHinkley,
-    abConversionZ, abCuped, statWilcoxon, streamSessionize, tsGranger,
+    abConversionZ, abCuped, statWilcoxon, statPermutationSignflip,
+    streamSessionize, tsGranger,
     streamQuantile, e20ActiveUsers, statHolm,
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e4AsofNearest, e5Funnel,
     e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,

@@ -420,36 +420,101 @@ object GroupingQueries {
     * features barely separate `en`, which is irrelevant here: the
     * learning behavior itself is LogRegSpec-pinned on separable data.)
     */
-  val logregQuality: Q = {
+  /** Document-stats feature CTE (intercept, tokens/100, stopword ratio,
+    * punctuation ratio, lang='en' label) — ONE text shared between
+    * `ml_logreg_quality` and `ml_calibration_bins` (the
+    * poissonRateSqlCtes discipline), with [[logregFeats]] the matching
+    * Spark builder.
+    */
+  private val logregFeatsCte: String = {
     val stopList = Seq("the", "and", "of", "to", "is", "a")
       .map(s => s"'$s'").mkString(", ")
-    val featsCte =
-      s"""SELECT 1.0 AS intercept,
-         |    len(string_split_regex(trim(text), '\\s+')) / 100.0 AS tok_x,
-         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
-         |        x -> x IN ($stopList))) AS DOUBLE)
-         |      / len(string_split_regex(trim(text), '\\s+')) AS stop_r,
-         |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g'))
-         |        AS DOUBLE) / LENGTH(text) AS punct_r,
-         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-         |  FROM documents""".stripMargin
-    val featureNames = Seq("intercept", "tok_x", "stop_r", "punct_r")
+    s"""SELECT 1.0 AS intercept,
+       |    len(string_split_regex(trim(text), '\\s+')) / 100.0 AS tok_x,
+       |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |        x -> x IN ($stopList))) AS DOUBLE)
+       |      / len(string_split_regex(trim(text), '\\s+')) AS stop_r,
+       |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+       |        AS DOUBLE) / LENGTH(text) AS punct_r,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents""".stripMargin
+  }
+
+  private val logregFeatureNames = Seq("intercept", "tok_x", "stop_r", "punct_r")
+
+  private def logregFeats(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val stop = Seq("the", "and", "of", "to", "is", "a")
+    val toks = graft.functions.TextFunctions.tokenCount(col("text"))
+    Tables.load(s, dir, "documents").select(
+      lit(1.0).as("intercept"),
+      (toks / lit(100.0)).as("tok_x"),
+      (graft.functions.TextFunctions.wordHits(col("text"), stop)
+        .cast("double") / toks).as("stop_r"),
+      ((length(col("text"))
+        - length(regexp_replace(col("text"), "[^\\w\\s]", "")))
+        .cast("double") / length(col("text"))).as("punct_r"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+  }
+
+  val logregQuality: Q = Q(
+    "ml_logreg_quality",
+    Some(graft.operators.LogReg.oracleSql(logregFeatsCte, logregFeatureNames)),
+    (s, dir) =>
+      graft.operators.LogReg.train(logregFeats(s, dir), logregFeatureNames, col("y")))
+
+  /** Reliability diagram + ECE + Brier for the [[logregQuality]] model —
+    * the calibration readout a quality-filter pipeline needs before its
+    * scores gate a corpus (a classifier can rank perfectly and still be
+    * uncalibrated; the bins say WHERE the scores lie). Scoring replays
+    * the round-6 sigmoid over the round-6 quantized features with the
+    * TRAINED coefficients (the oracle re-runs all 5 GD iterations via
+    * [[graft.operators.LogReg.trainingCtes]] and scores against b5 —
+    * bit-identical to the Spark side's p-bounded coefficient collect,
+    * because training itself is hash-exact). Per 0.1-wide bin: count,
+    * mean confidence (exact decimal sum ÷ count), observed rate (exact
+    * integer ÷ count); ECE = Σ round-6((n_b/N)·|acc−conf|) folded on
+    * the exact-decimal route (order-free); Brier rides dsumP (round-6
+    * residual squares are exact at 12 decimals, VARCHAR-routed cast).
+    * Plan shape: train (5 aggregates) + ONE scoring aggregate + a
+    * ≤10-row tail — everything heavy is map-side partial. Hash-exact.
+    */
+  val mlCalibration: Q = {
+    import graft.functions.DetAgg
+    import graft.functions.DetAgg.{Sql => D}
+    val names = logregFeatureNames
+    val zSql = names.zipWithIndex.map { case (f, j) => s"b$j * $f" }.mkString(" + ")
     Q(
-      "ml_logreg_quality",
-      Some(graft.operators.LogReg.oracleSql(featsCte, featureNames)),
+      "ml_calibration_bins",
+      Some(s"""WITH ${graft.operators.LogReg.trainingCtes(logregFeatsCte, names)},
+              |scored AS (SELECT
+              |    ROUND(1.0 / (1.0 + EXP(-($zSql))), 6) AS g, y
+              |  FROM feats CROSS JOIN b5),
+              |bins AS (SELECT LEAST(CAST(FLOOR(g * 10) AS BIGINT), 9) AS bin, g, y
+              |  FROM scored),
+              |agg AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_bin,
+              |    ${D.dsum("g")} AS sg,
+              |    CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS n_pos
+              |  FROM bins GROUP BY 1),
+              |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |    ${D.dsumP("(g - y) * (g - y)")} AS sq FROM bins),
+              |ece AS (SELECT ${D.dsum(
+                "ROUND(ABS(CAST(n_pos AS DOUBLE) / n_bin - sg / n_bin) * n_bin / n, 6)")} AS ece
+              |  FROM agg CROSS JOIN tot)
+              |SELECT bin, n_bin, ROUND(sg / n_bin, 6) AS conf,
+              |  ROUND(CAST(n_pos AS DOUBLE) / n_bin, 6) AS acc,
+              |  ROUND(ece, 6) AS ece, ROUND(sq / n, 6) AS brier
+              |FROM agg CROSS JOIN tot CROSS JOIN ece""".stripMargin),
       (s, dir) => {
-        val stop = Seq("the", "and", "of", "to", "is", "a")
-        val toks = graft.functions.TextFunctions.tokenCount(col("text"))
-        val feats = Tables.load(s, dir, "documents").select(
-          lit(1.0).as("intercept"),
-          (toks / lit(100.0)).as("tok_x"),
-          (graft.functions.TextFunctions.wordHits(col("text"), stop)
-            .cast("double") / toks).as("stop_r"),
-          ((length(col("text"))
-            - length(regexp_replace(col("text"), "[^\\w\\s]", "")))
-            .cast("double") / length(col("text"))).as("punct_r"),
-          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-        graft.operators.LogReg.train(feats, featureNames, col("y"))
+        val feats = logregFeats(s, dir)
+        // p-bounded trained-model collect (the Ivf-centroid pattern):
+        // the coefficients re-enter the plan as literals, bit-equal to
+        // the oracle's b5 because training is itself hash-exact
+        val coef = graft.operators.LogReg.train(feats, names, col("y"))
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        val z = names.map(f => lit(coef(f)) * round(col(f), 6)).reduce(_ + _)
+        graft.operators.LogReg.calibrationBins(
+          feats.select(round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("g"), col("y")))
       })
   }
 
@@ -1565,7 +1630,7 @@ object GroupingQueries {
     olapBasketLift,
     rollup, cube_, groupingSets, approxDistinct, distinctExact,
     tdigestQuantiles, saltedAgg, saltedJoin, linreg, corrMatrix, zscore,
-    freqItems, zorderExport, logregQuality, percentileRank, equidepthHist,
+    freqItems, zorderExport, logregQuality, mlCalibration, percentileRank, equidepthHist,
     winsorize, pagerank, triangles, labelProp, cmsTopk, kcore, hllDistinct,
     adamicAdar, adamicAdarCapped, ppr, skyline, shortestHops, assortativity, modularity,
     clusteringCoeff, hits, olapShareOfParent, olapTopnOthers,

