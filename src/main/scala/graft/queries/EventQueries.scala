@@ -2435,6 +2435,78 @@ object EventQueries {
           .orderBy("bucket", "event_type"))
   }
 
+  /** The streaming windowed count-min heavy-hitter monitor's plan run in
+    * BATCH ([[graft.streaming.CountMinStream]] — one function serves
+    * readStream and batch, the sessionize/anomaly/quantile twin
+    * discipline; StreamingSpec drives the same plan as an actual
+    * stream): per 5-minute window, the CMS estimate vs the exact count
+    * for the corpus's 5 busiest users, plus the one-sided certificate
+    * (estimate ≥ exact — the CMS contract per window). Counters are
+    * exact integer sums over the portable Knuth hash family
+    * ([[graft.operators.CountMin.bucketSql]]), the estimate a MIN over
+    * d=4 cells with absent cells as 0 (the full window×key×row grid —
+    * an inner join would min over fewer cells and overestimate sparse
+    * windows), so the ESTIMATES hash-match, not just the certificate.
+    * Serving shape at 100 TB: per-window state is d×w counters no
+    * matter the key cardinality, mergeable by addition across
+    * shards/days.
+    */
+  val streamTopk: Q = {
+    val d = 4; val w = 512
+    import graft.operators.CountMin
+    Q(
+      "stream_topk_monitor",
+      Some(s"""WITH e AS (SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS bucket,
+              |    user_id FROM events),
+              |probe AS (SELECT user_id AS v FROM (
+              |    SELECT user_id, COUNT(*) AS n_total FROM e GROUP BY 1
+              |    ORDER BY n_total DESC, user_id LIMIT 5)),
+              |rs AS (SELECT r FROM (VALUES (0), (1), (2), (3)) AS t(r)),
+              |cnt AS (SELECT bucket, r,
+              |    ${CountMin.bucketSql("user_id", "r", w)} AS b,
+              |    CAST(COUNT(*) AS BIGINT) AS c
+              |  FROM e CROSS JOIN rs GROUP BY 1, 2, 3),
+              |wins AS (SELECT DISTINCT bucket FROM cnt),
+              |grid AS (SELECT wins.bucket, probe.v, rs.r,
+              |    ${CountMin.bucketSql("probe.v", "rs.r", w)} AS b
+              |  FROM wins CROSS JOIN probe CROSS JOIN rs),
+              |est AS (SELECT grid.bucket, grid.v,
+              |    CAST(MIN(COALESCE(cnt.c, 0)) AS BIGINT) AS n_cms
+              |  FROM grid LEFT JOIN cnt ON cnt.bucket = grid.bucket
+              |    AND cnt.r = grid.r AND cnt.b = grid.b
+              |  GROUP BY 1, 2),
+              |ex AS (SELECT bucket, user_id AS v, CAST(COUNT(*) AS BIGINT) AS n_exact
+              |  FROM e JOIN probe ON e.user_id = probe.v GROUP BY 1, 2)
+              |SELECT ex.bucket, ex.v AS user_id, ex.n_exact, est.n_cms,
+              |  est.n_cms >= ex.n_exact AS sketch_ok
+              |FROM ex JOIN est ON est.bucket = ex.bucket AND est.v = ex.v""".stripMargin),
+      (s, dir) => {
+        val events = ev(s, dir)
+        val counters = graft.streaming.CountMinStream
+          .windowedCounters(events, d, w)
+        val probe = events.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_total"))
+          .orderBy(col("n_total").desc, col("user_id")).limit(5)
+          .select(col("user_id").as("v"))
+        val est = graft.streaming.CountMinStream
+          .estimateWindowed(probe, counters, d, w)
+          .select(
+            floor(unix_timestamp(col("window_start")) / 300).cast(LongType)
+              .as("bucket"),
+            col("v"), col("n_cms").cast(LongType).as("n_cms"))
+        val ex = events
+          .select(
+            floor(unix_timestamp(col("ts")) / 300).cast(LongType).as("bucket"),
+            col("user_id"))
+          .join(broadcast(probe), col("user_id") === col("v"))
+          .groupBy("bucket", "v").agg(count(lit(1)).as("n_exact"))
+        ex.join(est, Seq("bucket", "v"))
+          .select(
+            col("bucket"), col("v").as("user_id"), col("n_exact"), col("n_cms"),
+            (col("n_cms") >= col("n_exact")).as("sketch_ok"))
+      })
+  }
+
   /** DAU / trailing-7-day WAU / trailing-30-day MAU and the DAU/MAU
     * stickiness ratio — the product-analytics actives board
     * ([[e15CumulativeUsers]] counts growth; this counts ENGAGEMENT,
@@ -2529,7 +2601,7 @@ object EventQueries {
   def all: Seq[Q] = Seq(
     e19KaplanMeier, statMannKendall, statFdrBy, statPageHinkley,
     abConversionZ, abCuped, statWilcoxon, statPermutationSignflip,
-    streamSessionize, tsGranger,
+    streamSessionize, streamTopk, tsGranger,
     streamQuantile, e20ActiveUsers, statHolm,
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e4AsofNearest, e5Funnel,
     e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,

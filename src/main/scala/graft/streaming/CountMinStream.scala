@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.CountMin
+
+/** Windowed count-min heavy-hitter monitor — the streaming serving twin
+  * of the batch `sketch_cms_topk` (the sessionize/anomaly/quantile
+  * serving-both-ways discipline): ONE function builds the per-window
+  * d×w counter relation, valid as a watermarked streaming aggregation
+  * (tumbling event-time window × a literal hash-row union) and as a
+  * batch query — the registry's `stream_topk_monitor` runs the batch
+  * form against a DuckDB replay, StreamingSpec drives the same plan
+  * through `readStream`.
+  *
+  * Why this is the 100 TB serving shape: per-window state is EXACTLY
+  * d×w counters regardless of key cardinality (the CMS contract), the
+  * counters merge by addition (map-side partials, cross-shard/day
+  * merges), and any key's per-window frequency is answerable later
+  * from constant state — no per-user exact counts retained anywhere.
+  * Hash family and estimate semantics are [[graft.operators.CountMin]]
+  * verbatim, so the one-sided guarantee (estimate ≥ true; ≤ true + N/w
+  * w.p. 1−2^−d) holds per window.
+  */
+object CountMinStream {
+
+  /** Per-(5-minute tumbling window) CMS counters
+    * `(window_start, r, b, c)`. `events` may be a `readStream` (append
+    * mode under the 10-minute watermark) or a batch frame — the plan is
+    * the same aggregation either way. Windows align to the epoch, so
+    * `floor(epoch/300)` buckets match `window_start` exactly.
+    */
+  def windowedCounters(events: DataFrame, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && d <= 16 && w >= 2, s"bad sketch shape d=$d w=$w")
+    val keyed = events
+      .withWatermark("ts", "10 minutes")
+      .select(window(col("ts"), "5 minutes").as("win"), col("user_id").as("v"))
+    (0 until d).map { r =>
+      keyed.select(
+        col("win"), lit(r.toLong).as("r"), CountMin.bucket(col("v"), r, w).as("b"))
+    }.reduce(_ union _)
+      .groupBy("win", "r", "b").agg(count(lit(1)).as("c"))
+      .select(col("win.start").as("window_start"), col("r"), col("b"), col("c"))
+  }
+
+  /** Per-window estimates for a probe-key relation `(v)` against the
+    * counter relation: min over the d cells of each (window, key) —
+    * absent cells estimate 0 (the key never appeared in that window).
+    */
+  def estimateWindowed(
+      probe: DataFrame, counters: DataFrame, d: Int, w: Int): DataFrame = {
+    val buckets = (0 until d).map { r =>
+      probe.select(col("v"), lit(r.toLong).as("r"), CountMin.bucket(col("v"), r, w).as("b"))
+    }.reduce(_ union _)
+    // full (window × key × r) grid, THEN left join: an absent cell is a
+    // 0 count, and skipping it (inner join) would min over fewer cells
+    // and overestimate exactly the sparse windows
+    counters.select("window_start").distinct()
+      .crossJoin(broadcast(buckets))
+      .join(counters, Seq("window_start", "r", "b"), "left")
+      .groupBy("window_start", "v")
+      .agg(min(coalesce(col("c"), lit(0L))).as("n_cms"))
+  }
+}

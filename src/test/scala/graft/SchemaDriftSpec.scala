@@ -62,6 +62,10 @@ class SchemaDriftSpec extends AnyFunSuite {
     "graph_ppr" -> Set("orders", "lineitem"),
     "graph_hits" -> Set("orders", "lineitem"),
     "e18_markov_stationary" -> Set("events"),
+    // the Gram sketch collects inside the builder (the trained-model
+    // pattern) and the returned frame is createDataFrame over driver
+    // rows — no scan survives in the analyzed plan
+    "emb_pca_power_fixed" -> Set("embeddings"),
     // the cluster census reads content-key-MEMOIZED component labels
     // (PipelineStage.materialize) — the documents scan happens inside
     // the memo compute, so the returned plan is a parquet read of the

@@ -73,4 +73,31 @@ class StreamingSpec extends AnyFunSuite {
         s"median rank $rank off for $key (n=${vs.length})")
     }
   }
+
+  test("streaming CMS counters run as a real stream and match the batch plan") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_stream_cms")
+    Files.copy(
+      Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val q = graft.streaming.CountMinStream
+      .windowedCounters(EventsStream.readStreamed(spark, dir.toString), d = 4, w = 512)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cms_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("cms_out").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = graft.streaming.CountMinStream
+        .windowedCounters(EventsStream.readBatch(spark, dir.toString), d = 4, w = 512)
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // append mode withholds windows newer than the final watermark —
+      // streamed counters are a (large) identical-valued subset
+      assert(streamed.nonEmpty && streamed.subsetOf(batch),
+        s"streamed=${streamed.size} batch=${batch.size}")
+      assert(streamed.size >= batch.size / 2, "watermark held back most windows")
+    } finally q.stop()
+  }
 }
