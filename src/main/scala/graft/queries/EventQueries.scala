@@ -2435,6 +2435,94 @@ object EventQueries {
           .orderBy("bucket", "event_type"))
   }
 
+  /** Periodogram of the hourly event-count series — the seasonality
+    * DETECTOR ([[tsSeasonalDecompose]] extracts a KNOWN period; this
+    * finds the period): discrete Fourier power at frequencies k ≤ n/2
+    * (capped 240), reported as the top-10 periods. The j×k grid is
+    * quadratic in BUCKETS — bounded by the time span (the
+    * [[statMannKendall]]/[[tsChangepoint]] axis argument), never by
+    * data volume, and an in-plan assert_true caps the series at 4096
+    * buckets so a years-long span fails loudly before an n² blowup
+    * instead of melting the cluster. Portability: the series is
+    * centered by the INTEGER mean (`tot div n` — exact, where a double
+    * mean would make every product engine-rounded), cos/sin are
+    * round-6 (absorbing the ≤1-ulp libm spread, the LogReg sigmoid
+    * contract), so every term x̃·round6(trig) is a round-0 × round-6
+    * product — exact at 6 decimals — and rides the boundary-free
+    * scale-12 [[DetAgg.dsumP]] route. Power and the period are fixed
+    * IEEE tails, round-6. Hash-exact.
+    */
+  val tsPeriodogram: Q = {
+    val kMax = 240
+    Q(
+      "ts_periodogram",
+      Some(s"""WITH b0 AS (SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+              |    CAST(COUNT(*) AS BIGINT) AS x0
+              |  FROM events GROUP BY 1),
+              |r AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b0),
+              |bb AS (SELECT g.bucket - lo AS j, COALESCE(b0.x0, 0) AS x
+              |  FROM (SELECT UNNEST(generate_series(lo, hi)) AS bucket FROM r) g
+              |  LEFT JOIN b0 USING (bucket) CROSS JOIN r),
+              |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |    CAST(SUM(x) AS BIGINT) AS tot FROM bb),
+              |b AS (SELECT j, x - tot // n AS x FROM bb CROSS JOIN nn),
+              |ks AS (SELECT UNNEST(generate_series(1, LEAST(n // 2, $kMax))) AS k
+              |  FROM nn),
+              |t AS (SELECT k, j, x,
+              |    ROUND(COS(2 * PI() * k * j / n), 6) AS ck,
+              |    ROUND(SIN(2 * PI() * k * j / n), 6) AS sk
+              |  FROM b CROSS JOIN ks CROSS JOIN nn),
+              |p AS (SELECT k, ${D.dsumP("x * ck")} AS c, ${D.dsumP("x * sk")} AS s
+              |  FROM t GROUP BY 1)
+              |SELECT k, ROUND(CAST(n AS DOUBLE) / k, 6) AS period_hours,
+              |  ROUND(c * c + s * s, 6) AS power
+              |FROM p CROSS JOIN nn
+              |ORDER BY power DESC, k LIMIT 10""".stripMargin),
+      (s, dir) => {
+        val b0 = ev(s, dir)
+          .groupBy(floor(unix_timestamp(col("ts")) / 3600).cast(LongType)
+            .as("bucket"))
+          .agg(count(lit(1)).as("x0"))
+        val r = b0.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+        val bb = r
+          .select(explode(sequence(col("lo"), col("hi"))).as("bucket"), col("lo"))
+          .join(b0, Seq("bucket"), "left")
+          .select(
+            (col("bucket") - col("lo")).as("j"),
+            coalesce(col("x0"), lit(0L)).as("x"))
+        val nn = bb.agg(count(lit(1)).as("n"), sum("x").as("tot"))
+        val b = bb.crossJoin(broadcast(nn))
+          .filter(assert_true(
+            col("n") <= lit(4096L),
+            format_string(
+              "ts_periodogram span guard: %d hourly buckets exceed the " +
+                "4096-bucket DFT bound — the j*k grid is quadratic in the " +
+                "series length. Window the series (or widen the bucket) " +
+                "before the spectral pass.",
+              col("n"))).isNull)
+          .select(col("j"), expr("x - tot div n").as("x"), col("n"))
+        val ks = nn.select(
+          explode(sequence(lit(1L), least(expr("n div 2"), lit(kMax.toLong))))
+            .as("k"))
+        val t = b.crossJoin(broadcast(ks))
+          .select(
+            col("k"), col("x"),
+            expr("ROUND(COS(2 * PI() * k * j / n), 6)").as("ck"),
+            expr("ROUND(SIN(2 * PI() * k * j / n), 6)").as("sk"))
+        t.groupBy("k")
+          .agg(
+            DetAgg.dsumP(col("x") * col("ck")).as("c"),
+            DetAgg.dsumP(col("x") * col("sk")).as("s"))
+          .crossJoin(broadcast(nn))
+          .select(
+            col("k"),
+            round(col("n").cast("double") / col("k"), 6).as("period_hours"),
+            round(col("c") * col("c") + col("s") * col("s"), 6).as("power"))
+          .orderBy(col("power").desc, col("k"))
+          .limit(10)
+      })
+  }
+
   /** The streaming windowed count-min heavy-hitter monitor's plan run in
     * BATCH ([[graft.streaming.CountMinStream]] — one function serves
     * readStream and batch, the sessionize/anomaly/quantile twin
@@ -2601,7 +2689,7 @@ object EventQueries {
   def all: Seq[Q] = Seq(
     e19KaplanMeier, statMannKendall, statFdrBy, statPageHinkley,
     abConversionZ, abCuped, statWilcoxon, statPermutationSignflip,
-    streamSessionize, streamTopk, tsGranger,
+    streamSessionize, streamTopk, tsGranger, tsPeriodogram,
     streamQuantile, e20ActiveUsers, statHolm,
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e4AsofNearest, e5Funnel,
     e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,

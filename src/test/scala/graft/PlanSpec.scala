@@ -119,6 +119,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
   }
 
+  test("q9: name-filtered part and supplier geo broadcast; profit never nested-loops") {
+    val p = plan(CoreQueries.q9ProductTypeProfit)
+    // the LIKE filter must reach the part scan, pruning it to a
+    // broadcastable dim before the fact join
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.contains("StringContains(p_name,red)") || p.contains("p_name LIKE"),
+      "part name filter not pushed:\n" + p.take(1200))
+  }
+
   test("jaccard guard rides the join's shuffle: no extra exchange for the window") {
     // the hot-shingle multiplicity window partitions by the equi-join
     // key, so the probe side must show ONE hashpartitioning(shingle)

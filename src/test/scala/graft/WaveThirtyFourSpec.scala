@@ -99,6 +99,33 @@ class WaveThirtyFourSpec extends AnyFunSuite {
     assert(p > 0.0 && p <= 1.0)
   }
 
+  test("periodogram: a planted 24-hour cycle dominates the spectrum") {
+    import spark.implicits._
+    // 30 days of hourly events: 5 events in the first half of each day,
+    // 1 in the second — a square wave with period exactly 24 buckets,
+    // so the top frequency must be k = n/24 = 30 (and its odd
+    // harmonics trail it, the square-wave signature)
+    val rows = for {
+      day <- 0 until 30; hour <- 0 until 24
+      rep <- 0 until (if (hour < 12) 5 else 1)
+    } yield (
+      (day * 24L + hour) * 100 + rep, // event_id
+      new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+          + (day * 24L + hour) * 3600L * 1000L),
+      (rep % 7).toLong, "view", 1.0, "{}")
+    val dir = Files.createTempDirectory("graft_w34_pg").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val top = graft.queries.EventQueries.tsPeriodogram.run(spark, dir)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Double]("period_hours"),
+        r.getAs[Double]("power")))
+    assert(top.head._1 == 30L, s"fundamental not found: ${top.toSeq}")
+    assert(math.abs(top.head._2 - 24.0) < 0.05, top.head.toString)
+    // the fundamental dominates every other reported frequency
+    assert(top.tail.forall(_._3 < top.head._3), top.toSeq.toString)
+  }
+
   test("kaplan-meier on generated testdata: censoring is non-vacuous") {
     // the horizon machinery only exercises its censored branch if some
     // user's first purchase is >= 72h after their first event — assert
