@@ -208,6 +208,95 @@ object TextQueries {
         .groupBy("pair").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pair")).limit(30))
 
+  /** BPE tokenizer TRAINING as a verifiable distributed query — the
+    * full Sennrich et al. 2016 merge loop, not just [[textBpePairs]]'s
+    * first-step statistic: 8 rounds of (count adjacent symbol pairs →
+    * take the most frequent → merge every occurrence corpus-wide),
+    * within words only (the standard convention; words are rows, so
+    * pairs never span whitespace). Output: the learned merge table
+    * (round, left_sym, right_sym, merged, n_pairs) — i.e., the
+    * tokenizer itself.
+    *
+    * The merge step is the clever bit: symbol sequences live as
+    * `|a||b||c|` strings (every symbol wrapped in its own bars), so
+    * merging pair (a,b) is ONE plain `replace(s, '|a||b|', '|ab|')` —
+    * substring replace is non-overlapping left-to-right in BOTH
+    * engines, and because each match consumes one bar from each
+    * neighbor while LEAVING the outer bars, consecutive occurrences
+    * merge exactly like greedy BPE (`||a||a||a||a||` → `||aa||aa||`,
+    * verified both engines). No regex, no lookahead (RE2 has none), no
+    * per-row loop. Argmax is (count DESC, a, b) — tie-proof. The
+    * winning pair re-enters the plan as LITERALS from a 1-row collect
+    * (the trained-model pattern — a tokenizer trainer's entire output
+    * is k rows); the oracle replays all 8 rounds through MATERIALIZED
+    * CTEs. At 100 TB: each round is one explode + one hash aggregate
+    * (map-side partials over the bounded symbol-pair alphabet) + one
+    * map-only rewrite of the word relation, checkpoint-rolled so round
+    * r never recomputes rounds 1..r−1. Hash-exact.
+    */
+  val textBpeTrain: Q = {
+    val rounds = 8
+    val roundCtes = (1 to rounds).map { r =>
+      s"""t$r AS (SELECT list_filter(
+         |    string_split(substring(s, 2, length(s) - 2), '||'),
+         |    x -> x <> '') AS t FROM d${r - 1}),
+         |p$r AS (SELECT t[i] AS a, t[i + 1] AS b
+         |  FROM (SELECT t, UNNEST(generate_series(1, len(t) - 1)) AS i FROM t$r)),
+         |m$r AS MATERIALIZED (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM p$r GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+         |d$r AS MATERIALIZED (SELECT
+         |    REPLACE(s, '|' || a || '||' || b || '|', '|' || a || b || '|') AS s
+         |  FROM d${r - 1} CROSS JOIN m$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a AS left_sym, b AS right_sym, " +
+        s"a || b AS merged, n AS n_pairs FROM m$r"
+    }.mkString("\nUNION ALL\n")
+    Q(
+      "text_bpe_train",
+      Some(s"""WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+              |  FROM documents),
+              |d0 AS MATERIALIZED (SELECT
+              |    regexp_replace(replace(w, '|', ''), '(.)', '|\\1|', 'g') AS s
+              |  FROM w WHERE w <> ''),
+              |$roundCtes
+              |$out""".stripMargin),
+      (s, dir) => {
+        val scope = new graft.operators.CheckpointScope
+        try {
+          var d = scope.roll("d", docs(s, dir)
+            .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+            .filter(col("w") =!= "")
+            .select(expr(
+              "regexp_replace(replace(w, '|', ''), '(.)', '|$1|')").as("s")))
+          val merges = (1 to rounds).map { r =>
+            val toks = d.select(expr(
+              "filter(split(substring(s, 2, length(s) - 2), '\\\\|\\\\|'), x -> x <> '')")
+              .as("t"))
+            val top = toks.filter(size(col("t")) >= 2)
+              .select(explode(expr(
+                "transform(sequence(1, size(t) - 1), " +
+                  "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
+                .as("p"))
+              .select(col("p.a").as("a"), col("p.b").as("b"))
+              .groupBy("a", "b").agg(count(lit(1)).as("n"))
+              .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+              .collect()
+            require(top.nonEmpty, s"text_bpe_train: no pairs left at round $r")
+            val (a, b, n) =
+              (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+            d = scope.roll("d", d.select(
+              org.apache.spark.sql.functions.replace(
+                col("s"), lit(s"|$a||$b|"), lit(s"|$a$b|")).as("s")))
+            (r.toLong, a, b, a + b, n)
+          }
+          scope.close()
+          import s.implicits._
+          merges.toDF("round", "left_sym", "right_sym", "merged", "n_pairs")
+        } catch { case t: Throwable => scope.closeAll(); throw t }
+      })
+  }
+
   /** Canonical text cleanup ([[graft.functions.TextFunctions
     * .normalizeText]]): Unicode NFC + control strip + space collapse,
     * with a deterministic DIRTY suffix appended first (decomposed
@@ -2614,7 +2703,7 @@ object TextQueries {
     sampleBalancedClasses,
     textTokens, textQuality, textReadability, textLexicalDiversity,
     textLangId, textFingerprint, textRepetition,
-    textBpePairs, textNormalize, textGopherRules, textWinnow, textCollocations,
+    textBpePairs, textBpeTrain, textNormalize, textGopherRules, textWinnow, textCollocations,
     textEntropy, packLengthBuckets,
     textBm25, textHybridRrf, corpusReport, pipelineMix, textChunk, textLmScore,
     pipelinePerplexityMix, streamQualityMonitor,

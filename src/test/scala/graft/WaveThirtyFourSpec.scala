@@ -126,6 +126,36 @@ class WaveThirtyFourSpec extends AnyFunSuite {
     assert(top.tail.forall(_._3 < top.head._3), top.toSeq.toString)
   }
 
+  test("bpe training: the merge sequence on an enumerable corpus is the hand one") {
+    import spark.implicits._
+    // 3x banana + 2x bandana + a filler word that keeps rounds 7-8 alive:
+    //  r1 (a,n) 10   r2 (an,a) 5 [tie with (b,an), 'an' < 'b']
+    //  r3 (b,an) 5   r4 (ban,ana) 3 -> 'banana'
+    //  r5 (ban,d) 2 [tie band: 'ban' < 'd' < 'd,ana']  r6 (band,ana) 2
+    //  r7/r8 fall to the count-1 filler pairs, (q,r) then (qr,s)
+    val docs = Seq(
+      (1L, "banana banana banana", "en", "src0", 20L),
+      (2L, "bandana bandana qrstuv", "en", "src0", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft_w34_bpe").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.textBpeTrain.run(spark, dir)
+      .collect().sortBy(_.getAs[Long]("round"))
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[String]("merged"),
+        r.getAs[Long]("n_pairs")))
+    val want = Seq(
+      (1L, "a", "n", "an", 10L),
+      (2L, "an", "a", "ana", 5L),
+      (3L, "b", "an", "ban", 5L),
+      (4L, "ban", "ana", "banana", 3L),
+      (5L, "ban", "d", "band", 2L),
+      (6L, "band", "ana", "bandana", 2L),
+      (7L, "q", "r", "qr", 1L),
+      (8L, "qr", "s", "qrs", 1L))
+    assert(got.toSeq == want, got.toSeq.mkString("\n"))
+  }
+
   test("kaplan-meier on generated testdata: censoring is non-vacuous") {
     // the horizon machinery only exercises its censored branch if some
     // user's first purchase is >= 72h after their first event — assert
