@@ -234,9 +234,18 @@ object TextQueries {
     * map-only rewrite of the word relation, checkpoint-rolled so round
     * r never recomputes rounds 1..r−1. Hash-exact.
     */
-  val textBpeTrain: Q = {
-    val rounds = 8
-    val roundCtes = (1 to rounds).map { r =>
+  /** Number of BPE merge rounds shared by [[textBpeTrain]] and
+    * [[textBpeVocab]].
+    */
+  private val BpeRounds = 8
+
+  /** The training CTE chain `w, d0, t1..p1..m1..d1, …, d$BpeRounds` —
+    * ONE text shared by [[textBpeTrain]] (which selects the merge
+    * table) and [[textBpeVocab]] (which censuses the tokenized corpus
+    * d$BpeRounds), so the loop bodies can never drift.
+    */
+  private val bpeSqlCtes: String = {
+    val roundCtes = (1 to BpeRounds).map { r =>
       s"""t$r AS (SELECT list_filter(
          |    string_split(substring(s, 2, length(s) - 2), '||'),
          |    x -> x <> '') AS t FROM d${r - 1}),
@@ -248,54 +257,102 @@ object TextQueries {
          |    REPLACE(s, '|' || a || '||' || b || '|', '|' || a || b || '|') AS s
          |  FROM d${r - 1} CROSS JOIN m$r)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to rounds).map { r =>
+    s"""WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |  FROM documents),
+       |d0 AS MATERIALIZED (SELECT
+       |    regexp_replace(replace(w, '|', ''), '(.)', '|\\1|', 'g') AS s
+       |  FROM w WHERE w <> ''),
+       |$roundCtes""".stripMargin
+  }
+
+  /** The Spark training loop shared by the two BPE queries: returns the
+    * learned merges and the fully-merged word relation (column `s`).
+    */
+  private def bpeChain(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      scope: graft.operators.CheckpointScope)
+      : (Seq[(Long, String, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    var d = scope.roll("d", docs(s, dir)
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .select(expr(
+        "regexp_replace(replace(w, '|', ''), '(.)', '|$1|')").as("s")))
+    val merges = (1 to BpeRounds).map { r =>
+      val toks = d.select(expr(
+        "filter(split(substring(s, 2, length(s) - 2), '\\\\|\\\\|'), x -> x <> '')")
+        .as("t"))
+      val top = toks.filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
+          .as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .collect()
+      require(top.nonEmpty, s"text_bpe_train: no pairs left at round $r")
+      val (a, b, n) =
+        (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+      d = scope.roll("d", d.select(
+        org.apache.spark.sql.functions.replace(
+          col("s"), lit(s"|$a||$b|"), lit(s"|$a$b|")).as("s")))
+      (r.toLong, a, b, a + b, n)
+    }
+    (merges, d)
+  }
+
+  val textBpeTrain: Q = {
+    val out = (1 to BpeRounds).map { r =>
       s"SELECT CAST($r AS BIGINT) AS round, a AS left_sym, b AS right_sym, " +
         s"a || b AS merged, n AS n_pairs FROM m$r"
     }.mkString("\nUNION ALL\n")
     Q(
       "text_bpe_train",
-      Some(s"""WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-              |  FROM documents),
-              |d0 AS MATERIALIZED (SELECT
-              |    regexp_replace(replace(w, '|', ''), '(.)', '|\\1|', 'g') AS s
-              |  FROM w WHERE w <> ''),
-              |$roundCtes
+      Some(s"""$bpeSqlCtes
               |$out""".stripMargin),
       (s, dir) => {
         val scope = new graft.operators.CheckpointScope
         try {
-          var d = scope.roll("d", docs(s, dir)
-            .select(explode(TextFunctions.tokens(col("text"))).as("w"))
-            .filter(col("w") =!= "")
-            .select(expr(
-              "regexp_replace(replace(w, '|', ''), '(.)', '|$1|')").as("s")))
-          val merges = (1 to rounds).map { r =>
-            val toks = d.select(expr(
-              "filter(split(substring(s, 2, length(s) - 2), '\\\\|\\\\|'), x -> x <> '')")
-              .as("t"))
-            val top = toks.filter(size(col("t")) >= 2)
-              .select(explode(expr(
-                "transform(sequence(1, size(t) - 1), " +
-                  "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
-                .as("p"))
-              .select(col("p.a").as("a"), col("p.b").as("b"))
-              .groupBy("a", "b").agg(count(lit(1)).as("n"))
-              .orderBy(col("n").desc, col("a"), col("b")).limit(1)
-              .collect()
-            require(top.nonEmpty, s"text_bpe_train: no pairs left at round $r")
-            val (a, b, n) =
-              (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-            d = scope.roll("d", d.select(
-              org.apache.spark.sql.functions.replace(
-                col("s"), lit(s"|$a||$b|"), lit(s"|$a$b|")).as("s")))
-            (r.toLong, a, b, a + b, n)
-          }
+          val (merges, _) = bpeChain(s, dir, scope)
           scope.close()
           import s.implicits._
           merges.toDF("round", "left_sym", "right_sym", "merged", "n_pairs")
         } catch { case t: Throwable => scope.closeAll(); throw t }
       })
   }
+
+  /** The tokenized-corpus census the trained tokenizer implies — apply
+    * side of [[textBpeTrain]] (which learns the merges; this reports
+    * what the corpus looks like THROUGH them): top-30 vocabulary
+    * entries of the fully-merged word relation, (count DESC, token)
+    * tie-proof. Shares the entire training chain with the trainer —
+    * ONE CTE text ([[bpeSqlCtes]]) and ONE Spark loop ([[bpeChain]]) —
+    * so the census is over EXACTLY the relation the 8th merge left
+    * behind; the oracle replays training and censuses d8 the same way.
+    * Hash-exact.
+    */
+  val textBpeVocab: Q = Q(
+    "text_bpe_vocab",
+    Some(s"""$bpeSqlCtes,
+            |v AS (SELECT UNNEST(list_filter(
+            |    string_split(substring(s, 2, length(s) - 2), '||'),
+            |    x -> x <> '')) AS token FROM d$BpeRounds)
+            |SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            |FROM v GROUP BY 1 ORDER BY n DESC, token LIMIT 30""".stripMargin),
+    (s, dir) => {
+      val scope = new graft.operators.CheckpointScope
+      try {
+        val (_, d) = bpeChain(s, dir, scope)
+        val out = d.select(explode(expr(
+          "filter(split(substring(s, 2, length(s) - 2), '\\\\|\\\\|'), x -> x <> '')"))
+          .as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token")).limit(30)
+        // the returned plan is rooted in the final "d" checkpoint
+        scope.close("d")
+        out
+      } catch { case t: Throwable => scope.closeAll(); throw t }
+    })
 
   /** Canonical text cleanup ([[graft.functions.TextFunctions
     * .normalizeText]]): Unicode NFC + control strip + space collapse,
@@ -2703,7 +2760,7 @@ object TextQueries {
     sampleBalancedClasses,
     textTokens, textQuality, textReadability, textLexicalDiversity,
     textLangId, textFingerprint, textRepetition,
-    textBpePairs, textBpeTrain, textNormalize, textGopherRules, textWinnow, textCollocations,
+    textBpePairs, textBpeTrain, textBpeVocab, textNormalize, textGopherRules, textWinnow, textCollocations,
     textEntropy, packLengthBuckets,
     textBm25, textHybridRrf, corpusReport, pipelineMix, textChunk, textLmScore,
     pipelinePerplexityMix, streamQualityMonitor,
