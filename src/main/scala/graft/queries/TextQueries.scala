@@ -268,11 +268,16 @@ object TextQueries {
   /** The Spark training loop shared by the two BPE queries: returns the
     * learned merges and the fully-merged word relation (column `s`).
     */
-  private def bpeChain(
-      s: org.apache.spark.sql.SparkSession, dir: String,
+  private[graft] def bpeChain(
+      corpus: org.apache.spark.sql.DataFrame,
       scope: graft.operators.CheckpointScope)
       : (Seq[(Long, String, String, String, Long)], org.apache.spark.sql.DataFrame) = {
-    var d = scope.roll("d", docs(s, dir)
+    // deliberately NOT repartitioned: the loop inherits the scan's
+    // partitioning, and a "right-size the tasks" shuffle was measured
+    // STRICTLY WORSE (×1 16→20 s, ×8 23→109 s) — the 8 collect
+    // barriers dominate at small scale and the shuffle just adds to
+    // them; at real scale the scan partitioning is already right
+    var d = scope.roll("d", corpus
       .select(explode(TextFunctions.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .select(expr(
@@ -313,7 +318,7 @@ object TextQueries {
       (s, dir) => {
         val scope = new graft.operators.CheckpointScope
         try {
-          val (merges, _) = bpeChain(s, dir, scope)
+          val (merges, _) = bpeChain(docs(s, dir), scope)
           scope.close()
           import s.implicits._
           merges.toDF("round", "left_sym", "right_sym", "merged", "n_pairs")
@@ -342,7 +347,7 @@ object TextQueries {
     (s, dir) => {
       val scope = new graft.operators.CheckpointScope
       try {
-        val (_, d) = bpeChain(s, dir, scope)
+        val (_, d) = bpeChain(docs(s, dir), scope)
         val out = d.select(explode(expr(
           "filter(split(substring(s, 2, length(s) - 2), '\\\\|\\\\|'), x -> x <> '')"))
           .as("token"))

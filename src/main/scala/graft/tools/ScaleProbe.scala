@@ -275,6 +275,19 @@ object ScaleProbe {
         graft.operators.Dedup.duplicateSpans(
           scaledDocs(docs, c), "doc_id", "text", w = 40).count()
       }
+      timed("bpe_train", c) {
+        // 8 merge rounds, each one explode + one hash aggregate + a
+        // map-only replace over the word relation — expect LINEAR in
+        // corpus size (the per-copy token suffixes shift WHICH pair
+        // wins, but the loop's work is rows x rounds regardless)
+        val scope = new graft.operators.CheckpointScope
+        try {
+          val (merges, _) = graft.queries.TextQueries
+            .bpeChain(scaledDocs(docs, c), scope)
+          scope.close()
+          merges.length.toLong
+        } catch { case t: Throwable => scope.closeAll(); throw t }
+      }
       timed("keep_best_chain", c) {
         // the FULL dedup_keep_best composition end-to-end (pairs →
         // alternating-star components → quality → per-cluster winner):
