@@ -66,6 +66,12 @@ class SchemaDriftSpec extends AnyFunSuite {
     // pattern) and the returned frame is createDataFrame over driver
     // rows — no scan survives in the analyzed plan
     "emb_pca_power_fixed" -> Set("embeddings"),
+    // the BPE loop collects each round's argmax and rolls the word
+    // relation through localCheckpoints: the trainer returns driver
+    // rows, the census a plan rooted in the final checkpoint — the
+    // documents scan happened eagerly in round 0
+    "text_bpe_train" -> Set("documents"),
+    "text_bpe_vocab" -> Set("documents"),
     // the cluster census reads content-key-MEMOIZED component labels
     // (PipelineStage.materialize) — the documents scan happens inside
     // the memo compute, so the returned plan is a parquet read of the
