@@ -2239,7 +2239,12 @@ object EventQueries {
     */
   val statPermutationSignflip: Q = {
     val reps = 200
-    val sign = "(user_id * 131 + rep * 7 + 13) % 100000 * 2654435761 % 4294967296"
+    // user_id is reduced mod 1e5 BEFORE any product (the CountMin.bucket
+    // discipline): `user_id * 131` on a raw 64-bit id would wrap
+    // silently in Spark where DuckDB raises — the silent-vs-loud class.
+    // Injectivity below 1e5 ids is unchanged (mod is a no-op there).
+    val sign =
+      "(user_id % 100000 * 131 + rep * 7 + 13) % 100000 * 2654435761 % 4294967296"
     Q(
       "stat_permutation_signflip",
       Some(s"""$prePostSqlCtes,
