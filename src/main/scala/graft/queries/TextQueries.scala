@@ -330,11 +330,15 @@ object TextQueries {
     * side of [[textBpeTrain]] (which learns the merges; this reports
     * what the corpus looks like THROUGH them): top-30 vocabulary
     * entries of the fully-merged word relation, (count DESC, token)
-    * tie-proof. Shares the entire training chain with the trainer —
-    * ONE CTE text ([[bpeSqlCtes]]) and ONE Spark loop ([[bpeChain]]) —
-    * so the census is over EXACTLY the relation the 8th merge left
-    * behind; the oracle replays training and censuses d8 the same way.
-    * Hash-exact.
+    * tie-proof. Train-once / encode-many: the merge table is
+    * content-key memoized (the dedup_cluster_sizes persisted-state
+    * shape — training per report would be the anti-pattern), and
+    * ENCODING composes the k memoized merges as literal replaces into
+    * ONE map-only plan — no per-round barrier, embarrassingly
+    * parallel, which is the point of separating train from apply. The
+    * oracle replays the full training chain ([[bpeSqlCtes]], one text
+    * with the trainer) and censuses d8 — hash-equality proves the
+    * memoize-then-apply route reproduces the inline chain exactly.
     */
   val textBpeVocab: Q = Q(
     "text_bpe_vocab",
@@ -345,18 +349,50 @@ object TextQueries {
             |SELECT token, CAST(COUNT(*) AS BIGINT) AS n
             |FROM v GROUP BY 1 ORDER BY n DESC, token LIMIT 30""".stripMargin),
     (s, dir) => {
-      val scope = new graft.operators.CheckpointScope
-      try {
-        val (_, d) = bpeChain(docs(s, dir), scope)
-        val out = d.select(explode(expr(
-          "filter(split(substring(s, 2, length(s) - 2), '\\\\|\\\\|'), x -> x <> '')"))
-          .as("token"))
-          .groupBy("token").agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("token")).limit(30)
-        // the returned plan is rooted in the final "d" checkpoint
-        scope.close("d")
-        out
-      } catch { case t: Throwable => scope.closeAll(); throw t }
+      // the census CONSUMES the tokenizer — in production the merge
+      // table is trained once and persisted, and every encoder applies
+      // it (retraining per report would be the anti-pattern). Same
+      // content-key memo as dedup_cluster_sizes' labels: keyed on the
+      // corpus file's length+mtime, so regenerated testdata can never
+      // serve a stale tokenizer.
+      val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$dir-${st.getLen}-${st.getModificationTime}-bpe$BpeRounds"
+          .getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val root = graft.pipeline.PipelineStage.scratchBase(
+        s.sparkContext.master, s.conf.getOption("spark.graft.scratch.dir"))
+      val mergesDf = graft.pipeline.PipelineStage.materialize(
+        s, s"$root/graft-bpe-merges-$key") {
+        val scope = new graft.operators.CheckpointScope
+        try {
+          val (merges, _) = bpeChain(docs(s, dir), scope)
+          scope.close()
+          import s.implicits._
+          merges.toDF("round", "left_sym", "right_sym", "merged", "n_pairs")
+        } catch { case t: Throwable => scope.closeAll(); throw t }
+      }
+      // APPLY the trained merges: k literal replaces composed into ONE
+      // map-only plan over the corpus — no per-round barrier, no
+      // checkpoint; encoding is embarrassingly parallel, which is the
+      // whole point of separating train from apply
+      val merges = mergesDf.orderBy("round").collect()
+        .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+      var d = docs(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .select(expr(
+          "regexp_replace(replace(w, '|', ''), '(.)', '|$1|')").as("s"))
+      merges.foreach { case (a, b) =>
+        d = d.select(org.apache.spark.sql.functions.replace(
+          col("s"), lit(s"|$a||$b|"), lit(s"|$a$b|")).as("s"))
+      }
+      d.select(explode(expr(
+        "filter(split(substring(s, 2, length(s) - 2), '\\\\|\\\\|'), x -> x <> '')"))
+        .as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(30)
     })
 
   /** Canonical text cleanup ([[graft.functions.TextFunctions
