@@ -2440,6 +2440,74 @@ object EventQueries {
           .orderBy("bucket", "event_type"))
   }
 
+  /** Cochran–Armitage trend test — does conversion RISE with engagement
+    * dose ([[statChi2]] asks "is there ANY association"; this tests the
+    * ORDERED alternative, which is what a funnel owner actually wants
+    * to know): users bucketed by fixed activity thresholds (62/69
+    * events — the generated corpus's stable terciles at every SF; all
+    * users in one dose would zero the trend variance, which BOTH
+    * engines raise on, loudly and consistently) into doses 0/1/2,
+    * outcome = heavy purchaser (≥ 13 purchases — EVERY generated user
+    * converts at least once, so bare conversion is constant-1 and
+    * degenerate; the count threshold splits every SF and trends with
+    * dose, which is the point of the test), scores w = 0/1/2.
+    * z = Σw(r_g − n_g·R/N) / √(R/N·(1−R/N)·(Σw²n_g − (Σw n_g)²/N)) —
+    * every moment an exact BIGINT from one ≤3-row aggregate over the
+    * per-user relation, the z one fixed IEEE tree TEXT-shared with the
+    * oracle. Two hash aggregates, no window, no join beyond the 1-row
+    * broadcast — hash-exact unrounded.
+    */
+  val statCochranArmitage: Q = {
+    val zTree =
+      """(CAST(swr AS DOUBLE) - CAST(sw AS DOUBLE) * r / n)
+        | / SQRT(CAST(r AS DOUBLE) / n * (1.0 - CAST(r AS DOUBLE) / n)
+        |   * (CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * sw / n))""".stripMargin
+    Q(
+      "stat_cochran_armitage",
+      Some(s"""WITH u AS (SELECT user_id, COUNT(*) AS n_ev,
+              |    CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+              |      THEN 1 ELSE 0 END) >= 13 THEN 1 ELSE 0 END AS y
+              |  FROM events GROUP BY 1),
+              |d AS (SELECT CASE WHEN n_ev <= 62 THEN 0
+              |    WHEN n_ev <= 69 THEN 1 ELSE 2 END AS dose, y FROM u),
+              |g AS (SELECT dose, CAST(COUNT(*) AS BIGINT) AS n_g,
+              |    CAST(SUM(y) AS BIGINT) AS r_g
+              |  FROM d GROUP BY 1),
+              |m AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+              |    CAST(SUM(r_g) AS BIGINT) AS r,
+              |    CAST(SUM(dose * n_g) AS BIGINT) AS sw,
+              |    CAST(SUM(dose * dose * n_g) AS BIGINT) AS sww,
+              |    CAST(SUM(dose * r_g) AS BIGINT) AS swr
+              |  FROM g)
+              |SELECT g.dose, g.n_g, g.r_g,
+              |  ROUND(CAST(g.r_g AS DOUBLE) / g.n_g, 6) AS rate,
+              |  $zTree AS z
+              |FROM g CROSS JOIN m ORDER BY g.dose""".stripMargin),
+      (s, dir) => {
+        val u = ev(s, dir).groupBy("user_id").agg(
+          count(lit(1)).as("n_ev"),
+          when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            >= 13, 1L).otherwise(0L).as("y"))
+        val d = u.select(
+          when(col("n_ev") <= 62, 0L).when(col("n_ev") <= 69, 1L)
+            .otherwise(2L).as("dose"),
+          col("y"))
+        val g = d.groupBy("dose").agg(
+          count(lit(1)).as("n_g"), sum("y").as("r_g"))
+        val m = g.agg(
+          sum("n_g").as("n"), sum("r_g").as("r"),
+          sum(col("dose") * col("n_g")).as("sw"),
+          sum(col("dose") * col("dose") * col("n_g")).as("sww"),
+          sum(col("dose") * col("r_g")).as("swr"))
+        g.crossJoin(broadcast(m))
+          .select(
+            col("dose"), col("n_g"), col("r_g"),
+            round(col("r_g").cast("double") / col("n_g"), 6).as("rate"),
+            expr(zTree).as("z"))
+          .orderBy("dose")
+      })
+  }
+
   /** Periodogram of the hourly event-count series — the seasonality
     * DETECTOR ([[tsSeasonalDecompose]] extracts a KNOWN period; this
     * finds the period): discrete Fourier power at frequencies k ≤ n/2
@@ -2695,6 +2763,7 @@ object EventQueries {
     e19KaplanMeier, statMannKendall, statFdrBy, statPageHinkley,
     abConversionZ, abCuped, statWilcoxon, statPermutationSignflip,
     streamSessionize, streamTopk, tsGranger, tsPeriodogram,
+    statCochranArmitage,
     streamQuantile, e20ActiveUsers, statHolm,
     e1Buckets, e2Sessionize, e3Json, e4AsOf, e4AsofNearest, e5Funnel,
     e6Retention, e7Rolling, e8Resample, e9Anomaly, e10IntervalJoin,
