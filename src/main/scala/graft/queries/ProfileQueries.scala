@@ -1765,6 +1765,82 @@ object ProfileQueries {
       })
   }
 
+  /** Levene's homogeneity-of-variance test, the classic MEAN-centered
+    * form beside [[brownForsythe]]'s median-centered robust variant
+    * (textbook pairing: Levene is the more powerful test under
+    * near-normality, Brown–Forsythe the safe default under heavy
+    * tails — an engine should offer both and let the analyst choose).
+    * Group means are one IEEE division of exact-decimal sums (bit-equal
+    * in both engines), deviations are round-6 (|x − mean| is a double,
+    * unlike Brown–Forsythe's exact-integer |x − median|), and the
+    * ANOVA moments ride the decimal routes: Σz scale-6, Σz² through
+    * [[graft.functions.DetAgg.dsumP]] (round-6 squares are exact at 12
+    * decimals, VARCHAR-routed cast). The F tail is the
+    * [[brownForsythe]] literal tree, TEXT-shared — hash-exact
+    * unrounded. Scale: a 3-row broadcast mean relation + ONE
+    * conditional hash aggregate, windowless.
+    */
+  val levene: Q = {
+    val flags = Seq("A", "N", "R")
+    val moments = flags.flatMap { f =>
+      Seq(
+        s"CAST(SUM(CASE WHEN gf = '$f' THEN 1 ELSE 0 END) AS DOUBLE) AS n_$f",
+        D.dsum(s"CASE WHEN gf = '$f' THEN z ELSE 0 END") + s" AS s_$f",
+        D.dsumP(s"CASE WHEN gf = '$f' THEN z * z ELSE 0 END") + s" AS q_$f")
+    }
+    val t = flags.map(f => s"s_$f * s_$f / n_$f").mkString(" + ")
+    val sTot = flags.map(f => s"s_$f").mkString(" + ")
+    val nTot = flags.map(f => s"n_$f").mkString(" + ")
+    val qTot = flags.map(f => s"q_$f").mkString(" + ")
+    val ssb = s"($t) - ($sTot) * ($sTot) / ($nTot)"
+    val ssw = s"($qTot) - ($t)"
+    val df1 = (flags.size - 1).toDouble
+    val fStat = s"(($ssb) / $df1) / (($ssw) / (($nTot) - ${flags.size}.0))"
+    Q(
+      "stat_levene",
+      Some(s"""WITH mu AS (SELECT l_returnflag AS gf,
+              |    ${D.dsum("CAST(l_quantity AS DOUBLE)")} / COUNT(*) AS mean
+              |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+              |zz AS (SELECT l.l_returnflag AS gf,
+              |    ROUND(ABS(CAST(l.l_quantity AS DOUBLE) - m.mean), 6) AS z
+              |  FROM lineitem l JOIN mu m ON l.l_returnflag = m.gf
+              |  WHERE l.l_quantity IS NOT NULL),
+              |m AS (SELECT
+              |  ${moments.mkString(",\n  ")}
+              |FROM zz)
+              |SELECT $ssb AS ss_between, $ssw AS ss_within,
+              |  CAST($df1 AS BIGINT) AS df_between,
+              |  CAST(($nTot) - ${flags.size}.0 AS BIGINT) AS df_within,
+              |  $fStat AS f_stat
+              |FROM m""".stripMargin),
+      (s, dir) => {
+        import graft.functions.DetAgg
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_quantity").isNotNull)
+        val mu = li.groupBy(col("l_returnflag").as("gf"))
+          .agg((DetAgg.dsum(col("l_quantity").cast("double")) / count(lit(1)))
+            .as("mean"))
+        val z = li.join(broadcast(mu), col("l_returnflag") === col("gf"))
+          .select(col("gf"),
+            round(abs(col("l_quantity").cast("double") - col("mean")), 6).as("z"))
+        val momentCols = flags.flatMap { f =>
+          Seq(
+            sum(when(col("gf") === f, 1L).otherwise(0L)).cast("double").as(s"n_$f"),
+            DetAgg.dsum(when(col("gf") === f, col("z")).otherwise(lit(0.0)))
+              .as(s"s_$f"),
+            DetAgg.dsumP(when(col("gf") === f, col("z") * col("z"))
+              .otherwise(lit(0.0))).as(s"q_$f"))
+        }
+        z.agg(momentCols.head, momentCols.tail: _*)
+          .select(
+            expr(ssb).as("ss_between"),
+            expr(ssw).as("ss_within"),
+            expr(s"CAST($df1 AS BIGINT)").as("df_between"),
+            expr(s"CAST(($nTot) - ${flags.size}.0 AS BIGINT)").as("df_within"),
+            expr(fStat).as("f_stat"))
+      })
+  }
+
   /** Kendall τ-b between l_quantity and l_discount — the third rank
     * correlation beside Spearman ρ (τ counts pairwise order agreements;
     * it is the statistic of record when ties are heavy, as here: both
@@ -2156,7 +2232,7 @@ object ProfileQueries {
     profileLineitem, textRedact, ksQuantity, mannWhitney, jsdQuantity,
     spearmanQP, psiQuantity, quantilesExact, ppsSample,
     chi2ReturnFlag, anovaQuantity, giniPrice, grubbsPrice, benfordPrice,
-    aucLangLen, kendallTau, cramersV, brownForsythe, theilSen, wilsonCi,
+    aucLangLen, kendallTau, cramersV, brownForsythe, levene, theilSen, wilsonCi,
     ks1Price, mutualInfo, cohensD, hillTail, qqNormal,
     kruskalWallis, dunnPosthoc, jarqueBera, cohenKappa, kuiperPrice, welchTtest, friedman,
     mcnemar, oddsRatio, trimmedMean, bartlett, theilIndex, partialCorr,
