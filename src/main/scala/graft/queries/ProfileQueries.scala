@@ -1841,6 +1841,100 @@ object ProfileQueries {
       })
   }
 
+  /** Fligner–Killeen homogeneity-of-variance test — the RANK-based
+    * third member of the family ([[levene]] mean-centered,
+    * [[brownForsythe]] median-centered, this one distribution-free):
+    * normal scores a = Φ⁻¹(½ + r̄/(2(N+1))) of the global mid-ranks of
+    * |x − group median|, then the one-way ANOVA χ² on the scores.
+    * Composes three proven kernels end to end: the Brown–Forsythe
+    * integer deviations, the Kruskal–Wallis global mid-rank cells
+    * ([[graft.functions.Stats.rankedCells]] — sharded, never a
+    * corpus-wide window; doubled mid-ranks exact BIGINTs), and the
+    * Acklam probit ([[graft.fit.ClosedForm.probitText]] — ONE text in
+    * both engines, round-6 absorbing the LN-branch last-ulp). Scores
+    * are round-6, so c·a and c·a² ride the boundary-free scale-12
+    * route; the χ² is a fixed IEEE tree over those exact moments.
+    * Hash-exact unrounded.
+    */
+  val flignerKilleen: Q = {
+    val flags = Seq("A", "N", "R")
+    val arg = "(5.0e-1 + CAST(2 * r - ct + 1 AS DOUBLE) / (4.0 * (n + 1)))"
+    val aText = s"ROUND(${graft.fit.ClosedForm.probitText(arg)}, 6)"
+    val moments = flags.flatMap { f =>
+      Seq(
+        s"CAST(SUM(CASE WHEN f = '$f' THEN c ELSE 0 END) AS DOUBLE) AS n_$f",
+        D.dsumP(s"CASE WHEN f = '$f' THEN c * a ELSE 0 END") + s" AS s_$f",
+        D.dsumP(s"CASE WHEN f = '$f' THEN c * a * a ELSE 0 END") + s" AS q_$f")
+    }
+    val t = flags.map(f => s"s_$f * s_$f / n_$f").mkString(" + ")
+    val sTot = flags.map(f => s"s_$f").mkString(" + ")
+    val nTot = flags.map(f => s"n_$f").mkString(" + ")
+    val qTot = flags.map(f => s"q_$f").mkString(" + ")
+    val ssb = s"($t) - ($sTot) * ($sTot) / ($nTot)"
+    val s2 = s"(($qTot) - ($sTot) * ($sTot) / ($nTot)) / (($nTot) - 1.0)"
+    val x2 = s"($ssb) / ($s2)"
+    Q(
+      "stat_fligner_killeen",
+      Some(s"""WITH gq AS (SELECT l_returnflag AS gf,
+              |    CAST(l_quantity AS DOUBLE) AS v, COUNT(*) AS w
+              |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2),
+              |cq AS (SELECT gf, v,
+              |    SUM(w) OVER (PARTITION BY gf ORDER BY v
+              |      ROWS UNBOUNDED PRECEDING) AS cum,
+              |    SUM(w) OVER (PARTITION BY gf) AS tw FROM gq),
+              |med AS (SELECT gf, MIN(v) AS med FROM cq WHERE 2 * cum >= tw
+              |  GROUP BY gf),
+              |zz AS (SELECT l.l_returnflag AS gf,
+              |    ABS(CAST(l.l_quantity AS BIGINT) - CAST(m.med AS BIGINT)) AS z
+              |  FROM lineitem l JOIN med m ON l.l_returnflag = m.gf
+              |  WHERE l.l_quantity IS NOT NULL),
+              |g AS (SELECT CAST(z AS DOUBLE) AS v, gf AS f, COUNT(*) AS c
+              |  FROM zz GROUP BY 1, 2),
+              |bv AS (SELECT v, SUM(c) AS ct FROM g GROUP BY v),
+              |cum AS (SELECT v, ct,
+              |    SUM(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r
+              |  FROM bv),
+              |n0 AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM bv),
+              |cells AS (SELECT f, c, ct, r FROM g JOIN cum USING (v)),
+              |sc AS (SELECT f, c, $aText AS a FROM cells CROSS JOIN n0),
+              |m AS (SELECT ${moments.mkString(",\n  ")} FROM sc)
+              |SELECT n, CAST(${flags.size - 1} AS BIGINT) AS df, $x2 AS x2_stat
+              |FROM m CROSS JOIN n0""".stripMargin),
+      (s, dir) => {
+        import graft.functions.DetAgg
+        val li = Tables.load(s, dir, "lineitem")
+          .filter(col("l_quantity").isNotNull)
+        val med = graft.functions.Stats
+          .weightedMedian(li, "l_returnflag", "l_quantity", lit(1L))
+          .select(col("l_returnflag").as("gf"), col("wmed_l_quantity").as("med"))
+        val zz = li.join(broadcast(med), col("l_returnflag") === col("gf"))
+          .select(col("gf"),
+            abs(col("l_quantity").cast("long") - col("med").cast("long")).as("z"))
+        val cells = graft.functions.Stats.rankedCells(zz, "gf", "z")
+          .select(
+            col("__g").as("f"), col("__c").as("c"),
+            col("__ct").as("ct"), col("__r").as("r"))
+        val n0 = cells.select("ct", "r").groupBy().agg(
+          max(col("r")).as("n")) // max inclusive cumulative = total count
+        val sc = cells.crossJoin(broadcast(n0))
+          .select(col("f"), col("c"), expr(aText).as("a"))
+        val momentCols = flags.flatMap { f =>
+          Seq(
+            sum(when(col("f") === f, col("c")).otherwise(0L)).cast("double")
+              .as(s"n_$f"),
+            DetAgg.dsumP(when(col("f") === f, col("c") * col("a"))
+              .otherwise(lit(0.0))).as(s"s_$f"),
+            DetAgg.dsumP(when(col("f") === f, col("c") * col("a") * col("a"))
+              .otherwise(lit(0.0))).as(s"q_$f"))
+        }
+        sc.agg(momentCols.head, momentCols.tail: _*)
+          .crossJoin(broadcast(n0))
+          .select(
+            col("n"), lit((flags.size - 1).toLong).as("df"),
+            expr(x2).as("x2_stat"))
+      })
+  }
+
   /** Kendall τ-b between l_quantity and l_discount — the third rank
     * correlation beside Spearman ρ (τ counts pairwise order agreements;
     * it is the statistic of record when ties are heavy, as here: both
@@ -2232,7 +2326,8 @@ object ProfileQueries {
     profileLineitem, textRedact, ksQuantity, mannWhitney, jsdQuantity,
     spearmanQP, psiQuantity, quantilesExact, ppsSample,
     chi2ReturnFlag, anovaQuantity, giniPrice, grubbsPrice, benfordPrice,
-    aucLangLen, kendallTau, cramersV, brownForsythe, levene, theilSen, wilsonCi,
+    aucLangLen, kendallTau, cramersV, brownForsythe, levene, flignerKilleen,
+    theilSen, wilsonCi,
     ks1Price, mutualInfo, cohensD, hillTail, qqNormal,
     kruskalWallis, dunnPosthoc, jarqueBera, cohenKappa, kuiperPrice, welchTtest, friedman,
     mcnemar, oddsRatio, trimmedMean, bartlett, theilIndex, partialCorr,
