@@ -858,11 +858,227 @@ object CoreQueries {
         .orderBy("o_year")
     })
 
+  /** The derived part-supplier relation shared by the Q2/Q20 shapes —
+    * the schema has no partsupp table (TESTDATA.md), so the classic
+    * partsupp attributes are DERIVED from the fact: per (part, supplier)
+    * pair, the minimum observed unit price stands in for ps_supplycost
+    * (Q2) and shipped-quantity totals stand in for ps_availqty (Q20).
+    * MIN over doubles is an exact pick (no accumulation), and the unit
+    * price is one IEEE division — both engines bit-agree.
+    */
+  private def psCost(s: SparkSession, dir: String) =
+    li(s, dir)
+      .groupBy(
+        col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+
+  /** TPC-H Q2 shape — min-cost supplier per part: the CORRELATED SCALAR
+    * SUBQUERY planner shape (for each part, the min supply cost among
+    * the region's suppliers) that the rest of the suite never
+    * exercises. The oracle keeps the correlated form verbatim; the
+    * Spark plan is the classical decorrelation — aggregate the
+    * candidate (part × regional-supplier) relation by part, then join
+    * the min back on (key, cost) equality, keeping ALL tied suppliers
+    * exactly like the subquery does. At 100 TB: supplier⋈nation⋈region
+    * broadcasts (geo dims), the derived ps aggregates the fact on its
+    * natural (part, supp) key, and the min-cost relation (≤ one row per
+    * filtered part) broadcasts back onto the candidates — the fact
+    * shuffles ONCE, on the ps groupBy; no nested loop (PlanSpec pins
+    * it).
+    */
+  val q2MinCostSupplier: Q = Q(
+    "q2_min_cost_supplier",
+    Some("""WITH ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           |    MIN(l_extendedprice / l_quantity) AS ps_supplycost
+           |  FROM lineitem GROUP BY 1, 2),
+           |geo AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+           |  FROM supplier
+           |  JOIN nation ON s_nationkey = n_nationkey
+           |  JOIN region ON n_regionkey = r_regionkey
+           |  WHERE r_name = 'EUROPE')
+           |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           |  ps_supplycost AS supplycost
+           |FROM part, ps, geo
+           |WHERE p_partkey = ps_partkey AND ps_suppkey = s_suppkey
+           |  AND p_size <= 5 AND p_type = 'LARGE'
+           |  AND ps_supplycost = (
+           |    SELECT MIN(ps2.ps_supplycost)
+           |    FROM ps ps2, geo g2
+           |    WHERE ps2.ps_partkey = p_partkey
+           |      AND ps2.ps_suppkey = g2.s_suppkey)
+           |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+           |LIMIT 100""".stripMargin),
+    (s, dir) => {
+      val geo = Tables.load(s, dir, "supplier")
+        .join(broadcast(nat(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val pf = Tables.load(s, dir, "part")
+        .filter(col("p_size") <= 5 && col("p_type") === "LARGE")
+        .select("p_partkey", "p_name")
+      val cand = psCost(s, dir)
+        .join(broadcast(geo), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(pf), col("ps_partkey") === col("p_partkey"))
+      val best = cand.groupBy(col("ps_partkey").as("mk"))
+        .agg(min("ps_supplycost").as("min_cost"))
+      cand
+        .join(broadcast(best),
+          col("ps_partkey") === col("mk") &&
+            col("ps_supplycost") === col("min_cost"))
+        .select(
+          col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"),
+          col("ps_supplycost").as("supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    })
+
+  /** TPC-H Q11 shape — important stock: the GLOBAL-FRACTION HAVING
+    * (keep groups whose value exceeds a fraction of the grand total)
+    * the suite never exercises. Per-part revenue from one region's
+    * suppliers, kept when above 0.1% of that region's total. Both the
+    * per-part sums and the grand total ride the exact scale-12 decimal
+    * route ([[DetAgg.dsumP]]), so the threshold comparison is one IEEE
+    * `>` over bit-identical doubles in both engines. At 100 TB: geo
+    * dims broadcast, ONE fact shuffle for the per-part aggregate, and
+    * the 1-row threshold broadcasts onto the groups (the p2 scalar-
+    * predicate pattern) — never a second fact pass on the probe side.
+    */
+  val q11ImportantStock: Q = Q(
+    "q11_important_stock",
+    Some(s"""WITH f AS (
+            |  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS rev
+            |  FROM lineitem
+            |  JOIN supplier ON l_suppkey = s_suppkey
+            |  JOIN nation ON s_nationkey = n_nationkey
+            |  JOIN region ON n_regionkey = r_regionkey
+            |  WHERE r_name = 'ASIA'),
+            |v AS (SELECT l_partkey AS partkey, ${D.dsumP("rev")} AS val
+            |  FROM f GROUP BY 1),
+            |t AS (SELECT ${D.dsumP("rev")} * 0.001 AS thr FROM f)
+            |SELECT partkey, ROUND(val, 6) AS value
+            |FROM v CROSS JOIN t
+            |WHERE val > thr
+            |ORDER BY value DESC, partkey""".stripMargin),
+    (s, dir) => {
+      val geo = Tables.load(s, dir, "supplier")
+        .join(broadcast(nat(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey")
+      val f = li(s, dir)
+        .join(broadcast(geo), col("l_suppkey") === col("s_suppkey"))
+        .select(
+          col("l_partkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      val v = f.groupBy(col("l_partkey").as("partkey"))
+        .agg(DetAgg.dsumP(col("rev")).as("val"))
+      val thr = f.agg((DetAgg.dsumP(col("rev")) * 0.001).as("thr"))
+      v.crossJoin(broadcast(thr))
+        .filter(col("val") > col("thr"))
+        .select(col("partkey"), round(col("val"), 6).as("value"))
+        .orderBy(col("value").desc, col("partkey"))
+    })
+
+  /** TPC-H Q16 shape — supplier count by part attributes: the
+    * DISTINCT-COUNT + ANTI-JOIN planner shape (suppliers excluded by a
+    * name predicate via NOT IN, then COUNT(DISTINCT) per attribute
+    * cell). At 100 TB: the excluded-supplier list and the filtered part
+    * dim both broadcast (anti + inner), so the only fact shuffle is the
+    * two-phase distinct aggregate itself (partial distinct on
+    * (brand, type, size, suppkey), then the count) — Spark plans
+    * COUNT(DISTINCT) exactly that way.
+    */
+  val q16SupplierCnt: Q = Q(
+    "q16_supplier_cnt",
+    Some("""SELECT p_brand, p_type, p_size,
+           |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+           |FROM lineitem
+           |JOIN part ON p_partkey = l_partkey
+           |WHERE p_brand <> 'Brand#5' AND p_type <> 'MEDIUM'
+           |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+           |  AND l_suppkey NOT IN (
+           |    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+           |GROUP BY 1, 2, 3
+           |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+    (s, dir) => {
+      val pf = Tables.load(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "MEDIUM" &&
+          col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val bad = Tables.load(s, dir, "supplier")
+        .filter(col("s_name").like("%7")).select("s_suppkey")
+      li(s, dir).select("l_partkey", "l_suppkey")
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    })
+
+  /** TPC-H Q20 shape — potential part promotion: the NESTED SEMI-JOIN
+    * CHAIN (suppliers ⋉ qualifying part-supplier pairs ⋉ name-filtered
+    * parts). With no partsupp/availqty in the schema, "still has stock
+    * to promote" adapts to: the pair's all-time shipped quantity
+    * exceeds TWICE what it shipped before 1997 — i.e. the pair kept
+    * supplying that part well past the window. Quantities ride the
+    * exact decimal route so the 2× comparison is exact in both engines.
+    * At 100 TB: the name-filtered part dim broadcasts as a semi join
+    * BELOW the aggregate (only red-part lines are ever aggregated),
+    * the qualifying-supplier set semi-joins into the 100-row supplier
+    * dim, and nation broadcasts — one fact shuffle total, no cartesian
+    * (PlanSpec pins the chain).
+    */
+  val q20PotentialPromotion: Q = Q(
+    "q20_potential_promotion",
+    Some(s"""WITH ps AS (
+            |  SELECT l_partkey, l_suppkey,
+            |    ${D.dsum("l_quantity")} AS qty_total,
+            |    ${D.dsum("CASE WHEN l_shipdate < TIMESTAMP '1997-01-01' " +
+              "THEN l_quantity ELSE 0 END")} AS qty_window
+            |  FROM lineitem
+            |  WHERE l_partkey IN (
+            |    SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            |  GROUP BY 1, 2)
+            |SELECT s_name, n_name
+            |FROM supplier
+            |JOIN nation ON s_nationkey = n_nationkey
+            |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+            |  AND s_suppkey IN (
+            |    SELECT l_suppkey FROM ps WHERE qty_total > 2 * qty_window)
+            |ORDER BY s_name""".stripMargin),
+    (s, dir) => {
+      val red = Tables.load(s, dir, "part")
+        .filter(col("p_name").like("red%")).select("p_partkey")
+      val qualifying = li(s, dir)
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .join(broadcast(red), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+          DetAgg.dsum(col("l_quantity")).as("qty_total"),
+          DetAgg.dsum(when(
+            col("l_shipdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"),
+            col("l_quantity")).otherwise(lit(0))).as("qty_window"))
+        .filter(col("qty_total") > lit(2) * col("qty_window"))
+        .select("l_suppkey")
+      Tables.load(s, dir, "supplier")
+        .join(broadcast(nat(s, dir)
+          .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    })
+
   def all: Seq[Q] = Seq(
     q1Agg, q1Full, p1Filter, j2Dim, q3Shipping, hist2d,
     q5LocalSupplier, q18LargeVolume, q10ReturnedItems, q14PromoEffect,
     q19DiscountRevenue, q4OrderPriority, q6ForecastRevenue,
     q12ShipPriority, q13CustDist, q17SmallQtyRevenue, q22GlobalSales,
     q7NationVolume, q15TopSupplier, q8MarketShare, q21SuppliersKeptWaiting,
-    q9ProductTypeProfit)
+    q9ProductTypeProfit, q2MinCostSupplier, q11ImportantStock,
+    q16SupplierCnt, q20PotentialPromotion)
 }

@@ -2445,8 +2445,12 @@ object EventQueries {
     * ORDERED alternative, which is what a funnel owner actually wants
     * to know): users bucketed by fixed activity thresholds (62/69
     * events — the generated corpus's stable terciles at every SF; all
-    * users in one dose would zero the trend variance, which BOTH
-    * engines raise on, loudly and consistently) into doses 0/1/2,
+    * users in one dose would zero the trend variance, and BOTH engines
+    * then yield z = NULL from the 0/0 division — consistently SILENT
+    * (DuckDB double division by zero is NULL, Spark non-ANSI likewise),
+    * so a degenerate corpus hash-matches as a NULL row rather than
+    * erroring; r11 ADVICE corrected the earlier "raises loudly" claim)
+    * into doses 0/1/2,
     * outcome = heavy purchaser (≥ 13 purchases — EVERY generated user
     * converts at least once, so bare conversion is constant-1 and
     * degenerate; the count threshold splits every SF and trends with
@@ -2574,7 +2578,11 @@ object EventQueries {
                 "before the spectral pass.",
               col("n"))).isNull)
           .select(col("j"), expr("x - tot div n").as("x"), col("n"))
-        val ks = nn.select(
+        // r11 ADVICE: on a degenerate 1-bucket series Spark's
+        // sequence(1, 0) is the DESCENDING [1, 0] while DuckDB's
+        // generate_series(1, 0) is empty — pre-filter n >= 2 so both
+        // engines emit zero frequencies for a sub-2-bucket series
+        val ks = nn.filter(expr("n div 2 >= 1")).select(
           explode(sequence(lit(1L), least(expr("n div 2"), lit(kMax.toLong))))
             .as("k"))
         val t = b.crossJoin(broadcast(ks))

@@ -295,6 +295,13 @@ object TextQueries {
         .groupBy("a", "b").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("a"), col("b")).limit(1)
         .collect()
+      // PRECONDITION (r11 ADVICE): the corpus must survive all
+      // BpeRounds merges — this loop raises LOUDLY when pairs exhaust,
+      // while the DuckDB oracle's m$r CTE silently empties and emits
+      // fewer rounds (verify would then report an opaque error-vs-rows
+      // mismatch, not a hash diff). The generated documents corpus has
+      // thousands of distinct pairs at every SF, so the guard can only
+      // fire on a caller-supplied toy corpus — and should.
       require(top.nonEmpty, s"text_bpe_train: no pairs left at round $r")
       val (a, b, n) =
         (top.head.getString(0), top.head.getString(1), top.head.getLong(2))

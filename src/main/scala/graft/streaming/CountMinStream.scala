@@ -47,9 +47,26 @@ object CountMinStream {
   /** Per-window estimates for a probe-key relation `(v)` against the
     * counter relation: min over the d cells of each (window, key) —
     * absent cells estimate 0 (the key never appeared in that window).
+    *
+    * PRECONDITION (r11 ADVICE): `probe` must be SMALL — it is
+    * force-broadcast (windows × probe × d grid), which is the right
+    * plan for the heavy-hitter use (a handful of watch keys) but a
+    * driver-memory hazard for an unbounded probe relation. Guarded by
+    * [[MaxProbeKeys]]: a larger probe set fails loudly at plan time —
+    * callers with a genuinely large probe side should join the
+    * counters directly (shuffle on (window, r, b)) instead of
+    * sketch-probing, because at that cardinality the exact windowed
+    * count IS the cheaper query.
     */
+  val MaxProbeKeys = 10000
+
   def estimateWindowed(
       probe: DataFrame, counters: DataFrame, d: Int, w: Int): DataFrame = {
+    val nProbe = probe.limit(MaxProbeKeys + 1).count()
+    require(nProbe <= MaxProbeKeys,
+      s"estimateWindowed: probe relation exceeds $MaxProbeKeys keys — " +
+        "too large to broadcast as a windows-cross-probe grid; join the " +
+        "counter relation on (window, r, b) instead")
     val buckets = (0 until d).map { r =>
       probe.select(col("v"), lit(r.toLong).as("r"), CountMin.bucket(col("v"), r, w).as("b"))
     }.reduce(_ union _)

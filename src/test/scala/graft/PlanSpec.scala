@@ -129,6 +129,58 @@ class PlanSpec extends AnyFunSuite {
       "part name filter not pushed:\n" + p.take(1200))
   }
 
+  test("q2: correlated min-cost decorrelates to broadcast equi joins, no nested loop") {
+    val p = plan(CoreQueries.q2MinCostSupplier)
+    // geo dims + filtered part + the min-cost join-back: all broadcast
+    // hash joins — a nested loop means the (key, cost) equality was
+    // swallowed into a non-equi condition
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "expected geo/part/min-cost broadcasts:\n" + p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // size/type predicates must reach the part scan
+    assert(p.contains("LessThanOrEqual(p_size,5")
+      || p.contains("p_size <= 5"), "part size filter not pushed:\n" + p.take(1500))
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must not global-sort")
+  }
+
+  test("q11: global-fraction threshold broadcasts as one row; fact shuffles once") {
+    val p = plan(CoreQueries.q11ImportantStock)
+    // the 1-row threshold joins via broadcast (nested-loop over ONE row
+    // is the correct scalar-predicate plan — the p2 pattern); the
+    // per-part aggregate is the only fact exchange
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
+      "threshold not broadcast:\n" + p.take(1200))
+    assert("hashpartitioning\\(l_partkey".r.findAllIn(p).size <= 1
+      && "hashpartitioning\\(partkey".r.findAllIn(p).size <= 1,
+      "extra fact shuffle:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
+  test("q16: excluded suppliers anti-join as a broadcast; distinct count is two-phase") {
+    val p = plan(CoreQueries.q16SupplierCnt)
+    assert("BroadcastHashJoin [^\\n]*LeftAnti".r.findFirstIn(p).isDefined,
+      "supplier exclusion must be a broadcast anti join:\n" + p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // COUNT(DISTINCT) plans as partial distinct on (attrs, suppkey)
+    // then the count — both aggregate levels must appear
+    assert("HashAggregate\\(keys=\\[p_brand[^\\n]*l_suppkey".r.findFirstIn(p).isDefined,
+      "distinct not partial-aggregated:\n" + p.take(1500))
+  }
+
+  test("q20: the semi-join chain stays semi — part filter below the aggregate, no cartesian") {
+    val p = plan(CoreQueries.q20PotentialPromotion)
+    assert("LeftSemi".r.findAllIn(p).size >= 2,
+      "expected part and supplier semi joins:\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // the red-part semi join must sit BELOW the (part, supp) aggregate:
+    // the aggregate's input side shows the broadcast semi, so only
+    // red-part lines are ever aggregated
+    assert("BroadcastHashJoin [^\\n]*LeftSemi".r.findFirstIn(p).isDefined,
+      "part semi join not broadcast:\n" + p.take(1500))
+  }
+
   test("jaccard guard rides the join's shuffle: no extra exchange for the window") {
     // the hot-shingle multiplicity window partitions by the equi-join
     // key, so the probe side must show ONE hashpartitioning(shingle)

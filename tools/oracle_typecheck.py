@@ -43,7 +43,11 @@ for t in TABLES:
 # key across sibling queries is the drift class the r10 verdict flagged
 # on e1/e6. Hour/minute buckets (3600/300) are a separately-proven
 # shared text; only the day key had both forms in the registry.
-DAYKEY = re.compile(r"FLOOR\s*\(\s*epoch\s*\([^)]*\)\s*/\s*86400", re.I)
+# r11 ADVICE: tolerate nested calls inside epoch(..) — the old [^)]*
+# body could not match FLOOR(epoch(date_trunc('second', ts)) / 86400).
+# Requiring the close-paren before the slash keeps integer `// 86400`
+# (the second slash breaks `\)\s*/\s*86400`) from false-positives.
+DAYKEY = re.compile(r"FLOOR\s*\(\s*epoch\s*\(.*?\)\s*/\s*86400", re.I | re.S)
 
 oracle = json.load(open(ORACLES))
 bad = []
