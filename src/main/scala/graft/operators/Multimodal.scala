@@ -187,7 +187,7 @@ object Multimodal {
     * on a fixed (8·grid)² lattice — resolution-independent (the lattice,
     * not the pixel count, bounds work per image/frame).
     */
-  private def cellLuminance(img: java.awt.image.BufferedImage): Array[Double] = {
+  private[operators] def cellLuminance(img: java.awt.image.BufferedImage): Array[Double] = {
     val w = img.getWidth
     val h = img.getHeight
     val sub = 8 // sample points per cell axis: 64 samples per cell

@@ -270,7 +270,8 @@ object TextQueries {
     */
   private[graft] def bpeChain(
       corpus: org.apache.spark.sql.DataFrame,
-      scope: graft.operators.CheckpointScope)
+      scope: graft.operators.CheckpointScope,
+      rounds: Int = BpeRounds)
       : (Seq[(Long, String, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     // deliberately NOT repartitioned: the loop inherits the scan's
     // partitioning, and a "right-size the tasks" shuffle was measured
@@ -282,7 +283,7 @@ object TextQueries {
       .filter(col("w") =!= "")
       .select(expr(
         "regexp_replace(replace(w, '|', ''), '(.)', '|$1|')").as("s")))
-    val merges = (1 to BpeRounds).map { r =>
+    val merges = (1 to rounds).map { r =>
       val toks = d.select(expr(
         "filter(split(substring(s, 2, length(s) - 2), '\\\\|\\\\|'), x -> x <> '')")
         .as("t"))
@@ -401,6 +402,154 @@ object TextQueries {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(30)
     })
+
+  /** Merge rounds for the production-depth trainer [[textBpeTrainDeep]]
+    * — 4× the demo-scale [[BpeRounds]], chosen so the R-axis cost curve
+    * is visible at verify scale while the oracle's 32-round CTE chain
+    * stays replayable in DuckDB.
+    */
+  private val BpeDeepRounds = 32
+
+  /** The oracle CTE chain for [[textBpeTrainDeep]] — the SAME full
+    * recount-per-round loop as [[bpeSqlCtes]] but over the
+    * WORD-FREQUENCY relation `d0(s, cnt)` (distinct words with
+    * multiplicities, the form every real BPE trainer uses): pair counts
+    * are SUM(cnt), the merge rewrite touches each distinct word once.
+    * Deliberately naive — the hash match against the delta-maintained
+    * Spark loop is the proof that incremental pair-count maintenance ≡
+    * recounting from scratch, for all `rounds` rounds.
+    */
+  private def bpeDeepSqlCtes(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""t$r AS (SELECT list_filter(
+         |    string_split(substring(s, 2, length(s) - 2), '||'),
+         |    x -> x <> '') AS t, cnt FROM d${r - 1}),
+         |p$r AS (SELECT t[i] AS a, t[i + 1] AS b, cnt
+         |  FROM (SELECT t, cnt, UNNEST(generate_series(1, len(t) - 1)) AS i
+         |        FROM t$r)),
+         |m$r AS MATERIALIZED (SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM p$r GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+         |d$r AS MATERIALIZED (SELECT
+         |    REPLACE(s, '|' || a || '||' || b || '|', '|' || a || b || '|') AS s,
+         |    cnt
+         |  FROM d${r - 1} CROSS JOIN m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |  FROM documents),
+       |d0 AS MATERIALIZED (SELECT
+       |    regexp_replace(replace(w, '|', ''), '(.)', '|\\1|', 'g') AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM w WHERE w <> '' GROUP BY 1),
+       |$roundCtes""".stripMargin
+  }
+
+  /** PRODUCTION-scale BPE training loop: pair-count DELTA MAINTENANCE
+    * (the r11 verdict's top item — the classic Sennrich-trainer
+    * optimization, reference `scripts/` has no trainer at all; public
+    * algorithm, Sennrich et al. 2016 §3). Two structural changes over
+    * [[bpeChain]]'s recount-everything loop:
+    *
+    *  1. **Word-frequency form.** The corpus collapses to
+    *     `d(s, cnt)` — distinct words with multiplicities — once, up
+    *     front. Every later pass touches each distinct word ONCE no
+    *     matter how often it occurs, so per-round cost is bounded by
+    *     the vocabulary, not the corpus (at 100 TB the distinct-word
+    *     relation is ~10⁶ rows where the token stream is ~10¹²).
+    *  2. **Delta-maintained pair counts.** After merging (a,b) only
+    *     words CONTAINING `|a||b|` change their pair multiset, so the
+    *     round recounts exactly those: old pairs enter the count
+    *     relation at −cnt, post-merge pairs at +cnt, one small hash
+    *     aggregate folds the delta in, and counts at zero drop out.
+    *     The argmax then reads the maintained relation — never the
+    *     corpus. Late rounds touch a handful of words; the naive loop
+    *     re-explodes everything every round (the measured R-ladder is
+    *     in PLANS.md).
+    *
+    * Exactness: every count is integer arithmetic over the same pair
+    * multisets the full recount sees — a word's pairs change iff it
+    * contains the merged pattern — so the maintained counts are
+    * bit-equal to recounting, and the (n DESC, a, b) argmax picks the
+    * identical pair every round. The DuckDB oracle replays all
+    * `rounds` rounds with the NAIVE recount ([[bpeDeepSqlCtes]]);
+    * hash-equality at R=32 is the delta ≡ recount proof.
+    *
+    * Per round: one 1-row collect (the trained-model pattern), two
+    * lineage-cut rolls (the word relation: map-only conditional
+    * rewrite; the pair-count relation: small), one filtered explode +
+    * hash aggregate over affected words only.
+    */
+  private[graft] def bpeChainDelta(
+      corpus: org.apache.spark.sql.DataFrame,
+      rounds: Int,
+      scope: graft.operators.CheckpointScope)
+      : Seq[(Long, String, String, String, Long)] = {
+    def pairs(df: org.apache.spark.sql.DataFrame, sign: Int) = df
+      .select(
+        expr("filter(split(substring(s, 2, length(s) - 2), '\\\\|\\\\|'), " +
+          "x -> x <> '')").as("t"),
+        (col("cnt") * lit(sign.toLong)).as("m"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
+        .as("p"), col("m"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("m").as("n"))
+    var d = scope.roll("d", corpus
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .select(expr(
+        "regexp_replace(replace(w, '|', ''), '(.)', '|$1|')").as("s"))
+      .groupBy("s").agg(count(lit(1)).as("cnt")))
+    var pc = scope.roll("pc",
+      pairs(d, 1).groupBy("a", "b").agg(sum("n").as("n")))
+    (1 to rounds).map { r =>
+      val top = pc.orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
+      // same loud precondition as [[bpeChain]]: pairs exhausted before
+      // the requested depth is a caller error, not a silent truncation
+      require(top.nonEmpty,
+        s"text_bpe_train_deep: no pairs left at round $r")
+      val (a, b, n) =
+        (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+      val pat = s"|$a||$b|"
+      val merged = s"|$a$b|"
+      val aff = d.filter(col("s").contains(pat))
+      val affNew = aff.select(
+        org.apache.spark.sql.functions.replace(
+          col("s"), lit(pat), lit(merged)).as("s"),
+        col("cnt"))
+      pc = scope.roll("pc",
+        pc.unionAll(pairs(aff, -1)).unionAll(pairs(affNew, 1))
+          .groupBy("a", "b").agg(sum("n").as("n"))
+          .filter(col("n") > 0))
+      d = scope.roll("d", d.select(
+        when(col("s").contains(pat),
+          org.apache.spark.sql.functions.replace(
+            col("s"), lit(pat), lit(merged)))
+          .otherwise(col("s")).as("s"),
+        col("cnt")))
+      (r.toLong, a, b, a + b, n)
+    }
+  }
+
+  val textBpeTrainDeep: Q = {
+    val out = (1 to BpeDeepRounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a AS left_sym, b AS right_sym, " +
+        s"a || b AS merged, n AS n_pairs FROM m$r"
+    }.mkString("\nUNION ALL\n")
+    Q(
+      "text_bpe_train_deep",
+      Some(s"""${bpeDeepSqlCtes(BpeDeepRounds)}
+              |$out""".stripMargin),
+      (s, dir) => {
+        val scope = new graft.operators.CheckpointScope
+        try {
+          val merges = bpeChainDelta(docs(s, dir), BpeDeepRounds, scope)
+          scope.close()
+          import s.implicits._
+          merges.toDF("round", "left_sym", "right_sym", "merged", "n_pairs")
+        } catch { case t: Throwable => scope.closeAll(); throw t }
+      })
+  }
 
   /** Canonical text cleanup ([[graft.functions.TextFunctions
     * .normalizeText]]): Unicode NFC + control strip + space collapse,
@@ -2808,7 +2957,8 @@ object TextQueries {
     sampleBalancedClasses,
     textTokens, textQuality, textReadability, textLexicalDiversity,
     textLangId, textFingerprint, textRepetition,
-    textBpePairs, textBpeTrain, textBpeVocab, textNormalize, textGopherRules, textWinnow, textCollocations,
+    textBpePairs, textBpeTrain, textBpeTrainDeep, textBpeVocab,
+    textNormalize, textGopherRules, textWinnow, textCollocations,
     textEntropy, packLengthBuckets,
     textBm25, textHybridRrf, corpusReport, pipelineMix, textChunk, textLmScore,
     pipelinePerplexityMix, streamQualityMonitor,

@@ -152,4 +152,90 @@ class AsOfStreamSpec extends AnyFunSuite {
       assert(got(11L) == None, s"got=$got") // post-TTL probe: reference expired
     } finally q.stop()
   }
+
+  test("as-of stream killed mid-run resumes from checkpoint ≡ uninterrupted, TTL expiry crossing the restart") {
+    // the r11 verdict's remaining recovery gap: SessionizeStream's
+    // kill-and-resume is proven, AsOfStream (flatMapGroupsWithState +
+    // event-time TTL) is the other custom-state operator and restart is
+    // where TTL bugs live. Drive the SAME file-arrival sequence through
+    // two pipelines — one killed after the first flush and restarted
+    // from its checkpoint — and require identical emitted rows. The
+    // sequence is built so key 1's retained reference EXPIRES (idle
+    // TTL) in a trigger that runs AFTER the restart: the buffered
+    // right row, its timeout timestamp, and the watermark must all
+    // round-trip the state store for the post-restart probe to come
+    // back None in the resumed run too.
+    import java.nio.file.{Files, StandardCopyOption}
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+
+    def dropFile(df: org.apache.spark.sql.DataFrame, dir: java.nio.file.Path, name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_asofrec_w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    val leftSchema = StructType(Seq(
+      StructField("key", LongType), StructField("left_id", LongType),
+      StructField("ts", TimestampType)))
+    val rightSchema = StructType(Seq(
+      StructField("key", LongType), StructField("value", DoubleType),
+      StructField("ts", TimestampType)))
+
+    def drive(kill: Boolean): Seq[(Long, Long, Option[Double])] = {
+      val lDir = Files.createTempDirectory("graft_asofrec_l")
+      val rDir = Files.createTempDirectory("graft_asofrec_r")
+      val ckpt = Files.createTempDirectory("graft_asofrec_ckpt")
+      val out = Files.createTempDirectory("graft_asofrec_out")
+      def start() = AsOfStream.asOfStream(
+        spark.readStream.schema(leftSchema).parquet(lDir.toString),
+        spark.readStream.schema(rightSchema).parquet(rDir.toString),
+        watermark = "10 seconds", idleTtlSeconds = 60L)
+        .toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("checkpointLocation", ckpt.toString)
+        .option("path", out.toString)
+        .start()
+      // batch A: key 1's reference (t=10) + probe (t=50); the key-99
+      // right at t=200 drives the watermark to 190, flushing the probe
+      // with Some(1.0) and arming key 1's idle TTL at 190+60 = 250
+      dropFile(Seq((1L, 1.0, ts(10)), (99L, 0.0, ts(200))).toDF("key", "value", "ts"), rDir, "ra.parquet")
+      dropFile(Seq((1L, 100L, ts(50))).toDF("key", "left_id", "ts"), lDir, "la.parquet")
+      val q1 = start()
+      q1.processAllAvailable()
+      // KILL between the flush and the TTL expiry
+      val q2 = if (kill) { q1.stop(); start() } else q1
+      // batch B: watermark to 390 — key 1's 250s timeout fires in a
+      // post-restart trigger with no probes buffered → state dropped
+      dropFile(Seq((99L, 0.0, ts(400))).toDF("key", "value", "ts"), rDir, "rb.parquet")
+      q2.processAllAvailable()
+      // batch C: a NEW key-1 probe after the expiry…
+      dropFile(Seq((1L, 101L, ts(450))).toDF("key", "left_id", "ts"), lDir, "lc.parquet")
+      q2.processAllAvailable()
+      // …flushed by watermark 690: its reference is gone → None
+      dropFile(Seq((99L, 0.0, ts(700))).toDF("key", "value", "ts"), rDir, "rd.parquet")
+      q2.processAllAvailable()
+      q2.stop()
+      spark.read.schema(StructType(Seq(
+        StructField("key", LongType), StructField("left_id", LongType),
+        StructField("ts", TimestampType), StructField("asof_value", DoubleType))))
+        .parquet(out.toString)
+        .filter(col("key") === 1L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .toSeq.sortBy(t => (t._1, t._2))
+    }
+
+    val uninterrupted = drive(kill = false)
+    val resumed = drive(kill = true)
+    assert(uninterrupted == Seq(
+      (1L, 100L, Some(1.0)), // pre-kill probe: matched its reference
+      (1L, 101L, None)), // post-expiry probe: reference TTL'd out
+      s"control run wrong: $uninterrupted")
+    assert(resumed == uninterrupted,
+      s"resumed run diverged:\nresumed=$resumed\ncontrol=$uninterrupted")
+  }
 }

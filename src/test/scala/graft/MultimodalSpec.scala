@@ -251,6 +251,55 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
     assert(bare(1L) == Multimodal.stubDecode(h264ish).toSeq, bare(1L).toString)
   }
+
+  test("GIF codec: the committed 3-frame animated GIF decodes through registerCodec with real bytes") {
+    import spark.implicits._
+    import graft.operators.GifCodec
+    val gif = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/resources/fixtures/anim3.gif"))
+    assert(GifCodec.frameCount(gif) == 3, "fixture must hold 3 frames")
+
+    // direct decode: decodeVideo's 64+8 layout, with the three solid-gray
+    // frames (32/128/224) appearing as the temporal profile lanes and
+    // their average as every cell mean — real pixel values, not stub
+    // byte statistics
+    val direct = GifCodec.decode(gif).get
+    assert(direct.length == 72, s"got ${direct.length} features")
+    val exp = graft.tools.MakeGifFixture.Levels.map(_ / 255.0)
+    exp.indices.foreach { i =>
+      assert(math.abs(direct(64 + i) - exp(i)) < 2.0 / 255,
+        s"profile lane $i: ${direct(64 + i)} vs ${exp(i)}")
+    }
+    (exp.length until 8).foreach(i =>
+      assert(direct(64 + i) == 0f, s"unfilled lane $i nonzero"))
+    val avg = exp.sum / exp.length
+    (0 until 64).foreach(i =>
+      assert(math.abs(direct(i) - avg) < 2.0 / 255, s"cell $i: ${direct(i)}"))
+    // hash twin: the decode is a pure function of the bytes
+    assert(java.util.Arrays.equals(direct, GifCodec.decode(gif).get))
+
+    // the REGISTRATION path with real bytes: registered -> the codec's
+    // output arrives through extractFeatures verbatim
+    val df = Seq((1L, gif, "video")).toDF("media_id", "payload", "media_type")
+    Multimodal.clearCodecs()
+    try {
+      Multimodal.registerCodec(GifCodec)
+      val got = Multimodal.extractFeatures(df).collect().head.getSeq[Float](3)
+      assert(got == direct.toSeq, "registered codec not routed")
+    } finally Multimodal.clearCodecs()
+    // absent: the AVI-only built-in declines a GIF payload of type
+    // video, landing on the stub tier — the swap stays the contract
+    val bare = Multimodal.extractFeatures(df).collect().head.getSeq[Float](3)
+    assert(bare == Multimodal.stubDecode(gif).toSeq, "unregistered must stub")
+
+    // real-bytes n_frames feeds the frame sampler (the mm_frames
+    // operator): stride-2 over the codec-counted 3 frames = indexes 0, 2
+    val media = Seq((7L, "video", GifCodec.frameCount(gif)))
+      .toDF("media_id", "media_type", "n_frames")
+    val idx = Multimodal.sampleFrameIndexes(media, stride = 2)
+      .collect().map(_.getInt(1)).toSeq
+    assert(idx == Seq(0, 2), idx.toString)
+  }
 }
 
 /** A stand-in for the missing H.264/MP3 decoders: claims video, reads
