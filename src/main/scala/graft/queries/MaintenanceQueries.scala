@@ -203,6 +203,73 @@ object MaintenanceQueries {
             (col("max_rows") / col("avg_rows")).as("skew")))
   }
 
+  /** Z-order layout MAINTENANCE manifest ([[graft.operators.ZOrder]]) —
+    * the rollup half of the OPTIMIZE ZORDER BY pass (`export_zorder`
+    * oracle-checks the per-row KEY with plan-side constant bounds;
+    * this computes the bounds FROM THE DATA as a 1-row broadcast and
+    * emits the bucket manifest): quantize (l_extendedprice,
+    * l_quantity) to 8 bits each,
+    * interleave into a 16-bit Morton key, and roll up the 4⁴ = 256
+    * top-level buckets a writer would range-partition on. The output
+    * is the layout MANIFEST — per bucket, the row count and the
+    * axis-aligned (x, y) rectangle it covers — i.e. exactly the
+    * min/max file statistics a reader prunes with. ZOrderSpec proves
+    * the locality claim those rectangles imply: a second-dimension
+    * range predicate touches ~1/16 of z-buckets where an x-sorted
+    * layout must read everything, and a partitioned write prunes to
+    * precisely the candidate buckets. At 100 TB: the bounds are a
+    * 1-row broadcast, the z computation is map-side arithmetic, and
+    * the manifest is one 256-group hash aggregate — the clustering
+    * pass costs one scan + one `repartitionByRange(z)` shuffle no
+    * matter the table size. Everything (quantize, interleave, bucket)
+    * is ONE generated text per dialect — hash-exact.
+    */
+  val layoutZorder: Q = {
+    import graft.operators.ZOrder
+    val Bits = 8
+    val BucketBits = 4
+    val bx = ZOrder.bucketizeSql("x", "mnx", "mxx", Bits)
+    val by = ZOrder.bucketizeSql("y", "mny", "mxy", Bits)
+    Q(
+      "layout_zorder",
+      Some(s"""WITH b AS (SELECT
+              |    MIN(l_extendedprice) AS mnx, MAX(l_extendedprice) AS mxx,
+              |    MIN(l_quantity) AS mny, MAX(l_quantity) AS mxy
+              |  FROM lineitem),
+              |q AS (SELECT l_extendedprice AS x, l_quantity AS y,
+              |    mnx, mxx, mny, mxy FROM lineitem CROSS JOIN b),
+              |c AS (SELECT x, y, $bx AS bx, $by AS by FROM q),
+              |z AS (SELECT x, y,
+              |    ${ZOrder.interleaveSql("bx", "by", Bits)} AS z FROM c)
+              |SELECT ${ZOrder.bucketOfSql("z", Bits, BucketBits)} AS zbucket,
+              |  CAST(COUNT(*) AS BIGINT) AS n,
+              |  MIN(x) AS min_x, MAX(x) AS max_x,
+              |  MIN(y) AS min_y, MAX(y) AS max_y
+              |FROM z GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val b = li.agg(
+          min("l_extendedprice").as("mnx"), max("l_extendedprice").as("mxx"),
+          min("l_quantity").as("mny"), max("l_quantity").as("mxy"))
+        li.select(
+            col("l_extendedprice").as("x"), col("l_quantity").as("y"))
+          .crossJoin(broadcast(b))
+          .select(
+            col("x"), col("y"),
+            ZOrder.bucketize("x", "mnx", "mxx", Bits).as("bx"),
+            ZOrder.bucketize("y", "mny", "mxy", Bits).as("by"))
+          .select(
+            col("x"), col("y"),
+            ZOrder.interleave("bx", "by", Bits).as("z"))
+          .groupBy(ZOrder.bucketOf("z", Bits, BucketBits).as("zbucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            min("x").as("min_x"), max("x").as("max_x"),
+            min("y").as("min_y"), max("y").as("max_y"))
+          .orderBy("zbucket")
+      })
+  }
+
   def all: Seq[Q] = Seq(snapshotDiff, mergeUpsert, scd2History, tableFingerprint,
-    partitionSkew)
+    partitionSkew, layoutZorder)
 }

@@ -40,4 +40,94 @@ class ZOrderSpec extends AnyFunSuite {
     // z-order: BOTH dims substantially narrower per file
     assert(zq < 0.6 && zp < 0.6, s"zorder spans q=$zq p=$zp")
   }
+
+  // ---- r12: the layout_zorder maintenance pass (data-driven bounds,
+  // dialect-shared texts) and its read-side pruning contract
+
+  private val Bits = 8
+  private val BucketBits = 4
+
+  private def zBucketed = {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val b = li.agg(
+      min("l_extendedprice").as("mnx"), max("l_extendedprice").as("mxx"),
+      min("l_quantity").as("mny"), max("l_quantity").as("mxy"))
+    li.select(col("l_extendedprice").as("x"), col("l_quantity").as("y"))
+      .crossJoin(broadcast(b))
+      .select(
+        col("x"), col("y"),
+        ZOrder.bucketize("x", "mnx", "mxx", Bits).as("bx"),
+        ZOrder.bucketize("y", "mny", "mxy", Bits).as("by"))
+      .select(
+        col("x"), col("y"), col("bx"), col("by"),
+        ZOrder.interleave("bx", "by", Bits).as("z"))
+      .withColumn("zbucket", ZOrder.bucketOf("z", Bits, BucketBits))
+  }
+
+  test("interleave text round-trips: bucket of z recovers the top bits of both dims") {
+    val rows = zBucketed.select("bx", "by", "zbucket").distinct().collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bx, by, zb) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var decodedX = 0L; var decodedY = 0L
+      (0 until BucketBits).foreach { i =>
+        decodedX |= ((zb >> (2 * i)) & 1L) << i
+        decodedY |= ((zb >> (2 * i + 1)) & 1L) << i
+      }
+      assert(decodedX == (bx >> (Bits - BucketBits)), s"bx=$bx zb=$zb")
+      assert(decodedY == (by >> (Bits - BucketBits)), s"by=$by zb=$zb")
+    }
+  }
+
+  test("a second-dimension stripe touches ~1/16 of z-buckets; an x-sorted layout reads all") {
+    val df = zBucketed.cache()
+    try {
+      // the stripe: one of the 16 top-level y-slices (quantity band)
+      val stripe = df.filter(col("by") >= 16 && col("by") < 32) // y-slice 1 of 16
+      assert(stripe.count() > 0, "stripe empty — fixture drifted")
+      val total = df.select("zbucket").distinct().count()
+      val touchedZ = stripe.select("zbucket").distinct().count()
+      // z-order: the y-stripe crosses one y-row of the 16x16 bucket
+      // grid → at most 16 buckets
+      assert(touchedZ <= 16, s"z-order touched $touchedZ buckets")
+      // x-sorted layout: bucket = top-4 x bits; the same y-stripe holds
+      // quantities at EVERY price, so it touches (almost) every bucket
+      val touchedX = stripe.select((col("bx") / 16).cast("long")).distinct().count()
+      val totalX = df.select((col("bx") / 16).cast("long")).distinct().count()
+      assert(touchedX >= totalX - 1,
+        s"x-layout should read ~all: touched $touchedX of $totalX")
+      assert(touchedZ.toDouble / total <= 0.125,
+        s"z locality too weak: $touchedZ of $total")
+    } finally df.unpersist()
+  }
+
+  test("z-bucket-partitioned write prunes to exactly the candidate buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_p").toString + "/t"
+    val df = zBucketed
+    df.write.partitionBy("zbucket").parquet(dir)
+    // reader computes the candidate buckets for the y-stripe the same
+    // way the writer laid them out: y-slice 1 → the 16 buckets whose
+    // odd (y) interleave bits decode to 1
+    val candidates = (0 until 16).map { xb =>
+      var z = 0L
+      (0 until BucketBits).foreach { i =>
+        z |= ((xb.toLong >> i) & 1L) << (2 * i)
+        z |= ((1L >> i) & 1L) << (2 * i + 1) // y-slice index 1
+      }
+      z
+    }
+    val back = spark.read.parquet(dir)
+      .filter(col("zbucket").isin(candidates: _*))
+    val scans = back.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val selected = scans.head.selectedPartitions.partitionCount
+    val nonEmptyCandidates = back.select("zbucket").distinct().count()
+    assert(selected <= 16, s"pruning failed: $selected partitions selected")
+    assert(selected == nonEmptyCandidates.toInt,
+      s"selected $selected != candidate partitions $nonEmptyCandidates")
+    // and the pruned read returns every y-stripe row (no false negatives)
+    val stripeRows = df.filter(col("by") >= 16 && col("by") < 32).count()
+    assert(back.filter(col("by") >= 16 && col("by") < 32).count() == stripeRows)
+  }
 }
