@@ -270,6 +270,44 @@ object MaintenanceQueries {
       })
   }
 
+  /** Incremental aggregate maintenance with retractions
+    * ([[graft.operators.IncrementalAgg]]) — the aggregate-view member
+    * of the maintenance family (Snapshot maintains rows; this maintains
+    * a per-group COUNT/SUM/AVG under appends AND deletes without
+    * recomputing history). Three deterministic generations over
+    * `events`: the base crawl (event_id ≢ 2 mod 3), an insert batch
+    * (≡ 2 mod 3), and a delete batch (≡ 0 mod 7, retracted as NEGATED
+    * partials). Counts and exact-decimal sums form a group under
+    * addition, so the fold is associative/commutative (MaintenanceSpec
+    * pins both) and a group returning to zero count leaves the state.
+    * The oracle is the from-scratch rebuild over the surviving rows —
+    * hash-equality proves maintained ≡ recomputed. At 100 TB: each
+    * delta costs one aggregate over the DELTA and a group-bounded
+    * merge; history is never rescanned. MIN/MAX are deliberately
+    * absent — not retractable, per the operator contract.
+    */
+  val aggIncremental: Q = Q(
+    "maint_agg_incremental",
+    Some(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            |  ${D.dsum("value")} AS total,
+            |  ${D.dsum("value")} / COUNT(*) AS mean
+            |FROM events WHERE event_id % 7 <> 0
+            |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, dir) => {
+      import graft.operators.IncrementalAgg
+      val ev = Tables.loadEvents(s, dir)
+        .select("event_id", "event_type", "value")
+      val base = ev.filter(col("event_id") % 3 =!= 2)
+      val ins = ev.filter(col("event_id") % 3 === 2)
+      val del = ev.filter(col("event_id") % 7 === 0)
+      val keys = Seq("event_type")
+      val state = IncrementalAgg.merge(Seq(
+        IncrementalAgg.partials(base, keys, "value"),
+        IncrementalAgg.partials(ins, keys, "value"),
+        IncrementalAgg.partials(del, keys, "value", sign = -1)), keys)
+      IncrementalAgg.view(state, keys).orderBy("event_type")
+    })
+
   def all: Seq[Q] = Seq(snapshotDiff, mergeUpsert, scd2History, tableFingerprint,
-    partitionSkew, layoutZorder)
+    partitionSkew, layoutZorder, aggIncremental)
 }

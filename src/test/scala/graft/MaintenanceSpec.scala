@@ -214,4 +214,65 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(bits.sliding(2).forall(p => p(0) <= p(1)), bits.mkString(","))
     assert(bits.distinct.length >= vs.length - 1)
   }
+
+  test("IncrementalAgg: fold is associative/commutative; maintained state ≡ rebuild") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    val rows = (1 to 300).map(i => (s"g${i % 5}", i * 0.25)).toDF("k", "v")
+    val Seq(a, b, c) = Seq(0, 1, 2).map(r =>
+      rows.filter(abs(hash(col("v"))) % 3 === r))
+    val keys = Seq("k")
+    def collectState(df: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.view(df, keys).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSet
+    val pa = IncrementalAgg.partials(a, keys, "v")
+    val pb = IncrementalAgg.partials(b, keys, "v")
+    val pc = IncrementalAgg.partials(c, keys, "v")
+    // ((a ⊎ b) ⊎ c)  ==  (a ⊎ (c ⊎ b))  ==  direct partials of the whole
+    val left = IncrementalAgg.merge(
+      Seq(IncrementalAgg.merge(Seq(pa, pb), keys), pc), keys)
+    val right = IncrementalAgg.merge(
+      Seq(pa, IncrementalAgg.merge(Seq(pc, pb), keys)), keys)
+    val direct = IncrementalAgg.partials(rows, keys, "v")
+    assert(collectState(left) == collectState(direct))
+    assert(collectState(right) == collectState(direct))
+  }
+
+  test("IncrementalAgg: retracting every row of a group removes it from the state") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    val base = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v")
+    val delA = Seq(("a", 1.0), ("a", 2.0)).toDF("k", "v")
+    val keys = Seq("k")
+    val state = IncrementalAgg.merge(Seq(
+      IncrementalAgg.partials(base, keys, "v"),
+      IncrementalAgg.partials(delA, keys, "v", sign = -1)), keys)
+    val got = IncrementalAgg.view(state, keys).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // group a is GONE (zero count never lingers as a 0/0 row); b intact
+    assert(got == Set(("b", 1L, 5.0)), got.toString)
+  }
+
+  test("IncrementalAgg: state round-trips parquet between maintenance runs bit-exactly") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    // run 1 persists its state; run 2 loads it and folds a new delta —
+    // the production shape (the state outlives the job). Decimal sums
+    // must survive the parquet round trip bit-exactly.
+    val keys = Seq("k")
+    val gen1 = (1 to 100).map(i => (s"g${i % 3}", i * 0.125)).toDF("k", "v")
+    val gen2 = (101 to 150).map(i => (s"g${i % 3}", i * 0.125)).toDF("k", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm").toString + "/state"
+    IncrementalAgg.merge(Seq(IncrementalAgg.partials(gen1, keys, "v")), keys)
+      .write.parquet(dir)
+    val resumed = IncrementalAgg.merge(Seq(
+      spark.read.parquet(dir),
+      IncrementalAgg.partials(gen2, keys, "v")), keys)
+    val direct = IncrementalAgg.partials(gen1.unionByName(gen2), keys, "v")
+    def st(df: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.view(df, keys).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(st(resumed) == st(direct))
+  }
 }
