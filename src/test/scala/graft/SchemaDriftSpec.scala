@@ -71,6 +71,7 @@ class SchemaDriftSpec extends AnyFunSuite {
     // rows, the census a plan rooted in the final checkpoint — the
     // documents scan happened eagerly in round 0
     "text_bpe_train" -> Set("documents"),
+    "text_bpe_train_deep" -> Set("documents"),
     "text_bpe_vocab" -> Set("documents"),
     // the cluster census reads content-key-MEMOIZED component labels
     // (PipelineStage.materialize) — the documents scan happens inside
