@@ -1073,6 +1073,74 @@ object CoreQueries {
         .orderBy("s_name")
     })
 
+  /** ROLLUP — the multi-level aggregate planner shape (Expand) the
+    * suite never exercised: detail, per-flag subtotal, and grand total
+    * in ONE pass. `grouping_id()` disambiguates a NULL group key from a
+    * subtotal row (both engines define the leftmost rollup column as
+    * the most-significant grouping bit). At 100 TB this is the whole
+    * point of ROLLUP over k separate aggregates: Expand triples the
+    * map-side rows but the plan still shuffles ONCE with partial
+    * aggregation on every level (PlanSpec pins Expand + the single
+    * fact shuffle), where k stacked GROUP BYs would be k scans and k
+    * shuffles.
+    */
+  val olapRollup: Q = Q(
+    "olap_rollup",
+    Some(s"""SELECT l_returnflag, l_linestatus,
+            |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+            |    AS BIGINT) AS gid,
+            |  CAST(COUNT(*) AS BIGINT) AS n,
+            |  ${D.dsum("l_quantity")} AS sum_qty,
+            |  ${D.dsumP("l_extendedprice * (1 - l_discount)")} AS revenue
+            |FROM lineitem
+            |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin),
+    (s, dir) =>
+      li(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          DetAgg.dsum(col("l_quantity")).as("sum_qty"),
+          DetAgg.dsumP(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty", "revenue")
+        .orderBy("gid", "l_returnflag", "l_linestatus"))
+
+  /** CUBE — all four grouping combinations of (event_type, day-of-week)
+    * in one Expand pass; the day key rides integer `div 86400` (the e17
+    * discipline) and the Thursday-epoch `+4` anchor makes 1970-01-01
+    * dow 4. Same single-shuffle scale story as [[olapRollup]].
+    */
+  val olapCube: Q = Q(
+    "olap_cube",
+    Some(s"""WITH e AS (SELECT event_type,
+            |    (CAST(epoch(date_trunc('second', ts)) AS BIGINT) // 86400 + 4) % 7
+            |      AS dow,
+            |    value
+            |  FROM events)
+            |SELECT event_type, dow,
+            |  CAST(GROUPING(event_type) * 2 + GROUPING(dow) AS BIGINT) AS gid,
+            |  CAST(COUNT(*) AS BIGINT) AS n,
+            |  ${D.dsum("value")} AS sum_value
+            |FROM e
+            |GROUP BY CUBE(event_type, dow)
+            |ORDER BY gid, event_type, dow""".stripMargin),
+    (s, dir) =>
+      Tables.loadEvents(s, dir)
+        .select(
+          col("event_type"),
+          expr("(unix_timestamp(date_trunc('second', ts)) div 86400 + 4) % 7")
+            .as("dow"),
+          col("value"))
+        .cube("event_type", "dow")
+        .agg(
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          DetAgg.dsum(col("value")).as("sum_value"))
+        .select("event_type", "dow", "gid", "n", "sum_value")
+        .orderBy("gid", "event_type", "dow"))
+
   def all: Seq[Q] = Seq(
     q1Agg, q1Full, p1Filter, j2Dim, q3Shipping, hist2d,
     q5LocalSupplier, q18LargeVolume, q10ReturnedItems, q14PromoEffect,
@@ -1080,5 +1148,5 @@ object CoreQueries {
     q12ShipPriority, q13CustDist, q17SmallQtyRevenue, q22GlobalSales,
     q7NationVolume, q15TopSupplier, q8MarketShare, q21SuppliersKeptWaiting,
     q9ProductTypeProfit, q2MinCostSupplier, q11ImportantStock,
-    q16SupplierCnt, q20PotentialPromotion)
+    q16SupplierCnt, q20PotentialPromotion, olapRollup, olapCube)
 }

@@ -129,6 +129,19 @@ class PlanSpec extends AnyFunSuite {
       "part name filter not pushed:\n" + p.take(1200))
   }
 
+  test("olap_rollup: one Expand pass, one fact shuffle — never k stacked aggregates") {
+    val p = plan(CoreQueries.olapRollup)
+    // the point of ROLLUP over separate GROUP BYs: Expand multiplies
+    // map-side rows per grouping level, but the fact still scans once
+    // and shuffles once with partial aggregation on every level
+    assert(p.contains("Expand"), "rollup did not plan as Expand:\n" + p.take(800))
+    assert("Scan parquet".r.findAllIn(p).size == 1, "extra fact scan:\n" + p.take(800))
+    assert("hashpartitioning\\(l_returnflag".r.findAllIn(p).size <= 1,
+      "extra aggregate shuffle:\n" + p.take(1200))
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "aggregate not partial+final:\n" + p.take(1200))
+  }
+
   test("q2: correlated min-cost decorrelates to broadcast equi joins, no nested loop") {
     val p = plan(CoreQueries.q2MinCostSupplier)
     // geo dims + filtered part + the min-cost join-back: all broadcast

@@ -70,4 +70,30 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"median failed on $xs")
     }
   }
+
+  test("ZOrder interleave: bijective over the full 8-bit × 8-bit grid (one plan)") {
+    import spark.implicits._
+    import graft.operators.ZOrder
+    // exhaustive, not sampled: all 65,536 (bx, by) cells in ONE Spark
+    // pass — every Morton key distinct, in [0, 2^16), and the decode
+    // (odd/even bit split) recovers the inputs exactly
+    val grid = spark.range(0, 1L << 16)
+      .select((col("id") % 256).as("bx"), (col("id") / 256).cast("long").as("by"))
+    val z = grid.select(col("bx"), col("by"),
+      ZOrder.interleave("bx", "by", 8).as("z"))
+    val rows = z.collect()
+    assert(rows.length == 65536)
+    val zs = rows.map(_.getLong(2))
+    assert(zs.distinct.length == 65536, "interleave not injective")
+    assert(zs.min == 0L && zs.max == 65535L, s"range [${zs.min}, ${zs.max}]")
+    rows.foreach { r =>
+      val (bx, by, zv) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var dx = 0L; var dy = 0L
+      (0 until 8).foreach { i =>
+        dx |= ((zv >> (2 * i)) & 1L) << i
+        dy |= ((zv >> (2 * i + 1)) & 1L) << i
+      }
+      assert(dx == bx && dy == by, s"decode($zv) = ($dx,$dy) != ($bx,$by)")
+    }
+  }
 }
