@@ -1141,6 +1141,39 @@ object CoreQueries {
         .select("event_type", "dow", "gid", "n", "sum_value")
         .orderBy("gid", "event_type", "dow"))
 
+  /** INTERSECT / EXCEPT — the bag-vs-set operators the suite never
+    * exercised (Spark plans them as distinct + LeftSemi / LeftAnti
+    * hash joins): the classic cohort-retention split — customers who
+    * ordered in BOTH 1996 and 1997 (retained) and those who ordered in
+    * 1996 but never again in 1997 (churned), one tagged relation. At
+    * 100 TB each arm is one shuffle on the customer key over the
+    * year-pruned fact — the same plan a hand-written semi/anti pair
+    * would get, which is exactly why the declarative form is safe to
+    * expose.
+    */
+  val setOpsRetention: Q = Q(
+    "setops_retention",
+    Some("""WITH a AS (SELECT DISTINCT o_custkey FROM orders
+           |  WHERE year(o_orderdate) = 1996),
+           |b AS (SELECT DISTINCT o_custkey FROM orders
+           |  WHERE year(o_orderdate) = 1997)
+           |SELECT 'retained' AS class, o_custkey
+           |FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+           |UNION ALL
+           |SELECT 'churned' AS class, o_custkey
+           |FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+           |ORDER BY class, o_custkey""".stripMargin),
+    (s, dir) => {
+      def yr(y: Int) = ord(s, dir)
+        .filter(year(col("o_orderdate")) === y)
+        .select("o_custkey").distinct()
+      val (a, b) = (yr(1996), yr(1997))
+      a.intersect(b).select(lit("retained").as("class"), col("o_custkey"))
+        .unionByName(
+          a.except(b).select(lit("churned").as("class"), col("o_custkey")))
+        .orderBy("class", "o_custkey")
+    })
+
   def all: Seq[Q] = Seq(
     q1Agg, q1Full, p1Filter, j2Dim, q3Shipping, hist2d,
     q5LocalSupplier, q18LargeVolume, q10ReturnedItems, q14PromoEffect,
@@ -1148,5 +1181,6 @@ object CoreQueries {
     q12ShipPriority, q13CustDist, q17SmallQtyRevenue, q22GlobalSales,
     q7NationVolume, q15TopSupplier, q8MarketShare, q21SuppliersKeptWaiting,
     q9ProductTypeProfit, q2MinCostSupplier, q11ImportantStock,
-    q16SupplierCnt, q20PotentialPromotion, olapRollup, olapCube)
+    q16SupplierCnt, q20PotentialPromotion, olapRollup, olapCube,
+    setOpsRetention)
 }

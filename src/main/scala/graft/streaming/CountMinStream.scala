@@ -62,11 +62,20 @@ object CountMinStream {
 
   def estimateWindowed(
       probe: DataFrame, counters: DataFrame, d: Int, w: Int): DataFrame = {
-    val nProbe = probe.limit(MaxProbeKeys + 1).count()
-    require(nProbe <= MaxProbeKeys,
-      s"estimateWindowed: probe relation exceeds $MaxProbeKeys keys — " +
-        "too large to broadcast as a windows-cross-probe grid; join the " +
-        "counter relation on (window, r, b) instead")
+    // a probe whose plan carries a LIMIT <= MaxProbeKeys is proven
+    // bounded for free; only an unbounded plan pays the counting job
+    val staticallyBounded = probe.queryExecution.analyzed.collectFirst {
+      case org.apache.spark.sql.catalyst.plans.logical.GlobalLimit(
+          org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _), _)
+          if n <= MaxProbeKeys => true
+    }.getOrElse(false)
+    if (!staticallyBounded) {
+      val nProbe = probe.limit(MaxProbeKeys + 1).count()
+      require(nProbe <= MaxProbeKeys,
+        s"estimateWindowed: probe relation exceeds $MaxProbeKeys keys — " +
+          "too large to broadcast as a windows-cross-probe grid; join the " +
+          "counter relation on (window, r, b) instead")
+    }
     val buckets = (0 until d).map { r =>
       probe.select(col("v"), lit(r.toLong).as("r"), CountMin.bucket(col("v"), r, w).as("b"))
     }.reduce(_ union _)

@@ -40,11 +40,21 @@ object BpeLadder {
 
     def time(label: String, r: Int)(body: => Unit): Unit = {
       val t0 = System.nanoTime
-      body
-      println(f"LADDER $label%-6s R=$r%-3d sec=${(System.nanoTime - t0) / 1e9}%.2f")
+      try {
+        body
+        println(f"LADDER $label%-6s R=$r%-3d sec=${(System.nanoTime - t0) / 1e9}%.2f")
+      } catch {
+        case e: IllegalArgumentException =>
+          // the trainer's loud pair-exhaustion guard: the corpus ran out
+          // of merges before depth r — an honest ladder ceiling, not an
+          // error (the sf0.1 documents vocabulary exhausts at round 90)
+          println(f"LADDER $label%-6s R=$r%-3d EXHAUSTED (${e.getMessage})")
+      }
     }
 
-    for (r <- Seq(8, 16, 32, 64)) {
+    // the delta loop gets the deeper cells — the naive loop's 64-round
+    // cost already shows its corpus-linear wall
+    for (r <- Seq(8, 16, 32, 64, 128)) {
       time("delta", r) {
         val scope = new graft.operators.CheckpointScope
         try { graft.queries.TextQueries.bpeChainDelta(docs, r, scope); () }
