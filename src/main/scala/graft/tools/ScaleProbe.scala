@@ -148,6 +148,38 @@ object ScaleProbe {
           .agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
           .collect().length.toLong
       }
+      time("zorder_manifest", c) { df =>
+        // layout_zorder's shape: 1-row bounds broadcast + map-side
+        // quantize/interleave + one 256-group hash aggregate — the
+        // ladder must stay flat-per-row (one scan, one tiny shuffle)
+        import graft.operators.ZOrder
+        val b = df.agg(
+          min("l_extendedprice").as("mnx"), max("l_extendedprice").as("mxx"),
+          min("l_quantity").as("mny"), max("l_quantity").as("mxy"))
+        df.select(col("l_extendedprice").as("x"), col("l_quantity").as("y"))
+          .crossJoin(broadcast(b))
+          .select(
+            ZOrder.bucketize("x", "mnx", "mxx", 8).as("bx"),
+            ZOrder.bucketize("y", "mny", "mxy", 8).as("by"))
+          .select(ZOrder.interleave("bx", "by", 8).as("z"))
+          .groupBy(ZOrder.bucketOf("z", 8, 4).as("zb"))
+          .agg(count(lit(1)))
+          .collect().length.toLong
+      }
+      time("agg_ivm", c) { df =>
+        // maint_agg_incremental's shape: three delta partials + one
+        // group-bounded merge — per-delta cost linear, merge constant
+        import graft.operators.IncrementalAgg
+        val keys = Seq("l_returnflag")
+        val base = df.filter(col("l_orderkey") % 3 =!= 2)
+        val ins = df.filter(col("l_orderkey") % 3 === 2)
+        val del = df.filter(col("l_orderkey") % 7 === 0)
+        IncrementalAgg.view(IncrementalAgg.merge(Seq(
+          IncrementalAgg.partials(base, keys, "l_quantity"),
+          IncrementalAgg.partials(ins, keys, "l_quantity"),
+          IncrementalAgg.partials(del, keys, "l_quantity", sign = -1)), keys), keys)
+          .collect().length.toLong
+      }
       time("selfjoin_grid", c) { df =>
         val a = df.filter(col("l_linenumber") === 1)
           .select(col("l_orderkey"), col("l_extendedprice").as("p1"))
