@@ -156,6 +156,38 @@ class WaveThirtyFourSpec extends AnyFunSuite {
     assert(got.toSeq == want, got.toSeq.mkString("\n"))
   }
 
+  test("bpe delta trainer ≡ naive trainer on corner corpora (ties, exhaustion, bars, unicode)") {
+    import spark.implicits._
+    // the oracle proves delta ≡ recount at sf0.01; this pins the same
+    // equivalence Scala-side on the corners an SF corpus never hits:
+    // the tie-heavy golden fixture, a corpus trained EXACTLY to its
+    // merge capacity, literal '|' characters in the input (stripped at
+    // ingest by both loops), and multi-byte symbols
+    def merges(corpus: org.apache.spark.sql.DataFrame, r: Int, delta: Boolean) = {
+      val scope = new graft.operators.CheckpointScope
+      try {
+        if (delta) graft.queries.TextQueries.bpeChainDelta(corpus, r, scope)
+        else graft.queries.TextQueries.bpeChain(corpus, scope, r)._1
+      } finally scope.closeAll()
+    }
+    def check(texts: Seq[String], r: Int): Unit = {
+      val corpus = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val (d, n) = (merges(corpus, r, delta = true), merges(corpus, r, delta = false))
+      assert(d == n, s"delta diverged on $texts:\ndelta=$d\nnaive=$n")
+    }
+    check(Seq("banana banana banana", "bandana bandana qrstuv"), 8)
+    // 'ab' trains to exactly ONE merge — R at capacity, both loops
+    // succeed; R beyond capacity, both raise the same loud guard
+    check(Seq("ab ab ab"), 1)
+    intercept[IllegalArgumentException](merges(
+      Seq((1L, "ab ab ab")).toDF("doc_id", "text"), 2, delta = true))
+    intercept[IllegalArgumentException](merges(
+      Seq((1L, "ab ab ab")).toDF("doc_id", "text"), 2, delta = false))
+    check(Seq("a|b a|b ab"), 1) // bars stripped at ingest, both loops
+    check(Seq("héllo héllo wörld wörld wörld"), 4) // multi-byte symbols
+  }
+
   test("kaplan-meier on generated testdata: censoring is non-vacuous") {
     // the horizon machinery only exercises its censored branch if some
     // user's first purchase is >= 72h after their first event — assert
