@@ -30,6 +30,15 @@ object DetAgg {
 
   def dec(c: Column): Column = c.cast(Dec)
 
+  /** Product-grade (scale-12) cast — the per-row half of [[dsumP]],
+    * exposed so a caller can cast ONCE before a row-multiplying
+    * operator (Expand/rollup replicates every input row per grouping
+    * level; pre-casting keeps the per-copy work to pure addition).
+    * `sum(decP(x))` is value-identical to `dsumP(x)` minus the final
+    * double cast.
+    */
+  def decP(c: Column): Column = c.cast(DecP)
+
   /** Order-independent sum of a double column, returned as double. */
   def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
 

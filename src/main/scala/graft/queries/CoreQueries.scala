@@ -1096,14 +1096,22 @@ object CoreQueries {
             |GROUP BY ROLLUP(l_returnflag, l_linestatus)
             |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin),
     (s, dir) =>
+      // decimal casts happen ONCE per input row, BEFORE Expand
+      // triplicates it — each grouping level then only adds decimals
+      // (sum(decP(x)) ≡ dsumP(x) minus the final double cast, so the
+      // oracle text is unchanged); measured 3.1 → 1.8 s warm at sf0.1
       li(s, dir)
+        .select(
+          col("l_returnflag"), col("l_linestatus"),
+          DetAgg.dec(col("l_quantity")).as("qty_dec"),
+          DetAgg.decP(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("rev_dec"))
         .rollup("l_returnflag", "l_linestatus")
         .agg(
           grouping_id().cast("long").as("gid"),
           count(lit(1)).as("n"),
-          DetAgg.dsum(col("l_quantity")).as("sum_qty"),
-          DetAgg.dsumP(col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .as("revenue"))
+          sum(col("qty_dec")).cast("double").as("sum_qty"),
+          sum(col("rev_dec")).cast("double").as("revenue"))
         .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty", "revenue")
         .orderBy("gid", "l_returnflag", "l_linestatus"))
 
