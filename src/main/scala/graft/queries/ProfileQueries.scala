@@ -195,24 +195,32 @@ object ProfileQueries {
     * comparison doubles as a sharding-correctness proof on real ties
     * (l_quantity has ~50 distinct values over ~2/3 of the table).
     */
+  /** Oracle CTEs `g, c, t(n1, n2, r2x, tt)` for the two-slice rank
+    * moments — ONE text shared by `stat_mannwhitney` and
+    * `stat_cliffs_delta` (the autocorrSqlCtes discipline), so the rank
+    * machinery can never drift between the test and its effect size.
+    */
+  private val mwSqlCtes: String =
+    """WITH g AS (
+      |  SELECT l_quantity AS v,
+      |    SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS c1,
+      |    SUM(CASE WHEN l_returnflag = 'A' THEN 0 ELSE 1 END) AS c2
+      |  FROM lineitem
+      |  WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL
+      |  GROUP BY l_quantity),
+      |c AS (
+      |  SELECT c1, c2,
+      |    SUM(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r
+      |  FROM g),
+      |t AS (
+      |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+      |    CAST(SUM(c1 * (2 * r - (c1 + c2) + 1)) AS BIGINT) AS r2x,
+      |    CAST(SUM((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS BIGINT) AS tt
+      |  FROM c)""".stripMargin
+
   val mannWhitney: Q = Q(
     "stat_mannwhitney",
-    Some("""WITH g AS (
-           |  SELECT l_quantity AS v,
-           |    SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS c1,
-           |    SUM(CASE WHEN l_returnflag = 'A' THEN 0 ELSE 1 END) AS c2
-           |  FROM lineitem
-           |  WHERE l_returnflag IN ('A', 'R') AND l_quantity IS NOT NULL
-           |  GROUP BY l_quantity),
-           |c AS (
-           |  SELECT c1, c2,
-           |    SUM(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS r
-           |  FROM g),
-           |t AS (
-           |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
-           |    CAST(SUM(c1 * (2 * r - (c1 + c2) + 1)) AS BIGINT) AS r2x,
-           |    CAST(SUM((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS BIGINT) AS tt
-           |  FROM c)
+    Some(s"""$mwSqlCtes
            |SELECT n1, n2,
            |  CAST(r2x - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u,
            |  (CAST(r2x - n1 * (n1 + 1) AS DOUBLE) / 2.0
@@ -228,6 +236,36 @@ object ProfileQueries {
         Tables.load(s, dir, "lineitem").filter(col("l_returnflag").isin("A", "R")),
         "l_quantity",
         col("l_returnflag") === "A"))
+
+  /** Cliff's delta — the EFFECT SIZE companion to [[mannWhitney]]'s
+    * significance z (a 100 TB table makes any z huge; δ says whether
+    * the difference MATTERS): δ = P(x₁ > x₂) − P(x₁ < x₂). Exactly
+    * derivable from the same rank kernel even under ties — with
+    * W/L/T the greater/less/tied pair counts, U = W + T/2, so
+    * 2U − n₁n₂ = W − L and δ = (2U − n₁n₂)/(n₁n₂): one extra fixed
+    * IEEE expression over the SAME integer moments (shared CTE text,
+    * shared Spark kernel) — no new pass over the data at all.
+    */
+  val cliffsDelta: Q = Q(
+    "stat_cliffs_delta",
+    Some(s"""$mwSqlCtes
+           |SELECT n1, n2,
+           |  (2.0 * (CAST(r2x - n1 * (n1 + 1) AS DOUBLE) / 2.0)
+           |    - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+           |  / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS delta
+           |FROM t""".stripMargin),
+    (s, dir) =>
+      graft.functions.Stats.mannWhitneyU(
+        Tables.load(s, dir, "lineitem").filter(col("l_returnflag").isin("A", "R")),
+        "l_quantity",
+        col("l_returnflag") === "A")
+        .select(
+          col("n1"), col("n2"),
+          ((lit(2.0) * col("u") - col("n1").cast("double") * col("n2").cast("double"))
+            / (col("n1").cast("double") * col("n2").cast("double"))).as("delta")))
+
+  // the parametric effect-size companion already exists: `stat_cohens_d`
+  // ([[cohensD]] below) — δ is its rank-based, tie-robust sibling
 
   /** Population stability index between the same two slices as
     * [[ksQuantity]] — the bucketed companion drift metric (PSI is what
@@ -2323,7 +2361,7 @@ object ProfileQueries {
   }
 
   def all: Seq[Q] = Seq(
-    profileLineitem, textRedact, ksQuantity, mannWhitney, jsdQuantity,
+    profileLineitem, textRedact, ksQuantity, mannWhitney, cliffsDelta, jsdQuantity,
     spearmanQP, psiQuantity, quantilesExact, ppsSample,
     chi2ReturnFlag, anovaQuantity, giniPrice, grubbsPrice, benfordPrice,
     aucLangLen, kendallTau, cramersV, brownForsythe, levene, flignerKilleen,
