@@ -37,6 +37,32 @@ object GifCodec extends Multimodal.Codec {
       payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F' &&
       payload(3) == '8'
 
+  /** Logical screen (width, height) from the GIF stream metadata —
+    * the canvas every frame composites onto. Animated GIFs routinely
+    * ship a FIRST frame that is already a sub-rectangle (editor crops),
+    * so sizing the canvas from frame 0 clips offset frames (the r12
+    * review's finding); None when the descriptor is unreadable
+    * (caller falls back to frame 0's bounds).
+    */
+  private def logicalScreen(reader: javax.imageio.ImageReader): Option[(Int, Int)] =
+    try {
+      val tree = reader.getStreamMetadata.getAsTree("javax_imageio_gif_stream_1.0")
+        .asInstanceOf[IIOMetadataNode]
+      val kids = tree.getChildNodes
+      var j = 0
+      while (j < kids.getLength) {
+        val n = kids.item(j)
+        if (n.getNodeName == "LogicalScreenDescriptor") {
+          val a = n.getAttributes
+          val w = a.getNamedItem("logicalScreenWidth").getNodeValue.toInt
+          val h = a.getNamedItem("logicalScreenHeight").getNodeValue.toInt
+          if (w > 0 && h > 0) return Some((w, h))
+        }
+        j += 1
+      }
+      None
+    } catch { case _: Exception => None }
+
   /** (left, top) image-descriptor offset of frame `i` from the GIF
     * native metadata tree; (0, 0) when metadata is unreadable.
     */
@@ -102,28 +128,38 @@ object GifCodec extends Multimodal.Codec {
           val cells = new Array[Double](Multimodal.ImageGrid * Multimodal.ImageGrid)
           val profile = new Array[Float](Multimodal.VideoFrameSample)
           var decoded = 0
-          var i = 0
-          while (i < n) {
-            val frame = reader.read(i)
-            if (canvas == null) {
-              canvas = new BufferedImage(
-                frame.getWidth, frame.getHeight, BufferedImage.TYPE_INT_RGB)
-              g2 = canvas.createGraphics()
+          try {
+            var i = 0
+            while (i < n) {
+              // per-frame tolerance (the decodeVideo contract): one
+              // truncated frame skips, it doesn't drop the whole GIF
+              val frame =
+                try reader.read(i)
+                catch { case _: Exception => null }
+              if (frame != null) {
+                val (left, top) = frameOffset(reader, i)
+                if (canvas == null) {
+                  // the LOGICAL SCREEN is the canvas; a sub-rectangle
+                  // first frame must not clip later, larger frames
+                  val (w, h) = logicalScreen(reader).getOrElse(
+                    (left + frame.getWidth, top + frame.getHeight))
+                  canvas = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+                  g2 = canvas.createGraphics()
+                }
+                g2.drawImage(frame, left, top, null)
+                if (wanted.contains(i)) {
+                  val c = Multimodal.cellLuminance(canvas)
+                  var k = 0
+                  var mean = 0.0
+                  while (k < cells.length) { cells(k) += c(k); mean += c(k); k += 1 }
+                  if (decoded < Multimodal.VideoFrameSample)
+                    profile(decoded) = (mean / cells.length).toFloat
+                  decoded += 1
+                }
+              }
+              i += 1
             }
-            val (left, top) = frameOffset(reader, i)
-            g2.drawImage(frame, left, top, null)
-            if (wanted.contains(i)) {
-              val c = Multimodal.cellLuminance(canvas)
-              var k = 0
-              var mean = 0.0
-              while (k < cells.length) { cells(k) += c(k); mean += c(k); k += 1 }
-              if (decoded < Multimodal.VideoFrameSample)
-                profile(decoded) = (mean / cells.length).toFloat
-              decoded += 1
-            }
-            i += 1
-          }
-          if (g2 != null) g2.dispose()
+          } finally if (g2 != null) g2.dispose()
           if (decoded == 0) None
           else Some(cells.map(s => (s / decoded).toFloat) ++ profile)
         } finally reader.dispose()

@@ -50,22 +50,30 @@ object IncrementalAgg {
         (sum(DetAgg.dec(col(valueCol))) * sign).as("s"))
 
   /** Fold any number of states / insert partials / retraction partials
-    * into one state: one hash aggregate over the union, zero-count
-    * groups dropped. Associative and commutative in its inputs.
+    * into one state: one hash aggregate over the union. Associative and
+    * commutative in its inputs — which REQUIRES keeping negative-count
+    * intermediate rows (a delete batch folded ahead of its inserts
+    * leaves a negative stub that the later insert fold cancels;
+    * dropping it would silently lose the retraction — the r12 review's
+    * finding, now spec-pinned). Only the exact-identity (0, 0) rows
+    * drop (adding zeros is the group identity); the positive-count
+    * gate belongs to [[view]], the read side.
     */
   def merge(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
     require(states.nonEmpty, "merge of no states")
     states.reduce(_.unionByName(_))
       .groupBy(keys.map(col): _*)
       .agg(sum("cnt").as("cnt"), sum("s").as("s"))
-      .filter(col("cnt") > 0)
+      .filter(col("cnt") =!= 0 || col("s") =!= lit(0))
   }
 
   /** The readable view of a state: count, sum and mean as doubles
     * (exact decimal → correctly-rounded double, one IEEE division).
+    * Negative-count stubs (retractions still awaiting their inserts)
+    * are in-flight state, not data — the view shows cnt > 0 only.
     */
   def view(state: DataFrame, keys: Seq[String]): DataFrame =
-    state.select(
+    state.filter(col("cnt") > 0).select(
       keys.map(col) ++ Seq(
         col("cnt").cast("long").as("n"),
         col("s").cast("double").as("total"),

@@ -858,13 +858,15 @@ object CoreQueries {
         .orderBy("o_year")
     })
 
-  /** The derived part-supplier relation shared by the Q2/Q20 shapes —
-    * the schema has no partsupp table (TESTDATA.md), so the classic
-    * partsupp attributes are DERIVED from the fact: per (part, supplier)
-    * pair, the minimum observed unit price stands in for ps_supplycost
-    * (Q2) and shipped-quantity totals stand in for ps_availqty (Q20).
-    * MIN over doubles is an exact pick (no accumulation), and the unit
-    * price is one IEEE division — both engines bit-agree.
+  /** The derived part-supplier COST relation for the Q2 shape — the
+    * schema has no partsupp table (TESTDATA.md), so ps_supplycost is
+    * DERIVED from the fact: per (part, supplier) pair, the minimum
+    * observed unit price. MIN over doubles is an exact pick (no
+    * accumulation), and the unit price is one IEEE division — both
+    * engines bit-agree. Q20's availqty stand-in (shipped-quantity
+    * totals) is a DIFFERENT derivation built inline in
+    * [[q20PotentialPromotion]] — the two queries share the
+    * no-partsupp premise, not this relation.
     */
   private def psCost(s: SparkSession, dir: String) =
     li(s, dir)

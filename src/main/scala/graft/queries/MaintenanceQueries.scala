@@ -249,8 +249,17 @@ object MaintenanceQueries {
       (s, dir) => {
         val li = Tables.load(s, dir, "lineitem")
         val b = li.agg(
-          min("l_extendedprice").as("mnx"), max("l_extendedprice").as("mxx"),
-          min("l_quantity").as("mny"), max("l_quantity").as("mxy"))
+            min("l_extendedprice").as("mnx"), max("l_extendedprice").as("mxx"),
+            min("l_quantity").as("mny"), max("l_quantity").as("mxy"))
+          // a CONSTANT dimension cannot be clustered, and its 0/0
+          // quantization diverges across dialects (Spark ANSI raises,
+          // DuckDB NULLs) — fail loudly on the 1-row bounds relation
+          // BEFORE the shared text runs (the house in-plan guard)
+          .filter(assert_true(
+            col("mnx") < col("mxx") && col("mny") < col("mxy"),
+            lit("layout_zorder: a z-order dimension is constant " +
+              "(min = max) — constant columns cannot be clustered; " +
+              "drop the dimension instead")).isNull)
         li.select(
             col("l_extendedprice").as("x"), col("l_quantity").as("y"))
           .crossJoin(broadcast(b))

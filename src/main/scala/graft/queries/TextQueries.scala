@@ -517,16 +517,21 @@ object TextQueries {
         org.apache.spark.sql.functions.replace(
           col("s"), lit(pat), lit(merged)).as("s"),
         col("cnt"))
-      pc = scope.roll("pc",
-        pc.unionAll(pairs(aff, -1)).unionAll(pairs(affNew, 1))
-          .groupBy("a", "b").agg(sum("n").as("n"))
-          .filter(col("n") > 0))
-      d = scope.roll("d", d.select(
-        when(col("s").contains(pat),
-          org.apache.spark.sql.functions.replace(
-            col("s"), lit(pat), lit(merged)))
-          .otherwise(col("s")).as("s"),
-        col("cnt")))
+      // the final round's argmax is already collected and the function
+      // returns only the merges — rolling pc/d once more would be two
+      // full materializations of discarded state (r12 review)
+      if (r < rounds) {
+        pc = scope.roll("pc",
+          pc.unionAll(pairs(aff, -1)).unionAll(pairs(affNew, 1))
+            .groupBy("a", "b").agg(sum("n").as("n"))
+            .filter(col("n") > 0))
+        d = scope.roll("d", d.select(
+          when(col("s").contains(pat),
+            org.apache.spark.sql.functions.replace(
+              col("s"), lit(pat), lit(merged)))
+            .otherwise(col("s")).as("s"),
+          col("cnt")))
+      }
       (r.toLong, a, b, a + b, n)
     }
   }

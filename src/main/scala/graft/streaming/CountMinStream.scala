@@ -62,13 +62,25 @@ object CountMinStream {
 
   def estimateWindowed(
       probe: DataFrame, counters: DataFrame, d: Int, w: Int): DataFrame = {
-    // a probe whose plan carries a LIMIT <= MaxProbeKeys is proven
-    // bounded for free; only an unbounded plan pays the counting job
-    val staticallyBounded = probe.queryExecution.analyzed.collectFirst {
-      case org.apache.spark.sql.catalyst.plans.logical.GlobalLimit(
-          org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _), _)
-          if n <= MaxProbeKeys => true
-    }.getOrElse(false)
+    // a probe whose plan carries a LIMIT <= MaxProbeKeys ABOVE every
+    // row-multiplying operator is proven bounded for free; only an
+    // unbounded plan pays the counting job. The walk descends ONLY
+    // through row-non-increasing unary nodes — a limit found anywhere
+    // (collectFirst over the whole tree) would wrongly bless
+    // limit(k).join(expander), whose output is unbounded (r12 review)
+    val staticallyBounded = {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      @scala.annotation.tailrec
+      def bounded(p: LogicalPlan): Boolean = p match {
+        case GlobalLimit(Literal(n: Int, _), _) => n <= MaxProbeKeys
+        case _: Project | _: Filter | _: SubqueryAlias | _: LocalLimit |
+            _: Distinct | _: Deduplicate =>
+          bounded(p.children.head)
+        case _ => false
+      }
+      bounded(probe.queryExecution.analyzed)
+    }
     if (!staticallyBounded) {
       val nProbe = probe.limit(MaxProbeKeys + 1).count()
       require(nProbe <= MaxProbeKeys,

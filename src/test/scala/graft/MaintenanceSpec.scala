@@ -254,6 +254,31 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(got == Set(("b", 1L, 5.0)), got.toString)
   }
 
+  test("IncrementalAgg: a delete folded BEFORE its inserts still cancels (negative stubs survive)") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    // the r12 review's failure scenario: merging the delete batch first
+    // leaves a negative-count stub for g; dropping it (the old cnt > 0
+    // filter in merge) would make the later insert fold forget the
+    // delete entirely
+    val keys = Seq("k")
+    val ins = Seq(("g", 12.5), ("g", 4.0), ("g", 8.5), ("h", 1.0), ("g", 2.0), ("g", 3.0)).toDF("k", "v")
+    val del = Seq(("g", 4.0), ("g", 8.5)).toDF("k", "v")
+    val deleteFirst = IncrementalAgg.merge(Seq(
+      IncrementalAgg.merge(Seq(IncrementalAgg.partials(del, keys, "v", sign = -1)), keys),
+      IncrementalAgg.partials(ins, keys, "v")), keys)
+    val insertFirst = IncrementalAgg.merge(Seq(
+      IncrementalAgg.partials(ins, keys, "v"),
+      IncrementalAgg.partials(del, keys, "v", sign = -1)), keys)
+    def st(df: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.view(df, keys).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Set(("g", 3L, 17.5), ("h", 1L, 1.0))
+    assert(st(insertFirst) == want, st(insertFirst).toString)
+    assert(st(deleteFirst) == want,
+      s"delete-first fold lost the retraction: ${st(deleteFirst)}")
+  }
+
   test("IncrementalAgg: state round-trips parquet between maintenance runs bit-exactly") {
     import spark.implicits._
     import graft.operators.IncrementalAgg

@@ -101,6 +101,24 @@ class ZOrderSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("layout_zorder fails LOUDLY on a constant dimension (cross-dialect 0/0 divergence guarded)") {
+    import spark.implicits._
+    // constant l_quantity: Spark's ANSI 0/0 would raise a raw
+    // DIVIDE_BY_ZERO while DuckDB NULLs — the in-plan bounds guard must
+    // fire FIRST with the operator's own message
+    val dir = java.nio.file.Files.createTempDirectory("graft_zdegen").toString
+    Seq((1L, 10.0, 5.0), (2L, 20.0, 5.0), (3L, 30.0, 5.0))
+      .toDF("l_orderkey", "l_extendedprice", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val e = intercept[Exception] {
+      graft.queries.MaintenanceQueries.layoutZorder.run(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("constant columns cannot be clustered")),
+      s"wrong failure: ${messages(e).take(3)}")
+  }
+
   test("z-bucket-partitioned write prunes to exactly the candidate buckets") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder_p").toString + "/t"
     val df = zBucketed

@@ -45,9 +45,13 @@ for t in TABLES:
 # shared text; only the day key had both forms in the registry.
 # r11 ADVICE: tolerate nested calls inside epoch(..) — the old [^)]*
 # body could not match FLOOR(epoch(date_trunc('second', ts)) / 86400).
+# r12 review: the body must not contain '/' (an unbounded .*? with
+# DOTALL backtracks across the WHOLE query, so "FLOOR(epoch(ts)/3600)
+# ... span / 86400" false-positives). epoch's argument never contains
+# a division; the first '/' it meets is the bucket divisor itself.
 # Requiring the close-paren before the slash keeps integer `// 86400`
 # (the second slash breaks `\)\s*/\s*86400`) from false-positives.
-DAYKEY = re.compile(r"FLOOR\s*\(\s*epoch\s*\(.*?\)\s*/\s*86400", re.I | re.S)
+DAYKEY = re.compile(r"FLOOR\s*\(\s*epoch\s*\([^/;]*?\)\s*/\s*86400", re.I | re.S)
 
 oracle = json.load(open(ORACLES))
 bad = []
