@@ -878,4 +878,50 @@ object Dedup {
     val byCluster = Window.partitionBy(col(component)).orderBy(score.desc, col(id))
     labeled.withColumn("keep", row_number().over(byCluster) === 1)
   }
+
+  /** EDIT-DISTANCE near-dup pairs — the character-level tier the
+    * set-similarity family cannot see: "cold plate" vs "old plate" is
+    * one deletion (distance 1) but shares almost no word shingles, so
+    * [[jaccardPairs]]/[[minHashPairs]] miss it by construction; the
+    * converse (reordered words) is where THEY win — the tiers are
+    * complements, not alternatives. Intended for SHORT-STRING domains
+    * (names, titles, queries — the classic record-linkage surface);
+    * document bodies belong to the shingle tiers.
+    *
+    * Scale structure: candidates are generated by LENGTH BANDING —
+    * pair (a, b) only joins when |len(a) − len(b)| ≤ maxDist, which is
+    * ADMISSIBLE (each edit changes the length by at most one, so a
+    * larger gap proves distance > maxDist) — i.e. the pruning is
+    * provably LOSSLESS, and the oracle's brute-force all-pairs form is
+    * the proof (the prefixJaccardPairs discipline). The band join is an
+    * equi join on the length BUCKET (each string enters the ≤
+    * 2·maxDist+1 buckets it could match into), so at scale each
+    * length-band co-partition joins independently — never an all-pairs
+    * cross. The DP distance itself is Spark's codegen'd `levenshtein`,
+    * bit-identical to DuckDB's (both the classic integer DP).
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      id: String,
+      text: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8, s"maxDist $maxDist out of [1, 8]")
+    val base = df.select(col(id).as("id"), col(text).as("t"))
+      .filter(col("t").isNotNull)
+      .withColumn("len", length(col("t")))
+    // each LEFT row fans out to every length bucket within maxDist; the
+    // RIGHT side sits in its own bucket — the equi join on the bucket
+    // then sees exactly the admissible band
+    val lhs = base
+      .withColumn("band", explode(sequence(
+        col("len") - maxDist, col("len") + maxDist)))
+      .select(col("id").as("id_a"), col("t").as("t_a"), col("band"))
+    val rhs = base.select(
+      col("id").as("id_b"), col("t").as("t_b"), col("len").as("band"))
+    lhs.join(rhs, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "t_a", "t_b", "dist")
+  }
 }

@@ -601,6 +601,34 @@ object TextQueries {
     (s, dir) =>
       Dedup.exactGroups(docs(s, dir), "doc_id", TextFunctions.fingerprint(col("text"))))
 
+  /** EDIT-DISTANCE near-dup pairs ([[Dedup.editDistancePairs]]) — the
+    * character-level tier the shingle family cannot see ("cold plate"
+    * vs "old plate" is one deletion with near-zero word-shingle
+    * overlap), run over the short-string surface this corpus offers:
+    * the distinct part-name vocabulary. The engine candidates via the
+    * ADMISSIBLE length-band equi join (|Δlen| > k ⟹ distance > k);
+    * the oracle is the BRUTE all-pairs form — hash-equality is the
+    * proof the banding is lossless, the prefixJaccardPairs discipline.
+    * `levenshtein` is the classic integer DP in both engines.
+    */
+  val dedupEditDistance: Q = Q(
+    "dedup_edit_distance",
+    Some("""WITH n AS (SELECT DISTINCT p_name AS a FROM part)
+           |SELECT x.a AS name_a, y.a AS name_b,
+           |  CAST(levenshtein(x.a, y.a) AS BIGINT) AS dist
+           |FROM n x JOIN n y ON x.a < y.a
+           |WHERE levenshtein(x.a, y.a) <= 2
+           |ORDER BY name_a, name_b""".stripMargin),
+    (s, dir) =>
+      Dedup.editDistancePairs(
+        graft.sources.Tables.load(s, dir, "part")
+          .select(col("p_name").as("name")).distinct(),
+        id = "name", text = "name", maxDist = 2)
+        .select(
+          col("id_a").as("name_a"), col("id_b").as("name_b"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("name_a", "name_b"))
+
   /** Exact dedup on a weak key (first-5-token prefix) — produces real
     * duplicate groups on the synthetic corpus.
     */
@@ -2969,7 +2997,7 @@ object TextQueries {
     pipelinePerplexityMix, streamQualityMonitor,
     jsonlRoundtrip, sampleUpsample, splitShards, splitShuffle,
     packSequences, packGreedy,
-    dedupExact, dedupPrefix, dedupJaccard, dedupJaccardPrefix, dedupContainment,
+    dedupExact, dedupEditDistance, dedupPrefix, dedupJaccard, dedupJaccardPrefix, dedupContainment,
     dedupComponents, dedupComponentsChain, dedupComponentsIncremental,
     dedupClusterSizes, dedupKeepBest, decontamNgram,
     decontamSpans, dedupIncremental,

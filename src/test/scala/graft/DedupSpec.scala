@@ -449,4 +449,19 @@ class DedupSpec extends AnyFunSuite {
         .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
     assert(messages(e).contains("brute-safe bound"), messages(e))
   }
+
+  test("editDistancePairs: length banding is lossless at the boundary, each pair emitted once") {
+    import spark.implicits._
+    // (1,2) sits exactly AT the |Δlen| = maxDist boundary with
+    // distance = maxDist — the case a sloppy band (|Δlen| < k) drops
+    val df = Seq((1L, "abcd"), (2L, "ab"), (3L, "abx"), (4L, "zzzz"))
+      .toDF("id", "t")
+    def pairs(k: Int) = graft.operators.Dedup
+      .editDistancePairs(df, "id", "t", maxDist = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSeq
+    val got2 = pairs(2)
+    assert(got2.toSet == Set((1L, 2L, 2), (1L, 3L, 2), (2L, 3L, 1)), got2.toString)
+    assert(got2.length == got2.toSet.size, "a pair was emitted twice")
+    assert(pairs(1).toSet == Set((2L, 3L, 1)), pairs(1).toString)
+  }
 }
