@@ -19,9 +19,15 @@ import javax.imageio.metadata.IIOMetadataNode
   * Decode: every frame is read sequentially (GIF's LZW stream is
   * sequential anyway) and COMPOSITED onto the logical-screen canvas at
   * its image-descriptor offset — animated GIFs routinely encode only
-  * the changed sub-rectangle per frame. Disposal is treated as
-  * `doNotDispose` (cumulative compositing), the dominant encoding; the
-  * restore-to-background/previous modes still decode, approximately.
+  * the changed sub-rectangle per frame. All four GIF89a disposal modes
+  * are honored (r12 ADVICE — previously everything composited as
+  * `doNotDispose`): `restoreToBackgroundColor` clears the frame's
+  * rectangle after compositing and `restoreToPrevious` reverts the
+  * canvas to its pre-frame pixels (the canvas copy is taken ONLY when
+  * a frame actually declares that mode). The background "color" is
+  * rendered as black — the RGB projection of transparent, which is how
+  * browsers composite background-disposed regions; the indexed
+  * backgroundColor entry is a legacy fallback no modern renderer uses.
   * Features mirror [[Multimodal.decodeVideo]]'s layout exactly: mean
   * cell luminance over up to [[Multimodal.VideoFrameSample]]
   * evenly-sampled frames (64) + the per-sampled-frame mean-luminance
@@ -63,28 +69,39 @@ object GifCodec extends Multimodal.Codec {
       None
     } catch { case _: Exception => None }
 
-  /** (left, top) image-descriptor offset of frame `i` from the GIF
-    * native metadata tree; (0, 0) when metadata is unreadable.
+  /** Per-frame compositing metadata of frame `i` from the GIF native
+    * tree: (left, top) image-descriptor offset plus the
+    * GraphicControlExtension's `disposalMethod` string
+    * ("none" | "doNotDispose" | "restoreToBackgroundColor" |
+    * "restoreToPrevious" | "undefinedDisposalMethod{4..7}");
+    * ((0, 0), "none") when metadata is unreadable — the cumulative
+    * fallback, which is also what GIF87a streams (no GCE at all) get.
     */
-  private def frameOffset(reader: javax.imageio.ImageReader, i: Int): (Int, Int) =
+  private def frameMeta(
+      reader: javax.imageio.ImageReader, i: Int): ((Int, Int), String) =
     try {
       val md = reader.getImageMetadata(i)
       val tree = md.getAsTree("javax_imageio_gif_image_1.0")
         .asInstanceOf[IIOMetadataNode]
       val kids = tree.getChildNodes
+      var left = 0
+      var top = 0
+      var disposal = "none"
       var j = 0
       while (j < kids.getLength) {
         val n = kids.item(j)
         if (n.getNodeName == "ImageDescriptor") {
           val a = n.getAttributes
-          return (
-            a.getNamedItem("imageLeftPosition").getNodeValue.toInt,
-            a.getNamedItem("imageTopPosition").getNodeValue.toInt)
+          left = a.getNamedItem("imageLeftPosition").getNodeValue.toInt
+          top = a.getNamedItem("imageTopPosition").getNodeValue.toInt
+        } else if (n.getNodeName == "GraphicControlExtension") {
+          val d = n.getAttributes.getNamedItem("disposalMethod")
+          if (d != null) disposal = d.getNodeValue
         }
         j += 1
       }
-      (0, 0)
-    } catch { case _: Exception => (0, 0) }
+      ((left, top), disposal)
+    } catch { case _: Exception => ((0, 0), "none") }
 
   /** Number of frames in the GIF, or 0 when the payload is not one —
     * the real-bytes source for a `n_frames` metadata column
@@ -137,7 +154,7 @@ object GifCodec extends Multimodal.Codec {
                 try reader.read(i)
                 catch { case _: Exception => null }
               if (frame != null) {
-                val (left, top) = frameOffset(reader, i)
+                val ((left, top), disposal) = frameMeta(reader, i)
                 if (canvas == null) {
                   // the LOGICAL SCREEN is the canvas; a sub-rectangle
                   // first frame must not clip later, larger frames
@@ -146,6 +163,19 @@ object GifCodec extends Multimodal.Codec {
                   canvas = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
                   g2 = canvas.createGraphics()
                 }
+                // restoreToPrevious needs the pre-frame pixels back
+                // AFTER this frame renders — copy the canvas only when
+                // the frame actually declares that mode (rare; paying
+                // a full-canvas copy on every frame would double the
+                // decode cost of the common doNotDispose stream)
+                val saved: BufferedImage =
+                  if (disposal == "restoreToPrevious") {
+                    val cp = new BufferedImage(
+                      canvas.getWidth, canvas.getHeight, BufferedImage.TYPE_INT_RGB)
+                    val cg = cp.createGraphics()
+                    try cg.drawImage(canvas, 0, 0, null) finally cg.dispose()
+                    cp
+                  } else null
                 g2.drawImage(frame, left, top, null)
                 if (wanted.contains(i)) {
                   val c = Multimodal.cellLuminance(canvas)
@@ -155,6 +185,20 @@ object GifCodec extends Multimodal.Codec {
                   if (decoded < Multimodal.VideoFrameSample)
                     profile(decoded) = (mean / cells.length).toFloat
                   decoded += 1
+                }
+                // disposal applies BETWEEN frames: after this frame's
+                // pixels contributed to the composite (and features),
+                // before frame i+1 renders
+                disposal match {
+                  case "restoreToBackgroundColor" =>
+                    // transparent-as-black, the browser compositing rule
+                    val prev = g2.getColor
+                    g2.setColor(java.awt.Color.BLACK)
+                    g2.fillRect(left, top, frame.getWidth, frame.getHeight)
+                    g2.setColor(prev)
+                  case "restoreToPrevious" =>
+                    g2.drawImage(saved, 0, 0, null)
+                  case _ => () // none / doNotDispose / undefined: cumulative
                 }
               }
               i += 1

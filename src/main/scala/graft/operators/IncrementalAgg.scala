@@ -22,7 +22,8 @@ import graft.functions.DetAgg
   *    tree), and
   *  - a group whose count returns to zero leaves the state entirely.
   *
-  * COUNT / SUM / AVG (= sum/count at read time) are exactly
+  * COUNT / SUM / AVG (= sum / non-null count at read time — SQL AVG
+  * semantics, with the non-null count carried in the state) are exactly
   * maintainable this way; MIN / MAX are NOT retractable (deleting the
   * current min needs the runner-up, which the state no longer has) —
   * callers needing them under deletes must recompute or keep a heavy
@@ -38,15 +39,21 @@ import graft.functions.DetAgg
   */
 object IncrementalAgg {
 
-  /** Partial-aggregate state of one batch: `(keys*, cnt, s)` with `s`
-    * the exact scale-6 decimal sum of `valueCol`. `sign = -1` yields
-    * the retraction partials of a delete batch.
+  /** Partial-aggregate state of one batch: `(keys*, cnt, cntv, s)` with
+    * `s` the exact scale-6 decimal sum of `valueCol` and `cntv` the
+    * NON-NULL count of `valueCol` — tracked separately from the row
+    * count so the view's mean is SQL AVG (sum over non-null ÷ count of
+    * non-null), not sum ÷ row-count, on nullable measure columns (the
+    * r12 ADVICE divergence). `sign = -1` yields the retraction partials
+    * of a delete batch; both counts negate with it, so cntv is as
+    * group-additive as cnt.
     */
   def partials(df: DataFrame, keys: Seq[String], valueCol: String,
       sign: Int = 1): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(
         (count(lit(1)) * sign).as("cnt"),
+        (count(col(valueCol)) * sign).as("cntv"),
         (sum(DetAgg.dec(col(valueCol))) * sign).as("s"))
 
   /** Fold any number of states / insert partials / retraction partials
@@ -63,19 +70,23 @@ object IncrementalAgg {
     require(states.nonEmpty, "merge of no states")
     states.reduce(_.unionByName(_))
       .groupBy(keys.map(col): _*)
-      .agg(sum("cnt").as("cnt"), sum("s").as("s"))
-      .filter(col("cnt") =!= 0 || col("s") =!= lit(0))
+      .agg(sum("cnt").as("cnt"), sum("cntv").as("cntv"), sum("s").as("s"))
+      .filter(col("cnt") =!= 0 || col("cntv") =!= 0 || col("s") =!= lit(0))
   }
 
   /** The readable view of a state: count, sum and mean as doubles
     * (exact decimal → correctly-rounded double, one IEEE division).
-    * Negative-count stubs (retractions still awaiting their inserts)
-    * are in-flight state, not data — the view shows cnt > 0 only.
+    * `mean` is SQL AVG — sum ÷ NON-NULL value count, NULL when the
+    * group has no non-null values at all (an all-NULL-measure group
+    * still shows its row count). Negative-count stubs (retractions
+    * still awaiting their inserts) are in-flight state, not data — the
+    * view shows cnt > 0 only.
     */
   def view(state: DataFrame, keys: Seq[String]): DataFrame =
     state.filter(col("cnt") > 0).select(
       keys.map(col) ++ Seq(
         col("cnt").cast("long").as("n"),
         col("s").cast("double").as("total"),
-        (col("s").cast("double") / col("cnt")).as("mean")): _*)
+        when(col("cntv") > 0, col("s").cast("double") / col("cntv"))
+          .as("mean")): _*)
 }

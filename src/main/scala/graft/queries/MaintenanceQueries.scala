@@ -297,9 +297,15 @@ object MaintenanceQueries {
     */
   val aggIncremental: Q = Q(
     "maint_agg_incremental",
+    // mean is SQL AVG (÷ COUNT(value), the non-null count) — the state
+    // tracks the non-null count separately, so the view keeps AVG
+    // semantics on nullable measures too (r12 ADVICE). On this corpus
+    // value is never NULL, so COUNT(value) = COUNT(*) and the hash is
+    // unchanged; the SEMANTICS are pinned by MaintenanceSpec's
+    // null-measure case.
     Some(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
             |  ${D.dsum("value")} AS total,
-            |  ${D.dsum("value")} / COUNT(*) AS mean
+            |  ${D.dsum("value")} / COUNT(value) AS mean
             |FROM events WHERE event_id % 7 <> 0
             |GROUP BY 1 ORDER BY 1""".stripMargin),
     (s, dir) => {

@@ -60,6 +60,32 @@ object CountMinStream {
     */
   val MaxProbeKeys = 10000
 
+  /** True when the probe plan PROVES ≤ [[MaxProbeKeys]] rows without
+    * running anything: a LIMIT ≤ cap above a chain of
+    * row-non-increasing unary nodes, or (r12 ADVICE) a bounded LEAF —
+    * a LocalRelation's row count is known driver-side and a Range's
+    * numElements is a literal, so trivially small in-memory probes
+    * skip the counting job. The walk descends ONLY through
+    * row-non-increasing unary nodes — a limit/leaf found anywhere
+    * (collectFirst over the whole tree) would wrongly bless
+    * limit(k).join(expander), whose output is unbounded (r12 review).
+    */
+  private[graft] def staticallyBounded(probe: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    @scala.annotation.tailrec
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case GlobalLimit(Literal(n: Int, _), _) => n <= MaxProbeKeys
+      case l: LocalRelation => l.data.size <= MaxProbeKeys
+      case r: Range => r.numElements <= MaxProbeKeys
+      case _: Project | _: Filter | _: SubqueryAlias | _: LocalLimit |
+          _: Distinct | _: Deduplicate =>
+        bounded(p.children.head)
+      case _ => false
+    }
+    bounded(probe.queryExecution.analyzed)
+  }
+
   def estimateWindowed(
       probe: DataFrame, counters: DataFrame, d: Int, w: Int): DataFrame = {
     // a probe whose plan carries a LIMIT <= MaxProbeKeys ABOVE every
@@ -68,20 +94,7 @@ object CountMinStream {
     // through row-non-increasing unary nodes — a limit found anywhere
     // (collectFirst over the whole tree) would wrongly bless
     // limit(k).join(expander), whose output is unbounded (r12 review)
-    val staticallyBounded = {
-      import org.apache.spark.sql.catalyst.plans.logical._
-      import org.apache.spark.sql.catalyst.expressions.Literal
-      @scala.annotation.tailrec
-      def bounded(p: LogicalPlan): Boolean = p match {
-        case GlobalLimit(Literal(n: Int, _), _) => n <= MaxProbeKeys
-        case _: Project | _: Filter | _: SubqueryAlias | _: LocalLimit |
-            _: Distinct | _: Deduplicate =>
-          bounded(p.children.head)
-        case _ => false
-      }
-      bounded(probe.queryExecution.analyzed)
-    }
-    if (!staticallyBounded) {
+    if (!staticallyBounded(probe)) {
       val nProbe = probe.limit(MaxProbeKeys + 1).count()
       require(nProbe <= MaxProbeKeys,
         s"estimateWindowed: probe relation exceeds $MaxProbeKeys keys — " +

@@ -254,6 +254,33 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(got == Set(("b", 1L, 5.0)), got.toString)
   }
 
+  test("IncrementalAgg: mean is SQL AVG on nullable measures (null rows count in n, not in mean)") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    // r12 ADVICE: sum skips NULLs but the old mean divided by the ROW
+    // count — AVG over (2, null, 4) must be 3, not 2
+    val base = Seq(("a", Some(2.0)), ("a", None), ("a", Some(4.0)),
+      ("b", None), ("b", None)).toDF("k", "v")
+    val keys = Seq("k")
+    val state = IncrementalAgg.merge(
+      Seq(IncrementalAgg.partials(base, keys, "v")), keys)
+    val got = IncrementalAgg.view(state, keys).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    // a: 3 rows, total 6, AVG 3; b: all-NULL measure -> SUM and AVG both
+    // NULL (SQL semantics), rows kept
+    assert(got == Set(("a", 3L, Some(6.0), Some(3.0)), ("b", 2L, None, None)),
+      got.toString)
+    // retracting the null row leaves AVG untouched but drops the row count
+    val state2 = IncrementalAgg.merge(Seq(
+      state,
+      IncrementalAgg.partials(
+        Seq(("a", None: Option[Double])).toDF("k", "v"), keys, "v", sign = -1)), keys)
+    val a2 = IncrementalAgg.view(state2, keys).filter(col("k") === "a").collect().head
+    assert((a2.getLong(1), a2.getDouble(2), a2.getDouble(3)) == ((2L, 6.0, 3.0)), a2.toString)
+  }
+
   test("IncrementalAgg: a delete folded BEFORE its inserts still cancels (negative stubs survive)") {
     import spark.implicits._
     import graft.operators.IncrementalAgg

@@ -300,6 +300,94 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(_.getInt(1)).toSeq
     assert(idx == Seq(0, 2), idx.toString)
   }
+
+  /** In-memory GIF with an explicit per-frame GIF89a disposalMethod —
+    * the writer-side mirror of what [[graft.operators.GifCodec]] reads
+    * back from the GraphicControlExtension node (r12 ADVICE: the
+    * restore modes must actually composite, not silently degrade to
+    * doNotDispose).
+    */
+  private def gifWithDisposal(
+      frames: Seq[(java.awt.image.BufferedImage, String)]): Array[Byte] = {
+    import javax.imageio.metadata.IIOMetadataNode
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { case (img, disposal) =>
+      val spec = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+      val md = writer.getDefaultImageMetadata(spec, null)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val kids = tree.getChildNodes
+      var gce: IIOMetadataNode = null
+      var j = 0
+      while (j < kids.getLength) {
+        if (kids.item(j).getNodeName == "GraphicControlExtension")
+          gce = kids.item(j).asInstanceOf[IIOMetadataNode]
+        j += 1
+      }
+      if (gce == null) {
+        gce = new IIOMetadataNode("GraphicControlExtension")
+        tree.appendChild(gce)
+      }
+      gce.setAttribute("disposalMethod", disposal)
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("delayTime", "10")
+      gce.setAttribute("transparentColorIndex", "0")
+      md.setFromTree(fmt, tree)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    baos.toByteArray
+  }
+
+  private def solid(w: Int, h: Int, gray: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    img
+  }
+
+  test("GIF codec: restoreToBackgroundColor clears the frame rect between frames") {
+    import graft.operators.GifCodec
+    // f0: full-canvas gray 200, disposed to background (-> black);
+    // f1: a 16x12 gray rect at (0,0) — 1/16 of the 64x48 canvas.
+    // Disposal-correct: profile(1) ~ (200/255)/16 ~ 0.049.
+    // Cumulative (the old bug): the rest of the canvas would still be
+    // gray from f0 -> profile(1) ~ 0.784.
+    val gif = gifWithDisposal(Seq(
+      (solid(64, 48, 200), "restoreToBackgroundColor"),
+      (solid(16, 12, 200), "doNotDispose")))
+    val f = GifCodec.decode(gif).get
+    val g = 200.0 / 255
+    assert(math.abs(f(64) - g) < 2.0 / 255, s"profile(0)=${f(64)}")
+    assert(math.abs(f(65) - g / 16) < 2.0 / 255,
+      s"profile(1)=${f(65)} — background disposal must clear the f0 rect")
+  }
+
+  test("GIF codec: restoreToPrevious reverts the canvas to pre-frame pixels") {
+    import graft.operators.GifCodec
+    // f0: full gray 100 (kept); f1: full white, restored-to-previous
+    // after rendering; f2: 16x12 black rect over the REVERTED canvas.
+    // Disposal-correct: profile(2) ~ (100/255)*(15/16) ~ 0.368.
+    // Cumulative: f2 would sit on the white f1 canvas -> ~ 0.9375.
+    val gif = gifWithDisposal(Seq(
+      (solid(64, 48, 100), "doNotDispose"),
+      (solid(64, 48, 255), "restoreToPrevious"),
+      (solid(16, 12, 0), "doNotDispose")))
+    val f = GifCodec.decode(gif).get
+    val g = 100.0 / 255
+    assert(math.abs(f(64) - g) < 2.0 / 255, s"profile(0)=${f(64)}")
+    assert(math.abs(f(65) - 1.0) < 2.0 / 255, s"profile(1)=${f(65)}")
+    assert(math.abs(f(66) - g * 15 / 16) < 2.0 / 255,
+      s"profile(2)=${f(66)} — previous disposal must revert the white frame")
+  }
 }
 
 /** A stand-in for the missing H.264/MP3 decoders: claims video, reads

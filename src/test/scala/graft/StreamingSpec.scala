@@ -100,4 +100,26 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.size >= batch.size / 2, "watermark held back most windows")
     } finally q.stop()
   }
+
+  test("CMS probe boundedness: LocalRelation and Range leaves are statically bounded (r12 ADVICE)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.streaming.CountMinStream
+    val cap = CountMinStream.MaxProbeKeys
+    // bounded leaves — no counting job needed
+    assert(CountMinStream.staticallyBounded(Seq(1L, 2L, 3L).toDF("v")))
+    assert(CountMinStream.staticallyBounded(
+      spark.range(5).select(col("id").as("v"))))
+    assert(CountMinStream.staticallyBounded(
+      Seq(1L, 2L).toDF("v").filter(col("v") > 0).distinct()))
+    // over-cap leaves are NOT blessed
+    assert(!CountMinStream.staticallyBounded(
+      spark.range(cap + 1L).select(col("id").as("v"))))
+    // the LIMIT chain still works, and a limit UNDER a row-multiplying
+    // node still does not bless the plan
+    assert(CountMinStream.staticallyBounded(spark.range(10L * cap).limit(7).toDF()))
+    val expander = spark.range(3).select(col("id").as("k"))
+    val limited = spark.range(10L * cap).limit(7).select(lit(1L).as("k"))
+    assert(!CountMinStream.staticallyBounded(limited.join(expander, "k")))
+  }
 }
