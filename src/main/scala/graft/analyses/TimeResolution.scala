@@ -243,4 +243,25 @@ object TimeResolution {
       .agg(stddev_samp(col("sigma")).as("sigma_error"))
     real.crossJoin(boot)
   }
+
+  /** Voltage-sweep federation (reference `scripts/time_resolution_beta_
+    * scan.py:364-421`): per-voltage [[run]] outputs assembled into the
+    * jitter-vs-bias-voltage table — Jitter = σ of the real pass,
+    * error = std of the bootstrap replicas' σ (`:388`, resampled fits
+    * only), one row per voltage, sorted. The per-voltage frames are
+    * replica-sized (≤ replicas+1 rows), so the union is driver-cheap
+    * regardless of corpus size; the registry's `pipeline_tr_sweep`
+    * row is the single-plan (voltage-as-data-dimension) form of this
+    * same assembly.
+    */
+  def sweepSummarize(perVoltage: Seq[(Int, DataFrame)]): DataFrame = {
+    require(perVoltage.nonEmpty, "sweepSummarize of no sub-measurements")
+    perVoltage.map { case (v, perReplica) =>
+      summarize(perReplica).select(
+        concat(lit(v.toString), lit("V")).as("Measurement name"),
+        lit(v).as("Bias voltage (V)"),
+        col("time_resolution_sigma").as("Jitter (s)"),
+        col("sigma_error").as("Jitter (s) error"))
+    }.reduce(_.unionByName(_)).orderBy("Bias voltage (V)")
+  }
 }

@@ -135,5 +135,82 @@ object FederationQueries {
       InterPixelDistance.ipd(profile, IpdThresholds)
     })
 
-  def all: Seq[Q] = Seq(ivFederation, ipdChain)
+  /** The power-supply conditions series (`scripts/plot_power_supply.py:
+    * 22-37` — the last reference script without a mapped table, r12
+    * verdict missing item 3): per measurement, the When-series of bias
+    * voltage and bias current, resampled onto a regular weekly grid
+    * with linear gap-fill ([[graft.operators.Resample]]) — the table
+    * the reference's two-row subplot draws, in long (measurement,
+    * variable, bucket, value) form so one relation carries both panel
+    * rows. Synthetic series from `orders` (the ivFederation shape):
+    * dyadic-valued conditions (exact at scale 6, so the DetAgg bucket
+    * means and the interpolation formula are bit-portable), dates as
+    * the `When` axis. Scale shape: one hash aggregate over the fact
+    * rows, then per-(measurement, variable) windows bounded by each
+    * series' own span — no corpus-scale sort.
+    */
+  val powerSupply: Q = Q(
+    "pipeline_power_supply",
+    Some(s"""WITH src AS (
+            |  SELECT 'm' || CAST(o_custkey % 8 AS VARCHAR) AS mname,
+            |    o_orderdate AS w,
+            |    CAST(o_orderkey % 41 AS DOUBLE) * 1.25e-1 AS bv,
+            |    CAST(o_orderkey % 83 AS DOUBLE) * 1.5625e-2 AS bc
+            |  FROM orders),
+            |lng AS (
+            |  SELECT mname || '|' || 'Bias voltage (V)' AS key, w, bv AS value FROM src
+            |  UNION ALL
+            |  SELECT mname || '|' || 'Bias current (A)' AS key, w, bc AS value FROM src),
+            |obs AS (
+            |  SELECT key, CAST(FLOOR(epoch(w) / 604800) AS BIGINT) AS bucket,
+            |    ${D.davg("value")} AS v
+            |  FROM lng GROUP BY 1, 2),
+            |g AS (
+            |  SELECT key, unnest(generate_series(MIN(bucket), MAX(bucket))) AS bucket
+            |  FROM obs GROUP BY key),
+            |f AS (
+            |  SELECT g.key, g.bucket, obs.v
+            |  FROM g LEFT JOIN obs ON g.key = obs.key AND g.bucket = obs.bucket),
+            |wn AS (
+            |  SELECT key, bucket, v,
+            |    last_value(v IGNORE NULLS) OVER wp AS pv,
+            |    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wp AS pb,
+            |    first_value(v IGNORE NULLS) OVER wf AS nv,
+            |    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER wf AS nb
+            |  FROM f
+            |  WINDOW
+            |    wp AS (PARTITION BY key ORDER BY bucket ROWS UNBOUNDED PRECEDING),
+            |    wf AS (PARTITION BY key ORDER BY bucket
+            |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            |SELECT string_split(key, '|')[1] AS "Measurement name",
+            |  string_split(key, '|')[2] AS "variable", bucket,
+            |  COALESCE(v, pv + (nv - pv) * (bucket - pb) / (nb - pb)) AS value,
+            |  v IS NOT NULL AS observed
+            |FROM wn""".stripMargin),
+    (s, dir) => {
+      val src = Tables.load(s, dir, "orders").select(
+        concat(lit("m"), (col("o_custkey") % 8).cast("string"))
+          .as("Measurement name"),
+        col("o_orderdate").as("When"),
+        ((col("o_orderkey") % 41).cast("double") * lit(1.25e-1))
+          .as("Bias voltage (V)"),
+        ((col("o_orderkey") % 83).cast("double") * lit(1.5625e-2))
+          .as("Bias current (A)"))
+      val long = src
+        .unpivot(
+          Array(col("`Measurement name`"), col("When")),
+          Array(col("`Bias voltage (V)`"), col("`Bias current (A)`")),
+          "variable", "value")
+        .withColumn(
+          "key", concat(col("`Measurement name`"), lit("|"), col("variable")))
+      graft.operators.Resample
+        .linearInterpolate(long, "key", col("When"), col("value"),
+          bucketSeconds = 604800L)
+        .select(
+          split(col("key"), "\\|").getItem(0).as("Measurement name"),
+          split(col("key"), "\\|").getItem(1).as("variable"),
+          col("bucket"), col("value"), col("observed"))
+    })
+
+  def all: Seq[Q] = Seq(ivFederation, ipdChain, powerSupply)
 }

@@ -104,6 +104,24 @@ object BetaScanReport {
       xLabel = "Bias voltage (V)",
       yLabel = "Bias current (A)")
 
+    // power-supply conditions series (`scripts/plot_power_supply.py:22-37`):
+    // the reference's two-row subplot — one panel per variable, one line
+    // per measurement — over the resampled weekly series table
+    val ps = FederationQueries.powerSupply.run(spark, sfDir)
+      .filter(col("`Measurement name`").isin("m0", "m1"))
+      .cache()
+    val psFigs = Seq("Bias voltage (V)", "Bias current (A)").map { vr =>
+      HtmlReport.lines(
+        ps.filter(col("variable") === vr),
+        groupCol = "Measurement name",
+        xCol = "bucket",
+        yCol = "value",
+        errCol = None,
+        title = s"Power supply — $vr",
+        xLabel = "When (weekly bucket)",
+        yLabel = vr)
+    }
+
     val kGrid = HtmlReport.matrixHeatmap(
       MiscQueries.r3PivotMean.run(spark, sfDir),
       keyCol = "l_linenumber",
@@ -121,8 +139,9 @@ object BetaScanReport {
         "Scatter matrix" -> smFig,
         "Waveform overlays" -> wfFigs.mkString("\n"),
         "IV curves" -> ivFig,
+        "Power supply conditions" -> psFigs.mkString("\n"),
         "Pivot matrix" -> kGrid))
-    Seq(perOrder, curves, sm, wf).foreach(_.unpersist())
+    Seq(perOrder, curves, sm, wf, ps).foreach(_.unpersist())
     page
   }
 }

@@ -112,7 +112,8 @@ class HtmlReportSpec extends AnyFunSuite {
     // every section heading present
     for (h <- Seq(
         "Histogram with cuts", "Binned fit overlay", "ECDF with cuts",
-        "Scatter matrix", "Waveform overlays", "IV curves", "Pivot matrix"))
+        "Scatter matrix", "Waveform overlays", "IV curves",
+        "Power supply conditions", "Pivot matrix"))
       assert(html.contains(h), s"missing section: $h")
     // cut annotations from the P5 cuts table
     assert(html.contains("A higher cut") && html.contains("A lower cut"))
