@@ -323,6 +323,42 @@ object MaintenanceQueries {
       IncrementalAgg.view(state, keys).orderBy("event_type")
     })
 
+  /** Incremental MIN/MAX maintenance ([[graft.operators.MinMaxAgg]]) —
+    * the aggregate class `maint_agg_incremental` excludes by contract
+    * (extremes aren't retractable from a (count, sum) state; r12
+    * verdict item 8). Same three generations as the agg row: base
+    * crawl, insert batch, delete batch — the delete batch retracts
+    * value-matched instances from the bounded per-group top-k heaps,
+    * then [[graft.operators.MinMaxAgg.repair]] rebuilds any
+    * underflowed group from the surviving rows (none at these SFs —
+    * the spec forces that path with k = 2). The oracle is the
+    * from-scratch MIN/MAX rebuild: hash-equality proves
+    * maintained ≡ recomputed. MIN/MAX over identical doubles are
+    * order-independent, so no DetAgg routing is needed.
+    */
+  val minMaxIncremental: Q = Q(
+    "maint_minmax_incremental",
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           |  MIN(value) AS min, MAX(value) AS max
+           |FROM events WHERE event_id % 7 <> 0
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, dir) => {
+      import graft.operators.MinMaxAgg
+      val ev = Tables.loadEvents(s, dir)
+        .select("event_id", "event_type", "value")
+      val base = ev.filter(col("event_id") % 3 =!= 2)
+      val ins = ev.filter(col("event_id") % 3 === 2)
+      val del = ev.filter(col("event_id") % 7 === 0)
+      val keys = Seq("event_type")
+      val merged = MinMaxAgg.mergeInserts(Seq(
+        MinMaxAgg.partials(base, keys, "value"),
+        MinMaxAgg.partials(ins, keys, "value")), keys)
+      val after = MinMaxAgg.applyDeletes(merged, del, keys, "value")
+      val survivors = ev.filter(col("event_id") % 7 =!= 0)
+      MinMaxAgg.view(MinMaxAgg.repair(after, survivors, keys, "value"), keys)
+        .orderBy("event_type")
+    })
+
   def all: Seq[Q] = Seq(snapshotDiff, mergeUpsert, scd2History, tableFingerprint,
-    partitionSkew, layoutZorder, aggIncremental)
+    partitionSkew, layoutZorder, aggIncremental, minMaxIncremental)
 }

@@ -281,6 +281,85 @@ class MaintenanceSpec extends AnyFunSuite {
     assert((a2.getLong(1), a2.getDouble(2), a2.getDouble(3)) == ((2L, 6.0, 3.0)), a2.toString)
   }
 
+  test("MinMaxAgg: maintained extremes equal rebuild under inserts + deletes") {
+    import spark.implicits._
+    import graft.operators.MinMaxAgg
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map(i => (s"g${i % 4}", rnd.nextInt(1000).toDouble))
+      .toDF("k", "v").cache()
+    val Seq(a, b) = Seq(0, 1).map(r => rows.filter(abs(hash(col("v"))) % 2 === r))
+    // delete a slice that includes per-group extremes but fewer than k
+    // of them (k = 8 absorbs it without underflow)
+    val wv = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("v")
+    val del = rows.withColumn("rn", row_number().over(wv))
+      .filter(col("rn") <= 3).drop("rn")
+    val keys = Seq("k")
+    val merged = MinMaxAgg.mergeInserts(Seq(
+      MinMaxAgg.partials(a, keys, "v"), MinMaxAgg.partials(b, keys, "v")), keys)
+    val after = MinMaxAgg.applyDeletes(merged, del, keys, "v")
+    assert(MinMaxAgg.underflowed(after, keys).count() == 0)
+    val got = MinMaxAgg.view(after, keys).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    // rebuild the surviving multiset driver-side (instance-counted)
+    val deleted = del.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(identity).map { case (kv, xs) => kv -> xs.length }
+    val surv = rows.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(identity).map { case (kv, xs) => kv -> (xs.length - deleted.getOrElse(kv, 0)) }
+      .filter(_._2 > 0)
+    val exp = surv.keys.groupBy(_._1).map { case (k, kvs) =>
+      val vs = kvs.map(_._2)
+      val n = surv.filter(_._1._1 == k).map(_._2).sum
+      (k, n.toLong, vs.min, vs.max)
+    }.toSet
+    assert(got == exp, s"got $got\nexp $exp")
+    rows.unpersist()
+  }
+
+  test("MinMaxAgg: underflow is detected, view raises, repair rebuilds only that group") {
+    import spark.implicits._
+    import graft.operators.MinMaxAgg
+    // k = 2: deleting THREE copies of the minimum exhausts group a's lo
+    // heap while survivors remain — the exact blind spot the heap has
+    val base = Seq(("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 5.0), ("a", 9.0),
+      ("b", 2.0), ("b", 4.0)).toDF("k", "v")
+    val del = Seq(("a", 1.0), ("a", 1.0), ("a", 1.0)).toDF("k", "v")
+    val keys = Seq("k")
+    val state = MinMaxAgg.mergeInserts(
+      Seq(MinMaxAgg.partials(base, keys, "v", k = 2)), keys, k = 2)
+    val after = MinMaxAgg.applyDeletes(state, del, keys, "v")
+    // group a underflowed (lo exhausted), b untouched
+    assert(MinMaxAgg.underflowed(after, keys).collect().map(_.getString(0)).toSeq
+      == Seq("a"))
+    val e = intercept[Exception] {
+      MinMaxAgg.view(after, keys).collect()
+    }
+    assert(e.getMessage.contains("underflow"), e.getMessage)
+    // repair rescans the survivors for group a only and restores truth
+    val survivors = Seq(("a", 5.0), ("a", 9.0), ("b", 2.0), ("b", 4.0))
+      .toDF("k", "v")
+    val repaired = MinMaxAgg.repair(after, survivors, keys, "v", k = 2)
+    val got = MinMaxAgg.view(repaired, keys).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got == Set(("a", 2L, 5.0, 9.0), ("b", 2L, 2.0, 4.0)), got.toString)
+  }
+
+  test("MinMaxAgg: tie-run truncation inside the heap still yields exact extremes") {
+    import spark.implicits._
+    import graft.operators.MinMaxAgg
+    // k = 2, four copies of the min: heap holds 2, deleting 1 keeps the
+    // heap a subset of survivors whose head is still the true min
+    val base = Seq.fill(4)(("a", 3.0)) ++ Seq(("a", 7.0), ("a", 8.0))
+    val del = Seq(("a", 3.0)).toDF("k", "v")
+    val keys = Seq("k")
+    val st = MinMaxAgg.applyDeletes(
+      MinMaxAgg.mergeInserts(
+        Seq(MinMaxAgg.partials(base.toDF("k", "v"), keys, "v", k = 2)), keys, k = 2),
+      del, keys, "v")
+    val r = MinMaxAgg.view(st, keys).collect().head
+    assert((r.getLong(1), r.getDouble(2), r.getDouble(3)) == ((5L, 3.0, 8.0)),
+      r.toString)
+  }
+
   test("IncrementalAgg: a delete folded BEFORE its inserts still cancels (negative stubs survive)") {
     import spark.implicits._
     import graft.operators.IncrementalAgg
