@@ -1167,6 +1167,30 @@ object ScaleProbe {
             .cast("long").as("x"))
         graft.functions.Stats.ewmaTrunc(b, "bucket", "x").count()
       }
+      timed("edit_distance", c) {
+        // wave-56 tier, the one r12 operator without a ladder cell
+        // (r12 verdict item 7). Short-string relation: variable-length
+        // document prefixes (25 length buckets) on a 10% doc sample.
+        // Copy i's tag is ('a'+i) REPEATED 3+5·i TIMES: tag-length gaps
+        // of 5 > 2·maxDist push every cross-copy pair OUTSIDE the
+        // admissible band, so candidates AND survivors grow linearly —
+        // the occupancy-CONSTANT regime (length spread grows with the
+        // corpus) where length banding is the right tool. The converse
+        // regime — occupancy growing linearly under a fixed length
+        // distribution — makes ANY length-band candidate set grow
+        // quadratically by construction; that is the domain boundary in
+        // the operator's scaladoc (route long uniform-length text to
+        // the shingle tiers), not a plan defect this cell could fix.
+        val names = (0 until c).map { i =>
+          docs.filter(col("doc_id") % 10 === 0).select(
+            (col("doc_id") + lit(i.toLong * 100000000L)).as("nid"),
+            concat(
+              expr("substring(text, 1, 20 + CAST(doc_id % 25 AS INT))"),
+              lit(('a' + i).toChar.toString * (3 + 5 * i))).as("nm"))
+        }.reduce(_ unionAll _)
+        graft.operators.Dedup.editDistancePairs(
+          names, id = "nid", text = "nm", maxDist = 2).count()
+      }
     }
     spark.stop()
   }
