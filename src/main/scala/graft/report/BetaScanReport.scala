@@ -104,6 +104,34 @@ object BetaScanReport {
       xLabel = "Bias voltage (V)",
       yLabel = "Bias current (A)")
 
+    // collected charge vs bias voltage with error band
+    // (`collected_charge_vs_bias_voltage_beta_scan.py:63-78`) — the
+    // reference's headline charge plot, from the hash-checked pipeline
+    val cc = graft.queries.AnalysisQueries.collectedCharge.run(spark, sfDir)
+    val ccFig = HtmlReport.lines(
+      cc,
+      groupCol = "Device name",
+      xCol = "Bias voltage (V)",
+      yCol = "Collected charge (V s) x_mpv value_on_data",
+      errCol = Some("Collected charge (V s) x_mpv std"),
+      title = "Collected charge vs bias voltage (mean ± std)",
+      xLabel = "Bias voltage (V)",
+      yLabel = "Collected charge (V s)")
+
+    // jitter vs bias voltage (`time_resolution_beta_scan.py:403-415`) —
+    // the sweep federation's output table as the reference plots it
+    val tr = graft.queries.AnalysisQueries.trSweep.run(spark, sfDir)
+      .withColumn("series", lit("jitter"))
+    val trFig = HtmlReport.lines(
+      tr,
+      groupCol = "series",
+      xCol = "Bias voltage (V)",
+      yCol = "Jitter (s)",
+      errCol = Some("Jitter (s) error"),
+      title = "Measured jitter vs bias voltage",
+      xLabel = "Bias voltage (V)",
+      yLabel = "Jitter, i.e. √(σ₁²+σ₂²) (s)")
+
     // power-supply conditions series (`scripts/plot_power_supply.py:22-37`):
     // the reference's two-row subplot — one panel per variable, one line
     // per measurement — over the resampled weekly series table
@@ -139,6 +167,8 @@ object BetaScanReport {
         "Scatter matrix" -> smFig,
         "Waveform overlays" -> wfFigs.mkString("\n"),
         "IV curves" -> ivFig,
+        "Collected charge vs voltage" -> ccFig,
+        "Jitter vs voltage" -> trFig,
         "Power supply conditions" -> psFigs.mkString("\n"),
         "Pivot matrix" -> kGrid))
     Seq(perOrder, curves, sm, wf, ps).foreach(_.unpersist())

@@ -113,6 +113,7 @@ class HtmlReportSpec extends AnyFunSuite {
     for (h <- Seq(
         "Histogram with cuts", "Binned fit overlay", "ECDF with cuts",
         "Scatter matrix", "Waveform overlays", "IV curves",
+        "Collected charge vs voltage", "Jitter vs voltage",
         "Power supply conditions", "Pivot matrix"))
       assert(html.contains(h), s"missing section: $h")
     // cut annotations from the P5 cuts table
