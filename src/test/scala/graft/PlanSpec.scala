@@ -408,4 +408,41 @@ class PlanSpec extends AnyFunSuite {
       s.sql("DROP TABLE IF EXISTS g_bucket_r")
     }
   }
+
+  test("collected charge: bounds and factor are broadcast, never shuffled joins") {
+    // the fan (the only fact-sized relation) must meet the tiny
+    // per-(v, dev, replica) bounds and the 1-row Coulomb factor through
+    // broadcast joins — a SortMergeJoin anywhere means the pipeline
+    // shuffles the corpus against a <100-row relation
+    val p = plan(graft.queries.AnalysisQueries.collectedCharge)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-vs-tiny join shuffled:\n" + p.take(1200))
+  }
+
+  test("tr sweep: histogram pass joins best via broadcast and never 81-way re-fans") {
+    // the heavy median chain executes eagerly inside the builder (the
+    // ≤ 3·(R+1)-row best table is collected, the flagship discipline),
+    // so the RETURNED plan is the histogram→fit stage: it must meet the
+    // tiny best relation through a broadcast join (no SortMergeJoin
+    // anywhere), and it must NOT contain the 9×9 k-grid explode — the
+    // join on (v, replica) alone reproduces the best-cell rows, so a
+    // k1/k2 Generate here would mean the 81× fan came back
+    val df = graft.queries.AnalysisQueries.trSweep.run(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "best join shuffled:\n" + p.take(1200))
+    // exactly ONE Generate (the replica explode); a second would be the
+    // k-grid re-fan the broadcast join exists to avoid
+    val gens = "Generate explode".r.findAllIn(p).size
+    assert(gens == 1, s"$gens explodes in the histogram pass (want 1):\n" + p.take(1500))
+  }
+
+  test("power supply: windows partition by series key, no corpus-wide single partition") {
+    val df = graft.queries.FederationQueries.powerSupply.run(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      "resample windows collapsed to one partition:\n" + p.take(1200))
+  }
 }
