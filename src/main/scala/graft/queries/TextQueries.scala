@@ -244,7 +244,14 @@ object TextQueries {
     * table) and [[textBpeVocab]] (which censuses the tokenized corpus
     * d$BpeRounds), so the loop bodies can never drift.
     */
-  private val bpeSqlCtes: String = {
+  private val bpeSqlCtes: String = bpeSqlCtesFor("")
+
+  /** [[bpeSqlCtes]] with a WHERE clause on the training corpus —
+    * `text_bpe_encode` trains on the train split only; the empty-string
+    * instantiation is byte-identical to the original full-corpus text,
+    * so the existing train/vocab oracles cannot drift.
+    */
+  private def bpeSqlCtesFor(where: String): String = {
     val roundCtes = (1 to BpeRounds).map { r =>
       s"""t$r AS (SELECT list_filter(
          |    string_split(substring(s, 2, length(s) - 2), '||'),
@@ -258,7 +265,7 @@ object TextQueries {
          |  FROM d${r - 1} CROSS JOIN m$r)""".stripMargin
     }.mkString(",\n")
     s"""WITH w AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-       |  FROM documents),
+       |  FROM documents$where),
        |d0 AS MATERIALIZED (SELECT
        |    regexp_replace(replace(w, '|', ''), '(.)', '|\\1|', 'g') AS s
        |  FROM w WHERE w <> ''),
@@ -402,6 +409,70 @@ object TextQueries {
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(30)
     })
+
+  /** Tokenizer APPLY on UNSEEN text — the missing half of the
+    * train/apply separation: merges learned on the TRAIN split
+    * (doc_id % 10 ≠ 0) encode the HELD-OUT split (≡ 0), yielding the
+    * per-document BPE token count — the quantity every token-budget
+    * sampler, packing pass, and cost estimate actually needs, under
+    * the tokenizer that will really run. Training uses the
+    * delta-maintained production tier ([[bpeChainDelta]], proven
+    * merge-identical to the naive loop by `text_bpe_train_deep`);
+    * encoding composes the learned merges as literal replaces into ONE
+    * map-only plan — no shuffle, no barrier, embarrassingly parallel.
+    * The oracle trains naively on the same split ([[bpeSqlCtesFor]])
+    * and replays the replace chain per held-out word — hash-equality
+    * proves delta-train + apply ≡ naive-train + apply end to end, ON
+    * TEXT NEITHER TRAINER SAW. Token count per word reads off the bar
+    * representation: a t-token word carries exactly 2t bars.
+    */
+  val textBpeEncode: Q = {
+    val applyCtes = (1 to BpeRounds).map { r =>
+      s"""e$r AS (SELECT doc_id,
+         |    REPLACE(s, '|' || m$r.a || '||' || m$r.b || '|', '|' || m$r.a || m$r.b || '|') AS s
+         |  FROM e${r - 1} CROSS JOIN m$r)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "text_bpe_encode",
+      Some(s"""${bpeSqlCtesFor(" WHERE doc_id % 10 <> 0")},
+              |hw AS (SELECT doc_id,
+              |    unnest(string_split_regex(trim(text), '\\s+')) AS w
+              |  FROM documents WHERE doc_id % 10 = 0),
+              |e0 AS (SELECT doc_id,
+              |    regexp_replace(replace(w, '|', ''), '(.)', '|\\1|', 'g') AS s
+              |  FROM hw WHERE w <> ''),
+              |$applyCtes
+              |SELECT doc_id,
+              |  CAST(SUM(CAST((LENGTH(s) - LENGTH(REPLACE(s, '|', ''))) / 2 AS BIGINT))
+              |    AS BIGINT) AS n_bpe_tokens,
+              |  CAST(COUNT(*) AS BIGINT) AS n_words
+              |FROM e$BpeRounds GROUP BY doc_id""".stripMargin),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val train = d.filter(col("doc_id") % 10 =!= 0)
+        val held = d.filter(col("doc_id") % 10 === 0)
+        val scope = new graft.operators.CheckpointScope
+        val merges =
+          try {
+            val m = bpeChainDelta(train, BpeRounds, scope)
+            scope.close()
+            m
+          } catch { case t: Throwable => scope.closeAll(); throw t }
+        var enc = held
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
+          .filter(col("w") =!= "")
+          .select(col("doc_id"), expr(
+            "regexp_replace(replace(w, '|', ''), '(.)', '|$1|')").as("s"))
+        merges.foreach { case (_, a, b, _, _) =>
+          enc = enc.select(col("doc_id"), org.apache.spark.sql.functions.replace(
+            col("s"), lit(s"|$a||$b|"), lit(s"|$a$b|")).as("s"))
+        }
+        enc.groupBy("doc_id").agg(
+          sum(expr("CAST((length(s) - length(replace(s, '|', ''))) / 2 AS BIGINT)"))
+            .as("n_bpe_tokens"),
+          count(lit(1)).as("n_words"))
+      })
+  }
 
   /** Merge rounds for the production-depth trainer [[textBpeTrainDeep]]
     * — 4× the demo-scale [[BpeRounds]], chosen so the R-axis cost curve
@@ -2990,7 +3061,7 @@ object TextQueries {
     sampleBalancedClasses,
     textTokens, textQuality, textReadability, textLexicalDiversity,
     textLangId, textFingerprint, textRepetition,
-    textBpePairs, textBpeTrain, textBpeTrainDeep, textBpeVocab,
+    textBpePairs, textBpeTrain, textBpeTrainDeep, textBpeVocab, textBpeEncode,
     textNormalize, textGopherRules, textWinnow, textCollocations,
     textEntropy, packLengthBuckets,
     textBm25, textHybridRrf, corpusReport, pipelineMix, textChunk, textLmScore,

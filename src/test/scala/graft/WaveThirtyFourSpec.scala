@@ -156,6 +156,29 @@ class WaveThirtyFourSpec extends AnyFunSuite {
     assert(got.toSeq == want, got.toSeq.mkString("\n"))
   }
 
+  test("bpe encode: held-out text tokenizes to the hand counts under train-split merges") {
+    import spark.implicits._
+    // train split (doc_id % 10 != 0) = the enumerable banana corpus
+    // above -> the same 8 hand merges; held-out docs (% 10 == 0) carry
+    // words the trainer never saw whole ("band", "x") plus trained
+    // words — token counts follow by hand-applying the merges:
+    //   doc 10 "banana band x": banana->1, band->1 (r5), x->1   = 3
+    //   doc 20 "bandana qr":    bandana->1 (r6), qr->1 (r7)     = 2
+    val docs = Seq(
+      (1L, "banana banana banana", "en", "src0", 20L),
+      (2L, "bandana bandana qrstuv", "en", "src0", 22L),
+      (10L, "banana band x", "en", "src0", 13L),
+      (20L, "bandana qr", "en", "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft_w34_bpe_enc").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.TextQueries.textBpeEncode.run(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bpe_tokens"),
+        r.getAs[Long]("n_words"))).toSet
+    assert(got == Set((10L, 3L, 3L), (20L, 2L, 2L)), got.toString)
+  }
+
   test("bpe delta trainer ≡ naive trainer on corner corpora (ties, exhaustion, bars, unicode)") {
     import spark.implicits._
     // the oracle proves delta ≡ recount at sf0.01; this pins the same
