@@ -180,6 +180,43 @@ object ScaleProbe {
           IncrementalAgg.partials(del, keys, "l_quantity", sign = -1)), keys), keys)
           .collect().length.toLong
       }
+      time("minmax_ivm", c) { df =>
+        // maint_minmax_incremental's shape: two window-ranked partials
+        // (delta-bounded sorts, shared exchange), a group-bounded heap
+        // merge, value-matched delete retraction, no-underflow repair
+        // fast path — per-delta cost linear, state constant
+        import graft.operators.MinMaxAgg
+        val keys = Seq("l_returnflag")
+        val v = "l_quantity"
+        val base = df.filter(col("l_orderkey") % 3 =!= 2)
+        val ins = df.filter(col("l_orderkey") % 3 === 2)
+        val del = df.filter(col("l_orderkey") % 7 === 0)
+        val merged = MinMaxAgg.mergeInserts(Seq(
+          MinMaxAgg.partials(base, keys, v),
+          MinMaxAgg.partials(ins, keys, v)), keys)
+        val after = MinMaxAgg.applyDeletes(merged, del, keys, v)
+        MinMaxAgg.view(
+          MinMaxAgg.repair(after, df.filter(col("l_orderkey") % 7 =!= 0), keys, v),
+          keys).collect().length.toLong
+      }
+      time("collected_charge", c) { df =>
+        // pipeline_collected_charge's shape: the replica fan is touched
+        // twice (bounds + histogram, both map-side-partial hash aggs),
+        // windows only over replica-sized groups — wall should track
+        // the fan linearly
+        import graft.analyses.{CollectedCharge => CC}
+        val base = df.filter(col("l_linenumber").isin(1, 2))
+          .groupBy("l_orderkey", "l_linenumber")
+          .agg(min("l_extendedprice").as("p"))
+          .select(
+            col("l_orderkey").as("n_trigger"),
+            (lit(100) + (col("l_orderkey") % 4) * 25).as("v"),
+            concat(lit("dev"), col("l_linenumber").cast("string")).as("dev"),
+            expr("FLOOR(p / 1.0e2)").as("charge"))
+        val fan = CC.fanReplicas(base, "n_trigger", CC.DefaultReplicas)
+        val mpvs = CC.mpvPerReplica(fan, Seq("v", "dev"), "charge")
+        CC.sweepOverReplicas(mpvs, Seq("v", "dev")).collect().length.toLong
+      }
       time("selfjoin_grid", c) { df =>
         val a = df.filter(col("l_linenumber") === 1)
           .select(col("l_orderkey"), col("l_extendedprice").as("p1"))
