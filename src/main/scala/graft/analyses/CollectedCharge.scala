@@ -85,9 +85,16 @@ object CollectedCharge {
     * round identically in both engines (the flagship's picosecond
     * discipline).
     */
-  def bucketText(charge: String, bins: Int): String =
+  def bucketText(charge: String, bins: Int): String = {
+    // shared text runs verbatim in BOTH dialects, so the charge column
+    // must be a plain identifier (backticks are Spark-only, double
+    // quotes DuckDB-only — neither quoting survives the other engine)
+    require(charge.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"bucketText: charge column '$charge' must be a bare identifier " +
+        "(alias unit-bearing names before the histogram stage)")
     s"CAST(LEAST(GREATEST(FLOOR(($charge - lo) / ((hi - lo) / ${bins}.0e0)), 0), " +
       s"${bins - 1}) AS BIGINT)"
+  }
 
   def mpvText(bins: Int): String =
     s"lo + (bucket + 5.0e-1) * (hi - lo) / ${bins}.0e0"

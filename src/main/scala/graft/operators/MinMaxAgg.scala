@@ -50,7 +50,14 @@ object MinMaxAgg {
       k: Int = DefaultK): DataFrame = {
     val wa = Window.partitionBy(keys.map(col): _*).orderBy(col("__v").asc)
     val wd = Window.partitionBy(keys.map(col): _*).orderBy(col("__v").desc)
+    // NULL measures are excluded from the state entirely (SQL MIN/MAX
+    // ignore them): cnt counts the NON-NULL multiset, so an
+    // all-NULL-measure group simply has no state row — without this, a
+    // null-heavy group could present an empty heap with cnt > 0, an
+    // underflow no repair can ever satisfy (r13 self-review). Deleting
+    // a NULL-measure row is correspondingly a no-op.
     df.select(keys.map(col) :+ col(valueCol).as("__v"): _*)
+      .filter(col("__v").isNotNull)
       .withColumn("__ra", row_number().over(wa))
       .withColumn("__rd", row_number().over(wd))
       .groupBy(keys.map(col): _*)
@@ -89,9 +96,11 @@ object MinMaxAgg {
   def applyDeletes(state: DataFrame, deletes: DataFrame, keys: Seq[String],
       valueCol: String): DataFrame = {
     val kc = keys.map(col)
-    val delByValue = deletes.groupBy(kc :+ col(valueCol).as("__v"): _*)
+    // NULL-measure deletes are no-ops (the state never counted them)
+    val del = deletes.filter(col(valueCol).isNotNull)
+    val delByValue = del.groupBy(kc :+ col(valueCol).as("__v"): _*)
       .agg(count(lit(1)).as("__d"))
-    val delTotal = deletes.groupBy(kc: _*).agg(count(lit(1)).as("__dtot"))
+    val delTotal = del.groupBy(kc: _*).agg(count(lit(1)).as("__dtot"))
     def strip(heap: String, asc: Boolean): DataFrame =
       state.select(kc :+ explode(col(heap)).as("__v"): _*)
         .groupBy(kc :+ col("__v"): _*)

@@ -343,6 +343,29 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(got == Set(("a", 2L, 5.0, 9.0), ("b", 2L, 2.0, 4.0)), got.toString)
   }
 
+  test("MinMaxAgg: NULL measures never enter the state (no unrepairable underflow)") {
+    import spark.implicits._
+    import graft.operators.MinMaxAgg
+    // an all-NULL-measure group must have NO state row (SQL MIN/MAX
+    // ignore nulls) — before the r13 self-review fix it presented an
+    // empty heap with cnt > 0, an underflow no repair could satisfy
+    val base = Seq(("a", Some(3.0)), ("a", None), ("b", None), ("b", None))
+      .toDF("k", "v")
+    val keys = Seq("k")
+    val st = MinMaxAgg.mergeInserts(
+      Seq(MinMaxAgg.partials(base, keys, "v")), keys)
+    assert(MinMaxAgg.underflowed(st, keys).count() == 0)
+    val got = MinMaxAgg.view(st, keys).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    // group b (all NULL) is absent; group a counts only its non-null row
+    assert(got == Set(("a", 1L, 3.0, 3.0)), got.toString)
+    // deleting a NULL-measure row is a no-op, not a phantom retraction
+    val st2 = MinMaxAgg.applyDeletes(
+      st, Seq(("a", None: Option[Double])).toDF("k", "v"), keys, "v")
+    val a2 = MinMaxAgg.view(st2, keys).collect().head
+    assert((a2.getLong(1), a2.getDouble(2)) == ((1L, 3.0)), a2.toString)
+  }
+
   test("MinMaxAgg: tie-run truncation inside the heap still yields exact extremes") {
     import spark.implicits._
     import graft.operators.MinMaxAgg
