@@ -89,4 +89,47 @@ object IncrementalAgg {
         col("s").cast("double").as("total"),
         when(col("cntv") > 0, col("s").cast("double") / col("cntv"))
           .as("mean")): _*)
+
+  // ---- COUNT DISTINCT maintenance --------------------------------------
+  //
+  // The third aggregate class: COUNT/SUM/AVG fold through (count, sum)
+  // partials above, MIN/MAX through MinMaxAgg's bounded heaps, and exact
+  // COUNT(DISTINCT) through a PER-VALUE count state — a value stays
+  // distinct while its instance count is positive, so deleting one copy
+  // of a twice-seen value must NOT drop it (the bug a naive
+  // set-difference maintenance ships). The state is bounded by the
+  // group×distinct-value cardinality — inherent to EXACT distinct
+  // counting (callers who can tolerate error should maintain an HLL
+  // sketch instead, which is merge-only and cannot retract). Same
+  // commutative-group discipline as partials/merge: negative stubs
+  // (deletes folded before their inserts) survive until cancelled.
+
+  /** Per-(group, value) instance counts of one batch; `sign = -1` for a
+    * delete batch. NULL values are excluded (SQL COUNT(DISTINCT)
+    * ignores them).
+    */
+  def distinctPartials(df: DataFrame, keys: Seq[String], valueCol: String,
+      sign: Int = 1): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col) :+ col(valueCol).as("__v"): _*)
+      .agg((count(lit(1)) * sign).as("vcnt"))
+
+  /** Fold distinct-states: one hash aggregate over the union, exact-zero
+    * rows leave. Associative + commutative in its inputs.
+    */
+  def distinctMerge(states: Seq[DataFrame], keys: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "distinctMerge of no states")
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col) :+ col("__v"): _*)
+      .agg(sum("vcnt").as("vcnt"))
+      .filter(col("vcnt") =!= 0)
+  }
+
+  /** `(keys*, n_distinct)` — values with a positive surviving count.
+    * Negative stubs are in-flight retractions, not data.
+    */
+  def distinctView(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.filter(col("vcnt") > 0)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_distinct"))
 }

@@ -359,6 +359,43 @@ object MaintenanceQueries {
         .orderBy("event_type")
     })
 
+  /** Exact COUNT(DISTINCT) maintenance
+    * ([[graft.operators.IncrementalAgg.distinctPartials]]) — the third
+    * aggregate class of the IVM family: per-(group, value) instance
+    * counts fold under inserts and NEGATED deletes, and a value stays
+    * distinct while its count is positive — so deleting ONE copy of a
+    * twice-seen value does not drop it (the delete batch here overlaps
+    * values the survivors still hold, which is exactly the case a
+    * set-difference maintenance gets wrong). Oracle = from-scratch
+    * COUNT(DISTINCT) rebuild over the surviving rows; integers compare
+    * exactly, so the row is hash-exact with no DetAgg routing. Values
+    * are bucketed to integers so the distinct space is small enough
+    * that the delete/survivor overlap actually occurs at sf0.01.
+    */
+  val distinctIncremental: Q = Q(
+    "maint_distinct_incremental",
+    Some("""SELECT event_type,
+           |  CAST(COUNT(DISTINCT CAST(FLOOR(value * 1.0e1) AS BIGINT)) AS BIGINT)
+           |    AS n_distinct
+           |FROM events WHERE event_id % 7 <> 0
+           |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, dir) => {
+      import graft.operators.IncrementalAgg
+      val ev = Tables.loadEvents(s, dir)
+        .select(col("event_id"), col("event_type"),
+          expr("CAST(FLOOR(value * 1.0e1) AS BIGINT)").as("vb"))
+      val base = ev.filter(col("event_id") % 3 =!= 2)
+      val ins = ev.filter(col("event_id") % 3 === 2)
+      val del = ev.filter(col("event_id") % 7 === 0)
+      val keys = Seq("event_type")
+      val state = IncrementalAgg.distinctMerge(Seq(
+        IncrementalAgg.distinctPartials(base, keys, "vb"),
+        IncrementalAgg.distinctPartials(ins, keys, "vb"),
+        IncrementalAgg.distinctPartials(del, keys, "vb", sign = -1)), keys)
+      IncrementalAgg.distinctView(state, keys).orderBy("event_type")
+    })
+
   def all: Seq[Q] = Seq(snapshotDiff, mergeUpsert, scd2History, tableFingerprint,
-    partitionSkew, layoutZorder, aggIncremental, minMaxIncremental)
+    partitionSkew, layoutZorder, aggIncremental, minMaxIncremental,
+    distinctIncremental)
 }

@@ -281,6 +281,41 @@ class MaintenanceSpec extends AnyFunSuite {
     assert((a2.getLong(1), a2.getDouble(2), a2.getDouble(3)) == ((2L, 6.0, 3.0)), a2.toString)
   }
 
+  test("IncrementalAgg.distinct: instance counts keep multiset semantics under deletes") {
+    import spark.implicits._
+    import graft.operators.IncrementalAgg
+    val keys = Seq("k")
+    val base = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("b", 5L)).toDF("k", "v")
+    val st0 = IncrementalAgg.distinctMerge(
+      Seq(IncrementalAgg.distinctPartials(base, keys, "v")), keys)
+    def nd(st: org.apache.spark.sql.DataFrame) =
+      IncrementalAgg.distinctView(st, keys).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nd(st0) == Map("a" -> 2L, "b" -> 1L))
+    // delete ONE of the two copies of (a, 1): value 1 must stay distinct
+    val st1 = IncrementalAgg.distinctMerge(Seq(
+      st0, IncrementalAgg.distinctPartials(
+        Seq(("a", 1L)).toDF("k", "v"), keys, "v", sign = -1)), keys)
+    assert(nd(st1) == Map("a" -> 2L, "b" -> 1L), nd(st1).toString)
+    // delete the second copy: now it leaves
+    val st2 = IncrementalAgg.distinctMerge(Seq(
+      st1, IncrementalAgg.distinctPartials(
+        Seq(("a", 1L)).toDF("k", "v"), keys, "v", sign = -1)), keys)
+    assert(nd(st2) == Map("a" -> 1L, "b" -> 1L), nd(st2).toString)
+    // delete folded BEFORE its insert: negative stub survives and cancels
+    val stubFirst = IncrementalAgg.distinctMerge(Seq(
+      IncrementalAgg.distinctMerge(Seq(IncrementalAgg.distinctPartials(
+        Seq(("c", 9L)).toDF("k", "v"), keys, "v", sign = -1)), keys),
+      IncrementalAgg.distinctPartials(Seq(("c", 9L)).toDF("k", "v"), keys, "v")),
+      keys)
+    assert(IncrementalAgg.distinctView(stubFirst, keys).count() == 0)
+    // NULL values never count
+    val withNull = IncrementalAgg.distinctMerge(
+      Seq(IncrementalAgg.distinctPartials(
+        Seq(("d", Some(1L)), ("d", None)).toDF("k", "v"), keys, "v")), keys)
+    assert(nd(withNull) == Map("d" -> 1L), nd(withNull).toString)
+  }
+
   test("MinMaxAgg: maintained extremes equal rebuild under inserts + deletes") {
     import spark.implicits._
     import graft.operators.MinMaxAgg
