@@ -77,7 +77,12 @@ class SchemaDriftSpec extends AnyFunSuite {
     // (PipelineStage.materialize) — the documents scan happens inside
     // the memo compute, so the returned plan is a parquet read of the
     // labels, not of the corpus
-    "dedup_cluster_sizes" -> Set("documents"))
+    "dedup_cluster_sizes" -> Set("documents"),
+    // the per-(trigger, device) timing base is scratch-materialized and
+    // the best grid table collected (the flagship discipline), so the
+    // returned histogram→fit plan roots in the scratch parquet + a
+    // LocalRelation — the lineitem scan ran eagerly in the builder
+    "pipeline_tr_sweep" -> Set("lineitem"))
 
   private def scannedTables(df: DataFrame): Set[String] = {
     val paths = df.queryExecution.analyzed.collect {
