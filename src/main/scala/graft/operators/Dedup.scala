@@ -755,6 +755,57 @@ object Dedup {
     mergeDiagonalRuns(matches.select(col("id_a"), col("id_b"), col("pa"), col("pb")), w)
   }
 
+  /** APPLY side of [[duplicateSpans]] — Lee et al. 2022's actual dedup
+    * step: CUT each duplicate span from the LATER document (id_b; the
+    * id_a copy survives, and because the keep rule follows the total id
+    * order, a span shared by a chain of documents survives exactly once,
+    * in the smallest id). Returns one row per AFFECTED document:
+    * `(id, n_spans_cut, n_chars_removed, text_clean)`.
+    *
+    * Overlapping/adjacent cut intervals merge first (gaps-and-islands
+    * over a running max — a document hit by many pairs must not cut the
+    * same characters twice); the cleaned text is the ordered concat of
+    * the inter-interval segments plus the tail. Every window partitions
+    * by DOCUMENT — interval counts are pair-bounded, never
+    * corpus-bounded — and the only join is intervals⋈docs on the id.
+    */
+  def removeSpans(df: DataFrame, spans: DataFrame, id: String,
+      text: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ivl = spans.select(
+      col("id_b").as(id), col("start_b").as("s"),
+      (col("start_b") + col("span_len")).as("e"))
+    val wOrd = Window.partitionBy(col(id)).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e"))
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = ivl
+      .withColumn("ni", when(prevMax.isNull || col("s") > prevMax, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("ni")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(id), col("island"))
+      .agg(min("s").as("s"), max("e").as("e"))
+    val w2 = Window.partitionBy(col(id)).orderBy(col("s"))
+    val segs = merged
+      .join(df.select(col(id), col(text).as("__t")), Seq(id))
+      .withColumn("seg_start", coalesce(lag(col("e"), 1).over(w2), lit(1)))
+      .withColumn("seg", expr("substring(__t, seg_start, s - seg_start)"))
+    segs.groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_spans_cut"),
+        sum(col("e") - col("s")).as("n_chars_removed"),
+        // ordered concat: collect_list order is nondeterministic, so the
+        // segments sort by their interval start INSIDE the aggregate
+        expr("array_join(transform(array_sort(collect_list(struct(s, seg))), " +
+          "x -> x.seg), '')").as("__head"),
+        max(col("e")).as("__maxe"),
+        max(col("__t")).as("__t"))
+      .select(
+        col(id),
+        col("n_spans_cut"),
+        col("n_chars_removed"),
+        concat(col("__head"), expr("substring(__t, __maxe)")).as("text_clean"))
+  }
+
   /** Cross-corpus form of [[duplicateSpans]] — span-level benchmark
     * DECONTAMINATION (the other use Lee et al. 2022 put the substring
     * machinery to): every maximal span of length ≥ `w` a corpus document

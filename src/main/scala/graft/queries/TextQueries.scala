@@ -795,26 +795,82 @@ object TextQueries {
     * planted near-dup pairs' shared runs (25 spans at sf0.01, max 526
     * chars — most of a document shared verbatim).
     */
+  /** Shared oracle CTE chain for the substring-span family, ending in
+    * `spans(id_a, id_b, start_a, start_b, span_len)` — one text for the
+    * finder ([[dedupSubstringSpans]]) and the remover
+    * ([[dedupSubstringRemoved]]), so the span derivations can never
+    * drift.
+    */
+  private val spanSqlCtes: String =
+    """pos AS (
+      |  SELECT doc_id, g.i AS p, substr(text, g.i, 40) AS sh
+      |  FROM documents, LATERAL unnest(generate_series(1, length(text) - 39)) AS g(i)
+      |),
+      |m AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb
+      |  FROM pos a JOIN pos b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |),
+      |r AS (
+      |  SELECT id_a, id_b, pa - pb AS diag, pa, pb,
+      |         pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl
+      |  FROM m
+      |),
+      |spans AS (
+      |  SELECT id_a, id_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+      |         MAX(pa) - MIN(pa) + 40 AS span_len
+      |  FROM r GROUP BY id_a, id_b, diag, isl
+      |)""".stripMargin
+
   val dedupSubstringSpans: Q = Q(
     "dedup_substring_spans",
-    Some("""WITH pos AS (
-           |  SELECT doc_id, g.i AS p, substr(text, g.i, 40) AS sh
-           |  FROM documents, LATERAL unnest(generate_series(1, length(text) - 39)) AS g(i)
-           |),
-           |m AS (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa, b.p AS pb
-           |  FROM pos a JOIN pos b ON a.sh = b.sh AND a.doc_id < b.doc_id
-           |),
-           |r AS (
-           |  SELECT id_a, id_b, pa - pb AS diag, pa, pb,
-           |         pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl
-           |  FROM m
-           |)
-           |SELECT id_a, id_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
-           |       MAX(pa) - MIN(pa) + 40 AS span_len
-           |FROM r GROUP BY id_a, id_b, diag, isl""".stripMargin),
+    Some(s"""WITH $spanSqlCtes
+            |SELECT id_a, id_b, start_a, start_b, span_len FROM spans""".stripMargin),
     (s, dir) =>
       Dedup.duplicateSpans(docs(s, dir), "doc_id", "text", w = 40))
+
+  /** APPLY side of the span finder ([[Dedup.removeSpans]]): cut every
+    * duplicate span from the LATER document — the Lee et al. 2022 dedup
+    * step itself, not just its report. One row per affected doc with the
+    * cleaned text; overlapping cut intervals merge first so a doc hit by
+    * many pairs never cuts the same characters twice. The oracle replays
+    * span derivation + interval islands + ordered segment concat — the
+    * FULL find→apply chain is hash-checked, cleaned text included.
+    */
+  val dedupSubstringRemoved: Q = Q(
+    "dedup_substring_removed",
+    Some(s"""WITH $spanSqlCtes,
+            |ivl AS (SELECT id_b AS doc_id, start_b AS s, start_b + span_len AS e
+            |        FROM spans),
+            |isl AS (SELECT doc_id, s, e,
+            |    CASE WHEN MAX(e) OVER wp IS NULL OR s > MAX(e) OVER wp
+            |         THEN 1 ELSE 0 END AS ni
+            |  FROM ivl
+            |  WINDOW wp AS (PARTITION BY doc_id ORDER BY s, e
+            |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+            |isl2 AS (SELECT *, SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+            |    ROWS UNBOUNDED PRECEDING) AS island FROM isl),
+            |mg AS (SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+            |       FROM isl2 GROUP BY 1, 2),
+            |sg AS (SELECT mg.doc_id, s, e,
+            |    COALESCE(LAG(e) OVER (PARTITION BY mg.doc_id ORDER BY s), 1)
+            |      AS seg_start,
+            |    d.text AS t
+            |  FROM mg JOIN documents d ON mg.doc_id = d.doc_id)
+            |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans_cut,
+            |  CAST(SUM(e - s) AS BIGINT) AS n_chars_removed,
+            |  string_agg(substring(t, seg_start, s - seg_start), '' ORDER BY s)
+            |    || substring(MAX(t), MAX(e)) AS text_clean
+            |FROM sg GROUP BY doc_id""".stripMargin),
+    (s, dir) => {
+      val d = docs(s, dir)
+      val spans = Dedup.duplicateSpans(d, "doc_id", "text", w = 40)
+      Dedup.removeSpans(d, spans, "doc_id", "text")
+        .select(
+          col("doc_id"),
+          col("n_spans_cut"),
+          col("n_chars_removed").cast("long").as("n_chars_removed"),
+          col("text_clean"))
+    })
 
   /** Prefix-filtered exact Jaccard: same OUTPUT as `dedup_ngram_jaccard`
     * (the prefix filter is a lossless pruner — that's what sharing its
@@ -3072,7 +3128,8 @@ object TextQueries {
     dedupComponents, dedupComponentsChain, dedupComponentsIncremental,
     dedupClusterSizes, dedupKeepBest, decontamNgram,
     decontamSpans, dedupIncremental,
-    dedupLines, dedupSubstringSpans, dedupMinHash, dedupMinHashHash,
+    dedupLines, dedupSubstringSpans, dedupSubstringRemoved,
+    dedupMinHash, dedupMinHashHash,
     dedupSimHash, dedupSimHashHash,
     mmBytes, mmFeatures, mmFeaturesHash, mmFrames, mmResize, pipelineClean,
     splitStratified,

@@ -355,6 +355,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 1, 1, 8), (1L, 2L, 13, 15, 8)), got.toString)
   }
 
+  test("removeSpans cuts later copies, merges overlapping intervals, keeps the earliest") {
+    import spark.implicits._
+    // doc 1 keeps everything (always id_a); doc 2 loses the 10-char run
+    // shared with doc 1; doc 3 IS the run — pairs (1,3) and (2,3) both
+    // cut the same [1, 11) interval, which must merge to ONE island and
+    // empty the doc, not double-count the removal
+    val df = Seq(
+      (1L, "AAAAABBBBBCCCCC"),
+      (2L, "XXAAAAABBBBBZZZ"),
+      (3L, "AAAAABBBBB")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, "doc_id", "text", w = 5)
+    val got = Dedup.removeSpans(df, spans, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet == Set(2L, 3L), got.toString) // doc 1 never cut
+    assert(got(2L) == ((1L, 10L, "XXZZZ")), got(2L).toString)
+    assert(got(3L) == ((1L, 10L, "")), got(3L).toString)
+  }
+
   test("duplicateSpansAgainst finds corpus-vs-benchmark leaks only, both directions of offset") {
     import spark.implicits._
     // corpus doc 10 leaks benchmark doc 1's span; corpus docs 11/12 are
