@@ -76,12 +76,20 @@ object Bench {
     // are comparable run-to-run and round-to-round; SPARK_GRAFT_BENCH_ONLY
     // (comma-separated names) isolates a subset for noise diagnosis
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    // the fixed-cost yardstick first (post-warmup), same reps protocol
-    val yardSec = (1 to reps).map { _ =>
+    // the fixed-cost yardstick first (post-warmup), same reps protocol.
+    // A failed rep must NOT record its time-to-exception as a plausible
+    // minimum — a corrupted yardstick silently inverts every future
+    // box-vs-code drift read (r13 review) — so any failure poisons the
+    // value to a loud −1.0 sentinel.
+    val yardTimes = (1 to reps).map { _ =>
       val t0 = System.nanoTime()
-      try yardstick(spark) catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
-    }.min
+      try { yardstick(spark); (System.nanoTime() - t0) / 1e9 }
+      catch { case t: Throwable =>
+        System.err.println(s"[bench] yardstick failed: ${t.getMessage}")
+        Double.NaN
+      }
+    }
+    val yardSec = if (yardTimes.exists(_.isNaN)) -1.0 else yardTimes.min
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       // bench-weight exclusions apply only when no explicit ONLY filter

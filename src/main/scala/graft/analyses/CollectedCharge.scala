@@ -75,7 +75,7 @@ object CollectedCharge {
         "m",
         when(col("replica") === 0, 1).otherwise(
           Bootstrap.portableMultiplicity(
-            col(triggerCol) * lit(131L) + col("replica") * lit(104729L))))
+            Bootstrap.replicaKey(col(triggerCol), col("replica")))))
       .filter(col("m") > 0)
 
   /** Shared bucket/MPV texts (both dialects): data-driven [lo, hi]

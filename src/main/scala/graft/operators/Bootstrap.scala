@@ -97,6 +97,16 @@ object Bootstrap {
     }
   }
 
+  /** The house (trigger, replica) → multiplicity key: two coprime odd
+    * multipliers decorrelate replicas of the same trigger through the
+    * mod-1e5 reduction inside [[portableMultiplicity]]. ONE definition
+    * (plus its [[Sql.replicaKey]] text mirror) — the r13 review found
+    * the literal string hand-copied across pipelines, the exact drift
+    * the shared-text discipline exists to prevent.
+    */
+  def replicaKey(trigger: Column, replica: Column): Column =
+    trigger * lit(131L) + replica * lit(104729L)
+
   /** SQL-text mirror of [[portableMultiplicity]] (DuckDB dialect = same
     * ANSI text), kept adjacent so the two can never drift. `key` must be
     * a non-negative integer expression (both engines' `%` agree there).
@@ -108,6 +118,10 @@ object Bootstrap {
         case ((t, k), acc) => s"CASE WHEN $u < $t THEN $k ELSE $acc END"
       }
     }
+
+    /** Text mirror of [[Bootstrap.replicaKey]]. */
+    def replicaKey(trigger: String, replica: String): String =
+      s"$trigger * 131 + $replica * 104729"
   }
 
   /** Poissonized bootstrap: each row appears m ~ Poisson(1) times per

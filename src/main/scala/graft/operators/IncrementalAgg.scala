@@ -105,13 +105,15 @@ object IncrementalAgg {
   // (deletes folded before their inserts) survive until cancelled.
 
   /** Per-(group, value) instance counts of one batch; `sign = -1` for a
-    * delete batch. NULL values are excluded (SQL COUNT(DISTINCT)
-    * ignores them).
+    * delete batch. NULL-valued rows keep their own (group, NULL)
+    * counter: SQL COUNT(DISTINCT) ignores them in the COUNT, but a
+    * group whose surviving rows are all NULL still EXISTS in the
+    * rebuild (with n_distinct = 0) — dropping NULLs here made the view
+    * lose such groups entirely (r13 review).
     */
   def distinctPartials(df: DataFrame, keys: Seq[String], valueCol: String,
       sign: Int = 1): DataFrame =
-    df.filter(col(valueCol).isNotNull)
-      .groupBy(keys.map(col) :+ col(valueCol).as("__v"): _*)
+    df.groupBy(keys.map(col) :+ col(valueCol).as("__v"): _*)
       .agg((count(lit(1)) * sign).as("vcnt"))
 
   /** Fold distinct-states: one hash aggregate over the union, exact-zero
@@ -125,11 +127,13 @@ object IncrementalAgg {
       .filter(col("vcnt") =!= 0)
   }
 
-  /** `(keys*, n_distinct)` — values with a positive surviving count.
+  /** `(keys*, n_distinct)` — NON-NULL values with a positive surviving
+    * count; a group alive only through NULL-valued rows shows
+    * n_distinct = 0, matching the from-scratch COUNT(DISTINCT) rebuild.
     * Negative stubs are in-flight retractions, not data.
     */
   def distinctView(state: DataFrame, keys: Seq[String]): DataFrame =
     state.filter(col("vcnt") > 0)
       .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_distinct"))
+      .agg(count(col("__v")).as("n_distinct"))
 }

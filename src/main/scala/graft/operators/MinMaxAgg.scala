@@ -13,49 +13,57 @@ import org.apache.spark.sql.functions._
   * so up to k−1 deleted extremes per direction are absorbed without
   * ever rescanning history.
   *
-  * Soundness of heap deletion (why value-matched removal keeps the
-  * extremes exact): `lo` holds the k smallest instances, so any group
-  * value strictly below the heap horizon (`lo`'s last element) is IN
-  * the heap. Removing d instances of value v from the heap can only
-  * under-count survivors of v when the heap was truncated inside v's
-  * tie-run — but then every heap slot ≤ v IS v, so zeroing v empties
-  * the heap entirely and the underflow path catches it. A non-empty
-  * post-delete heap therefore still contains the true minimum.
-  * (Mirrored for `hi`.)
+  * THE COVERAGE INVARIANT (what makes a heap answer provably right):
+  * each state carries, per direction, the CAP up to which its heap is
+  * COMPLETE — every surviving instance strictly below `lcap` (above
+  * `hcap`) is in the heap. A fresh batch's cap is its k-th ranked value
+  * (+∞/−∞ when the whole group fits); deletion PRESERVES the cap
+  * (instances below it are all tracked, so value-matched removal keeps
+  * completeness); merging takes the MINIMUM of the inputs' caps,
+  * further clamped to the merged heap's k-th element when truncation
+  * occurred. The viewed extreme is then trustworthy exactly when the
+  * heap head sits INSIDE its cap — any smaller survivor would be below
+  * the cap and therefore in the heap. A head outside its cap (or an
+  * empty heap with survivors) means deletes consumed the covered
+  * window: the group is UNDERFLOWED, [[view]] raises loudly, and
+  * [[repair]] rebuilds it (and only it) from the base relation. This is
+  * what keeps arbitrary interleavings of mergeInserts/applyDeletes
+  * sound — the r13 review showed that WITHOUT the cap, an insert fold
+  * after a delete could graft a far value onto a pruned heap and a
+  * later delete would then surface it as a silently wrong extreme.
   *
-  * UNDERFLOW: a heap emptied by deletes while the group still has rows
-  * (cnt > 0) has lost its horizon — the true extreme may lie beyond
-  * what the state ever tracked. [[underflowed]] surfaces those groups
-  * and [[repair]] rebuilds THEM (and only them — a semi-join-pruned
-  * rescan) from the current base relation; [[view]] raises loudly on
-  * an unrepaired underflow instead of returning a wrong extreme.
+  * Tie-run note: deletion can under-count the heap's copies of a value
+  * only when the heap was truncated inside that value's tie-run — but
+  * then every slot up to the cap IS that value, so exhausting it
+  * empties the covered window and the underflow path catches it.
   *
   * At 100 TB: partials cost one delta-bounded window sort per
   * direction (the exchange is shared); every later step is
   * group-bounded (states hold ONE row per group, heaps ≤ k values);
   * repair rescans base only for the underflowed group set. Deletes
   * must be real rows of the maintained multiset (the IncrementalAgg
-  * contract), and the value column must be DOUBLE (the empty-heap
-  * literal is typed array&lt;double&gt;).
+  * contract); NULL measures never enter the state (SQL MIN/MAX ignore
+  * them, and an all-NULL group must not present an unrepairable
+  * underflow); the value column must be DOUBLE (the empty-heap literal
+  * and the ±∞ caps are double-typed).
   */
 object MinMaxAgg {
 
   val DefaultK = 8
 
-  /** Heap-state of one batch: `(keys*, cnt, lo: array ascending ≤ k,
-    * hi: array descending ≤ k)`. Two window ranks share one exchange;
-    * collect_list sees ≤ k rows per group by the rank filter.
+  private val PInf = lit(Double.PositiveInfinity)
+  private val NInf = lit(Double.NegativeInfinity)
+
+  /** Heap-state of one batch:
+    * `(keys*, cnt, lo ≤ k ascending, hi ≤ k descending, lcap, hcap)`.
+    * Two window ranks share one exchange; collect_list sees ≤ k rows
+    * per group by the rank filter. Caps are the k-th ranked values —
+    * the completeness horizon — or ±∞ when the whole group fits.
     */
   def partials(df: DataFrame, keys: Seq[String], valueCol: String,
       k: Int = DefaultK): DataFrame = {
     val wa = Window.partitionBy(keys.map(col): _*).orderBy(col("__v").asc)
     val wd = Window.partitionBy(keys.map(col): _*).orderBy(col("__v").desc)
-    // NULL measures are excluded from the state entirely (SQL MIN/MAX
-    // ignore them): cnt counts the NON-NULL multiset, so an
-    // all-NULL-measure group simply has no state row — without this, a
-    // null-heavy group could present an empty heap with cnt > 0, an
-    // underflow no repair can ever satisfy (r13 self-review). Deleting
-    // a NULL-measure row is correspondingly a no-op.
     df.select(keys.map(col) :+ col(valueCol).as("__v"): _*)
       .filter(col("__v").isNotNull)
       .withColumn("__ra", row_number().over(wa))
@@ -66,13 +74,20 @@ object MinMaxAgg {
         sort_array(collect_list(when(col("__ra") <= k, col("__v")))).as("lo"),
         sort_array(collect_list(when(col("__rd") <= k, col("__v"))), asc = false)
           .as("hi"))
+      .withColumn("lcap",
+        when(size(col("lo")) < k, PInf).otherwise(element_at(col("lo"), k)))
+      .withColumn("hcap",
+        when(size(col("hi")) < k, NInf).otherwise(element_at(col("hi"), k)))
   }
 
   /** Fold states / insert partials into one state: heap union re-sorted
-    * and re-truncated at k (any value outside a batch's own top-k is
-    * dominated by k closer values from that batch, so truncation loses
-    * nothing), counts summed. Group-bounded: flatten sees ≤ #states·k
-    * values per group.
+    * and re-truncated at k, counts summed, caps tightened to the
+    * minimum input cap and (when the merged heap is full) to its k-th
+    * element — conservative when no truncation occurred, never wrong.
+    * Group-bounded: flatten sees ≤ #states·k values per group. Folding
+    * a post-delete state is SAFE: its (possibly pruned) heap rides in
+    * under its original cap, and any later extreme the pruned window
+    * can no longer certify is caught by the cap check at read time.
     */
   def mergeInserts(states: Seq[DataFrame], keys: Seq[String],
       k: Int = DefaultK): DataFrame = {
@@ -83,20 +98,30 @@ object MinMaxAgg {
         sum("cnt").as("cnt"),
         slice(sort_array(flatten(collect_list(col("lo")))), 1, k).as("lo"),
         slice(sort_array(flatten(collect_list(col("hi"))), asc = false), 1, k)
-          .as("hi"))
+          .as("hi"),
+        min(col("lcap")).as("__lc"),
+        max(col("hcap")).as("__hc"))
+      .withColumn("lcap",
+        least(col("__lc"),
+          when(size(col("lo")) === k, element_at(col("lo"), k)).otherwise(PInf)))
+      .withColumn("hcap",
+        greatest(col("__hc"),
+          when(size(col("hi")) === k, element_at(col("hi"), k)).otherwise(NInf)))
+      .drop("__lc", "__hc")
   }
 
   /** Retract a delete batch: instance-counted value-matched removal
-    * from both heaps, cnt decremented. The state explodes to ≤ 2k rows
-    * per group (never history-sized); `greatest(m − d, 0)` keeps a
-    * delete run longer than the heap's tie coverage from going
-    * negative — that group simply empties and takes the underflow
-    * path.
+    * from both heaps, cnt decremented, caps UNCHANGED (completeness
+    * below/above the cap survives deletion — see the coverage
+    * invariant). The state explodes to ≤ 2k rows per group (never
+    * history-sized); `greatest(m − d, 0)` keeps a delete run longer
+    * than the heap's tie coverage from going negative — that group
+    * simply empties its covered window and takes the underflow path.
+    * NULL-measure deletes are no-ops (the state never counted them).
     */
   def applyDeletes(state: DataFrame, deletes: DataFrame, keys: Seq[String],
       valueCol: String): DataFrame = {
     val kc = keys.map(col)
-    // NULL-measure deletes are no-ops (the state never counted them)
     val del = deletes.filter(col(valueCol).isNotNull)
     val delByValue = del.groupBy(kc :+ col(valueCol).as("__v"): _*)
       .agg(count(lit(1)).as("__d"))
@@ -111,7 +136,7 @@ object MinMaxAgg {
         .withColumn("__i", explode(sequence(lit(1L), col("__keep"))))
         .groupBy(kc: _*)
         .agg(sort_array(collect_list(col("__v")), asc = asc).as(heap))
-    state.select(kc :+ col("cnt"): _*)
+    state.select(kc ++ Seq(col("cnt"), col("lcap"), col("hcap")): _*)
       .join(delTotal, keys, "left")
       .withColumn("cnt", col("cnt") - coalesce(col("__dtot"), lit(0L)))
       .drop("__dtot")
@@ -122,30 +147,39 @@ object MinMaxAgg {
       .filter(col("cnt") > 0)
   }
 
+  /** A group is underflowed when survivors exist but the heap can no
+    * longer certify the extreme: empty, or its head sits OUTSIDE the
+    * completeness cap (a smaller/larger survivor could hide between
+    * the cap and the head).
+    */
   private def underflowCond =
-    (size(col("lo")) === 0 || size(col("hi")) === 0) && col("cnt") > 0
+    col("cnt") > 0 && (
+      size(col("lo")) === 0 || element_at(col("lo"), 1) > col("lcap") ||
+      size(col("hi")) === 0 || element_at(col("hi"), 1) < col("hcap"))
 
-  /** Groups whose heap was exhausted by deletes — their extremes are no
-    * longer derivable from the state and must be rebuilt.
+  /** Groups whose covered window was exhausted by deletes — their
+    * extremes are no longer derivable from the state and must be
+    * rebuilt.
     */
   def underflowed(state: DataFrame, keys: Seq[String]): DataFrame =
     state.filter(underflowCond).select(keys.map(col): _*)
 
   /** Rebuild ONLY the underflowed groups from the current base relation
     * (the surviving multiset): a semi join prunes the rescan to those
-    * groups, everything else passes through untouched.
+    * groups, everything else passes through untouched. EAGER: the
+    * (group-bounded) state is scratch-materialized once, so the
+    * underflow probe and every downstream consumer read the small
+    * parquet instead of re-executing the partials/delete chain — the
+    * r13 review measured the lazy form paying the corpus-wide window
+    * sorts twice.
     */
   def repair(state: DataFrame, base: DataFrame, keys: Seq[String],
       valueCol: String, k: Int = DefaultK): DataFrame = {
-    val bad = underflowed(state, keys)
-    // common case: nothing underflowed — return the state as-is and
-    // never touch base. The probe executes the (group-bounded) state
-    // chain once, which is far cheaper than dragging a base scan +
-    // window sort into every maintenance step's plan just to feed an
-    // empty semi join.
-    if (bad.isEmpty) state
+    val st = graft.pipeline.PipelineStage.scratch(state, "minmax-state")
+    val bad = underflowed(st, keys)
+    if (bad.isEmpty) st
     else
-      state.filter(!underflowCond)
+      st.filter(!underflowCond)
         .unionByName(partials(base.join(broadcast(bad), keys, "leftsemi"),
           keys, valueCol, k))
   }
@@ -159,7 +193,7 @@ object MinMaxAgg {
       .filter(assert_true(
         !underflowCond,
         lit("MinMaxAgg: heap underflow — deletes exhausted a group's " +
-          "top-k; call repair(state, base, ...) before view")).isNull)
+          "covered window; call repair(state, base, ...) before view")).isNull)
       .select(
         keys.map(col) ++ Seq(
           col("cnt").cast("long").as("n"),

@@ -342,7 +342,7 @@ object AnalysisQueries {
     import graft.functions.DetAgg.{Sql => D}
     val theoryLit = String.format(
       java.util.Locale.ROOT, "%.17e", Double.box(Calibration.pinChargeTheory(50e-6)))
-    val multKey = "n_trigger * 131 + r.replica * 104729"
+    val multKey = Bootstrap.Sql.replicaKey("n_trigger", "r.replica")
     val sel = CC.medianSel("mpv")
     val aSel = CC.medianSel("adev", rn = "arn")
     Q(
@@ -500,12 +500,10 @@ object AnalysisQueries {
     val (det, na, nb, nc) = ClosedForm.cramerTexts
     val wdT = "((hi - lo) / 5.0e1)"
     val (muT, sgT, amT) = ClosedForm.paramTextsCols(s"lo + 2.55e1 * $wdT", wdT)
-    val multKey = "n_trigger * 131 + r.replica * 104729"
-    val bucketT =
-      "CAST(LEAST(GREATEST(FLOOR((dps - lo) / ((hi - lo) / 5.0e1)), 0), 49) AS BIGINT)"
-    def medianSel(v: String) =
-      s"CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0e0) AS BIGINT) " +
-        s"OR rn = CAST(FLOOR((n + 2) / 2.0e0) AS BIGINT) THEN $v END"
+    // shared house texts (r13 review: no hand-copied load-bearing text)
+    val multKey = Bootstrap.Sql.replicaKey("n_trigger", "r.replica")
+    val bucketT = graft.analyses.CollectedCharge.bucketText("dps", 50)
+    def medianSel(v: String) = graft.analyses.CollectedCharge.medianSel(v)
     // sample std over the bootstrap σs ONLY (replica > 0): scale-12
     // moments — σ is round-6 so σ² is exact at scale 12
     val sgB = "CASE WHEN replica > 0 THEN sg END"
@@ -609,7 +607,7 @@ object AnalysisQueries {
             "m",
             when(col("replica") === 0, 1).otherwise(
               Bootstrap.portableMultiplicity(
-                col("n_trigger") * lit(131L) + col("replica") * lit(104729L))))
+                Bootstrap.replicaKey(col("n_trigger"), col("replica")))))
           .filter(col("m") > 0)
           .withColumn("k1", explode(sequence(lit(10), lit(90), lit(10))))
           .select(col("v"), col("replica"), col("k1"), col("m"), col("t0a"), col("t0b"))
@@ -665,7 +663,7 @@ object AnalysisQueries {
             "m",
             when(col("replica") === 0, 1).otherwise(
               Bootstrap.portableMultiplicity(
-                col("n_trigger") * lit(131L) + col("replica") * lit(104729L))))
+                Bootstrap.replicaKey(col("n_trigger"), col("replica")))))
           .filter(col("m") > 0)
           .join(broadcast(best), Seq("v", "replica"))
           .withColumn(

@@ -88,12 +88,8 @@ object CountMinStream {
 
   def estimateWindowed(
       probe: DataFrame, counters: DataFrame, d: Int, w: Int): DataFrame = {
-    // a probe whose plan carries a LIMIT <= MaxProbeKeys ABOVE every
-    // row-multiplying operator is proven bounded for free; only an
-    // unbounded plan pays the counting job. The walk descends ONLY
-    // through row-non-increasing unary nodes — a limit found anywhere
-    // (collectFirst over the whole tree) would wrongly bless
-    // limit(k).join(expander), whose output is unbounded (r12 review)
+    // plan-provably-small probes skip the counting job — the rules
+    // live on [[staticallyBounded]]
     if (!staticallyBounded(probe)) {
       val nProbe = probe.limit(MaxProbeKeys + 1).count()
       require(nProbe <= MaxProbeKeys,

@@ -309,11 +309,20 @@ class MaintenanceSpec extends AnyFunSuite {
       IncrementalAgg.distinctPartials(Seq(("c", 9L)).toDF("k", "v"), keys, "v")),
       keys)
     assert(IncrementalAgg.distinctView(stubFirst, keys).count() == 0)
-    // NULL values never count
+    // NULL values never count toward n_distinct, but a group surviving
+    // ONLY through NULL-valued rows still exists with n_distinct = 0 —
+    // exactly what the from-scratch rebuild returns (r13 review)
     val withNull = IncrementalAgg.distinctMerge(
       Seq(IncrementalAgg.distinctPartials(
-        Seq(("d", Some(1L)), ("d", None)).toDF("k", "v"), keys, "v")), keys)
-    assert(nd(withNull) == Map("d" -> 1L), nd(withNull).toString)
+        Seq(("d", Some(1L)), ("d", None), ("e", None)).toDF("k", "v"),
+        keys, "v")), keys)
+    assert(nd(withNull) == Map("d" -> 1L, "e" -> 0L), nd(withNull).toString)
+    // retracting d's only non-null value leaves (d, 0), not a vanished group
+    val nullOnly = IncrementalAgg.distinctMerge(Seq(
+      withNull,
+      IncrementalAgg.distinctPartials(
+        Seq(("d", Some(1L))).toDF("k", "v"), keys, "v", sign = -1)), keys)
+    assert(nd(nullOnly) == Map("d" -> 0L, "e" -> 0L), nd(nullOnly).toString)
   }
 
   test("MinMaxAgg: maintained extremes equal rebuild under inserts + deletes") {
@@ -376,6 +385,42 @@ class MaintenanceSpec extends AnyFunSuite {
     val got = MinMaxAgg.view(repaired, keys).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
     assert(got == Set(("a", 2L, 5.0, 9.0), ("b", 2L, 2.0, 4.0)), got.toString)
+  }
+
+  test("MinMaxAgg: insert fold after a delete cannot mask survivors (cap check)") {
+    import spark.implicits._
+    import graft.operators.MinMaxAgg
+    // the r13 review's failure scenario: k=2 over {1..20} -> lo=[1,2],
+    // cap=2; delete {1} -> lo=[2] (survivors 3..20 beyond the covered
+    // window); fold insert {30} -> lo=[2,30]; delete {2}. The naive heap
+    // would answer min=30 while the true min is 3 — the cap check must
+    // flag the group instead, and repair must restore the truth.
+    val base = (1 to 20).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val keys = Seq("k")
+    val st0 = MinMaxAgg.partials(base, keys, "v", k = 2)
+    val st1 = MinMaxAgg.applyDeletes(st0, Seq(("g", 1.0)).toDF("k", "v"), keys, "v")
+    val st2 = MinMaxAgg.mergeInserts(Seq(
+      st1, MinMaxAgg.partials(Seq(("g", 30.0)).toDF("k", "v"), keys, "v", k = 2)),
+      keys, k = 2)
+    val st3 = MinMaxAgg.applyDeletes(st2, Seq(("g", 2.0)).toDF("k", "v"), keys, "v")
+    assert(MinMaxAgg.underflowed(st3, keys).count() == 1,
+      "cap check failed to flag the masked-survivor state")
+    intercept[Exception] { MinMaxAgg.view(st3, keys).collect() }
+    val survivors = ((3 to 20).map(i => ("g", i.toDouble)) :+ (("g", 30.0)))
+      .toDF("k", "v")
+    val r = MinMaxAgg.view(
+      MinMaxAgg.repair(st3, survivors, keys, "v", k = 2), keys).collect().head
+    assert((r.getLong(1), r.getDouble(2), r.getDouble(3)) == ((19L, 3.0, 30.0)),
+      r.toString)
+    // and the benign fold (inserts only, no deletes) raises no false alarm
+    val benign = MinMaxAgg.mergeInserts(Seq(
+      MinMaxAgg.partials(base, keys, "v", k = 2),
+      MinMaxAgg.partials(Seq(("g", 30.0)).toDF("k", "v"), keys, "v", k = 2)),
+      keys, k = 2)
+    assert(MinMaxAgg.underflowed(benign, keys).count() == 0)
+    val b = MinMaxAgg.view(benign, keys).collect().head
+    assert((b.getLong(1), b.getDouble(2), b.getDouble(3)) == ((21L, 1.0, 30.0)),
+      b.toString)
   }
 
   test("MinMaxAgg: NULL measures never enter the state (no unrepairable underflow)") {
