@@ -82,7 +82,11 @@ class SchemaDriftSpec extends AnyFunSuite {
     // the best grid table collected (the flagship discipline), so the
     // returned histogram→fit plan roots in the scratch parquet + a
     // LocalRelation — the lineitem scan ran eagerly in the builder
-    "pipeline_tr_sweep" -> Set("lineitem"))
+    "pipeline_tr_sweep" -> Set("lineitem"),
+    // MinMaxAgg.repair scratch-materializes the group-bounded state
+    // before the underflow probe (r13 review fix), so the returned view
+    // roots in the scratch parquet — the events scan ran eagerly inside
+    "maint_minmax_incremental" -> Set("events"))
 
   private def scannedTables(df: DataFrame): Set[String] = {
     val paths = df.queryExecution.analyzed.collect {
