@@ -138,8 +138,12 @@ object CollectedCharge {
 
   /** Sweep statistics over the replica MPVs, per `keys` (reference
     * `collected_charge_vs_bias_voltage_beta_scan.py:49-59`):
-    * value_on_data (replica 0), mean, std (sample), median, MAD_std
-    * (scale-normal, ·1.4826). Mean/std ride DetAgg decimals; median and
+    * value_on_data (replica 0), mean, std (sample), median, MAD_std.
+    * The reference calls scipy `median_abs_deviation` with its DEFAULT
+    * scale=1.0 here (`:54` — it does NOT route through utils.kMAD), so
+    * despite the "_std" name the column is the RAW median absolute
+    * deviation; we match that quirk (r13 advice). Mean/std ride DetAgg
+    * decimals; median and
     * MAD are exact rank-selected — the groups are replica-sized, so the
     * window chain never sees more than replicas+1 rows per key.
     */
@@ -159,7 +163,7 @@ object CollectedCharge {
       DetAgg.davg(col("mpv")).as("mean"),
       round(DetAgg.dstd(col("mpv")), 6).as("std"),
       max(col("med")).as("median"),
-      (sum(expr(aSel)) / count(expr(aSel)) * lit(1.4826e0)).as("mad_std"))
+      (sum(expr(aSel)) / count(expr(aSel))).as("mad_std"))
   }
 
   /** Coulomb conversion + P7 quadrature error (reference

@@ -42,10 +42,11 @@ import org.apache.spark.sql.functions._
   * group-bounded (states hold ONE row per group, heaps ≤ k values);
   * repair rescans base only for the underflowed group set. Deletes
   * must be real rows of the maintained multiset (the IncrementalAgg
-  * contract); NULL measures never enter the state (SQL MIN/MAX ignore
-  * them, and an all-NULL group must not present an unrepairable
-  * underflow); the value column must be DOUBLE (the empty-heap literal
-  * and the ±∞ caps are double-typed).
+  * contract); NULL measures ride only in `cnt` (COUNT(*)) — the heaps
+  * and `cntv` track the non-null multiset SQL MIN/MAX actually see, so
+  * an all-NULL group is a live row with NULL extremes, never an
+  * unrepairable underflow; the value column must be DOUBLE (the
+  * empty-heap literal and the ±∞ caps are double-typed).
   */
 object MinMaxAgg {
 
@@ -55,24 +56,32 @@ object MinMaxAgg {
   private val NInf = lit(Double.NegativeInfinity)
 
   /** Heap-state of one batch:
-    * `(keys*, cnt, lo ≤ k ascending, hi ≤ k descending, lcap, hcap)`.
-    * Two window ranks share one exchange; collect_list sees ≤ k rows
-    * per group by the rank filter. Caps are the k-th ranked values —
-    * the completeness horizon — or ±∞ when the whole group fits.
+    * `(keys*, cnt, cntv, lo ≤ k ascending, hi ≤ k descending, lcap,
+    * hcap)`. `cnt` is COUNT(*) (all rows, NULL measures included);
+    * `cntv` is COUNT(valueCol) — the heaps and caps cover only the
+    * non-null multiset, which is what SQL MIN/MAX see (r13 advice: a
+    * single pre-filtered count silently diverged from COUNT(*) on
+    * nullable measures). Two window ranks (nulls ranked LAST so the
+    * top-k window is purely non-null) share one exchange; collect_list
+    * sees ≤ k rows per group by the rank filter. Caps are the k-th
+    * ranked values — the completeness horizon — or ±∞ when the whole
+    * non-null group fits.
     */
   def partials(df: DataFrame, keys: Seq[String], valueCol: String,
       k: Int = DefaultK): DataFrame = {
-    val wa = Window.partitionBy(keys.map(col): _*).orderBy(col("__v").asc)
-    val wd = Window.partitionBy(keys.map(col): _*).orderBy(col("__v").desc)
+    val wa = Window.partitionBy(keys.map(col): _*).orderBy(col("__v").asc_nulls_last)
+    val wd = Window.partitionBy(keys.map(col): _*).orderBy(col("__v").desc_nulls_last)
     df.select(keys.map(col) :+ col(valueCol).as("__v"): _*)
-      .filter(col("__v").isNotNull)
       .withColumn("__ra", row_number().over(wa))
       .withColumn("__rd", row_number().over(wd))
       .groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("cnt"),
-        sort_array(collect_list(when(col("__ra") <= k, col("__v")))).as("lo"),
-        sort_array(collect_list(when(col("__rd") <= k, col("__v"))), asc = false)
+        count(col("__v")).as("cntv"),
+        sort_array(collect_list(
+          when(col("__ra") <= k && col("__v").isNotNull, col("__v")))).as("lo"),
+        sort_array(collect_list(
+          when(col("__rd") <= k && col("__v").isNotNull, col("__v"))), asc = false)
           .as("hi"))
       .withColumn("lcap",
         when(size(col("lo")) < k, PInf).otherwise(element_at(col("lo"), k)))
@@ -96,6 +105,7 @@ object MinMaxAgg {
       .groupBy(keys.map(col): _*)
       .agg(
         sum("cnt").as("cnt"),
+        sum("cntv").as("cntv"),
         slice(sort_array(flatten(collect_list(col("lo")))), 1, k).as("lo"),
         slice(sort_array(flatten(collect_list(col("hi"))), asc = false), 1, k)
           .as("hi"),
@@ -117,7 +127,8 @@ object MinMaxAgg {
     * history-sized); `greatest(m − d, 0)` keeps a delete run longer
     * than the heap's tie coverage from going negative — that group
     * simply empties its covered window and takes the underflow path.
-    * NULL-measure deletes are no-ops (the state never counted them).
+    * NULL-measure deletes decrement `cnt` only — they never entered
+    * the heaps or `cntv` (SQL MIN/MAX ignore them).
     */
   def applyDeletes(state: DataFrame, deletes: DataFrame, keys: Seq[String],
       valueCol: String): DataFrame = {
@@ -125,7 +136,8 @@ object MinMaxAgg {
     val del = deletes.filter(col(valueCol).isNotNull)
     val delByValue = del.groupBy(kc :+ col(valueCol).as("__v"): _*)
       .agg(count(lit(1)).as("__d"))
-    val delTotal = del.groupBy(kc: _*).agg(count(lit(1)).as("__dtot"))
+    val delTotal = deletes.groupBy(kc: _*).agg(
+      count(lit(1)).as("__dtot"), count(col(valueCol)).as("__dtotv"))
     def strip(heap: String, asc: Boolean): DataFrame =
       state.select(kc :+ explode(col(heap)).as("__v"): _*)
         .groupBy(kc :+ col("__v"): _*)
@@ -136,10 +148,11 @@ object MinMaxAgg {
         .withColumn("__i", explode(sequence(lit(1L), col("__keep"))))
         .groupBy(kc: _*)
         .agg(sort_array(collect_list(col("__v")), asc = asc).as(heap))
-    state.select(kc ++ Seq(col("cnt"), col("lcap"), col("hcap")): _*)
+    state.select(kc ++ Seq(col("cnt"), col("cntv"), col("lcap"), col("hcap")): _*)
       .join(delTotal, keys, "left")
       .withColumn("cnt", col("cnt") - coalesce(col("__dtot"), lit(0L)))
-      .drop("__dtot")
+      .withColumn("cntv", col("cntv") - coalesce(col("__dtotv"), lit(0L)))
+      .drop("__dtot", "__dtotv")
       .join(strip("lo", asc = true), keys, "left")
       .join(strip("hi", asc = false), keys, "left")
       .withColumn("lo", coalesce(col("lo"), expr("CAST(ARRAY() AS ARRAY<DOUBLE>)")))
@@ -147,15 +160,25 @@ object MinMaxAgg {
       .filter(col("cnt") > 0)
   }
 
-  /** A group is underflowed when survivors exist but the heap can no
-    * longer certify the extreme: empty, or its head sits OUTSIDE the
-    * completeness cap (a smaller/larger survivor could hide between
-    * the cap and the head).
+  /** A group is underflowed when non-null survivors exist (`cntv > 0` —
+    * an all-NULL-measure group has NULL extremes and nothing to
+    * certify) but the heap can no longer certify the extreme: empty, or
+    * its head sits OUTSIDE the completeness cap (a smaller/larger
+    * survivor could hide between the cap and the head). Head access is
+    * EXPLICITLY size-guarded (`when(size > 0, element_at)`), so the
+    * expression is ANSI-safe under any predicate split/reorder the
+    * optimizer applies — it never relies on boolean short-circuit order
+    * to dodge an INVALID_ARRAY_INDEX (r13 advice); the empty-heap case
+    * surfaces as a NULL comparison that `coalesce(…, true)` folds to
+    * underflowed.
     */
+  private def headOf(heap: String) =
+    when(size(col(heap)) > 0, element_at(col(heap), 1))
+
   private def underflowCond =
-    col("cnt") > 0 && (
-      size(col("lo")) === 0 || element_at(col("lo"), 1) > col("lcap") ||
-      size(col("hi")) === 0 || element_at(col("hi"), 1) < col("hcap"))
+    col("cntv") > 0 && (
+      coalesce(headOf("lo") > col("lcap"), lit(true)) ||
+      coalesce(headOf("hi") < col("hcap"), lit(true)))
 
   /** Groups whose covered window was exhausted by deletes — their
     * extremes are no longer derivable from the state and must be
@@ -184,9 +207,11 @@ object MinMaxAgg {
           keys, valueCol, k))
   }
 
-  /** `(keys*, n, min, max)` — raises in-plan on an unrepaired
-    * underflow (a silent wrong extreme is worse than a loud rebuild
-    * demand).
+  /** `(keys*, n, min, max)` — `n` is COUNT(*) (NULL measures included,
+    * matching the rebuild oracle's COUNT(*)); min/max are NULL for an
+    * all-NULL-measure group, exactly as SQL MIN/MAX would report.
+    * Raises in-plan on an unrepaired underflow (a silent wrong extreme
+    * is worse than a loud rebuild demand).
     */
   def view(state: DataFrame, keys: Seq[String]): DataFrame =
     state
@@ -197,6 +222,6 @@ object MinMaxAgg {
       .select(
         keys.map(col) ++ Seq(
           col("cnt").cast("long").as("n"),
-          element_at(col("lo"), 1).as("min"),
-          element_at(col("hi"), 1).as("max")): _*)
+          headOf("lo").as("min"),
+          headOf("hi").as("max")): _*)
 }

@@ -397,7 +397,7 @@ object AnalysisQueries {
               |    MAX(CASE WHEN replica = 0 THEN mpv END) AS von,
               |    ${D.davg("mpv")} AS mn, ROUND(${D.dstd("mpv")}, 6) AS sd,
               |    MAX(med) AS median,
-              |    SUM($aSel) / COUNT($aSel) * 1.4826e0 AS mad
+              |    SUM($aSel) / COUNT($aSel) AS mad
               |  FROM r3 GROUP BY 1, 2),
               |pin AS (
               |  SELECT 80 + n_nationkey * 10 AS vpin,

@@ -423,12 +423,13 @@ class MaintenanceSpec extends AnyFunSuite {
       b.toString)
   }
 
-  test("MinMaxAgg: NULL measures never enter the state (no unrepairable underflow)") {
+  test("MinMaxAgg: NULL measures count in n (COUNT(*)) but never enter the heaps") {
     import spark.implicits._
     import graft.operators.MinMaxAgg
-    // an all-NULL-measure group must have NO state row (SQL MIN/MAX
-    // ignore nulls) — before the r13 self-review fix it presented an
-    // empty heap with cnt > 0, an underflow no repair could satisfy
+    // r13 advice: n must be COUNT(*) — the rebuild oracle's count — so
+    // NULL-measure rows ride in cnt while the heaps/caps/cntv track the
+    // non-null multiset SQL MIN/MAX see. An all-NULL group is a live row
+    // with NULL extremes and never underflows (nothing to certify).
     val base = Seq(("a", Some(3.0)), ("a", None), ("b", None), ("b", None))
       .toDF("k", "v")
     val keys = Seq("k")
@@ -436,14 +437,24 @@ class MaintenanceSpec extends AnyFunSuite {
       Seq(MinMaxAgg.partials(base, keys, "v")), keys)
     assert(MinMaxAgg.underflowed(st, keys).count() == 0)
     val got = MinMaxAgg.view(st, keys).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
-    // group b (all NULL) is absent; group a counts only its non-null row
-    assert(got == Set(("a", 1L, 3.0, 3.0)), got.toString)
-    // deleting a NULL-measure row is a no-op, not a phantom retraction
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    // exactly what `SELECT k, COUNT(*), MIN(v), MAX(v) GROUP BY k` gives
+    assert(got == Set(
+      ("a", 2L, Some(3.0), Some(3.0)),
+      ("b", 2L, None, None)), got.toString)
+    // deleting a NULL-measure row decrements n only — no phantom
+    // heap retraction, extremes untouched
     val st2 = MinMaxAgg.applyDeletes(
       st, Seq(("a", None: Option[Double])).toDF("k", "v"), keys, "v")
-    val a2 = MinMaxAgg.view(st2, keys).collect().head
+    val a2 = MinMaxAgg.view(st2, keys).filter(col("k") === "a").collect().head
     assert((a2.getLong(1), a2.getDouble(2)) == ((1L, 3.0)), a2.toString)
+    // deleting ALL rows of the all-NULL group removes it entirely
+    val st3 = MinMaxAgg.applyDeletes(
+      st2, Seq(("b", None: Option[Double]), ("b", None: Option[Double]))
+        .toDF("k", "v"), keys, "v")
+    assert(MinMaxAgg.view(st3, keys).collect().map(_.getString(0)).toSeq
+      == Seq("a"))
   }
 
   test("MinMaxAgg: tie-run truncation inside the heap still yields exact extremes") {
