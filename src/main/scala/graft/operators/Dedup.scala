@@ -971,8 +971,11 @@ object Dedup {
       col("id").as("id_b"), col("t").as("t_b"), col("len").as("band"))
     lhs.join(rhs, Seq("band"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("t_a"), col("t_b")))
-      .filter(col("dist") <= maxDist)
+      // threshold-bounded DP: early-exits past maxDist (returns -1),
+      // O(k·n) per candidate instead of O(n²); surviving pairs carry
+      // the identical distance, so brute unbounded oracles still match
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
+      .filter(col("dist") >= 0)
       .select("id_a", "id_b", "t_a", "t_b", "dist")
   }
 }

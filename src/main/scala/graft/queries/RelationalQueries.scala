@@ -310,8 +310,15 @@ object RelationalQueries {
 
   /** Fuzzy key reconciliation: supplier-name pairs within edit distance 2
     * — the messy-metadata join problem (same device typed two ways in two
-    * measurement campaigns). Dimension-table self-join; `levenshtein` is
-    * identically defined in both engines.
+    * measurement campaigns). Candidates come from
+    * [[graft.operators.Dedup.editDistancePairs]]'s admissible LENGTH
+    * BANDING (|Δlen| > 2 proves dist > 2, so the pruning is lossless and
+    * the oracle's brute all-pairs form is the proof) — an equi join on
+    * the length bucket, NEVER a cartesian: at 100× the dimension each
+    * length band co-partitions and joins independently, where the r13
+    * form's crossJoin was 5×10⁹ levenshtein evaluations through a
+    * BroadcastNestedLoop. `levenshtein` is identically defined in both
+    * engines.
     */
   val fuzzyKeys: Q = Q(
     "j_fuzzy_keys",
@@ -321,16 +328,7 @@ object RelationalQueries {
            |WHERE levenshtein(a.s_name, b.s_name) <= 2""".stripMargin),
     (s, dir) => {
       val sup = Tables.load(s, dir, "supplier").select("s_suppkey", "s_name")
-      val a = sup.select(col("s_suppkey").as("id_a"), col("s_name").as("na"))
-      val b = sup.select(col("s_suppkey").as("id_b"), col("s_name").as("nb"))
-      a.crossJoin(b)
-        .filter(col("id_a") < col("id_b"))
-        // threshold-bounded edit distance: the banded DP early-exits at
-        // 2 (returns -1 past it), O(k·n) per pair instead of O(n²) —
-        // identical distances for every surviving pair, so the oracle's
-        // unbounded-levenshtein form still hash-matches
-        .withColumn("dist", levenshtein(col("na"), col("nb"), 2))
-        .filter(col("dist") >= 0)
+      graft.operators.Dedup.editDistancePairs(sup, "s_suppkey", "s_name", maxDist = 2)
         .select("id_a", "id_b", "dist")
     })
 

@@ -1228,6 +1228,24 @@ object ScaleProbe {
         graft.operators.Dedup.editDistancePairs(
           names, id = "nid", text = "nm", maxDist = 2).count()
       }
+      timed("fuzzy_keys", c) {
+        // j_fuzzy_keys' kernel on a ×c supplier-name relation (r14
+        // verdict item 2). Copy tags of stride-5 lengths push every
+        // cross-copy pair outside the ±2 admissible band, so candidates
+        // AND survivors grow LINEARLY in c (each copy joins only
+        // within itself) — the r13 crossJoin form grew as c² by
+        // construction. Sub-quadratic wall at ×8 is the pass criterion.
+        val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
+          .select(col("s_suppkey"), col("s_name"))
+        val names = (0 until c).map { i =>
+          sup.select(
+            (col("s_suppkey") + lit(i.toLong * 100000000L)).as("nid"),
+            concat(col("s_name"),
+              lit(('a' + i).toChar.toString * (3 + 5 * i))).as("nm"))
+        }.reduce(_ unionAll _)
+        graft.operators.Dedup.editDistancePairs(
+          names, id = "nid", text = "nm", maxDist = 2).count()
+      }
     }
     spark.stop()
   }
