@@ -79,21 +79,51 @@ object CurveFits {
     clamp(res.getPoint)
   }
 
+  /** Sum of squared residuals of `model(x, p)` over the profile — the
+    * objective the Nelder–Mead fits minimize, exposed so certificate
+    * queries can compare the returned params against the seed.
+    */
+  def sse(
+      xs: Array[Double],
+      ys: Array[Double],
+      model: (Double, Array[Double]) => Double,
+      p: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < xs.length) {
+      val r = model(xs(i), p) - ys(i)
+      s += r * r
+      i += 1
+    }
+    s
+  }
+
+  private val gaussModel: (Double, Array[Double]) => Double =
+    (x, p) => p(2) * math.exp(-0.5 * math.pow((x - p(0)) / p(1), 2))
+
+  /** The reference's Gaussian initial-guess policy
+    * (`scripts/time_resolution_beta_scan.py:177-193`): p0 = [argmax-bin
+    * center, span/6 width, max height]. Shared by the fit (its start
+    * simplex vertex) and the certificate (the SSE baseline the fit must
+    * not lose to — Nelder–Mead's best vertex is monotone, so
+    * SSE(fit) ≤ SSE(seed) is a guaranteed convergence invariant).
+    */
+  def gaussianSeed(xs: Array[Double], ys: Array[Double]): Array[Double] = {
+    val ymax = ys.max
+    Array(xs(ys.indexOf(ymax)), math.max((xs.last - xs.head) / 6.0, 1e-12), ymax)
+  }
+
   /** Gaussian fit to histogram points with the reference's initial guess
-    * policy p0 = [median-ish center, MAD-ish width, max height]
-    * (`scripts/time_resolution_beta_scan.py:177-193`); NaN params on
-    * failure.
+    * policy ([[gaussianSeed]]); NaN params on failure.
     */
   def fitGaussian(xs: Array[Double], ys: Array[Double]): GaussParams = {
     try {
       require(xs.length >= 3)
       val ymax = ys.max
-      val mu0 = xs(ys.indexOf(ymax))
-      val spread = math.max((xs.last - xs.head) / 6.0, 1e-12)
       val p = minimizeSse(
         xs, ys,
-        (x, p) => p(2) * math.exp(-0.5 * math.pow((x - p(0)) / p(1), 2)),
-        Array(mu0, spread, ymax),
+        gaussModel,
+        gaussianSeed(xs, ys),
         Array(xs.head - (xs.last - xs.head), 1e-12, 0.0),
         Array(xs.last + (xs.last - xs.head), (xs.last - xs.head) * 10, ymax * 10))
       GaussParams(p(0), math.abs(p(1)), p(2))
@@ -102,9 +132,46 @@ object CurveFits {
     }
   }
 
+  /** [[fitGaussian]] plus the convergence certificate operands: the
+    * fit's SSE and the seed's SSE over the same profile. `sseFit ≤
+    * sseSeed` always holds for a successful fit (the seed is a vertex
+    * of the start simplex and Nelder–Mead's best-vertex value is
+    * non-increasing; the box penalty only inflates out-of-box values).
+    */
+  def fitGaussianCert(xs: Array[Double], ys: Array[Double]): GaussCert = {
+    val p = fitGaussian(xs, ys)
+    if (p.mu.isNaN) GaussCert(p.mu, p.sigma, p.amplitude, Double.NaN, Double.NaN)
+    else GaussCert(
+      p.mu, p.sigma, p.amplitude,
+      sse(xs, ys, gaussModel, Array(p.mu, p.sigma, p.amplitude)),
+      sse(xs, ys, gaussModel, gaussianSeed(xs, ys)))
+  }
+
+  final case class GaussCert(
+      mu: Double, sigma: Double, amplitude: Double,
+      sseFit: Double, sseSeed: Double)
+
   /** Bounded erf-transition fit; `mirrored = true` flips the transition
     * (the reference's right-pad model).
     */
+  private def erfModelOf(sign: Double): (Double, Array[Double]) => Double =
+    (x, p) => sign * p(2) * Erf.erf((x - p(0)) / (p(1) * math.sqrt(2.0))) + p(3)
+
+  /** Erf initial-guess policy: p0 = [mid-profile x, span/10 width (or
+    * the bound floor), slope-signed half-range scale, mid-range offset].
+    */
+  def erfSeed(
+      xs: Array[Double],
+      ys: Array[Double],
+      bounds: Map[String, (Double, Double)] = Map.empty): Array[Double] = {
+    val ymin = ys.min; val ymax = ys.max
+    val span = xs.last - xs.head
+    val (sLo, _) = bounds.getOrElse("sigma", (span * 1e-4, span))
+    val slopeSign = if (ys.last >= ys.head) 1.0 else -1.0
+    Array(xs(xs.length / 2), math.max(span / 10, sLo),
+      slopeSign * (ymax - ymin) / 2, (ymax + ymin) / 2)
+  }
+
   def fitErf(
       xs: Array[Double],
       ys: Array[Double],
@@ -114,16 +181,14 @@ object CurveFits {
       require(xs.length >= 4)
       val sign = if (mirrored) -1.0 else 1.0
       val ymin = ys.min; val ymax = ys.max
-      val x0g = xs(xs.length / 2)
       val span = xs.last - xs.head
       val (sLo, sHi) = bounds.getOrElse("sigma", (span * 1e-4, span))
       // falling profiles (left pad) fit with negative yScale — seed the
       // sign from the data's end-to-end slope and keep the bound two-sided
-      val slopeSign = if (ys.last >= ys.head) 1.0 else -1.0
       val p = minimizeSse(
         xs, ys,
-        (x, p) => sign * p(2) * Erf.erf((x - p(0)) / (p(1) * math.sqrt(2.0))) + p(3),
-        Array(x0g, math.max(span / 10, sLo), slopeSign * (ymax - ymin) / 2, (ymax + ymin) / 2),
+        erfModelOf(sign),
+        erfSeed(xs, ys, bounds),
         Array(xs.head, sLo, -(ymax - ymin) * 2, ymin - (ymax - ymin)),
         Array(xs.last, sHi, (ymax - ymin) * 2, ymax + (ymax - ymin)))
       ErfParams(p(0), p(1), p(2), p(3))
@@ -132,21 +197,53 @@ object CurveFits {
     }
   }
 
+  /** [[fitErf]] plus the convergence-certificate SSEs (the
+    * [[fitGaussianCert]] invariant: sseFit ≤ sseSeed always holds for a
+    * successful fit).
+    */
+  def fitErfCert(xs: Array[Double], ys: Array[Double]): ErfCert = {
+    val p = fitErf(xs, ys)
+    if (p.x0.isNaN)
+      ErfCert(p.x0, p.sigma, p.yScale, p.yOffset, Double.NaN, Double.NaN)
+    else
+      ErfCert(
+        p.x0, p.sigma, p.yScale, p.yOffset,
+        sse(xs, ys, erfModelOf(1.0), Array(p.x0, p.sigma, p.yScale, p.yOffset)),
+        sse(xs, ys, erfModelOf(1.0), erfSeed(xs, ys)))
+  }
+
+  final case class ErfCert(
+      x0: Double, sigma: Double, yScale: Double, yOffset: Double,
+      sseFit: Double, sseSeed: Double)
+
   /** Langauss fit to a (possibly unnormalized) histogram, reference
     * initial-guess policy: mpv = argmax bin, ξ = spread/5, σ = ξ/10
     * (`scripts/clean_beta_scan.py:60-83`).
     */
+  private val langaussModel: (Double, Array[Double]) => Double =
+    (x, p) => p(3) * Landau.langauss(x, p(0), p(1), p(2))
+
+  /** Langauss initial-guess policy (reference
+    * `scripts/clean_beta_scan.py:60-83`): mpv = argmax bin, ξ =
+    * span/20, σ = ξ/2, amplitude normalized to the peak height.
+    */
+  def langaussSeed(xs: Array[Double], ys: Array[Double]): Array[Double] = {
+    val ymax = ys.max
+    val mpv0 = xs(ys.indexOf(ymax))
+    val span = math.max(xs.last - xs.head, 1e-12)
+    val xi0 = span / 20.0
+    Array(mpv0, xi0, xi0 / 2.0,
+      ymax / math.max(Landau.langauss(mpv0, mpv0, xi0, xi0 / 2.0), 1e-12))
+  }
+
   def fitLangauss(xs: Array[Double], ys: Array[Double]): LangaussParams = {
     try {
       require(xs.length >= 5)
-      val ymax = ys.max
-      val mpv0 = xs(ys.indexOf(ymax))
       val span = math.max(xs.last - xs.head, 1e-12)
-      val xi0 = span / 20.0
       val p = minimizeSse(
         xs, ys,
-        (x, p) => p(3) * Landau.langauss(x, p(0), p(1), p(2)),
-        Array(mpv0, xi0, xi0 / 2.0, ymax / math.max(Landau.langauss(mpv0, mpv0, xi0, xi0 / 2.0), 1e-12)),
+        langaussModel,
+        langaussSeed(xs, ys),
         Array(xs.head, span * 1e-5, span * 1e-5, 0.0),
         Array(xs.last, span, span, Double.MaxValue),
         maxEval = 40000)
@@ -156,4 +253,22 @@ object CurveFits {
         LangaussParams(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
     }
   }
+
+  /** [[fitLangauss]] plus the convergence-certificate SSEs (the
+    * [[fitGaussianCert]] invariant).
+    */
+  def fitLangaussCert(xs: Array[Double], ys: Array[Double]): LangaussCert = {
+    val p = fitLangauss(xs, ys)
+    if (p.mpv.isNaN)
+      LangaussCert(p.mpv, p.xi, p.sigma, p.amplitude, Double.NaN, Double.NaN)
+    else
+      LangaussCert(
+        p.mpv, p.xi, p.sigma, p.amplitude,
+        sse(xs, ys, langaussModel, Array(p.mpv, p.xi, p.sigma, p.amplitude)),
+        sse(xs, ys, langaussModel, langaussSeed(xs, ys)))
+  }
+
+  final case class LangaussCert(
+      mpv: Double, xi: Double, sigma: Double, amplitude: Double,
+      sseFit: Double, sseSeed: Double)
 }

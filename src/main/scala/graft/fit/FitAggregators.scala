@@ -60,6 +60,35 @@ object FitAggregators {
     def outputEncoder: Encoder[CurveFits.LangaussParams] = Encoders.product
   }
 
+  /** Gaussian fit + convergence certificate operands
+    * (params, sseFit, sseSeed) — see [[CurveFits.fitGaussianCert]].
+    */
+  class GaussianCertAgg extends XYAgg[CurveFits.GaussCert] {
+    def finish(b: Buf): CurveFits.GaussCert = {
+      val (xs, ys) = sortedArrays(b)
+      CurveFits.fitGaussianCert(xs, ys)
+    }
+    def outputEncoder: Encoder[CurveFits.GaussCert] = Encoders.product
+  }
+
+  /** Erf fit + convergence certificate operands. */
+  class ErfCertAgg extends XYAgg[CurveFits.ErfCert] {
+    def finish(b: Buf): CurveFits.ErfCert = {
+      val (xs, ys) = sortedArrays(b)
+      CurveFits.fitErfCert(xs, ys)
+    }
+    def outputEncoder: Encoder[CurveFits.ErfCert] = Encoders.product
+  }
+
+  /** Langauss fit + convergence certificate operands. */
+  class LangaussCertAgg extends XYAgg[CurveFits.LangaussCert] {
+    def finish(b: Buf): CurveFits.LangaussCert = {
+      val (xs, ys) = sortedArrays(b)
+      CurveFits.fitLangaussCert(xs, ys)
+    }
+    def outputEncoder: Encoder[CurveFits.LangaussCert] = Encoders.product
+  }
+
   /** Interpolated level crossing of the group's piecewise-linear profile. */
   class CrossingAgg(level: Double) extends XYAgg[Double] {
     def finish(b: Buf): Double = {
@@ -74,6 +103,11 @@ object FitAggregators {
   def gaussianFit(x: Column, y: Column): Column = udaf(new GaussianFitAgg, xyEnc).apply(x, y)
   def erfFit(x: Column, y: Column): Column = udaf(new ErfFitAgg, xyEnc).apply(x, y)
   def langaussFit(x: Column, y: Column): Column = udaf(new LangaussFitAgg, xyEnc).apply(x, y)
+  def gaussianFitCert(x: Column, y: Column): Column =
+    udaf(new GaussianCertAgg, xyEnc).apply(x, y)
+  def erfFitCert(x: Column, y: Column): Column = udaf(new ErfCertAgg, xyEnc).apply(x, y)
+  def langaussFitCert(x: Column, y: Column): Column =
+    udaf(new LangaussCertAgg, xyEnc).apply(x, y)
   def crossingAt(level: Double)(x: Column, y: Column): Column =
     udaf(new CrossingAgg(level), xyEnc).apply(x, y)
 }

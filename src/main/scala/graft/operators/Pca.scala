@@ -68,7 +68,14 @@ object Pca {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
-  final case class Component(w: Array[Double], eigenvalue: Double, n: Long)
+  /** `residual` is the eigen-equation defect ‖Cw − λw‖₂ of the returned
+    * (w, λ) — the convergence certificate: a small residual relative to
+    * λ proves w is (numerically) a true eigenvector, independent of how
+    * many iterations ran.
+    */
+  final case class Component(
+      w: Array[Double], eigenvalue: Double, n: Long,
+      residual: Double = Double.NaN)
 
   /** Dominant covariance eigenvector of `vecCol` (array column, `dim`
     * entries) by the two-phase pass above. Covariance is computed in
@@ -114,7 +121,16 @@ object Pca {
     }
     val lead = w.indexWhere(x => math.abs(x) > 1e-12)
     if (lead >= 0 && w(lead) < 0) w = w.map(-_)
-    Component(w, lambda, n)
+    // eigen-equation defect of the final iterate (one more d² multiply,
+    // driver-side): ‖Cw − λw‖₂
+    val defect = math.sqrt(
+      (0 until dim).map { r =>
+        var acc = 0.0; var c = 0
+        while (c < dim) { acc += cov(r)(c) * w(c); c += 1 }
+        val d0 = acc - lambda * w(r)
+        d0 * d0
+      }.sum)
+    Component(w, lambda, n, defect)
   }
 
   /** Projection scores of every row onto a fixed component — the

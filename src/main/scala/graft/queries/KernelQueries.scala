@@ -14,15 +14,32 @@ object KernelQueries {
 
   /** Exact per-group multinomial bootstrap, aggregated per (replica, group)
     * — the time-resolution resampling shape (reference
-    * `scripts/time_resolution_beta_scan.py:249-258`). Each (replica, flag)
-    * count equals the original group size by construction.
+    * `scripts/time_resolution_beta_scan.py:249-258`).
+    *
+    * CERTIFICATE ROW (r13 verdict item 4): the xxhash64 draws aren't
+    * portable SQL, but the multinomial CONTRACT is — each (replica,
+    * flag) count equals the original group size BY CONSTRUCTION, and
+    * the oracle recomputes that `n` as COUNT(*), hash-compared. The
+    * replica mean additionally sits inside a wide CLT band around the
+    * group mean (`mean_in_band`, z = 8 — a resample mean 8 standard
+    * errors out means the draw arithmetic is broken, not unlucky);
+    * `a10_bootstrap_hash` keeps the full weighted-resample VALUES
+    * hash-exact via the portable-multiplicity tier.
     */
   val a10Exact: Q = Q(
     "a10_bootstrap_exact",
-    None,
+    Some("""SELECT r.replica, l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           |  TRUE AS mean_in_band
+           |FROM lineitem
+           |CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS replica) r
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     (s, dir) => {
       val t = Tables.load(s, dir, "lineitem")
         .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+      val stats = t.groupBy("l_returnflag").agg(
+        avg(col("l_quantity")).as("gm"),
+        stddev_samp(col("l_quantity")).as("gs"),
+        count(lit(1)).cast("double").as("gn"))
       Bootstrap
         .exactResample(
           t, Seq("l_returnflag"),
@@ -31,20 +48,36 @@ object KernelQueries {
         .groupBy("replica", "l_returnflag")
         .agg(
           count(lit(1)).as("n"),
-          DetAgg.dsum(col("l_quantity")).as("sum_qty"))
+          avg(col("l_quantity")).as("rm"))
+        .join(broadcast(stats), "l_returnflag")
+        .select(
+          col("replica"), col("l_returnflag"), col("n"),
+          (abs(col("rm") - col("gm")) <= lit(8.0) * col("gs") / sqrt(col("gn")))
+            .as("mean_in_band"))
+        .orderBy("replica", "l_returnflag")
     })
 
   /** Poissonized bootstrap error: std over replicas of the replica-mean —
     * the jitter-uncertainty composition (reference
     * `scripts/time_resolution_beta_scan.py:338-340`). No join, no
     * per-group state: the 100 TB form.
+    *
+    * CERTIFICATE ROW: the bootstrap standard error must agree with the
+    * analytic standard error of the mean (σ/√n) within a generous χ
+    * band — 16 replicas put the sd-of-replicas ratio within ~±20% at
+    * 1σ, so [0.4, 2.5] only fails on broken resampling arithmetic, not
+    * on seed luck. Verdict in-row vs a literal-true oracle.
     */
   val a10PoissonErr: Q = Q(
     "a10_bootstrap_err",
-    None,
+    Some("""SELECT l_returnflag, TRUE AS err_in_band
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
     (s, dir) => {
       val t = Tables.load(s, dir, "lineitem")
         .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+      val stats = t.groupBy("l_returnflag").agg(
+        stddev_samp(col("l_quantity")).as("gs"),
+        count(lit(1)).cast("double").as("gn"))
       val replicaMeans = Bootstrap
         .poissonResample(
           t,
@@ -54,7 +87,14 @@ object KernelQueries {
         .agg(DetAgg.davg(col("l_quantity")).as("replica_mean"))
       replicaMeans
         .groupBy("l_returnflag")
-        .agg(round(DetAgg.dstd(col("replica_mean")) * lit(1e6), 3).as("boot_err_ppm"))
+        .agg(DetAgg.dstd(col("replica_mean")).as("boot_err"))
+        .join(broadcast(stats), "l_returnflag")
+        .select(
+          col("l_returnflag"),
+          (col("boot_err") >= lit(0.4) * col("gs") / sqrt(col("gn"))
+            && col("boot_err") <= lit(2.5) * col("gs") / sqrt(col("gn")))
+            .as("err_in_band"))
+        .orderBy("l_returnflag")
     })
 
   /** Portable-hash Poisson bootstrap, ORACLE-CHECKED: multiplicity is a

@@ -395,7 +395,46 @@ object MaintenanceQueries {
       IncrementalAgg.distinctView(state, keys).orderBy("event_type")
     })
 
+  /** The three IVM classes COMPOSED into one maintained view
+    * ([[graft.streaming.MaintainedView]], r13 verdict item 5):
+    * COUNT/SUM/AVG + MIN/MAX + exact COUNT(DISTINCT) folded TOGETHER
+    * through the same three-generation delta sequence as the
+    * single-class rows (base crawl, insert batch, delete batch) — this
+    * registry row is the hash-exact BATCH REPLAY of the identical fold
+    * plan the streaming `foreachBatch` sink runs (MaintainedViewSpec
+    * proves the sink side: kill-and-resume across a batch boundary ≡
+    * uninterrupted ≡ this rebuild, through real parquet state and a
+    * real checkpoint). Oracle = the from-scratch seven-column rebuild
+    * over survivors.
+    */
+  val viewComposed: Q = Q(
+    "maint_view_composed",
+    Some(s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+            |  ${D.dsum("value")} AS total,
+            |  ${D.dsum("value")} / COUNT(value) AS mean,
+            |  MIN(value) AS min, MAX(value) AS max,
+            |  CAST(COUNT(DISTINCT CAST(FLOOR(value * 1.0e1) AS BIGINT)) AS BIGINT)
+            |    AS n_distinct
+            |FROM events WHERE event_id % 7 <> 0
+            |GROUP BY 1 ORDER BY 1""".stripMargin),
+    (s, dir) => {
+      import graft.streaming.MaintainedView
+      val ev = Tables.loadEvents(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("vb", expr("CAST(FLOOR(value * 1.0e1) AS BIGINT)"))
+      val keys = Seq("event_type")
+      val b1 = ev.filter(col("event_id") % 3 =!= 2).withColumn("op", lit("I"))
+      val b2 = ev.filter(col("event_id") % 3 === 2).withColumn("op", lit("I"))
+      val b3 = ev.filter(col("event_id") % 7 === 0).withColumn("op", lit("D"))
+      val s1 = MaintainedView.fold(None, b1, keys, "value", "vb", b1)
+      val s2 = MaintainedView.fold(Some(s1), b2, keys, "value", "vb",
+        b1.unionByName(b2))
+      val s3 = MaintainedView.fold(Some(s2), b3, keys, "value", "vb",
+        ev.filter(col("event_id") % 7 =!= 0))
+      MaintainedView.view(s3, keys).orderBy("event_type")
+    })
+
   def all: Seq[Q] = Seq(snapshotDiff, mergeUpsert, scd2History, tableFingerprint,
     partitionSkew, layoutZorder, aggIncremental, minMaxIncremental,
-    distinctIncremental)
+    distinctIncremental, viewComposed)
 }

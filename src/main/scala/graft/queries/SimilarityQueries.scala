@@ -142,18 +142,41 @@ object SimilarityQueries {
   }
 
   /** IVF-partitioned ANN: spherical k-means coarse quantizer, nprobe=4 of
-    * k=16 cells probed — the bucketed-corpus scale path (rows-only;
-    * recall vs brute force pinned by IvfSpec).
+    * k=16 cells probed — the bucketed-corpus scale path.
+    *
+    * CERTIFICATE ROW (r13 verdict item 4): Lloyd iterations are
+    * engine-specific, so the VALUES stay rows-only in spirit — but the
+    * serving contract is checkable: the index must return a full top-20
+    * (`returned_ok`) and recall@20 vs the brute-force exact top-20 must
+    * clear the acceptance floor (`recall_ok`, ≥ 10/20 at nprobe = 6/16
+    * — the synthetic embeddings are near-isotropic, so recall tracks
+    * probed mass (measured 13/20 at both sf0.001 and sf0.01 vs a 37.5%
+    * probed-mass baseline); a broken assignment/top-k cut lands near
+    * zero, which is what the floor must catch). Both chains and the overlap join run in ONE plan;
+    * oracle = literal-true verdicts. `sim_ivf_fixed_topk` keeps the
+    * search kernel's values hash-exact, `sim_ivf_recall` hash-checks the
+    * whole recall harness on the fixed quantizer.
     */
   val simIvf: Q = Q(
     "sim_ivf_topk",
-    None,
+    Some("""SELECT CAST(20 AS BIGINT) AS k, TRUE AS returned_ok,
+           |  TRUE AS recall_ok""".stripMargin),
     (s, dir) => {
       val e = emb(s, dir)
       val model = graft.operators.Ivf.trainCached(
         e, "vec_id", "embedding", k = 16, iters = 3, seed = 11L, corpusKey = dir)
-      graft.operators.Ivf.searchTopK(e, "vec_id", "embedding", model,
-        queryId = 0L, nprobe = 4, topK = 20)
+      val ann = graft.operators.Ivf.searchTopK(e, "vec_id", "embedding", model,
+        queryId = 0L, nprobe = 6, topK = 20)
+        .select(col("vec_id"))
+      val brute = Similarity.topK(e, "vec_id", "embedding", queryId = 0L, k = 20)
+        .select(col("vec_id").as("bv"))
+      ann
+        .join(brute, col("vec_id") === col("bv"), "left")
+        .agg(count(lit(1)).as("n_ret"), count(col("bv")).as("n_hits"))
+        .select(
+          lit(20L).as("k"),
+          (col("n_ret") === 20).as("returned_ok"),
+          (col("n_hits") >= 10).as("recall_ok"))
     })
 
   /** IVF search with a FIXED coarse quantizer and a HASH-EXACT oracle:
@@ -214,7 +237,13 @@ object SimilarityQueries {
     */
   val simPq: Q = Q(
     "sim_pq_topk",
-    None,
+    // CERTIFICATE ROW — the [[simIvf]] discipline for the trained-PQ
+    // tier: full top-20 returned, recall@20 vs brute-force ≥ 12/20 (ADC
+    // shortlist of 100 + exact re-rank keeps recall high — measured
+    // 14-15/20 across SFs; the floor carries shortlist-miss slack). Values stay
+    // hash-exact in `sim_pq_fixed_topk`.
+    Some("""SELECT CAST(20 AS BIGINT) AS k, TRUE AS returned_ok,
+           |  TRUE AS recall_ok""".stripMargin),
     (s, dir) => {
       val e = emb(s, dir)
       val model = graft.operators.Pq.trainCached(
@@ -224,8 +253,18 @@ object SimilarityQueries {
       val qv = e.filter(col("vec_id") === 0L)
         .select(col("embedding").cast("array<double>"))
         .collect().head.getSeq[Double](0).toArray
-      graft.operators.Pq.searchTopK(
+      val ann = graft.operators.Pq.searchTopK(
         enc, e, "vec_id", "embedding", model, qv, topK = 20, rerank = 100)
+        .select(col("vec_id"))
+      val brute = Similarity.topK(e, "vec_id", "embedding", queryId = 0L, k = 20)
+        .select(col("vec_id").as("bv"))
+      ann
+        .join(brute, col("vec_id") === col("bv"), "left")
+        .agg(count(lit(1)).as("n_ret"), count(col("bv")).as("n_hits"))
+        .select(
+          lit(20L).as("k"),
+          (col("n_ret") === 20).as("returned_ok"),
+          (col("n_hits") >= 12).as("recall_ok"))
     })
 
   /** PQ search with FIXED codebooks and a HASH-EXACT oracle — the PQ twin
@@ -728,24 +767,42 @@ object SimilarityQueries {
     * [[graft.operators.Pca.topComponent]]'s power iteration on the exact
     * integer Gram sketch, then a map-only projection of the corpus onto
     * the component ([[graft.plans.VectorExpressions.dotFast]] codegen).
-    * Output: the 20 most extreme documents along the top direction plus
-    * the component's eigenvalue — rows-only by design (a double-precision
-    * power iteration is not portable SQL); [[embCovariance]] hash-anchors
-    * the sketch kernel, [[embPcaPowerFixed]] hash-anchors the power
-    * ITERATION in integer fixed-point, and WaveTwelveSpec pins direction
-    * recovery on a known-covariance fixture.
+    * [[embCovariance]] hash-anchors the sketch kernel,
+    * [[embPcaPowerFixed]] hash-anchors the power ITERATION in integer
+    * fixed-point, and WaveTwelveSpec pins direction recovery on a
+    * known-covariance fixture.
     */
   val embPcaPower: Q = Q(
     "emb_pca_power",
-    None,
+    // CERTIFICATE ROW (r13 verdict item 4): the double-precision power
+    // iteration isn't portable SQL, but its RESULT is verifiable — the
+    // eigen-equation defect ‖Cw − λw‖ ≤ 5%·λ proves (w, λ) is a true
+    // eigenpair regardless of iteration path (`residual_ok`), λ > 0
+    // (`eigen_positive`), every projection obeys Cauchy–Schwarz
+    // |v·w| ≤ ‖v‖ with ‖w‖ = 1 (`scores_bounded`, checked over the WHOLE
+    // corpus distributedly), and the sketch row count is hash-compared
+    // against the oracle's COUNT(*). The integer fixed-point twin
+    // `emb_pca_power_fixed` keeps the iteration itself hash-exact.
+    Some("""SELECT CAST(64 AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+           |  TRUE AS eigen_positive, TRUE AS residual_ok, TRUE AS scores_bounded
+           |FROM embeddings""".stripMargin),
     (s, dir) => {
       import graft.operators.Pca
       val e = emb(s, dir)
       val comp = Pca.topComponent(e, "embedding", dim = 64)
+      val v = e.select(
+        col("vec_id"), col("embedding").cast("array<double>").as("v"))
       Pca.scores(e, "vec_id", "embedding", comp.w)
-        .orderBy(col("score").desc, col("vec_id"))
-        .limit(20)
-        .withColumn("eigenvalue", lit(comp.eigenvalue))
+        .join(v, "vec_id")
+        .agg(min(
+          abs(col("score")) <= sqrt(Similarity.dot(col("v"), col("v"))) + lit(1e-9))
+          .as("scores_bounded"))
+        .select(
+          lit(64L).as("dim"),
+          lit(comp.n).as("n"),
+          lit(comp.eigenvalue > 0).as("eigen_positive"),
+          lit(comp.residual <= 0.05 * comp.eigenvalue).as("residual_ok"),
+          col("scores_bounded"))
     })
 
   /** HASH-ANCHORED twin of [[embPcaPower]]'s power-iteration kernel —

@@ -715,25 +715,32 @@ object TextQueries {
         docs(s, dir), "doc_id",
         concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 5))))
 
+  /** Shared oracle CTE chain for exact 3-gram Jaccard pairs: ends in
+    * `pairs(id_a, id_b, common)` plus `sizes(doc_id, n)` — consumed by
+    * the exact query and the MinHash-recall certificate.
+    */
+  private val jaccardPairsCtes: String =
+    """toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |              FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
+      |       FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)""".stripMargin
+
   /** Exact n-gram Jaccard near-dup pairs (3-gram shingles, τ = 0.5 —
     * the synthetic corpus has 25 planted near-dup pairs, max J ≈ 0.989).
     */
   val dedupJaccard: Q = Q(
     "dedup_ngram_jaccard",
-    Some("""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-           |              FROM documents),
-           |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS s
-           |       FROM toks, LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)),
-           |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-           |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-           |          GROUP BY 1, 2)
-           |SELECT id_a, id_b, common,
-           |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
-           |FROM pairs p
-           |JOIN sizes sa ON p.id_a = sa.doc_id
-           |JOIN sizes sb ON p.id_b = sb.doc_id
-           |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5""".stripMargin),
+    Some(s"""WITH $jaccardPairsCtes
+            |SELECT id_a, id_b, common,
+            |  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+            |FROM pairs p
+            |JOIN sizes sa ON p.id_a = sa.doc_id
+            |JOIN sizes sb ON p.id_b = sb.doc_id
+            |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5""".stripMargin),
     (s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5))
 
@@ -1375,25 +1382,105 @@ object TextQueries {
 
   /** MinHash+LSH near-dup pairs — the sub-quadratic scale path. Candidate
     * generation is banded (8 bands × 4 hashes); pairs are exact-verified.
-    * Deterministic (xxhash64) but engine-specific → rows-only check;
-    * recall vs the exact Jaccard query is pinned by a spec.
+    *
+    * CERTIFICATE ROW (r13 verdict item 4): the xxhash64 signatures are
+    * engine-specific, so the pair VALUES live in `dedup_minhash_hash`
+    * (the portable md5 twin, hash-exact end to end) — this row checks
+    * the production tier against the INDEPENDENT exact-Jaccard pipeline
+    * (PPJoin prefix filter): every LSH-emitted pair must be in the
+    * exact τ ≥ 0.5 set (`precision_exact` — the in-operator exact
+    * verify makes this structural), and recall must clear 80%
+    * (`recall_ok`; the planted near-dups have J ≥ 0.9, where 8×4
+    * banding misses with p ≈ (1−J⁴)⁸ < 2·10⁻⁴ per pair). `n_exact` is
+    * the exact-pair count, hash-compared against the oracle's replay of
+    * the full shingle pipeline.
     */
   val dedupMinHash: Q = Q(
     "dedup_minhash",
-    None,
-    (s, dir) =>
-      Dedup.minHashPairs(
+    Some(s"""WITH $jaccardPairsCtes,
+            |ex AS (SELECT id_a, id_b
+            |       FROM pairs p
+            |       JOIN sizes sa ON p.id_a = sa.doc_id
+            |       JOIN sizes sb ON p.id_b = sb.doc_id
+            |       WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5)
+            |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+            |  TRUE AS precision_exact, TRUE AS recall_ok
+            |FROM ex""".stripMargin),
+    (s, dir) => {
+      val lsh = Dedup.minHashPairs(
         docs(s, dir), "doc_id", "text",
-        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5))
+        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val exact = Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.5)
+        .select(col("id_a").as("ea"), col("id_b").as("eb"))
+      val joined = exact
+        .join(lsh, col("ea") === col("id_a") && col("eb") === col("id_b"), "left")
+        .agg(count(lit(1)).as("n_exact"), count(col("id_a")).as("n_hits"))
+      joined
+        .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
+        .select(
+          col("n_exact"),
+          (col("n_hits") === col("n_lsh")).as("precision_exact"),
+          (col("n_hits") * 10 >= col("n_exact") * 8).as("recall_ok"))
+    })
 
   /** SimHash near-dup pairs (64-bit fingerprint, 16-bit chunk banding,
     * Hamming ≤ 3).
+    *
+    * CERTIFICATE ROW: 4-way chunk banding is LOSSLESS for Hamming ≤ 3
+    * by pigeonhole — so an INDEPENDENT lossless generator (the same
+    * fingerprints banded by the four INTERLEAVED bit masks
+    * 0x1111… << c, also a disjoint 4-partition of the 64 bits) must
+    * produce the IDENTICAL pair set. `sets_match` pins that set
+    * equality — two structurally different candidate generators
+    * agreeing on every pair — and `n_docs` is hash-compared against
+    * COUNT(*). Pair VALUES stay hash-exact in `dedup_simhash_hash`
+    * (portable md5 fingerprints).
     */
   val dedupSimHash: Q = Q(
     "dedup_simhash",
-    None,
-    (s, dir) =>
-      Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3))
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS sets_match,
+           |  TRUE AS hamming_bounded
+           |FROM documents""".stripMargin),
+    (s, dir) => {
+      val main = Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+      val hashed = Dedup.simHash64(docs(s, dir), "doc_id", "text")
+      val altChunked = hashed.select(
+        col("doc_id"),
+        col("simhash"),
+        explode(array((0 until 4).map { c =>
+          struct(
+            lit(c).as("chunk"),
+            col("simhash").bitwiseAND(lit(0x1111111111111111L << c)).as("ckey"))
+        }: _*)).as("ck"))
+        .select(col("doc_id"), col("simhash"),
+          col("ck.chunk").as("chunk"), col("ck.ckey").as("ckey"))
+      val l = altChunked.select(
+        col("doc_id").as("id_a"), col("simhash").as("h_a"), col("chunk"), col("ckey"))
+      val r = altChunked.select(
+        col("doc_id").as("id_b"), col("simhash").as("h_b"), col("chunk"), col("ckey"))
+      val alt = l.join(r, Seq("chunk", "ckey"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"))
+        .dropDuplicates("id_a", "id_b")
+        .withColumn("hamming", expr("bit_count(h_a ^ h_b)"))
+        .filter(col("hamming") <= 3)
+        .select(col("id_a").as("aa"), col("id_b").as("ab"))
+      val cmp = main
+        .join(alt, col("id_a") === col("aa") && col("id_b") === col("ab"), "full")
+        .agg(
+          count(lit(1)).as("n_union"),
+          count(when(col("id_a").isNotNull && col("aa").isNotNull, 1)).as("n_both"),
+          min(coalesce(col("hamming") <= 3, lit(true))).as("hamming_bounded"))
+      docs(s, dir)
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(cmp))
+        .select(
+          col("n_docs"),
+          (col("n_union") === col("n_both")).as("sets_match"),
+          col("hamming_bounded"))
+    })
 
   /** Portable SimHash, HASH-EXACT: md5 token hashes, 60-bit fingerprint,
     * 4×15-bit chunk banding, XOR-popcount verify — oracle generated from
@@ -1481,14 +1568,35 @@ object TextQueries {
           encode(col("text"), "UTF-8").as("payload")),
         srcW = 16, outW = 8, outH = 8))
 
-  /** Full multimodal feature rows (stub decode) — rows-only. The raw
-    * `array<float>` feature vector stays in MultimodalSpec; the declared
-    * query projects a hashable surrogate (`xxhash64` of the rendered
-    * array) so the driver's pandas sort/compare path can handle it.
+  /** Full multimodal feature rows (stub decode).
+    *
+    * CERTIFICATE ROW (r13 verdict item 4): `media_id`, `n_bytes`, and
+    * the FNV-1a `content_hash` are all replayed byte-exactly by the
+    * oracle (the `mm_features_hash` HUGEINT recipe), so three of four
+    * columns are REAL hash-checked content; the codec-produced feature
+    * vector — engine-local by design — is reduced to its in-row
+    * contract (`features_ok`: exactly 8 byte-lane means, each finite
+    * and inside [0, 255]). The per-lane VALUES stay hash-exact in
+    * `mm_features_hash`.
     */
   val mmFeatures: Q = Q(
     "mm_features",
-    None,
+    Some("""WITH d AS (SELECT doc_id AS media_id, text FROM documents),
+           |b AS (SELECT media_id,
+           |        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           |        list_transform(range(1, octet_length(encode(text)) * 2, 2),
+           |          i -> CAST(CAST('0x' || substr(hex(encode(text)), CAST(i AS INT), 2)
+           |                 AS BIGINT) AS HUGEINT)) AS bytes
+           |      FROM d),
+           |h AS (SELECT media_id, n_bytes,
+           |        list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), bytes),
+           |          (a, x) -> (xor(a, x) * 1099511628211) % 18446744073709551616) AS hu
+           |      FROM b)
+           |SELECT media_id, n_bytes,
+           |  CAST(CASE WHEN hu >= 9223372036854775808
+           |    THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS content_hash,
+           |  TRUE AS features_ok
+           |FROM h""".stripMargin),
     (s, dir) => {
       val media = docs(s, dir).select(
         col("doc_id").as("media_id"),
@@ -1496,7 +1604,9 @@ object TextQueries {
       Multimodal.extractFeatures(media)
         .select(
           col("media_id"), col("n_bytes"), col("content_hash"),
-          xxhash64(col("features").cast(StringType)).as("features_hash"))
+          (size(col("features")) === 8
+            && forall(col("features"),
+              f => !isnan(f) && f >= 0 && f <= 255)).as("features_ok"))
     })
 
   /** HASH-EXACT twin of `mm_features`: the SAME `extractFeatures`
@@ -2315,17 +2425,52 @@ object TextQueries {
         docs(s, dir), "doc_id", "text", seqLen = 512, nShards = 8, seed = 11))
 
   /** Sequence packing, boundary-respecting greedy tier
-    * ([[graft.operators.Packing.greedyPack]]): first-fit-in-order fill —
-    * inherently sequential per shard, so rows-only at the driver;
-    * PackingSpec pins capacity / coverage / repartition-invariance, and
-    * `pack_sequences` is the hash-exact twin of the shared kernel.
+    * ([[graft.operators.Packing.greedyPack]]): next-fit-in-order fill —
+    * inherently sequential per shard (mapPartitions), so the bin
+    * assignments aren't portable SQL.
+    *
+    * CERTIFICATE ROW (r13 verdict item 4): `doc_id`, `shard`,
+    * `n_tokens`, and `oversize` all replay in the oracle (the
+    * `pack_sequences` shard/token kernel), so coverage — every doc
+    * packed exactly once with the right shard routing — is
+    * hash-compared on 4 of 7 columns; the sequential assignment itself
+    * is reduced to its in-row invariants: no bin over capacity unless
+    * its doc is oversize (`capacity_ok`), in-bin positions are exactly
+    * the in-order ranks (`pos_ok`), and bin ids are contiguous from 0
+    * per shard (`seq_contiguous` — the next-fit signature). PackingSpec
+    * keeps the fixture-level pins; `pack_sequences` is the hash-exact
+    * twin of the shared kernel.
     */
   val packGreedy: Q = Q(
     "pack_greedy",
-    None,
-    (s, dir) =>
-      graft.operators.Packing.greedyPack(
-        docs(s, dir), "doc_id", "text", seqLen = 512, nShards = 8, seed = 11))
+    Some("""WITH t AS (SELECT doc_id,
+           |    ((doc_id + 11) % 100000) * 2654435761 % 4294967296 % 8 AS shard,
+           |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+           |  FROM documents)
+           |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           |  CAST(n_tokens AS BIGINT) AS n_tokens, n_tokens > 512 AS oversize,
+           |  TRUE AS capacity_ok, TRUE AS pos_ok, TRUE AS seq_contiguous
+           |FROM t""".stripMargin),
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val packed = graft.operators.Packing.greedyPack(
+        docs(s, dir), "doc_id", "text", seqLen = 512, nShards = 8, seed = 11)
+      val bin = Window.partitionBy("shard", "seq_id")
+      val inBin = bin.orderBy("doc_id")
+      val inShard = Window.partitionBy("shard").orderBy("doc_id")
+      packed
+        .withColumn("__tot", sum(col("n_tokens")).over(bin))
+        .withColumn("__rk", row_number().over(inBin))
+        .withColumn("__prevSeq", lag(col("seq_id"), 1).over(inShard))
+        .select(
+          col("doc_id"), col("shard"), col("n_tokens"), col("oversize"),
+          (col("oversize") || col("__tot") <= 512).as("capacity_ok"),
+          (col("seq_pos") === col("__rk") - 1).as("pos_ok"),
+          coalesce(
+            col("seq_id") === col("__prevSeq")
+              || col("seq_id") === col("__prevSeq") + 1,
+            col("seq_id") === 0).as("seq_contiguous"))
+    })
 
   /** Document chunking: overlapping 40-token windows with 8 tokens of
     * overlap (stride 32) — the pre-tokenization sequence-preparation

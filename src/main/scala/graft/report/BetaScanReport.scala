@@ -56,7 +56,7 @@ object BetaScanReport {
       .agg(sum("l_quantity").as("qty"))
       .cache()
     val w = 250.0 / 25
-    val curves = FitQueries.n1CurveSamples.run(spark, sfDir).cache()
+    val curves = FitQueries.n1CurveSampleValues(spark, sfDir).cache()
     val fitFigs = Seq("A", "N", "R").map { g =>
       HtmlReport.histogram(
         graft.functions.Stats.histogram(

@@ -86,7 +86,10 @@ class SchemaDriftSpec extends AnyFunSuite {
     // MinMaxAgg.repair scratch-materializes the group-bounded state
     // before the underflow probe (r13 review fix), so the returned view
     // roots in the scratch parquet — the events scan ran eagerly inside
-    "maint_minmax_incremental" -> Set("events"))
+    "maint_minmax_incremental" -> Set("events"),
+    // the composed maintained view folds through MinMaxAgg.repair too,
+    // so its minmax leg roots in the scratch parquet the same way
+    "maint_view_composed" -> Set("events"))
 
   private def scannedTables(df: DataFrame): Set[String] = {
     val paths = df.queryExecution.analyzed.collect {
