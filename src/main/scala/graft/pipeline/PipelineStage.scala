@@ -63,6 +63,27 @@ object PipelineStage {
     spark.read.schema(df.schema).parquet(path.toString)
   }
 
+  /** [[scratch]] with a HIVE-PARTITIONED layout: one directory per value
+    * of `partitionCol` — the reference's directory-per-measurement
+    * catalog convention (SURVEY §1.1) as a materialized stage. The
+    * read-back scan's partition column IS the catalog key, so
+    * name-derived predicates prune to the matching directories exactly
+    * the way the reference's directory walk selects measurement folders.
+    * Read WITHOUT the writer-schema shortcut: the partition column must
+    * come from directory-name inference, not the file footers.
+    */
+  def scratchPartitioned(df: DataFrame, tag: String, partitionCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val base = scratchBase(
+      spark.sparkContext.master,
+      spark.conf.getOption("spark.graft.scratch.dir"))
+    val path = new Path(base, s"graft-scratch-$tag-${java.util.UUID.randomUUID()}")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.partitionBy(partitionCol).parquet(path.toString)
+    fs.deleteOnExit(path)
+    spark.read.parquet(path.toString)
+  }
+
   /** Resolve the scratch root for a given master URL. Factored out of
     * [[scratch]] so the non-local guard is unit-testable without standing
     * up a cluster: a configured dir always wins; otherwise `java.io.tmpdir`

@@ -513,7 +513,8 @@ object AnalysisQueries {
     * belongs to exactly one, mirroring disjoint sub-measurement
     * directories. Δt in picoseconds (the flagship discipline).
     */
-  val trSweep: Q = {
+  private object TrSweepChain {
+    import org.apache.spark.sql.{DataFrame, SparkSession}
     val R = 4
     val bins = 50
     import graft.fit.ClosedForm
@@ -533,9 +534,7 @@ object AnalysisQueries {
       s"ROUND(SQRT((${D.dsumP(s"($sgB) * ($sgB)")} " +
         s"- ${D.dsum(sgB)} * ${D.dsum(sgB)} / COUNT($sgB)) " +
         s"/ (COUNT($sgB) - 1)), 6)"
-    Q(
-      "pipeline_tr_sweep",
-      Some(s"""WITH base AS (
+    val oracle: String = s"""WITH base AS (
               |  SELECT l_orderkey AS n_trigger, l_linenumber AS dev,
               |    100 + (l_orderkey % 3) * 50 AS v,
               |    MIN(l_extendedprice) * 1.0e-9 AS t0
@@ -601,19 +600,30 @@ object AnalysisQueries {
               |  v AS "Bias voltage (V)",
               |  MAX(CASE WHEN replica = 0 THEN sg END) AS "Jitter (s)",
               |  $errT AS "Jitter (s) error"
-              |FROM fits GROUP BY 1, 2 ORDER BY 2""".stripMargin),
-      (s, dir) => {
+              |FROM fits GROUP BY 1, 2 ORDER BY 2""".stripMargin
+
+    /** Per-(trigger, device, voltage) timing base, scratch-materialized
+      * (referenced by the fan TWICE — the flagship discipline).
+      */
+    def mkBase(s: SparkSession, dir: String): DataFrame =
+      graft.pipeline.PipelineStage.scratch(
+        Tables.load(s, dir, "lineitem")
+          .filter(col("l_linenumber").isin(1, 2))
+          .groupBy("l_orderkey", "l_linenumber")
+          .agg(min("l_extendedprice").as("p"))
+          .select(
+            col("l_orderkey").as("n_trigger"), col("l_linenumber").as("dev"),
+            (lit(100) + (col("l_orderkey") % 3) * 50).as("v"),
+            (col("p") * lit(1.0e-9)).as("t0")),
+        "trsweep-base")
+
+    /** The whole sweep chain from a (n_trigger, dev, v, t0) base —
+      * shared by the lineitem-sourced registry row and the
+      * catalog-layout-sourced one, so "same result through the catalog
+      * layer" is one code path with two sources.
+      */
+    def chain(s: SparkSession, base: DataFrame): DataFrame = {
         import org.apache.spark.sql.expressions.Window
-        val li = Tables.load(s, dir, "lineitem")
-        val base = graft.pipeline.PipelineStage.scratch(
-          li.filter(col("l_linenumber").isin(1, 2))
-            .groupBy("l_orderkey", "l_linenumber")
-            .agg(min("l_extendedprice").as("p"))
-            .select(
-              col("l_orderkey").as("n_trigger"), col("l_linenumber").as("dev"),
-              (lit(100) + (col("l_orderkey") % 3) * 50).as("v"),
-              (col("p") * lit(1.0e-9)).as("t0")),
-          "trsweep-base")
         val pa = base.filter(col("dev") === 1)
           .select(col("n_trigger"), col("v"), col("t0").as("t0a"))
         val pb = base.filter(col("dev") === 2)
@@ -731,8 +741,45 @@ object AnalysisQueries {
             col("v").as("Bias voltage (V)"),
             col("Jitter (s)"), col("Jitter (s) error"))
           .orderBy("Bias voltage (V)")
-      })
+    }
   }
 
-  def all: Seq[Q] = Seq(flagship, flagshipCaruana, collectedCharge, trSweep)
+  val trSweep: Q = Q(
+    "pipeline_tr_sweep",
+    Some(TrSweepChain.oracle),
+    (s, dir) => TrSweepChain.chain(s, TrSweepChain.mkBase(s, dir)))
+
+  /** FILESYSTEM-AS-CATALOG end to end (r13 verdict item 6): the same
+    * voltage sweep, but the per-voltage sub-measurements are REAL
+    * DIRECTORIES — the timing base is materialized under
+    * `measurement_name=<ts>_MS1_beta_<v>V/` (SURVEY §1.1's
+    * directory-per-measurement convention, hive-partitioned), and the
+    * voltage is re-derived at scan time from the DIRECTORY NAME via
+    * [[graft.catalog.MeasurementCatalog.voltageCol]] (§1.4). Identical
+    * oracle as `pipeline_tr_sweep`: hash-equality proves the catalog
+    * round trip — write layout, walk directories, parse names — is
+    * lossless through the whole analysis chain. PlanSpec pins that a
+    * single-voltage query over this layout prunes to ONE partition
+    * directory, the relational form of the reference's directory walk.
+    */
+  val catalogTrSweep: Q = Q(
+    "catalog_tr_sweep",
+    Some(TrSweepChain.oracle),
+    (s, dir) => {
+      import graft.catalog.MeasurementCatalog
+      val named = TrSweepChain.mkBase(s, dir)
+        .withColumn(
+          "measurement_name",
+          concat(lit("20220101000000_MS1_beta_"), col("v").cast("string"), lit("V")))
+        .drop("v")
+      val layout = graft.pipeline.PipelineStage.scratchPartitioned(
+        named, "catalog-tr", "measurement_name")
+      TrSweepChain.chain(s, layout.select(
+        col("n_trigger"), col("dev"),
+        MeasurementCatalog.voltageCol(col("measurement_name")).cast("long").as("v"),
+        col("t0")))
+    })
+
+  def all: Seq[Q] = Seq(flagship, flagshipCaruana, collectedCharge, trSweep,
+    catalogTrSweep)
 }

@@ -27,9 +27,7 @@ object FederationQueries {
     * from `orders` (voltage = orderkey grid, current = dyadic rationals,
     * ramp order = order date), device dimension from `region`.
     */
-  val ivFederation: Q = Q(
-    "pipeline_iv_federation",
-    Some(s"""WITH iv AS (
+  private val ivOracle: String = s"""WITH iv AS (
             |  SELECT 'm' || CAST(o_custkey % 24 AS VARCHAR) AS measurement_name,
             |    'dev' || CAST(o_custkey % 4 AS VARCHAR) AS device_name,
             |    CAST(o_orderkey % 41 AS DOUBLE) * 5.0 - 100.0 AS v,
@@ -55,9 +53,13 @@ object FederationQueries {
             |FROM a LEFT JOIN (
             |  SELECT 'dev' || CAST(r_regionkey AS VARCHAR) AS device_name,
             |    r_name AS "Manufacturer"
-            |  FROM region) d USING (device_name)""".stripMargin),
-    (s, dir) => {
-      val iv = Tables.load(s, dir, "orders").select(
+            |  FROM region) d USING (device_name)""".stripMargin
+
+  /** The synthetic 24-measurement IV relation — shared by the direct
+    * registry row and the catalog-layout one.
+    */
+  private def ivBase(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "orders").select(
         concat(lit("m"), (col("o_custkey") % 24).cast("string")).as("measurement_name"),
         concat(lit("dev"), (col("o_custkey") % 4).cast("string")).as("device_name"),
         ((col("o_orderkey") % 41).cast("double") * lit(5.0) - lit(100.0))
@@ -66,10 +68,55 @@ object FederationQueries {
           * when(col("o_custkey") % 2 === 0, lit(-1.0)).otherwise(lit(1.0)))
           .as("Bias current (A)"),
         col("o_orderdate").as("When"))
-      val devices = Tables.load(s, dir, "region").select(
-        concat(lit("dev"), col("r_regionkey").cast("string")).as("device_name"),
-        col("r_name").as("Manufacturer"))
-      IvCurves.collect(iv, devices, deterministic = true)
+
+  private def ivDevices(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "region").select(
+      concat(lit("dev"), col("r_regionkey").cast("string")).as("device_name"),
+      col("r_name").as("Manufacturer"))
+
+  val ivFederation: Q = Q(
+    "pipeline_iv_federation",
+    Some(ivOracle),
+    (s, dir) => IvCurves.collect(ivBase(s, dir), ivDevices(s, dir), deterministic = true))
+
+  /** FILESYSTEM-AS-CATALOG end to end, the federation side (r13 verdict
+    * item 6): the 24 sub-measurements become REAL DIRECTORIES —
+    * `measurement_dir=<ts>_MS<j>_IV_curve_m<k>/` (SURVEY §1.1) — and the
+    * catalog keys are re-derived at scan time FROM THE DIRECTORY NAME:
+    * the device via [[graft.catalog.MeasurementCatalog.devicesCol]] (the
+    * `MS*` token rule, `scripts/measurements.py:259-267`) and the
+    * measurement id from the trailing token. Identical oracle as
+    * `pipeline_iv_federation`: hash-equality proves the layout write →
+    * directory walk → name parse round trip is lossless through the
+    * federation chain.
+    */
+  val catalogIvFederation: Q = Q(
+    "catalog_iv_federation",
+    Some(ivOracle),
+    (s, dir) => {
+      import graft.catalog.MeasurementCatalog
+      val named = ivBase(s, dir)
+        .withColumn(
+          "measurement_dir",
+          concat(lit("20220101000000_"),
+            regexp_replace(col("device_name"), "^dev", "MS"),
+            lit("_IV_curve_"), col("measurement_name")))
+        .select(
+          col("measurement_dir"),
+          col("Bias voltage (V)").as("v"),
+          col("Bias current (A)").as("i"),
+          col("When").as("w"))
+      val layout = graft.pipeline.PipelineStage.scratchPartitioned(
+        named, "catalog-iv", "measurement_dir")
+      val iv = layout.select(
+        element_at(split(col("measurement_dir"), "_"), -1).as("measurement_name"),
+        concat(lit("dev"), substring(
+          element_at(MeasurementCatalog.devicesCol(col("measurement_dir")), 1),
+          3, 16)).as("device_name"),
+        col("v").as("Bias voltage (V)"),
+        col("i").as("Bias current (A)"),
+        col("w").as("When"))
+      IvCurves.collect(iv, ivDevices(s, dir), deterministic = true)
     })
 
   private val IpdThresholds = InterPixelDistance.DefaultThresholds // 8..92
@@ -212,5 +259,5 @@ object FederationQueries {
           col("bucket"), col("value"), col("observed"))
     })
 
-  def all: Seq[Q] = Seq(ivFederation, ipdChain, powerSupply)
+  def all: Seq[Q] = Seq(ivFederation, ipdChain, powerSupply, catalogIvFederation)
 }

@@ -199,6 +199,38 @@ object ScaleProbe {
           MinMaxAgg.repair(after, df.filter(col("l_orderkey") % 7 =!= 0), keys, v),
           keys).collect().length.toLong
       }
+      // r14 verdict item 7: ADVERSARIAL DELETE PRESSURE on the MIN/MAX
+      // heaps — delete rate swept over the fraction of groups whose k+1
+      // smallest values are retracted (guaranteed lo-heap exhaustion),
+      // so 0% / 1% / 10% of ~40k groups underflow AT ONCE. The repair
+      // path must stay semi-join-pruned: its wall cost should move with
+      // the underflowed-group count, never approach a full-corpus
+      // rebuild. The returned row count is the number of repaired
+      // (underflowed) groups — the honesty metric for the ladder.
+      for (pct <- Seq(0, 1, 10)) time(s"minmax_repair_p$pct", c) { df =>
+        import graft.operators.MinMaxAgg
+        import org.apache.spark.sql.expressions.Window
+        val keys = Seq("gid")
+        val kk = MinMaxAgg.DefaultK
+        val df2 = df.select(
+          (col("l_orderkey") % 40000L).as("gid"), col("l_extendedprice").as("v"))
+        val w = Window.partitionBy("gid").orderBy("v", "l_orderkey")
+        val tagged = df
+          .select(
+            (col("l_orderkey") % 40000L).as("gid"),
+            col("l_extendedprice").as("v"), col("l_orderkey"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("hit",
+            pmod(hash(col("gid")), lit(100)) < pct && col("rn") <= kk + 1)
+        val del = tagged.filter(col("hit")).select("gid", "v")
+        val survivors = tagged.filter(!col("hit")).select("gid", "v")
+        val after = MinMaxAgg.applyDeletes(
+          MinMaxAgg.partials(df2, keys, "v"), del, keys, "v")
+        val bad = MinMaxAgg.underflowed(after, keys).count()
+        MinMaxAgg.view(MinMaxAgg.repair(after, survivors, keys, "v"), keys)
+          .queryExecution.toRdd.count()
+        bad
+      }
       time("collected_charge", c) { df =>
         // pipeline_collected_charge's shape: the replica fan is touched
         // twice (bounds + histogram, both map-side-partial hash aggs),

@@ -248,6 +248,30 @@ class PlanSpec extends AnyFunSuite {
       s"expected 1 selected partition, scan=${scans.map(_.selectedPartitions.partitionCount)}")
   }
 
+  test("measurement-directory catalog: a single-voltage query prunes to one partition") {
+    import org.apache.spark.sql.functions._
+    // r13 verdict item 6: SURVEY §1.1's directory-per-measurement layout,
+    // filtered by a key DERIVED FROM THE DIRECTORY NAME
+    // (MeasurementCatalog.voltageCol) — the relational form of the
+    // reference's directory walk must touch exactly one measurement dir
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString + "/m"
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(
+        col("l_orderkey"), col("l_extendedprice"),
+        concat(lit("20220101000000_MS1_beta_"),
+          (lit(100) + (col("l_orderkey") % 3) * 50).cast("string"),
+          lit("V")).as("measurement_name"))
+      .write.partitionBy("measurement_name").parquet(dir)
+    val one = spark.read.parquet(dir)
+      .filter(graft.catalog.MeasurementCatalog.voltageCol(col("measurement_name")) === 150)
+    val scans = one.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.head.selectedPartitions.partitionCount == 1,
+      s"expected 1 selected measurement dir, got ${scans.map(_.selectedPartitions.partitionCount)}")
+    assert(one.count() > 0)
+  }
+
   test("sharded corpus write: a dataloader reading shard k is partition-pruned") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/c"

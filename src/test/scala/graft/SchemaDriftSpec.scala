@@ -89,7 +89,13 @@ class SchemaDriftSpec extends AnyFunSuite {
     "maint_minmax_incremental" -> Set("events"),
     // the composed maintained view folds through MinMaxAgg.repair too,
     // so its minmax leg roots in the scratch parquet the same way
-    "maint_view_composed" -> Set("events"))
+    "maint_view_composed" -> Set("events"),
+    // the catalog-layout rows materialize their base under the
+    // measurement-directory layout first (that IS the operator), so the
+    // returned plan roots in the partitioned scratch — the base-table
+    // scans ran eagerly inside the builder
+    "catalog_tr_sweep" -> Set("lineitem"),
+    "catalog_iv_federation" -> Set("orders", "region"))
 
   private def scannedTables(df: DataFrame): Set[String] = {
     val paths = df.queryExecution.analyzed.collect {
