@@ -978,4 +978,88 @@ object Dedup {
       .filter(col("dist") >= 0)
       .select("id_a", "id_b", "t_a", "t_b", "dist")
   }
+
+  /** EDIT-DISTANCE near-dup pairs via the DELETION NEIGHBORHOOD — the
+    * UNIFORM-LENGTH complement of [[editDistancePairs]] (the FastSS
+    * family of candidate generators; public k-deletion-variant
+    * indexing). Length banding is admissible but prunes NOTHING when
+    * every key has the same length (fixed-format ids, padded codes, the
+    * supplier-name shape): its candidate set degenerates to all-pairs —
+    * the r14 sf1 drive measured exactly that knee. Here every string
+    * emits its ≤maxDist DELETION VARIANTS (the string with any ≤k
+    * positions removed); `ed(a, b) ≤ k` implies a SHARED variant (walk
+    * one optimal alignment: a substitution deletes that position from
+    * both sides, an insertion deletes from one side — ≤k deletions per
+    * side, equal results), so the equi join on the variant is provably
+    * LOSSLESS and the brute all-pairs oracle is the proof. Bucket sizes
+    * track the LOCAL NEAR-DUP DENSITY — two strings share a variant
+    * only when they already agree outside ≤2k positions — so candidates
+    * are output-proportional, independent of the length distribution.
+    *
+    * Cost: 1 + L + C(L, 2) variants per string at k = 2 — quadratic in
+    * the string LENGTH, which is why this tier is for SHORT KEYS: an
+    * in-plan guard refuses relations whose longest string exceeds
+    * `maxLen` (variants are pure codegen'd substring arithmetic, no
+    * UDF). Long or variable-length domains belong to the banded tier;
+    * document bodies to the shingle tiers.
+    */
+  def editDistancePairsByDeletion(
+      df: DataFrame,
+      id: String,
+      text: String,
+      maxDist: Int,
+      maxLen: Int = 48): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2, s"maxDist $maxDist out of [1, 2]")
+    val base = df.select(col(id).as("id"), col(text).as("t"))
+      .filter(col("t").isNotNull)
+    val longest = base.agg(coalesce(max(length(col("t"))), lit(0)).as("__maxlen"))
+    val guarded = base
+      .crossJoin(broadcast(longest))
+      .filter(assert_true(
+        col("__maxlen") <= maxLen,
+        format_string(
+          "editDistancePairsByDeletion generates 1 + L + L(L-1)/2 variants per " +
+            "string: the longest key here is %d chars, over the bound %d. Short " +
+            "keys only — route long or variable-length domains to the banded " +
+            "tier (editDistancePairs) or the shingle tiers.",
+          col("__maxlen"), lit(maxLen))).isNull)
+      .drop("__maxlen")
+    val t = col("t")
+    val ln = length(t)
+    // delete 1-based position p
+    def del1(s: Column, p: Column, l: Column): Column =
+      concat(s.substr(lit(1), p - 1), s.substr(p + 1, l))
+    // delete 1-based positions p < q
+    def del2(p: Column, q: Column): Column =
+      concat(t.substr(lit(1), p - 1), t.substr(p + 1, q - p - 1), t.substr(q + 1, ln))
+    // empty-string keys would make sequence(1, 0, 1) throw — they have
+    // no deletion variants, only themselves
+    val v1 = when(ln >= 1,
+      transform(sequence(lit(1), ln, lit(1)), p => del1(t, p, ln)))
+      .otherwise(expr("CAST(ARRAY() AS ARRAY<STRING>)"))
+    val variants =
+      if (maxDist == 1) concat(array(t), v1)
+      else concat(
+        array(t), v1,
+        // q runs 2..L so the inner sequence 1..q-1 is never empty-with-
+        // negative-step (sequence(1, 0) would COUNT DOWN, not be empty)
+        when(ln >= 2,
+          flatten(transform(sequence(lit(2), ln, lit(1)), q =>
+            transform(sequence(lit(1), q - 1, lit(1)), p => del2(p, q)))))
+          .otherwise(expr("CAST(ARRAY() AS ARRAY<STRING>)")))
+    // dedupe variants PER STRING (deleting either copy of a doubled
+    // letter yields the same variant) so a pair is not candidate-joined
+    // once per duplicate route before the pair-level dropDuplicates
+    val vz = guarded
+      .select(col("id"), col("t"), explode(array_distinct(variants)).as("__var"))
+    val l = vz.select(col("id").as("id_a"), col("t").as("t_a"), col("__var"))
+    val r = vz.select(col("id").as("id_b"), col("t").as("t_b"), col("__var"))
+    l.join(r, Seq("__var"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "t_a", "t_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select("id_a", "id_b", "t_a", "t_b", "dist")
+  }
 }

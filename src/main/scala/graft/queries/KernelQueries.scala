@@ -5,10 +5,13 @@ import graft.functions.DetAgg
 import graft.operators.Bootstrap
 import graft.sources.Tables
 
-/** Bootstrap / numeric-kernel queries (SURVEY §2.5 A10, §2.8). These are
-  * the non-SQL-expressible operators — registered without an oracle, so
-  * the driver records the weaker rows-only check; determinism is still
-  * guaranteed (seeded hashes), and ScalaTest specs pin the semantics.
+/** Bootstrap / numeric-kernel queries (SURVEY §2.5 A10, §2.8). The
+  * resample draws are non-SQL-expressible (xxhash64), so these rows are
+  * CERTIFICATE-checked (r13 verdict item 4): oracle-replayable contract
+  * columns plus in-row verdicts against literal-true oracles;
+  * determinism is still guaranteed (seeded hashes), ScalaTest specs pin
+  * the semantics, and `a10_bootstrap_hash` keeps the weighted-resample
+  * values hash-exact.
   */
 object KernelQueries {
 

@@ -311,14 +311,16 @@ object RelationalQueries {
   /** Fuzzy key reconciliation: supplier-name pairs within edit distance 2
     * — the messy-metadata join problem (same device typed two ways in two
     * measurement campaigns). Candidates come from
-    * [[graft.operators.Dedup.editDistancePairs]]'s admissible LENGTH
-    * BANDING (|Δlen| > 2 proves dist > 2, so the pruning is lossless and
-    * the oracle's brute all-pairs form is the proof) — an equi join on
-    * the length bucket, NEVER a cartesian: at 100× the dimension each
-    * length band co-partitions and joins independently, where the r13
-    * form's crossJoin was 5×10⁹ levenshtein evaluations through a
-    * BroadcastNestedLoop. `levenshtein` is identically defined in both
-    * engines.
+    * [[graft.operators.Dedup.editDistancePairsByDeletion]] — the
+    * deletion-neighborhood generator (lossless: ed ≤ 2 implies a shared
+    * ≤2-deletion variant; the brute all-pairs oracle is the proof) — an
+    * equi join on the variant, NEVER a cartesian. The choice of tier is
+    * the r14 sf1 lesson: supplier names are UNIFORM LENGTH, the regime
+    * where length banding ([[graft.operators.Dedup.editDistancePairs]],
+    * the r13 route) degenerates to all-pairs candidates (measured 16×
+    * wall at 10× data); deletion-variant buckets instead track near-dup
+    * density, so candidates stay output-proportional at any scale.
+    * `levenshtein` is identically defined in both engines.
     */
   val fuzzyKeys: Q = Q(
     "j_fuzzy_keys",
@@ -328,7 +330,8 @@ object RelationalQueries {
            |WHERE levenshtein(a.s_name, b.s_name) <= 2""".stripMargin),
     (s, dir) => {
       val sup = Tables.load(s, dir, "supplier").select("s_suppkey", "s_name")
-      graft.operators.Dedup.editDistancePairs(sup, "s_suppkey", "s_name", maxDist = 2)
+      graft.operators.Dedup
+        .editDistancePairsByDeletion(sup, "s_suppkey", "s_name", maxDist = 2)
         .select("id_a", "id_b", "dist")
     })
 

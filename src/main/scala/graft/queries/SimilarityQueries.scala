@@ -180,8 +180,8 @@ object SimilarityQueries {
     })
 
   /** IVF search with a FIXED coarse quantizer and a HASH-EXACT oracle:
-    * the trained `sim_ivf_topk` above is rows-only because Lloyd
-    * iterations are engine-specific, but the SEARCH kernel — normalize,
+    * the trained `sim_ivf_topk` above is certificate-checked because
+    * Lloyd iterations are engine-specific, but the SEARCH kernel — normalize,
     * nearest-centroid assignment, probe selection, probe-filtered top-k —
     * is pure arithmetic. Pin the centroids to seeded literals (a valid
     * coarse quantizer: random unit anchors) and the entire search path
@@ -229,8 +229,8 @@ object SimilarityQueries {
   }
 
   /** PQ-compressed ANN with exact re-rank: 64 floats → 8 codes, ADC
-    * shortlist, exact top-20 (rows-only: codebook training is
-    * engine-specific; PqSpec pins recall vs brute force). Uses the
+    * shortlist, exact top-20 (certificate row below: codebook training
+    * is engine-specific; PqSpec pins recall vs brute force). Uses the
     * train-once / serve-many model cache keyed on the dataset dir —
     * training is deterministic, so repeated invocations (bench reps,
     * repeated searches) measure SEARCH, not quantizer retraining.
@@ -269,7 +269,7 @@ object SimilarityQueries {
 
   /** PQ search with FIXED codebooks and a HASH-EXACT oracle — the PQ twin
     * of [[simIvfFixed]]: codebook training stays engine-specific
-    * (rows-only above), but encode → ADC shortlist → exact re-rank is
+    * (certificate-checked above), but encode → ADC shortlist → exact re-rank is
     * pure arithmetic, so with seeded literal codebooks the whole search
     * pipeline mirrors into SQL generated from the same literals. The ADC
     * per-row sum is a FIXED left-associative chain (s = 0..m−1) in both
@@ -821,7 +821,7 @@ object SimilarityQueries {
     * through MATERIALIZED CTEs; the eigenvalue is max|u|'s single final
     * IEEE division by 2³⁸. Bounds: |cq| ≤ 2²² (guarded), |w| ≤ 2¹⁸ ⇒
     * |u| ≤ 8·2⁴⁰ and |u·2¹⁸| ≤ 2⁶¹ — no wrap anywhere. The 64-dim
-    * trained tier stays rows-only ([[embPcaPower]]); PcaSpec pins that
+    * trained tier is certificate-checked ([[embPcaPower]]); PcaSpec pins that
     * this fixed tier recovers the same direction.
     */
   val embPcaPowerFixed: Q = {

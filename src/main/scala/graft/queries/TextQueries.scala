@@ -1472,7 +1472,10 @@ object TextQueries {
         .agg(
           count(lit(1)).as("n_union"),
           count(when(col("id_a").isNotNull && col("aa").isNotNull, 1)).as("n_both"),
-          min(coalesce(col("hamming") <= 3, lit(true))).as("hamming_bounded"))
+          // coalesce OUTSIDE the min too: min over an empty pair set is
+          // NULL, and a pairless corpus is vacuously bounded
+          coalesce(min(coalesce(col("hamming") <= 3, lit(true))), lit(true))
+            .as("hamming_bounded"))
       docs(s, dir)
         .agg(count(lit(1)).as("n_docs"))
         .crossJoin(broadcast(cmp))

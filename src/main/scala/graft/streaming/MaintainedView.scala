@@ -141,8 +141,8 @@ object MaintainedView {
     // 1. log first (overwrite = replay-safe): repair and audits read it
     batch.write.mode("overwrite").parquet(s"$stateDir/log/batch=$batchId")
     // 2. fold from the committed parent version
-    val prev = parentVersion(spark, stateDir, batchId)
-      .map(v => stateAt(spark, stateDir, v))
+    val parentV = parentVersion(spark, stateDir, batchId)
+    val prev = parentV.map(v => stateAt(spark, stateDir, v))
     val st = fold(
       prev, spark.read.parquet(s"$stateDir/log/batch=$batchId"),
       keys, valueCol, distinctCol,
@@ -152,6 +152,18 @@ object MaintainedView {
     st.agg.write.mode("overwrite").parquet(s"$stateDir/agg/v=$batchId")
     st.minmax.write.mode("overwrite").parquet(s"$stateDir/minmax/v=$batchId")
     st.distinct.write.mode("overwrite").parquet(s"$stateDir/distinct/v=$batchId")
+    // 4. prune versions OLDER than this batch's parent: the parent must
+    // survive (a crash-replay of THIS batch re-reads it — `< batchId`
+    // excludes the version just written), but anything older can never
+    // be a parent again (parentVersion takes the newest), so state stays
+    // two versions deep forever. The delta LOG is never pruned — it IS
+    // the base relation the underflow repair rescans.
+    val parent = parentV.getOrElse(-1L)
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (c <- Classes; v <- versionsUnder(spark, s"$stateDir/$c") if v < parent) {
+      val p = new org.apache.hadoop.fs.Path(s"$stateDir/$c/v=$v")
+      p.getFileSystem(conf).delete(p, true)
+    }
   }
 
   /** Read-side: the composed view of the newest committed state. */

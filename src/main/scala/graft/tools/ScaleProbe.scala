@@ -1278,6 +1278,24 @@ object ScaleProbe {
         graft.operators.Dedup.editDistancePairs(
           names, id = "nid", text = "nm", maxDist = 2).count()
       }
+      timed("fuzzy_keys_uniform", c) {
+        // the UNIFORM-LENGTH regime (r14 sf1 knee): every copy's tag has
+        // the SAME length but pairwise distance 3 > k, so true pairs are
+        // exactly linear while length banding sees ONE bucket holding
+        // the whole relation (candidates ×c²). The deletion-variant
+        // tier's buckets track near-dup density instead — sub-quadratic
+        // wall here is what fixed j_fuzzy_keys at sf1.
+        val sup = spark.read.parquet(s"$sfDir/supplier.parquet")
+          .select(col("s_suppkey"), col("s_name"))
+        val names = (0 until c).map { i =>
+          sup.select(
+            (col("s_suppkey") + lit(i.toLong * 100000000L)).as("nid"),
+            concat(col("s_name"),
+              lit(('a' + i).toChar.toString * 3)).as("nm"))
+        }.reduce(_ unionAll _)
+        graft.operators.Dedup.editDistancePairsByDeletion(
+          names, id = "nid", text = "nm", maxDist = 2).count()
+      }
     }
     spark.stop()
   }

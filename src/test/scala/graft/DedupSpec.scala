@@ -483,4 +483,52 @@ class DedupSpec extends AnyFunSuite {
     assert(got2.length == got2.toSet.size, "a pair was emitted twice")
     assert(pairs(1).toSet == Set((2L, 3L, 1)), pairs(1).toString)
   }
+
+  test("editDistancePairsByDeletion ≡ brute force on every edit shape, each pair once") {
+    import spark.implicits._
+    // the uniform-length tier (r14): substitution pairs, insert/delete
+    // pairs (shifted tails), doubled letters (duplicate variant routes),
+    // a transposition (= 2 ops), an empty string, and far strings
+    val rows = Seq(
+      (1L, "supplier#001"), (2L, "supplier#002"), (3L, "supplier#012"),
+      (4L, "suplier#001"), (5L, "supplierx#001"), (6L, "aabbcc"),
+      (7L, "ababcc"), (8L, "abbacc"), (9L, ""), (10L, "zz"),
+      (11L, "totally-unrelated"))
+    val df = rows.toDF("id", "t")
+    for (k <- Seq(1, 2)) {
+      val got = graft.operators.Dedup
+        .editDistancePairsByDeletion(df, "id", "t", maxDist = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSeq
+      val brute = for {
+        (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+        d = levenshteinRef(ta, tb) if d <= k
+      } yield (ia, ib, d)
+      assert(got.toSet == brute.toSet, s"k=$k got=${got.toSet} brute=${brute.toSet}")
+      assert(got.length == got.toSet.size, s"k=$k: a pair was emitted twice")
+    }
+  }
+
+  test("editDistancePairsByDeletion: the maxLen guard refuses long keys with routing guidance") {
+    import spark.implicits._
+    val df = Seq((1L, "x" * 80), (2L, "y" * 80)).toDF("id", "t")
+    val e = intercept[Exception] {
+      graft.operators.Dedup
+        .editDistancePairsByDeletion(df, "id", "t", maxDist = 2, maxLen = 48)
+        .collect()
+    }
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages(e).contains("banded tier"), messages(e))
+  }
+
+  /** Reference Levenshtein for the brute comparison (classic DP). */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(
+        math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }

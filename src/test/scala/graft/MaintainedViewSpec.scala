@@ -75,6 +75,11 @@ class MaintainedViewSpec extends AnyFunSuite {
     dropFile(b2, srcDir, "b2.parquet")
     q2.processAllAvailable()
     q2.stop()
+    // version pruning holds: the state never grows past parent + current
+    for (c <- Seq("agg", "minmax", "distinct")) {
+      val n = new java.io.File(s"$stateDir/$c").list().count(_.startsWith("v="))
+      assert(n <= 2, s"$c state holds $n versions — pruning failed")
+    }
     MaintainedView.latestView(spark, stateDir, Seq("k"))
       .orderBy("k").collect().toSeq.map(Row.of)
   }
