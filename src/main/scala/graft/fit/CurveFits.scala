@@ -199,17 +199,25 @@ object CurveFits {
 
   /** [[fitErf]] plus the convergence-certificate SSEs (the
     * [[fitGaussianCert]] invariant: sseFit ≤ sseSeed always holds for a
-    * successful fit).
+    * successful fit). `bounds`/`mirrored` plumb through to the fit AND
+    * the certificate model/seed, so a bounded or mirrored production
+    * fit is certified against the model it actually ran (r14 review:
+    * the hard-coded defaults would have certified a different fit).
     */
-  def fitErfCert(xs: Array[Double], ys: Array[Double]): ErfCert = {
-    val p = fitErf(xs, ys)
+  def fitErfCert(
+      xs: Array[Double],
+      ys: Array[Double],
+      bounds: Map[String, (Double, Double)] = Map.empty,
+      mirrored: Boolean = false): ErfCert = {
+    val p = fitErf(xs, ys, bounds, mirrored)
+    val sign = if (mirrored) -1.0 else 1.0
     if (p.x0.isNaN)
       ErfCert(p.x0, p.sigma, p.yScale, p.yOffset, Double.NaN, Double.NaN)
     else
       ErfCert(
         p.x0, p.sigma, p.yScale, p.yOffset,
-        sse(xs, ys, erfModelOf(1.0), Array(p.x0, p.sigma, p.yScale, p.yOffset)),
-        sse(xs, ys, erfModelOf(1.0), erfSeed(xs, ys)))
+        sse(xs, ys, erfModelOf(sign), Array(p.x0, p.sigma, p.yScale, p.yOffset)),
+        sse(xs, ys, erfModelOf(sign), erfSeed(xs, ys, bounds)))
   }
 
   final case class ErfCert(

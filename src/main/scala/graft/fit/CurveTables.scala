@@ -19,18 +19,26 @@ object CurveTables {
       fits: DataFrame,
       groupCols: Seq[String],
       nPoints: Int = 100,
-      span: Double = 4.0): DataFrame = {
+      span: Double = 4.0,
+      keepParams: Boolean = false): DataFrame = {
     val lo = col("mu") - lit(span) * col("sigma")
     val step = (lit(2.0 * span) * col("sigma")) / lit(nPoints - 1)
-    fits
-      .withColumn("__i", explode(sequence(lit(0), lit(nPoints - 1))))
+    val sampled = fits
+      .withColumn("__i", explode(sequence(lit(0L), lit(nPoints - 1L))))
       .withColumn("x", lo + col("__i") * step)
       .withColumn(
         "y",
         col("amplitude")
           * exp(lit(-0.5) * pow((col("x") - col("mu")) / col("sigma"), 2)))
-      .drop("__i")
-      .select((groupCols.map(col) :+ col("x") :+ col("y")): _*)
+    // keepParams: the certificate consumer (`n1_curve_samples`) checks
+    // grid geometry per sample, so it needs the index and the params —
+    // SAME kernel as the plot surface, no private re-derivation
+    if (keepParams)
+      sampled.select((groupCols.map(col) ++ Seq(
+        col("__i").as("i"), col("mu"), col("sigma"), col("amplitude"),
+        col("x"), col("y"))): _*)
+    else
+      sampled.select((groupCols.map(col) :+ col("x") :+ col("y")): _*)
   }
 
   /** Sample fitted Langauss curves (mpv/xi/sigma/amplitude rows) via the

@@ -356,14 +356,11 @@ object FitQueries {
            |FROM (SELECT DISTINCT l_returnflag FROM lineitem)""".stripMargin),
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val fits = n1FitParams(s, dir)
-      val step = lit(8.0) * col("sigma") / lit(49)
-      val samples = fits
-        .withColumn("i", explode(sequence(lit(0L), lit(49L))))
-        .withColumn("x", col("mu") - lit(4.0) * col("sigma") + col("i") * step)
-        .withColumn(
-          "y",
-          col("amplitude") * exp(lit(-0.5) * pow((col("x") - col("mu")) / col("sigma"), 2)))
+      // the SHARED sampling kernel (keepParams form) — the certificate
+      // covers exactly the arithmetic the plot surface runs, not a
+      // private re-derivation of it (r14 review)
+      val samples = graft.fit.CurveTables.gaussianSamples(
+        n1FitParams(s, dir), Seq("l_returnflag"), nPoints = 50, keepParams = true)
       val mirror = samples.select(
         col("l_returnflag"), (lit(49L) - col("i")).as("i"), col("y").as("y_m"))
       val w = Window.partitionBy("l_returnflag").orderBy("i")

@@ -141,7 +141,7 @@ object SimilarityQueries {
           .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos")))
   }
 
-  /** IVF-partitioned ANN: spherical k-means coarse quantizer, nprobe=4 of
+  /** IVF-partitioned ANN: spherical k-means coarse quantizer, nprobe=6 of
     * k=16 cells probed — the bucketed-corpus scale path.
     *
     * CERTIFICATE ROW (r13 verdict item 4): Lloyd iterations are

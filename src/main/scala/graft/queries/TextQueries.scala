@@ -1443,9 +1443,16 @@ object TextQueries {
            |  TRUE AS hamming_bounded
            |FROM documents""".stripMargin),
     (s, dir) => {
-      val main = Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
-        .select(col("id_a"), col("id_b"), col("hamming"))
       val hashed = Dedup.simHash64(docs(s, dir), "doc_id", "text")
+      // hamming_bounded is recomputed from the RAW fingerprints, not the
+      // operator's own (already-filtered) hamming column — the operator
+      // capping its output at 3 must not be its own certificate (r14
+      // review: the in-column check was vacuously true)
+      val main = Dedup.simHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"))
+        .join(hashed.select(col("doc_id").as("id_a"), col("simhash").as("__fa")), "id_a")
+        .join(hashed.select(col("doc_id").as("id_b"), col("simhash").as("__fb")), "id_b")
+        .select(col("id_a"), col("id_b"), expr("bit_count(__fa ^ __fb)").as("hamming"))
       val altChunked = hashed.select(
         col("doc_id"),
         col("simhash"),
@@ -1571,6 +1578,29 @@ object TextQueries {
           encode(col("text"), "UTF-8").as("payload")),
         srcW = 16, outW = 8, outH = 8))
 
+  /** Shared oracle CTE chain for the multimodal content identity:
+    * UTF-8 bytes via hex pairs, FNV-1a with HUGEINT wrap-around, ending
+    * in `h(media_id, n_bytes, bytes, hu)` — consumed by BOTH
+    * `mm_features` and `mm_features_hash` so the byte-level recipe
+    * cannot drift between them.
+    */
+  private val fnvContentCtes: String =
+    """d AS (SELECT doc_id AS media_id, text FROM documents),
+      |b AS (SELECT media_id,
+      |        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |        list_transform(range(1, octet_length(encode(text)) * 2, 2),
+      |          i -> CAST(CAST('0x' || substr(hex(encode(text)), CAST(i AS INT), 2)
+      |                 AS BIGINT) AS HUGEINT)) AS bytes
+      |      FROM d),
+      |h AS (SELECT media_id, n_bytes, bytes,
+      |        list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), bytes),
+      |          (a, x) -> (xor(a, x) * 1099511628211) % 18446744073709551616) AS hu
+      |      FROM b)""".stripMargin
+
+  private val fnvSignedHash: String =
+    """CAST(CASE WHEN hu >= 9223372036854775808
+      |    THEN hu - 18446744073709551616 ELSE hu END AS BIGINT)""".stripMargin
+
   /** Full multimodal feature rows (stub decode).
     *
     * CERTIFICATE ROW (r13 verdict item 4): `media_id`, `n_bytes`, and
@@ -1584,22 +1614,11 @@ object TextQueries {
     */
   val mmFeatures: Q = Q(
     "mm_features",
-    Some("""WITH d AS (SELECT doc_id AS media_id, text FROM documents),
-           |b AS (SELECT media_id,
-           |        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-           |        list_transform(range(1, octet_length(encode(text)) * 2, 2),
-           |          i -> CAST(CAST('0x' || substr(hex(encode(text)), CAST(i AS INT), 2)
-           |                 AS BIGINT) AS HUGEINT)) AS bytes
-           |      FROM d),
-           |h AS (SELECT media_id, n_bytes,
-           |        list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), bytes),
-           |          (a, x) -> (xor(a, x) * 1099511628211) % 18446744073709551616) AS hu
-           |      FROM b)
-           |SELECT media_id, n_bytes,
-           |  CAST(CASE WHEN hu >= 9223372036854775808
-           |    THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS content_hash,
-           |  TRUE AS features_ok
-           |FROM h""".stripMargin),
+    Some(s"""WITH $fnvContentCtes
+            |SELECT media_id, n_bytes,
+            |  $fnvSignedHash AS content_hash,
+            |  TRUE AS features_ok
+            |FROM h""".stripMargin),
     (s, dir) => {
       val media = docs(s, dir).select(
         col("doc_id").as("media_id"),
@@ -1625,26 +1644,15 @@ object TextQueries {
     */
   val mmFeaturesHash: Q = Q(
     "mm_features_hash",
-    Some("""WITH d AS (SELECT doc_id AS media_id, text FROM documents),
-           |b AS (SELECT media_id,
-           |        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-           |        list_transform(range(1, octet_length(encode(text)) * 2, 2),
-           |          i -> CAST(CAST('0x' || substr(hex(encode(text)), CAST(i AS INT), 2)
-           |                 AS BIGINT) AS HUGEINT)) AS bytes
-           |      FROM d),
-           |h AS (SELECT media_id, n_bytes, bytes,
-           |        list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), bytes),
-           |          (a, x) -> (xor(a, x) * 1099511628211) % 18446744073709551616) AS hu
-           |      FROM b),
-           |l AS (SELECT media_id, n_bytes, hu, bytes, UNNEST(range(0, 8)) AS lane FROM h)
-           |SELECT media_id, n_bytes,
-           |  CAST(CASE WHEN hu >= 9223372036854775808
-           |    THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS content_hash,
-           |  CAST(lane AS BIGINT) AS lane,
-           |  CAST(CAST(CAST(COALESCE(list_sum(list_transform(bytes,
-           |        (x, i) -> CASE WHEN (i - 1) % 8 = lane THEN x ELSE CAST(0 AS HUGEINT) END)), 0)
-           |      AS DOUBLE) / greatest(n_bytes, 1) AS FLOAT) AS DOUBLE) AS feat
-           |FROM l""".stripMargin),
+    Some(s"""WITH $fnvContentCtes,
+            |l AS (SELECT media_id, n_bytes, hu, bytes, UNNEST(range(0, 8)) AS lane FROM h)
+            |SELECT media_id, n_bytes,
+            |  $fnvSignedHash AS content_hash,
+            |  CAST(lane AS BIGINT) AS lane,
+            |  CAST(CAST(CAST(COALESCE(list_sum(list_transform(bytes,
+            |        (x, i) -> CASE WHEN (i - 1) % 8 = lane THEN x ELSE CAST(0 AS HUGEINT) END)), 0)
+            |      AS DOUBLE) / greatest(n_bytes, 1) AS FLOAT) AS DOUBLE) AS feat
+            |FROM l""".stripMargin),
     (s, dir) => {
       val media = docs(s, dir).select(
         col("doc_id").as("media_id"),

@@ -116,14 +116,25 @@ object MaintainedView {
       spark.read.parquet(s"$stateDir/minmax/v=$v"),
       spark.read.parquet(s"$stateDir/distinct/v=$v"))
 
-  /** The delta log's surviving multiset: inserts whose `id` has no
-    * delete anywhere in the log (deletes reference insert ids — the
-    * IncrementalAgg real-rows contract made addressable).
+  /** The delta log's surviving multiset: per id, `#inserts − #deletes`
+    * live instances (deletes reference insert ids — the IncrementalAgg
+    * real-rows contract made addressable; all instances of one id carry
+    * the same payload by that contract). Counting, NOT an anti join: a
+    * row deleted and later RE-INSERTED under the same id nets to one
+    * live instance — an anti join on the id would drop it from the
+    * repair's survivor set entirely while the fold-maintained states
+    * (which process op-tagged deltas order-correctly) still count it
+    * (r14 review finding).
     */
   def logSurvivors(spark: SparkSession, stateDir: String, idCol: String): DataFrame = {
     val log = spark.read.parquet(s"$stateDir/log")
+    val net = log.groupBy(col(idCol)).agg(
+      sum(when(col("op") === "I", 1).otherwise(-1)).as("__net"))
     log.filter(col("op") === "I")
-      .join(log.filter(col("op") === "D").select(col(idCol)), Seq(idCol), "leftanti")
+      .dropDuplicates(idCol)
+      .join(net.filter(col("__net") > 0), Seq(idCol))
+      .withColumn("__i", explode(sequence(lit(1), col("__net"))))
+      .drop("__net", "__i")
   }
 
   /** `foreachBatch` sink maintaining the three-class state under the

@@ -109,6 +109,35 @@ class MaintainedViewSpec extends AnyFunSuite {
     assert(resumed == expected, s"resumed: $resumed")
   }
 
+  test("delete-then-reinsert under the same id survives the underflow repair (net-count log)") {
+    import spark.implicits._
+    // r14 review finding: an anti join on the id would drop a
+    // re-inserted row from the repair's survivor set while the fold
+    // states still count it. id=1 (a, 1.0) is deleted in batch 1 and
+    // RE-INSERTED in batch 2; batch 3 deletes both remaining copies of
+    // a's 5.0 minimum — exhausting the k=2 lo heap, so the repair MUST
+    // rescan the log and must see the re-inserted 1.0 as a's min.
+    val stateDir = Files.createTempDirectory("graft_mv_reins").toString
+    def toDf(rows: Seq[(Long, String, Option[Double], Option[Long], String)]) =
+      rows.toDF("id", "k", "value", "vb", "op")
+        .select(col("id"), col("k"), col("value").cast("double"),
+          col("vb").cast("long"), col("op"))
+    val sink = MaintainedView.sink(stateDir, "id", Seq("k"), "value", "vb", k = 2) _
+    // id=1 (4.0) sits OUTSIDE the k=2 lo heap [1.0, 2.0] the whole time;
+    // it is deleted, re-inserted, and must be the repaired min after the
+    // heap's covered window is exhausted
+    sink(toDf(Seq(r(1, "a", 4.0), r(2, "a", 1.0), r(3, "a", 2.0), r(4, "a", 9.0))), 0L)
+    sink(toDf(Seq(r(1, "a", 4.0, "D"))), 1L)
+    sink(toDf(Seq(r(1, "a", 4.0))), 2L)
+    sink(toDf(Seq(r(2, "a", 1.0, "D"), r(3, "a", 2.0, "D"))), 3L)
+    val got = MaintainedView.latestView(spark, stateDir, Seq("k"))
+      .collect().toSeq.map(Row.of)
+    // survivors: {4.0 (re-inserted), 9.0} — the anti-join form repaired
+    // to {9.0} only and reported min = 9.0
+    assert(got == Seq(Row("a", 2L, 13.0, Some(6.5), Some(4.0), Some(9.0), 2L)),
+      got.toString)
+  }
+
   test("replayed batch id re-folds from the same parent (exactly-once under the crash window)") {
     import spark.implicits._
     val stateDir = Files.createTempDirectory("graft_mv_replay").toString
