@@ -2289,8 +2289,13 @@ object EventQueries {
     * `stream_quality_monitor`, extended to Spark's session-merge state
     * operator): per user, events within 1800 s merge into one session,
     * end = last event + gap. The oracle replays the merge semantics as
-    * gaps-and-islands (break at gap ≥ 1800 — session_window merges on
-    * strict `<` overlap); timestamps go through `date_trunc('second')`
+    * gaps-and-islands, breaking at gap STRICTLY > 1800: Spark's
+    * session_window merges INCLUSIVELY (an event arriving exactly `gap`
+    * after the last still extends the session — the r14 sf0.1 drive
+    * caught a real exact-1800 s gap where the old `≥` oracle split and
+    * the operator merged; `e2_sessionize` and the custom stateful
+    * sessionizer already use the inclusive rule, so all three tiers now
+    * agree); timestamps go through `date_trunc('second')`
     * BEFORE sessionizing on both sides (the events-ts house rule), so
     * the merge decisions are bit-identical. `e2_sessionize` verifies
     * the lag/island BATCH formulation; this row verifies the streaming
@@ -2303,7 +2308,7 @@ object EventQueries {
            |o AS (SELECT user_id, ts,
            |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM e),
            |m AS (SELECT user_id, ts,
-           |    CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) >= 1800
+           |    CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) > 1800
            |         THEN 1 ELSE 0 END AS brk FROM o),
            |s AS (SELECT user_id, ts,
            |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts

@@ -415,13 +415,19 @@ object FitQueries {
           col("ymin").as("y_offset"))
     })
 
-  /** N2 closed-form twin: peak + FWHM estimate of the Langauss profile —
-    * the standard seed for the iterative fit (mpv ≈ peak-bin center,
-    * width ≈ full width at half maximum from linear half-max crossings
-    * left/right of the peak). Bin centers are exact dyadic doubles,
-    * counts are integers, the half-max level is one exact division, and
-    * the crossing interpolation is the same shared text on both sides —
-    * hash-exact with no rounding.
+  /** N2 closed-form twin: peak + half-width estimate of the Langauss
+    * profile — the standard seed for the iterative fit (mpv ≈ peak-bin
+    * center; width from the half-max crossing). The revenue profile is
+    * TRUNCATED AT ZERO (its first bucket already sits above half max),
+    * so the LEFT crossing does not exist and a two-sided FWHM is NULL
+    * by construction (the r14 content audit caught exactly that) — the
+    * emitted width is therefore the RIGHT-side half-width at half
+    * maximum (HWHM, the falling-tail width a truncated peaked
+    * distribution actually has; ×2 ≈ FWHM for a symmetric core). Bin
+    * centers are exact dyadic doubles, counts are integers, the
+    * half-max level is one exact division, and the crossing
+    * interpolation is the same shared text on both sides — hash-exact
+    * with no rounding.
     */
   val n2LangaussFwhm: Q = {
     val interp = "x0 + ((h - y0) / (y1 - y0)) * (x1 - x0)"
@@ -458,8 +464,7 @@ object FitQueries {
               |  MAX(x_peak) AS mpv_est,
               |  MAX(h) AS half_max,
               |  MAX(CASE WHEN y0 >= h AND y1 < h AND x0 >= x_peak THEN $interp END)
-              |    - MIN(CASE WHEN y0 < h AND y1 >= h AND x1 <= x_peak THEN $interp END)
-              |    AS fwhm
+              |    - MAX(x_peak) AS hwhm_right
               |FROM j GROUP BY l_returnflag""".stripMargin),
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -501,8 +506,7 @@ object FitQueries {
             max("h").as("half_max"),
             (max(when(col("y0") >= col("h") && col("y1") < col("h")
                 && col("x0") >= col("x_peak"), interpC))
-              - min(when(col("y0") < col("h") && col("y1") >= col("h")
-                && col("x1") <= col("x_peak"), interpC))).as("fwhm"))
+              - max(col("x_peak"))).as("hwhm_right"))
       })
   }
 

@@ -57,6 +57,29 @@ class StatefulStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("an event arriving EXACTLY gap seconds after the last extends the session (inclusive boundary)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // r14 sf0.1 finding: a real exact-1800 s gap split in the old oracle
+    // while session_window merged. Pin the operator's INCLUSIVE boundary
+    // on a minimal fixture: gaps of exactly 1800 s (merge), 1801 s
+    // (split) — batch-mode session_window is the same code path.
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(ts0.getTime + sec * 1000L)
+    val events = Seq(
+      (1L, at(0)), (1L, at(1800)),          // exactly gap → ONE session
+      (2L, at(0)), (2L, at(1801))           // gap + 1 → TWO sessions
+    ).toDF("user_id", "ts")
+    val got = events
+      .groupBy(col("user_id"), session_window(col("ts"), "1800 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select("user_id", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .sorted
+    assert(got == Seq((1L, 2L), (2L, 1L), (2L, 1L)),
+      s"session_window boundary semantics changed: $got")
+  }
+
   test("sessionize stream killed mid-run resumes from checkpoint ≡ uninterrupted") {
     import org.apache.spark.sql.functions._
     // the r10 verdict's recovery gap: batch-equivalence was proven, a
