@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""tools/selfcheck.py with a per-oracle wall budget — for driving the
+DuckDB comparison ABOVE the gate scale (sf1), where a handful of oracles
+(the 81-point bootstrap fans replayed via LATERAL unnest) are legitimately
+much slower in DuckDB than the engine is in Spark. A query whose ORACLE
+exceeds the budget is reported `SLOW` (evidence not attempted), never
+conflated with a mismatch.
+
+Usage: python3 tools/selfcheck_budget.py [verify_out_dir] [sf_dir] [budget_sec]
+"""
+import sys, os, json, glob, signal
+import duckdb
+import pandas as pd
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_sf1"
+SF = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+BUDGET = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{SF}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+                    if os.path.isdir(p) else
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+class Timeout(Exception):
+    pass
+
+
+def alarm(_sig, _frm):
+    raise Timeout()
+
+
+signal.signal(signal.SIGALRM, alarm)
+
+n_pass = n_fail = n_slow = 0
+for name in sorted(os.listdir(OUT)):
+    qdir = os.path.join(OUT, name)
+    if not os.path.isdir(qdir):
+        continue
+    files = glob.glob(f"{qdir}/*.parquet")
+    if not files:
+        print(f"FAIL  {name}: no spark output")
+        n_fail += 1
+        continue
+    spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+    if name not in oracle:
+        print(f"ROWS  {name}: rows={len(spark_df)} (no oracle)")
+        continue
+    signal.alarm(BUDGET)
+    try:
+        duck_df = con.execute(oracle[name]).df()
+        signal.alarm(0)
+    except Timeout:
+        # DuckDB cancels on interrupt; reconnect for the next query
+        print(f"SLOW  {name}: oracle exceeded {BUDGET}s in DuckDB (not compared)")
+        n_slow += 1
+        con = duckdb.connect()
+        for t in TABLES:
+            p = f"{SF}/{t}.parquet"
+            if os.path.exists(p):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+                    if os.path.isdir(p) else
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        continue
+    except Exception as e:
+        signal.alarm(0)
+        print(f"FAIL  {name}: oracle error {e}")
+        n_fail += 1
+        continue
+    a, b = norm(spark_df), norm(duck_df)
+    if len(a) != len(b):
+        print(f"FAIL  {name}: rowcount spark={len(a)} duck={len(b)}")
+        n_fail += 1
+        continue
+    ok = True
+    for c in a.columns:
+        if c not in b.columns:
+            print(f"FAIL  {name}: col {c} missing in oracle")
+            ok = False
+            break
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av):
+            import numpy as np
+            eq = (av.values == bv.values) | (pd.isna(av.values) & pd.isna(bv.values))
+            if not eq.all():
+                d = np.nanmax(np.abs(av.values - bv.values))
+                print(f"FAIL  {name}: col {c}: {int((~eq).sum())}/{len(a)} differ, max |Δ| {d}")
+                ok = False
+                break
+        else:
+            eq = (av.astype(str).values == bv.astype(str).values)
+            if not eq.all():
+                print(f"FAIL  {name}: col {c}: {int((~eq).sum())}/{len(a)} differ")
+                ok = False
+                break
+    if ok:
+        print(f"PASS  {name} ({len(a)} rows)")
+        n_pass += 1
+    else:
+        n_fail += 1
+
+print(f"\n{n_pass} pass, {n_fail} fail, {n_slow} slow-skipped, "
+      f"{n_pass + n_fail + n_slow} oracles")
