@@ -38,7 +38,18 @@ object Bench {
     */
   val benchExcluded: Map[String, String] = Map(
     "text_bpe_train" ->
-      "naive-trainer oracle anchor; delta trainer (text_bpe_train_deep) is the benched BPE row")
+      "naive-trainer oracle anchor; delta trainer (text_bpe_train_deep) is the benched BPE row",
+    // r14 verdict item 3: these two certificate rows execute BOTH the
+    // production LSH pipeline AND an independent exact verifier
+    // (PPJoin exact-Jaccard / the interleaved-mask second candidate
+    // generator) in one plan — correct rows, wrong cost signal. The
+    // production pipeline SHAPE stays benched via the hash-exact
+    // portable twins (same shingle→sign→band→verify plan, portable
+    // hash), so the benched set measures production paths only.
+    "dedup_minhash" ->
+      "dual-pipeline certificate (LSH + independent exact PPJoin); production pipeline benched as dedup_minhash_hash",
+    "dedup_simhash" ->
+      "dual-pipeline certificate (chunk-band + interleaved-mask generator set-equality); production pipeline benched as dedup_simhash_hash")
 
   /** Fixed-cost yardstick (r12 verdict item 2): a corpus-INDEPENDENT
     * computation (range → hash → shuffle → aggregate) timed with the

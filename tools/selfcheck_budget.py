@@ -15,6 +15,7 @@ import pandas as pd
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_sf1"
 SF = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
 BUDGET = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+LEDGER = sys.argv[4] if len(sys.argv) > 4 else None
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -54,6 +55,12 @@ def alarm(_sig, _frm):
 signal.signal(signal.SIGALRM, alarm)
 
 n_pass = n_fail = n_slow = 0
+ledger = {}
+def rec(name, **kw):
+    row = {"rows_match": None, "schema_match": None, "hash_match": None,
+           "spark_rows": None, "oracle_rows": None, "err": None, "slow": False}
+    row.update(kw)
+    ledger[name] = row
 for name in sorted(os.listdir(OUT)):
     qdir = os.path.join(OUT, name)
     if not os.path.isdir(qdir):
@@ -61,11 +68,13 @@ for name in sorted(os.listdir(OUT)):
     files = glob.glob(f"{qdir}/*.parquet")
     if not files:
         print(f"FAIL  {name}: no spark output")
+        rec(name, err="no spark output")
         n_fail += 1
         continue
     spark_df = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
     if name not in oracle:
         print(f"ROWS  {name}: rows={len(spark_df)} (no oracle)")
+        rec(name, spark_rows=len(spark_df), err="no oracle")
         continue
     signal.alarm(BUDGET)
     try:
@@ -74,6 +83,7 @@ for name in sorted(os.listdir(OUT)):
     except Timeout:
         # DuckDB cancels on interrupt; reconnect for the next query
         print(f"SLOW  {name}: oracle exceeded {BUDGET}s in DuckDB (not compared)")
+        rec(name, spark_rows=len(spark_df), slow=True, err=f"oracle exceeded {BUDGET}s")
         n_slow += 1
         con = duckdb.connect()
         for t in TABLES:
@@ -87,11 +97,21 @@ for name in sorted(os.listdir(OUT)):
     except Exception as e:
         signal.alarm(0)
         print(f"FAIL  {name}: oracle error {e}")
+        rec(name, spark_rows=len(spark_df), err=f"oracle error: {e}")
         n_fail += 1
         continue
     a, b = norm(spark_df), norm(duck_df)
+    schema_ok = list(a.columns) == list(b.columns)
+    if not schema_ok:
+        print(f"FAIL  {name}: columns spark={list(a.columns)} duck={list(b.columns)}")
+        rec(name, rows_match=len(a) == len(b), schema_match=False,
+            hash_match=False, spark_rows=len(a), oracle_rows=len(b))
+        n_fail += 1
+        continue
     if len(a) != len(b):
         print(f"FAIL  {name}: rowcount spark={len(a)} duck={len(b)}")
+        rec(name, rows_match=False, schema_match=True, hash_match=False,
+            spark_rows=len(a), oracle_rows=len(b))
         n_fail += 1
         continue
     ok = True
@@ -115,6 +135,8 @@ for name in sorted(os.listdir(OUT)):
                 print(f"FAIL  {name}: col {c}: {int((~eq).sum())}/{len(a)} differ")
                 ok = False
                 break
+    rec(name, rows_match=True, schema_match=True, hash_match=ok,
+        spark_rows=len(a), oracle_rows=len(b))
     if ok:
         print(f"PASS  {name} ({len(a)} rows)")
         n_pass += 1
@@ -123,3 +145,8 @@ for name in sorted(os.listdir(OUT)):
 
 print(f"\n{n_pass} pass, {n_fail} fail, {n_slow} slow-skipped, "
       f"{n_pass + n_fail + n_slow} oracles")
+if LEDGER:
+    with open(LEDGER, "w") as f:
+        json.dump(ledger, f, indent=2, sort_keys=True)
+    print(f"ledger -> {LEDGER}")
+sys.exit(1 if n_fail else 0)
