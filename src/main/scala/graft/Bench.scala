@@ -108,10 +108,18 @@ object Bench {
       .filterNot { case (name, _) =>
         only.isEmpty && benchExcluded.contains(name) }
       .map { case (name, fn) =>
+      // a rep that THROWS must be ledgered, not swallowed: the r14 sf1
+      // record silently benched 23 schema-broken queries as near-zero
+      // rows (plan-time failures time as ~0 s and masquerade as fast) —
+      // the `errors` map below makes that class of record impossible
+      var err: String = null
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          err = e.getClass.getSimpleName
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // clearCache() + RDD-level sweep: the fixed-point kernels pin
         // their FINAL localCheckpoint per call by design (intermediates
@@ -130,17 +138,19 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         dt
       }
-      name -> times.min
+      (name, times.min, Option(err))
     }
     def sec(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     // __yardstick rides the queries map (clearly non-registry-named) but
     // NOT the total — it normalizes cross-round artifacts, it isn't work
-    val qs = (results :+ ("__yardstick" -> yardSec))
+    val qs = (results.map(r => (r._1, r._2)) :+ ("__yardstick" -> yardSec))
       .map { case (k, v) => "\"" + k + "\":" + sec(v) }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (n, _, Some(e)) => "\"" + n + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     System.out.flush()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_local.json")

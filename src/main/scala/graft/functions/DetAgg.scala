@@ -16,9 +16,12 @@ import org.apache.spark.sql.types._
   * partial-aggregation levels AQE inserts, so results are stable across
   * cluster sizes and retries.
   *
-  * Mirror SQL text (DuckDB dialect = same ANSI text):
-  *   dsum  -> CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE)
-  *   davg  -> CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) / COUNT(x)
+  * Mirror SQL text (DuckDB dialect; the final decimal→double hop is
+  * VARCHAR-routed on BOTH sides — exact digits, one correct rounding —
+  * because past 2^53 micro-units each engine's direct cast double-rounds
+  * in its own way: DuckDB int128÷10^scale, Spark BigDecimal.doubleValue):
+  *   dsum  -> CAST(CAST(SUM(CAST(x AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)
+  *   davg  -> dsum(x) / COUNT(x)
   *   dstd  -> explicit sum/sum-of-squares formula, see [[dstd]]
   */
 object DetAgg {
@@ -39,8 +42,22 @@ object DetAgg {
     */
   def decP(c: Column): Column = c.cast(DecP)
 
+  /** Correctly-rounded decimal→double for the ENGINE side — the exact
+    * mirror of [[Sql.dsumExact]]'s VARCHAR route, needed one decade up
+    * from where the oracle needed it: past 2^53 micro-units Spark's
+    * `Decimal.toDouble` (JDK `BigDecimal.doubleValue`) DOUBLE-ROUNDS the
+    * inflated path (unscaled→double, then ÷10^scale), which is 1 ulp off
+    * nearest — the r15 sf1 drive measured it on Σ price² ≈ 7.4e15.483:
+    * Spark rounded the .483 UP while the VARCHAR-routed oracle correctly
+    * rounded down. Decimal→string emits the exact digits and
+    * string→double is `Double.parseDouble` (correctly rounded), so this
+    * cast is exact-digit single-rounding in both engines at any
+    * magnitude. One string per GROUP, not per row — free.
+    */
+  private def toD(c: Column): Column = c.cast(StringType).cast(DoubleType)
+
   /** Order-independent sum of a double column, returned as double. */
-  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  def dsum(c: Column): Column = toD(sum(dec(c)))
 
   /** Product-grade scale: a product of two scale-6 quantities is EXACT
     * at 12 decimals, so summing such products at scale 12 never rounds —
@@ -60,7 +77,7 @@ object DetAgg {
   /** Order-independent sum of PRODUCTS of two round-6 quantities —
     * exact, boundary-free (see [[ScaleP]]).
     */
-  def dsumP(c: Column): Column = sum(c.cast(DecP)).cast(DoubleType)
+  def dsumP(c: Column): Column = toD(sum(c.cast(DecP)))
 
   /** Order-independent mean: exact decimal sum divided by count (one
     * IEEE division — identical in any engine evaluating the same text).
@@ -77,8 +94,8 @@ object DetAgg {
     *           / COUNT(x)) / (COUNT(x) - 1))
     */
   def dstd(c: Column): Column = {
-    val sx  = sum(dec(c)).cast(DoubleType)
-    val sxx = sum(dec(c * c)).cast(DoubleType)
+    val sx  = toD(sum(dec(c)))
+    val sxx = toD(sum(dec(c * c)))
     val n   = count(c)
     sqrt((sxx - sx * sx / n) / (n - lit(1)))
   }
@@ -87,8 +104,14 @@ object DetAgg {
     * Scala forms above so the two can never drift.
     */
   object Sql {
-    def dsum(x: String): String =
-      s"CAST(SUM(CAST($x AS DECIMAL(30,$Scale))) AS DOUBLE)"
+    /** VARCHAR-routed like [[dsumExact]] — since r15 the two forms are
+      * the same: below 2^53 micro-units the direct and VARCHAR casts
+      * agree exactly, above it only the VARCHAR route is correctly
+      * rounded, so there is no regime where the direct cast is the one
+      * you want (and the engine side is now string-routed to match at
+      * every magnitude).
+      */
+    def dsum(x: String): String = dsumExact(x)
 
     /** Correctly-rounded decimal→double for the oracle side. DuckDB's
       * direct `CAST(DECIMAL AS DOUBLE)` double-rounds (int128 → double,

@@ -928,20 +928,36 @@ object Stats {
       .select(col("__v").as("__x"), col("__a2").as("__ax"))
     val ry = doubledRanks(nn, "__y", shardBits)
       .select(col("__v").as("__y"), col("__a2").as("__ay"))
+    // second moments sum in DECIMAL(38,0): each ax·ay product fits a
+    // long (ranks ≤ 2n+1), but their SUM is Θ(n³) — past ~2.1M rows it
+    // exceeds Long.MaxValue and ANSI Spark throws (the r15 sf1 drive hit
+    // exactly this at 6M lineitem; DuckDB survives only via its silent
+    // BIGINT→HUGEINT sum promotion). Decimal sums stay exact to 10³⁸
+    // (n ≈ 10¹⁰), and an exact integer converts to the same nearest
+    // double as the long did, so small-SF hashes are unchanged.
     val t = nn.join(rx, "__x").join(ry, "__y")
       .agg(
         count(lit(1)).as("n"),
         sum("__ax").as("__sx"), sum("__ay").as("__sy"),
-        sum(col("__ax") * col("__ax")).as("__sxx"),
-        sum(col("__ay") * col("__ay")).as("__syy"),
-        sum(col("__ax") * col("__ay")).as("__sxy"))
-    // fixed IEEE tail — keep in lock step with the SQL mirror
+        sum((col("__ax") * col("__ax")).cast("decimal(38,0)")).as("__sxx"),
+        sum((col("__ay") * col("__ay")).cast("decimal(38,0)")).as("__syy"),
+        sum((col("__ax") * col("__ay")).cast("decimal(38,0)")).as("__sxy"))
+    // fixed IEEE tail — keep in lock step with the SQL mirror. The
+    // decimal second moments convert via STRING (exact digits → one
+    // correct rounding): at 10²⁰ magnitudes Spark's Decimal.toDouble
+    // double-rounds (the DetAgg.toD hazard) and DuckDB's hugeint cast
+    // is its own direct path — VARCHAR on both sides is the only pair
+    // that agrees at every magnitude.
+    def d(c: Column) = c.cast("string").cast("double")
     t.select(
       col("n"),
-      ((col("n").cast("double") * col("__sxy") - col("__sx").cast("double") * col("__sy"))
+      ((col("n").cast("double") * d(col("__sxy"))
+        - col("__sx").cast("double") * col("__sy").cast("double"))
         / sqrt(
-          (col("n").cast("double") * col("__sxx") - col("__sx").cast("double") * col("__sx"))
-            * (col("n").cast("double") * col("__syy") - col("__sy").cast("double") * col("__sy"))))
+          (col("n").cast("double") * d(col("__sxx"))
+            - col("__sx").cast("double") * col("__sx").cast("double"))
+            * (col("n").cast("double") * d(col("__syy"))
+              - col("__sy").cast("double") * col("__sy").cast("double"))))
         .as("rho"))
   }
 

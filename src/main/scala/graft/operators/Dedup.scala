@@ -740,17 +740,22 @@ object Dedup {
     val a = pos.select(col(id).as("id_a"), col("p").as("pa"), col("__k"))
     val b = pos.select(col(id).as("id_b"), col("p").as("pb"), col("__k"))
     // guard applied to the JOIN OUTPUT, not a join input: both sides stay
-    // canonically identical, leaving the planner free to pick the best
-    // self-join strategy (AQE broadcasts one side at bench scale — zero
-    // join shuffles; at corpus scale SMJ can reuse one exchange for both
-    // sides, which a guard-polluted left input would forbid). Failure
-    // semantics are unchanged: the broadcast max-multiplicity aggregate
-    // is materialized before the first join row streams, and every
-    // output row passes through the assert, so a hot-window corpus still
-    // dies on the first emitted match — before bound² rows can
-    // materialize anywhere.
+    // canonically identical, so SMJ reuses ONE exchange for both (which a
+    // guard-polluted left input would forbid). The self-join is HINTED to
+    // sort-merge: both sides are the corpus-sized position relation
+    // (rows = Σ(len−w+1) — data-proportional by construction), but it
+    // descends from an explode whose size Catalyst cannot estimate, so
+    // the planner kept choosing BuildRight broadcast — fine in a 64 GiB
+    // bench heap, a guaranteed driver OOM at production scale (the r15
+    // 4–6 GiB spill probe died exactly there at sf1). SMJ spills; a
+    // hashed-relation broadcast cannot. Failure semantics of the guard
+    // are unchanged: the broadcast max-multiplicity aggregate is
+    // materialized before the first join row streams, and every output
+    // row passes through the assert, so a hot-window corpus still dies
+    // on the first emitted match — before bound² rows can materialize
+    // anywhere.
     val matches = spanGuarded(
-      a.join(b, Seq("__k")).filter(col("id_a") < col("id_b")),
+      a.hint("merge").join(b, Seq("__k")).filter(col("id_a") < col("id_b")),
       pos, w, maxDocsPerShingle)
     mergeDiagonalRuns(matches.select(col("id_a"), col("id_b"), col("pa"), col("pb")), w)
   }

@@ -82,8 +82,10 @@ object ProfileQueries {
 
   /** Spearman rank correlation between quantity and extended price
     * ([[graft.functions.Stats.spearman]]): Pearson over tie-averaged
-    * DOUBLED ranks — all moments exact BIGINT sums, ρ one fixed IEEE
-    * tail, NO rounding. The engine ranks both columns on the sharded
+    * DOUBLED ranks — first moments exact BIGINT sums, second moments
+    * exact DECIMAL(38,0) (engine) / HUGEINT (DuckDB's silent SUM
+    * promotion) — Θ(n³), past ~2.1M rows a long sum overflows (the r15
+    * sf1 drive measured it) — ρ one fixed IEEE tail, NO rounding. The engine ranks both columns on the sharded
     * kernel (price is near-continuous — exactly the case the sharding
     * exists for); the oracle uses plain cumulative windows, so the hash
     * match re-proves the sharding on a two-column rank statistic.
@@ -103,15 +105,18 @@ object ProfileQueries {
            |  FROM gy),
            |j AS (SELECT ax, ay FROM src JOIN cx USING (x) JOIN cy USING (y)),
            |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           |    CAST(SUM(ax) AS BIGINT) AS sx, CAST(SUM(ay) AS BIGINT) AS sy,
-           |    CAST(SUM(ax * ax) AS BIGINT) AS sxx,
-           |    CAST(SUM(ay * ay) AS BIGINT) AS syy,
-           |    CAST(SUM(ax * ay) AS BIGINT) AS sxy
+           |    SUM(ax) AS sx, SUM(ay) AS sy,
+           |    SUM(ax * ax) AS sxx,
+           |    SUM(ay * ay) AS syy,
+           |    SUM(ax * ay) AS sxy
            |  FROM j)
            |SELECT n,
-           |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-           |  / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-           |       * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS rho
+           |  (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+           |    - CAST(sx AS DOUBLE) * sy)
+           |  / SQRT((CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+           |        - CAST(sx AS DOUBLE) * sx)
+           |       * (CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+           |        - CAST(sy AS DOUBLE) * sy)) AS rho
            |FROM t""".stripMargin),
     (s, dir) =>
       graft.functions.Stats.spearman(

@@ -28,16 +28,28 @@ object ScaleProbe {
     */
   def scaledDocs(docs: DataFrame, copies: Int): DataFrame =
     (0 until copies).map { i =>
-      docs.select(
-        (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
-        // FIXED-WIDTH suffix: "c1" is a string PREFIX of "c10", so past
-        // 10 copies a bare index makes cross-copy CHAR windows collide
-        // (dup_spans' x16 run showed 62x match volume from exactly
-        // this) — zero-padding keeps every copy's suffix the same
-        // length and prefix-free, so shingles AND char windows stay
-        // disjoint across copies at any ladder height
-        regexp_replace(col("text"), "(\\S+)", f"$$1c$i%02d").as("text"),
-        col("lang"))
+      // FIXED-WIDTH suffix: "c1" is a string PREFIX of "c10", so past
+      // 10 copies a bare index makes cross-copy CHAR windows collide
+      // (dup_spans' x16 run showed 62x match volume from exactly
+      // this) — zero-padding keeps every copy's suffix the same
+      // length and prefix-free, so shingles AND char windows stay
+      // disjoint across copies at any ladder height
+      val newText = regexp_replace(col("text"), "(\\S+)", f"$$1c$i%02d")
+      // EVERY other column rides through unchanged (the r15 sf1 drive
+      // found 20 queries erroring on a corpus that silently dropped
+      // `source`/`n_chars` — and several of those reference literal
+      // source values, so the domain must not be copy-suffixed either).
+      // `n_chars` is the one derived column: the testdata invariant is
+      // n_chars = length(text), and the suffixing changes the text, so
+      // it is recomputed to keep the invariant true in the scaled corpus.
+      // single select — every expression binds to the INPUT row, so
+      // n_chars measures the suffixed text exactly once
+      docs.select(docs.columns.map {
+        case "doc_id" => (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id")
+        case "text" => newText.as("text")
+        case "n_chars" => length(newText).cast("long").as("n_chars")
+        case c => col(c)
+      }: _*)
     }.reduce(_ unionAll _)
 
   /** Scale the embeddings table by replication with DETERMINISTIC per-copy
@@ -70,10 +82,17 @@ object ScaleProbe {
     */
   def scaledEmbSign(emb: DataFrame, copies: Int): DataFrame =
     (0 until copies).map { i =>
-      emb.select(
-        (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
-        transform(col("embedding"), (x, j) =>
-          when(pmod(xxhash64(lit(i), j), lit(2)) === 0, x).otherwise(-x)).as("embedding"))
+      // non-geometry columns (`label`) ride through UNCHANGED: queries
+      // reference literal label values (`label = 0`), and the sign flip
+      // preserves within-copy geometry, so per-copy labels stay
+      // consistent with their copy's vectors
+      emb.select(emb.columns.map {
+        case "vec_id" => (col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id")
+        case "embedding" =>
+          transform(col("embedding"), (x, j) =>
+            when(pmod(xxhash64(lit(i), j), lit(2)) === 0, x).otherwise(-x)).as("embedding")
+        case c => col(c)
+      }: _*)
     }.reduce(_ unionAll _)
 
   /** [[scaledEmbSign]] plus `planted` near-identical twins per copy
@@ -92,11 +111,14 @@ object ScaleProbe {
     val base = scaledEmbSign(emb, copies)
     val twins = base
       .filter(pmod(col("vec_id"), lit(100000000L)) < planted)
-      .select(
-        (col("vec_id") + lit(50000000L)).as("vec_id"),
-        transform(col("embedding"), (x, j) =>
-          x + (pmod(xxhash64(col("vec_id"), j), lit(1000)).cast("double")
-            / lit(1000.0) - lit(0.5)) * lit(0.02)).as("embedding"))
+      .select(base.columns.map {
+        case "vec_id" => (col("vec_id") + lit(50000000L)).as("vec_id")
+        case "embedding" =>
+          transform(col("embedding"), (x, j) =>
+            x + (pmod(xxhash64(col("vec_id"), j), lit(1000)).cast("double")
+              / lit(1000.0) - lit(0.5)) * lit(0.02)).as("embedding")
+        case c => col(c)
+      }: _*)
     base.unionAll(twins)
   }
 

@@ -84,4 +84,19 @@ class MannWhitneySpec extends AnyFunSuite {
     val rs = Seq(1, 4, 12).map(b => rho(pairs, b))
     assert(rs.distinct.size == 1, s"$rs")
   }
+
+  test("spearman: second moments past Long.MaxValue (the sf1 overflow pin)") {
+    // Σ(ax²) is Θ(n³): with 2.3M distinct doubled ranks it reaches
+    // ~1.5e19 > Long.MaxValue — the exact failure the r15 sf1 drive hit
+    // (ANSI long-sum overflow at 6M lineitem). The decimal(38,0) second
+    // moments must survive and still score a perfect monotone relation.
+    import org.apache.spark.sql.functions.col
+    val n = 2300000L
+    val df = spark.range(n).select(
+      col("id").cast("double").as("x"), col("id").cast("double").as("y"))
+    val r = Stats.spearman(df, "x", "y").collect().head
+    assert(r.getAs[Long]("n") == n)
+    assert(math.abs(r.getAs[Double]("rho") - 1.0) < 1e-12,
+      s"rho ${r.getAs[Double]("rho")}")
+  }
 }

@@ -229,6 +229,22 @@ class PlanSpec extends AnyFunSuite {
     assert(bnlj <= 2, s"unexpected nested loops ($bnlj):\n" + p.take(1500))
   }
 
+  test("dedup_substring_spans: the position self-join sort-merges, never builds a hash broadcast") {
+    // The position relation is corpus-sized by construction (one row per
+    // character offset), but it descends from an explode whose output
+    // size Catalyst cannot estimate — left unhinted, the planner chose
+    // BuildRight broadcast, which survives a 64 GiB bench heap and OOMs
+    // any production executor (measured: the r15 sf1 spill probe died at
+    // 4-6 GiB, and the SMJ plan is ~2x faster even at bench scale). The
+    // only broadcast allowed in this plan is the guard's 1-row
+    // max-multiplicity aggregate (an IdentityBroadcastMode nested-loop
+    // cross), never a HashedRelation build of the join side.
+    val p = plan(graft.queries.TextQueries.dedupSubstringSpans)
+    assert(p.contains("SortMergeJoin"), p.take(1200))
+    assert(!p.contains("BroadcastHashJoin"),
+      "position self-join must not build a corpus-sized hash broadcast:\n" + p.take(1200))
+  }
+
   test("p2: scalar-aggregate predicate broadcasts the 1-row threshold") {
     val p = plan(RelationalQueries.p2AggPredicate)
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -80,7 +80,11 @@ for name in sorted(os.listdir(OUT)):
     try:
         duck_df = con.execute(oracle[name]).df()
         signal.alarm(0)
-    except Timeout:
+    # the alarm can land while control is inside DuckDB's C++ core, which
+    # converts the pending interrupt into its own InterruptException
+    # instead of letting our Timeout propagate — both are the budget
+    # firing, neither is a mismatch
+    except (Timeout, duckdb.InterruptException):
         # DuckDB cancels on interrupt; reconnect for the next query
         print(f"SLOW  {name}: oracle exceeded {BUDGET}s in DuckDB (not compared)")
         rec(name, spark_rows=len(spark_df), slow=True, err=f"oracle exceeded {BUDGET}s")
