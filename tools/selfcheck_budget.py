@@ -7,6 +7,11 @@ exceeds the budget is reported `SLOW` (evidence not attempted), never
 conflated with a mismatch.
 
 Usage: python3 tools/selfcheck_budget.py [verify_out_dir] [sf_dir] [budget_sec]
+           [ledger_json] [only_csv]
+
+`only_csv` (or env SELFCHECK_ONLY) restricts the run to a comma-separated
+query-name list — the re-drive path for the heavy oracles that need a
+bigger budget than the drain pass.
 """
 import sys, os, json, glob, signal
 import duckdb
@@ -16,6 +21,10 @@ OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_sf1"
 SF = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
 BUDGET = int(sys.argv[3]) if len(sys.argv) > 3 else 300
 LEDGER = sys.argv[4] if len(sys.argv) > 4 else None
+ONLY = None
+_only = sys.argv[5] if len(sys.argv) > 5 else os.environ.get("SELFCHECK_ONLY")
+if _only:
+    ONLY = set(x for x in _only.split(",") if x)
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -64,6 +73,8 @@ def rec(name, **kw):
 for name in sorted(os.listdir(OUT)):
     qdir = os.path.join(OUT, name)
     if not os.path.isdir(qdir):
+        continue
+    if ONLY is not None and name not in ONLY:
         continue
     files = glob.glob(f"{qdir}/*.parquet")
     if not files:
