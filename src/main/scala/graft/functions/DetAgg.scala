@@ -59,6 +59,26 @@ object DetAgg {
   /** Order-independent sum of a double column, returned as double. */
   def dsum(c: Column): Column = toD(sum(dec(c)))
 
+  /** Order-independent sum of an EXACT product: each factor is cast to
+    * DECIMAL(18,6) (exact for money/quantity-grade inputs below ~1e9,
+    * where the double ulp is still far inside the 5e-7 cast boundary)
+    * and multiplied IN DECIMAL — decimal(37,12), exact — so no engine
+    * ever rounds a double PRODUCT. `dsum(x*y)` casts the double product
+    * instead, and once the product magnitude reaches ~1e9 the double's
+    * ulp (2^-52·|v|) crosses the scale-6 rounding boundary spacing:
+    * Spark rounds the product's exact binary expansion, DuckDB its
+    * shortest decimal form, and the per-row casts diverge — measured at
+    * sf1 as a Σ price² disagreement of 0.52 micro-units after 2M rows
+    * (`a12_linreg`, r15). Sum magnitude stays exact to 10²⁶ (decimal 38
+    * scale 12). The factor casts are ASYMMETRIC — (19,6) × (18,6) —
+    * because DuckDB keeps an 18×18 multiply in int64 storage and
+    * overflows at these magnitudes; one 19-wide factor forces hugeint,
+    * giving DECIMAL(37,12) there and DECIMAL(38,12) in Spark, both
+    * exact. Mirror: [[Sql.dsumProd]].
+    */
+  def dsumProd(x: Column, y: Column): Column =
+    toD(sum(x.cast(DecimalType(19, Scale)) * y.cast(DecimalType(18, Scale))))
+
   /** Product-grade scale: a product of two scale-6 quantities is EXACT
     * at 12 decimals, so summing such products at scale 12 never rounds —
     * which matters because the engines' double→decimal casts round
@@ -129,6 +149,12 @@ object DetAgg {
       */
     def dsumExact(x: String): String =
       s"CAST(CAST(SUM(CAST($x AS DECIMAL(30,$Scale))) AS VARCHAR) AS DOUBLE)"
+
+    /** Mirror of [[DetAgg.dsumProd]] — factor-wise DECIMAL(18,6) casts,
+      * exact decimal product, VARCHAR-routed final cast.
+      */
+    def dsumProd(x: String, y: String): String =
+      s"CAST(CAST(SUM(CAST($x AS DECIMAL(19,$Scale)) * CAST($y AS DECIMAL(18,$Scale))) AS VARCHAR) AS DOUBLE)"
     /** Mirror of [[DetAgg.dsumP]] — VARCHAR-routed like [[dsumExact]]
       * because scale-12 sums exceed 2^53 pico-units almost immediately.
       */

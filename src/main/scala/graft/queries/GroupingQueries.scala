@@ -219,14 +219,19 @@ object GroupingQueries {
     val r2 = s"(($slope) * ($slope)) * (n * sx2 - sx * sx) / (n * sy2 - sy * sy)"
     Q(
       "a12_linreg",
+      // second moments via dsumProd — EXACT decimal products, never a
+      // rounded double product: at sf1 the price² double's ulp crosses
+      // the scale-6 cast boundary and the engines' per-row casts split
+      // (measured: Σ price² apart by 0.52 µunits after 2M rows, r2 off
+      // 3 ulp — this row is UNROUNDED by design, so it alone saw it)
       Some(s"""WITH m AS (
               |  SELECT l_returnflag,
               |    CAST(COUNT(*) AS DOUBLE) AS n,
               |    ${D.dsumExact("l_quantity")} AS sx,
               |    ${D.dsumExact("l_extendedprice")} AS sy,
-              |    ${D.dsumExact("l_quantity * l_extendedprice")} AS sxy,
-              |    ${D.dsumExact("l_quantity * l_quantity")} AS sx2,
-              |    ${D.dsumExact("l_extendedprice * l_extendedprice")} AS sy2
+              |    ${D.dsumProd("l_quantity", "l_extendedprice")} AS sxy,
+              |    ${D.dsumProd("l_quantity", "l_quantity")} AS sx2,
+              |    ${D.dsumProd("l_extendedprice", "l_extendedprice")} AS sy2
               |  FROM lineitem GROUP BY 1)
               |SELECT l_returnflag, $slope AS slope, $icept AS intercept, $r2 AS r2
               |FROM m""".stripMargin),
@@ -237,9 +242,9 @@ object GroupingQueries {
             count(lit(1)).cast("double").as("n"),
             DetAgg.dsum(col("l_quantity")).as("sx"),
             DetAgg.dsum(col("l_extendedprice")).as("sy"),
-            DetAgg.dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
-            DetAgg.dsum(col("l_quantity") * col("l_quantity")).as("sx2"),
-            DetAgg.dsum(col("l_extendedprice") * col("l_extendedprice")).as("sy2"))
+            DetAgg.dsumProd(col("l_quantity"), col("l_extendedprice")).as("sxy"),
+            DetAgg.dsumProd(col("l_quantity"), col("l_quantity")).as("sx2"),
+            DetAgg.dsumProd(col("l_extendedprice"), col("l_extendedprice")).as("sy2"))
           .select(
             col("l_returnflag"),
             expr(slope).as("slope"),
@@ -250,11 +255,12 @@ object GroupingQueries {
   /** Pairwise Pearson correlations in long form (col_a, col_b, corr) —
     * the feature-correlation matrix, one aggregation pass for all pairs,
     * every entry from exact decimal moments. Oracle moments use
-    * [[graft.functions.DetAgg.Sql.dsumExact]]: the squared-price sums
-    * exceed 2^53 micro-units, where DuckDB's direct decimal→double cast
-    * is 1 ulp off nearest (see [[linreg]] — this query previously
-    * hash-matched only because the sqrt·division tree happened to absorb
-    * the ulp).
+    * [[graft.functions.DetAgg.Sql.dsumExact]] for first moments and
+    * [[graft.functions.DetAgg.Sql.dsumProd]] for every product moment:
+    * past ~1e9 product magnitude the double product's ulp crosses the
+    * scale-6 cast boundary and the engines' per-row casts split (the
+    * r15 sf1 finding on [[linreg]]); the factor-wise decimal product is
+    * exact, so the moments agree at every scale by construction.
     */
   val corrMatrix: Q = {
     import graft.functions.DetAgg
@@ -269,8 +275,8 @@ object GroupingQueries {
       Some(s"""WITH m AS (
               |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
               |    ${cols.map(c => s"${D.dsumExact(c)} AS s_$c").mkString(",\n    ")},
-              |    ${cols.map(c => s"${D.dsumExact(s"$c * $c")} AS s2_$c").mkString(",\n    ")},
-              |    ${pairs.map { case (a, b) => s"${D.dsumExact(s"$a * $b")} AS s_${a}_${b}" }
+              |    ${cols.map(c => s"${D.dsumProd(c, c)} AS s2_$c").mkString(",\n    ")},
+              |    ${pairs.map { case (a, b) => s"${D.dsumProd(a, b)} AS s_${a}_${b}" }
                  .mkString(",\n    ")}
               |  FROM lineitem)
               |${pairs.map { case (a, b) =>
@@ -280,8 +286,8 @@ object GroupingQueries {
         val m = Tables.load(s, dir, "lineitem").agg(
           count(lit(1)).cast("double").as("n"),
           (cols.map(c => DetAgg.dsum(col(c)).as(s"s_$c")) ++
-            cols.map(c => DetAgg.dsum(col(c) * col(c)).as(s"s2_$c")) ++
-            pairs.map { case (a, b) => DetAgg.dsum(col(a) * col(b)).as(s"s_${a}_${b}") }): _*)
+            cols.map(c => DetAgg.dsumProd(col(c), col(c)).as(s"s2_$c")) ++
+            pairs.map { case (a, b) => DetAgg.dsumProd(col(a), col(b)).as(s"s_${a}_${b}") }): _*)
         pairs
           .map { case (a, b) =>
             m.select(

@@ -87,33 +87,41 @@ for name in sorted(os.listdir(OUT)):
         print(f"ROWS  {name}: rows={len(spark_df)} (no oracle)")
         rec(name, spark_rows=len(spark_df), err="no oracle")
         continue
+    def reconnect():
+        # a fresh connection after ANY oracle abort: an interrupted or
+        # errored query must not leak state into the next comparison
+        c = duckdb.connect()
+        for t in TABLES:
+            p = f"{SF}/{t}.parquet"
+            if os.path.exists(p):
+                c.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+                    if os.path.isdir(p) else
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        return c
+
+    # the alarm can land while control is inside DuckDB's C++ core, which
+    # converts the pending interrupt into its own error instead of letting
+    # our Timeout propagate (duckdb 1.0 raises a bare
+    # RuntimeError("Query interrupted")) — both are the budget firing,
+    # neither is a mismatch
     signal.alarm(BUDGET)
     try:
         duck_df = con.execute(oracle[name]).df()
         signal.alarm(0)
-    # the alarm can land while control is inside DuckDB's C++ core, which
-    # converts the pending interrupt into its own InterruptException
-    # instead of letting our Timeout propagate — both are the budget
-    # firing, neither is a mismatch
-    except (Timeout, duckdb.InterruptException):
-        # DuckDB cancels on interrupt; reconnect for the next query
-        print(f"SLOW  {name}: oracle exceeded {BUDGET}s in DuckDB (not compared)")
-        rec(name, spark_rows=len(spark_df), slow=True, err=f"oracle exceeded {BUDGET}s")
-        n_slow += 1
-        con = duckdb.connect()
-        for t in TABLES:
-            p = f"{SF}/{t}.parquet"
-            if os.path.exists(p):
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
-                    if os.path.isdir(p) else
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-        continue
     except Exception as e:
         signal.alarm(0)
-        print(f"FAIL  {name}: oracle error {e}")
-        rec(name, spark_rows=len(spark_df), err=f"oracle error: {e}")
-        n_fail += 1
+        slow = isinstance(e, (Timeout, duckdb.InterruptException)) or \
+            "interrupted" in str(e).lower()
+        if slow:
+            print(f"SLOW  {name}: oracle exceeded {BUDGET}s in DuckDB (not compared)")
+            rec(name, spark_rows=len(spark_df), slow=True, err=f"oracle exceeded {BUDGET}s")
+            n_slow += 1
+        else:
+            print(f"FAIL  {name}: oracle error {e}")
+            rec(name, spark_rows=len(spark_df), err=f"oracle error: {e}")
+            n_fail += 1
+        con = reconnect()
         continue
     a, b = norm(spark_df), norm(duck_df)
     schema_ok = list(a.columns) == list(b.columns)
