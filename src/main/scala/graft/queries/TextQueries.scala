@@ -848,11 +848,19 @@ object TextQueries {
     Some(s"""WITH $spanSqlCtes,
             |ivl AS (SELECT id_b AS doc_id, start_b AS s, start_b + span_len AS e
             |        FROM spans),
+            |-- dominated-interval elimination: one MAX(e) per (doc, s).
+            |-- (s, e_small) ⊆ (s, e_big), so the interval UNION — and
+            |-- therefore every merged island — is unchanged; what it buys
+            |-- is a TIE-FREE ORDER BY s, because DuckDB 1.0's parallel
+            |-- ROWS-frame window is nondeterministic across tied rows (the
+            |-- r15 sf1 drive measured three different answers in three
+            |-- runs at threads=32; threads=1 and the engine agree exactly)
+            |ivl2 AS (SELECT doc_id, s, MAX(e) AS e FROM ivl GROUP BY 1, 2),
             |isl AS (SELECT doc_id, s, e,
             |    CASE WHEN MAX(e) OVER wp IS NULL OR s > MAX(e) OVER wp
             |         THEN 1 ELSE 0 END AS ni
-            |  FROM ivl
-            |  WINDOW wp AS (PARTITION BY doc_id ORDER BY s, e
+            |  FROM ivl2
+            |  WINDOW wp AS (PARTITION BY doc_id ORDER BY s
             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
             |isl2 AS (SELECT *, SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
             |    ROWS UNBOUNDED PRECEDING) AS island FROM isl),
