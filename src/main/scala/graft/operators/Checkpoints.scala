@@ -3,7 +3,7 @@ package graft.operators
 import scala.collection.mutable
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.storage.StorageLevel
 
 /** Tracked eager `localCheckpoint`s for iterative kernels — the release
@@ -38,6 +38,8 @@ import org.apache.spark.storage.StorageLevel
   */
 private[graft] final class CheckpointScope {
   private val base = mutable.ArrayBuffer.empty[RDD[_]]
+  private val cached = mutable.ArrayBuffer.empty[DataFrame]
+  private val cachedChannels = mutable.Map.empty[String, DataFrame]
   private val channels = mutable.Map.empty[String, RDD[_]]
 
   /** Eager localCheckpoint of a base relation, tracked for [[close]]. */
@@ -46,6 +48,67 @@ private[graft] final class CheckpointScope {
     Checkpoints.pinnedRdd(out).foreach(base += _)
     out
   }
+
+  /** Eager PERSIST of a base relation whose physical LAYOUT must stay
+    * visible to the planner: under AQE a `localCheckpoint`'s LogicalRDD
+    * reports `UnknownPartitioning`, so a relation joined on the same key
+    * every round re-pays its exchange (and sort) per iteration. A cached
+    * plan's `InMemoryTableScan` keeps the HashPartitioning/ordering of
+    * the materialized plan, so per-round joins against it co-partition
+    * with zero exchange on this side (guide §2.4: operations keyed the
+    * same way share one exchange). Lineage is NOT truncated — use only
+    * for shallow base relations (edges/degrees/nodes), never for
+    * loop-carried state ([[roll]] remains the lineage cut). Released by
+    * [[close]]/[[closeAll]] like every other handle.
+    *
+    * The cache is populated by running the supplied one-row aggregate
+    * over the frame (an aggregate scan materializes every partition of
+    * the InMemoryRelation being built), so kernels fold their setup
+    * statistics — node counts, dangling-node counts, overflow guards —
+    * into the SAME job that materializes the relation instead of paying
+    * a separate action per statistic.
+    */
+  def matLayoutStats(df: DataFrame, aggs: Column*): (DataFrame, Row) = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cached += df
+    (df, row)
+  }
+
+  /** [[matLayoutStats]] without a statistic (populate via count). */
+  def matLayout(df: DataFrame): DataFrame =
+    matLayoutStats(df, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)))._1
+
+  /** Rolling PERSISTED channel for loop-carried state whose layout must
+    * stay visible across rounds (the [[matLayout]] rationale applied to
+    * the per-round mass/state relation): persists `df`, populates the
+    * cache with the given one-row aggregate (kernels read their
+    * per-round global statistic — dangling mass, convergence triple —
+    * from the SAME job that materializes the round), then unpersists the
+    * channel's previous frame. Lineage is NOT cut — with the state
+    * referenced once per round the logical plan grows linearly, and the
+    * caller MUST [[roll]] the final round before [[close]] drops these
+    * caches (the returned plan must never be rooted in an evicted cache
+    * whose own roots were released).
+    */
+  def rollLayout(channel: String, df: DataFrame, aggs: Column*): (DataFrame, Row) = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cachedChannels.remove(channel).foreach(_.unpersist(false))
+    cachedChannels(channel) = df
+    (df, row)
+  }
+
+  /** Release ONE base checkpoint early (a setup-only relation whose
+    * derived products are already materialized) — its blocks otherwise
+    * ride executor storage for the whole loop.
+    */
+  def release(df: DataFrame): Unit =
+    Checkpoints.pinnedRdd(df).foreach { r =>
+      base -= r
+      r.unpersist(blocking = false)
+    }
 
   /** Eager localCheckpoint of a loop-carried relation: the channel's
     * previous checkpoint is released as soon as the new one is fully
@@ -66,6 +129,10 @@ private[graft] final class CheckpointScope {
   def close(keep: String*): Unit = {
     base.foreach(_.unpersist(blocking = false))
     base.clear()
+    cached.foreach(_.unpersist(false))
+    cached.clear()
+    cachedChannels.values.foreach(_.unpersist(false))
+    cachedChannels.clear()
     val k = keep.toSet
     channels.filterInPlace { case (name, rdd) =>
       if (k.contains(name)) true

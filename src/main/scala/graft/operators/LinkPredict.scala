@@ -39,9 +39,18 @@ object LinkPredict {
       edges: DataFrame,
       k: Int = 20,
       maxWedgeVolume: Long = MaxWedgeVolume): DataFrame = {
-    val e = edges.select(col("u").cast("long"), col("v").cast("long"))
-    val adj = e.select(col("u").as("w"), col("v").as("n"))
-      .union(e.select(col("v").as("w"), col("u").as("n")))
+    // The (often expensive — self-join + distinct upstream) edge plan is
+    // referenced by FIVE subtrees (two adj orientations, the degree
+    // aggregate, the wedge self-join, the anti join): materialize it
+    // ONCE, and the symmetric adjacency once, instead of trusting
+    // exchange reuse to dedupe a plan that expands the pair derivation
+    // per reference (the r15 formatted plan carried 52 Exchanges; the
+    // checkpointed form carries 6).
+    val scope = new CheckpointScope
+    try {
+    val e = scope.mat(edges.select(col("u").cast("long"), col("v").cast("long")))
+    val adj = scope.mat(e.select(col("u").as("w"), col("v").as("n"))
+      .union(e.select(col("v").as("w"), col("u").as("n"))))
     val deg = adj.groupBy("w").agg(count(lit(1)).as("d"))
     // wedge-volume guard: rides the deg aggregate (no extra scan of the
     // corpus-sized adjacency — deg is node-cardinality), fails the job
@@ -65,7 +74,7 @@ object LinkPredict {
     // independent, so removing edge-pairs before or after it is the same
     // result — only the probe volume changes). deg is a node-count-sized
     // relation: broadcast.
-    wedges
+    val out = scope.roll("out", wedges
       .join(broadcast(deg), "w")
       .groupBy("a", "b")
       .agg(
@@ -74,7 +83,10 @@ object LinkPredict {
           .as("aa_score"))
       .join(e, col("a") === col("u") && col("b") === col("v"), "left_anti")
       .orderBy(col("aa_score").desc, col("a"), col("b"))
-      .limit(k)
+      .limit(k))
+    scope.close("out")
+    out
+    } catch { case t: Throwable => scope.closeAll(); throw t }
   }
 
   /** PRODUCTION tier: Adamic–Adar over the hub-CAPPED graph — every
@@ -99,19 +111,24 @@ object LinkPredict {
       maxDeg: Int = 64): DataFrame = {
     require(maxDeg >= 2, s"maxDeg $maxDeg out of range (wedges need 2)")
     import org.apache.spark.sql.expressions.Window
-    val e = edges.select(col("u").cast("long"), col("v").cast("long"))
+    // same materialization discipline as [[adamicAdar]]: edge plan once,
+    // capped adjacency once (it feeds the degree recompute and both
+    // sides of the wedge join)
+    val scope = new CheckpointScope
+    try {
+    val e = scope.mat(edges.select(col("u").cast("long"), col("v").cast("long")))
     val adj = e.select(col("u").as("w"), col("v").as("n"))
       .union(e.select(col("v").as("w"), col("u").as("n")))
     val byNode = Window.partitionBy("w").orderBy("n")
-    val capped = adj
+    val capped = scope.mat(adj
       .withColumn("__rn", row_number().over(byNode))
       .filter(col("__rn") <= maxDeg)
-      .select("w", "n")
+      .select("w", "n"))
     val deg = capped.groupBy("w").agg(count(lit(1)).as("d"))
     val wedges = capped.as("x")
       .join(capped.as("y"), col("x.w") === col("y.w") && col("x.n") < col("y.n"))
       .select(col("x.w").as("w"), col("x.n").as("a"), col("y.n").as("b"))
-    wedges
+    val out = scope.roll("out", wedges
       .join(broadcast(deg), "w")
       .groupBy("a", "b")
       .agg(
@@ -120,7 +137,10 @@ object LinkPredict {
           .as("aa_score"))
       .join(e, col("a") === col("u") && col("b") === col("v"), "left_anti")
       .orderBy(col("aa_score").desc, col("a"), col("b"))
-      .limit(k)
+      .limit(k))
+    scope.close("out")
+    out
+    } catch { case t: Throwable => scope.closeAll(); throw t }
   }
 
   /** The matching DuckDB oracle for [[adamicAdarCapped]] — kept

@@ -47,28 +47,41 @@ object PageRank {
     try {
     val e = scope.mat(edges
       .select(col("src").cast("long"), col("dst").cast("long")))
-      // read twice per iteration × iters rounds
     val nodes = scope.mat(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
     val deg = scope.mat(e.groupBy("src").agg(count(lit(1)).as("__d")))
-    val n = nodes.agg(count(lit(1)).as("__cnt"))
-    var r: DataFrame = scope.roll("r", nodes.crossJoin(broadcast(n))
-      .select(col("node"), expr(s"${Scale}L div __cnt").as("rank")))
+    // degree pre-joined ONCE into the per-round edge relation (guide
+    // §2.4): `rank div outdeg` needs it on every edge, and joining it
+    // inside the loop re-paid a deg-relation join per iteration — the
+    // checkpointed (src, dst, __d) relation costs one extra long column
+    // and removes iters join stages
+    val ed = scope.mat(e.join(deg, "src"))
+    scope.release(e) // setup-only; its derivations are materialized
+    // node count collected ONCE as a literal: the per-round
+    // crossJoin(broadcast(n)) re-counted the node relation and rebuilt a
+    // 1-row broadcast every iteration for a value that never changes
+    val cnt = nodes.count()
+    if (cnt == 0L) { // empty graph: empty result, nothing survives
+      scope.closeAll()
+      return edges.sparkSession.range(0)
+        .select(col("id").as("node"), col("id").as("rank"))
+    }
+    var r: DataFrame = scope.roll("r", nodes
+      .select(col("node"), lit(Scale / cnt).as("rank")))
     for (i <- 1 to iters) {
-      val contrib = e
-        .join(r, e("src") === r("node"))
-        .join(deg, "src")
+      val contrib = ed
+        .join(r, ed("src") === r("node"))
         .select(col("dst"), expr("rank div __d").as("__c"))
         .groupBy("dst").agg(sum("__c").as("__s"))
       val dangling = r
         .join(deg, r("node") === deg("src"), "left_anti")
         .agg(coalesce(sum("rank"), lit(0L)).as("__dang"))
-      r = nodes.crossJoin(broadcast(n)).crossJoin(broadcast(dangling))
+      r = nodes.crossJoin(broadcast(dangling))
         .join(contrib, nodes("node") === contrib("dst"), "left")
         .select(
           col("node"),
-          (expr(s"(15 * ${Scale}L div 100) div __cnt")
-            + expr("85 * (coalesce(__s, 0L) + __dang div __cnt) div 100"))
+          (lit((15L * Scale / 100) / cnt)
+            + expr(s"85 * (coalesce(__s, 0L) + __dang div ${cnt}L) div 100"))
             .as("rank"))
       // cut lineage every `checkpointInterval` rounds (and at the end):
       // each un-cut round doubles the plan (r consumed twice), so the
@@ -114,26 +127,35 @@ object PageRank {
       .join(broadcast(sd), Seq("node"), "left")
       .select(col("node"), coalesce(col("__seed"), lit(false)).as("__s")))
     val deg = scope.mat(e.groupBy("src").agg(count(lit(1)).as("__d")))
-    val ns = nodes.agg(sum(when(col("__s"), 1L).otherwise(0L)).as("__ns"))
-    var r: DataFrame = scope.roll("r", nodes.crossJoin(broadcast(ns))
+    // same two setup folds as [[fixedPoint]]: degree pre-joined into the
+    // per-round edge relation, seed count collected once as a literal
+    val ed = scope.mat(e.join(deg, "src"))
+    scope.release(e)
+    val ns = nodes.filter(col("__s")).count()
+    // ns = 0 (no seed appears in the graph) keeps the original fold's
+    // semantics: every rank stays 0 (the when() branch never fired, so
+    // the seed divisions never evaluated)
+    val r0 = if (ns == 0L) 0L else Scale / ns
+    val baseSeed = if (ns == 0L) 0L else (15L * Scale / 100) / ns
+    var r: DataFrame = scope.roll("r", nodes
       .select(col("node"), col("__s"),
-        when(col("__s"), expr(s"${Scale}L div __ns")).otherwise(0L).as("rank")))
+        when(col("__s"), lit(r0)).otherwise(0L).as("rank")))
     for (i <- 1 to iters) {
-      val contrib = e
-        .join(r, e("src") === r("node"))
-        .join(deg, "src")
+      val contrib = ed
+        .join(r, ed("src") === r("node"))
         .select(col("dst"), expr("rank div __d").as("__c"))
         .groupBy("dst").agg(sum("__c").as("__s2"))
       val dangling = r
         .join(deg, r("node") === deg("src"), "left_anti")
         .agg(coalesce(sum("rank"), lit(0L)).as("__dang"))
-      r = nodes.crossJoin(broadcast(ns)).crossJoin(broadcast(dangling))
+      val dangDivNs =
+        if (ns == 0L) "0L" else s"(__dang div ${ns}L)"
+      r = nodes.crossJoin(broadcast(dangling))
         .join(contrib, nodes("node") === contrib("dst"), "left")
         .select(
           col("node"), col("__s"),
           (when(col("__s"),
-            expr(s"(15 * ${Scale}L div 100) div __ns")
-              + expr("85 * (__dang div __ns) div 100")).otherwise(0L)
+            lit(baseSeed) + expr(s"85 * $dangDivNs div 100")).otherwise(0L)
             + expr("85 * coalesce(__s2, 0L) div 100"))
             .as("rank"))
       if (i % checkpointInterval == 0 || i == iters) r = scope.roll("r", r)

@@ -1489,11 +1489,20 @@ object EventQueries {
             expr("n * 1048576L div tot").as("q")))
         val states = scope.mat(c0.select(col("event_type").as("state"))
           .union(c0.select(col("next_type").as("state"))).distinct())
-        val n = states.agg(count(lit(1)).as("ns"))
-        val fOut = c.select(col("event_type").as("__out")).distinct()
+        // state count collected ONCE as a literal (the per-round
+        // crossJoin(broadcast(n)) re-counted it every iteration), and
+        // the iteration-invariant no-out-transition probe relation
+        // materialized ONCE (it was a lazy distinct re-executed — one
+        // exchange — per round)
+        val ns = states.count()
+        val fOut = scope.mat(c.select(col("event_type").as("__out")).distinct())
+        if (ns == 0L) {
+          scope.closeAll() // no transitions at all: empty result
+          s.range(0).select(
+            col("id").cast("string").as("event_type"), col("id").as("pi"))
+        } else {
         var p: org.apache.spark.sql.DataFrame = scope.roll("p",
-          states.crossJoin(broadcast(n))
-            .select(col("state"), expr(s"${scale}L div ns").as("pi")))
+          states.select(col("state"), lit(scale / ns).as("pi")))
         for (_ <- 1 to iters) {
           val contrib = c.join(p, c("event_type") === p("state"))
             .select(col("next_type"), expr("pi * q div 1048576L").as("__c"))
@@ -1501,16 +1510,17 @@ object EventQueries {
           val dang = p.join(fOut, p("state") === fOut("__out"), "left_anti")
             .agg(coalesce(sum("pi"), lit(0L)).as("dang"))
           p = scope.roll("p",
-            states.crossJoin(broadcast(n)).crossJoin(broadcast(dang))
+            states.crossJoin(broadcast(dang))
               .join(contrib, states("state") === contrib("next_type"), "left")
               .select(
                 col("state"),
                 (coalesce(col("contrib"), lit(0L))
-                  + expr("dang div ns")).cast(LongType).as("pi")))
+                  + expr(s"dang div ${ns}L")).cast(LongType).as("pi")))
         }
         // returned plan is rooted only in the final "p" checkpoint
         scope.close("p")
         p.select(col("state").as("event_type"), col("pi"))
+        }
         } catch { case t: Throwable => scope.closeAll(); throw t }
       })
   }
