@@ -104,6 +104,18 @@ object DetAgg {
     */
   def davg(c: Column): Column = dsum(c) / count(c)
 
+  /** Multiplicity-weighted [[davg]] — BIT-IDENTICAL to `davg` over the
+    * frame with each row physically repeated `w` times: the exact
+    * decimal sum of w copies of x equals the exact decimal sum of x·w
+    * (integer w), and the denominator counts only rows whose value is
+    * non-null, exactly as `count(c)` does over the exploded form. Lets
+    * bootstrap consumers aggregate multiplicities instead of exploding
+    * them (guide §2.3).
+    */
+  def davgW(c: Column, w: Column): Column =
+    toD(sum(dec(c) * w)) /
+      sum(when(c.isNotNull, w.cast("long")).otherwise(0L))
+
   /** Sample standard deviation via exact moments:
     * sqrt((sxx - sx*sx/n) / (n-1)). sx and sxx are exact decimals; the
     * final expression is a fixed sequence of IEEE double ops, so any engine

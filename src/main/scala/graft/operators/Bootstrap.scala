@@ -132,6 +132,25 @@ object Bootstrap {
       df: DataFrame,
       hashCols: Seq[Column],
       replicas: Int,
+      seed: Long): DataFrame =
+    poissonWeights(df, hashCols, replicas, seed)
+      .withColumn("__dup", explode(array_repeat(lit(1), col("__m"))))
+      .drop("__m", "__dup")
+
+  /** [[poissonResample]] WITHOUT the physical row duplication: the same
+    * draws, surfaced as a `__m` multiplicity column (rows with m = 0
+    * dropped — they contribute nothing to any downstream aggregate).
+    * Consumers fold the multiplicity into their aggregates (Σ w·m /
+    * Σ m) instead of exploding m copies of every row — identical values
+    * (an exact decimal sum of m copies of x equals the exact sum of
+    * x·m), a fraction of the rows (guide §2.3: aggregate weighted,
+    * don't replicate). This is the same weighted form the flagship's
+    * binned pass and `a10_bootstrap_hash` already use.
+    */
+  def poissonWeights(
+      df: DataFrame,
+      hashCols: Seq[Column],
+      replicas: Int,
       seed: Long): DataFrame = {
     val withReplica = df.withColumn("replica", explode(sequence(lit(0), lit(replicas - 1))))
     // xxhash64 → uniform double in [0, 1)
@@ -143,7 +162,5 @@ object Bootstrap {
     withReplica
       .withColumn("__m", m)
       .filter(col("__m") > 0)
-      .withColumn("__dup", explode(array_repeat(lit(1), col("__m"))))
-      .drop("__m", "__dup")
   }
 }

@@ -294,7 +294,15 @@ object Dedup {
     // state after return.
     val sh = shingles(df, id, text, k)
       .select(col(id), xxhash64(col("shingle")).as("shingle"))
-    val sizes = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    // per-doc set sizes computed MAP-SIDE from the distinct shingle
+    // array (|set| = size of the array docShingleSets already builds) —
+    // the r14 form ran a THIRD full exploded-shingle pass plus an
+    // exchange/aggregate just to count rows per doc (guide §2.4: the
+    // count was derivable with no shuffle at all). Same values: docs
+    // with zero shingles never reach `common`, so their 0-size rows
+    // join away identically.
+    val sizes = docShingleSets(df, id, text, k)
+      .select(col(id), size(col("sh")).cast("long").as("n_sh"))
     // HOT-SHINGLE GUARD riding the join's own shuffle (r10: the r9 form
     // was a separate groupBy-shingle aggregate + broadcast barrier — one
     // full extra pass over the exploded shingle relation per call). A
@@ -304,8 +312,13 @@ object Dedup {
     // from the same shuffle the join consumes. Each partition asserts
     // before its own shingle groups are expanded — a hot shingle fails
     // its task loudly before bound² rows can be emitted from it.
+    // BOTH self-join sides read the SAME guarded windowed relation
+    // (r15): the sides then differ only by the id alias, so the
+    // exploded-shingle exchange is planned once and REUSED — the r14
+    // form built the b side from the raw shingle relation and re-ran
+    // the whole shingle pass for it.
     val wSh = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-    val a = sh.select(col(id).as("id_a"), col("shingle"))
+    val guarded = sh
       .withColumn("__m", count(lit(1)).over(wSh))
       .filter(assert_true(
         col("__m") <= lit(maxDocsPerShingle),
@@ -316,8 +329,8 @@ object Dedup {
             "or minHashPairs for corpora with hot shingles.",
           col("__m"), lit(maxDocsPerShingle))).isNull)
       .drop("__m")
-    val b = sh.select(col(id).as("id_b"), col("shingle"))
-    val common = a.join(b, Seq("shingle"))
+    val common = guarded.select(col(id).as("id_a"), col("shingle"))
+      .join(guarded.select(col(id).as("id_b"), col("shingle")), Seq("shingle"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("common"))
@@ -395,7 +408,10 @@ object Dedup {
       .select(col(id).as("id_x"), xxhash64(col("shingle")).as("shingle"))
     val shAll = shingles(all, id, text, k)
       .select(col(id).as("id_y"), xxhash64(col("shingle")).as("shingle"))
-    val sizes = shAll.groupBy(col("id_y")).agg(count(lit(1)).as("n_sh"))
+    // map-side set sizes from the shingle array — no second exploded
+    // corpus pass + exchange (see commonShingleCounts)
+    val sizes = docShingleSets(all, id, text, k)
+      .select(col(id).as("id_y"), size(col("sh")).cast("long").as("n_sh"))
     val common = shB.join(shAll, Seq("shingle"))
       .filter(col("id_x") =!= col("id_y"))
       .select(

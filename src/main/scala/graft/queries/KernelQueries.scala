@@ -81,13 +81,17 @@ object KernelQueries {
       val stats = t.groupBy("l_returnflag").agg(
         stddev_samp(col("l_quantity")).as("gs"),
         count(lit(1)).cast("double").as("gn"))
+      // multiplicity as a WEIGHT, not a physical row explode: identical
+      // replica means (DetAgg.davgW is bit-identical to davg over the
+      // exploded frame), no duplication pass, ~2/3 of the rows (m = 0
+      // drops out instead of being generated and re-dropped)
       val replicaMeans = Bootstrap
-        .poissonResample(
+        .poissonWeights(
           t,
           Seq(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
           replicas = 16, seed = 7L)
         .groupBy("replica", "l_returnflag")
-        .agg(DetAgg.davg(col("l_quantity")).as("replica_mean"))
+        .agg(DetAgg.davgW(col("l_quantity"), col("__m")).as("replica_mean"))
       replicaMeans
         .groupBy("l_returnflag")
         .agg(DetAgg.dstd(col("replica_mean")).as("boot_err"))

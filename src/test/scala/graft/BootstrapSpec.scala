@@ -41,4 +41,28 @@ class BootstrapSpec extends AnyFunSuite {
       .groupBy("replica").count().collect().map(r => (r.getInt(0), r.getLong(1))).toSet
     assert(run() == run())
   }
+
+  test("poissonWeights weighted mean is BIT-identical to the exploded davg") {
+    // pins the r15 optimization: a10_bootstrap_err's weighted aggregate
+    // must equal the physical-duplication form it replaced, bit for bit
+    import graft.functions.DetAgg
+    val hash = Seq(col("g"), col("i"), col("v"))
+    val exploded = Bootstrap.poissonResample(sample(), hash, replicas = 6, seed = 7L)
+      .groupBy("replica", "g").agg(DetAgg.davg(col("v")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    val weighted = Bootstrap.poissonWeights(sample(), hash, replicas = 6, seed = 7L)
+      .groupBy("replica", "g").agg(DetAgg.davgW(col("v"), col("__m")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSet
+    assert(exploded == weighted)
+    // and null values stay excluded from the weighted denominator
+    val withNull = sample().withColumn("v",
+      when(col("i") % 7 === 0, lit(null).cast("double")).otherwise(col("v")))
+    val e2 = Bootstrap.poissonResample(withNull, Seq(col("i")), 3, 11L)
+      .groupBy("replica").agg(DetAgg.davg(col("v")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    val w2 = Bootstrap.poissonWeights(withNull, Seq(col("i")), 3, 11L)
+      .groupBy("replica").agg(DetAgg.davgW(col("v"), col("__m")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(e2 == w2)
+  }
 }
