@@ -470,6 +470,7 @@ object Stats {
     * the actionable form. Hash-exact unrounded.
     */
   def decileReport(df: DataFrame, value: String, shardBits: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     val grid = spark.createDataFrame((1 to 10).map(Tuple1(_))).toDF("decile")
     val cum = cumulativeCounts(df, value, shardBits)
@@ -477,20 +478,29 @@ object Stats {
     val hi = expr("decile * __n div 10")
     val kept = greatest(
       least(col("__r"), hi) - greatest(col("__r") - col("__c"), lo), lit(0L))
-    val total = cum.agg(sum(DetAgg.dec(col("__v")) * col("__c"))
-      .cast("double").as("__tot"))
+    // the grand total is NOT a second pass over the kernel: the ten rank
+    // slices tile (0, n] exactly (lo₁ = 0, hi₁₀ = n, consecutive), so
+    // Σ_d kept_d(v) = c(v) for every distinct value and the total decimal
+    // sum equals the sum of the ten per-decile decimal sums — decimal
+    // addition is exact, so casting that to double is bit-identical to
+    // the oracle's one-shot total. A single-partition window over the
+    // 10-row relation (one 10-row exchange) replaces what used to be a
+    // full second expansion of the cumulative kernel (the r15 before-plan
+    // carried 36 Exchanges; the duplicate subtree was half of them).
+    val wTot = Window.partitionBy(
+      graft.plans.ScalarExpressions.singlePartitionKey(col("decile")))
     cum.crossJoin(broadcast(grid))
       .select(col("decile").cast("long").as("decile"), col("__v"),
         kept.as("__kept"))
       .groupBy("decile")
       .agg(
         sum("__kept").as("n_rows"),
-        sum(DetAgg.dec(col("__v")) * col("__kept")).cast("double")
-          .as("sum_value"))
-      .crossJoin(broadcast(total))
+        sum(DetAgg.dec(col("__v")) * col("__kept")).as("__dsum"))
       .select(
-        col("decile"), col("n_rows"), col("sum_value"),
-        (col("sum_value") / col("__tot")).as("share"))
+        col("decile"), col("n_rows"),
+        col("__dsum").cast("double").as("sum_value"),
+        (col("__dsum").cast("double") /
+          sum(col("__dsum")).over(wTot).cast("double")).as("share"))
   }
 
   /** One-sample KS against the fitted EXPONENTIAL(μ̂) — the
@@ -1362,17 +1372,25 @@ object Stats {
     val wOff = Window.partitionBy(
       graft.plans.ScalarExpressions.singlePartitionKey(col("__shard")))
       .orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    // the grand total __n is NOT a third expansion of `g` (it used to be
+    // `g.agg(sum(__c))` + a crossJoin — one more scan+aggregate of the
+    // source per kernel drive): the shard-sums relation built for the
+    // offsets already holds every count once, so __n is a whole-frame
+    // window over the SAME ≤2^shardBits-row single partition the offset
+    // prefix window rides — same exchange, one more Window pass over
+    // ≤4096 rows, and the total rides the existing broadcast join.
+    val wAll = Window.partitionBy(
+      graft.plans.ScalarExpressions.singlePartitionKey(col("__shard")))
     val offsets = keyed.groupBy("__shard")
       .agg(sum("__c").as("__s"))
       .select(
         col("__shard").as("__oshard"),
-        coalesce(sum("__s").over(wOff), lit(0L)).as("__base"))
-    val total = g.agg(sum("__c").as("__n"))
+        coalesce(sum("__s").over(wOff), lit(0L)).as("__base"),
+        sum("__s").over(wAll).as("__n"))
     val wCum = Window.partitionBy("__shard").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, 0)
     keyed.join(broadcast(offsets), col("__shard") === col("__oshard"))
       .withColumn("__r", col("__base") + sum("__c").over(wCum))
-      .crossJoin(broadcast(total))
       .select("__v", "__c", "__r", "__n")
   }
 
@@ -1394,16 +1412,43 @@ object Stats {
   def percentRank(
       df: DataFrame,
       value: String,
-      shardBits: Int = 12): DataFrame = {
-    val cum = cumulativeCounts(df, value, shardBits)
+      shardBits: Int = 12): DataFrame =
+    df.filter(col(value).isNotNull)
+      .join(percentRankValues(df, value, shardBits),
+        col(value).cast("double") === col("__v"))
+      .drop("__v")
+
+  /** The DISTINCT-VALUE half of [[percentRank]]: (`__v` double,
+    * `pct_rank` double), one row per distinct value. Exposed so a caller
+    * ranking the SAME relation on several columns (RFM is three drives)
+    * can join each value→rank relation back to the base once, flat,
+    * instead of chaining whole kernel drives — a chained drive re-expands
+    * the base relation inside the next kernel's every consumer (the r15
+    * before-plan of `e14_rfm_segmentation` re-derived the user aggregate
+    * a dozen times). Same null contract as [[percentRank]].
+    */
+  def percentRankValues(
+      df: DataFrame,
+      value: String,
+      shardBits: Int = 12): DataFrame =
+    rankedValueCounts(df, value, shardBits).select("__v", "pct_rank")
+
+  /** [[percentRankValues]] plus the multiplicity: (`__v`, `__c` long,
+    * `pct_rank`). For consumers whose output is a pure function of
+    * (value, multiplicity) — an equi-depth census, a weighted mean — the
+    * weighted aggregate over this relation replaces the join back to the
+    * row relation entirely (DetAgg.davgW is spec-pinned bit-identical to
+    * davg over the exploded rows).
+    */
+  def rankedValueCounts(
+      df: DataFrame,
+      value: String,
+      shardBits: Int = 12): DataFrame =
+    cumulativeCounts(df, value, shardBits)
       .withColumn(
         "pct_rank",
         when(col("__n") > 1,
           (col("__r") - col("__c")).cast("double") / (col("__n") - lit(1L)))
           .otherwise(lit(0.0)))
-      .select(col("__v"), col("pct_rank"))
-    df.filter(col(value).isNotNull)
-      .join(cum, col(value).cast("double") === col("__v"))
-      .drop("__v")
-  }
+      .select(col("__v"), col("__c"), col("pct_rank"))
 }

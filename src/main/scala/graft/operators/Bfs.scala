@@ -43,34 +43,43 @@ object Bfs {
       .filter(col("a").isNotNull && col("b").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var visited = spark.range(1)
+    // r15: the visited set is NEVER shuffled. On an UNDIRECTED graph (sym
+    // is symmetric by construction) a neighbor of a dist-(d−1) node has
+    // dist ∈ {d−2, d−1, d} — its distance can differ from d−1 by at most
+    // one in either direction — so "first reached" needs an anti-join
+    // against only the last TWO levels, not the whole visited relation.
+    // The old loop anti-joined the growing visited set AND re-unioned +
+    // re-counted it every round: O(levels × reached) copied rows and one
+    // result-sized cache rebuild per round. Now each level persists once,
+    // rounds touch only frontier-sized relations, and the output is the
+    // lazy union of the per-level caches (same rows, same total memory,
+    // one pinned cache per level instead of one rebuilt superset).
+    val level0 = spark.range(1)
       .select(lit(source).as("node"), lit(0L).as("dist"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var frontier = visited
+    var levels = List(level0)
+    var frontier = level0
+    var prev: DataFrame = null
     var d = 0L
-    var frontierEmpty = visited.isEmpty
+    var frontierEmpty = level0.isEmpty
     while (d < maxDepth && !frontierEmpty) {
       d += 1
+      val reachedBefore =
+        if (prev == null) frontier.select("node")
+        else frontier.select("node").unionByName(prev.select("node"))
       val next = frontier.join(sym, frontier("node") === sym("a"))
         .select(col("b").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+        .join(reachedBefore, Seq("node"), "left_anti")
         .select(col("node"), lit(d).as("dist"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       frontierEmpty = next.isEmpty // forces the persist; 1-row action
-      val nv = visited.unionByName(next).persist(StorageLevel.MEMORY_AND_DISK)
-      nv.count() // materialize before releasing the lineage parents
-      visited.unpersist(blocking = false)
-      // the outgoing frontier's last consumer was `next`'s
-      // materialization above — release it (r10: it used to leak one
-      // persisted RDD per BFS level; round 1 aliases visited, already
-      // released). Plain persists, lineage intact — release is safe.
-      if (frontier ne visited) frontier.unpersist(blocking = false)
+      prev = frontier
       frontier = next
-      visited = nv
+      if (frontierEmpty) next.unpersist(blocking = false)
+      else levels ::= next
     }
     sym.unpersist(blocking = false)
-    if (frontier ne visited) frontier.unpersist(blocking = false)
-    visited
+    levels.map(_.select("node", "dist")).reduce(_ unionByName _)
   }
 
   /** Recursive-CTE oracle for [[shortestHops]] run as a reachability

@@ -101,27 +101,45 @@ object Hits {
       // raw, so their plans stay two levels deep with no cut of their
       // own — 2 materialization jobs per round, not 4 (the 4-job
       // variant benched 7.6 s).
+      //
+      // SPARSE ITERATION (r15): the rounds carry only nodes that appear
+      // in the round's raw aggregate — the textbook dense form left-joins
+      // every raw relation back to the full node set, two node-cardinality
+      // shuffle joins per round whose only effect is materializing
+      // explicit zeros. Absent ≡ zero under every consumer here: a
+      // zero-mass node contributes 0 to the next round's SUM (so inner
+      // join vs absent row is the same total), 0 to the q total, and the
+      // dense form's `coalesce(__raw, 0) div q` is 0 exactly when the
+      // sparse form has no row. One left join per side at the END
+      // restores the dense output bit-for-bit (spec: sparse ≡ hand-rolled
+      // dense replay on a path graph where mass dies mid-iteration).
       val rawA = scope.roll("rawA", e.join(h, e("src") === h("node"))
         .groupBy("dst").agg(sum("hub").as("__raw")))
       val qA = rawA.agg(
         greatest(expr(s"sum(__raw) div ${Scale}L"), lit(1L)).as("__q"))
-      a = nodes.crossJoin(broadcast(qA))
-        .join(rawA, nodes("node") === rawA("dst"), "left")
-        .select(col("node"), expr("coalesce(__raw, 0L) div __q").as("auth"))
+      a = rawA.crossJoin(broadcast(qA))
+        .select(col("dst").as("node"), expr("__raw div __q").as("auth"))
       val rawH = scope.roll("rawH", e.join(a, e("dst") === a("node"))
         .groupBy("src").agg(sum("auth").as("__raw")))
       val qH = rawH.agg(
         greatest(expr(s"sum(__raw) div ${Scale}L"), lit(1L)).as("__q"))
-      h = nodes.crossJoin(broadcast(qH))
-        .join(rawH, nodes("node") === rawH("src"), "left")
-        .select(col("node"), expr("coalesce(__raw, 0L) div __q").as("hub"))
+      h = rawH.crossJoin(broadcast(qH))
+        .select(col("src").as("node"), expr("__raw div __q").as("hub"))
     }
-    // the final a/h are LAZY over nodes + the last rawA/rawH — cut the
-    // OUTPUT itself (one node-cardinality materialization), so every
-    // other checkpoint (base relations included) can be released here
-    // and the returned plan is rooted in a single pinned RDD that the
-    // caller (or the Bench/Verify per-query sweep) owns
-    val out = scope.roll("out", a.join(h, "node").select("node", "auth", "hub"))
+    // densify ONCE: nodes absent from the final sparse a/h have exactly
+    // zero mass in the dense iteration (see the sparse-iteration note
+    // above), so a single left join per side with coalesce(0) is the
+    // identical output. Cut the OUTPUT itself (one node-cardinality
+    // materialization), so every other checkpoint (base relations
+    // included) can be released here and the returned plan is rooted in
+    // a single pinned RDD that the caller (or the Bench/Verify per-query
+    // sweep) owns.
+    val out = scope.roll("out", nodes
+      .join(a, Seq("node"), "left")
+      .join(h, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("auth"), lit(0L)).as("auth"),
+        coalesce(col("hub"), lit(0L)).as("hub")))
     scope.close("out")
     out
     } catch { case t: Throwable => scope.closeAll(); throw t }

@@ -778,15 +778,24 @@ object EventQueries {
         max("es").as("last_es"),
         count(lit(1)).as("freq"),
         DetAgg.dsum(col("value")).as("mon"))
-      def scored(df: org.apache.spark.sql.DataFrame, c: String, a: String) =
-        graft.functions.Stats.percentRank(df, c)
-          .withColumn(a,
-            least(floor(col("pct_rank") * 5).cast(LongType) + 1, lit(5L)))
-          .drop("pct_rank")
-      val withScores =
-        scored(scored(scored(u, "last_es", "r_score"), "freq", "f_score"),
-          "mon", "m_score")
-      withScores.groupBy("r_score", "f_score", "m_score")
+      // r15: FLAT composition — a score is a pure function of the metric
+      // VALUE, so each dimension contributes a distinct-value→score
+      // relation ([[Stats.percentRankValues]]) joined to `u` once. The
+      // previous chained form (percentRank over the output of the prior
+      // percentRank) re-expanded the user aggregate inside every consumer
+      // of every downstream kernel drive — exponentially many copies of
+      // the events scan in the plan. Ranks are identical: the chain's
+      // stages were 1:1 joins, so every stage ranked the same multiset.
+      def scoreRel(c: String, a: String) =
+        graft.functions.Stats.percentRankValues(u, c)
+          .select(
+            col("__v").as(s"__v_$a"),
+            least(floor(col("pct_rank") * 5).cast(LongType) + 1, lit(5L)).as(a))
+      Seq("last_es" -> "r_score", "freq" -> "f_score", "mon" -> "m_score")
+        .foldLeft(u) { case (acc, (c, a)) =>
+          acc.join(scoreRel(c, a), col(c).cast("double") === col(s"__v_$a"))
+        }
+        .groupBy("r_score", "f_score", "m_score")
         .agg(count(lit(1)).as("n_users"))
     })
 

@@ -564,16 +564,23 @@ object GroupingQueries {
               |FROM b GROUP BY bucket""".stripMargin),
       (s, dir) => {
         import graft.functions.DetAgg
-        graft.functions.Stats.percentRank(
+        // r15: every output column is a pure function of the VALUE and
+        // its multiplicity, so the bucket census aggregates the
+        // distinct-value rank relation directly — the join back to the
+        // row relation (a full second scan + value-keyed join whose only
+        // effect was physically repeating each value __c times) is gone.
+        // n = Σ __c; davgW is spec-pinned bit-identical to davg over the
+        // exploded rows; lo/hi are order stats, multiplicity-free.
+        graft.functions.Stats.rankedValueCounts(
           Tables.load(s, dir, "lineitem").select("l_extendedprice"),
           "l_extendedprice")
           .select(
             least(floor(col("pct_rank") * 8).cast("long"), lit(7L)).as("bucket"),
-            col("l_extendedprice").as("v"))
+            col("__v").as("v"), col("__c"))
           .groupBy("bucket")
           .agg(
-            count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"),
-            DetAgg.davg(col("v")).as("mean"))
+            sum("__c").as("n"), min("v").as("lo"), max("v").as("hi"),
+            DetAgg.davgW(col("v"), col("__c")).as("mean"))
       })
   }
 

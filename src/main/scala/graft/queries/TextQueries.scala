@@ -2823,16 +2823,29 @@ object TextQueries {
            |  CAST(n_unique AS DOUBLE) / n_shingles AS novelty
            |FROM n""".stripMargin),
     (s, dir) => {
+      // r15: the textbook form joins the FULL shingle relation back to
+      // the per-shingle df just to count each doc's df=1 shingles — a
+      // shingle-cardinality join whose only payload is one bit. But a
+      // df=1 shingle has exactly one owner, and that owner IS its
+      // min(doc_id): the per-doc unique count is a ≤n_docs-row aggregate
+      // over the SAME shingle-keyed pass that computes df, no join back
+      // at shingle cardinality at all. Counts are the identical integers,
+      // the division the identical single IEEE op; docs with zero unique
+      // shingles come back through the coalesce(0) on the left join
+      // (they were sum-of-zeros rows before).
       val sh = Dedup.shingles(docs(s, dir), "doc_id", "text", k = 3)
-      val gc = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
-      sh.join(gc, "shingle")
-        .groupBy("doc_id")
-        .agg(
-          count(lit(1)).as("n_shingles"),
-          sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+      val uniq = sh.groupBy("shingle")
+        .agg(count(lit(1)).as("__df"), min("doc_id").as("__owner"))
+        .filter(col("__df") === 1)
+        .groupBy(col("__owner").as("doc_id"))
+        .agg(count(lit(1)).as("n_unique"))
+      perDoc.join(uniq, Seq("doc_id"), "left")
         .select(
-          col("doc_id"), col("n_shingles"), col("n_unique"),
-          (col("n_unique").cast("double") / col("n_shingles")).as("novelty"))
+          col("doc_id"), col("n_shingles"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          (coalesce(col("n_unique"), lit(0L)).cast("double")
+            / col("n_shingles")).as("novelty"))
     })
 
   /** Fixed-k uniform sample per stratum — the eval-split builder: 50

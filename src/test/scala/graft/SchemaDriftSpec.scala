@@ -61,6 +61,11 @@ class SchemaDriftSpec extends AnyFunSuite {
     "graph_kcore" -> Set("lineitem"),
     "graph_ppr" -> Set("orders", "lineitem"),
     "graph_hits" -> Set("orders", "lineitem"),
+    // r15: the canonical-edge/adjacency relations are localCheckpointed
+    // once (loop-invariant hoist), so the lineitem scan runs eagerly in
+    // the builder and no file scan survives in the returned plan
+    "graph_adamic_adar" -> Set("lineitem"),
+    "graph_adamic_adar_capped" -> Set("lineitem"),
     "e18_markov_stationary" -> Set("events"),
     // the Gram sketch collects inside the builder (the trained-model
     // pattern) and the returned frame is createDataFrame over driver

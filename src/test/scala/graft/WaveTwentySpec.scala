@@ -127,6 +127,33 @@ class WaveTwentySpec extends AnyFunSuite {
     assert(totAuth < 2L * Hits.Scale && totAuth > Hits.Scale / 2)
   }
 
+  test("hits: sparse iteration matches a hand-rolled dense replay exactly") {
+    import spark.implicits._
+    // path 1→2→3 plus 4→2: node 3 is a pure authority (its hub mass dies
+    // to 0 after round 1) and nodes 1/4 are pure hubs (auth stays 0) —
+    // mass leaves the sparse iteration's relations mid-run and must come
+    // back in the output as exact zeros. The replay below is the
+    // pre-sparse dense formulation (explicit zero rows every round).
+    val es = Seq((1L, 2L), (2L, 3L), (4L, 2L))
+    val iters = 5
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val s = Hits.Scale
+    var h = nodes.map(_ -> s / nodes.length).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val rawA = es.groupBy(_._2).map { case (d, g) => d -> g.map(e => h(e._1)).sum }
+      val qA = math.max(rawA.values.sum / s, 1L)
+      a = nodes.map(n => n -> rawA.getOrElse(n, 0L) / qA).toMap
+      val rawH = es.groupBy(_._1).map { case (src, g) => src -> g.map(e => a(e._2)).sum }
+      val qH = math.max(rawH.values.sum / s, 1L)
+      h = nodes.map(n => n -> rawH.getOrElse(n, 0L) / qH).toMap
+    }
+    val got = Hits.fixedPoint(es.toDF("src", "dst"), iters = iters).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == nodes.toSet, "output must stay node-dense")
+    nodes.foreach { n => assert(got(n) == ((a(n), h(n))), s"node $n diverged") }
+  }
+
   test("hits: degree overflow guard fails loudly; passing graphs unaffected") {
     import spark.implicits._
     val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 11L))
