@@ -34,15 +34,50 @@ object Bfs {
       u: String,
       v: String,
       source: Long,
+      maxDepth: Int): DataFrame =
+    fromSym(mkSym(edges, u, v), source, maxDepth)
+
+  /** [[shortestHops]] with the source derived from the edge relation
+    * itself: the MINIMUM endpoint (on a canonical u ≤ v edge list that
+    * is exactly MIN(u), the registry row's contract). The symmetric
+    * relation is built + persisted ONCE and serves both the source
+    * lookup and every BFS round — the registry row used to execute its
+    * lineitem self-join twice (a separate source aggregate before the
+    * operator re-derived the edges). Empty edges → empty (node, dist).
+    */
+  def shortestHopsMinSource(
+      edges: DataFrame,
+      u: String,
+      v: String,
       maxDepth: Int): DataFrame = {
-    require(maxDepth >= 0, s"maxDepth $maxDepth out of range")
-    val spark = edges.sparkSession
+    val sym = mkSym(edges, u, v)
+    val srcRow = sym.agg(min("a")).collect()(0) // also forces the persist
+    if (srcRow.isNullAt(0)) {
+      sym.unpersist(blocking = false)
+      edges.sparkSession.range(0)
+        .select(col("id").as("node"), col("id").as("dist"))
+    } else fromSym(sym, srcRow.getLong(0), maxDepth)
+  }
+
+  private def mkSym(edges: DataFrame, u: String, v: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val sym = edges.select(col(u).cast("long").as("a"), col(v).cast("long").as("b"))
+    edges.select(col(u).cast("long").as("a"), col(v).cast("long").as("b"))
       .unionByName(edges.select(col(v).cast("long").as("a"), col(u).cast("long").as("b")))
       .filter(col("a").isNotNull && col("b").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The BFS loop over an already-persisted symmetric relation; owns and
+    * releases `sym`.
+    */
+  private def fromSym(
+      sym: DataFrame,
+      source: Long,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth $maxDepth out of range")
+    val spark = sym.sparkSession
+    import org.apache.spark.storage.StorageLevel
     // r15: the visited set is NEVER shuffled. On an UNDIRECTED graph (sym
     // is symmetric by construction) a neighbor of a dist-(d−1) node has
     // dist ∈ {d−2, d−1, d} — its distance can differ from d−1 by at most

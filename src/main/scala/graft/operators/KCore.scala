@@ -61,6 +61,35 @@ object KCore {
     } catch { case t: Throwable => scope.closeAll(); throw t }
   }
 
+  /** One materialization of `edges` serving every k in `ks` — the
+    * registry row used to re-execute its (expensive) pair derivation
+    * once per k, because each [[core]] call rolls its own copy of the
+    * lazy input. Each peel chain now starts from the same checkpointed
+    * canonical relation; each chain's bounded 1-row stats output is
+    * materialized immediately so the chain's pinned core releases before
+    * the next chain runs, and the returned ≤|ks|-row plan is rooted in a
+    * single pinned RDD (the house lifecycle).
+    */
+  def coreStats(edges: DataFrame, ks: Seq[Int], rounds: Int): DataFrame = {
+    require(ks.nonEmpty, "ks must be non-empty")
+    val scope = new CheckpointScope
+    try {
+      val e0 = scope.mat(edges
+        .select(col("u").cast("long"), col("v").cast("long")))
+      val rows = ks.map { k =>
+        val c = core(e0, k, rounds)
+        val s = scope.roll(
+          s"stats$k",
+          stats(c).select(lit(k).as("k"), col("n_nodes"), col("n_edges")))
+        Checkpoints.pinnedRdd(c).foreach(_.unpersist(blocking = false))
+        s
+      }
+      val out = scope.roll("out", rows.reduce(_ unionByName _))
+      scope.close("out")
+      out
+    } catch { case t: Throwable => scope.closeAll(); throw t }
+  }
+
   /** (n_nodes, n_edges) of the surviving graph — nodes counted as
     * distinct endpoints (a node with no surviving edge has degree 0 and
     * is by definition outside any k ≥ 1 core).

@@ -80,27 +80,40 @@ object LabelProp {
     */
   def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
     import graft.functions.DetAgg
-    val adj = edges.select(col("u").as("node"))
-      .union(edges.select(col("v").as("node")))
-    val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
-    val mm = edges.agg(count(lit(1)).as("m"))
-    val comm = labels.join(deg, "node").groupBy("lbl").agg(sum("d").as("dc"))
-    val intra = edges
-      .join(labels.select(col("node").as("nu"), col("lbl").as("lu")),
-        col("u") === col("nu"))
-      .join(labels.select(col("node").as("nv"), col("lbl").as("lv")),
-        col("v") === col("nv"))
-      .filter(col("lu") === col("lv"))
-      .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("ec"))
-    val term = coalesce(col("ec"), lit(0L)).cast("double") / col("m") -
-      (col("dc").cast("double") / (lit(2) * col("m"))) *
-        (col("dc").cast("double") / (lit(2) * col("m")))
-    comm.join(intra, Seq("lbl"), "left")
-      .crossJoin(broadcast(mm))
-      .agg(
-        min("m").as("m_edges"),
-        count(lit(1)).as("n_comms"),
-        round(DetAgg.dsum(term), 6).as("modularity"))
+    // r15: `edges` is typically an EXPENSIVE derivation (the registry
+    // row feeds a lineitem self-join + distinct) and this statistic
+    // consumes it three times (degrees, m, intra) — uncut, each consumer
+    // re-executed the whole derivation (the before-plan carried the
+    // self-join subtree 3×, 54 Exchanges). Materialize the canonical
+    // projection once; the output is one row, so rolling it releases
+    // everything (the standard scope lifecycle).
+    val scope = new CheckpointScope
+    try {
+      val e = scope.mat(edges.select(col("u"), col("v")))
+      val adj = e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+      val deg = adj.groupBy("node").agg(count(lit(1)).as("d"))
+      val mm = e.agg(count(lit(1)).as("m"))
+      val comm = labels.join(deg, "node").groupBy("lbl").agg(sum("d").as("dc"))
+      val intra = e
+        .join(labels.select(col("node").as("nu"), col("lbl").as("lu")),
+          col("u") === col("nu"))
+        .join(labels.select(col("node").as("nv"), col("lbl").as("lv")),
+          col("v") === col("nv"))
+        .filter(col("lu") === col("lv"))
+        .groupBy(col("lu").as("lbl")).agg(count(lit(1)).as("ec"))
+      val term = coalesce(col("ec"), lit(0L)).cast("double") / col("m") -
+        (col("dc").cast("double") / (lit(2) * col("m"))) *
+          (col("dc").cast("double") / (lit(2) * col("m")))
+      val out = scope.roll("out", comm.join(intra, Seq("lbl"), "left")
+        .crossJoin(broadcast(mm))
+        .agg(
+          min("m").as("m_edges"),
+          count(lit(1)).as("n_comms"),
+          round(DetAgg.dsum(term), 6).as("modularity")))
+      scope.close("out")
+      out
+    } catch { case t: Throwable => scope.closeAll(); throw t }
   }
 
   /** The WITH-body shared by [[oracleSql]] and the modularity oracle:

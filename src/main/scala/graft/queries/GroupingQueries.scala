@@ -1268,15 +1268,12 @@ object GroupingQueries {
             least(col("l1.l_suppkey"), col("l2.l_suppkey")).as("u"),
             greatest(col("l1.l_suppkey"), col("l2.l_suppkey")).as("v"))
           .distinct()
-        val src = pairs.agg(min(col("u"))).head
-        val hist =
-          if (src.isNullAt(0))
-            pairs.sparkSession.emptyDataFrame
-              .select(lit(0L).as("node"), lit(0L).as("dist"))
-          else
-            graft.operators.Bfs.shortestHops(
-              pairs, "u", "v", src.getLong(0), maxDepth = 6)
-        hist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+        // r15: source = MIN(u) ≡ minimum endpoint of the symmetric
+        // relation (u ≤ v per canonical row), so the operator derives it
+        // from its own persisted sym — the separate `pairs.agg(min(u))`
+        // action used to execute the lineitem self-join a second time.
+        graft.operators.Bfs.shortestHopsMinSource(pairs, "u", "v", maxDepth = 6)
+          .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
       })
   }
 
@@ -1349,10 +1346,10 @@ object GroupingQueries {
             least(col("l1.l_suppkey"), col("l2.l_suppkey")).as("u"),
             greatest(col("l1.l_suppkey"), col("l2.l_suppkey")).as("v"))
           .distinct()
-        Seq(2, 3, 4).map { k =>
-          graft.operators.KCore.stats(graft.operators.KCore.core(pairs, k, rounds = 6))
-            .select(lit(k).as("k"), col("n_nodes"), col("n_edges"))
-        }.reduce(_ union _)
+        // r15: one materialization of the pair derivation serves all
+        // three peel chains (it used to re-run the lineitem self-join
+        // once per k)
+        graft.operators.KCore.coreStats(pairs, Seq(2, 3, 4), rounds = 6)
       })
   }
 
