@@ -116,6 +116,15 @@ object DetAgg {
     toD(sum(dec(c) * w)) /
       sum(when(c.isNotNull, w.cast("long")).otherwise(0L))
 
+  /** Multiplicity-weighted [[dsum]] — BIT-IDENTICAL to `dsum` over the
+    * frame with each row physically repeated `w` times (the [[davgW]]
+    * lemma: the exact decimal sum of w integer copies of x equals the
+    * exact decimal sum of x·w). Lets the sharded GOF kernels compute
+    * their moment statistics from the distinct-value relation they
+    * already build, instead of paying a second full pass over the rows.
+    */
+  def dsumW(c: Column, w: Column): Column = toD(sum(dec(c) * w))
+
   /** Sample standard deviation via exact moments:
     * sqrt((sxx - sx*sx/n) / (n-1)). sx and sxx are exact decimals; the
     * final expression is a fixed sequence of IEEE double ops, so any engine

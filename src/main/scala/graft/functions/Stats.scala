@@ -316,17 +316,25 @@ object Stats {
     val wOff = Window.partitionBy(
       graft.plans.ScalarExpressions.singlePartitionKey(col("__shard")))
       .orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    // the grand totals are NOT a third expansion of `g` (they used to be
+    // a separate aggregate + crossJoin): the shard-sums relation already
+    // holds every count once, so __n1/__n2 ride a whole-frame window
+    // over the same single partition the offset prefix window uses and
+    // arrive through the existing broadcast join (the r15
+    // cumulativeCounts fold).
+    val wAll = Window.partitionBy(
+      graft.plans.ScalarExpressions.singlePartitionKey(col("__shard")))
     val offsets = keyed.groupBy("__shard")
       .agg(sum("__c1").as("__s1"), sum("__c2").as("__s2"))
       .select(
         col("__shard").as("__oshard"),
         coalesce(sum("__s1").over(wOff), lit(0L)).as("__b1"),
-        coalesce(sum("__s2").over(wOff), lit(0L)).as("__b2"))
-    val totals = g.agg(sum("__c1").as("__n1"), sum("__c2").as("__n2"))
+        coalesce(sum("__s2").over(wOff), lit(0L)).as("__b2"),
+        sum("__s1").over(wAll).as("__n1"),
+        sum("__s2").over(wAll).as("__n2"))
     val wCum = Window.partitionBy("__shard").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, 0)
     keyed.join(broadcast(offsets), col("__shard") === col("__oshard"))
-      .crossJoin(broadcast(totals))
       .withColumn("__r1", col("__b1") + sum("__c1").over(wCum))
       .withColumn("__r2", col("__b2") + sum("__c2").over(wCum))
       .agg(max(abs(
@@ -351,16 +359,21 @@ object Stats {
     require(shardBits >= 1 && shardBits <= 20, s"shardBits $shardBits out of range")
     val src = df.filter(col(value).isNotNull)
       .select(col(value).cast("double").as("__v"))
-    val m = src.agg(
-      count(lit(1)).as("__n"),
-      DetAgg.dsum(col("__v")).as("__sx"),
-      DetAgg.dsum(col("__v") * col("__v")).as("__sxx"))
+    val g = src.groupBy("__v").agg(count(lit(1)).as("__c"))
+    // moments from the distinct-value relation (r15): dsumW is
+    // bit-identical to dsum over the exploded rows (the davgW lemma), so
+    // the separate full-row moment pass is gone and every consumer of
+    // `g` shares one identical groupBy exchange (runtime exchange reuse:
+    // one scan+aggregate instead of two full passes).
+    val m = g.agg(
+      sum("__c").as("__n"),
+      DetAgg.dsumW(col("__v"), col("__c")).as("__sx"),
+      DetAgg.dsumW(col("__v") * col("__v"), col("__c")).as("__sxx"))
     val stats = m.select(
       col("__n"),
       (col("__sx") / col("__n")).as("__mean"),
       sqrt((col("__sxx") - col("__sx") * col("__sx") / col("__n"))
         / (col("__n") - lit(1))).as("__std"))
-    val g = src.groupBy("__v").agg(count(lit(1)).as("__c"))
     val keyed = g.withColumn(
       "__shard",
       shiftright(
@@ -417,16 +430,21 @@ object Stats {
     require(shardBits >= 1 && shardBits <= 20, s"shardBits $shardBits out of range")
     val src = df.filter(col(value).isNotNull)
       .select(col(value).cast("double").as("__v"))
-    val m = src.agg(
-      count(lit(1)).as("__n"),
-      DetAgg.dsum(col("__v")).as("__sx"),
-      DetAgg.dsum(col("__v") * col("__v")).as("__sxx"))
+    val g = src.groupBy("__v").agg(count(lit(1)).as("__c"))
+    // moments from the distinct-value relation (r15): dsumW is
+    // bit-identical to dsum over the exploded rows (the davgW lemma), so
+    // the separate full-row moment pass is gone and every consumer of
+    // `g` shares one identical groupBy exchange (runtime exchange reuse:
+    // one scan+aggregate instead of two full passes).
+    val m = g.agg(
+      sum("__c").as("__n"),
+      DetAgg.dsumW(col("__v"), col("__c")).as("__sx"),
+      DetAgg.dsumW(col("__v") * col("__v"), col("__c")).as("__sxx"))
     val stats = m.select(
       col("__n"),
       (col("__sx") / col("__n")).as("__mean"),
       sqrt((col("__sxx") - col("__sx") * col("__sx") / col("__n"))
         / (col("__n") - lit(1))).as("__std"))
-    val g = src.groupBy("__v").agg(count(lit(1)).as("__c"))
     val keyed = g.withColumn(
       "__shard",
       shiftright(
@@ -519,10 +537,16 @@ object Stats {
     val src = df.filter(col(value).isNotNull && col(value) >= 0)
       .select(col(value).cast("long").as("__l"))
       .select(col("__l").cast("double").as("__v"), col("__l"))
-    val stats = src.agg(
-      count(lit(1)).as("__n"),
-      (sum(col("__l")).cast("double") / count(lit(1))).as("__mean"))
-    val g = src.groupBy("__v").agg(count(lit(1)).as("__c"))
+    // __l is a function of the grouping key (its exact long form), so
+    // max() carries it through the aggregate unchanged; the moment pass
+    // then runs over the distinct-value relation (Σ __l·__c is the same
+    // exact BIGINT sum — bounded by the global sum that already fit)
+    // instead of a second full pass over the rows (r15).
+    val g = src.groupBy("__v")
+      .agg(count(lit(1)).as("__c"), max("__l").as("__l"))
+    val stats = g.agg(
+      sum("__c").as("__n"),
+      (sum(col("__l") * col("__c")).cast("double") / sum("__c")).as("__mean"))
     val keyed = g.withColumn(
       "__shard",
       shiftright(
@@ -1002,20 +1026,22 @@ object Stats {
         64 - shardBits) + lit(1L << (shardBits - 1)))
     val wOff = Window.partitionBy("__g")
       .orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    // per-group total via a whole-frame window over the shard-sums
+    // relation (the r15 cumulativeCounts fold) — no third expansion of
+    // `g`, no second broadcast join
+    val wAll = Window.partitionBy("__g")
     val offsets = keyed.groupBy("__g", "__shard")
       .agg(sum("__w").as("__s"))
       .select(
         col("__g").as("__og"), col("__shard").as("__oshard"),
-        coalesce(sum("__s").over(wOff), lit(0L)).as("__b"))
-    val tot = keyed.groupBy("__g").agg(sum("__w").as("__wt"))
-      .withColumnRenamed("__g", "__tg")
+        coalesce(sum("__s").over(wOff), lit(0L)).as("__b"),
+        sum("__s").over(wAll).as("__wt"))
     val wCum = Window.partitionBy("__g", "__shard").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, 0)
     keyed
       .join(broadcast(offsets),
         col("__g") <=> col("__og") && col("__shard") === col("__oshard"))
       .withColumn("__cum", col("__b") + sum("__w").over(wCum))
-      .join(broadcast(tot), col("__g") <=> col("__tg"))
       .filter(lit(2) * col("__cum") >= col("__wt"))
       .groupBy(col("__g").as(group))
       .agg(min("__v").as(s"wmed_$value"))
@@ -1046,13 +1072,20 @@ object Stats {
         64 - shardBits) + lit(1L << (shardBits - 1)))
     val wOff = Window.partitionBy("__g")
       .orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    // the per-group total __wt is NOT a third expansion of `g` (it used
+    // to be a separate groupBy + broadcast join): the shard-sums relation
+    // built for the offsets already holds every weight once, so __wt is
+    // a whole-frame window over the same per-group partitioning the
+    // offset prefix window rides — one more Window pass over the
+    // ≤groups·2^shardBits-row relation, and the total arrives through
+    // the existing broadcast join (the r15 cumulativeCounts fold).
+    val wAll = Window.partitionBy("__g")
     val offsets = keyed.groupBy("__g", "__shard")
       .agg(sum("__w").as("__s"))
       .select(
         col("__g").as("__og"), col("__shard").as("__oshard"),
-        coalesce(sum("__s").over(wOff), lit(0L)).as("__b"))
-    val tot = keyed.groupBy("__g").agg(sum("__w").as("__wt"))
-      .withColumnRenamed("__g", "__tg")
+        coalesce(sum("__s").over(wOff), lit(0L)).as("__b"),
+        sum("__s").over(wAll).as("__wt"))
     val wCum = Window.partitionBy("__g", "__shard").orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, 0)
     val spark = df.sparkSession
@@ -1062,7 +1095,6 @@ object Stats {
       .join(broadcast(offsets),
         col("__g") <=> col("__og") && col("__shard") === col("__oshard"))
       .withColumn("__cum", col("__b") + sum("__w").over(wCum))
-      .join(broadcast(tot), col("__g") <=> col("__tg"))
       .crossJoin(broadcast(grid))
       .filter(lit(4) * col("__cum") >= col("__j") * col("__wt"))
       .groupBy(col("__g").as(group), (col("__j") / lit(4.0)).as("q"))
