@@ -1257,16 +1257,50 @@ object Stats {
     * interpolation ulps can't break oracle hashing.
     */
   def meanStd(df: DataFrame, keys: Seq[String], values: Seq[String]): DataFrame = {
-    val aggs = values.flatMap { c =>
+    // r15: two codegen'd passes instead of the kryo-buffering MadStdAgg
+    // (the madStdTwoPass trade — rows ≫ groups): pass 1 computes the
+    // exact-decimal moments and both medians (the MAD center is the
+    // NaN-free median, MadStdAgg's scipy nan_policy='omit' contract —
+    // identical to the plain median on NaN-free data), pass 2 the median
+    // absolute deviation against the broadcast centers. Bit-identical:
+    // Spark's exact percentile interpolates `a + (b − a) · 0.5` at even
+    // counts — the same IEEE expression as MadStdAgg's medianInPlace —
+    // and an all-null group comes back as NaN exactly as the empty
+    // buffer did. The one-pass aggregator shuffled every value twice
+    // (once in the percentile map, once in the kryo buffer); this
+    // shuffles each value once per pass with codegen throughout.
+    val p1aggs = values.flatMap { c =>
       Seq(
         DetAgg.davg(col(c)).as(s"$c mean"),
         // std rounded: the sum-of-squares can exceed exact double range,
         // so decimal→double casts may differ by an ulp between engines
         round(DetAgg.dstd(col(c)), 6).as(s"$c std"),
         round(median(col(c)), 6).as(s"$c median"),
-        round(madStd(col(c)), 6).as(s"$c MAD_std"))
+        median(when(!isnan(col(c)), col(c))).as(s"__mednf_$c"))
     }
-    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val p1 = df.groupBy(keys.map(col): _*).agg(p1aggs.head, p1aggs.tail: _*)
+    // renamed key copies on the broadcast sides: p1/p2 derive from df, so
+    // plain-name join conditions would be ambiguous self-join references
+    val meds = p1.select((keys.map(k => col(k).as(s"__mk_$k")) ++
+      values.map(c => col(s"__mednf_$c"))): _*)
+    val p2aggs = values.map { c =>
+      round(
+        coalesce(
+          median(when(!isnan(col(c)), abs(col(c) - col(s"__mednf_$c"))))
+            * lit(MadToStd),
+          lit(Double.NaN)),
+        6).as(s"$c MAD_std")
+    }
+    val p2 = df
+      .join(broadcast(meds), keys.map(k => col(k) <=> col(s"__mk_$k")).reduce(_ && _))
+      .groupBy(keys.map(col): _*)
+      .agg(p2aggs.head, p2aggs.tail: _*)
+      .select((keys.map(k => col(k).as(s"__jk_$k")) ++
+        values.map(c => col(s"$c MAD_std"))): _*)
+    p1.join(p2, keys.map(k => col(k) <=> col(s"__jk_$k")).reduce(_ && _))
+      .select((keys.map(col) ++ values.flatMap(c => Seq(
+        col(s"$c mean"), col(s"$c std"), col(s"$c median"),
+        col(s"$c MAD_std")))): _*)
   }
 
   /** Fixed-range histogram: bucket i covers [lo + i·w, lo + (i+1)·w),
