@@ -20,27 +20,27 @@ object Profile {
     * min, max, mean). Exact distinct counts — swap in
     * `approx_count_distinct` at scales where exact is too heavy.
     */
-  def describeNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs: Seq[Column] = cols.flatMap { c =>
-      Seq(
-        count(lit(1)).as(s"__n_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
-        count_distinct(col(c)).as(s"__nd_$c"),
-        min(col(c)).cast("double").as(s"__min_$c"),
-        max(col(c)).cast("double").as(s"__max_$c"),
-        round(DetAgg.davg(col(c)), 6).as(s"__mean_$c"))
-    }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val rows = cols.map { c =>
-      struct(
-        lit(c).as("column"),
-        col(s"__n_$c").as("n"),
-        col(s"__nn_$c").as("n_null"),
-        col(s"__nd_$c").as("n_distinct"),
-        col(s"__min_$c").as("min"),
-        col(s"__max_$c").as("max"),
-        col(s"__mean_$c").as("mean"))
-    }
-    wide.select(explode(array(rows: _*)).as("p")).select("p.*")
-  }
+  def describeNumeric(df: DataFrame, cols: Seq[String]): DataFrame =
+    // r15: one value-counts aggregate per column instead of one wide
+    // aggregate with k count_distincts — the multi-distinct form planned
+    // an Expand that replicated every row (k+1)× into mixed distinct
+    // buffers; every statistic here is a pure function of (value,
+    // multiplicity), so per-column groupBys collapse map-side to the
+    // distinct values and the finals run over value-counts relations
+    // (davgW is spec-pinned ≡ davg over the exploded rows; n_distinct =
+    // non-null group count; n needs the coalesce because SUM over an
+    // empty relation is NULL where COUNT(*) was 0).
+    cols.map { c =>
+      df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__w"))
+        .agg(
+          coalesce(sum("__w"), lit(0L)).as("n"),
+          sum(when(col("__v").isNull, col("__w")).otherwise(0L)).as("n_null"),
+          count(when(col("__v").isNotNull, lit(1))).as("n_distinct"),
+          min(col("__v")).cast("double").as("min"),
+          max(col("__v")).cast("double").as("max"),
+          round(DetAgg.davgW(col("__v"), col("__w")), 6).as("mean"))
+        .select(
+          lit(c).as("column"), col("n"), col("n_null"), col("n_distinct"),
+          col("min"), col("max"), col("mean"))
+    }.reduce(_ unionByName _)
 }
