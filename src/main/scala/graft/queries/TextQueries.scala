@@ -565,22 +565,35 @@ object TextQueries {
           "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
         .as("p"), col("m"))
       .select(col("p.a").as("a"), col("p.b").as("b"), col("m").as("n"))
+    // the round's argmax rides the SAME job that materializes the pair
+    // relation, as an Observation metric (r15 — the Components fused-
+    // convergence-stat pattern): min(struct(−n, a, b)) is exactly
+    // `ORDER BY n DESC, a, b LIMIT 1` (struct comparison is
+    // lexicographic, −n ascending ≡ n descending), so the per-round
+    // 1-row collect job disappears — 2 materialization jobs per round
+    // instead of 3, across 32 rounds for the deep trainer.
+    def rollWithTop(tag: String, df: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Row) = {
+      val obs = org.apache.spark.sql.Observation()
+      val rolled = scope.roll(tag, df.observe(obs,
+        min(struct((col("n") * lit(-1L)).as("negn"), col("a"), col("b")))
+          .as("top")))
+      (rolled, obs.get("top").asInstanceOf[org.apache.spark.sql.Row])
+    }
     var d = scope.roll("d", corpus
       .select(explode(TextFunctions.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .select(expr(
         "regexp_replace(replace(w, '|', ''), '(.)', '|$1|')").as("s"))
       .groupBy("s").agg(count(lit(1)).as("cnt")))
-    var pc = scope.roll("pc",
+    var (pc, top) = rollWithTop("pc",
       pairs(d, 1).groupBy("a", "b").agg(sum("n").as("n")))
     (1 to rounds).map { r =>
-      val top = pc.orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
       // same loud precondition as [[bpeChain]]: pairs exhausted before
       // the requested depth is a caller error, not a silent truncation
-      require(top.nonEmpty,
+      require(top != null,
         s"text_bpe_train_deep: no pairs left at round $r")
-      val (a, b, n) =
-        (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+      val (a, b, n) = (top.getString(1), top.getString(2), -top.getLong(0))
       val pat = s"|$a||$b|"
       val merged = s"|$a$b|"
       val aff = d.filter(col("s").contains(pat))
@@ -588,14 +601,17 @@ object TextQueries {
         org.apache.spark.sql.functions.replace(
           col("s"), lit(pat), lit(merged)).as("s"),
         col("cnt"))
-      // the final round's argmax is already collected and the function
-      // returns only the merges — rolling pc/d once more would be two
-      // full materializations of discarded state (r12 review)
+      // the final round's argmax already arrived with the previous
+      // roll's observation and the function returns only the merges —
+      // rolling pc/d once more would be two full materializations of
+      // discarded state (r12 review)
       if (r < rounds) {
-        pc = scope.roll("pc",
+        val (pcN, topN) = rollWithTop("pc",
           pc.unionAll(pairs(aff, -1)).unionAll(pairs(affNew, 1))
             .groupBy("a", "b").agg(sum("n").as("n"))
             .filter(col("n") > 0))
+        pc = pcN
+        top = topN
         d = scope.roll("d", d.select(
           when(col("s").contains(pat),
             org.apache.spark.sql.functions.replace(
