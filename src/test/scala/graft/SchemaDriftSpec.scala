@@ -66,6 +66,9 @@ class SchemaDriftSpec extends AnyFunSuite {
     // the builder and no file scan survives in the returned plan
     "graph_adamic_adar" -> Set("lineitem"),
     "graph_adamic_adar_capped" -> Set("lineitem"),
+    // r15: modularity scope-materializes the edge projection and rolls
+    // its 1-row output, so the lineitem scans run eagerly in the builder
+    "graph_modularity" -> Set("lineitem"),
     "e18_markov_stationary" -> Set("events"),
     // the Gram sketch collects inside the builder (the trained-model
     // pattern) and the returned frame is createDataFrame over driver
